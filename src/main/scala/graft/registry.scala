@@ -1,13 +1,16 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** One engine capability: a Spark query plus (when SQL-expressible) an
   * equivalent DuckDB oracle over the same parquet tables.
   *
   * Conventions that keep the driver's hash-compare stable:
   *   - every computed column aliased identically on both sides;
-  *   - doubles rounded identically (round(x, 4)) on both sides;
+  *   - double aggregates computed exactly (decimal sum) then cast to
+  *     double and round(x, 4) on both sides;
   *   - results totally ordered by explicit keys on both sides.
   */
 final case class GraftQuery(
@@ -35,6 +38,37 @@ object Registry {
 
 /** Shared helpers for reading driver-generated test tables. */
 object Tables {
-  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
+      // default; read it as a long and rebuild a (micros) timestamp with
+      // integer arithmetic — ns-epoch values overflow double precision.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/** Oracle-stability helpers (see GraftQuery conventions). */
+object Help {
+  /** Exact decimal type used on BOTH sides before summing doubles, so the
+    * aggregate is order-independent (FP addition is not associative; a
+    * shuffle-order change must not flip the last rounded digit).
+    */
+  val Dec: DecimalType = DecimalType(28, 8)
+
+  /** Order-independent sum of a double expression, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Canonical 4-decimal rounding applied to every derived double. */
+  def r4(c: Column): Column = round(c, 4)
+
+  /** DuckDB-side equivalent of r4(dsum(expr)). */
+  def sqlDsum(expr: String): String =
+    s"round(CAST(SUM(CAST(($expr) AS DECIMAL(28,8))) AS DOUBLE), 4)"
+
+  /** DuckDB-side exact average: exact sum / count, then round. */
+  def sqlDavg(expr: String): String =
+    s"round(CAST(SUM(CAST(($expr) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4)"
 }
