@@ -1,7 +1,165 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** §2.4 deduplication operators over the `documents` table.
+  *
+  * Scale design (100 TB): every near-dup variant is *banded* — candidate
+  * pairs come from an equi-join on a band/bucket key (hash-partitioned,
+  * shuffle on the band key only), never from an all-pairs comparison. The
+  * signature computation itself is map-only (higher-order functions over
+  * token arrays, per-row state bounded by document length).
+  */
 object Dedup {
-  def queries: Seq[GraftQuery] = Seq.empty
+
+  // ---- shared building blocks -------------------------------------------
+
+  /** Distinct word n-gram shingles of the normalized text (1-based slice).
+    * Documents shorter than n words collapse to a single shingle.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = split(TextOps.normText(c), " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: for seed k, min over shingles of xxhash64(sh, k). */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, x => xxhash64(x, seed))))
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** 64-bit SimHash from an array of 64-bit token hashes: bit i is set iff
+    * a majority of token hashes have bit i set (unit weights).
+    */
+  def simhash(hashes: Column): Column =
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, i) => acc + when(
+        size(filter(hashes, h =>
+          call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L))
+          * 2 > size(hashes),
+        call_function("shiftleft", lit(1L), i)).otherwise(0L))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.tbl(s, dir, "documents")
+
+  // ---- queries -----------------------------------------------------------
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Exact dedup: hash-partitioned groupBy on the content fingerprint; no
+    // driver-side state, scales linearly.
+    GraftQuery(
+      "d_dedup_exact",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), md5(TextOps.normText(col("text"))).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy("fp"),
+      Some(s"""SELECT md5(${TextOps.normTextSql}) AS fp,
+        min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // MinHash + LSH near-dup detection: 64 hashes in 16 bands × 4 rows;
+    // candidates from a band-hash equi-join; Jaccard-verified on shingles.
+    GraftQuery(
+      "d_dedup_minhash",
+      (s, dir) => {
+        val bands = 16
+        val rows = 4
+        val sigs = docs(s, dir).select(
+          col("doc_id"),
+          shingles(col("text"), 3).as("sh"))
+          .withColumn("sig", minhashSig(col("sh"), bands * rows))
+        val banded = sigs.select(
+          col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows)))))
+            .as(Seq("band_id", "band_hash")))
+        val a = banded.select(col("doc_id").as("doc_a"),
+          col("band_id"), col("band_hash"))
+        val b = banded.select(col("doc_id").as("doc_b"),
+          col("band_id"), col("band_hash"))
+        val cand = a.join(b, Seq("band_id", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
+          .filter(col("jac") >= 0.5)
+          .select("doc_a", "doc_b", "jac")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // SimHash near-dup: 64-bit signature, 4×16-bit chunk banding (any pair
+    // with hamming distance ≤ 3 shares at least one chunk), verified by
+    // popcount of xor.
+    GraftQuery(
+      "d_dedup_simhash",
+      (s, dir) => {
+        val sigs = docs(s, dir)
+          .select(col("doc_id"),
+            transform(split(TextOps.normText(col("text")), " "),
+              t => xxhash64(t)).as("hs"))
+          .select(col("doc_id"), simhash(col("hs")).as("sim"))
+        val chunked = sigs.select(
+          col("doc_id"), col("sim"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            c => call_function("shiftright", col("sim"), c * 16)
+              .bitwiseAND(lit(0xFFFFL))))
+            .as(Seq("chunk_id", "chunk_val")))
+        val a = chunked.select(col("doc_id").as("doc_a"),
+          col("sim").as("sim_a"), col("chunk_id"), col("chunk_val"))
+        val b = chunked.select(col("doc_id").as("doc_b"),
+          col("sim").as("sim_b"), col("chunk_id"), col("chunk_val"))
+        a.join(b, Seq("chunk_id", "chunk_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+              .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // n-gram Jaccard similarity join: inverted index on shingles with a
+    // document-frequency cap (hot shingles contribute no candidates — they
+    // would dominate the join at scale without separating near-dups).
+    GraftQuery(
+      "d_ngram_jaccard",
+      (s, dir) => {
+        val maxDf = 20
+        val sh = docs(s, dir)
+          .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+        val inverted = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val rare = inverted.groupBy("g")
+          .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("df"))
+          .filter(col("df").between(2, maxDf))
+        val cand = rare
+          .select(explode(col("ids")).as("doc_a"), col("ids"))
+          .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .distinct()
+        val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
+          .filter(col("jac") >= 0.4)
+          .select("doc_a", "doc_b", "jac")
+          .orderBy("doc_a", "doc_b")
+      },
+      None)
+  )
 }

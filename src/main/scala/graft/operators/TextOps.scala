@@ -1,7 +1,139 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** §2.4 text-analysis operators over the `documents` table.
+  *
+  * Everything here is built from codegen'd built-in expressions — no UDFs —
+  * so the whole pipeline stays inside WholeStageCodegen and is map-only
+  * (embarrassingly parallel at 100 TB: no shuffle except final ORDER BY,
+  * which only exists for the correctness gate's total ordering).
+  */
 object TextOps {
-  def queries: Seq[GraftQuery] = Seq.empty
+
+  /** Canonical normalization shared by fingerprint/dedup: lowercase, trim,
+    * collapse runs of whitespace. Identical semantics to the DuckDB-side
+    * `regexp_replace(lower(trim(text)), '\s+', ' ', 'g')`.
+    */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+  val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Whitespace token count (trim first so empty/blank text counts 0/1
+    * identically on both sides).
+    */
+  def wsTokens(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
+  val wsTokensSql = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
+  // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+  private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val bpeReSql = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  // Stopword profiles for the language-ID heuristic (word-boundary regex
+  // counts; \b is ASCII word boundary in both Java regex and RE2).
+  private val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|des)\\b",
+    "es" -> "\\b(el|los|las|y|del)\\b",
+    "zh" -> "(的|是|了|在|我)")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.tbl(s, dir, "documents")
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Normalized content fingerprint (md5 over collapsed whitespace).
+    GraftQuery(
+      "d_fingerprint",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5($normTextSql) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    GraftQuery(
+      "d_token_count",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            wsTokens(col("text")).as("ws_tokens"),
+            regexp_count(col("text"), lit(bpeRe)).cast("long").as("bpe_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, $wsTokensSql AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '$bpeReSql')) AS BIGINT) AS bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring from length / punctuation / stopword ratios. The
+    // score formula is evaluated in identical double arithmetic on both
+    // engines, then rounded.
+    GraftQuery(
+      "d_quality_score",
+      (s, dir) => {
+        val nTok = wsTokens(col("text"))
+        val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))
+          .cast("double") / length(col("text")).cast("double")
+        val stops = regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|in|a)\\b")).cast("double") /
+          greatest(nTok.cast("double"), lit(1.0))
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            nTok.as("n_tokens"),
+            round(punct, 4).as("punct_ratio"),
+            round(stops, 4).as("stop_ratio"),
+            round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
+              (lit(1.0) - punct) * (lit(1.0) - stops), 4).as("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, $wsTokensSql AS n_tokens,
+        round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+        round(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a)\\b')) AS DOUBLE)
+          / greatest(CAST($wsTokensSql AS DOUBLE), 1.0), 4) AS stop_ratio,
+        round(least(CAST($wsTokensSql AS DOUBLE) / 100.0, 1.0)
+          * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE))
+          * (1.0 - CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a)\\b')) AS DOUBLE)
+              / greatest(CAST($wsTokensSql AS DOUBLE), 1.0)), 4) AS quality_score
+        FROM documents ORDER BY doc_id""")),
+
+    // Language ID: stopword-profile scores, argmax with fixed tiebreak
+    // order (en > de > fr > es > zh), same CASE order on both sides.
+    GraftQuery(
+      "d_lang_id",
+      (s, dir) => {
+        val scores = langProfiles.map { case (l, re) =>
+          l -> regexp_count(lower(col("text")), lit(re)).cast("long")
+        }
+        val best = greatest(scores.map(_._2): _*)
+        val pred = scores.tail.foldLeft(
+          when(scores.head._2 === best, scores.head._1)) {
+          case (acc, (l, sc)) => acc.when(sc === best, l)
+        }
+        docs(s, dir)
+          .select(
+            (col("doc_id") +: pred.as("pred_lang") +:
+              scores.map { case (l, sc) => sc.as(s"score_$l") }): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreSql = langProfiles.map { case (l, re) =>
+          val dre = re.replace("\\b", "\\b") // same pattern text in RE2
+          l -> s"CAST(len(regexp_extract_all(lower(text), '$dre')) AS BIGINT)"
+        }
+        val bestSql = s"greatest(${scoreSql.map(_._2).mkString(", ")})"
+        val caseSql = scoreSql
+          .map { case (l, e) => s"WHEN $e = $bestSql THEN '$l'" }
+          .mkString("CASE ", " ", " END")
+        s"""SELECT doc_id, $caseSql AS pred_lang,
+          ${scoreSql.map { case (l, e) => s"$e AS score_$l" }.mkString(", ")}
+          FROM documents ORDER BY doc_id"""
+      })
+  )
 }
