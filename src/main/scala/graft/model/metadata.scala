@@ -1,0 +1,585 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg table-metadata model (spec §"Table Metadata"), mirroring the
+  * reference's surface — /root/reference/src/model/schema.rs:16,152,193
+  * (PrimitiveType/Struct/SchemaV2), partition.rs:18,118,133
+  * (Transform/PartitionField/PartitionSpec), snapshot.rs:18,46,70,82
+  * (Operation/SnapshotV2/Reference/Retention), sort.rs:36,52
+  * (SortField/SortOrder), table.rs:19 (TableMetadataV2) — re-expressed as
+  * Scala case classes with hand-rolled Jackson-node serde emitting the
+  * spec's kebab-case JSON.
+  */
+object Json {
+  val mapper = new ObjectMapper()
+  def obj: ObjectNode = mapper.createObjectNode()
+  def arr: ArrayNode = mapper.createArrayNode()
+  def parse(s: String): JsonNode = mapper.readTree(s)
+  def write(n: JsonNode): String = mapper.writeValueAsString(n)
+}
+
+// ---------------------------------------------------------------- types ----
+
+/** Schema types: primitives + struct/list/map (schema.rs:16,163,219,230). */
+sealed trait IceType {
+  def toJson: JsonNode
+}
+
+sealed abstract class IcePrimitive(val render: String) extends IceType {
+  def toJson: JsonNode = Json.mapper.getNodeFactory.textNode(render)
+}
+case object TBoolean extends IcePrimitive("boolean")
+case object TInt extends IcePrimitive("int")
+case object TLong extends IcePrimitive("long")
+case object TFloat extends IcePrimitive("float")
+case object TDouble extends IcePrimitive("double")
+case object TDate extends IcePrimitive("date")
+case object TTime extends IcePrimitive("time")
+case object TTimestamp extends IcePrimitive("timestamp")
+case object TTimestamptz extends IcePrimitive("timestamptz")
+case object TString extends IcePrimitive("string")
+case object TUuid extends IcePrimitive("uuid")
+case object TBinary extends IcePrimitive("binary")
+case class TDecimal(precision: Int, scale: Int)
+    extends IcePrimitive(s"decimal($precision,$scale)")
+case class TFixed(length: Long) extends IcePrimitive(s"fixed[$length]")
+
+case class TStruct(fields: Seq[StructField]) extends IceType {
+  def toJson: JsonNode = {
+    val o = Json.obj
+    o.put("type", "struct")
+    val fs = o.putArray("fields")
+    fields.foreach(f => fs.add(f.toJson))
+    o
+  }
+}
+
+case class TList(elementId: Int, elementRequired: Boolean, element: IceType)
+    extends IceType {
+  def toJson: JsonNode = {
+    val o = Json.obj
+    o.put("type", "list")
+    o.put("element-id", elementId)
+    o.put("element-required", elementRequired)
+    o.set[ObjectNode]("element", element.toJson)
+    o
+  }
+}
+
+case class TMap(keyId: Int, key: IceType, valueId: Int,
+    valueRequired: Boolean, value: IceType) extends IceType {
+  def toJson: JsonNode = {
+    val o = Json.obj
+    o.put("type", "map")
+    o.put("key-id", keyId)
+    o.set[ObjectNode]("key", key.toJson)
+    o.put("value-id", valueId)
+    o.put("value-required", valueRequired)
+    o.set[ObjectNode]("value", value.toJson)
+    o
+  }
+}
+
+object IceType {
+  private val DecimalRe = """^decimal\((\d+),\s*(\d+)\)$""".r
+  private val FixedRe = """^fixed\[(\d+)\]$""".r
+
+  def parsePrimitive(s: String): IcePrimitive = s match {
+    case "boolean" => TBoolean
+    case "int" => TInt
+    case "long" => TLong
+    case "float" => TFloat
+    case "double" => TDouble
+    case "date" => TDate
+    case "time" => TTime
+    case "timestamp" => TTimestamp
+    // the reference serializes Timestampz as "timestampz"; the spec says
+    // "timestamptz" — accept both, emit the spec form.
+    case "timestamptz" | "timestampz" => TTimestamptz
+    case "string" => TString
+    case "uuid" => TUuid
+    case "binary" => TBinary
+    case DecimalRe(p, sc) => TDecimal(p.toInt, sc.toInt)
+    case FixedRe(l) => TFixed(l.toLong)
+    case other => throw new IllegalArgumentException(s"bad primitive: $other")
+  }
+
+  def fromJson(n: JsonNode): IceType =
+    if (n.isTextual) parsePrimitive(n.asText)
+    else n.path("type").asText match {
+      case "struct" =>
+        TStruct(n.path("fields").elements.asScala.toSeq.map(StructField.fromJson))
+      case "list" =>
+        TList(n.path("element-id").asInt, n.path("element-required").asBoolean,
+          fromJson(n.path("element")))
+      case "map" =>
+        TMap(n.path("key-id").asInt, fromJson(n.path("key")),
+          n.path("value-id").asInt, n.path("value-required").asBoolean,
+          fromJson(n.path("value")))
+      case other => throw new IllegalArgumentException(s"bad type: $other")
+    }
+}
+
+/** A named, id'd struct field (schema.rs:176 StructField). */
+case class StructField(id: Int, name: String, required: Boolean,
+    fieldType: IceType, doc: Option[String] = None) {
+  def toJson: JsonNode = {
+    val o = Json.obj
+    o.put("id", id)
+    o.put("name", name)
+    o.put("required", required)
+    o.set[ObjectNode]("type", fieldType.toJson)
+    doc.foreach(o.put("doc", _))
+    o
+  }
+}
+
+object StructField {
+  def fromJson(n: JsonNode): StructField = {
+    // the reference's fixtures use "field_type"; the spec uses "type"
+    val t = if (n.has("type")) n.path("type") else n.path("field_type")
+    StructField(
+      n.path("id").asInt, n.path("name").asText,
+      n.path("required").asBoolean, IceType.fromJson(t),
+      Option(n.get("doc")).map(_.asText))
+  }
+}
+
+/** Table schema: id + identifier fields + optional name-mapping + struct
+  * fields (schema.rs:193 SchemaV2, 245 NameMapping).
+  */
+case class SchemaV2(schemaId: Int, identifierFieldIds: Option[Seq[Int]],
+    nameMapping: Option[NameMappings], fields: Seq[StructField]) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("schema-id", schemaId)
+    identifierFieldIds.foreach { ids =>
+      val a = o.putArray("identifier-field-ids"); ids.foreach(a.add)
+    }
+    nameMapping.foreach(nm => o.set[ObjectNode]("name-mapping", nm.toJson))
+    o.put("type", "struct")
+    val fs = o.putArray("fields")
+    fields.foreach(f => fs.add(f.toJson))
+    o
+  }
+  def fieldByName(n: String): Option[StructField] = fields.find(_.name == n)
+  def fieldById(id: Int): Option[StructField] = fields.find(_.id == id)
+}
+
+object SchemaV2 {
+  def fromJson(n: JsonNode): SchemaV2 = SchemaV2(
+    n.path("schema-id").asInt,
+    Option(n.get("identifier-field-ids"))
+      .map(_.elements.asScala.toSeq.map(_.asInt)),
+    Option(n.get("name-mapping")).filter(!_.isNull).map(NameMappings.fromJson),
+    n.path("fields").elements.asScala.toSeq.map(StructField.fromJson))
+}
+
+case class NameMappings(default: Seq[NameMapping]) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    val a = o.putArray("default")
+    default.foreach(m => a.add(m.toJson))
+    o
+  }
+  /** name → field-id over all mapped names. */
+  def toFieldIds: Map[String, Int] =
+    default.flatMap(m => m.fieldId.toSeq.flatMap(id => m.names.map(_ -> id))).toMap
+}
+
+object NameMappings {
+  def fromJson(n: JsonNode): NameMappings =
+    NameMappings(n.path("default").elements.asScala.toSeq.map(NameMapping.fromJson))
+}
+
+/** Fallback field-id mapping for files written without ids (schema.rs:245). */
+case class NameMapping(fieldId: Option[Int], names: Seq[String],
+    fields: Option[Seq[NameMapping]] = None) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    fieldId.foreach(o.put("field-id", _))
+    val a = o.putArray("names")
+    names.foreach(a.add)
+    fields.foreach { fs =>
+      val fa = o.putArray("fields"); fs.foreach(f => fa.add(f.toJson))
+    }
+    o
+  }
+}
+
+object NameMapping {
+  def fromJson(n: JsonNode): NameMapping = NameMapping(
+    Option(n.get("field-id")).map(_.asInt),
+    n.path("names").elements.asScala.toSeq.map(_.asText),
+    Option(n.get("fields")).map(_.elements.asScala.toSeq.map(fromJson)))
+}
+
+// ----------------------------------------------------------- transforms ----
+
+/** Partition transform (partition.rs:18), with the spec's string forms. */
+sealed abstract class Transform(val render: String)
+case object TIdentity extends Transform("identity")
+case object TVoid extends Transform("void")
+case object TYear extends Transform("year")
+case object TMonth extends Transform("month")
+case object TDay extends Transform("day")
+case object THour extends Transform("hour")
+case class TBucket(n: Int) extends Transform(s"bucket[$n]")
+case class TTruncate(w: Int) extends Transform(s"truncate[$w]")
+
+object Transform {
+  private val BucketRe = """^bucket\[(\d+)\]$""".r
+  private val TruncateRe = """^truncate\[(\d+)\]$""".r
+  def parse(s: String): Transform = s match {
+    case "identity" => TIdentity
+    case "void" => TVoid
+    case "year" => TYear
+    case "month" => TMonth
+    case "day" => TDay
+    case "hour" => THour
+    case BucketRe(n) => TBucket(n.toInt)
+    case TruncateRe(w) => TTruncate(w.toInt)
+    case other => throw new IllegalArgumentException(s"bad transform: $other")
+  }
+}
+
+/** partition.rs:118 PartitionField. */
+case class PartitionField(sourceId: Int, fieldId: Int, name: String,
+    transform: Transform) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("source-id", sourceId)
+    o.put("field-id", fieldId)
+    o.put("name", name)
+    o.put("transform", transform.render)
+    o
+  }
+}
+
+object PartitionField {
+  def fromJson(n: JsonNode): PartitionField = PartitionField(
+    n.path("source-id").asInt, n.path("field-id").asInt,
+    n.path("name").asText, Transform.parse(n.path("transform").asText))
+}
+
+/** partition.rs:133 PartitionSpec. */
+case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("spec-id", specId)
+    val a = o.putArray("fields")
+    fields.foreach(f => a.add(f.toJson))
+    o
+  }
+}
+
+object PartitionSpec {
+  val unpartitioned: PartitionSpec = PartitionSpec(0, Seq.empty)
+  def fromJson(n: JsonNode): PartitionSpec = PartitionSpec(
+    n.path("spec-id").asInt,
+    n.path("fields").elements.asScala.toSeq.map(PartitionField.fromJson))
+}
+
+// ----------------------------------------------------------------- sort ----
+
+sealed abstract class SortDirection(val render: String)
+case object SortAsc extends SortDirection("asc")
+case object SortDesc extends SortDirection("desc")
+
+sealed abstract class NullOrder(val render: String)
+case object NullsFirst extends NullOrder("nulls-first")
+case object NullsLast extends NullOrder("nulls-last")
+
+/** sort.rs:36 SortField. */
+case class SortField(sourceId: Int, transform: Transform,
+    direction: SortDirection, nullOrder: NullOrder) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("source-id", sourceId)
+    o.put("transform", transform.render)
+    o.put("direction", direction.render)
+    o.put("null-order", nullOrder.render)
+    o
+  }
+}
+
+object SortField {
+  def fromJson(n: JsonNode): SortField = SortField(
+    n.path("source-id").asInt,
+    Transform.parse(n.path("transform").asText),
+    n.path("direction").asText match {
+      case "asc" => SortAsc; case "desc" => SortDesc
+      case o => throw new IllegalArgumentException(s"bad direction: $o")
+    },
+    n.path("null-order").asText match {
+      case "nulls-first" => NullsFirst; case "nulls-last" => NullsLast
+      case o => throw new IllegalArgumentException(s"bad null-order: $o")
+    })
+}
+
+/** sort.rs:52 SortOrder; order_id 0 = unsorted. */
+case class SortOrder(orderId: Int, fields: Seq[SortField]) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("order-id", orderId)
+    val a = o.putArray("fields")
+    fields.foreach(f => a.add(f.toJson))
+    o
+  }
+}
+
+object SortOrder {
+  val unsorted: SortOrder = SortOrder(0, Seq.empty)
+  def fromJson(n: JsonNode): SortOrder = SortOrder(
+    n.path("order-id").asInt,
+    n.path("fields").elements.asScala.toSeq.map(SortField.fromJson))
+}
+
+// ------------------------------------------------------------- snapshot ----
+
+/** snapshot.rs:18 Operation (append/replace/overwrite/delete). */
+object Operation {
+  val values = Set("append", "replace", "overwrite", "delete")
+  def validate(op: String): String = {
+    require(values(op), s"bad operation: $op"); op
+  }
+}
+
+/** snapshot.rs:33 Summary: operation + free-form string map. */
+case class Summary(operation: Option[String],
+    other: Map[String, String] = Map.empty) {
+  operation.foreach(Operation.validate)
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    operation.foreach(o.put("operation", _))
+    other.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    o
+  }
+}
+
+object Summary {
+  def fromJson(n: JsonNode): Summary = {
+    val op = Option(n.get("operation")).map(_.asText)
+    val other = n.properties.asScala
+      .filter(_.getKey != "operation")
+      .map(e => e.getKey -> e.getValue.asText).toMap
+    Summary(op, other)
+  }
+}
+
+/** snapshot.rs:46 SnapshotV2. */
+case class SnapshotV2(snapshotId: Long, parentSnapshotId: Option[Long],
+    sequenceNumber: Long, timestampMs: Long, manifestList: String,
+    summary: Summary, schemaId: Option[Long]) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("snapshot-id", snapshotId)
+    parentSnapshotId.foreach(o.put("parent-snapshot-id", _))
+    o.put("sequence-number", sequenceNumber)
+    o.put("timestamp-ms", timestampMs)
+    o.put("manifest-list", manifestList)
+    o.set[ObjectNode]("summary", summary.toJson)
+    schemaId.foreach(o.put("schema-id", _))
+    o
+  }
+}
+
+object SnapshotV2 {
+  def fromJson(n: JsonNode): SnapshotV2 = SnapshotV2(
+    n.path("snapshot-id").asLong,
+    Option(n.get("parent-snapshot-id")).map(_.asLong),
+    n.path("sequence-number").asLong,
+    n.path("timestamp-ms").asLong,
+    n.path("manifest-list").asText,
+    Summary.fromJson(n.path("summary")),
+    Option(n.get("schema-id")).map(_.asLong))
+}
+
+/** snapshot.rs:82 Retention: branch (with snapshot retention knobs) or tag. */
+sealed trait Retention {
+  def writeInto(o: ObjectNode): Unit
+}
+case class BranchRetention(minSnapshotsToKeep: Int, maxSnapshotAgeMs: Long,
+    maxRefAgeMs: Long) extends Retention {
+  def writeInto(o: ObjectNode): Unit = {
+    o.put("type", "branch")
+    o.put("min-snapshots-to-keep", minSnapshotsToKeep)
+    o.put("max-snapshot-age-ms", maxSnapshotAgeMs)
+    o.put("max-ref-age-ms", maxRefAgeMs)
+  }
+}
+case class TagRetention(maxRefAgeMs: Long) extends Retention {
+  def writeInto(o: ObjectNode): Unit = {
+    o.put("type", "tag")
+    o.put("max-ref-age-ms", maxRefAgeMs)
+  }
+}
+
+/** snapshot.rs:70 Reference — a branch/tag ref to a snapshot. */
+case class SnapshotRef(snapshotId: Long, retention: Retention) {
+  def isBranch: Boolean = retention.isInstanceOf[BranchRetention]
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("snapshot-id", snapshotId)
+    retention.writeInto(o)
+    o
+  }
+}
+
+object SnapshotRef {
+  def fromJson(n: JsonNode): SnapshotRef = {
+    val ret = n.path("type").asText match {
+      case "branch" => BranchRetention(
+        n.path("min-snapshots-to-keep").asInt,
+        n.path("max-snapshot-age-ms").asLong,
+        n.path("max-ref-age-ms").asLong)
+      case "tag" => TagRetention(n.path("max-ref-age-ms").asLong)
+      case o => throw new IllegalArgumentException(s"bad ref type: $o")
+    }
+    SnapshotRef(n.path("snapshot-id").asLong, ret)
+  }
+}
+
+case class SnapshotLog(snapshotId: Long, timestampMs: Long) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("snapshot-id", snapshotId)
+    o.put("timestamp-ms", timestampMs)
+    o
+  }
+}
+object SnapshotLog {
+  def fromJson(n: JsonNode): SnapshotLog =
+    SnapshotLog(n.path("snapshot-id").asLong, n.path("timestamp-ms").asLong)
+}
+
+case class MetadataLog(metadataFile: String, timestampMs: Long) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("metadata-file", metadataFile)
+    o.put("timestamp-ms", timestampMs)
+    o
+  }
+}
+object MetadataLog {
+  def fromJson(n: JsonNode): MetadataLog =
+    MetadataLog(n.path("metadata-file").asText, n.path("timestamp-ms").asLong)
+}
+
+// ------------------------------------------------------- table metadata ----
+
+/** table.rs:19 TableMetadataV2 — the root metadata document. */
+case class TableMetadataV2(
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    schemas: Seq[SchemaV2],
+    currentSchemaId: Int,
+    partitionSpecs: Seq[PartitionSpec],
+    defaultSpecId: Int,
+    lastPartitionId: Int,
+    properties: Option[Map[String, String]] = None,
+    currentSnapshotId: Option[Long] = None,
+    snapshots: Option[Seq[SnapshotV2]] = None,
+    snapshotLog: Option[Seq[SnapshotLog]] = None,
+    metadataLog: Option[Seq[MetadataLog]] = None,
+    sortOrders: Seq[SortOrder] = Seq(SortOrder.unsorted),
+    defaultSortOrderId: Long = 0L,
+    refs: Option[Map[String, SnapshotRef]] = None) {
+
+  // validate the UUID eagerly, as the reference does via the Uuid type
+  java.util.UUID.fromString(tableUuid)
+
+  def currentSchema: SchemaV2 =
+    schemas.find(_.schemaId == currentSchemaId)
+      .getOrElse(throw new IllegalStateException("no current schema"))
+  def defaultSpec: PartitionSpec =
+    partitionSpecs.find(_.specId == defaultSpecId)
+      .getOrElse(PartitionSpec.unpartitioned)
+  def schemaById(id: Int): Option[SchemaV2] = schemas.find(_.schemaId == id)
+  def snapshotById(id: Long): Option[SnapshotV2] =
+    snapshots.getOrElse(Seq.empty).find(_.snapshotId == id)
+  def currentSnapshot: Option[SnapshotV2] =
+    currentSnapshotId.flatMap(snapshotById)
+
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("format-version", 2)
+    o.put("table-uuid", tableUuid)
+    o.put("location", location)
+    o.put("last-sequence-number", lastSequenceNumber)
+    o.put("last-updated-ms", lastUpdatedMs)
+    o.put("last-column-id", lastColumnId)
+    val sa = o.putArray("schemas"); schemas.foreach(s => sa.add(s.toJson))
+    o.put("current-schema-id", currentSchemaId)
+    val pa = o.putArray("partition-specs")
+    partitionSpecs.foreach(p => pa.add(p.toJson))
+    o.put("default-spec-id", defaultSpecId)
+    o.put("last-partition-id", lastPartitionId)
+    properties.foreach { p =>
+      val po = o.putObject("properties")
+      p.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
+    }
+    currentSnapshotId.foreach(o.put("current-snapshot-id", _))
+    snapshots.foreach { ss =>
+      val a = o.putArray("snapshots"); ss.foreach(s => a.add(s.toJson))
+    }
+    snapshotLog.foreach { ls =>
+      val a = o.putArray("snapshot-log"); ls.foreach(l => a.add(l.toJson))
+    }
+    metadataLog.foreach { ls =>
+      val a = o.putArray("metadata-log"); ls.foreach(l => a.add(l.toJson))
+    }
+    val soa = o.putArray("sort-orders")
+    sortOrders.foreach(s => soa.add(s.toJson))
+    o.put("default-sort-order-id", defaultSortOrderId)
+    refs.foreach { r =>
+      val ro = o.putObject("refs")
+      r.toSeq.sortBy(_._1).foreach { case (k, v) => ro.set[ObjectNode](k, v.toJson) }
+    }
+    o
+  }
+
+  def toJsonString: String = Json.write(toJson)
+}
+
+object TableMetadataV2 {
+  def fromJsonString(s: String): TableMetadataV2 = fromJson(Json.parse(s))
+
+  def fromJson(n: JsonNode): TableMetadataV2 = {
+    require(n.path("format-version").asInt == 2,
+      s"unsupported format-version: ${n.path("format-version")}")
+    TableMetadataV2(
+      tableUuid = n.path("table-uuid").asText,
+      location = n.path("location").asText,
+      lastSequenceNumber = n.path("last-sequence-number").asLong,
+      lastUpdatedMs = n.path("last-updated-ms").asLong,
+      lastColumnId = n.path("last-column-id").asInt,
+      schemas = n.path("schemas").elements.asScala.toSeq.map(SchemaV2.fromJson),
+      currentSchemaId = n.path("current-schema-id").asInt,
+      partitionSpecs = n.path("partition-specs").elements.asScala.toSeq
+        .map(PartitionSpec.fromJson),
+      defaultSpecId = n.path("default-spec-id").asInt,
+      lastPartitionId = n.path("last-partition-id").asInt,
+      properties = Option(n.get("properties")).map(p =>
+        p.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap),
+      currentSnapshotId = Option(n.get("current-snapshot-id")).map(_.asLong),
+      snapshots = Option(n.get("snapshots"))
+        .map(_.elements.asScala.toSeq.map(SnapshotV2.fromJson)),
+      snapshotLog = Option(n.get("snapshot-log"))
+        .map(_.elements.asScala.toSeq.map(SnapshotLog.fromJson)),
+      metadataLog = Option(n.get("metadata-log"))
+        .map(_.elements.asScala.toSeq.map(MetadataLog.fromJson)),
+      sortOrders = n.path("sort-orders").elements.asScala.toSeq
+        .map(SortOrder.fromJson),
+      defaultSortOrderId = n.path("default-sort-order-id").asLong,
+      refs = Option(n.get("refs")).map(r =>
+        r.properties.asScala.map(e =>
+          e.getKey -> SnapshotRef.fromJson(e.getValue)).toMap))
+  }
+}

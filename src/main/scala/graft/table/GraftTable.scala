@@ -1,0 +1,640 @@
+package graft.table
+
+import graft.functions.transforms
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField => SparkField, _}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Spark-first Iceberg-semantics table (reference: the whole
+  * /root/reference/src/model — this is the execution layer the reference's
+  * metadata model implies but does not ship).
+  *
+  * Layout: `location/metadata/v{N}.metadata.json` (TableMetadataV2, spec
+  * kebab-case JSON) + `metadata/manifest-{snapshotId}.jsonl` (full live
+  * file list per snapshot) + parquet data files under
+  * `location/data/{writeId}/` (partition dirs derived by the spec).
+  *
+  * Design for 100 TB:
+  *   - planning = transform-aware partition + min/max file pruning BEFORE
+  *     any Spark job touches data (Pruning.mayMatch), then a parquet scan
+  *     of only surviving files with the residual filter pushed down;
+  *   - writes are ordinary distributed parquet writes (hidden partitioning
+  *     derives partition dirs from transform expressions; source columns
+  *     stay in the data files) followed by one distributed stats pass over
+  *     the new files only and an O(files) driver-side commit;
+  *   - commits are atomic CREATE_NEW of the next metadata version
+  *     (optimistic concurrency, last-writer-wins on conflict retry);
+  *   - manifests are JSON-lines so the planning side scales out by
+  *     switching the reader from driver-side lines to a Spark JSON scan.
+  */
+class GraftTable private (val spark: SparkSession, val location: String) {
+
+  import GraftTable._
+
+  private def metaDir: Path = Paths.get(location, "metadata")
+
+  /** Latest committed metadata (highest v{N}.metadata.json). */
+  def metadata: TableMetadataV2 = {
+    val (v, p) = latestVersion(metaDir)
+      .getOrElse(throw new IllegalStateException(s"no table at $location"))
+    TableMetadataV2.fromJsonString(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  private def latestVersion(dir: Path): Option[(Int, Path)] = {
+    if (!Files.isDirectory(dir)) return None
+    val re = """v(\d+)\.metadata\.json""".r
+    Files.list(dir).iterator.asScala
+      .flatMap(p => p.getFileName.toString match {
+        case re(n) => Some((n.toInt, p))
+        case _ => None
+      }).toSeq.sortBy(-_._1).headOption
+  }
+
+  // ------------------------------------------------------------- commit ----
+
+  private def writeMetadata(meta: TableMetadataV2): Unit = {
+    val next = latestVersion(metaDir).map(_._1 + 1).getOrElse(1)
+    val target = metaDir.resolve(s"v$next.metadata.json")
+    Files.createDirectories(metaDir)
+    val withLog = meta.copy(metadataLog = Some(
+      meta.metadataLog.getOrElse(Seq.empty) ++
+        latestVersion(metaDir).map { case (_, p) =>
+          MetadataLog(p.toString, System.currentTimeMillis)
+        }.toSeq))
+    // CREATE_NEW = atomic claim of the version slot (optimistic commit)
+    Files.write(target, withLog.toJsonString.getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      next.toString.getBytes("UTF-8"))
+  }
+
+  private def manifestPath(snapshotId: Long): Path =
+    metaDir.resolve(s"manifest-$snapshotId.jsonl")
+
+  /** Commit a new snapshot whose manifest is the COMPLETE live file list. */
+  private def commitSnapshot(op: String, entries: Seq[DataFileEntry],
+      summaryExtra: Map[String, String] = Map.empty): SnapshotV2 = {
+    val meta = metadata
+    val snapId = newSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val stamped = entries.map(e =>
+      if (e.snapshotId == PendingSnapshot)
+        e.copy(snapshotId = snapId, sequenceNumber = seq)
+      else e)
+    DataFileEntry.writeManifest(manifestPath(snapId), stamped)
+    val now = System.currentTimeMillis
+    val snap = SnapshotV2(snapId, meta.currentSnapshotId, seq, now,
+      manifestPath(snapId).toString,
+      Summary(Some(op), summaryExtra ++ Map(
+        "total-data-files" -> stamped.size.toString,
+        "total-records" -> stamped.map(_.recordCount).sum.toString)),
+      Some(meta.currentSchemaId.toLong))
+    val refs = meta.refs.getOrElse(Map.empty) +
+      ("main" -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
+    writeMetadata(meta.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapId),
+      snapshots = Some(meta.snapshots.getOrElse(Seq.empty) :+ snap),
+      snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
+        SnapshotLog(snapId, now)),
+      refs = Some(refs)))
+    snap
+  }
+
+  // ------------------------------------------------------------- write ----
+
+  /** Append rows (hidden partitioning per the default spec). Returns the
+    * new snapshot.
+    */
+  def append(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
+      repartitionByPartition: Boolean = false): SnapshotV2 = {
+    val entries = writeFiles(df, sortWithin, repartitionByPartition)
+    commitSnapshot("append", liveEntries() ++ entries)
+  }
+
+  /** Write df's files under a fresh writeId; return pending entries. */
+  private def writeFiles(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
+      repartitionByPartition: Boolean = false): Seq[DataFileEntry] = {
+    val meta = metadata
+    val spec = meta.defaultSpec
+    val schema = meta.currentSchema
+    val sparkSchema = toSparkSchema(schema)
+    val writeId = java.util.UUID.randomUUID.toString.take(8)
+    val writeDir = s"$location/data/$writeId"
+
+    val partNames = spec.fields.map(_.name)
+    var out = df.select(sparkSchema.fieldNames.map(col): _*)
+    spec.fields.foreach { pf =>
+      val src = schema.fieldById(pf.sourceId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"spec source id ${pf.sourceId} not in schema"))
+      val srcType = sparkSchema(src.name).dataType
+      out = out.withColumn(pf.name,
+        transformColumn(pf.transform, col(src.name), srcType))
+    }
+    if (repartitionByPartition && partNames.nonEmpty)
+      out = out.repartition(partNames.map(col): _*)
+    if (sortWithin.nonEmpty) out = out.sortWithinPartitions(sortWithin: _*)
+
+    val writer = out.write.mode("errorifexists")
+    (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
+      .parquet(writeDir)
+
+    // an empty input writes no parquet files (e.g. a CoW rewrite that
+    // removes every row of the affected files) — nothing to commit
+    val wrote = {
+      val dir = Paths.get(writeDir)
+      Files.isDirectory(dir) && Files.walk(dir).iterator.asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+    }
+    if (!wrote) Seq.empty
+    else collectStats(writeDir, schema, sparkSchema, spec)
+  }
+
+  /** One distributed pass over the freshly written files: per-file row
+    * count + min/max/null-count for every primitive column. Result is one
+    * row per file (small), collected for the manifest.
+    */
+  private def collectStats(writeDir: String, schema: SchemaV2,
+      sparkSchema: StructType, spec: PartitionSpec): Seq[DataFileEntry] = {
+    val statFields = sparkSchema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType | TimestampType | TimestampNTZType |
+          DateType | BooleanType => true
+      case _ => false
+    })
+    val df = spark.read.parquet(writeDir)
+    val aggs = statFields.flatMap { f =>
+      Seq(min(col(f.name)).as(s"min::${f.name}"),
+        max(col(f.name)).as(s"max::${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls::${f.name}"))
+    } :+ count(lit(1)).as("cnt")
+    val rows = df
+      .groupBy(col("_metadata.file_path").as("__path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    rows.toSeq.map { r =>
+      val path = r.getAs[String]("__path").stripPrefix("file:")
+      val stats = statFields.map { f =>
+        f.name -> ColStats(
+          Pruning.normalize(r.getAs[Any](s"min::${f.name}"), f.dataType),
+          Pruning.normalize(r.getAs[Any](s"max::${f.name}"), f.dataType),
+          r.getAs[Long](s"nulls::${f.name}"))
+      }.toMap
+      DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot, 0L,
+        schema.schemaId, parsePartition(path, spec), stats)
+    }
+  }
+
+  /** Parse `name=value` partition dirs out of a written file path. */
+  private def parsePartition(path: String,
+      spec: PartitionSpec): Map[String, Option[String]] =
+    if (spec.fields.isEmpty) Map.empty
+    else {
+      val segs = path.split('/').filter(_.contains('='))
+        .map { s =>
+          val Array(k, v) = s.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(java.net.URLDecoder.decode(v, "UTF-8")))
+        }.toMap
+      spec.fields.map(pf => pf.name -> segs.getOrElse(pf.name, None)).toMap
+    }
+
+  // -------------------------------------------------------------- read ----
+
+  /** Current live file list (empty before the first snapshot). */
+  def liveEntries(asOf: Option[Long] = None): Seq[DataFileEntry] = {
+    val meta = metadata
+    val snap = asOf match {
+      case Some(id) => meta.snapshotById(id)
+        .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
+      case None => meta.currentSnapshot.getOrElse(return Seq.empty)
+    }
+    DataFileEntry.readManifest(Paths.get(snap.manifestList))
+  }
+
+  /** Files surviving metadata pruning for a filter (the plan the scan will
+    * read). Public so callers/tests can audit pruning.
+    */
+  def planFiles(filter: Option[Column] = None,
+      asOf: Option[Long] = None): Seq[DataFileEntry] = {
+    val meta = metadata
+    val entries = liveEntries(asOf)
+    val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
+      .map(_.toInt).getOrElse(meta.currentSchemaId)
+    val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
+    val sparkSchema = toSparkSchema(schema)
+    filter match {
+      case None => entries
+      case Some(f) =>
+        val preds = Pruning.extract(spark, f, sparkSchema)
+        entries.filter(e =>
+          Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+    }
+  }
+
+  /** Snapshot-consistent scan with metadata pruning + residual filter.
+    * Reads resolve columns by field id across schema versions (rename/add
+    * survive; old files project nulls for later columns).
+    */
+  def scan(filter: Option[Column] = None, asOf: Option[Long] = None): DataFrame = {
+    val meta = metadata
+    val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
+      .map(_.toInt).getOrElse(meta.currentSchemaId)
+    val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
+    val df = readAligned(planFiles(filter, asOf), readSchema)
+    filter.map(df.filter).getOrElse(df)
+  }
+
+  /** Scan a reference (branch or tag) by name. */
+  def scanRef(name: String, filter: Option[Column] = None): DataFrame = {
+    val ref = metadata.refs.flatMap(_.get(name))
+      .getOrElse(throw new IllegalArgumentException(s"no ref $name"))
+    scan(filter, Some(ref.snapshotId))
+  }
+
+  /** Rows added strictly after `fromSnapshot`, up to and including
+    * `toSnapshot` (append-flavored incremental consumption).
+    */
+  def incrementalRead(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    val meta = metadata
+    val fromSeq = meta.snapshotById(fromSnapshot)
+      .getOrElse(throw new IllegalArgumentException("bad from")).sequenceNumber
+    val entries = liveEntries(Some(toSnapshot))
+      .filter(_.sequenceNumber > fromSeq)
+    readAligned(entries, meta.currentSchema)
+  }
+
+  /** Field-id-aligned union over per-schema file groups. */
+  private def readAligned(entries: Seq[DataFileEntry],
+      readSchema: SchemaV2): DataFrame = {
+    val meta = metadata
+    val targetSpark = toSparkSchema(readSchema)
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], targetSpark)
+    val groups = entries.groupBy(_.schemaId)
+    groups.map { case (sid, es) =>
+      val fileSchema = meta.schemaById(sid).getOrElse(readSchema)
+      val df = spark.read
+        .schema(toSparkSchema(fileSchema))
+        .parquet(es.map(_.path): _*)
+      val cols = readSchema.fields.map { f =>
+        fileSchema.fieldById(f.id) match {
+          case Some(ff) => col(ff.name).as(f.name)
+          case None => lit(null).cast(toSparkType(f.fieldType)).as(f.name)
+        }
+      }
+      df.select(cols: _*)
+    }.reduce(_.union(_))
+  }
+
+  // ------------------------------------------------------- mutation ops ----
+
+  /** Copy-on-write DELETE WHERE: untouched files survive as-is; files that
+    * may contain matching rows are rewritten without them.
+    */
+  def deleteWhere(cond: Column): SnapshotV2 = {
+    val meta = metadata
+    val schema = meta.currentSchema
+    val sparkSchema = toSparkSchema(schema)
+    val preds = Pruning.extract(spark, cond, sparkSchema)
+    val (maybe, untouched) = liveEntries().partition(e =>
+      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+    val rewritten =
+      if (maybe.isEmpty) Seq.empty
+      else writeFiles(readAligned(maybe, schema).filter(!cond))
+    commitSnapshot("delete", untouched ++ rewritten,
+      Map("rewritten-files" -> maybe.size.toString))
+  }
+
+  /** Dynamic partition overwrite: replaces exactly the partitions present
+    * in `df` (spec-derived), leaves all others untouched.
+    */
+  def overwritePartitions(df: DataFrame): SnapshotV2 = {
+    val meta = metadata
+    val spec = meta.defaultSpec
+    require(spec.fields.nonEmpty, "overwritePartitions needs a partitioned table")
+    val newEntries = writeFiles(df)
+    val touched: Set[Map[String, Option[String]]] =
+      newEntries.map(_.partition).toSet
+    val untouched = liveEntries().filterNot(e => touched.contains(e.partition))
+    commitSnapshot("overwrite", untouched ++ newEntries,
+      Map("replaced-partitions" -> touched.size.toString))
+  }
+
+  /** MERGE INTO (upsert) on equality keys: matched target rows take the
+    * source's values, unmatched source rows are inserted. File-granular
+    * CoW — only files whose key range intersects the source's key range
+    * are rewritten (stats-conservative; disjoint files provably hold no
+    * matching key).
+    */
+  def mergeInto(source: DataFrame, keys: Seq[String]): SnapshotV2 = {
+    val meta = metadata
+    val schema = meta.currentSchema
+    val sparkSchema = toSparkSchema(schema)
+    // key envelope of the source (tiny aggregate) → affected-file predicate
+    val bounds = source.agg(
+      keys.map(k => min(col(k)).as(s"mn::$k")).head,
+      (keys.map(k => min(col(k)).as(s"mn::$k")).tail ++
+        keys.map(k => max(col(k)).as(s"mx::$k"))): _*).head()
+    val preds = keys.flatMap { k =>
+      val dt = sparkSchema(k).dataType
+      Seq(
+        Pruning.normalize(bounds.getAs[Any](s"mn::$k"), dt)
+          .map(v => Pruning.Cmp(k, ">=", v)),
+        Pruning.normalize(bounds.getAs[Any](s"mx::$k"), dt)
+          .map(v => Pruning.Cmp(k, "<=", v))).flatten
+    }
+    val (affected, untouched) = liveEntries().partition(e =>
+      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+    val target = readAligned(affected, schema)
+    val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
+    val src = source.select(sparkSchema.fieldNames.map(n =>
+      col(n).as(s"__src_$n")): _*)
+    val joinCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
+    val merged = target.join(src, joinCond, "full_outer").select(
+      (keys.map(k => coalesce(col(k), col(s"__src_$k")).as(k)) ++
+        dataCols.map(n =>
+          when(col(s"__src_${keys.head}").isNotNull, col(s"__src_$n"))
+            .otherwise(col(n)).as(n))): _*)
+    val rewritten = writeFiles(merged)
+    commitSnapshot("overwrite", untouched ++ rewritten,
+      Map("merged-files" -> affected.size.toString))
+  }
+
+  /** Bin-pack rewrite: one file per partition value (op=replace). */
+  def compact(): SnapshotV2 = {
+    val meta = metadata
+    val schema = meta.currentSchema
+    val df = readAligned(liveEntries(), schema)
+    val partNames = meta.defaultSpec.fields.map(_.name)
+    val rewritten =
+      if (partNames.nonEmpty) writeFiles(df, repartitionByPartition = true)
+      else writeFiles(df.coalesce(1))
+    commitSnapshot("replace", rewritten)
+  }
+
+  // ---------------------------------------------------- schema evolution ----
+
+  private def evolveSchema(f: SchemaV2 => SchemaV2,
+      bumpColumnId: Int = 0): Unit = {
+    val meta = metadata
+    val cur = meta.currentSchema
+    val next = f(cur).copy(schemaId = cur.schemaId + 1)
+    // name-mapping: every historical name of a field id keeps resolving
+    val names = (meta.schemas :+ next).flatMap(_.fields)
+      .groupBy(_.id).map { case (id, fs) =>
+        NameMapping(Some(id), fs.map(_.name).distinct)
+      }.toSeq.sortBy(_.fieldId)
+    val mapped = next.copy(nameMapping = Some(NameMappings(names)))
+    writeMetadata(meta.copy(
+      schemas = meta.schemas :+ mapped,
+      currentSchemaId = mapped.schemaId,
+      lastColumnId = meta.lastColumnId + bumpColumnId,
+      lastUpdatedMs = System.currentTimeMillis))
+  }
+
+  /** Rename a column; field id is stable so existing files keep working. */
+  def renameColumn(from: String, to: String): Unit =
+    evolveSchema { s =>
+      require(s.fieldByName(from).isDefined, s"no column $from")
+      require(s.fieldByName(to).isEmpty, s"column $to already exists")
+      s.copy(fields = s.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** Add an optional column with a fresh field id; old files read null. */
+  def addColumn(name: String, dataType: DataType): Unit = {
+    val nextId = metadata.lastColumnId + 1
+    evolveSchema({ s =>
+      require(s.fieldByName(name).isEmpty, s"column $name already exists")
+      s.copy(fields = s.fields :+
+        StructField(nextId, name, required = false, toIceType(dataType)))
+    }, bumpColumnId = 1)
+  }
+
+  /** Drop a column (metadata-only; data files retain the bytes). */
+  def dropColumn(name: String): Unit =
+    evolveSchema { s =>
+      require(s.fieldByName(name).isDefined, s"no column $name")
+      s.copy(fields = s.fields.filterNot(_.name == name))
+    }
+
+  // ------------------------------------------------------- refs/expiry ----
+
+  def createBranch(name: String, snapshotId: Long): Unit = {
+    val meta = metadata
+    writeMetadata(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
+      (name -> SnapshotRef(snapshotId,
+        BranchRetention(1, Long.MaxValue, Long.MaxValue))))))
+  }
+
+  def createTag(name: String, snapshotId: Long): Unit = {
+    val meta = metadata
+    writeMetadata(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
+      (name -> SnapshotRef(snapshotId, TagRetention(Long.MaxValue))))))
+  }
+
+  /** Expire all but the last `keepLast` snapshots (ref'd snapshots always
+    * survive). Deletes newly-orphaned data files and expired manifests;
+    * returns the orphaned data file paths.
+    */
+  def expireSnapshots(keepLast: Int): Seq[String] = {
+    val meta = metadata
+    val all = meta.snapshots.getOrElse(Seq.empty).sortBy(_.sequenceNumber)
+    val refIds = meta.refs.getOrElse(Map.empty).values.map(_.snapshotId).toSet
+    val keep = all.takeRight(keepLast).map(_.snapshotId).toSet ++ refIds
+    val (retained, expired) = all.partition(s => keep.contains(s.snapshotId))
+    if (expired.isEmpty) return Seq.empty
+    val liveFiles = retained.flatMap(s =>
+      DataFileEntry.readManifest(Paths.get(s.manifestList))).map(_.path).toSet
+    val orphans = expired.flatMap(s =>
+      DataFileEntry.readManifest(Paths.get(s.manifestList)))
+      .map(_.path).distinct.filterNot(liveFiles.contains)
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
+    writeMetadata(meta.copy(
+      snapshots = Some(retained),
+      snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty)
+        .filter(l => keep.contains(l.snapshotId))),
+      lastUpdatedMs = System.currentTimeMillis))
+    orphans
+  }
+
+  // ----------------------------------------------------- metadata tables ----
+
+  /** `.snapshots` metadata table. */
+  def snapshotsDf: DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.getOrElse(Seq.empty).map(s =>
+      (s.snapshotId, s.parentSnapshotId, s.sequenceNumber, s.timestampMs,
+        s.summary.operation.getOrElse(""),
+        s.summary.other.getOrElse("total-records", "0").toLong))
+      .toDF("snapshot_id", "parent_id", "sequence_number", "committed_at_ms",
+        "operation", "total_records")
+  }
+
+  /** `.history` metadata table. */
+  def historyDf: DataFrame = {
+    import spark.implicits._
+    metadata.snapshotLog.getOrElse(Seq.empty)
+      .map(l => (l.timestampMs, l.snapshotId))
+      .toDF("made_current_at_ms", "snapshot_id")
+  }
+
+  /** `.files` metadata table. */
+  def filesDf: DataFrame = {
+    import spark.implicits._
+    liveEntries().map(e => (e.path, e.recordCount, e.snapshotId,
+      e.sequenceNumber, e.schemaId,
+      e.partition.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString(",")))
+      .toDF("file_path", "record_count", "added_snapshot_id",
+        "sequence_number", "schema_id", "partition")
+  }
+
+  /** refs metadata table. */
+  def refsDf: DataFrame = {
+    import spark.implicits._
+    metadata.refs.getOrElse(Map.empty).toSeq.sortBy(_._1).map { case (n, r) =>
+      (n, if (r.isBranch) "branch" else "tag", r.snapshotId)
+    }.toDF("name", "type", "snapshot_id")
+  }
+}
+
+object GraftTable {
+
+  /** Sentinel for entries not yet bound to a committed snapshot. */
+  private val PendingSnapshot = -1L
+
+  private def newSnapshotId(): Long =
+    java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+
+  def load(spark: SparkSession, location: String): GraftTable =
+    new GraftTable(spark, location)
+
+  /** Create a new table (fails if metadata already exists). Partitioning is
+    * given as (sourceColumn, transform, partitionFieldName).
+    */
+  def create(spark: SparkSession, location: String, schema: StructType,
+      partitionBy: Seq[(String, Transform, String)] = Seq.empty,
+      sortOrder: Seq[(String, Transform)] = Seq.empty,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val iceSchema = toIceSchema(schema, schemaId = 0)
+    val specFields = partitionBy.zipWithIndex.map {
+      case ((src, t, name), i) =>
+        val f = iceSchema.fieldByName(src).getOrElse(
+          throw new IllegalArgumentException(s"no column $src"))
+        PartitionField(f.id, 1000 + i, name, t)
+    }
+    val order =
+      if (sortOrder.isEmpty) SortOrder.unsorted
+      else SortOrder(1, sortOrder.map { case (src, t) =>
+        val f = iceSchema.fieldByName(src).get
+        SortField(f.id, t, SortAsc, NullsFirst)
+      })
+    val meta = TableMetadataV2(
+      tableUuid = java.util.UUID.randomUUID.toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis,
+      lastColumnId = iceSchema.fields.map(_.id).maxOption.getOrElse(0),
+      schemas = Seq(iceSchema),
+      currentSchemaId = 0,
+      partitionSpecs = Seq(
+        if (specFields.isEmpty) PartitionSpec.unpartitioned
+        else PartitionSpec(if (specFields.isEmpty) 0 else 1, specFields)),
+      defaultSpecId = if (specFields.isEmpty) 0 else 1,
+      lastPartitionId = specFields.map(_.fieldId).maxOption.getOrElse(999),
+      properties = if (properties.isEmpty) None else Some(properties),
+      sortOrders = Seq(SortOrder.unsorted) ++
+        (if (order.orderId == 0) Seq.empty else Seq(order)),
+      defaultSortOrderId = order.orderId.toLong)
+    val t = new GraftTable(spark, location)
+    if (t.latestVersion(Paths.get(location, "metadata")).isDefined)
+      throw new IllegalStateException(s"table already exists at $location")
+    t.writeMetadata(meta)
+    t
+  }
+
+  // --------------------------------------------------- type conversion ----
+
+  def toIceSchema(schema: StructType, schemaId: Int): SchemaV2 = {
+    var nextId = 0
+    def alloc(): Int = { nextId += 1; nextId }
+    def conv(dt: DataType): IceType = dt match {
+      case st: StructType =>
+        TStruct(st.fields.map(f =>
+          StructField(alloc(), f.name, !f.nullable, conv(f.dataType))))
+      case ArrayType(et, containsNull) => TList(alloc(), !containsNull, conv(et))
+      case MapType(kt, vt, vn) => TMap(alloc(), conv(kt), alloc(), !vn, conv(vt))
+      case other => toIceType(other)
+    }
+    SchemaV2(schemaId, None, None, schema.fields.map(f =>
+      StructField(alloc(), f.name, !f.nullable, conv(f.dataType))).toSeq)
+  }
+
+  def toIceType(dt: DataType): IceType = dt match {
+    case BooleanType => TBoolean
+    case IntegerType | ShortType | ByteType => TInt
+    case LongType => TLong
+    case FloatType => TFloat
+    case DoubleType => TDouble
+    case StringType => TString
+    case DateType => TDate
+    case TimestampType => TTimestamptz
+    case TimestampNTZType => TTimestamp
+    case BinaryType => TBinary
+    case d: DecimalType => TDecimal(d.precision, d.scale)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  def toSparkType(t: IceType): DataType = t match {
+    case TBoolean => BooleanType
+    case TInt => IntegerType
+    case TLong => LongType
+    case TFloat => FloatType
+    case TDouble => DoubleType
+    case TString => StringType
+    case TDate => DateType
+    case TTimestamp => TimestampNTZType
+    case TTimestamptz => TimestampType
+    case TBinary => BinaryType
+    case TUuid => StringType
+    case TFixed(_) => BinaryType
+    case TDecimal(p, s) => DecimalType(p, s)
+    case TStruct(fs) => StructType(fs.map(f =>
+      SparkField(f.name, toSparkType(f.fieldType), !f.required)))
+    case TList(_, req, el) => ArrayType(toSparkType(el), !req)
+    case TMap(_, k, _, vreq, v) =>
+      MapType(toSparkType(k), toSparkType(v), !vreq)
+  }
+
+  def toSparkSchema(s: SchemaV2): StructType =
+    StructType(s.fields.map(f =>
+      SparkField(f.name, toSparkType(f.fieldType), !f.required)))
+
+  /** Transform → Column using graft.functions (bucket is the native
+    * murmur3 Catalyst expression).
+    */
+  def transformColumn(t: Transform, c: Column, srcType: DataType): Column =
+    t match {
+      case TIdentity => c
+      case TVoid => transforms.voidT(c)
+      case TYear => transforms.years(c)
+      case TMonth => transforms.months(c)
+      case TDay => transforms.days(c)
+      case THour => transforms.hours(c)
+      case TBucket(n) => transforms.bucket(n, c)
+      case TTruncate(w) => srcType match {
+        case StringType => transforms.truncateString(w, c)
+        case _ => transforms.truncateInt(w, c)
+      }
+    }
+}

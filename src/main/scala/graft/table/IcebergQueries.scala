@@ -1,7 +1,368 @@
 package graft.table
 
-import graft.GraftQuery
+import graft.{GraftQuery, Help, Tables}
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
+/** §2.2 Iceberg table-format queries. Each builds a real GraftTable under
+  * target/graft-tbl (fresh location per run), exercises one table-format
+  * capability end-to-end (write → commit → metadata-pruned scan), and
+  * returns a totally-ordered result the DuckDB oracle reproduces straight
+  * from the source parquet.
+  */
 object IcebergQueries {
-  def queries: Seq[GraftQuery] = Seq.empty
+  import Help._
+
+  private def loc(name: String): String =
+    s"/root/repo/target/graft-tbl/$name-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Tables.tbl(s, dir, "lineitem")
+
+  /** Canonical readback aggregate: order-insensitive proof that the table
+    * holds exactly the expected rows.
+    */
+  private def flagAgg(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), r4(dsum(col("l_quantity"))).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  private val flagAggSql =
+    s"SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty"
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Metadata JSON roundtrip (spec §Table Metadata; the reference's own
+    // serde tests in table.rs/schema.rs are mirrored in MetadataSpec).
+    GraftQuery(
+      "ice_metadata_roundtrip",
+      (s, dir) => {
+        val fixture = MetadataFixtures.full
+        val parsed = TableMetadataV2.fromJsonString(fixture)
+        val reparsed = TableMetadataV2.fromJsonString(parsed.toJsonString)
+        require(parsed == reparsed, "metadata JSON roundtrip diverged")
+        import s.implicits._
+        Seq(
+          ("schemas", parsed.schemas.size.toLong),
+          ("fields", parsed.currentSchema.fields.size.toLong),
+          ("partition-specs", parsed.partitionSpecs.size.toLong),
+          ("snapshots", parsed.snapshots.map(_.size).getOrElse(0).toLong),
+          ("refs", parsed.refs.map(_.size).getOrElse(0).toLong),
+          ("sort-orders", parsed.sortOrders.size.toLong))
+          .toDF("item", "n").orderBy("item")
+      },
+      None),
+
+    // Create + append + read back.
+    GraftQuery(
+      "ice_write_read",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("write_read"), src.schema)
+        t.append(src)
+        flagAgg(t.scan())
+      },
+      Some(s"$flagAggSql FROM lineitem GROUP BY 1 ORDER BY l_returnflag")),
+
+    // Hidden partitioning: month(l_shipdate) derives the layout; the data
+    // keeps its source column untouched.
+    GraftQuery(
+      "ice_partitioned_write",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("part_write"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+        t.append(src, repartitionByPartition = true)
+        flagAgg(t.scan())
+      },
+      Some(s"$flagAggSql FROM lineitem GROUP BY 1 ORDER BY l_returnflag")),
+
+    // Partition pruning: the filter is on the SOURCE column; the plan
+    // prunes month partitions + file stats before Spark reads anything.
+    GraftQuery(
+      "ice_partition_prune",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("prune"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+        t.append(src, repartitionByPartition = true)
+        val f = col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01")
+        val total = t.liveEntries().size
+        val planned = t.planFiles(Some(f)).size
+        require(planned < total,
+          s"pruning had no effect: $planned of $total files")
+        flagAgg(t.scan(Some(f)))
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Time travel: read @snapshot-1 sees only the first append.
+    GraftQuery(
+      "ice_time_travel",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("travel"), src.schema)
+        val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
+        t.append(src.filter(col("l_orderkey") % 2 === 1))
+        flagAgg(t.scan(asOf = Some(s1.snapshotId)))
+      },
+      Some(s"""$flagAggSql FROM lineitem WHERE l_orderkey % 2 = 0
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Incremental read: exactly the rows added between two snapshots.
+    GraftQuery(
+      "ice_incremental_read",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("incr"), src.schema)
+        val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
+        val s2 = t.append(src.filter(col("l_orderkey") % 2 === 1))
+        flagAgg(t.incrementalRead(s1.snapshotId, s2.snapshotId))
+      },
+      Some(s"""$flagAggSql FROM lineitem WHERE l_orderkey % 2 = 1
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Copy-on-write DELETE WHERE.
+    GraftQuery(
+      "ice_delete_cow",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("delete"), src.schema)
+        t.append(src)
+        t.deleteWhere(col("l_returnflag") === "R")
+        flagAgg(t.scan())
+      },
+      Some(s"""$flagAggSql FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Dynamic partition overwrite: 1996's months get rewritten content,
+    // every other partition is untouched.
+    GraftQuery(
+      "ice_overwrite",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("overwrite"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+        t.append(src, repartitionByPartition = true)
+        val replacement = src.filter(year(col("l_shipdate")) === 1996)
+          .withColumn("l_quantity", col("l_quantity") + 100)
+        t.overwritePartitions(replacement)
+        flagAgg(t.scan())
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        ${sqlDsum("CASE WHEN year(l_shipdate)=1996 THEN l_quantity+100 ELSE l_quantity END")} AS sum_qty
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // MERGE INTO (upsert): matched keys updated, new keys inserted;
+    // file-granular CoW keeps key-disjoint files untouched.
+    GraftQuery(
+      "ice_merge_upsert",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+        val t = GraftTable.create(s, loc("merge"), orders.schema)
+        t.append(orders)
+        val updates = orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        val inserts = orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        t.mergeInto(updates.unionByName(inserts), Seq("o_orderkey"))
+        t.scan()
+          .select(col("o_orderkey"),
+            round(col("o_totalprice"), 4).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+            ELSE o_totalprice END, 4) AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+          round(o_totalprice, 4) AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0
+        ORDER BY o_orderkey""")),
+
+    // Schema evolution by field id: rename + add; files written before the
+    // change read through the name mapping (old name → id → new name) and
+    // project null for the added column.
+    GraftQuery(
+      "ice_schema_evolution",
+      (s, dir) => {
+        val part = Tables.tbl(s, dir, "part")
+        val v1 = part.select("p_partkey", "p_name", "p_retailprice")
+        val t = GraftTable.create(s, loc("evolve"), v1.schema)
+        t.append(v1.filter(col("p_partkey") % 2 === 0))
+        t.renameColumn("p_name", "part_name")
+        t.addColumn("p_size", IntegerType)
+        t.append(part.filter(col("p_partkey") % 2 === 1)
+          .select(col("p_partkey"), col("p_name").as("part_name"),
+            col("p_retailprice"), col("p_size")))
+        t.scan().orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name AS part_name, p_retailprice,
+          CAST(NULL AS INTEGER) AS p_size
+        FROM part WHERE p_partkey % 2 = 0
+        UNION ALL
+        SELECT p_partkey, p_name AS part_name, p_retailprice, p_size
+        FROM part WHERE p_partkey % 2 = 1
+        ORDER BY p_partkey""")),
+
+    // Sorted write: SortOrder day(l_shipdate) + orderkey clusters files so
+    // min/max stats are tight (TableSpec asserts the clustering).
+    GraftQuery(
+      "ice_sorted_write",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("sorted"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")),
+          sortOrder = Seq(("l_shipdate", TDay), ("l_orderkey", TIdentity)))
+        t.append(src, sortWithin = Seq(col("l_shipdate"), col("l_orderkey")),
+          repartitionByPartition = true)
+        flagAgg(t.scan())
+      },
+      Some(s"$flagAggSql FROM lineitem GROUP BY 1 ORDER BY l_returnflag")),
+
+    // Compaction: bin-pack rewrite (fewer files, same rows).
+    GraftQuery(
+      "ice_compaction",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("compact"), src.schema)
+        t.append(src.repartition(16))
+        val before = t.liveEntries().size
+        t.compact()
+        val after = t.liveEntries().size
+        require(after < before, s"compaction did not shrink: $before -> $after")
+        flagAgg(t.scan())
+      },
+      Some(s"$flagAggSql FROM lineitem GROUP BY 1 ORDER BY l_returnflag")),
+
+    // Snapshot metadata tables.
+    GraftQuery(
+      "ice_snapshots_meta",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+        val t = GraftTable.create(s, loc("meta"), orders.schema)
+        t.append(orders.filter(col("o_orderkey") % 2 === 0))
+        t.append(orders.filter(col("o_orderkey") % 2 === 1))
+        t.snapshotsDf
+          .select("sequence_number", "operation", "total_records")
+          .orderBy("sequence_number")
+      },
+      None),
+
+    // Branch + tag refs: read the table AS OF a named ref.
+    GraftQuery(
+      "ice_branch_tag",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+        val t = GraftTable.create(s, loc("refs"), orders.schema)
+        val s1 = t.append(orders.filter(col("o_orderkey") % 2 === 0))
+        val s2 = t.append(orders.filter(col("o_orderkey") % 2 === 1))
+        t.createBranch("dev", s1.snapshotId)
+        t.createTag("v1", s2.snapshotId)
+        import s.implicits._
+        Seq(
+          ("dev", "branch", t.scanRef("dev").count()),
+          ("v1", "tag", t.scanRef("v1").count()),
+          ("main", "branch", t.scanRef("main").count()))
+          .toDF("ref", "kind", "n_rows").orderBy("ref")
+      },
+      None),
+
+    // Snapshot expiry: old snapshots drop out, newly-orphaned files are
+    // physically deleted and reported.
+    GraftQuery(
+      "ice_expire_snapshots",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+        val t = GraftTable.create(s, loc("expire"), orders.schema)
+        t.append(orders.filter(col("o_orderkey") % 2 === 0))
+        t.append(orders.filter(col("o_orderkey") % 2 === 1))
+        t.compact() // makes the pre-compaction files orphanable
+        val orphans = t.expireSnapshots(keepLast = 1)
+        require(orphans.nonEmpty, "expected orphaned files after compaction")
+        require(t.metadata.snapshots.get.size == 1, "expected 1 snapshot kept")
+        import s.implicits._
+        orphans.sorted.toDF("orphan_path")
+      },
+      None)
+  )
+}
+
+/** Spec-shaped metadata fixtures (the reference's table.rs test fixture,
+  * extended with snapshots/refs/sort-orders so every serde branch runs).
+  */
+object MetadataFixtures {
+  val full: String =
+    """{
+      "format-version": 2,
+      "table-uuid": "fb072c92-a02b-11e9-ae9c-1bb7bc9eca94",
+      "location": "file:///tmp/wh/t",
+      "last-sequence-number": 2,
+      "last-updated-ms": 1515100955770,
+      "last-column-id": 3,
+      "schemas": [
+        {"schema-id": 0, "type": "struct", "fields": [
+          {"id": 1, "name": "id", "required": true, "type": "long"},
+          {"id": 2, "name": "ts", "required": false, "type": "timestamp"},
+          {"id": 3, "name": "payload", "required": false, "type": "string"}
+        ],
+        "name-mapping": {"default": [
+          {"field-id": 1, "names": ["id", "record_id"]},
+          {"field-id": 2, "names": ["ts"]}
+        ]},
+        "identifier-field-ids": [1]}
+      ],
+      "current-schema-id": 0,
+      "partition-specs": [
+        {"spec-id": 1, "fields": [
+          {"source-id": 2, "field-id": 1000, "name": "ts_day", "transform": "day"},
+          {"source-id": 1, "field-id": 1001, "name": "id_bucket", "transform": "bucket[16]"}
+        ]}
+      ],
+      "default-spec-id": 1,
+      "last-partition-id": 1001,
+      "properties": {"commit.retry.num-retries": "1"},
+      "current-snapshot-id": 3055729675574597004,
+      "snapshots": [
+        {"snapshot-id": 3051729675574597004, "sequence-number": 1,
+         "timestamp-ms": 1515100955770,
+         "summary": {"operation": "append", "added-files": "4"},
+         "manifest-list": "file:///tmp/wh/t/metadata/m1.jsonl", "schema-id": 0},
+        {"snapshot-id": 3055729675574597004,
+         "parent-snapshot-id": 3051729675574597004, "sequence-number": 2,
+         "timestamp-ms": 1555100955770,
+         "summary": {"operation": "overwrite"},
+         "manifest-list": "file:///tmp/wh/t/metadata/m2.jsonl", "schema-id": 0}
+      ],
+      "snapshot-log": [
+        {"snapshot-id": 3051729675574597004, "timestamp-ms": 1515100955770},
+        {"snapshot-id": 3055729675574597004, "timestamp-ms": 1555100955770}
+      ],
+      "metadata-log": [
+        {"metadata-file": "file:///tmp/wh/t/metadata/v1.metadata.json",
+         "timestamp-ms": 1515100}
+      ],
+      "sort-orders": [
+        {"order-id": 0, "fields": []},
+        {"order-id": 1, "fields": [
+          {"source-id": 2, "transform": "day", "direction": "asc",
+           "null-order": "nulls-first"},
+          {"source-id": 1, "transform": "bucket[4]", "direction": "desc",
+           "null-order": "nulls-last"}
+        ]}
+      ],
+      "default-sort-order-id": 1,
+      "refs": {
+        "main": {"snapshot-id": 3055729675574597004, "type": "branch",
+          "min-snapshots-to-keep": 1, "max-snapshot-age-ms": 1515100955770,
+          "max-ref-age-ms": 1515100955770},
+        "v1": {"snapshot-id": 3051729675574597004, "type": "tag",
+          "max-ref-age-ms": 1515100955770}
+      }
+    }"""
 }

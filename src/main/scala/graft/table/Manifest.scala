@@ -1,0 +1,96 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.model.Json
+import scala.jdk.CollectionConverters._
+
+/** Per-column min/max/null stats for one data file, in a normalized string
+  * encoding (timestamps as zero-padded UTC strings, dates ISO, numerics as
+  * plain decimal strings) so driver-side pruning compares without schema
+  * round-trips.
+  */
+case class ColStats(min: Option[String], max: Option[String], nulls: Long) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    min.foreach(o.put("min", _))
+    max.foreach(o.put("max", _))
+    o.put("nulls", nulls)
+    o
+  }
+}
+
+object ColStats {
+  def fromJson(n: JsonNode): ColStats = ColStats(
+    Option(n.get("min")).map(_.asText),
+    Option(n.get("max")).map(_.asText),
+    n.path("nulls").asLong)
+}
+
+/** One live data file in a snapshot's manifest. `snapshotId` is the
+  * snapshot that ADDED the file (drives incremental reads); `schemaId` is
+  * the schema the file was written with (drives evolution-aware reads);
+  * `partition` holds the spec's derived partition values (None = null
+  * partition).
+  *
+  * Manifests are JSON-lines — one complete file list per snapshot. At
+  * 100 TB the same files would be read as a Spark JSON dataset instead of
+  * driver-side (format chosen for exactly that migration); per-snapshot
+  * full lists trade manifest size for O(1) time travel, with compaction
+  * bounding the file count.
+  */
+case class DataFileEntry(
+    path: String,
+    recordCount: Long,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    schemaId: Int,
+    partition: Map[String, Option[String]],
+    stats: Map[String, ColStats]) {
+
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("path", path)
+    o.put("record-count", recordCount)
+    o.put("snapshot-id", snapshotId)
+    o.put("sequence-number", sequenceNumber)
+    o.put("schema-id", schemaId)
+    val p = o.putObject("partition")
+    partition.toSeq.sortBy(_._1).foreach {
+      case (k, Some(v)) => p.put(k, v)
+      case (k, None) => p.putNull(k)
+    }
+    val s = o.putObject("stats")
+    stats.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      s.set[ObjectNode](k, v.toJson)
+    }
+    o
+  }
+}
+
+object DataFileEntry {
+  def fromJson(n: JsonNode): DataFileEntry = DataFileEntry(
+    n.path("path").asText,
+    n.path("record-count").asLong,
+    n.path("snapshot-id").asLong,
+    n.path("sequence-number").asLong,
+    n.path("schema-id").asInt,
+    n.path("partition").properties.asScala.map { e =>
+      e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
+    }.toMap,
+    n.path("stats").properties.asScala.map { e =>
+      e.getKey -> ColStats.fromJson(e.getValue)
+    }.toMap)
+
+  def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
+    val lines = entries.map(e => Json.write(e.toJson))
+    java.nio.file.Files.write(file,
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  def readManifest(file: java.nio.file.Path): Seq[DataFileEntry] = {
+    val text = new String(java.nio.file.Files.readAllBytes(file), "UTF-8")
+    text.split('\n').iterator.filter(_.nonEmpty)
+      .map(l => fromJson(Json.parse(l))).toSeq
+  }
+}

@@ -1,0 +1,256 @@
+package graft.table
+
+import graft.functions.IcebergHash
+import graft.model._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types._
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** Driver-side file pruning: extracts simple conjuncts from a Catalyst
+  * filter expression and evaluates them against manifest partition values
+  * (transform-aware — the spec's hidden partitioning) and per-column
+  * min/max stats. Strictly conservative: anything unrecognized keeps the
+  * file, and the residual filter is always applied after the scan, so
+  * pruning can only skip files that provably cannot match.
+  *
+  * At 100 TB this is THE win: the query never touches pruned files, and
+  * the same may-match logic would run distributed over a Spark-read
+  * manifest dataset.
+  */
+object Pruning {
+
+  /** A normalized comparison: column name, op ∈ {=,<,<=,>,>=}, value in
+    * the manifest's normalized string encoding.
+    */
+  case class Cmp(col: String, op: String, value: String)
+  case class InSet(col: String, values: Seq[String])
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(ZoneOffset.UTC)
+
+  private val LocalFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def isTs(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** Normalize a collected/literal value to the manifest string encoding.
+    * Covers both external (collect) and internal (Literal.eval) forms of
+    * timestamps — with and without timezone (Spark 4 infers parquet
+    * timestamps as TimestampNTZ).
+    */
+  def normalize(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (null, _) => None
+    case (t: java.sql.Timestamp, _) => Some(TsFmt.format(t.toInstant))
+    case (i: Instant, _) => Some(TsFmt.format(i))
+    case (l: LocalDateTime, _) => Some(LocalFmt.format(l))
+    case (d: java.sql.Date, _) => Some(d.toString)
+    case (d: LocalDate, _) => Some(d.toString)
+    case (micros: Long, t) if isTs(t) =>
+      Some(TsFmt.format(Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
+    case (days: Int, DateType) => Some(LocalDate.ofEpochDay(days.toLong).toString)
+    case (s: org.apache.spark.unsafe.types.UTF8String, t) if isTs(t) =>
+      Some(normTsString(s.toString))
+    case (s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
+    case (s: String, t) if isTs(t) => Some(normTsString(s))
+    case (other, _) => Some(other.toString)
+  }
+
+  /** Pad a user-written timestamp literal ("1998-09-02" or
+    * "1998-09-02 12:00:00") to the full normalized encoding.
+    */
+  private def normTsString(s: String): String = {
+    val ldt =
+      if (s.length == 10) LocalDate.parse(s).atStartOfDay
+      else LocalDateTime.parse(s.replace(' ', 'T'))
+    TsFmt.format(ldt.toInstant(ZoneOffset.UTC))
+  }
+
+  /** Attribute name behind an (optionally numeric-widening-cast) column
+    * reference. Casts that change comparison semantics (e.g. ts→date) are
+    * rejected → that conjunct is skipped (conservative).
+    */
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.dataType.isInstanceOf[NumericType] &&
+          c.dataType.isInstanceOf[NumericType] => attrName(c.child)
+    case _ => None
+  }
+
+  /** A foldable scalar → (value, type). Analysis wraps user literals in
+    * Casts (string → timestamp etc.), so evaluate foldables.
+    */
+  private def litVal(e: Expression): Option[(Any, DataType)] = e match {
+    case l: Literal => Some((l.value, l.dataType))
+    case _ if e.foldable && e.deterministic =>
+      try Some((e.eval(null), e.dataType)) catch { case _: Exception => None }
+    case _ => None
+  }
+
+  /** Extract prunable conjuncts from a filter Column by ANALYZING it
+    * against an empty relation with the table schema — the analyzer
+    * resolves attributes and coerces literals, so we walk typed Catalyst
+    * comparisons. Unrecognized sub-expressions extract to nothing
+    * (conservative: fewer conjuncts = fewer pruned files, never wrong).
+    */
+  def extract(spark: org.apache.spark.sql.SparkSession, filter: Column,
+      schema: StructType): Seq[Any] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val analyzed =
+      try empty.filter(filter).queryExecution.analyzed
+      catch { case _: Exception => return Seq.empty }
+    val cond = analyzed.collectFirst { case f: LFilter => f.condition }
+      .getOrElse(return Seq.empty)
+
+    def cmp(a: Expression, op: String, v: Expression): Seq[Any] = for {
+      name <- attrName(a).toSeq
+      (value, dt) <- litVal(v).toSeq
+      s <- normalize(value, dt).toSeq
+    } yield Cmp(name, op, s)
+
+    def walk(e: Expression): Seq[Any] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, v) if attrName(a).isDefined => cmp(a, "=", v)
+      case EqualTo(v, a) if attrName(a).isDefined => cmp(a, "=", v)
+      case GreaterThan(a, v) if attrName(a).isDefined => cmp(a, ">", v)
+      case GreaterThan(v, a) if attrName(a).isDefined => cmp(a, "<", v)
+      case GreaterThanOrEqual(a, v) if attrName(a).isDefined => cmp(a, ">=", v)
+      case GreaterThanOrEqual(v, a) if attrName(a).isDefined => cmp(a, "<=", v)
+      case LessThan(a, v) if attrName(a).isDefined => cmp(a, "<", v)
+      case LessThan(v, a) if attrName(a).isDefined => cmp(a, ">", v)
+      case LessThanOrEqual(a, v) if attrName(a).isDefined => cmp(a, "<=", v)
+      case LessThanOrEqual(v, a) if attrName(a).isDefined => cmp(a, ">=", v)
+      case In(a, vs) if attrName(a).isDefined =>
+        val name = attrName(a).get
+        val vals = vs.map(v => litVal(v).flatMap { case (x, dt) => normalize(x, dt) })
+        if (vals.nonEmpty && vals.forall(_.isDefined))
+          Seq(InSet(name, vals.flatten))
+        else Seq.empty
+      case _ => Seq.empty
+    }
+    walk(cond)
+  }
+
+  /** Type-aware ordering on the normalized string encoding. */
+  def compare(a: String, b: String, dt: DataType): Int = dt match {
+    case _: NumericType => new java.math.BigDecimal(a)
+      .compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b) // strings, ISO dates, padded UTC timestamps
+  }
+
+  /** Could any row in the file match every extracted conjunct? */
+  def mayMatch(entry: DataFileEntry, preds: Seq[Any], schema: StructType,
+      spec: PartitionSpec, specSchema: SchemaV2): Boolean = {
+    preds.forall {
+      case Cmp(colName, op, value) =>
+        statsMayMatch(entry, colName, op, value, schema) &&
+          partitionMayMatch(entry, colName, op, value, schema, spec, specSchema)
+      case InSet(colName, values) =>
+        values.exists(v => statsMayMatch(entry, colName, "=", v, schema) &&
+          partitionMayMatch(entry, colName, "=", v, schema, spec, specSchema))
+      case _ => true
+    }
+  }
+
+  private def statsMayMatch(entry: DataFileEntry, colName: String, op: String,
+      value: String, schema: StructType): Boolean = {
+    val dt = schema.fields.find(_.name == colName).map(_.dataType)
+      .getOrElse(return true)
+    entry.stats.get(colName) match {
+      case Some(ColStats(Some(mn), Some(mx), _)) => op match {
+        case "=" => compare(mn, value, dt) <= 0 && compare(mx, value, dt) >= 0
+        case "<" => compare(mn, value, dt) < 0
+        case "<=" => compare(mn, value, dt) <= 0
+        case ">" => compare(mx, value, dt) > 0
+        case ">=" => compare(mx, value, dt) >= 0
+        case _ => true
+      }
+      case _ => true // no stats (or all-null file) → conservative keep
+    }
+  }
+
+  /** Transform-aware partition pruning: identity compares directly;
+    * year/month/day/hour compare ordinals with boundary-conservative
+    * ranges; bucket/truncate prune equality only.
+    */
+  private def partitionMayMatch(entry: DataFileEntry, colName: String,
+      op: String, value: String, schema: StructType, spec: PartitionSpec,
+      specSchema: SchemaV2): Boolean = {
+    val dt = schema.fields.find(_.name == colName).map(_.dataType)
+      .getOrElse(return true)
+    spec.fields.forall { pf =>
+      val sourceName = specSchema.fieldById(pf.sourceId).map(_.name)
+      if (!sourceName.contains(colName)) true
+      else entry.partition.get(pf.name) match {
+        case None | Some(None) => true // no value recorded → keep
+        case Some(Some(pv)) => pf.transform match {
+          case TIdentity => op match {
+            case "=" => compare(pv, value, dt) == 0
+            case "<" => compare(pv, value, dt) < 0
+            case "<=" => compare(pv, value, dt) <= 0
+            case ">" => compare(pv, value, dt) > 0
+            case ">=" => compare(pv, value, dt) >= 0
+            case _ => true
+          }
+          case TYear | TMonth | TDay | THour =>
+            calendarOrdinal(value, pf.transform) match {
+              case None => true
+              case Some(ord) =>
+                val p = pv.toLong
+                op match {
+                  case "=" => p == ord
+                  case "<" | "<=" => p <= ord // partial buckets at boundary
+                  case ">" | ">=" => p >= ord
+                  case _ => true
+                }
+            }
+          case TBucket(n) if op == "=" =>
+            bucketOf(value, dt, n).forall(_ == pv.toInt)
+          case TTruncate(w) if op == "=" => dt match {
+            case IntegerType | LongType | ShortType | ByteType =>
+              val v = new java.math.BigDecimal(value).longValueExact()
+              pv.toLong == v - (((v % w) + w) % w)
+            case StringType => pv == value.take(w)
+            case _ => true
+          }
+          case _ => true
+        }
+      }
+    }
+  }
+
+  /** Ordinal of a normalized literal under a calendar transform. */
+  def calendarOrdinal(value: String, t: Transform): Option[Long] = {
+    val ldt =
+      try {
+        if (value.length == 10) LocalDate.parse(value).atStartOfDay
+        else LocalDateTime.parse(value.replace(' ', 'T'))
+      } catch { case _: Exception => return None }
+    t match {
+      case TYear => Some(ldt.getYear.toLong - 1970L)
+      case TMonth => Some((ldt.getYear - 1970L) * 12L + ldt.getMonthValue - 1L)
+      case TDay => Some(ldt.toLocalDate.toEpochDay)
+      case THour => Some(ldt.toEpochSecond(ZoneOffset.UTC) / 3600L)
+      case _ => None
+    }
+  }
+
+  private def bucketOf(value: String, dt: DataType, n: Int): Option[Int] =
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        Some(IcebergHash.bucketLong(
+          new java.math.BigDecimal(value).longValueExact(), n))
+      case StringType =>
+        Some(IcebergHash.bucketBytes(value.getBytes("UTF-8"), n))
+      case _ => None
+    }
+}
