@@ -1,7 +1,154 @@
 package graft.streaming
 
-import graft.GraftQuery
+import graft.{GraftQuery, Help}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
 
+/** §2.5 Structured Streaming over the events table.
+  *
+  * Each query drives a REAL streaming pipeline (readStream → transform →
+  * writeStream, Trigger.AvailableNow, memory sink) and returns the sink
+  * table, so the driver's batch-shaped contract still holds. Watermarks
+  * bound state; keyed state (sessionization) is hash-partitioned across
+  * executors by user_id — the 100 TB shape is the same pipeline with a
+  * continuous trigger and a durable sink.
+  */
 object StreamingQueries {
-  def queries: Seq[GraftQuery] = Seq.empty
+  import Help._
+
+  /** events.parquet carries TIMESTAMP(NANOS) — streamed as long + rebuilt
+    * (micros) exactly like the batch-side Tables.tbl.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    // the streaming file source wants a DIRECTORY; stage a symlink to the
+    // single events.parquet file (read-only testdata stays untouched)
+    val staging = java.nio.file.Paths.get(
+      s"/root/repo/target/stream-src/${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(staging)
+    val link = staging.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(schema).parquet(staging.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val qname = s"${name}_${System.nanoTime}"
+    val q = df.writeStream.format("memory").queryName(qname)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Tumbling-window event aggregation with a watermark; oracle is the
+    // equivalent batch time-bucket SQL.
+    GraftQuery(
+      "s_window_agg",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            r4(dsum(col("value"))).as("sum_value"))
+        runToTable(s, agg, "s_window_agg", OutputMode.Complete())
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("hour_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("hour_start", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+          AS hour_start, event_type, COUNT(*) AS n_events,
+        ${sqlDsum("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
+    // Sessionization (30-min inactivity gap) via flatMapGroupsWithState —
+    // custom keyed state, the pattern built-ins can't express.
+    GraftQuery(
+      "s_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventStream(s, dir)
+          .withWatermark("ts", "2 hours")
+          .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
+          .as[(Long, Long)]
+        val sessions = evs
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(Sessionizer.apply)
+        runToTable(s, sessions.toDF(), "s_sessionize", OutputMode.Append())
+          .orderBy("user_id", "session_start")
+      },
+      None),
+
+    // Streaming dedup inside the watermark: the stream is doubled (every
+    // event appears twice) and dropDuplicates restores exact counts.
+    GraftQuery(
+      "s_dedup_stream",
+      (s, dir) => {
+        val doubled = eventStream(s, dir)
+          .withColumn("copy", explode(array(lit(1), lit(2))))
+          .drop("copy")
+        val deduped = doubled
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"))
+        runToTable(s, deduped, "s_dedup_stream", OutputMode.Complete())
+          .orderBy("event_type")
+      },
+      None)
+  )
+}
+
+/** Session summary emitted per closed session. */
+case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+    n_events: Long)
+
+/** Per-user sessionizer: splits the user's event times at >30-min gaps.
+  * State carries an open session across micro-batches; with AvailableNow
+  * the final batch closes everything (emitted on the spot since event
+  * input for a key arrives together).
+  */
+object Sessionizer {
+  private val GapSeconds = 30L * 60L
+
+  def apply(userId: Long, rows: Iterator[(Long, Long)],
+      state: GroupState[SessionOut]): Iterator[SessionOut] = {
+    val times = rows.map(_._2).toArray.sorted
+    if (times.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var (start, end, n) = state.getOption match {
+      case Some(open) if times.head - open.session_end <= GapSeconds =>
+        (open.session_start, open.session_end, open.n_events)
+      case Some(open) => out += open; (times.head, times.head, 0L)
+      case None => (times.head, times.head, 0L)
+    }
+    times.foreach { t =>
+      if (t - end > GapSeconds) {
+        out += SessionOut(userId, start, end, n)
+        start = t; end = t; n = 1L
+      } else {
+        end = t; n += 1L
+      }
+    }
+    // keep the trailing session in state for the next batch; also emit it
+    // now — AvailableNow over a static directory sees each key once.
+    state.update(SessionOut(userId, start, end, n))
+    out += SessionOut(userId, start, end, n)
+    out.iterator
+  }
 }
