@@ -28,10 +28,34 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: for seed k, min over shingles of xxhash64(sh, k). */
+  /** Distinct word n-gram shingles as 64-bit HASHES, never materializing
+    * shingle strings: tokens are hashed once, then each shingle hash is
+    * xxhash64 over the n-window of token hashes. Jaccard over these long
+    * arrays is exact up to hash collisions (~2^-64 per pair).
+    */
+  def shingleHashes(c: Column, n: Int): Column = {
+    val th = transform(split(TextOps.normText(c), " "), t => xxhash64(t))
+    array_distinct(
+      when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - n),
+          i => xxhash64(slice(th, i + 1, lit(n)))))
+        .otherwise(array(xxhash64(th))))
+  }
+
+  /** MinHash signature. Each shingle STRING is hashed once (xxhash64);
+    * the K permutations re-hash that fixed-width long (xxhash64(k, h))
+    * instead of re-hashing the string K times — the dominant cost drops
+    * from K string traversals to K constant-width hashes per shingle.
+    * (Long-multiply permutation families would be cheaper still but ANSI
+    * mode faults on the intentional wrap-around.)
+    */
   def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, x => xxhash64(x, seed))))
+    minhashSigFromHashes(transform(sh, x => xxhash64(x)), k)
+
+  /** MinHash over pre-hashed (long) shingles. */
+  def minhashSigFromHashes(hs: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(hs, h => xxhash64(seed, h))))
 
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -76,10 +100,14 @@ object Dedup {
       (s, dir) => {
         val bands = 16
         val rows = 4
+        // persisted: the signature subtree feeds the band explode AND both
+        // sides of the verification join — without it the (expensive)
+        // shingle+hash pipeline runs three times
         val sigs = docs(s, dir).select(
           col("doc_id"),
-          shingles(col("text"), 3).as("sh"))
-          .withColumn("sig", minhashSig(col("sh"), bands * rows))
+          shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("sig", minhashSigFromHashes(col("sh"), bands * rows))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val banded = sigs.select(
           col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -113,6 +141,7 @@ object Dedup {
             transform(split(TextOps.normText(col("text")), " "),
               t => xxhash64(t)).as("hs"))
           .select(col("doc_id"), simhash(col("hs")).as("sim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val chunked = sigs.select(
           col("doc_id"), col("sim"),
           posexplode(transform(sequence(lit(0), lit(3)),
@@ -143,6 +172,7 @@ object Dedup {
         val maxDf = 20
         val sh = docs(s, dir)
           .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inverted = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         val rare = inverted.groupBy("g")
           .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("df"))

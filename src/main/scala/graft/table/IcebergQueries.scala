@@ -15,8 +15,20 @@ import org.apache.spark.sql.types.IntegerType
 object IcebergQueries {
   import Help._
 
-  private def loc(name: String): String =
+  private def loc(name: String): String = {
+    // reclaim prior runs' tables for this query (bench/verify reruns)
+    val root = java.nio.file.Paths.get("/root/repo/target/graft-tbl")
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator.asScala
+        .filter(_.getFileName.toString.startsWith(s"$name-"))
+        .foreach { d =>
+          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
     s"/root/repo/target/graft-tbl/$name-${java.util.UUID.randomUUID.toString.take(8)}"
+  }
 
   private def li(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "lineitem")
