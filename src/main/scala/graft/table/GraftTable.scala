@@ -64,9 +64,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         latestVersion(metaDir).map { case (_, p) =>
           MetadataLog(p.toString, System.currentTimeMillis)
         }.toSeq))
-    // CREATE_NEW = atomic claim of the version slot (optimistic commit)
-    Files.write(target, withLog.toJsonString.getBytes("UTF-8"),
+    // CREATE_NEW = atomic claim of the version slot (optimistic commit);
+    // losing the race surfaces as CommitConflictException so callers can
+    // re-derive their change against the new table state and retry
+    try Files.write(target, withLog.toJsonString.getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"concurrent commit claimed v$next at $location")
+    }
     Files.write(metaDir.resolve("version-hint.text"),
       next.toString.getBytes("UTF-8"))
   }
@@ -108,12 +115,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   // ------------------------------------------------------------- write ----
 
   /** Append rows (hidden partitioning per the default spec). Returns the
-    * new snapshot.
+    * new snapshot. Appends are conflict-free by construction (the new
+    * files union with whatever the current manifest holds), so a lost
+    * commit race is retried against the fresh state.
     */
   def append(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
       repartitionByPartition: Boolean = false): SnapshotV2 = {
     val entries = writeFiles(df, sortWithin, repartitionByPartition)
-    commitSnapshot("append", liveEntries() ++ entries)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return commitSnapshot("append", liveEntries() ++ entries)
+      catch { case e: CommitConflictException if attempts < 5 => }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write df's files under a fresh writeId; return pending entries. */
@@ -138,7 +153,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
     if (repartitionByPartition && partNames.nonEmpty)
       out = out.repartition(partNames.map(col): _*)
-    if (sortWithin.nonEmpty) out = out.sortWithinPartitions(sortWithin: _*)
+    // explicit sortWithin wins; otherwise the table's default SortOrder
+    // applies automatically (clustered files → tight min/max stats)
+    val effectiveSort =
+      if (sortWithin.nonEmpty) sortWithin
+      else meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
+        .filter(_.orderId != 0).map(_.fields.flatMap { f =>
+          schema.fieldById(f.sourceId).map { src =>
+            val c = transformColumn(f.transform, col(src.name),
+              sparkSchema(src.name).dataType)
+            (f.direction, f.nullOrder) match {
+              case (SortAsc, NullsFirst) => c.asc_nulls_first
+              case (SortAsc, NullsLast) => c.asc_nulls_last
+              case (SortDesc, NullsFirst) => c.desc_nulls_first
+              case (SortDesc, NullsLast) => c.desc_nulls_last
+            }
+          }
+        }).getOrElse(Seq.empty)
+    if (effectiveSort.nonEmpty)
+      out = out.sortWithinPartitions(effectiveSort: _*)
 
     val writer = out.write.mode("errorifexists")
     (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
@@ -506,6 +539,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }.toDF("name", "type", "snapshot_id")
   }
 }
+
+/** A concurrent writer claimed the metadata version this commit wanted.
+  * The operation should be re-derived against the refreshed table state.
+  */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
 

@@ -37,6 +37,35 @@ class TableSpec extends SparkSpec {
     assert(planned.size < total, s"stats pruning: ${planned.size} of $total")
   }
 
+  test("bucket partition pruning hits exactly one bucket on equality") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("bucket"), src.schema,
+      partitionBy = Seq(("l_orderkey", TBucket(16), "key_bucket")))
+    t.append(src, repartitionByPartition = true)
+    assert(t.liveEntries().size == 16)
+    val planned = t.planFiles(Some(col("l_orderkey") === 42L))
+    assert(planned.size == 1)
+    // and the scan through that single file still answers correctly
+    assert(t.scan(Some(col("l_orderkey") === 42L)).count() ==
+      src.filter(col("l_orderkey") === 42L).count())
+  }
+
+  test("default SortOrder clusters appended files automatically") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("autosort"), src.schema,
+      sortOrder = Seq(("l_orderkey", TIdentity)))
+    t.append(src.repartitionByRange(4, col("l_orderkey")))
+    val ranges = t.liveEntries().flatMap(e =>
+      e.stats.get("l_orderkey").flatMap(s =>
+        s.min.zip(s.max).map { case (a, b) => (BigDecimal(a), BigDecimal(b)) }))
+      .sortBy(_._1)
+    assert(ranges.size == 4)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax <= bMin)
+      case _ =>
+    }
+  }
+
   test("time travel and incremental read partition history exactly") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("tt"), src.schema)
