@@ -270,6 +270,68 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** A snapshot's manifest as a DataFrame — the distributed planning
+    * path. At 100 TB the manifest is a dataset, not a driver loop: this
+    * reader plus `planFilesDistributed` run the same pruning as
+    * `planFiles` as a Spark filter over it.
+    */
+  def manifestDf(asOf: Option[Long] = None): DataFrame = {
+    val meta = metadata
+    val snap = asOf.flatMap(meta.snapshotById)
+      .orElse(meta.currentSnapshot)
+      .getOrElse(return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], manifestSchema))
+    spark.read.schema(manifestSchema).json(snap.manifestList)
+  }
+
+  private val manifestSchema: StructType = StructType(Seq(
+    SparkField("path", StringType),
+    SparkField("record-count", LongType),
+    SparkField("snapshot-id", LongType),
+    SparkField("sequence-number", LongType),
+    SparkField("schema-id", IntegerType),
+    SparkField("partition", MapType(StringType, StringType)),
+    SparkField("stats", MapType(StringType, StructType(Seq(
+      SparkField("min", StringType),
+      SparkField("max", StringType),
+      SparkField("nulls", LongType)))))))
+
+  /** Distributed equivalent of `planFiles`: prune as a Spark filter over
+    * the manifest DataFrame. Returns surviving file paths.
+    */
+  def planFilesDistributed(filter: Option[Column] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val meta = metadata
+    val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
+      .map(_.toInt).getOrElse(meta.currentSchemaId)
+    val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
+    val sparkSchema = toSparkSchema(schema)
+    val mdf = manifestDf(asOf)
+    filter match {
+      case None => mdf.select("path")
+      case Some(f) =>
+        val preds = Pruning.extract(spark, f, sparkSchema)
+        mdf.filter(Pruning.mayMatchColumn(preds, sparkSchema,
+          meta.defaultSpec, schema)).select("path")
+    }
+  }
+
+  /** Continuous ingestion: append each micro-batch of `stream` as a
+    * snapshot (exactly-once per batch via the checkpoint). The caller
+    * owns the returned query's lifecycle.
+    */
+  def appendStream(stream: DataFrame, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { append(batch); () }
+      }
+      .start()
+
   /** Snapshot-consistent scan with metadata pruning + residual filter.
     * Reads resolve columns by field id across schema versions (rename/add
     * survive; old files project nulls for later columns).

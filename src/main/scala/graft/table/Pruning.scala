@@ -228,6 +228,93 @@ object Pruning {
     }
   }
 
+  /** The same may-match logic as a Column PREDICATE over a manifest
+    * DataFrame (columns: `partition: map<string,string>`, `stats:
+    * map<string,struct<min,max,nulls>>`) — the distributed planning path:
+    * at 100 TB the manifest is itself a dataset and pruning runs as a
+    * Spark filter instead of a driver loop. Conservative exactly like
+    * mayMatch: anything missing/unrecognized keeps the file.
+    */
+  def mayMatchColumn(preds: Seq[Any], schema: StructType,
+      spec: PartitionSpec, specSchema: SchemaV2): Column = {
+    import org.apache.spark.sql.functions._
+
+    def cmpCol(a: Column, op: String, value: String, dt: DataType): Column = {
+      val (l, r) = dt match {
+        case _: NumericType =>
+          (a.cast(DecimalType(38, 10)),
+            lit(new java.math.BigDecimal(value)).cast(DecimalType(38, 10)))
+        case _ => (a, lit(value))
+      }
+      op match {
+        case "=" => l === r
+        case "<" => l < r
+        case "<=" => l <= r
+        case ">" => l > r
+        case ">=" => l >= r
+      }
+    }
+
+    def one(colName: String, op: String, value: String): Column = {
+      val dt = schema.fields.find(_.name == colName).map(_.dataType)
+        .getOrElse(return lit(true))
+      val st = col("stats")(colName)
+      val statsOk = when(st.isNull || st("min").isNull || st("max").isNull,
+        lit(true)).otherwise(op match {
+        case "=" => cmpCol(st("min"), "<=", value, dt) &&
+          cmpCol(st("max"), ">=", value, dt)
+        case "<" => cmpCol(st("min"), "<", value, dt)
+        case "<=" => cmpCol(st("min"), "<=", value, dt)
+        case ">" => cmpCol(st("max"), ">", value, dt)
+        case ">=" => cmpCol(st("max"), ">=", value, dt)
+        case _ => lit(true)
+      })
+      val partOk = spec.fields.map { pf =>
+        val sourceName = specSchema.fieldById(pf.sourceId).map(_.name)
+        if (!sourceName.contains(colName)) lit(true)
+        else {
+          val pv = col("partition")(pf.name)
+          val base = pf.transform match {
+            case TIdentity => cmpCol(pv, op, value, dt)
+            case TYear | TMonth | TDay | THour =>
+              calendarOrdinal(value, pf.transform) match {
+                case None => lit(true)
+                case Some(ord) => op match {
+                  case "=" => pv.cast("long") === ord
+                  case "<" | "<=" => pv.cast("long") <= ord
+                  case ">" | ">=" => pv.cast("long") >= ord
+                  case _ => lit(true)
+                }
+              }
+            case TBucket(n) if op == "=" =>
+              bucketLit(value, dt, n).map(b => pv.cast("int") === b)
+                .getOrElse(lit(true))
+            case _ => lit(true)
+          }
+          when(pv.isNull, lit(true)).otherwise(base)
+        }
+      }.foldLeft(lit(true))(_ && _)
+      statsOk && partOk
+    }
+
+    preds.map {
+      case Cmp(c, op, v) => one(c, op, v)
+      case InSet(c, vs) => vs.map(v => one(c, "=", v))
+        .foldLeft(lit(false))(_ || _)
+      case _ => lit(true)
+    }.foldLeft(lit(true))(_ && _)
+  }
+
+  private def bucketLit(value: String, dt: DataType, n: Int): Option[Int] =
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        Some(IcebergHash.bucketLong(
+          new java.math.BigDecimal(value).longValueExact(), n))
+      case StringType =>
+        Some(IcebergHash.bucketBytes(value.getBytes("UTF-8"), n))
+      case _ => None
+    }
+
   /** Ordinal of a normalized literal under a calendar transform. */
   def calendarOrdinal(value: String, t: Transform): Option[Long] = {
     val ldt =

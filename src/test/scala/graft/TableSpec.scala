@@ -66,6 +66,58 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("distributed planning agrees with driver-side planFiles") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("distplan"), src.schema,
+      partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+    t.append(src, repartitionByPartition = true)
+    for (f <- Seq(
+      col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"),
+      col("l_orderkey") === 42L,
+      col("l_returnflag") === "R")) {
+      val driver = t.planFiles(Some(f)).map(_.path).sorted
+      val dist = t.planFilesDistributed(Some(f)).collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(dist == driver, s"distributed plan diverged for $f")
+    }
+    // unfiltered: both list every live file
+    assert(t.planFilesDistributed().count() == t.liveEntries().size)
+  }
+
+  test("streaming ingestion commits one snapshot per micro-batch") {
+    val src = lineitem.limit(200)
+    val stage = java.nio.file.Files.createTempDirectory("stream-in")
+    src.limit(100).coalesce(1).write.parquet(s"$stage/b1")
+    // move batch files into a watched dir one at a time
+    val watched = java.nio.file.Files.createTempDirectory("stream-watch")
+    def promote(sub: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$stage/$sub"))
+        .iterator.asScala.filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(watched.toString, s"$sub-${p.getFileName}")))
+    }
+    promote("b1")
+    val t = GraftTable.create(spark, freshLoc("ingest"), src.schema)
+    val stream = spark.readStream.schema(src.schema).parquet(watched.toString)
+    val chk = java.nio.file.Files.createTempDirectory("chk").toString
+    val q1 = t.appendStream(stream, chk)
+    q1.awaitTermination()
+    assert(t.scan().count() == 100)
+    assert(t.metadata.snapshots.get.size == 1)
+    // second batch arrives; a fresh AvailableNow run picks up only the delta
+    src.filter(col("l_linenumber") >= 1).limit(100).coalesce(1)
+      .write.parquet(s"$stage/b2")
+    promote("b2")
+    val q2 = t.appendStream(
+      spark.readStream.schema(src.schema).parquet(watched.toString), chk)
+    q2.awaitTermination()
+    assert(t.scan().count() == 200)
+    assert(t.metadata.snapshots.get.size == 2)
+    assert(t.metadata.snapshots.get.forall(
+      _.summary.operation == Some("append")))
+  }
+
   test("time travel and incremental read partition history exactly") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("tt"), src.schema)
