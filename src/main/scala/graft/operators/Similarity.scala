@@ -31,25 +31,14 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
-  /** Deterministic ±1 hyperplane matrix (planes × dims), embedded as
-    * literals so the signature computation is pure codegen'd expression
-    * work — no UDF, no shuffle.
+  /** LSH bucket id: sign bits of the vector against each hyperplane.
+    * Backed by the native codegen expression — interpreted HOF pipelines
+    * pay per-element lambda dispatch on 25M+ multiply-adds at sf0.1.
     */
-  private def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(0x5ca1ab1eL)
-    Array.fill(planes, dims)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
-  /** LSH bucket id: sign bits of the vector against each hyperplane. */
-  def lshBucket(v: Column, planes: Int, dims: Int): Column = {
-    val hp = hyperplanes(planes, dims)
-    val vd = transform(v, x => x.cast("double"))
-    hp.foldLeft(lit(0)) { (acc, plane) =>
-      val planeLit = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(vd, planeLit, _ * _), lit(0.0), _ + _)
-      acc * 2 + when(dot >= 0, 1).otherwise(0)
-    }
-  }
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HyperplaneLshBucket(
+        org.apache.spark.sql.graft.Bridge.expression(v), planes, dims))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "embeddings")
@@ -96,8 +85,10 @@ object Similarity {
       "d_ann_lsh",
       (s, dir) => {
         val planes = 8
+        // persisted: the bucketed corpus feeds both sides of the probe join
         val corpus = emb(s, dir)
           .withColumn("bucket", lshBucket(col("embedding"), planes, 64))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val q = corpus.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("bucket"))
