@@ -30,10 +30,16 @@ object TransformQueries {
           .select(
             col("p_partkey"),
             truncateInt(10, col("p_partkey")).as("trunc_key"),
-            truncateString(4, col("p_name")).as("trunc_name"))
+            truncateString(4, col("p_name")).as("trunc_name"),
+            round(truncateDecimal(10,
+              col("p_retailprice").cast(org.apache.spark.sql.types
+                .DecimalType(12, 2))).cast("double"), 2).as("trunc_price"))
           .orderBy("p_partkey"),
       Some("""SELECT p_partkey, p_partkey - (p_partkey % 10) AS trunc_key,
-        substr(p_name, 1, 4) AS trunc_name
+        substr(p_name, 1, 4) AS trunc_name,
+        round(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+          - (CAST(p_retailprice AS DECIMAL(12,2)) % 10) AS DOUBLE), 2)
+          AS trunc_price
         FROM part ORDER BY p_partkey""")),
 
     GraftQuery(

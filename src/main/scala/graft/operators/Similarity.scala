@@ -103,6 +103,32 @@ object Similarity {
             round(col("sim"), 4).as("sim"))
           .orderBy("q_id", "rank")
       },
+      None),
+
+    // Embedding-cosine similarity pairs above a threshold (the dedup
+    // flavor of the ANN machinery) — candidate pairs come from the LSH
+    // bucket equi-join only, never all-pairs. The test corpus has no
+    // planted embedding near-dups (max pairwise cosine ~0.5), so the
+    // threshold is set where genuinely-similar pairs live; a real
+    // dedup deployment raises it to ~0.95.
+    GraftQuery(
+      "d_dedup_embed",
+      (s, dir) => {
+        val planes = 4
+        val corpus = emb(s, dir)
+          .withColumn("bucket", lshBucket(col("embedding"), planes, 64))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
+          col("embedding").as("vec_a"))
+        val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("vec_b"))
+        a.join(b, "bucket")
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+          .filter(col("sim") >= 0.3)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy("id_a", "id_b")
+      },
       None)
   )
 }
