@@ -476,6 +476,51 @@ object Relational {
         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
         ORDER BY o_custkey""")),
 
+    // q25: AS-OF join — for each purchase, the most recent prior (or
+    // simultaneous) view by the same user. Spark lacks the operator;
+    // composed per the preference order (built-ins first): union both
+    // sides with a marker, one shuffle on the key, and an ordered-window
+    // last(ignoreNulls) carries the latest view time forward. This is the
+    // canonical distributed as-of shape — shuffle once, sort within
+    // partition, no per-key driver logic. Oracle: DuckDB's native ASOF.
+    GraftQuery(
+      "q25_asof_join",
+      (s, dir) => {
+        val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        val e = t(s, dir, "events")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("ets"),
+            lit(null).cast("long").as("p_event_id"),
+            col("ts").as("v_ts"), lit(0).as("is_p"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("ets"),
+            col("event_id").as("p_event_id"),
+            lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_p"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ets"), col("is_p")) // ties: the view counts
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        views.unionByName(purchases)
+          .withColumn("last_v_ts",
+            last(col("v_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(
+            col("p_event_id").as("event_id"), col("user_id"),
+            date_format(col("ets"), fmt).as("p_ts"),
+            coalesce(date_format(col("last_v_ts"), fmt), lit("-")).as("v_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id,
+          strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+          COALESCE(strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f'), '-') AS v_ts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY event_id""")),
+
     // q24: explicit GROUPING SETS (via Spark SQL — the construct is not in
     // the DataFrame API; Catalyst expands before the shuffle either way).
     GraftQuery(
