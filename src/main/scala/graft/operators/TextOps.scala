@@ -103,6 +103,26 @@ object TextOps {
               / greatest(CAST($wsTokensSql AS DOUBLE), 1.0)), 4) AS quality_score
         FROM documents ORDER BY doc_id""")),
 
+    // Sketch-based cardinality: HyperLogLog++ distinct-fingerprint counts
+    // per source next to the exact answer. The sketch is mergeable —
+    // partial aggregation map-side, constant memory per group at any
+    // scale; rows-only (estimates are engine-specific), TextOpsSpec
+    // bounds the relative error.
+    GraftQuery(
+      "d_approx_distinct",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("source"), md5(normText(col("text"))).as("fp"))
+          .groupBy("source")
+          .agg(
+            approx_count_distinct(col("fp"), rsd = 0.02).as("approx_docs"),
+            countDistinct(col("fp")).as("exact_docs"))
+          .withColumn("rel_err", round(
+            abs(col("approx_docs") - col("exact_docs")).cast("double") /
+              col("exact_docs"), 4))
+          .orderBy("source"),
+      None),
+
     // Language ID: stopword-profile scores, argmax with fixed tiebreak
     // order (en > de > fr > es > zh), same CASE order on both sides.
     GraftQuery(

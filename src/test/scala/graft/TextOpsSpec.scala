@@ -36,6 +36,16 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("d_approx_distinct stays within HLL++ error bounds of exact") {
+    val out = Registry.byName("d_approx_distinct")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.1,
+        s"${r.getAs[String]("source")}: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("d_quality_score is in [0,1] and penalizes punctuation-heavy text") {
     val dir3 = docsDir(Seq(
       (0L, "a clean simple sentence with many plain common words in it " * 3, "en", "s", 0L),
