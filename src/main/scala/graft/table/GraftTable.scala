@@ -13,9 +13,10 @@ import scala.jdk.CollectionConverters._
   * metadata model implies but does not ship).
   *
   * Layout: `location/metadata/v{N}.metadata.json` (TableMetadataV2, spec
-  * kebab-case JSON) + `metadata/manifest-{snapshotId}.jsonl` (full live
-  * file list per snapshot) + parquet data files under
-  * `location/data/{writeId}/` (partition dirs derived by the spec).
+  * kebab-case JSON); per-snapshot `snap-{id}.manifest-list.json`
+  * referencing immutable `manifest-{id}.jsonl` files (shared across
+  * snapshots); parquet data files under `location/data/{writeId}/`
+  * (partition dirs derived by the spec).
   *
   * Design for 100 TB:
   *   - planning = transform-aware partition + min/max file pruning BEFORE
@@ -24,11 +25,16 @@ import scala.jdk.CollectionConverters._
   *   - writes are ordinary distributed parquet writes (hidden partitioning
   *     derives partition dirs from transform expressions; source columns
   *     stay in the data files) followed by one distributed stats pass over
-  *     the new files only and an O(files) driver-side commit;
+  *     the new files only;
+  *   - commits REUSE the parent's untouched manifests and add one manifest
+  *     for the change — O(changed files) metadata per commit, so appends
+  *     stay constant-cost at millions of files (mutations rewrite only
+  *     the manifests whose entries they touch);
   *   - commits are atomic CREATE_NEW of the next metadata version
-  *     (optimistic concurrency, last-writer-wins on conflict retry);
+  *     (optimistic concurrency; conflicts rebase and retry);
   *   - manifests are JSON-lines so the planning side scales out by
-  *     switching the reader from driver-side lines to a Spark JSON scan.
+  *     switching the reader from driver-side lines to a Spark JSON scan
+  *     (see manifestDf/planFilesDistributed).
   */
 class GraftTable private (val spark: SparkSession, val location: String) {
 
@@ -78,26 +84,37 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       next.toString.getBytes("UTF-8"))
   }
 
-  private def manifestPath(snapshotId: Long): Path =
-    metaDir.resolve(s"manifest-$snapshotId.jsonl")
+  private def manifestListPath(snapshotId: Long): Path =
+    metaDir.resolve(s"snap-$snapshotId.manifest-list.json")
 
-  /** Commit a new snapshot whose manifest is the COMPLETE live file list. */
-  private def commitSnapshot(op: String, entries: Seq[DataFileEntry],
+  /** Commit a new snapshot: REUSE the untouched manifests of the parent
+    * and write ONE new manifest for this commit's entries — O(changed
+    * files) metadata per commit regardless of table size.
+    */
+  private def commitSnapshot(op: String, reused: Seq[ManifestRef],
+      newEntries: Seq[DataFileEntry],
       summaryExtra: Map[String, String] = Map.empty): SnapshotV2 = {
     val meta = metadata
     val snapId = newSnapshotId()
     val seq = meta.lastSequenceNumber + 1
-    val stamped = entries.map(e =>
-      if (e.snapshotId == PendingSnapshot)
-        e.copy(snapshotId = snapId, sequenceNumber = seq)
-      else e)
-    DataFileEntry.writeManifest(manifestPath(snapId), stamped)
+    val mrefs = reused ++ (if (newEntries.isEmpty) Seq.empty else {
+      val stamped = newEntries.map(e =>
+        if (e.snapshotId == PendingSnapshot)
+          e.copy(snapshotId = snapId, sequenceNumber = seq)
+        else e)
+      val mf = metaDir.resolve(s"manifest-$snapId.jsonl")
+      Files.createDirectories(metaDir)
+      DataFileEntry.writeManifest(mf, stamped)
+      Seq(ManifestRef(mf.toString, stamped.size.toLong,
+        stamped.map(_.recordCount).sum))
+    })
+    ManifestList.write(manifestListPath(snapId), mrefs)
     val now = System.currentTimeMillis
     val snap = SnapshotV2(snapId, meta.currentSnapshotId, seq, now,
-      manifestPath(snapId).toString,
+      manifestListPath(snapId).toString,
       Summary(Some(op), summaryExtra ++ Map(
-        "total-data-files" -> stamped.size.toString,
-        "total-records" -> stamped.map(_.recordCount).sum.toString)),
+        "total-data-files" -> mrefs.map(_.entryCount).sum.toString,
+        "total-records" -> mrefs.map(_.recordCount).sum.toString)),
       Some(meta.currentSchemaId.toLong))
     val refs = meta.refs.getOrElse(Map.empty) +
       ("main" -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
@@ -125,7 +142,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     var attempts = 0
     while (true) {
       attempts += 1
-      try return commitSnapshot("append", liveEntries() ++ entries)
+      try return commitSnapshot("append", liveManifests(), entries)
       catch { case e: CommitConflictException if attempts < 5 => }
     }
     throw new IllegalStateException("unreachable")
@@ -239,16 +256,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   // -------------------------------------------------------------- read ----
 
-  /** Current live file list (empty before the first snapshot). */
-  def liveEntries(asOf: Option[Long] = None): Seq[DataFileEntry] = {
+  /** A snapshot's manifest refs (empty before the first snapshot). */
+  def liveManifests(asOf: Option[Long] = None): Seq[ManifestRef] = {
     val meta = metadata
     val snap = asOf match {
       case Some(id) => meta.snapshotById(id)
         .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
       case None => meta.currentSnapshot.getOrElse(return Seq.empty)
     }
-    DataFileEntry.readManifest(Paths.get(snap.manifestList))
+    ManifestList.read(Paths.get(snap.manifestList))
   }
+
+  /** Current live file list (empty before the first snapshot). */
+  def liveEntries(asOf: Option[Long] = None): Seq[DataFileEntry] =
+    liveManifests(asOf).flatMap(_.entries)
 
   /** Files surviving metadata pruning for a filter (the plan the scan will
     * read). Public so callers/tests can audit pruning.
@@ -276,12 +297,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * `planFiles` as a Spark filter over it.
     */
   def manifestDf(asOf: Option[Long] = None): DataFrame = {
-    val meta = metadata
-    val snap = asOf.flatMap(meta.snapshotById)
-      .orElse(meta.currentSnapshot)
-      .getOrElse(return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], manifestSchema))
-    spark.read.schema(manifestSchema).json(snap.manifestList)
+    val refs = liveManifests(asOf)
+    if (refs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
+    else spark.read.schema(manifestSchema).json(refs.map(_.path): _*)
   }
 
   private val manifestSchema: StructType = StructType(Seq(
@@ -398,13 +417,26 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val schema = meta.currentSchema
     val sparkSchema = toSparkSchema(schema)
     val preds = Pruning.extract(spark, cond, sparkSchema)
-    val (maybe, untouched) = liveEntries().partition(e =>
+    val (reused, affected) = splitManifests(e =>
+      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+    val (maybe, carried) = affected.partition(e =>
       Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
     val rewritten =
       if (maybe.isEmpty) Seq.empty
       else writeFiles(readAligned(maybe, schema).filter(!cond))
-    commitSnapshot("delete", untouched ++ rewritten,
+    commitSnapshot("delete", reused, carried ++ rewritten,
       Map("rewritten-files" -> maybe.size.toString))
+  }
+
+  /** Manifest-granular change split: manifests where NO entry satisfies
+    * `hit` are reused verbatim; the rest contribute their entries (hit or
+    * not) to the new manifest — untouched entries keep their original
+    * added-snapshot ids.
+    */
+  private def splitManifests(hit: DataFileEntry => Boolean)
+      : (Seq[ManifestRef], Seq[DataFileEntry]) = {
+    val (affected, reused) = liveManifests().partition(_.entries.exists(hit))
+    (reused, affected.flatMap(_.entries))
   }
 
   /** Dynamic partition overwrite: replaces exactly the partitions present
@@ -417,8 +449,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val newEntries = writeFiles(df)
     val touched: Set[Map[String, Option[String]]] =
       newEntries.map(_.partition).toSet
-    val untouched = liveEntries().filterNot(e => touched.contains(e.partition))
-    commitSnapshot("overwrite", untouched ++ newEntries,
+    val (reused, affected) = splitManifests(e => touched.contains(e.partition))
+    val carried = affected.filterNot(e => touched.contains(e.partition))
+    commitSnapshot("overwrite", reused, carried ++ newEntries,
       Map("replaced-partitions" -> touched.size.toString))
   }
 
@@ -445,7 +478,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         Pruning.normalize(bounds.getAs[Any](s"mx::$k"), dt)
           .map(v => Pruning.Cmp(k, "<=", v))).flatten
     }
-    val (affected, untouched) = liveEntries().partition(e =>
+    val (reused, affectedEntries) = splitManifests(e =>
+      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+    val (affected, carried) = affectedEntries.partition(e =>
       Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
     val target = readAligned(affected, schema)
     val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
@@ -458,7 +493,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           when(col(s"__src_${keys.head}").isNotNull, col(s"__src_$n"))
             .otherwise(col(n)).as(n))): _*)
     val rewritten = writeFiles(merged)
-    commitSnapshot("overwrite", untouched ++ rewritten,
+    commitSnapshot("overwrite", reused, carried ++ rewritten,
       Map("merged-files" -> affected.size.toString))
   }
 
@@ -471,7 +506,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val rewritten =
       if (partNames.nonEmpty) writeFiles(df, repartitionByPartition = true)
       else writeFiles(df.coalesce(1))
-    commitSnapshot("replace", rewritten)
+    commitSnapshot("replace", Seq.empty, rewritten)
   }
 
   // ---------------------------------------------------- schema evolution ----
@@ -546,12 +581,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val keep = all.takeRight(keepLast).map(_.snapshotId).toSet ++ refIds
     val (retained, expired) = all.partition(s => keep.contains(s.snapshotId))
     if (expired.isEmpty) return Seq.empty
-    val liveFiles = retained.flatMap(s =>
-      DataFileEntry.readManifest(Paths.get(s.manifestList))).map(_.path).toSet
-    val orphans = expired.flatMap(s =>
-      DataFileEntry.readManifest(Paths.get(s.manifestList)))
+    // manifests are SHARED across snapshots: only delete manifests (and
+    // their files) referenced exclusively by expired snapshots
+    val retainedRefs = retained.flatMap(s =>
+      ManifestList.read(Paths.get(s.manifestList)))
+    val expiredRefs = expired.flatMap(s =>
+      ManifestList.read(Paths.get(s.manifestList)))
+    val liveFiles = retainedRefs.flatMap(_.entries).map(_.path).toSet
+    val orphans = expiredRefs.flatMap(_.entries)
       .map(_.path).distinct.filterNot(liveFiles.contains)
+    val retainedManifests = retainedRefs.map(_.path).toSet
+    val orphanManifests = expiredRefs.map(_.path).distinct
+      .filterNot(retainedManifests.contains)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
     writeMetadata(meta.copy(
       snapshots = Some(retained),

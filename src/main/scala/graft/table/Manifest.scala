@@ -94,3 +94,43 @@ object DataFileEntry {
       .map(l => fromJson(Json.parse(l))).toSeq
   }
 }
+
+/** One manifest file referenced by a snapshot's manifest list, with the
+  * rollup counts the commit path needs without re-reading the manifest.
+  */
+case class ManifestRef(path: String, entryCount: Long, recordCount: Long) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("path", path)
+    o.put("entry-count", entryCount)
+    o.put("record-count", recordCount)
+    o
+  }
+  def entries: Seq[DataFileEntry] =
+    DataFileEntry.readManifest(java.nio.file.Paths.get(path))
+}
+
+object ManifestRef {
+  def fromJson(n: JsonNode): ManifestRef = ManifestRef(
+    n.path("path").asText,
+    n.path("entry-count").asLong,
+    n.path("record-count").asLong)
+}
+
+/** Per-snapshot manifest LIST: snapshots share unchanged manifest files,
+  * so an append commits O(new files) metadata regardless of table size —
+  * the property that keeps commits viable at millions of files.
+  */
+object ManifestList {
+  def write(file: java.nio.file.Path, refs: Seq[ManifestRef]): Unit = {
+    val o = Json.obj
+    val a = o.putArray("manifests")
+    refs.foreach(r => a.add(r.toJson))
+    java.nio.file.Files.write(file, Json.write(o).getBytes("UTF-8"))
+  }
+
+  def read(file: java.nio.file.Path): Seq[ManifestRef] = {
+    val n = Json.parse(new String(java.nio.file.Files.readAllBytes(file), "UTF-8"))
+    n.path("manifests").elements.asScala.toSeq.map(ManifestRef.fromJson)
+  }
+}

@@ -66,6 +66,27 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("appends reuse parent manifests; mutations rewrite only touched ones") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("mreuse"), src.schema,
+      partitionBy = Seq(("l_shipdate", TYear, "ship_year")))
+    t.append(src.filter(col("l_shipdate") < lit("1998-01-01")),
+      repartitionByPartition = true)
+    val m1 = t.liveManifests().map(_.path)
+    t.append(src.filter(col("l_shipdate") >= lit("1998-01-01")),
+      repartitionByPartition = true)
+    val m2 = t.liveManifests().map(_.path)
+    // append: the first snapshot's manifest is reused verbatim
+    assert(m2.size == 2 && m2.take(1) == m1)
+    // delete touching only late years: the early manifest survives
+    t.deleteWhere(col("l_shipdate") >= lit("2001-01-01"))
+    val m3 = t.liveManifests().map(_.path)
+    assert(m3.contains(m1.head), "untouched manifest must be reused")
+    assert(!m3.contains(m2(1)), "touched manifest must be replaced")
+    assert(t.scan().count() ==
+      src.filter(col("l_shipdate") < lit("2001-01-01")).count())
+  }
+
   test("distributed planning agrees with driver-side planFiles") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("distplan"), src.schema,
