@@ -257,8 +257,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   // -------------------------------------------------------------- read ----
 
   /** A snapshot's manifest refs (empty before the first snapshot). */
-  def liveManifests(asOf: Option[Long] = None): Seq[ManifestRef] = {
-    val meta = metadata
+  def liveManifests(asOf: Option[Long] = None): Seq[ManifestRef] =
+    manifestsFor(metadata, asOf)
+
+  private def manifestsFor(meta: TableMetadataV2,
+      asOf: Option[Long]): Seq[ManifestRef] = {
     val snap = asOf match {
       case Some(id) => meta.snapshotById(id)
         .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
@@ -275,9 +278,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * read). Public so callers/tests can audit pruning.
     */
   def planFiles(filter: Option[Column] = None,
-      asOf: Option[Long] = None): Seq[DataFileEntry] = {
-    val meta = metadata
-    val entries = liveEntries(asOf)
+      asOf: Option[Long] = None): Seq[DataFileEntry] =
+    planFilesFor(metadata, filter, asOf)
+
+  private def planFilesFor(meta: TableMetadataV2, filter: Option[Column],
+      asOf: Option[Long]): Seq[DataFileEntry] = {
+    val entries = manifestsFor(meta, asOf).flatMap(_.entries)
     val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
@@ -356,11 +362,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * survive; old files project nulls for later columns).
     */
   def scan(filter: Option[Column] = None, asOf: Option[Long] = None): DataFrame = {
+    // pin ONE metadata version for the whole read: snapshot resolution,
+    // pruning, and schema alignment must not mix concurrent commits
     val meta = metadata
     val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
-    val df = readAligned(planFiles(filter, asOf), readSchema)
+    val df = readAlignedFor(meta, planFilesFor(meta, filter, asOf), readSchema)
     filter.map(df.filter).getOrElse(df)
   }
 
@@ -385,8 +393,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   /** Field-id-aligned union over per-schema file groups. */
   private def readAligned(entries: Seq[DataFileEntry],
-      readSchema: SchemaV2): DataFrame = {
-    val meta = metadata
+      readSchema: SchemaV2): DataFrame =
+    readAlignedFor(metadata, entries, readSchema)
+
+  private def readAlignedFor(meta: TableMetadataV2,
+      entries: Seq[DataFileEntry], readSchema: SchemaV2): DataFrame = {
     val targetSpark = toSparkSchema(readSchema)
     if (entries.isEmpty)
       return spark.createDataFrame(
