@@ -341,6 +341,69 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Metadata-only count: files whose stats prove EVERY row matches
+    * contribute their manifest record count; files that cannot match are
+    * skipped; only boundary files are actually scanned. A full-table
+    * count touches no data at all.
+    */
+  def countRows(filter: Option[Column] = None,
+      asOf: Option[Long] = None): Long = {
+    val meta = metadata
+    val entries = manifestsFor(meta, asOf).flatMap(_.entries)
+    filter match {
+      case None => entries.map(_.recordCount).sum
+      case Some(f) =>
+        val schemaId = asOf.flatMap(id =>
+          meta.snapshotById(id).flatMap(_.schemaId)).map(_.toInt)
+          .getOrElse(meta.currentSchemaId)
+        val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
+        val sparkSchema = toSparkSchema(schema)
+        val preds = Pruning.extract(spark, f, sparkSchema)
+        val may = entries.filter(e =>
+          Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+        val (full, partial) = may.partition(e =>
+          Pruning.mustMatch(e, preds, sparkSchema))
+        val scanned =
+          if (partial.isEmpty) 0L
+          else readAlignedFor(meta, partial, schema).filter(f).count()
+        full.map(_.recordCount).sum + scanned
+    }
+  }
+
+  /** Roll the table back to an earlier snapshot (metadata-only: the
+    * snapshot becomes current again; later snapshots stay until expiry).
+    */
+  def rollbackTo(snapshotId: Long): Unit = {
+    val meta = metadata
+    require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
+    val now = System.currentTimeMillis
+    writeMetadata(meta.copy(
+      currentSnapshotId = Some(snapshotId),
+      snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
+        SnapshotLog(snapshotId, now)),
+      refs = Some(meta.refs.getOrElse(Map.empty) + ("main" ->
+        SnapshotRef(snapshotId,
+          BranchRetention(1, Long.MaxValue, Long.MaxValue)))),
+      lastUpdatedMs = now))
+  }
+
+  /** Delete data files under the table location that no snapshot
+    * references (failed writes, aborted commits). Returns removed paths.
+    */
+  def removeOrphanFiles(): Seq[String] = {
+    val meta = metadata
+    val referenced = meta.snapshots.getOrElse(Seq.empty)
+      .flatMap(s => ManifestList.read(Paths.get(s.manifestList)))
+      .distinct.flatMap(_.entries).map(_.path).toSet
+    val dataDir = Paths.get(location, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val orphans = Files.walk(dataDir).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).filterNot(referenced.contains).toSeq
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans.sorted
+  }
+
   /** Continuous ingestion: append each micro-batch of `stream` as a
     * snapshot (exactly-once per batch via the checkpoint). The caller
     * owns the returned query's lifecycle.

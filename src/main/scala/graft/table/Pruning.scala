@@ -178,6 +178,32 @@ object Pruning {
     }
   }
 
+  /** Does EVERY row of the file satisfy the conjunct? (The dual of
+    * mayMatch, used for metadata-only counts: fully-matching files
+    * contribute their record count without being read.) Strictly
+    * conservative the other way — uncertain means "not fully".
+    */
+  def mustMatch(entry: DataFileEntry, preds: Seq[Any],
+      schema: StructType): Boolean =
+    preds.forall {
+      case Cmp(colName, op, value) =>
+        val dt = schema.fields.find(_.name == colName).map(_.dataType)
+          .getOrElse(return false)
+        entry.stats.get(colName) match {
+          case Some(ColStats(Some(mn), Some(mx), nulls)) if nulls == 0L =>
+            op match {
+              case "=" => compare(mn, value, dt) == 0 && compare(mx, value, dt) == 0
+              case "<" => compare(mx, value, dt) < 0
+              case "<=" => compare(mx, value, dt) <= 0
+              case ">" => compare(mn, value, dt) > 0
+              case ">=" => compare(mn, value, dt) >= 0
+              case _ => false
+            }
+          case _ => false // missing stats or nulls present → must scan
+        }
+      case _ => false // InSet and unknowns → must scan
+    }
+
   /** Transform-aware partition pruning: identity compares directly;
     * year/month/day/hour compare ordinals with boundary-conservative
     * ranges; bucket/truncate prune equality only.

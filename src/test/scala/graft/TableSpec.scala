@@ -66,6 +66,48 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("countRows answers from metadata, scanning only boundary files") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("count"), src.schema,
+      partitionBy = Seq(("l_shipdate", TYear, "ship_year")))
+    t.append(src, repartitionByPartition = true)
+    // full count: pure metadata
+    assert(t.countRows() == src.count())
+    // range filter: year files inside the range are fully-matching
+    val f = col("l_shipdate") >= lit("1996-01-01") &&
+      col("l_shipdate") < lit("1999-01-01")
+    assert(t.countRows(Some(f)) == src.filter(f).count())
+    // point filter: must equal the scan
+    val p = col("l_orderkey") === 42L
+    assert(t.countRows(Some(p)) == src.filter(p).count())
+  }
+
+  test("rollback makes an earlier snapshot current again") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("rollback"), src.schema)
+    val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
+    t.append(src.filter(col("l_orderkey") % 2 === 1))
+    val full = t.scan().count()
+    t.rollbackTo(s1.snapshotId)
+    assert(t.scan().count() == src.filter(col("l_orderkey") % 2 === 0).count())
+    assert(t.metadata.refs.get("main").snapshotId == s1.snapshotId)
+    // roll forward again works too (later snapshot still exists)
+    assert(t.metadata.snapshots.get.size == 2)
+  }
+
+  test("removeOrphanFiles deletes unreferenced data, keeps live files") {
+    val src = lineitem.limit(100)
+    val t = GraftTable.create(spark, freshLoc("orphan"), src.schema)
+    t.append(src)
+    // simulate a failed write: parquet data that never got committed
+    val stray = java.nio.file.Paths.get(t.location, "data", "failed-write")
+    src.limit(10).coalesce(1).write.parquet(stray.toString)
+    val removed = t.removeOrphanFiles()
+    assert(removed.nonEmpty)
+    assert(removed.forall(_.contains("failed-write")))
+    assert(t.scan().count() == 100)
+  }
+
   test("appends reuse parent manifests; mutations rewrite only touched ones") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("mreuse"), src.schema,
