@@ -21,13 +21,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop sink executes the FULL plan (count() would let Catalyst
+        // prune projections/sorts and understate map-heavy queries)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release per-query persisted subtrees
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")

@@ -39,7 +39,12 @@ object StreamingQueries {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    s.readStream.schema(schema).parquet(staging.toString)
+    // maxFilesPerTrigger = max: the AvailableNow run is ONE micro-batch,
+    // so per-key state sees a key's full history at once (cross-batch
+    // session continuation would need EventTimeTimeout emission)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(staging.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -145,9 +150,10 @@ object Sessionizer {
         end = t; n += 1L
       }
     }
-    // keep the trailing session in state for the next batch; also emit it
-    // now — AvailableNow over a static directory sees each key once.
-    state.update(SessionOut(userId, start, end, n))
+    // single-batch processing (see eventStream): every session is final,
+    // so emit the trailing one and clear state — emitting AND keeping it
+    // would double-count the session if a key ever spanned two batches.
+    state.remove()
     out += SessionOut(userId, start, end, n)
     out.iterator
   }

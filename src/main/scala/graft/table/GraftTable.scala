@@ -43,26 +43,41 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def metaDir: Path = Paths.get(location, "metadata")
 
   /** Latest committed metadata (highest v{N}.metadata.json). */
-  def metadata: TableMetadataV2 = {
+  def metadata: TableMetadataV2 = metadataWithVersion._2
+
+  /** (version, metadata) pair — commits pin this BASE version and claim
+    * exactly base+1, so any commit that lands between our read and our
+    * write surfaces as CommitConflictException instead of being silently
+    * overwritten (lost update).
+    */
+  private def metadataWithVersion: (Int, TableMetadataV2) = {
     val (v, p) = latestVersion(metaDir)
       .getOrElse(throw new IllegalStateException(s"no table at $location"))
-    TableMetadataV2.fromJsonString(new String(Files.readAllBytes(p), "UTF-8"))
+    (v, TableMetadataV2.fromJsonString(
+      new String(Files.readAllBytes(p), "UTF-8")))
   }
 
   private def latestVersion(dir: Path): Option[(Int, Path)] = {
     if (!Files.isDirectory(dir)) return None
     val re = """v(\d+)\.metadata\.json""".r
-    Files.list(dir).iterator.asScala
+    val stream = Files.list(dir)
+    try stream.iterator.asScala
       .flatMap(p => p.getFileName.toString match {
         case re(n) => Some((n.toInt, p))
         case _ => None
       }).toSeq.sortBy(-_._1).headOption
+    finally stream.close()
   }
 
   // ------------------------------------------------------------- commit ----
 
-  private def writeMetadata(meta: TableMetadataV2): Unit = {
-    val next = latestVersion(metaDir).map(_._1 + 1).getOrElse(1)
+  private def writeMetadata(meta: TableMetadataV2): Unit =
+    writeMetadataAt(meta, latestVersion(metaDir).map(_._1 + 1).getOrElse(1))
+
+  /** Write EXACTLY version `next` (CREATE_NEW). Callers that pinned a base
+    * version pass base+1 so a commit landing in between conflicts loudly.
+    */
+  private def writeMetadataAt(meta: TableMetadataV2, next: Int): Unit = {
     val target = metaDir.resolve(s"v$next.metadata.json")
     Files.createDirectories(metaDir)
     val withLog = meta.copy(metadataLog = Some(
@@ -91,10 +106,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * and write ONE new manifest for this commit's entries — O(changed
     * files) metadata per commit regardless of table size.
     */
-  private def commitSnapshot(op: String, reused: Seq[ManifestRef],
-      newEntries: Seq[DataFileEntry],
-      summaryExtra: Map[String, String] = Map.empty): SnapshotV2 = {
-    val meta = metadata
+  private def commitSnapshot(op: String,
+      buildRefs: TableMetadataV2 =>
+        (Seq[ManifestRef], Seq[DataFileEntry], Map[String, String]))
+      : SnapshotV2 = {
+    val (baseVersion, meta) = metadataWithVersion
+    val (reused, newEntries, summaryExtra) = buildRefs(meta)
     val snapId = newSnapshotId()
     val seq = meta.lastSequenceNumber + 1
     val mrefs = reused ++ (if (newEntries.isEmpty) Seq.empty else {
@@ -118,14 +135,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       Some(meta.currentSchemaId.toLong))
     val refs = meta.refs.getOrElse(Map.empty) +
       ("main" -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
-    writeMetadata(meta.copy(
+    writeMetadataAt(meta.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapId),
       snapshots = Some(meta.snapshots.getOrElse(Seq.empty) :+ snap),
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
         SnapshotLog(snapId, now)),
-      refs = Some(refs)))
+      refs = Some(refs)), baseVersion + 1)
     snap
   }
 
@@ -142,7 +159,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     var attempts = 0
     while (true) {
       attempts += 1
-      try return commitSnapshot("append", liveManifests(), entries)
+      try return commitSnapshot("append",
+        meta => (manifestsFor(meta, None), entries, Map.empty))
       catch { case e: CommitConflictException if attempts < 5 => }
     }
     throw new IllegalStateException("unreachable")
@@ -159,7 +177,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val writeDir = s"$location/data/$writeId"
 
     val partNames = spec.fields.map(_.name)
-    var out = df.select(sparkSchema.fieldNames.map(col): _*)
+    // cast to the table's exact types: a Spark-compatible-but-wider input
+    // (e.g. long into an int column) would otherwise write files the
+    // schema-pinned reader rejects at scan time
+    var out = df.select(sparkSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
     spec.fields.foreach { pf =>
       val src = schema.fieldById(pf.sourceId)
         .getOrElse(throw new IllegalArgumentException(
@@ -198,8 +220,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // removes every row of the affected files) — nothing to commit
     val wrote = {
       val dir = Paths.get(writeDir)
-      Files.isDirectory(dir) && Files.walk(dir).iterator.asScala
-        .exists(_.getFileName.toString.endsWith(".parquet"))
+      Files.isDirectory(dir) && {
+        val stream = Files.walk(dir)
+        try stream.iterator.asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+        finally stream.close()
+      }
     }
     if (!wrote) Seq.empty
     else collectStats(writeDir, schema, sparkSchema, spec)
@@ -228,7 +254,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .collect()
 
     rows.toSeq.map { r =>
-      val path = r.getAs[String]("__path").stripPrefix("file:")
+      // _metadata.file_path is URI-encoded (space→%20, literal %→%25);
+      // decode to the on-disk path or reads of escaped partition dirs
+      // (e.g. identity timestamps, ':'→%3A in the dir name) break
+      val raw = r.getAs[String]("__path")
+      val path =
+        try new java.net.URI(raw).getPath
+        catch { case _: Exception => raw.stripPrefix("file:") }
       val stats = statFields.map { f =>
         f.name -> ColStats(
           Pruning.normalize(r.getAs[Any](s"min::${f.name}"), f.dataType),
@@ -374,32 +406,39 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * snapshot becomes current again; later snapshots stay until expiry).
     */
   def rollbackTo(snapshotId: Long): Unit = {
-    val meta = metadata
+    val (v, meta) = metadataWithVersion
     require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
     val now = System.currentTimeMillis
-    writeMetadata(meta.copy(
+    writeMetadataAt(meta.copy(
       currentSnapshotId = Some(snapshotId),
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
         SnapshotLog(snapshotId, now)),
       refs = Some(meta.refs.getOrElse(Map.empty) + ("main" ->
         SnapshotRef(snapshotId,
           BranchRetention(1, Long.MaxValue, Long.MaxValue)))),
-      lastUpdatedMs = now))
+      lastUpdatedMs = now), v + 1)
   }
 
   /** Delete data files under the table location that no snapshot
     * references (failed writes, aborted commits). Returns removed paths.
     */
-  def removeOrphanFiles(): Seq[String] = {
+  def removeOrphanFiles(olderThanMillis: Long = 3600000L): Seq[String] = {
     val meta = metadata
     val referenced = meta.snapshots.getOrElse(Seq.empty)
       .flatMap(s => ManifestList.read(Paths.get(s.manifestList)))
       .distinct.flatMap(_.entries).map(_.path).toSet
     val dataDir = Paths.get(location, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val orphans = Files.walk(dataDir).iterator.asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).filterNot(referenced.contains).toSeq
+    // the age threshold protects in-flight writes: files younger than the
+    // grace period may belong to a commit that has not landed yet
+    val cutoff = System.currentTimeMillis - olderThanMillis
+    val stream = Files.walk(dataDir)
+    val orphans =
+      try stream.iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .map(_.toString).filterNot(referenced.contains).toSeq
+      finally stream.close()
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans.sorted
   }
@@ -486,30 +525,35 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   /** Copy-on-write DELETE WHERE: untouched files survive as-is; files that
     * may contain matching rows are rewritten without them.
     */
-  def deleteWhere(cond: Column): SnapshotV2 = {
-    val meta = metadata
-    val schema = meta.currentSchema
-    val sparkSchema = toSparkSchema(schema)
-    val preds = Pruning.extract(spark, cond, sparkSchema)
-    val (reused, affected) = splitManifests(e =>
-      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
-    val (maybe, carried) = affected.partition(e =>
-      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
-    val rewritten =
-      if (maybe.isEmpty) Seq.empty
-      else writeFiles(readAligned(maybe, schema).filter(!cond))
-    commitSnapshot("delete", reused, carried ++ rewritten,
-      Map("rewritten-files" -> maybe.size.toString))
-  }
+  def deleteWhere(cond: Column): SnapshotV2 =
+    commitSnapshot("delete", { meta =>
+      val schema = meta.currentSchema
+      val sparkSchema = toSparkSchema(schema)
+      val preds = Pruning.extract(spark, cond, sparkSchema)
+      def hit(e: DataFileEntry): Boolean =
+        Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
+      val (reused, affected) = splitManifestsFor(meta, hit)
+      val (maybe, carried) = affected.partition(hit)
+      val rewritten =
+        if (maybe.isEmpty) Seq.empty
+        // keep rows where cond is FALSE or NULL (SQL DELETE deletes only
+        // rows where cond is true; !NULL is NULL and would drop them)
+        else writeFiles(readAlignedFor(meta, maybe, schema)
+          .filter(cond.isNull || !cond))
+      (reused, carried ++ rewritten,
+        Map("rewritten-files" -> maybe.size.toString))
+    })
 
   /** Manifest-granular change split: manifests where NO entry satisfies
     * `hit` are reused verbatim; the rest contribute their entries (hit or
     * not) to the new manifest — untouched entries keep their original
     * added-snapshot ids.
     */
-  private def splitManifests(hit: DataFileEntry => Boolean)
+  private def splitManifestsFor(meta: TableMetadataV2,
+      hit: DataFileEntry => Boolean)
       : (Seq[ManifestRef], Seq[DataFileEntry]) = {
-    val (affected, reused) = liveManifests().partition(_.entries.exists(hit))
+    val (affected, reused) =
+      manifestsFor(meta, None).partition(_.entries.exists(hit))
     (reused, affected.flatMap(_.entries))
   }
 
@@ -517,16 +561,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * in `df` (spec-derived), leaves all others untouched.
     */
   def overwritePartitions(df: DataFrame): SnapshotV2 = {
-    val meta = metadata
-    val spec = meta.defaultSpec
-    require(spec.fields.nonEmpty, "overwritePartitions needs a partitioned table")
+    require(metadata.defaultSpec.fields.nonEmpty,
+      "overwritePartitions needs a partitioned table")
     val newEntries = writeFiles(df)
     val touched: Set[Map[String, Option[String]]] =
       newEntries.map(_.partition).toSet
-    val (reused, affected) = splitManifests(e => touched.contains(e.partition))
-    val carried = affected.filterNot(e => touched.contains(e.partition))
-    commitSnapshot("overwrite", reused, carried ++ newEntries,
-      Map("replaced-partitions" -> touched.size.toString))
+    commitSnapshot("overwrite", { meta =>
+      val (reused, affected) =
+        splitManifestsFor(meta, e => touched.contains(e.partition))
+      val carried = affected.filterNot(e => touched.contains(e.partition))
+      (reused, carried ++ newEntries,
+        Map("replaced-partitions" -> touched.size.toString))
+    })
   }
 
   /** MERGE INTO (upsert) on equality keys: matched target rows take the
@@ -552,11 +598,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         Pruning.normalize(bounds.getAs[Any](s"mx::$k"), dt)
           .map(v => Pruning.Cmp(k, "<=", v))).flatten
     }
-    val (reused, affectedEntries) = splitManifests(e =>
-      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
-    val (affected, carried) = affectedEntries.partition(e =>
-      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
-    val target = readAligned(affected, schema)
+    def hit(e: DataFileEntry): Boolean =
+      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
+    val (affectedManifests, reusedManifests) =
+      manifestsFor(meta, None).partition(_.entries.exists(hit))
+    val reused = reusedManifests
+    val affectedEntries = affectedManifests.flatMap(_.entries)
+    val (affected, carried) = affectedEntries.partition(hit)
+    val target = readAlignedFor(meta, affected, schema)
     val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
     val src = source.select(sparkSchema.fieldNames.map(n =>
       col(n).as(s"__src_$n")): _*)
@@ -567,27 +616,41 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           when(col(s"__src_${keys.head}").isNotNull, col(s"__src_$n"))
             .otherwise(col(n)).as(n))): _*)
     val rewritten = writeFiles(merged)
-    commitSnapshot("overwrite", reused, carried ++ rewritten,
-      Map("merged-files" -> affected.size.toString))
+    commitSnapshot("overwrite", { freshMeta =>
+      // the rewrite was derived from `meta`; if the manifest set moved
+      // underneath us the merge must be re-run, not silently committed
+      if (manifestsFor(freshMeta, None).map(_.path).sorted !=
+          (reused ++ affectedManifests).map(_.path).sorted)
+        throw new CommitConflictException(
+          s"table changed during mergeInto at $location")
+      (reused, carried ++ rewritten,
+        Map("merged-files" -> affected.size.toString))
+    })
   }
 
   /** Bin-pack rewrite: one file per partition value (op=replace). */
   def compact(): SnapshotV2 = {
-    val meta = metadata
+    val (baseVersion, meta) = metadataWithVersion
     val schema = meta.currentSchema
-    val df = readAligned(liveEntries(), schema)
+    val df = readAlignedFor(meta, manifestsFor(meta, None).flatMap(_.entries),
+      schema)
     val partNames = meta.defaultSpec.fields.map(_.name)
     val rewritten =
       if (partNames.nonEmpty) writeFiles(df, repartitionByPartition = true)
       else writeFiles(df.coalesce(1))
-    commitSnapshot("replace", Seq.empty, rewritten)
+    commitSnapshot("replace", { freshMeta =>
+      if (freshMeta.lastSequenceNumber != meta.lastSequenceNumber)
+        throw new CommitConflictException(
+          s"table changed during compact at $location")
+      (Seq.empty, rewritten, Map.empty)
+    })
   }
 
   // ---------------------------------------------------- schema evolution ----
 
   private def evolveSchema(f: SchemaV2 => SchemaV2,
       bumpColumnId: Int = 0): Unit = {
-    val meta = metadata
+    val (baseVersion, meta) = metadataWithVersion
     val cur = meta.currentSchema
     val next = f(cur).copy(schemaId = cur.schemaId + 1)
     // name-mapping: every historical name of a field id keeps resolving
@@ -596,11 +659,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         NameMapping(Some(id), fs.map(_.name).distinct)
       }.toSeq.sortBy(_.fieldId)
     val mapped = next.copy(nameMapping = Some(NameMappings(names)))
-    writeMetadata(meta.copy(
+    writeMetadataAt(meta.copy(
       schemas = meta.schemas :+ mapped,
       currentSchemaId = mapped.schemaId,
       lastColumnId = meta.lastColumnId + bumpColumnId,
-      lastUpdatedMs = System.currentTimeMillis))
+      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
   }
 
   /** Rename a column; field id is stable so existing files keep working. */
@@ -632,16 +695,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   // ------------------------------------------------------- refs/expiry ----
 
   def createBranch(name: String, snapshotId: Long): Unit = {
-    val meta = metadata
-    writeMetadata(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
+    val (v, meta) = metadataWithVersion
+    writeMetadataAt(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
       (name -> SnapshotRef(snapshotId,
-        BranchRetention(1, Long.MaxValue, Long.MaxValue))))))
+        BranchRetention(1, Long.MaxValue, Long.MaxValue))))), v + 1)
   }
 
   def createTag(name: String, snapshotId: Long): Unit = {
-    val meta = metadata
-    writeMetadata(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
-      (name -> SnapshotRef(snapshotId, TagRetention(Long.MaxValue))))))
+    val (v, meta) = metadataWithVersion
+    writeMetadataAt(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
+      (name -> SnapshotRef(snapshotId, TagRetention(Long.MaxValue))))), v + 1)
   }
 
   /** Expire all but the last `keepLast` snapshots (ref'd snapshots always
@@ -649,7 +712,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * returns the orphaned data file paths.
     */
   def expireSnapshots(keepLast: Int): Seq[String] = {
-    val meta = metadata
+    val (baseVersion, meta) = metadataWithVersion
     val all = meta.snapshots.getOrElse(Seq.empty).sortBy(_.sequenceNumber)
     val refIds = meta.refs.getOrElse(Map.empty).values.map(_.snapshotId).toSet
     val keep = all.takeRight(keepLast).map(_.snapshotId).toSet ++ refIds
@@ -667,14 +730,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val retainedManifests = retainedRefs.map(_.path).toSet
     val orphanManifests = expiredRefs.map(_.path).distinct
       .filterNot(retainedManifests.contains)
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
-    writeMetadata(meta.copy(
+    // commit the metadata FIRST: if the commit conflicts, nothing has
+    // been deleted and current metadata still references intact files
+    writeMetadataAt(meta.copy(
       snapshots = Some(retained),
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty)
         .filter(l => keep.contains(l.snapshotId))),
-      lastUpdatedMs = System.currentTimeMillis))
+      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
     orphans
   }
 

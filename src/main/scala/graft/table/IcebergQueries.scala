@@ -20,12 +20,17 @@ object IcebergQueries {
     val root = java.nio.file.Paths.get("/root/repo/target/graft-tbl")
     if (java.nio.file.Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(root).iterator.asScala
-        .filter(_.getFileName.toString.startsWith(s"$name-"))
-        .foreach { d =>
-          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+      val ls = java.nio.file.Files.list(root)
+      val dirs =
+        try ls.iterator.asScala
+          .filter(_.getFileName.toString.startsWith(s"$name-")).toSeq
+        finally ls.close()
+      dirs.foreach { d =>
+        val w = java.nio.file.Files.walk(d)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally w.close()
+      }
     }
     s"/root/repo/target/graft-tbl/$name-${java.util.UUID.randomUUID.toString.take(8)}"
   }

@@ -218,20 +218,27 @@ object Pruning {
       if (!sourceName.contains(colName)) true
       else entry.partition.get(pf.name) match {
         case None | Some(None) => true // no value recorded → keep
-        case Some(Some(pv)) => pf.transform match {
-          case TIdentity => op match {
-            case "=" => compare(pv, value, dt) == 0
-            case "<" => compare(pv, value, dt) < 0
-            case "<=" => compare(pv, value, dt) <= 0
-            case ">" => compare(pv, value, dt) > 0
-            case ">=" => compare(pv, value, dt) >= 0
-            case _ => true
-          }
+        case Some(Some(pv0)) => pf.transform match {
+          case TIdentity =>
+            // partition-dir strings are Spark's rendering (e.g. a
+            // timestamp without its trailing fraction); re-normalize to
+            // the manifest encoding before comparing
+            val pv =
+              try normalize(pv0, dt).getOrElse(pv0)
+              catch { case _: Exception => return true } // unparseable → keep
+            op match {
+              case "=" => compare(pv, value, dt) == 0
+              case "<" => compare(pv, value, dt) < 0
+              case "<=" => compare(pv, value, dt) <= 0
+              case ">" => compare(pv, value, dt) > 0
+              case ">=" => compare(pv, value, dt) >= 0
+              case _ => true
+            }
           case TYear | TMonth | TDay | THour =>
             calendarOrdinal(value, pf.transform) match {
               case None => true
               case Some(ord) =>
-                val p = pv.toLong
+                val p = pv0.toLong
                 op match {
                   case "=" => p == ord
                   case "<" | "<=" => p <= ord // partial buckets at boundary
@@ -240,12 +247,12 @@ object Pruning {
                 }
             }
           case TBucket(n) if op == "=" =>
-            bucketOf(value, dt, n).forall(_ == pv.toInt)
+            bucketOf(value, dt, n).forall(_ == pv0.toInt)
           case TTruncate(w) if op == "=" => dt match {
             case IntegerType | LongType | ShortType | ByteType =>
               val v = new java.math.BigDecimal(value).longValueExact()
-              pv.toLong == v - (((v % w) + w) % w)
-            case StringType => pv == value.take(w)
+              pv0.toLong == v - (((v % w) + w) % w)
+            case StringType => pv0 == value.take(w)
             case _ => true
           }
           case _ => true
@@ -301,6 +308,8 @@ object Pruning {
         else {
           val pv = col("partition")(pf.name)
           val base = pf.transform match {
+            case TIdentity if isTs(dt) || dt == DateType =>
+              lit(true) // dir-string rendering differs; stats still prune
             case TIdentity => cmpCol(pv, op, value, dt)
             case TYear | TMonth | TDay | THour =>
               calendarOrdinal(value, pf.transform) match {

@@ -66,6 +66,38 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("identity-transform partitioning on timestamps prunes correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-01-01 12:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2023-01-02 12:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2023-01-03 12:00:00")))
+      .toDF("id", "ts")
+    val t = GraftTable.create(spark, freshLoc("ident-ts"), df.schema,
+      partitionBy = Seq(("ts", TIdentity, "ts_part")))
+    t.append(df, repartitionByPartition = true)
+    // equality on the exact partition value must NOT be pruned away
+    val f = col("ts") === lit("2023-01-02 12:00:00")
+    assert(t.scan(Some(f)).count() == 1,
+      "identity ts partition wrongly pruned a matching file")
+    assert(t.planFiles(Some(f)).size == 1)
+    // distributed path stays conservative but never loses the file
+    assert(t.planFilesDistributed(Some(f)).count() >= 1)
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, 7.0), (3L, null)).toDF("id", "x")
+    val t = GraftTable.create(spark, freshLoc("nulldel"), df.schema)
+    t.append(df)
+    t.deleteWhere(col("x") === 5.0)
+    val left = t.scan().collect().map(_.getAs[Long]("id")).sorted.toSeq
+    // SQL DELETE removes only rows where the condition is TRUE: the
+    // x-NULL row must survive
+    assert(left == Seq(2L, 3L))
+  }
+
   test("countRows answers from metadata, scanning only boundary files") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("count"), src.schema,
@@ -102,7 +134,7 @@ class TableSpec extends SparkSpec {
     // simulate a failed write: parquet data that never got committed
     val stray = java.nio.file.Paths.get(t.location, "data", "failed-write")
     src.limit(10).coalesce(1).write.parquet(stray.toString)
-    val removed = t.removeOrphanFiles()
+    val removed = t.removeOrphanFiles(olderThanMillis = 0L)
     assert(removed.nonEmpty)
     assert(removed.forall(_.contains("failed-write")))
     assert(t.scan().count() == 100)
