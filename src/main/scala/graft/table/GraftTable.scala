@@ -135,7 +135,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       Some(meta.currentSchemaId.toLong))
     val refs = meta.refs.getOrElse(Map.empty) +
       ("main" -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
-    writeMetadataAt(meta.copy(
+    try writeMetadataAt(meta.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapId),
@@ -143,6 +143,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
         SnapshotLog(snapId, now)),
       refs = Some(refs)), baseVersion + 1)
+    catch {
+      case e: CommitConflictException =>
+        // lost the race: remove the manifest/list files this attempt
+        // wrote (referenced by nothing) so retries don't leak metadata
+        Files.deleteIfExists(manifestListPath(snapId))
+        Files.deleteIfExists(metaDir.resolve(s"manifest-$snapId.jsonl"))
+        throw e
+    }
     snap
   }
 
@@ -161,7 +169,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       attempts += 1
       try return commitSnapshot("append",
         meta => (manifestsFor(meta, None), entries, Map.empty))
-      catch { case e: CommitConflictException if attempts < 5 => }
+      catch { case _: CommitConflictException if attempts < 5 => }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -177,11 +185,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val writeDir = s"$location/data/$writeId"
 
     val partNames = spec.fields.map(_.name)
-    // cast to the table's exact types: a Spark-compatible-but-wider input
-    // (e.g. long into an int column) would otherwise write files the
+    // align input columns to the table's exact types: UPCASTS are applied
+    // (e.g. int input into a long column), narrowing is rejected loudly —
+    // a silent cast would truncate values, no cast would write files the
     // schema-pinned reader rejects at scan time
-    var out = df.select(sparkSchema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val inputTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    var out = df.select(sparkSchema.fields.map { f =>
+      inputTypes.get(f.name) match {
+        case Some(in) if in == f.dataType => col(f.name)
+        case Some(in) if org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(in, f.dataType) => col(f.name).cast(f.dataType).as(f.name)
+        case Some(in) => throw new IllegalArgumentException(
+          s"column ${f.name}: input type $in does not safely widen to " +
+            s"table type ${f.dataType}")
+        case None => col(f.name) // missing column → natural analysis error
+      }
+    }: _*)
     spec.fields.foreach { pf =>
       val src = schema.fieldById(pf.sourceId)
         .getOrElse(throw new IllegalArgumentException(
@@ -390,11 +409,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .getOrElse(meta.currentSchemaId)
         val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
         val sparkSchema = toSparkSchema(schema)
-        val preds = Pruning.extract(spark, f, sparkSchema)
+        val (preds, complete) =
+          Pruning.extractWithCompleteness(spark, f, sparkSchema)
         val may = entries.filter(e =>
           Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
-        val (full, partial) = may.partition(e =>
-          Pruning.mustMatch(e, preds, sparkSchema))
+        // the metadata shortcut is only sound if EVERY conjunct of the
+        // filter translated — otherwise mustMatch would certify files
+        // against a weaker predicate and silently overcount
+        val (full, partial) =
+          if (complete) may.partition(e =>
+            Pruning.mustMatch(e, preds, sparkSchema))
+          else (Seq.empty[DataFileEntry], may)
         val scanned =
           if (partial.isEmpty) 0L
           else readAlignedFor(meta, partial, schema).filter(f).count()
@@ -424,21 +449,41 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   def removeOrphanFiles(olderThanMillis: Long = 3600000L): Seq[String] = {
     val meta = metadata
-    val referenced = meta.snapshots.getOrElse(Seq.empty)
+    def canon(p: String): String =
+      Paths.get(p).toAbsolutePath.normalize.toString
+    val snapRefs = meta.snapshots.getOrElse(Seq.empty)
       .flatMap(s => ManifestList.read(Paths.get(s.manifestList)))
-      .distinct.flatMap(_.entries).map(_.path).toSet
-    val dataDir = Paths.get(location, "data")
-    if (!Files.isDirectory(dataDir)) return Seq.empty
-    // the age threshold protects in-flight writes: files younger than the
-    // grace period may belong to a commit that has not landed yet
+      .distinct
+    val referenced = snapRefs.flatMap(_.entries).map(e => canon(e.path)).toSet
     val cutoff = System.currentTimeMillis - olderThanMillis
-    val stream = Files.walk(dataDir)
-    val orphans =
-      try stream.iterator.asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+    // data files (paths canonicalized on BOTH sides: a relative table
+    // location must not make every live file look unreferenced)
+    val dataDir = Paths.get(location, "data")
+    val orphanData =
+      if (!Files.isDirectory(dataDir)) Seq.empty
+      else {
+        val stream = Files.walk(dataDir)
+        try stream.iterator.asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .map(p => canon(p.toString)).filterNot(referenced.contains).toSeq
+        finally stream.close()
+      }
+    // manifests/manifest-lists leaked by lost commit races or crashes
+    val liveManifestPaths = snapRefs.map(r => canon(r.path)).toSet ++
+      meta.snapshots.getOrElse(Seq.empty).map(s => canon(s.manifestList))
+    val stream2 = Files.list(metaDir)
+    val orphanMeta =
+      try stream2.iterator.asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("manifest-") || n.endsWith(".manifest-list.json")
+        }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .map(_.toString).filterNot(referenced.contains).toSeq
-      finally stream.close()
+        .map(p => canon(p.toString)).filterNot(liveManifestPaths.contains)
+        .toSeq
+      finally stream2.close()
+    val orphans = orphanData ++ orphanMeta
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans.sorted
   }
@@ -552,9 +597,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def splitManifestsFor(meta: TableMetadataV2,
       hit: DataFileEntry => Boolean)
       : (Seq[ManifestRef], Seq[DataFileEntry]) = {
-    val (affected, reused) =
-      manifestsFor(meta, None).partition(_.entries.exists(hit))
-    (reused, affected.flatMap(_.entries))
+    // materialize each manifest ONCE (entries re-reads the file)
+    val loaded = manifestsFor(meta, None).map(r => (r, r.entries))
+    val (affected, reused) = loaded.partition(_._2.exists(hit))
+    (reused.map(_._1), affected.flatMap(_._2))
   }
 
   /** Dynamic partition overwrite: replaces exactly the partitions present
@@ -600,11 +646,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
     def hit(e: DataFileEntry): Boolean =
       Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
-    val (affectedManifests, reusedManifests) =
-      manifestsFor(meta, None).partition(_.entries.exists(hit))
-    val reused = reusedManifests
-    val affectedEntries = affectedManifests.flatMap(_.entries)
-    val (affected, carried) = affectedEntries.partition(hit)
+    val loaded = manifestsFor(meta, None).map(r => (r, r.entries))
+    val (affectedLoaded, reusedLoaded) = loaded.partition(_._2.exists(hit))
+    val affectedManifests = affectedLoaded.map(_._1)
+    val reused = reusedLoaded.map(_._1)
+    val (affected, carried) = affectedLoaded.flatMap(_._2).partition(hit)
     val target = readAlignedFor(meta, affected, schema)
     val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
     val src = source.select(sparkSchema.fieldNames.map(n =>
@@ -630,7 +676,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   /** Bin-pack rewrite: one file per partition value (op=replace). */
   def compact(): SnapshotV2 = {
-    val (baseVersion, meta) = metadataWithVersion
+    val meta = metadata
     val schema = meta.currentSchema
     val df = readAlignedFor(meta, manifestsFor(meta, None).flatMap(_.entries),
       schema)
@@ -639,7 +685,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       if (partNames.nonEmpty) writeFiles(df, repartitionByPartition = true)
       else writeFiles(df.coalesce(1))
     commitSnapshot("replace", { freshMeta =>
-      if (freshMeta.lastSequenceNumber != meta.lastSequenceNumber)
+      // currentSnapshotId moves on BOTH data commits and rollbacks
+      // (lastSequenceNumber would miss a racing rollback)
+      if (freshMeta.currentSnapshotId != meta.currentSnapshotId)
         throw new CommitConflictException(
           s"table changed during compact at $location")
       (Seq.empty, rewritten, Map.empty)

@@ -101,15 +101,24 @@ object Pruning {
     * (conservative: fewer conjuncts = fewer pruned files, never wrong).
     */
   def extract(spark: org.apache.spark.sql.SparkSession, filter: Column,
-      schema: StructType): Seq[Any] = {
+      schema: StructType): Seq[Any] =
+    extractWithCompleteness(spark, filter, schema)._1
+
+  /** Like extract, but also reports whether EVERY conjunct of the filter
+    * translated into a pruning predicate. Pruning is sound either way
+    * (conservative); metadata-only shortcuts like countRows' mustMatch
+    * are only valid when the translation is COMPLETE.
+    */
+  def extractWithCompleteness(spark: org.apache.spark.sql.SparkSession,
+      filter: Column, schema: StructType): (Seq[Any], Boolean) = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val analyzed =
       try empty.filter(filter).queryExecution.analyzed
-      catch { case _: Exception => return Seq.empty }
+      catch { case _: Exception => return (Seq.empty, false) }
     val cond = analyzed.collectFirst { case f: LFilter => f.condition }
-      .getOrElse(return Seq.empty)
+      .getOrElse(return (Seq.empty, false))
 
     def cmp(a: Expression, op: String, v: Expression): Seq[Any] = for {
       name <- attrName(a).toSeq
@@ -137,7 +146,13 @@ object Pruning {
         else Seq.empty
       case _ => Seq.empty
     }
-    walk(cond)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val preds = walk(cond)
+    val complete = conjuncts(cond).forall(c => walk(c).nonEmpty)
+    (preds, complete)
   }
 
   /** Type-aware ordering on the normalized string encoding. */

@@ -98,6 +98,38 @@ class TableSpec extends SparkSpec {
     assert(left == Seq(2L, 3L))
   }
 
+  test("countRows falls back to scanning for untranslatable filters") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("countx"), src.schema)
+    t.append(src)
+    // modulo is not a pruning predicate — a metadata shortcut would
+    // silently return the full table count
+    val f = col("l_orderkey") % 2 === 0
+    assert(t.countRows(Some(f)) == src.filter(f).count())
+    // partially translatable conjunction: the translated half must not
+    // certify files against the weaker predicate
+    val g = col("l_orderkey") > 100L && col("l_orderkey") % 2 === 0
+    assert(t.countRows(Some(g)) == src.filter(g).count())
+  }
+
+  test("append rejects narrowing input types, accepts upcasts") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, freshLoc("castck"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType))))
+    // upcast int→long for id is fine
+    t.append(Seq((1, 10), (2, 20)).toDF("id", "v"))
+    assert(t.scan().count() == 2)
+    // narrowing double→int must be rejected, not silently truncated
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((3L, 3.9)).toDF("id", "v")))
+    assert(e.getMessage.contains("does not safely widen"))
+    assert(t.scan().count() == 2)
+  }
+
   test("countRows answers from metadata, scanning only boundary files") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("count"), src.schema,
