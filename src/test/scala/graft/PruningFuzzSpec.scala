@@ -1,0 +1,77 @@
+package graft
+
+import graft.model._
+import graft.table.GraftTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Randomized differential test of pruning soundness: for random filter
+  * conjunctions, a metadata-pruned scan and countRows must agree exactly
+  * with a plain Spark filter over the source data. Any file wrongly
+  * pruned (or wrongly certified by mustMatch) shows up as a count
+  * mismatch. Fixed seed → deterministic.
+  */
+class PruningFuzzSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(0xf005ba11L)
+
+  private def randomPredicate(): Column = {
+    def one(): Column = rnd.nextInt(4) match {
+      case 0 => // long key, possibly out of range
+        val v = rnd.nextInt(8000).toLong - 500L
+        Seq(col("l_orderkey") === v, col("l_orderkey") < v,
+          col("l_orderkey") >= v)(rnd.nextInt(3))
+      case 1 => // double
+        val v = rnd.nextInt(60).toDouble - 5.0
+        Seq(col("l_quantity") > v, col("l_quantity") <= v)(rnd.nextInt(2))
+      case 2 => // timestamp literal (sometimes date-only, sometimes with time)
+        val y = 1994 + rnd.nextInt(9)
+        val m = 1 + rnd.nextInt(12)
+        val lit0 =
+          if (rnd.nextBoolean()) f"$y%04d-$m%02d-15"
+          else f"$y%04d-$m%02d-15 13:30:00"
+        Seq(col("l_shipdate") >= lit(lit0), col("l_shipdate") < lit(lit0),
+          col("l_shipdate") === lit(lit0))(rnd.nextInt(3))
+      case _ => // string flag, sometimes a value that doesn't exist
+        val v = Seq("A", "N", "R", "Z")(rnd.nextInt(4))
+        Seq(col("l_returnflag") === v, col("l_returnflag") > v)(rnd.nextInt(2))
+    }
+    (1 to (1 + rnd.nextInt(3))).map(_ => one()).reduce(_ && _)
+  }
+
+  private def check(t: GraftTable, src: DataFrame, rounds: Int): Unit =
+    (1 to rounds).foreach { i =>
+      val f = randomPredicate()
+      val expected = src.filter(f).count()
+      assert(t.scan(Some(f)).count() == expected, s"scan diverged on: $f")
+      assert(t.countRows(Some(f)) == expected, s"countRows diverged on: $f")
+      // distributed planning must never plan FEWER files than the rows
+      // require: every row the plain filter finds must live in a planned
+      // file (subset-check via the driver plan, which scan just proved)
+      val driver = t.planFiles(Some(f)).map(_.path).toSet
+      val dist = t.planFilesDistributed(Some(f)).collect()
+        .map(_.getString(0)).toSet
+      assert(driver.subsetOf(dist),
+        s"distributed plan pruned more than driver plan on: $f")
+    }
+
+  test("fuzz: month-partitioned table (partition + stats pruning)") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-m").toString + "/t",
+      src.schema, partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+    t.append(src, repartitionByPartition = true)
+    check(t, src, rounds = 25)
+  }
+
+  test("fuzz: bucket-partitioned sorted table (bucket + stats pruning)") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-b").toString + "/t",
+      src.schema,
+      partitionBy = Seq(("l_orderkey", TBucket(8), "key_bucket")),
+      sortOrder = Seq(("l_shipdate", TIdentity)))
+    t.append(src, repartitionByPartition = true)
+    check(t, src, rounds = 25)
+  }
+}
