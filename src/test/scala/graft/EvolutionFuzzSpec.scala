@@ -1,0 +1,95 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Randomized schema-evolution sequences checked against a driver-side
+  * model: after any mix of renames, adds, and appends, the table must
+  * show every row with the model's expected column names, old rows must
+  * read null for later-added columns, and renamed columns must keep
+  * serving data written under their old name (field-id resolution).
+  */
+class EvolutionFuzzSpec extends SparkSpec {
+
+  test("fuzz: random rename/add/append sequences keep reads consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xeade11L)
+
+    for (round <- 1 to 3) {
+      val loc = java.nio.file.Files
+        .createTempDirectory(s"evofuzz$round").toString + "/t"
+      val t = GraftTable.create(spark, loc, StructType(Seq(
+        StructField("id", LongType), StructField("a", StringType))))
+
+      // model state: current column names and, per append, which columns
+      // existed when those rows were written
+      var cols = Vector("id", "a")
+      var nextRowId = 0L
+      // (rowIds, columns-present-at-write)
+      var appended = Vector.empty[(Seq[Long], Set[String])]
+      var nAdds = 0
+
+      (1 to 8).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 => // append a small batch with the CURRENT schema
+            val ids = (nextRowId until nextRowId + 5L)
+            nextRowId += 5
+            val base = ids.toDF("id")
+            val df = cols.filterNot(_ == "id").foldLeft(base) { (d, c) =>
+              d.withColumn(c, concat(lit(s"$c-"), col("id")))
+            }.select(cols.map(col): _*)
+            t.append(df)
+            appended :+= ((ids, cols.toSet))
+          case 1 => // rename a non-id column
+            val from = cols(1 + rnd.nextInt(cols.size - 1))
+            val to = s"${from}_r$step"
+            t.renameColumn(from, to)
+            val idx = cols.indexOf(from)
+            // renamed column serves the same field id: rows written under
+            // the OLD name must still be visible under the new one, so
+            // carry the membership forward in the model
+            appended = appended.map { case (ids, present) =>
+              (ids, if (present.contains(from)) present - from + to else present)
+            }
+            cols = cols.updated(idx, to)
+          case _ if nAdds < 3 => // add a fresh optional column
+            nAdds += 1
+            val name = s"c$step"
+            t.addColumn(name, StringType)
+            cols :+= name
+          case _ => ()
+        }
+      }
+      if (appended.isEmpty) {
+        val ids = (0L until 5L)
+        val df = cols.filterNot(_ == "id").foldLeft(ids.toDF("id")) {
+          (d, c) => d.withColumn(c, concat(lit(s"$c-"), col("id")))
+        }.select(cols.map(col): _*)
+        t.append(df)
+        appended :+= ((ids, cols.toSet))
+      }
+
+      val out = t.scan()
+      assert(out.columns.toSeq == cols, s"round $round: columns diverged")
+      assert(out.count() == appended.map(_._1.size).sum)
+      val rows = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+      appended.foreach { case (ids, present) =>
+        ids.foreach { id =>
+          val r = rows(id)
+          cols.filterNot(_ == "id").foreach { c =>
+            val v = Option(r.getAs[String](c))
+            if (present.contains(c))
+              // the VALUE was written under the column's name at write
+              // time (some prefix), so it must be non-null
+              assert(v.isDefined,
+                s"round $round: row $id lost value for $c (present=$present)")
+            else
+              assert(v.isEmpty,
+                s"round $round: row $id has ghost value for $c")
+          }
+        }
+      }
+    }
+  }
+}
