@@ -299,8 +299,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val segs = path.split('/').filter(_.contains('='))
         .map { s =>
           val Array(k, v) = s.split("=", 2)
+          // URLDecoder turns literal '+' into space, but Hive-style dir
+          // escaping never encodes spaces as '+' — protect it first
           k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
-          else Some(java.net.URLDecoder.decode(v, "UTF-8")))
+          else Some(java.net.URLDecoder.decode(
+            v.replace("+", "%2B"), "UTF-8")))
         }.toMap
       spec.fields.map(pf => pf.name -> segs.getOrElse(pf.name, None)).toMap
     }
@@ -653,13 +656,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val (affected, carried) = affectedLoaded.flatMap(_._2).partition(hit)
     val target = readAlignedFor(meta, affected, schema)
     val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
+    // explicit presence marker: testing the source KEY for null would
+    // misclassify a null-keyed source row and null out its values
     val src = source.select(sparkSchema.fieldNames.map(n =>
-      col(n).as(s"__src_$n")): _*)
+      col(n).as(s"__src_$n")) :+ lit(1).as("__src_present"): _*)
     val joinCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
     val merged = target.join(src, joinCond, "full_outer").select(
       (keys.map(k => coalesce(col(k), col(s"__src_$k")).as(k)) ++
         dataCols.map(n =>
-          when(col(s"__src_${keys.head}").isNotNull, col(s"__src_$n"))
+          when(col("__src_present").isNotNull, col(s"__src_$n"))
             .otherwise(col(n)).as(n))): _*)
     val rewritten = writeFiles(merged)
     commitSnapshot("overwrite", { freshMeta =>
@@ -733,12 +738,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }, bumpColumnId = 1)
   }
 
-  /** Drop a column (metadata-only; data files retain the bytes). */
-  def dropColumn(name: String): Unit =
+  /** Drop a column (metadata-only; data files retain the bytes). Columns
+    * referenced by a partition spec or sort order cannot be dropped — the
+    * table would be permanently unable to write.
+    */
+  def dropColumn(name: String): Unit = {
+    val meta = metadata
+    val fid = meta.currentSchema.fieldByName(name).map(_.id)
+    fid.foreach { id =>
+      require(!meta.partitionSpecs.exists(_.fields.exists(_.sourceId == id)),
+        s"column $name is referenced by a partition spec")
+      require(!meta.sortOrders.exists(_.fields.exists(_.sourceId == id)),
+        s"column $name is referenced by a sort order")
+    }
     evolveSchema { s =>
       require(s.fieldByName(name).isDefined, s"no column $name")
       s.copy(fields = s.fields.filterNot(_.name == name))
     }
+  }
 
   // ------------------------------------------------------- refs/expiry ----
 
@@ -856,6 +873,14 @@ object GraftTable {
       sortOrder: Seq[(String, Transform)] = Seq.empty,
       properties: Map[String, String] = Map.empty): GraftTable = {
     val iceSchema = toIceSchema(schema, schemaId = 0)
+    partitionBy.foreach { case (_, _, name) =>
+      // an identity partition named like its source column would shadow
+      // the data column at write time (partitionBy moves it into the
+      // directory only) and read back all-null — reject loudly
+      require(iceSchema.fieldByName(name).isEmpty,
+        s"partition field name '$name' collides with a schema column; " +
+          "use a distinct name (e.g. '" + name + "_p')")
+    }
     val specFields = partitionBy.zipWithIndex.map {
       case ((src, t, name), i) =>
         val f = iceSchema.fieldByName(src).getOrElse(
@@ -873,7 +898,7 @@ object GraftTable {
       location = location,
       lastSequenceNumber = 0L,
       lastUpdatedMs = System.currentTimeMillis,
-      lastColumnId = iceSchema.fields.map(_.id).maxOption.getOrElse(0),
+      lastColumnId = maxFieldId(iceSchema), // includes NESTED field ids
       schemas = Seq(iceSchema),
       currentSchemaId = 0,
       partitionSpecs = Seq(
@@ -893,6 +918,19 @@ object GraftTable {
   }
 
   // --------------------------------------------------- type conversion ----
+
+  /** Highest field id allocated anywhere in the schema, including nested
+    * struct/list/map element ids — addColumn must never reuse one.
+    */
+  def maxFieldId(s: SchemaV2): Int = {
+    def walk(t: IceType): Seq[Int] = t match {
+      case TStruct(fs) => fs.flatMap(f => f.id +: walk(f.fieldType))
+      case TList(id, _, el) => id +: walk(el)
+      case TMap(kid, k, vid, _, v) => Seq(kid, vid) ++ walk(k) ++ walk(v)
+      case _ => Seq.empty
+    }
+    (s.fields.flatMap(f => f.id +: walk(f.fieldType)) :+ 0).max
+  }
 
   def toIceSchema(schema: StructType, schemaId: Int): SchemaV2 = {
     var nextId = 0

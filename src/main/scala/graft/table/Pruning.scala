@@ -79,8 +79,8 @@ object Pruning {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
     case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if c.child.dataType.isInstanceOf[NumericType] &&
-          c.dataType.isInstanceOf[NumericType] => attrName(c.child)
+        if org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(c.child.dataType, c.dataType) => attrName(c.child)
     case _ => None
   }
 
@@ -155,11 +155,30 @@ object Pruning {
     (preds, complete)
   }
 
-  /** Type-aware ordering on the normalized string encoding. */
+  /** Type-aware ordering on the normalized string encoding. NaN/Infinity
+    * stats fall back to Double ordering (NaN greatest, matching Spark);
+    * strings compare in UTF-8 byte order (Spark's collation — UTF-16
+    * compareTo disagrees for supplementary characters).
+    */
   def compare(a: String, b: String, dt: DataType): Int = dt match {
-    case _: NumericType => new java.math.BigDecimal(a)
-      .compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b) // strings, ISO dates, padded UTC timestamps
+    case _: NumericType =>
+      try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      catch { case _: NumberFormatException =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+      }
+    case _ => utf8Compare(a, b) // ISO dates/padded timestamps are ASCII
+  }
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Could any row in the file match every extracted conjunct? */
@@ -288,19 +307,30 @@ object Pruning {
     import org.apache.spark.sql.functions._
 
     def cmpCol(a: Column, op: String, value: String, dt: DataType): Column = {
+      // exact, type-appropriate casts: integrals through Decimal(38,0)
+      // (exact for any long), floats/doubles through double (stats are
+      // round-tripped doubles), decimals at their own scale; a failed
+      // cast (null) keeps the file — conservative like the driver path
       val (l, r) = dt match {
-        case _: NumericType =>
-          (a.cast(DecimalType(38, 10)),
-            lit(new java.math.BigDecimal(value)).cast(DecimalType(38, 10)))
+        case ByteType | ShortType | IntegerType | LongType =>
+          (a.cast(DecimalType(38, 0)),
+            lit(new java.math.BigDecimal(value)).cast(DecimalType(38, 0)))
+        case FloatType | DoubleType =>
+          (a.cast("double"), lit(value.toDouble))
+        case d: DecimalType =>
+          (a.cast(DecimalType(38, math.min(d.scale, 37))),
+            lit(new java.math.BigDecimal(value))
+              .cast(DecimalType(38, math.min(d.scale, 37))))
         case _ => (a, lit(value))
       }
-      op match {
+      val c = op match {
         case "=" => l === r
         case "<" => l < r
         case "<=" => l <= r
         case ">" => l > r
         case ">=" => l >= r
       }
+      coalesce(c, lit(true))
     }
 
     def one(colName: String, op: String, value: String): Column = {
@@ -337,7 +367,7 @@ object Pruning {
                 }
               }
             case TBucket(n) if op == "=" =>
-              bucketLit(value, dt, n).map(b => pv.cast("int") === b)
+              bucketOf(value, dt, n).map(b => pv.cast("int") === b)
                 .getOrElse(lit(true))
             case _ => lit(true)
           }
@@ -354,16 +384,6 @@ object Pruning {
       case _ => lit(true)
     }.foldLeft(lit(true))(_ && _)
   }
-
-  private def bucketLit(value: String, dt: DataType, n: Int): Option[Int] =
-    dt match {
-      case IntegerType | LongType | ShortType | ByteType =>
-        Some(IcebergHash.bucketLong(
-          new java.math.BigDecimal(value).longValueExact(), n))
-      case StringType =>
-        Some(IcebergHash.bucketBytes(value.getBytes("UTF-8"), n))
-      case _ => None
-    }
 
   /** Ordinal of a normalized literal under a calendar transform. */
   def calendarOrdinal(value: String, t: Transform): Option[Long] = {
