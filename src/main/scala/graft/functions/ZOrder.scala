@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton) interleaving for two integral columns.
+  *
+  * Sorting/range-partitioning data files by the interleaved value bounds
+  * each file's min/max range in BOTH source dimensions, so stats pruning
+  * works for filters on either column — the standard multi-dimensional
+  * clustering technique for lake tables (lexicographic sort orders prune
+  * only their leading column).
+  *
+  * The result is a 16-byte binary (full 64-bit precision per input;
+  * byte arrays sort unsigned-lexicographically in Spark, which is exactly
+  * the interleaved-bit order).
+  */
+object ZOrderOps {
+
+  /** Order-preserving mapping of a signed long onto unsigned space. */
+  private def flip(v: Long): Long = v ^ Long.MinValue
+
+  /** Interleave all 64 bits of each (order-preserving-normalized) input
+    * into a 128-bit big-endian byte string: a's bit i lands at output bit
+    * 2i, b's at 2i+1 (from the MSB).
+    */
+  def interleave(a: Long, b: Long): Array[Byte] = {
+    val ha = flip(a)
+    val hb = flip(b)
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 64) {
+      if (((ha >>> (63 - i)) & 1L) != 0) {
+        val pos = i * 2
+        out(pos >> 3) = (out(pos >> 3) | (0x80 >>> (pos & 7))).toByte
+      }
+      if (((hb >>> (63 - i)) & 1L) != 0) {
+        val pos = i * 2 + 1
+        out(pos >> 3) = (out(pos >> 3) | (0x80 >>> (pos & 7))).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Unsigned lexicographic comparison (test/audit helper). */
+  def compareZ(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+}
+
+/** Catalyst expression wrapper (interpreted + codegen via static call). */
+case class ZOrderLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "zorder"
+
+  private def toLongVal(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"zorder needs integral inputs, got $other")
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderOps.interleave(toLongVal(a), toLongVal(b))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ZOrderOps.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"$helper.interleave((long) $a, (long) $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZOrderLong = copy(left = newLeft, right = newRight)
+}
+
+object ZOrder {
+  import org.apache.spark.sql.functions._
+
+  /** Column API: `transforms`-style entry point. Raw-bit interleave —
+    * dimensions should span comparable bit ranges; otherwise use
+    * zorderScaled.
+    */
+  def zorder(a: Column, b: Column): Column =
+    Bridge.column(ZOrderLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Range-normalized z-order: each dimension is min-max scaled onto the
+    * same 31-bit space before interleaving, so dimensions with very
+    * different value ranges (the common case) contribute bits at the
+    * same significance — without this, the wider dimension's low bits
+    * dominate the sort and the narrow dimension never clusters.
+    */
+  def zorderScaled(a: Column, aMin: Long, aMax: Long,
+      b: Column, bMin: Long, bMax: Long): Column = {
+    def scale(c: Column, lo: Long, hi: Long): Column = {
+      val range = math.max(1L, hi - lo)
+      // (c - lo) * Int.MaxValue / range in long arithmetic; safe for
+      // ranges up to 2^32
+      (c.cast("long") - lit(lo)) * lit(Int.MaxValue.toLong) / lit(range)
+    }
+    zorder(scale(a, aMin, aMax), scale(b, bMin, bMax))
+  }
+}
