@@ -58,6 +58,28 @@ object Pruning {
       Some(normTsString(s.toString))
     case (s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
     case (s: String, t) if isTs(t) => Some(normTsString(s))
+    // A string value for a float/double column is a partition-dir
+    // rendering (shortest repr of the FLOAT/double) — parse it at the
+    // column's own precision, then exact-widen like the cases below.
+    case (s: String, FloatType) =>
+      try normalize(s.toFloat, FloatType)
+      catch { case _: NumberFormatException => Some(s) }
+    case (s: String, DoubleType) =>
+      try normalize(s.toDouble, DoubleType)
+      catch { case _: NumberFormatException => Some(s) }
+    // Float/Double: encode the EXACT binary value as a decimal string, not
+    // the shortest round-trip repr. Filters compare in double space
+    // (float cols upcast), where 0.35f = 0.3499999940395355…; the shortest
+    // repr "0.35" decimal-compares GREATER than that, so a file whose rows
+    // genuinely match `floatCol < 0.35` could be pruned — silent row loss.
+    // Exact widened strings make BigDecimal ordering ≡ double ordering on
+    // both the stats-write side and the literal side (both call normalize).
+    // NaN/±Infinity fall through to toString; compare's Double fallback
+    // orders them (NaN greatest, matching Spark).
+    case (f: Float, _) if java.lang.Float.isFinite(f) =>
+      Some(new java.math.BigDecimal(f.toDouble).toPlainString)
+    case (d: Double, _) if java.lang.Double.isFinite(d) =>
+      Some(new java.math.BigDecimal(d).toPlainString)
     case (other, _) => Some(other.toString)
   }
 
@@ -315,7 +337,13 @@ object Pruning {
         case ByteType | ShortType | IntegerType | LongType =>
           (a.cast(DecimalType(38, 0)),
             lit(new java.math.BigDecimal(value)).cast(DecimalType(38, 0)))
-        case FloatType | DoubleType =>
+        case FloatType =>
+          // stat/partition strings denote FLOAT values (exact-widened
+          // stats round-trip through float losslessly; dir strings are
+          // float shortest-reprs) — parse at float precision, then widen,
+          // so comparison happens in the same double space as the filter
+          (a.cast("float").cast("double"), lit(value.toDouble))
+        case DoubleType =>
           (a.cast("double"), lit(value.toDouble))
         case d: DecimalType =>
           (a.cast(DecimalType(38, math.min(d.scale, 37))),

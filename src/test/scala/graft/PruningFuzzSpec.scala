@@ -39,9 +39,10 @@ class PruningFuzzSpec extends SparkSpec {
     (1 to (1 + rnd.nextInt(3))).map(_ => one()).reduce(_ && _)
   }
 
-  private def check(t: GraftTable, src: DataFrame, rounds: Int): Unit =
+  private def check(t: GraftTable, src: DataFrame, rounds: Int,
+      pred: () => Column = () => randomPredicate()): Unit =
     (1 to rounds).foreach { i =>
-      val f = randomPredicate()
+      val f = pred()
       val expected = src.filter(f).count()
       assert(t.scan(Some(f)).count() == expected, s"scan diverged on: $f")
       assert(t.countRows(Some(f)) == expected, s"countRows diverged on: $f")
@@ -73,5 +74,37 @@ class PruningFuzzSpec extends SparkSpec {
       sortOrder = Seq(("l_shipdate", TIdentity)))
     t.append(src, repartitionByPartition = true)
     check(t, src, rounds = 25)
+  }
+
+  test("fuzz: float columns — inexact binary literals (stats + identity-partition)") {
+    val src0 = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    // qf: many distinct floats like 0.35f whose double widening differs
+    // from the decimal literal; lf: low-cardinality float used as an
+    // IDENTITY partition column (exercises dir-string normalization)
+    val src = src0.select(col("l_orderkey"),
+      (col("l_quantity") / 100.0).cast("float").as("qf"),
+      (col("l_linenumber") / 20.0).cast("float").as("lf"),
+      col("l_returnflag"))
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-f").toString + "/t",
+      src.schema, partitionBy = Seq(("lf", TIdentity, "lf_p")))
+    t.append(src, repartitionByPartition = true)
+    def floatPred(): Column = {
+      def one(): Column = rnd.nextInt(3) match {
+        case 0 => // double literal against float stats col (e.g. 0.35)
+          val v = (1 + rnd.nextInt(60)) / 100.0
+          Seq(col("qf") < v, col("qf") <= v, col("qf") === v,
+            col("qf") >= v, col("qf") > v)(rnd.nextInt(5))
+        case 1 => // float literal against float partition col
+          val v = ((1 + rnd.nextInt(8)) / 20.0).toFloat
+          Seq(col("lf") === lit(v), col("lf") < lit(v),
+            col("lf") >= lit(v))(rnd.nextInt(3))
+        case _ => // double literal against float partition col
+          val v = (1 + rnd.nextInt(8)) / 20.0
+          Seq(col("lf") === v, col("lf") <= v, col("lf") > v)(rnd.nextInt(3))
+      }
+      (1 to (1 + rnd.nextInt(2))).map(_ => one()).reduce(_ && _)
+    }
+    check(t, src, rounds = 40, pred = floatPred _)
   }
 }
