@@ -220,7 +220,9 @@ object NameMapping {
 // ----------------------------------------------------------- transforms ----
 
 /** Partition transform (partition.rs:18), with the spec's string forms. */
-sealed abstract class Transform(val render: String)
+// Serializable: transforms travel inside PartitionSpec to executors
+// (manifest-shard writing closes over the spec)
+sealed abstract class Transform(val render: String) extends Serializable
 case object TIdentity extends Transform("identity")
 case object TVoid extends Transform("void")
 case object TYear extends Transform("year")

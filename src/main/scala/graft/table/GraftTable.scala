@@ -103,19 +103,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     metaDir.resolve(s"snap-$snapshotId.manifest-list.json")
 
   /** Commit a new snapshot: REUSE the untouched manifests of the parent
-    * and write ONE new manifest for this commit's entries — O(changed
-    * files) metadata per commit regardless of table size.
+    * and write ONE new manifest for this commit's carried entries plus
+    * refs to any executor-written shard manifests — O(changed files)
+    * metadata per commit regardless of table size, and the driver never
+    * materializes the per-file stats of freshly written data (shards
+    * inherit snapshot id / sequence number from their ManifestRef).
     */
   private def commitSnapshot(op: String,
       buildRefs: TableMetadataV2 =>
-        (Seq[ManifestRef], Seq[DataFileEntry], Map[String, String]))
+        (Seq[ManifestRef], PendingAdds, Map[String, String]))
       : SnapshotV2 = {
     val (baseVersion, meta) = metadataWithVersion
-    val (reused, newEntries, summaryExtra) = buildRefs(meta)
+    val (reused, adds, summaryExtra) = buildRefs(meta)
     val snapId = newSnapshotId()
     val seq = meta.lastSequenceNumber + 1
-    val mrefs = reused ++ (if (newEntries.isEmpty) Seq.empty else {
-      val stamped = newEntries.map(e =>
+    val entryRefs = if (adds.entries.isEmpty) Seq.empty else {
+      val stamped = adds.entries.map(e =>
         if (e.snapshotId == PendingSnapshot)
           e.copy(snapshotId = snapId, sequenceNumber = seq)
         else e)
@@ -124,7 +127,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       DataFileEntry.writeManifest(mf, stamped)
       Seq(ManifestRef(mf.toString, stamped.size.toLong,
         stamped.map(_.recordCount).sum))
-    })
+    }
+    // shard manifests stay exactly where executors wrote them; only the
+    // ref (with inherited ids) is created at commit time, so a conflict
+    // retry re-refs the same shards without any rewrite
+    val shardRefs = adds.shards.map(s => ManifestRef(s.path, s.entryCount,
+      s.recordCount, Some(snapId), Some(seq)))
+    val mrefs = reused ++ entryRefs ++ shardRefs
     ManifestList.write(manifestListPath(snapId), mrefs)
     val now = System.currentTimeMillis
     val snap = SnapshotV2(snapId, meta.currentSnapshotId, seq, now,
@@ -163,20 +172,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   def append(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
       repartitionByPartition: Boolean = false): SnapshotV2 = {
-    val entries = writeFiles(df, sortWithin, repartitionByPartition)
+    val adds = writeFiles(df, sortWithin, repartitionByPartition)
     var attempts = 0
     while (true) {
       attempts += 1
       try return commitSnapshot("append",
-        meta => (manifestsFor(meta, None), entries, Map.empty))
+        meta => (manifestsFor(meta, None), adds, Map.empty))
       catch { case _: CommitConflictException if attempts < 5 => }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Write df's files under a fresh writeId; return pending entries. */
+  /** Write df's files under a fresh writeId; return pending adds (shard
+    * manifests written by executors — no per-file rows on the driver).
+    */
   private def writeFiles(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
-      repartitionByPartition: Boolean = false): Seq[DataFileEntry] = {
+      repartitionByPartition: Boolean = false): PendingAdds = {
     val meta = metadata
     val spec = meta.defaultSpec
     val schema = meta.currentSchema
@@ -246,16 +257,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         finally stream.close()
       }
     }
-    if (!wrote) Seq.empty
-    else collectStats(writeDir, schema, sparkSchema, spec)
+    if (!wrote) PendingAdds.empty
+    else PendingAdds(Seq.empty,
+      writeStatsShards(writeDir, schema, sparkSchema, spec, writeId))
   }
 
   /** One distributed pass over the freshly written files: per-file row
-    * count + min/max/null-count for every primitive column. Result is one
-    * row per file (small), collected for the manifest.
+    * count + min/max/null-count for every primitive column, serialized to
+    * manifest-entry JSONL by the EXECUTORS (one shard per task) — the
+    * driver sees only O(shards) rollup rows, never per-file stats. At
+    * 100 TB (10⁵–10⁶ files × wide schemas) this keeps commit memory flat.
+    * Entries carry PendingSnapshot and inherit ids from their ManifestRef
+    * at commit time.
     */
-  private def collectStats(writeDir: String, schema: SchemaV2,
-      sparkSchema: StructType, spec: PartitionSpec): Seq[DataFileEntry] = {
+  private def writeStatsShards(writeDir: String, schema: SchemaV2,
+      sparkSchema: StructType, spec: PartitionSpec,
+      writeId: String): Seq[ShardRef] = {
     val statFields = sparkSchema.fields.filter(f => f.dataType match {
       case _: NumericType | StringType | TimestampType | TimestampNTZType |
           DateType | BooleanType => true
@@ -267,46 +284,40 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         max(col(f.name)).as(s"max::${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls::${f.name}"))
     } :+ count(lit(1)).as("cnt")
-    val rows = df
+    val statsRows = df
       .groupBy(col("_metadata.file_path").as("__path"))
       .agg(aggs.head, aggs.tail: _*)
+    // close over only serializable values (no `this` — it holds the session)
+    val fieldSpecs: Seq[(String, DataType)] =
+      statFields.map(f => (f.name, f.dataType)).toSeq
+    val schemaId = schema.schemaId
+    val specLocal = spec
+    val jsonLines = statsRows.mapPartitions { it =>
+      it.map(r => statsRowToEntryJson(r, fieldSpecs, schemaId, specLocal))
+    }(org.apache.spark.sql.Encoders.STRING)
+    val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
+    Files.createDirectories(metaDir)
+    jsonLines.write.mode("errorifexists").text(shardDir.toString)
+    val stream = Files.list(shardDir)
+    val (junk, parts) =
+      try stream.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+        .partition(p => !p.getFileName.toString.startsWith("part-"))
+      finally stream.close()
+    junk.foreach(Files.deleteIfExists(_)) // _SUCCESS / .crc markers
+    val (emptyParts, shards) = parts.partition(p => Files.size(p) == 0L)
+    emptyParts.foreach(Files.deleteIfExists(_))
+    if (shards.isEmpty) return Seq.empty
+    // per-shard rollups, computed distributedly — O(shards) rows collect
+    val counts = spark.read.schema(manifestSchema)
+      .json(shards.map(_.toString): _*)
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(count(lit(1)).as("n"), sum(col("record-count")).as("rc"))
       .collect()
-
-    rows.toSeq.map { r =>
-      // _metadata.file_path is URI-encoded (space→%20, literal %→%25);
-      // decode to the on-disk path or reads of escaped partition dirs
-      // (e.g. identity timestamps, ':'→%3A in the dir name) break
-      val raw = r.getAs[String]("__path")
-      val path =
-        try new java.net.URI(raw).getPath
-        catch { case _: Exception => raw.stripPrefix("file:") }
-      val stats = statFields.map { f =>
-        f.name -> ColStats(
-          Pruning.normalize(r.getAs[Any](s"min::${f.name}"), f.dataType),
-          Pruning.normalize(r.getAs[Any](s"max::${f.name}"), f.dataType),
-          r.getAs[Long](s"nulls::${f.name}"))
-      }.toMap
-      DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot, 0L,
-        schema.schemaId, parsePartition(path, spec), stats)
+    counts.toSeq.map { r =>
+      ShardRef(decodePath(r.getAs[String]("__f")),
+        r.getAs[Long]("n"), r.getAs[Long]("rc"))
     }
   }
-
-  /** Parse `name=value` partition dirs out of a written file path. */
-  private def parsePartition(path: String,
-      spec: PartitionSpec): Map[String, Option[String]] =
-    if (spec.fields.isEmpty) Map.empty
-    else {
-      val segs = path.split('/').filter(_.contains('='))
-        .map { s =>
-          val Array(k, v) = s.split("=", 2)
-          // URLDecoder turns literal '+' into space, but Hive-style dir
-          // escaping never encodes spaces as '+' — protect it first
-          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
-          else Some(java.net.URLDecoder.decode(
-            v.replace("+", "%2B"), "UTF-8")))
-        }.toMap
-      spec.fields.map(pf => pf.name -> segs.getOrElse(pf.name, None)).toMap
-    }
 
   // -------------------------------------------------------------- read ----
 
@@ -360,7 +371,23 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val refs = liveManifests(asOf)
     if (refs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
-    else spark.read.schema(manifestSchema).json(refs.map(_.path): _*)
+    else {
+      // sequence-number inheritance, distributed: shards of one commit
+      // share (snapshot, sequence), so group refs by the inherited pair
+      // and substitute pending ids as column expressions — one unioned
+      // scan, no per-entry driver work
+      refs.groupBy(r => (r.addedSnapshotId, r.addedSequenceNumber)).map {
+        case ((Some(sid), Some(seq)), rs) =>
+          val pending = col("snapshot-id") === DataFileEntry.PendingSnapshot
+          spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
+            .withColumn("sequence-number",
+              when(pending, lit(seq)).otherwise(col("sequence-number")))
+            .withColumn("snapshot-id",
+              when(pending, lit(sid)).otherwise(col("snapshot-id")))
+        case (_, rs) =>
+          spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
+      }.reduce(_.unionByName(_))
+    }
   }
 
   private val manifestSchema: StructType = StructType(Seq(
@@ -472,15 +499,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .map(p => canon(p.toString)).filterNot(referenced.contains).toSeq
         finally stream.close()
       }
-    // manifests/manifest-lists leaked by lost commit races or crashes
+    // manifests/manifest-lists leaked by lost commit races or crashes —
+    // including executor-written shard files under manifest-shards-*/
     val liveManifestPaths = snapRefs.map(r => canon(r.path)).toSet ++
       meta.snapshots.getOrElse(Seq.empty).map(s => canon(s.manifestList))
-    val stream2 = Files.list(metaDir)
+    val stream2 = Files.walk(metaDir)
     val orphanMeta =
       try stream2.iterator.asScala
+        .filter(Files.isRegularFile(_))
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("manifest-") || n.endsWith(".manifest-list.json")
+          n.startsWith("manifest-") || n.endsWith(".manifest-list.json") ||
+            (n.startsWith("part-") && Option(p.getParent).exists(
+              _.getFileName.toString.startsWith("manifest-shards-")))
         }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .map(p => canon(p.toString)).filterNot(liveManifestPaths.contains)
@@ -583,12 +614,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val (reused, affected) = splitManifestsFor(meta, hit)
       val (maybe, carried) = affected.partition(hit)
       val rewritten =
-        if (maybe.isEmpty) Seq.empty
+        if (maybe.isEmpty) PendingAdds.empty
         // keep rows where cond is FALSE or NULL (SQL DELETE deletes only
         // rows where cond is true; !NULL is NULL and would drop them)
         else writeFiles(readAlignedFor(meta, maybe, schema)
           .filter(cond.isNull || !cond))
-      (reused, carried ++ rewritten,
+      (reused, PendingAdds(carried, rewritten.shards),
         Map("rewritten-files" -> maybe.size.toString))
     })
 
@@ -612,16 +643,34 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def overwritePartitions(df: DataFrame): SnapshotV2 = {
     require(metadata.defaultSpec.fields.nonEmpty,
       "overwritePartitions needs a partitioned table")
-    val newEntries = writeFiles(df)
-    val touched: Set[Map[String, Option[String]]] =
-      newEntries.map(_.partition).toSet
+    val adds = writeFiles(df)
+    val touched: Set[Map[String, Option[String]]] = addedPartitions(adds)
     commitSnapshot("overwrite", { meta =>
       val (reused, affected) =
         splitManifestsFor(meta, e => touched.contains(e.partition))
       val carried = affected.filterNot(e => touched.contains(e.partition))
-      (reused, carried ++ newEntries,
+      (reused, PendingAdds(carried, adds.shards),
         Map("replaced-partitions" -> touched.size.toString))
     })
+  }
+
+  /** DISTINCT partition tuples of freshly written shards — a tiny
+    * distributed aggregate over the shard manifests (distinct partitions
+    * are few by construction, so the collect is bounded).
+    */
+  private def addedPartitions(adds: PendingAdds)
+      : Set[Map[String, Option[String]]] = {
+    val fromEntries = adds.entries.map(_.partition).toSet
+    val fromShards =
+      if (adds.shards.isEmpty) Set.empty[Map[String, Option[String]]]
+      else spark.read.schema(manifestSchema)
+        .json(adds.shards.map(_.path): _*)
+        .select("partition").distinct().collect()
+        .map { r =>
+          val m = r.getMap[String, String](0)
+          m.iterator.map { case (k, v) => k -> Option(v) }.toMap
+        }.toSet
+    fromEntries ++ fromShards
   }
 
   /** MERGE INTO (upsert) on equality keys: matched target rows take the
@@ -674,7 +723,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           (reused ++ affectedManifests).map(_.path).sorted)
         throw new CommitConflictException(
           s"table changed during mergeInto at $location")
-      (reused, carried ++ rewritten,
+      (reused, PendingAdds(carried, rewritten.shards),
         Map("merged-files" -> affected.size.toString))
     })
   }
@@ -857,7 +906,66 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 object GraftTable {
 
   /** Sentinel for entries not yet bound to a committed snapshot. */
-  private val PendingSnapshot = -1L
+  private val PendingSnapshot = DataFileEntry.PendingSnapshot
+
+  /** An executor-written manifest shard (JSONL of pending entries) plus
+    * the rollup counts the manifest list records.
+    */
+  case class ShardRef(path: String, entryCount: Long, recordCount: Long)
+
+  /** What a mutation hands to commitSnapshot: carried-over driver-side
+    * entries (from existing manifests) plus executor-written shard
+    * manifests for freshly written data.
+    */
+  case class PendingAdds(entries: Seq[DataFileEntry], shards: Seq[ShardRef])
+
+  object PendingAdds {
+    val empty: PendingAdds = PendingAdds(Seq.empty, Seq.empty)
+  }
+
+  /** _metadata.file_path is URI-encoded (space→%20, literal %→%25);
+    * decode to the on-disk path or reads of escaped partition dirs
+    * (e.g. identity timestamps, ':'→%3A in the dir name) break.
+    */
+  private[table] def decodePath(raw: String): String =
+    try new java.net.URI(raw).getPath
+    catch { case _: Exception => raw.stripPrefix("file:") }
+
+  /** Parse `name=value` partition dirs out of a written file path. */
+  private[table] def parsePartition(path: String,
+      spec: PartitionSpec): Map[String, Option[String]] =
+    if (spec.fields.isEmpty) Map.empty
+    else {
+      val segs = path.split('/').filter(_.contains('='))
+        .map { s =>
+          val Array(k, v) = s.split("=", 2)
+          // URLDecoder turns literal '+' into space, but Hive-style dir
+          // escaping never encodes spaces as '+' — protect it first
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(java.net.URLDecoder.decode(
+            v.replace("+", "%2B"), "UTF-8")))
+        }.toMap
+      spec.fields.map(pf => pf.name -> segs.getOrElse(pf.name, None)).toMap
+    }
+
+  /** One aggregated stats row → one manifest-entry JSON line. Runs on
+    * EXECUTORS (static: captures nothing), so manifests are written where
+    * the stats are computed.
+    */
+  private[table] def statsRowToEntryJson(r: Row,
+      statFields: Seq[(String, DataType)], schemaId: Int,
+      spec: PartitionSpec): String = {
+    val path = decodePath(r.getAs[String]("__path"))
+    val stats = statFields.map { case (name, dt) =>
+      name -> ColStats(
+        Pruning.normalize(r.getAs[Any](s"min::$name"), dt),
+        Pruning.normalize(r.getAs[Any](s"max::$name"), dt),
+        r.getAs[Long](s"nulls::$name"))
+    }.toMap
+    val entry = DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
+      0L, schemaId, parsePartition(path, spec), stats)
+    graft.model.Json.write(entry.toJson)
+  }
 
   private def newSnapshotId(): Long =
     java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue

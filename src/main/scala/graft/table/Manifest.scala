@@ -69,6 +69,17 @@ case class DataFileEntry(
 }
 
 object DataFileEntry {
+
+  /** Sentinel for entries not yet bound to a committed snapshot. Entries
+    * carrying it in a committed manifest INHERIT snapshot id and sequence
+    * number from their ManifestRef (the reference models per-snapshot
+    * sequence numbers for exactly this ordering role:
+    * /root/reference/src/model/snapshot.rs:54) — so executors can write
+    * manifest shards BEFORE the commit allocates ids, and the driver never
+    * rewrites or materializes per-file rows.
+    */
+  val PendingSnapshot = -1L
+
   def fromJson(n: JsonNode): DataFileEntry = DataFileEntry(
     n.path("path").asText,
     n.path("record-count").asLong,
@@ -97,24 +108,43 @@ object DataFileEntry {
 
 /** One manifest file referenced by a snapshot's manifest list, with the
   * rollup counts the commit path needs without re-reading the manifest.
+  *
+  * `addedSnapshotId`/`addedSequenceNumber` implement sequence-number
+  * INHERITANCE: a manifest written by executors before its commit carries
+  * `PendingSnapshot` per entry, and readers substitute the ref-level
+  * values — commit metadata stays O(1) per manifest, never O(files).
   */
-case class ManifestRef(path: String, entryCount: Long, recordCount: Long) {
+case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
+    addedSnapshotId: Option[Long] = None,
+    addedSequenceNumber: Option[Long] = None) {
   def toJson: ObjectNode = {
     val o = Json.obj
     o.put("path", path)
     o.put("entry-count", entryCount)
     o.put("record-count", recordCount)
+    addedSnapshotId.foreach(v => o.put("added-snapshot-id", v))
+    addedSequenceNumber.foreach(v => o.put("added-sequence-number", v))
     o
   }
-  def entries: Seq[DataFileEntry] =
-    DataFileEntry.readManifest(java.nio.file.Paths.get(path))
+  def entries: Seq[DataFileEntry] = {
+    val raw = DataFileEntry.readManifest(java.nio.file.Paths.get(path))
+    (addedSnapshotId, addedSequenceNumber) match {
+      case (Some(sid), Some(seq)) => raw.map(e =>
+        if (e.snapshotId == DataFileEntry.PendingSnapshot)
+          e.copy(snapshotId = sid, sequenceNumber = seq)
+        else e)
+      case _ => raw
+    }
+  }
 }
 
 object ManifestRef {
   def fromJson(n: JsonNode): ManifestRef = ManifestRef(
     n.path("path").asText,
     n.path("entry-count").asLong,
-    n.path("record-count").asLong)
+    n.path("record-count").asLong,
+    Option(n.get("added-snapshot-id")).filterNot(_.isNull).map(_.asLong),
+    Option(n.get("added-sequence-number")).filterNot(_.isNull).map(_.asLong))
 }
 
 /** Per-snapshot manifest LIST: snapshots share unchanged manifest files,

@@ -321,6 +321,50 @@ class TableSpec extends SparkSpec {
     assert(t2.scan().count() == 100)
   }
 
+  test("commits write manifests on executors; driver holds no per-file stats") {
+    // a 10k-file append: the commit must reference executor-written shard
+    // manifests via sequence-number inheritance — the driver never builds
+    // a per-file entry list for fresh data
+    val src = spark.range(10000).toDF("id")
+      .withColumn("v", col("id") % 97)
+    val t = GraftTable.create(spark, freshLoc("sharded"), src.schema)
+    // one row per file → exactly 10k files from 32 write tasks
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    val snap =
+      try t.append(src)
+      finally spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    val refs = t.liveManifests()
+    assert(refs.nonEmpty)
+    // every new manifest is a shard written by a Spark task under
+    // manifest-shards-*/part-*, ref'd with inherited snapshot/sequence ids
+    refs.foreach { r =>
+      assert(r.path.contains("manifest-shards-"), r.path)
+      assert(r.addedSnapshotId.contains(snap.snapshotId))
+      assert(r.addedSequenceNumber.contains(snap.sequenceNumber))
+    }
+    // raw JSONL on disk still carries the pending sentinel (proof the
+    // driver didn't rewrite/stamp the shards at commit time)...
+    val raw = graft.table.DataFileEntry.readManifest(
+      java.nio.file.Paths.get(refs.head.path))
+    assert(raw.forall(_.snapshotId == graft.table.DataFileEntry.PendingSnapshot))
+    // ...while every read path substitutes the inherited ids
+    assert(refs.head.entries.forall(_.snapshotId == snap.snapshotId))
+    val entries = t.liveEntries()
+    assert(entries.size == 10000)
+    assert(entries.map(_.recordCount).sum == 10000L)
+    assert(entries.forall(_.sequenceNumber == snap.sequenceNumber))
+    // stats survived the executor-side serialization: pruning + scans work
+    assert(t.scan(Some(col("id") === 4242L)).count() == 1L)
+    assert(t.planFiles(Some(col("id") === 4242L)).size < entries.size)
+    assert(t.countRows(Some(col("v") === 0L)) ==
+      src.filter(col("v") === 0L).count())
+    // incremental read sees the inherited sequence number
+    val before = snap.parentSnapshotId
+    assert(before.isEmpty) // first commit
+    // distributed planner reads the same shards
+    assert(t.planFilesDistributed(None).count() == 10000L)
+  }
+
   test("sorted write produces disjoint per-file key ranges") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("sorted"), src.schema)
