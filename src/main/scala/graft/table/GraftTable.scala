@@ -367,8 +367,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * reader plus `planFilesDistributed` run the same pruning as
     * `planFiles` as a Spark filter over it.
     */
-  def manifestDf(asOf: Option[Long] = None): DataFrame = {
-    val refs = liveManifests(asOf)
+  def manifestDf(asOf: Option[Long] = None): DataFrame =
+    manifestDfFor(metadata, asOf)
+
+  private def manifestDfFor(meta: TableMetadataV2,
+      asOf: Option[Long]): DataFrame = {
+    val refs = manifestsFor(meta, asOf)
     if (refs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
     else {
@@ -406,19 +410,23 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * the manifest DataFrame. Returns surviving file paths.
     */
   def planFilesDistributed(filter: Option[Column] = None,
-      asOf: Option[Long] = None): DataFrame = {
-    val meta = metadata
+      asOf: Option[Long] = None): DataFrame =
+    planFilesDistributedFor(metadata, filter, asOf).select("path")
+
+  /** Full-column distributed plan (metadata pinned by the caller). */
+  private def planFilesDistributedFor(meta: TableMetadataV2,
+      filter: Option[Column], asOf: Option[Long]): DataFrame = {
     val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val sparkSchema = toSparkSchema(schema)
-    val mdf = manifestDf(asOf)
+    val mdf = manifestDfFor(meta, asOf)
     filter match {
-      case None => mdf.select("path")
+      case None => mdf
       case Some(f) =>
         val preds = Pruning.extract(spark, f, sparkSchema)
         mdf.filter(Pruning.mayMatchColumn(preds, sparkSchema,
-          meta.defaultSpec, schema)).select("path")
+          meta.defaultSpec, schema))
     }
   }
 
@@ -549,9 +557,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
-    val df = readAlignedFor(meta, planFilesFor(meta, filter, asOf), readSchema)
+    // above the threshold, pruning runs as a Spark filter over the
+    // manifest dataset (executors parse + evaluate); only SURVIVING
+    // (path, schema-id) pairs reach the driver — at 100 TB the manifest
+    // itself is big data and a driver loop over it is the bottleneck
+    val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
+    val planned: Seq[(String, Int)] =
+      if (totalEntries >= distributedPlanningThreshold)
+        planFilesDistributedFor(meta, filter, asOf)
+          .select(col("path"), col("schema-id")).collect().toSeq
+          .map(r => (r.getString(0), r.getInt(1)))
+      else planFilesFor(meta, filter, asOf).map(e => (e.path, e.schemaId))
+    val df = readAlignedFilesFor(meta, planned, readSchema)
     filter.map(df.filter).getOrElse(df)
   }
+
+  /** Manifest entry count at which planning moves off the driver. */
+  private def distributedPlanningThreshold: Long =
+    spark.conf.getOption("spark.graft.distributedPlanningThreshold")
+      .map(_.toLong).getOrElse(100000L)
 
   /** Scan a reference (branch or tag) by name. */
   def scanRef(name: String, filter: Option[Column] = None): DataFrame = {
@@ -578,17 +602,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     readAlignedFor(metadata, entries, readSchema)
 
   private def readAlignedFor(meta: TableMetadataV2,
-      entries: Seq[DataFileEntry], readSchema: SchemaV2): DataFrame = {
+      entries: Seq[DataFileEntry], readSchema: SchemaV2): DataFrame =
+    readAlignedFilesFor(meta, entries.map(e => (e.path, e.schemaId)),
+      readSchema)
+
+  private def readAlignedFilesFor(meta: TableMetadataV2,
+      files: Seq[(String, Int)], readSchema: SchemaV2): DataFrame = {
     val targetSpark = toSparkSchema(readSchema)
-    if (entries.isEmpty)
+    if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], targetSpark)
-    val groups = entries.groupBy(_.schemaId)
+    val groups = files.groupBy(_._2)
     groups.map { case (sid, es) =>
       val fileSchema = meta.schemaById(sid).getOrElse(readSchema)
       val df = spark.read
         .schema(toSparkSchema(fileSchema))
-        .parquet(es.map(_.path): _*)
+        .parquet(es.map(_._1): _*)
       val cols = readSchema.fields.map { f =>
         fileSchema.fieldById(f.id) match {
           case Some(ff) => col(ff.name).as(f.name)

@@ -46,6 +46,11 @@ class PruningFuzzSpec extends SparkSpec {
       val expected = src.filter(f).count()
       assert(t.scan(Some(f)).count() == expected, s"scan diverged on: $f")
       assert(t.countRows(Some(f)) == expected, s"countRows diverged on: $f")
+      // same scan with planning forced onto the distributed path
+      spark.conf.set("spark.graft.distributedPlanningThreshold", "0")
+      try assert(t.scan(Some(f)).count() == expected,
+        s"distributed-planned scan diverged on: $f")
+      finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
       // distributed planning must never plan FEWER files than the rows
       // require: every row the plain filter finds must live in a planned
       // file (subset-check via the driver plan, which scan just proved)
