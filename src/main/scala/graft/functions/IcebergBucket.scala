@@ -99,7 +99,9 @@ case class IcebergBucket(child: Expression, numBuckets: Int)
   protected override def nullSafeEval(input: Any): Any = child.dataType match {
     case IntegerType | DateType =>
       IcebergHash.bucketLong(input.asInstanceOf[Int].toLong, numBuckets)
-    case LongType | TimestampType =>
+    // TimestampNTZ included: the model maps Iceberg `timestamp` → NTZ and
+    // Spark 4 infers parquet timestamps as NTZ; both are epoch-micros longs
+    case LongType | TimestampType | TimestampNTZType =>
       IcebergHash.bucketLong(input.asInstanceOf[Long], numBuckets)
     case FloatType =>
       IcebergHash.bucketDouble(input.asInstanceOf[Float].toDouble, numBuckets)
@@ -117,7 +119,8 @@ case class IcebergBucket(child: Expression, numBuckets: Int)
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = IcebergHash.getClass.getName.stripSuffix("$")
     val fn = child.dataType match {
-      case IntegerType | DateType | LongType | TimestampType => "bucketLong"
+      case IntegerType | DateType | LongType | TimestampType |
+          TimestampNTZType => "bucketLong"
       case FloatType | DoubleType => "bucketDouble"
       case StringType => "bucketUTF8"
       case BinaryType => "bucketBytes"

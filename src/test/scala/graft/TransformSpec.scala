@@ -57,6 +57,34 @@ class TransformSpec extends SparkSpec {
     assert(sb == (1210000089 & Int.MaxValue) % 32)
   }
 
+  test("bucket handles TimestampNTZ columns end-to-end") {
+    import spark.implicits._
+    // Spark 4 infers parquet timestamps as NTZ and the model maps Iceberg
+    // `timestamp` → NTZ, so bucket-partitioning an NTZ column must work
+    val micros = LocalDateTime.of(2017, 11, 16, 22, 31, 8)
+      .toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
+    val df = Seq("2017-11-16 22:31:08").toDF("s")
+      .select(to_timestamp_ntz(col("s")).as("ts"))
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val b = df.select(transforms.bucket(16, col("ts")).as("b")).head().getInt(0)
+    assert(b == (IcebergHash.hashLong(micros) & Int.MaxValue) % 16)
+    // write-time partitioning over the NTZ column (codegen path) + scan
+    val src = spark.range(100).toDF("id").select(col("id"),
+      to_timestamp_ntz(concat(lit("2017-11-"),
+        lpad((col("id") % 28 + 1).cast("string"), 2, "0"),
+        lit(" 10:00:00"))).as("ts"))
+    val t = graft.table.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("ntz-bucket").toString + "/t",
+      src.schema,
+      partitionBy = Seq(("ts", graft.model.TBucket(4), "ts_bucket")))
+    t.append(src, repartitionByPartition = true)
+    assert(t.scan().count() == 100)
+    val probe = to_timestamp_ntz(lit("2017-11-05 10:00:00"))
+    assert(t.scan(Some(col("ts") === probe)).count() ==
+      src.filter(col("ts") === probe).count())
+  }
+
   test("calendar transform ordinals match the spec epoch origins") {
     import spark.implicits._
     val df = Seq("2017-11-16 22:31:08").toDF("s")
