@@ -11,20 +11,23 @@ import org.apache.spark.sql.types._
   */
 object LshOps {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  /** Flat planes×dims Rademacher matrix, deterministic seed. */
-  def matrix(planes: Int, dims: Int): Array[Double] =
-    cache.computeIfAbsent((planes, dims), { case (p, d) =>
-      val rnd = new scala.util.Random(0x5ca1ab1eL)
+  /** Flat planes×dims Rademacher matrix; `table` selects an independent
+    * deterministic plane set so multi-table LSH (banding) gets genuinely
+    * different hash families per table.
+    */
+  def matrix(planes: Int, dims: Int, table: Int): Array[Double] =
+    cache.computeIfAbsent((planes, dims, table), { case (p, d, t) =>
+      val rnd = new scala.util.Random(0x5ca1ab1eL ^ (t * 0x9e3779b97f4a7c15L))
       Array.fill(p * d)(if (rnd.nextBoolean()) 1.0 else -1.0)
     })
 
   /** Sign-bit bucket of a float-array vector (tight JVM loop; called from
     * generated code — no per-element lambda dispatch).
     */
-  def bucketFloats(arr: ArrayData, planes: Int, dims: Int): Int = {
-    val m = matrix(planes, dims)
+  def bucketFloats(arr: ArrayData, planes: Int, dims: Int, table: Int): Int = {
+    val m = matrix(planes, dims, table)
     val n = math.min(dims, arr.numElements())
     var b = 0
     var p = 0
@@ -40,8 +43,8 @@ object LshOps {
   }
 
   /** Same for double-element vectors. */
-  def bucketDoubles(arr: ArrayData, planes: Int, dims: Int): Int = {
-    val m = matrix(planes, dims)
+  def bucketDoubles(arr: ArrayData, planes: Int, dims: Int, table: Int): Int = {
+    val m = matrix(planes, dims, table)
     val n = math.min(dims, arr.numElements())
     var b = 0
     var p = 0
@@ -61,9 +64,10 @@ object LshOps {
   * Interpreted HOF pipelines pay per-element lambda dispatch on every
   * multiply-add; this stays a flat JVM loop inside WholeStageCodegen.
   */
-case class HyperplaneLshBucket(child: Expression, planes: Int, dims: Int)
+case class HyperplaneLshBucket(child: Expression, planes: Int, dims: Int,
+    table: Int = 0)
     extends UnaryExpression {
-  require(planes > 0 && planes <= 30 && dims > 0)
+  require(planes > 0 && planes <= 30 && dims > 0 && table >= 0)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lsh_bucket"
@@ -76,8 +80,8 @@ case class HyperplaneLshBucket(child: Expression, planes: Int, dims: Int)
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     elementType match {
-      case FloatType => LshOps.bucketFloats(arr, planes, dims)
-      case DoubleType => LshOps.bucketDoubles(arr, planes, dims)
+      case FloatType => LshOps.bucketFloats(arr, planes, dims, table)
+      case DoubleType => LshOps.bucketDoubles(arr, planes, dims, table)
       case t => throw new IllegalArgumentException(s"unsupported element $t")
     }
   }
@@ -89,7 +93,7 @@ case class HyperplaneLshBucket(child: Expression, planes: Int, dims: Int)
       case DoubleType => "bucketDoubles"
       case t => throw new IllegalArgumentException(s"unsupported element $t")
     }
-    defineCodeGen(ctx, ev, c => s"$helper.$fn($c, $planes, $dims)")
+    defineCodeGen(ctx, ev, c => s"$helper.$fn($c, $planes, $dims, $table)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =

@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * cost is O(Q×N) compute with NO shuffle of the corpus, which is the
   * right brute-force shape at scale but still linear in N.
   *
-  * d_ann_lsh is the scale path: random-hyperplane signatures bucket the
-  * corpus (map-only), queries probe only their own bucket — per-bucket
-  * candidate lists are bounded, turning top-k into a bucket-local join.
-  * IVF (k-means coarse quantizer) is the next refinement at 100 TB.
+  * d_ann_lsh / d_dedup_embed are the scale path: MULTI-TABLE
+  * random-hyperplane LSH (L independent tables of P sign bits each, the
+  * same banding architecture as MinHash dedup). Candidate generation is
+  * id-only — vectors are fetched back by key AFTER the bucket join — and
+  * every (table, bucket) group is capped, so a skewed bucket (e.g. a
+  * constant-vector attack) bounds work instead of going quadratic.
+  * Per-item work is O(L·N/2^P) with a hard per-bucket ceiling; recall
+  * comes from table count, precision from planes per table. IVF (k-means
+  * coarse quantizer) is the next refinement at 100 TB.
   */
 object Similarity {
 
@@ -31,17 +36,97 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
-  /** LSH bucket id: sign bits of the vector against each hyperplane.
-    * Backed by the native codegen expression — interpreted HOF pipelines
-    * pay per-element lambda dispatch on 25M+ multiply-adds at sf0.1.
+  /** LSH bucket id for one table: sign bits of the vector against that
+    * table's hyperplanes. Backed by the native codegen expression —
+    * interpreted HOF pipelines pay per-element lambda dispatch on 25M+
+    * multiply-adds at sf0.1.
     */
-  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+  def lshBucket(v: Column, planes: Int, dims: Int, table: Int = 0): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.HyperplaneLshBucket(
-        org.apache.spark.sql.graft.Bridge.expression(v), planes, dims))
+        org.apache.spark.sql.graft.Bridge.expression(v), planes, dims, table))
+
+  /** One row per (table, item): `tbl`, `bucket`, `id`. Single corpus scan
+    * (posexplode over the L per-table signatures, all codegen), then each
+    * (table, bucket) group is capped at `cap` members (deterministic
+    * keep-lowest-id) — the hard bound that keeps a pathological bucket
+    * from turning candidate generation quadratic.
+    */
+  def bucketedIds(corpus: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planes: Int, dims: Int, cap: Int): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      lshBucket(col(vecCol), planes, dims, t)): _*)
+    val exploded = corpus.select(col(idCol).as("id"), posexplode(buckets))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val w = Window.partitionBy("tbl", "bucket").orderBy("id")
+    exploded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** All pairs with cosine ≥ threshold, candidates from the multi-table
+    * bucket self-join (never all-pairs). Output: id_a < id_b, sim.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int, planes: Int, dims: Int,
+      cap: Int): DataFrame = {
+    val ids = bucketedIds(corpus, idCol, vecCol, tables, planes, dims, cap)
+    val a = ids.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = ids.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Approximate top-k: each query probes its own bucket in every table;
+    * candidate ids union across tables, verified by exact cosine. The
+    * query side is broadcast, the corpus is never shuffled.
+    */
+  def annTopK(corpus: DataFrame, queriesDf: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      tables: Int, planes: Int, dims: Int, cap: Int): DataFrame = {
+    val corpusIds = bucketedIds(corpus, idCol, vecCol, tables, planes, dims, cap)
+    val qBuckets = array((0 until tables).map(t =>
+      lshBucket(col(qVecCol), planes, dims, t)): _*)
+    val qIds = queriesDf.select(col(qIdCol).as("q_id"), posexplode(qBuckets))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val cand = broadcast(qIds).join(corpusIds, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("id"))
+      .select("q_id", "id").distinct()
+    val qVecs = queriesDf.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("q_vec"))
+    val cVecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    broadcast(cand.join(broadcast(qVecs), "q_id")).join(cVecs, "id")
+      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "embeddings")
+
+  /** Deterministic near-duplicate twins of every `every`-th vector: same
+    * direction with a small first-component nudge (cosine ≈ 0.9999),
+    * ids offset by 10^9. The test corpus is uniform-random (no natural
+    * near-dups), so the dedup operator demonstrates detection on pairs it
+    * plants itself — a real pipeline reads both sides from the lake.
+    */
+  def withPlantedTwins(corpus: DataFrame, idCol: String, vecCol: String,
+      every: Int): DataFrame = {
+    val twins = corpus.filter(col(idCol) % every === 0)
+      .select((col(idCol) + 1000000000L).as(idCol),
+        transform(col(vecCol), (x, i) =>
+          when(i === 0, x + lit(0.05f)).otherwise(x)).as(vecCol))
+    corpus.select(col(idCol), col(vecCol)).unionByName(twins)
+  }
 
   def queries: Seq[GraftQuery] = Seq(
     // Brute-force exact top-k: query set = vec_id < 10, k = 5.
@@ -78,55 +163,34 @@ object Similarity {
         SELECT q_id, rank, neighbor_id, round(sim, 4) AS sim
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
-    // Bucketed ANN: 8 hyperplanes → 256 buckets; queries probe their own
-    // bucket only. Rows-only (approximate by construction); SimilaritySpec
-    // checks recall against the brute-force baseline.
+    // Bucketed ANN: 8 tables × 12 planes (4096 buckets/table), capped
+    // groups; queries probe one bucket per table. Rows-only (approximate
+    // by construction); SimilaritySpec checks recall ≥0.8 on planted
+    // near-dups and the cap under adversarial skew.
     GraftQuery(
       "d_ann_lsh",
       (s, dir) => {
-        val planes = 8
-        // persisted: the bucketed corpus feeds both sides of the probe join
         val corpus = emb(s, dir)
-          .withColumn("bucket", lshBucket(col("embedding"), planes, 64))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val q = corpus.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("bucket"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("vec_id"))
-        broadcast(q).join(corpus, "bucket")
-          .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("sim", cosine(col("q_vec"), col("embedding")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            round(col("sim"), 4).as("sim"))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        annTopK(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+          k = 3, tables = 8, planes = 12, dims = 64, cap = 1024)
           .orderBy("q_id", "rank")
       },
       None),
 
-    // Embedding-cosine similarity pairs above a threshold (the dedup
-    // flavor of the ANN machinery) — candidate pairs come from the LSH
-    // bucket equi-join only, never all-pairs. The test corpus has no
-    // planted embedding near-dups (max pairwise cosine ~0.5), so the
-    // threshold is set where genuinely-similar pairs live; a real
-    // dedup deployment raises it to ~0.95.
+    // Embedding-cosine near-dup pairs at a REAL dedup threshold (0.95).
+    // The uniform test corpus has no natural near-dups (max pairwise
+    // cosine ~0.5), so deterministic twins are planted for every 7th
+    // vector — the operator must recover exactly those pairs through the
+    // banded LSH, never via all-pairs.
     GraftQuery(
       "d_dedup_embed",
       (s, dir) => {
-        val planes = 4
-        val corpus = emb(s, dir)
-          .withColumn("bucket", lshBucket(col("embedding"), planes, 64))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
-          col("embedding").as("vec_a"))
-        val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
-          col("embedding").as("vec_b"))
-        a.join(b, "bucket")
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
-          .filter(col("sim") >= 0.3)
-          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        val corpus = withPlantedTwins(emb(s, dir), "vec_id", "embedding",
+          every = 7)
+        nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95,
+          tables = 8, planes = 12, dims = 64, cap = 1024)
           .orderBy("id_a", "id_b")
       },
       None)

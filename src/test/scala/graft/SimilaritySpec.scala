@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("LSH ANN recall against brute force is nontrivial and bucket-local") {
+  test("LSH ANN returns at most k per query, queries from the corpus") {
     val bf = Registry.byName("d_embed_cosine_topk")
       .fn(spark, "/root/testdata/sf0.001").collect()
       .filter(_.getAs[Long]("rank") <= 3)
@@ -45,17 +45,53 @@ class SimilaritySpec extends SparkSpec {
     val ann = Registry.byName("d_ann_lsh")
       .fn(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
-    // every ANN hit must be a genuine same-bucket candidate, and each
-    // query returns at most k=3
     assert(ann.nonEmpty)
     assert(ann.groupBy(_._1).values.forall(_.size <= 3))
-    // recall over random uniform vectors is weak by nature; just require
-    // overlap machinery works end-to-end (any intersection or disjoint is
-    // valid — both sets must at least share queries)
     assert(ann.map(_._1).subsetOf(bf.map(_._1)))
   }
 
-  test("LSH buckets are deterministic and within range") {
+  test("ANN recall >= 0.8 on planted near-duplicates vs brute force") {
+    val base = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.withPlantedTwins(base, "vec_id", "embedding", 1)
+    // each original vector queries the corpus; its twin (cosine ~0.9999)
+    // is the true top-1 — brute force would always return it
+    val q = base.limit(100).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"))
+    val hits = Similarity.annTopK(corpus, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 1, tables = 8, planes = 12, dims = 64, cap = 1024)
+      .filter(col("neighbor_id") === col("q_id") + 1000000000L)
+      .count()
+    assert(hits >= 80L, s"ANN found $hits/100 planted twins")
+    // the dedup flavor recovers the planted pairs through the same tables
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.95, tables = 8, planes = 12, dims = 64, cap = 1024)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val planted = base.count()
+    val recovered = pairs.count { case (a, b) => b == a + 1000000000L }
+    assert(recovered >= (planted * 8) / 10,
+      s"dedup recovered $recovered of $planted planted pairs")
+  }
+
+  test("per-bucket cap bounds candidate generation under adversarial skew") {
+    import spark.implicits._
+    // 5000 identical vectors: every table hashes them to ONE bucket —
+    // uncapped candidate pairs would be C(5000,2) ≈ 12.5M per table
+    val vec = Seq.fill(64)(0.5f)
+    val corpus = spark.range(5000).toDF("vec_id")
+      .withColumn("embedding", typedLit(vec))
+    val cap = 100
+    val ids = Similarity.bucketedIds(corpus, "vec_id", "embedding",
+      tables = 8, planes = 12, dims = 64, cap = cap)
+    val maxGroup = ids.groupBy("tbl", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxGroup <= cap, s"bucket group of $maxGroup exceeds cap $cap")
+    // candidate pair volume is capped at tables * C(cap, 2), not C(N, 2)
+    val pairCount = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.0, tables = 8, planes = 12, dims = 64, cap = cap).count()
+    assert(pairCount <= 8L * cap * (cap - 1) / 2)
+  }
+
+  test("LSH buckets are deterministic, in range, table-independent") {
     val emb = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))
       .collect().map(_.getInt(0))
@@ -64,5 +100,9 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.toSeq == b2.toSeq)
     assert(b1.forall(b => b >= 0 && b < 256))
     assert(b1.distinct.length > 10) // spread across buckets
+    // a different table uses an independent hash family
+    val t1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64, 1).as("b"))
+      .collect().map(_.getInt(0))
+    assert(t1.toSeq != b1.toSeq)
   }
 }
