@@ -117,16 +117,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val (reused, adds, summaryExtra) = buildRefs(meta)
     val snapId = newSnapshotId()
     val seq = meta.lastSequenceNumber + 1
-    val entryRefs = if (adds.entries.isEmpty) Seq.empty else {
-      val stamped = adds.entries.map(e =>
-        if (e.snapshotId == PendingSnapshot)
-          e.copy(snapshotId = snapId, sequenceNumber = seq)
-        else e)
-      val mf = metaDir.resolve(s"manifest-$snapId.jsonl")
-      Files.createDirectories(metaDir)
-      DataFileEntry.writeManifest(mf, stamped)
-      Seq(ManifestRef(mf.toString, stamped.size.toLong,
-        stamped.map(_.recordCount).sum))
+    // data and position-delete entries go to SEPARATE manifests so the
+    // read path can locate delete files from O(refs) metadata alone
+    val entryRefs = Seq((0, ""), (1, "-deletes")).flatMap { case (ct, sfx) =>
+      val mine = adds.entries.filter(_.content == ct)
+      if (mine.isEmpty) Seq.empty else {
+        val stamped = mine.map(e =>
+          if (e.snapshotId == PendingSnapshot)
+            e.copy(snapshotId = snapId, sequenceNumber = seq)
+          else e)
+        val mf = metaDir.resolve(s"manifest-$snapId$sfx.jsonl")
+        Files.createDirectories(metaDir)
+        DataFileEntry.writeManifest(mf, stamped)
+        Seq(ManifestRef(mf.toString, stamped.size.toLong,
+          stamped.map(_.recordCount).sum, content = ct))
+      }
     }
     // shard manifests stay exactly where executors wrote them; only the
     // ref (with inherited ids) is created at commit time, so a conflict
@@ -158,6 +163,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         // wrote (referenced by nothing) so retries don't leak metadata
         Files.deleteIfExists(manifestListPath(snapId))
         Files.deleteIfExists(metaDir.resolve(s"manifest-$snapId.jsonl"))
+        Files.deleteIfExists(metaDir.resolve(s"manifest-$snapId-deletes.jsonl"))
         throw e
     }
     snap
@@ -353,14 +359,23 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val sparkSchema = toSparkSchema(schema)
+    val dataEntries = entries.filter(_.isData)
     filter match {
-      case None => entries
+      case None => dataEntries
       case Some(f) =>
         val preds = Pruning.extract(spark, f, sparkSchema)
-        entries.filter(e =>
+        dataEntries.filter(e =>
           Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
     }
   }
+
+  /** Paths of live position-delete files — O(refs) metadata: delete
+    * entries live in their own manifests, so only those are read.
+    */
+  private def deletePathsFor(meta: TableMetadataV2,
+      asOf: Option[Long]): Seq[String] =
+    manifestsFor(meta, asOf).filter(_.content == 1)
+      .flatMap(_.entries).filter(_.content == 1).map(_.path)
 
   /** A snapshot's manifest as a DataFrame — the distributed planning
     * path. At 100 TB the manifest is a dataset, not a driver loop: this
@@ -404,7 +419,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     SparkField("stats", MapType(StringType, StructType(Seq(
       SparkField("min", StringType),
       SparkField("max", StringType),
-      SparkField("nulls", LongType)))))))
+      SparkField("nulls", LongType))))),
+    SparkField("content", IntegerType)))
 
   /** Distributed equivalent of `planFiles`: prune as a Spark filter over
     * the manifest DataFrame. Returns surviving file paths.
@@ -421,6 +437,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val sparkSchema = toSparkSchema(schema)
     val mdf = manifestDfFor(meta, asOf)
+      .filter(coalesce(col("content"), lit(0)) === 0)
     filter match {
       case None => mdf
       case Some(f) =>
@@ -438,9 +455,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def countRows(filter: Option[Column] = None,
       asOf: Option[Long] = None): Long = {
     val meta = metadata
-    val entries = manifestsFor(meta, asOf).flatMap(_.entries)
+    val all = manifestsFor(meta, asOf).flatMap(_.entries)
+    val entries = all.filter(_.isData)
+    // delete positions are unique and live at write time (deleteWhereMoR
+    // derives them from the deletes-applied read), so their record counts
+    // subtract exactly
+    val delCount = all.filter(_.content == 1).map(_.recordCount).sum
     filter match {
-      case None => entries.map(_.recordCount).sum
+      case None => entries.map(_.recordCount).sum - delCount
+      case Some(f) if delCount > 0 =>
+        // per-file stats cannot certify counts once position deletes
+        // exist — answer from the deletes-applied scan
+        scan(Some(f), asOf).count()
       case Some(f) =>
         val schemaId = asOf.flatMap(id =>
           meta.snapshotById(id).flatMap(_.schemaId)).map(_.toInt)
@@ -568,7 +594,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .select(col("path"), col("schema-id")).collect().toSeq
           .map(r => (r.getString(0), r.getInt(1)))
       else planFilesFor(meta, filter, asOf).map(e => (e.path, e.schemaId))
-    val df = readAlignedFilesFor(meta, planned, readSchema)
+    val dels = deletePathsFor(meta, asOf)
+    val df =
+      if (dels.isEmpty) readAlignedFilesFor(meta, planned, readSchema)
+      else applyDeletes(
+        readAlignedFilesFor(meta, planned, readSchema, withPos = true),
+        dels).drop(PosPathCol, PosIdxCol)
     filter.map(df.filter).getOrElse(df)
   }
 
@@ -592,8 +623,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val fromSeq = meta.snapshotById(fromSnapshot)
       .getOrElse(throw new IllegalArgumentException("bad from")).sequenceNumber
     val entries = liveEntries(Some(toSnapshot))
-      .filter(_.sequenceNumber > fromSeq)
-    readAligned(entries, meta.currentSchema)
+      .filter(e => e.isData && e.sequenceNumber > fromSeq)
+    // rows added in range but MoR-deleted by toSnapshot are not in the
+    // current state of the range — apply its delete files
+    readAppliedFor(meta, entries, meta.currentSchema, Some(toSnapshot))
   }
 
   /** Field-id-aligned union over per-schema file groups. */
@@ -606,9 +639,39 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     readAlignedFilesFor(meta, entries.map(e => (e.path, e.schemaId)),
       readSchema)
 
+  /** Like readAlignedFor, but with prior position deletes anti-joined
+    * away — the read every mutation must use, or CoW rewrites would
+    * resurrect MoR-deleted rows.
+    */
+  private def readAppliedFor(meta: TableMetadataV2,
+      entries: Seq[DataFileEntry], readSchema: SchemaV2,
+      asOf: Option[Long] = None): DataFrame = {
+    val dels = deletePathsFor(meta, asOf)
+    if (dels.isEmpty) readAlignedFor(meta, entries, readSchema)
+    else applyDeletes(readAlignedFilesFor(meta,
+      entries.map(e => (e.path, e.schemaId)), readSchema, withPos = true),
+      dels).drop(PosPathCol, PosIdxCol)
+  }
+
+  /** Anti-join position-delete files (columns file_path, pos) against a
+    * position-annotated read. Delete sets are small relative to data —
+    * Spark broadcasts them and the scan stays map-side.
+    */
+  private def applyDeletes(df: DataFrame,
+      deletePaths: Seq[String]): DataFrame = {
+    val d = spark.read.parquet(deletePaths: _*)
+      .select(col("file_path").as(PosPathCol), col("pos").as(PosIdxCol))
+    df.join(d, Seq(PosPathCol, PosIdxCol), "left_anti")
+  }
+
   private def readAlignedFilesFor(meta: TableMetadataV2,
-      files: Seq[(String, Int)], readSchema: SchemaV2): DataFrame = {
-    val targetSpark = toSparkSchema(readSchema)
+      files: Seq[(String, Int)], readSchema: SchemaV2,
+      withPos: Boolean = false): DataFrame = {
+    val targetSpark0 = toSparkSchema(readSchema)
+    val targetSpark =
+      if (!withPos) targetSpark0
+      else StructType(targetSpark0.fields ++ Seq(
+        SparkField(PosPathCol, StringType), SparkField(PosIdxCol, LongType)))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], targetSpark)
@@ -623,7 +686,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           case Some(ff) => col(ff.name).as(f.name)
           case None => lit(null).cast(toSparkType(f.fieldType)).as(f.name)
         }
-      }
+      } ++ (if (withPos) Seq(
+        // raw (undecoded) file path: both sides of the delete anti-join
+        // come from _metadata.file_path, so the encoding cancels out
+        col("_metadata.file_path").as(PosPathCol),
+        col("_metadata.row_index").as(PosIdxCol)) else Seq.empty)
       df.select(cols: _*)
     }.reduce(_.union(_))
   }
@@ -638,19 +705,73 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val schema = meta.currentSchema
       val sparkSchema = toSparkSchema(schema)
       val preds = Pruning.extract(spark, cond, sparkSchema)
-      def hit(e: DataFileEntry): Boolean =
+      def hit(e: DataFileEntry): Boolean = e.isData &&
         Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
       val (reused, affected) = splitManifestsFor(meta, hit)
       val (maybe, carried) = affected.partition(hit)
       val rewritten =
         if (maybe.isEmpty) PendingAdds.empty
         // keep rows where cond is FALSE or NULL (SQL DELETE deletes only
-        // rows where cond is true; !NULL is NULL and would drop them)
-        else writeFiles(readAlignedFor(meta, maybe, schema)
+        // rows where cond is true; !NULL is NULL and would drop them);
+        // prior MoR deletes applied so the rewrite can't resurrect rows
+        else writeFiles(readAppliedFor(meta, maybe, schema)
           .filter(cond.isNull || !cond))
       (reused, PendingAdds(carried, rewritten.shards),
         Map("rewritten-files" -> maybe.size.toString))
     })
+
+  /** Merge-on-read DELETE WHERE: instead of rewriting affected data files
+    * (CoW), write POSITION DELETE files — parquet of (file_path, pos) for
+    * matching rows — and commit them alongside untouched data manifests.
+    * Frequent small deletes (the dominant mutation in a curation
+    * pipeline) become O(deleted rows) instead of O(affected file bytes);
+    * scans anti-join the positions away. Positions are derived from the
+    * deletes-APPLIED read, so a row is never recorded twice and delete
+    * record counts subtract exactly. Compaction absorbs delete files.
+    */
+  def deleteWhereMoR(cond: Column): SnapshotV2 = {
+    val meta = metadata
+    val schema = meta.currentSchema
+    val sparkSchema = toSparkSchema(schema)
+    val preds = Pruning.extract(spark, cond, sparkSchema)
+    val dataEntries =
+      manifestsFor(meta, None).flatMap(_.entries).filter(_.isData)
+    val affected = dataEntries.filter(e =>
+      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+    val delEntries: Seq[DataFileEntry] =
+      if (affected.isEmpty) Seq.empty
+      else {
+        val writeId = java.util.UUID.randomUUID.toString.take(8)
+        val delDir = s"$location/deletes/$writeId"
+        val dels = deletePathsFor(meta, None)
+        val annotated = readAlignedFilesFor(meta,
+          affected.map(e => (e.path, e.schemaId)), schema, withPos = true)
+        val live =
+          if (dels.isEmpty) annotated else applyDeletes(annotated, dels)
+        live.filter(cond)
+          .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
+          .write.mode("errorifexists").parquet(delDir)
+        val delSchema = StructType(Seq(SparkField("file_path", StringType),
+          SparkField("pos", LongType)))
+        val counts = spark.read.schema(delSchema).parquet(delDir)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(count(lit(1)).as("n")).collect()
+        counts.toSeq.map(r =>
+          DataFileEntry(decodePath(r.getAs[String]("__f")),
+            r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
+            Map.empty, Map.empty, content = 1))
+      }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return commitSnapshot("delete", fresh =>
+        (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
+          Map("position-delete-files" -> delEntries.size.toString,
+            "deleted-rows" -> delEntries.map(_.recordCount).sum.toString)))
+      catch { case _: CommitConflictException if attempts < 5 => }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Manifest-granular change split: manifests where NO entry satisfies
     * `hit` are reused verbatim; the rest contribute their entries (hit or
@@ -660,9 +781,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def splitManifestsFor(meta: TableMetadataV2,
       hit: DataFileEntry => Boolean)
       : (Seq[ManifestRef], Seq[DataFileEntry]) = {
-    // materialize each manifest ONCE (entries re-reads the file)
+    // materialize each manifest ONCE (entries re-reads the file);
+    // position-delete entries are never `hit` — their manifests are
+    // reused verbatim and stay in force after the rewrite
     val loaded = manifestsFor(meta, None).map(r => (r, r.entries))
-    val (affected, reused) = loaded.partition(_._2.exists(hit))
+    val (affected, reused) =
+      loaded.partition(_._2.exists(e => e.isData && hit(e)))
     (reused.map(_._1), affected.flatMap(_._2))
   }
 
@@ -725,14 +849,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         Pruning.normalize(bounds.getAs[Any](s"mx::$k"), dt)
           .map(v => Pruning.Cmp(k, "<=", v))).flatten
     }
-    def hit(e: DataFileEntry): Boolean =
+    def hit(e: DataFileEntry): Boolean = e.isData &&
       Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
     val loaded = manifestsFor(meta, None).map(r => (r, r.entries))
     val (affectedLoaded, reusedLoaded) = loaded.partition(_._2.exists(hit))
     val affectedManifests = affectedLoaded.map(_._1)
     val reused = reusedLoaded.map(_._1)
     val (affected, carried) = affectedLoaded.flatMap(_._2).partition(hit)
-    val target = readAlignedFor(meta, affected, schema)
+    val target = readAppliedFor(meta, affected, schema)
     val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
     // explicit presence marker: testing the source KEY for null would
     // misclassify a null-keyed source row and null out its values
@@ -761,8 +885,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def compact(): SnapshotV2 = {
     val meta = metadata
     val schema = meta.currentSchema
-    val df = readAlignedFor(meta, manifestsFor(meta, None).flatMap(_.entries),
-      schema)
+    // deletes-applied read; the replace commit reuses no manifests, so
+    // absorbed position-delete files drop out of the table here
+    val df = readAppliedFor(meta,
+      manifestsFor(meta, None).flatMap(_.entries).filter(_.isData), schema)
     val partNames = meta.defaultSpec.fields.map(_.name)
     val rewritten =
       if (partNames.nonEmpty) writeFiles(df, repartitionByPartition = true)
@@ -936,6 +1062,12 @@ object GraftTable {
 
   /** Sentinel for entries not yet bound to a committed snapshot. */
   private val PendingSnapshot = DataFileEntry.PendingSnapshot
+
+  /** Internal column names carrying (file, row-index) identity through a
+    * position-annotated read for the MoR delete anti-join.
+    */
+  private val PosPathCol = "__gf_file_path"
+  private val PosIdxCol = "__gf_pos"
 
   /** An executor-written manifest shard (JSONL of pending entries) plus
     * the rollup counts the manifest list records.

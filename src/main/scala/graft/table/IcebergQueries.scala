@@ -156,6 +156,25 @@ object IcebergQueries {
       Some(s"""$flagAggSql FROM lineitem WHERE l_returnflag <> 'R'
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Merge-on-read DELETE WHERE: the commit writes position-delete files
+    // only — zero data files rewritten (asserted here) — and the scan
+    // anti-joins the deleted positions away.
+    GraftQuery(
+      "ice_delete_mor",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("delete_mor"), src.schema)
+        t.append(src)
+        val before = t.planFiles().map(_.path).toSet
+        t.deleteWhereMoR(col("l_returnflag") === "R")
+        val after = t.planFiles().map(_.path).toSet
+        require(after == before,
+          "MoR delete must not rewrite or drop any data file")
+        flagAgg(t.scan())
+      },
+      Some(s"""$flagAggSql FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Dynamic partition overwrite: 1996's months get rewritten content,
     // every other partition is untouched.
     GraftQuery(

@@ -27,11 +27,15 @@ object ColStats {
     n.path("nulls").asLong)
 }
 
-/** One live data file in a snapshot's manifest. `snapshotId` is the
+/** One live file in a snapshot's manifest. `snapshotId` is the
   * snapshot that ADDED the file (drives incremental reads); `schemaId` is
   * the schema the file was written with (drives evolution-aware reads);
   * `partition` holds the spec's derived partition values (None = null
-  * partition).
+  * partition); `content` distinguishes DATA files (0) from POSITION
+  * DELETE files (1, parquet of (file_path, pos) pairs — merge-on-read
+  * deletes applied at scan time via anti-join, ordered against data by
+  * sequence number as the reference models at
+  * /root/reference/src/model/snapshot.rs:54).
   *
   * Manifests are JSON-lines — one complete file list per snapshot. At
   * 100 TB the same files would be read as a Spark JSON dataset instead of
@@ -46,7 +50,10 @@ case class DataFileEntry(
     sequenceNumber: Long,
     schemaId: Int,
     partition: Map[String, Option[String]],
-    stats: Map[String, ColStats]) {
+    stats: Map[String, ColStats],
+    content: Int = 0) {
+
+  def isData: Boolean = content == 0
 
   def toJson: ObjectNode = {
     val o = Json.obj
@@ -55,6 +62,7 @@ case class DataFileEntry(
     o.put("snapshot-id", snapshotId)
     o.put("sequence-number", sequenceNumber)
     o.put("schema-id", schemaId)
+    if (content != 0) o.put("content", content)
     val p = o.putObject("partition")
     partition.toSeq.sortBy(_._1).foreach {
       case (k, Some(v)) => p.put(k, v)
@@ -91,7 +99,8 @@ object DataFileEntry {
     }.toMap,
     n.path("stats").properties.asScala.map { e =>
       e.getKey -> ColStats.fromJson(e.getValue)
-    }.toMap)
+    }.toMap,
+    n.path("content").asInt(0))
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
     val lines = entries.map(e => Json.write(e.toJson))
@@ -116,7 +125,8 @@ object DataFileEntry {
   */
 case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     addedSnapshotId: Option[Long] = None,
-    addedSequenceNumber: Option[Long] = None) {
+    addedSequenceNumber: Option[Long] = None,
+    content: Int = 0) {
   def toJson: ObjectNode = {
     val o = Json.obj
     o.put("path", path)
@@ -124,6 +134,7 @@ case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     o.put("record-count", recordCount)
     addedSnapshotId.foreach(v => o.put("added-snapshot-id", v))
     addedSequenceNumber.foreach(v => o.put("added-sequence-number", v))
+    if (content != 0) o.put("content", content)
     o
   }
   def entries: Seq[DataFileEntry] = {
@@ -144,7 +155,8 @@ object ManifestRef {
     n.path("entry-count").asLong,
     n.path("record-count").asLong,
     Option(n.get("added-snapshot-id")).filterNot(_.isNull).map(_.asLong),
-    Option(n.get("added-sequence-number")).filterNot(_.isNull).map(_.asLong))
+    Option(n.get("added-sequence-number")).filterNot(_.isNull).map(_.asLong),
+    n.path("content").asInt(0))
 }
 
 /** Per-snapshot manifest LIST: snapshots share unchanged manifest files,

@@ -321,6 +321,43 @@ class TableSpec extends SparkSpec {
     assert(t2.scan().count() == 100)
   }
 
+  test("merge-on-read deletes: no rewrite, exact counts, absorbed by compaction") {
+    val src = lineitem.limit(1000)
+    val t = GraftTable.create(spark, freshLoc("mor"), src.schema)
+    t.append(src)
+    val dataFilesBefore = t.planFiles().map(_.path).toSet
+    val s1 = t.metadata.currentSnapshotId.get
+    // first MoR delete: no data file touched
+    t.deleteWhereMoR(col("l_quantity") < 10)
+    assert(t.planFiles().map(_.path).toSet == dataFilesBefore)
+    val expect1 = src.filter(!(col("l_quantity") < 10)).count()
+    assert(t.scan().count() == expect1)
+    assert(t.countRows() == expect1) // metadata-only: data minus deletes
+    // overlapping second delete must not double-count positions
+    t.deleteWhereMoR(col("l_quantity") < 20)
+    val expect2 = src.filter(!(col("l_quantity") < 20)).count()
+    assert(t.scan().count() == expect2)
+    assert(t.countRows() == expect2)
+    // filtered reads apply deletes too
+    val f = col("l_returnflag") === "R"
+    assert(t.scan(Some(f)).count() ==
+      src.filter(f && !(col("l_quantity") < 20)).count())
+    assert(t.countRows(Some(f)) ==
+      src.filter(f && !(col("l_quantity") < 20)).count())
+    // time travel to before the deletes sees every row
+    assert(t.scan(asOf = Some(s1)).count() == 1000)
+    // a CoW delete on top must not resurrect MoR-deleted rows
+    t.deleteWhere(col("l_returnflag") === "N")
+    val expect3 = src.filter(!(col("l_quantity") < 20) &&
+      col("l_returnflag") =!= "N").count()
+    assert(t.scan().count() == expect3)
+    // compaction absorbs the position-delete files entirely
+    t.compact()
+    assert(t.scan().count() == expect3)
+    assert(t.liveEntries().forall(_.isData))
+    assert(t.countRows() == expect3)
+  }
+
   test("commits write manifests on executors; driver holds no per-file stats") {
     // a 10k-file append: the commit must reference executor-written shard
     // manifests via sequence-number inheritance — the driver never builds
