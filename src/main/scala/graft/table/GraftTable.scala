@@ -289,7 +289,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       Seq(min(col(f.name)).as(s"min::${f.name}"),
         max(col(f.name)).as(s"max::${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls::${f.name}"))
-    } :+ count(lit(1)).as("cnt")
+    } ++ Seq(count(lit(1)).as("cnt"),
+      max(col("_metadata.file_size")).as("__size"))
     val statsRows = df
       .groupBy(col("_metadata.file_path").as("__path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -420,7 +421,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       SparkField("min", StringType),
       SparkField("max", StringType),
       SparkField("nulls", LongType))))),
-    SparkField("content", IntegerType)))
+    SparkField("content", IntegerType),
+    SparkField("file-size", LongType)))
 
   /** Distributed equivalent of `planFiles`: prune as a Spark filter over
     * the manifest DataFrame. Returns surviving file paths.
@@ -881,7 +883,70 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     })
   }
 
-  /** Bin-pack rewrite: one file per partition value (op=replace). */
+  /** Intra-partition bin-pack compaction: ONLY partitions holding ≥2
+    * undersized files (< targetFileBytes) get those files merged;
+    * right-sized files keep their original paths and their manifests are
+    * reused untouched. At 100 TB a hot-partition compaction rewrites the
+    * small-file tail, not terabytes of already-healthy data. Positions in
+    * delete files that referenced a rewritten file are dropped (those
+    * rows were applied during the rewrite); other delete files survive.
+    */
+  def compactBinPack(targetFileBytes: Long = 64L << 20): SnapshotV2 = {
+    val meta = metadata
+    val schema = meta.currentSchema
+    val entries = manifestsFor(meta, None).flatMap(_.entries)
+    val small = entries.filter(_.isData).groupBy(_.partition).values
+      .flatMap { es =>
+        val under = es.filter(e => e.fileSize > 0L &&
+          e.fileSize < targetFileBytes)
+        if (under.size >= 2) under else Seq.empty
+      }.toSeq
+    if (small.isEmpty)
+      return meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException("empty table"))
+    val rewrittenPaths = small.map(_.path).toSet
+    val rewritten = writeFiles(readAppliedFor(meta, small, schema),
+      repartitionByPartition = meta.defaultSpec.fields.nonEmpty)
+    // delete files referencing a rewritten path hold dead positions (the
+    // rewrite applied them); filter delete sets down, keep the rest
+    val oldDeletes = entries.filter(_.content == 1)
+    val newDeleteEntries =
+      if (oldDeletes.isEmpty) Seq.empty
+      else {
+        val writeId = java.util.UUID.randomUUID.toString.take(8)
+        val delDir = s"$location/deletes/$writeId"
+        val dead = udf((raw: String) => rewrittenPaths.contains(decodePath(raw)))
+        spark.read.parquet(oldDeletes.map(_.path): _*)
+          .filter(!dead(col("file_path")))
+          .write.mode("errorifexists").parquet(delDir)
+        val delSchema = StructType(Seq(SparkField("file_path", StringType),
+          SparkField("pos", LongType)))
+        spark.read.schema(delSchema).parquet(delDir)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(count(lit(1)).as("n")).collect().toSeq
+          .map(r => DataFileEntry(decodePath(r.getAs[String]("__f")),
+            r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
+            Map.empty, Map.empty, content = 1))
+      }
+    commitSnapshot("replace", { freshMeta =>
+      if (freshMeta.currentSnapshotId != meta.currentSnapshotId)
+        throw new CommitConflictException(
+          s"table changed during compactBinPack at $location")
+      // manifests whose entries are all untouched data files are reused;
+      // delete manifests were rebuilt above, rewritten entries dropped
+      val loaded = manifestsFor(freshMeta, None).map(r => (r, r.entries))
+      val (affected, reusedRefs) = loaded.partition { case (r, es) =>
+        r.content == 1 || es.exists(e => rewrittenPaths.contains(e.path))
+      }
+      val carried = affected.flatMap(_._2).filter(e =>
+        e.isData && !rewrittenPaths.contains(e.path))
+      (reusedRefs.map(_._1),
+        PendingAdds(carried ++ newDeleteEntries, rewritten.shards),
+        Map("binpacked-files" -> small.size.toString))
+    })
+  }
+
+  /** Full rewrite: one file per partition value (op=replace). */
   def compact(): SnapshotV2 = {
     val meta = metadata
     val schema = meta.currentSchema
@@ -1124,7 +1189,8 @@ object GraftTable {
         r.getAs[Long](s"nulls::$name"))
     }.toMap
     val entry = DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
-      0L, schemaId, parsePartition(path, spec), stats)
+      0L, schemaId, parsePartition(path, spec), stats,
+      fileSize = r.getAs[Long]("__size"))
     graft.model.Json.write(entry.toJson)
   }
 

@@ -269,7 +269,7 @@ object IcebergQueries {
         val t = GraftTable.create(s, loc("compact"), src.schema)
         t.append(src.repartition(16))
         val before = t.liveEntries().size
-        t.compact()
+        t.compactBinPack() // every file is under target → all merged
         val after = t.liveEntries().size
         require(after < before, s"compaction did not shrink: $before -> $after")
         flagAgg(t.scan())

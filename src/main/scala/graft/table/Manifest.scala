@@ -51,7 +51,8 @@ case class DataFileEntry(
     schemaId: Int,
     partition: Map[String, Option[String]],
     stats: Map[String, ColStats],
-    content: Int = 0) {
+    content: Int = 0,
+    fileSize: Long = 0L) {
 
   def isData: Boolean = content == 0
 
@@ -63,6 +64,7 @@ case class DataFileEntry(
     o.put("sequence-number", sequenceNumber)
     o.put("schema-id", schemaId)
     if (content != 0) o.put("content", content)
+    if (fileSize != 0L) o.put("file-size", fileSize)
     val p = o.putObject("partition")
     partition.toSeq.sortBy(_._1).foreach {
       case (k, Some(v)) => p.put(k, v)
@@ -100,7 +102,8 @@ object DataFileEntry {
     n.path("stats").properties.asScala.map { e =>
       e.getKey -> ColStats.fromJson(e.getValue)
     }.toMap,
-    n.path("content").asInt(0))
+    n.path("content").asInt(0),
+    n.path("file-size").asLong(0L))
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
     val lines = entries.map(e => Json.write(e.toJson))

@@ -321,6 +321,40 @@ class TableSpec extends SparkSpec {
     assert(t2.scan().count() == 100)
   }
 
+  test("bin-pack compaction merges only undersized files, keeps the rest") {
+    val src = lineitem
+    val t = GraftTable.create(spark, freshLoc("binpack"), src.schema,
+      partitionBy = Seq(("l_returnflag", TIdentity, "flag_p")))
+    // one right-sized file per partition...
+    t.append(src, repartitionByPartition = true)
+    val healthy = t.liveEntries().map(_.path).toSet
+    assert(t.liveEntries().forall(_.fileSize > 0L))
+    // ...plus a spray of small files in ONE partition ("R")
+    t.append(src.filter(col("l_returnflag") === "R").limit(200).repartition(8))
+    val before = t.liveEntries()
+    val smallR = before.map(_.path).toSet -- healthy
+    assert(smallR.size == 8)
+    val total = src.count() + 200
+    // target sized between the small files and the healthy ones
+    val healthySize = before.filter(e => healthy.contains(e.path))
+      .map(_.fileSize).min
+    val smallMax = before.filter(e => smallR.contains(e.path))
+      .map(_.fileSize).max
+    assert(smallMax < healthySize)
+    t.compactBinPack(targetFileBytes = (smallMax + healthySize) / 2)
+    val after = t.liveEntries().map(_.path).toSet
+    // every right-sized file kept its ORIGINAL path; the 8 small files
+    // are gone, replaced by fewer merged files
+    assert(healthy.subsetOf(after))
+    assert((after & smallR).isEmpty)
+    assert(after.size < before.size)
+    assert(t.scan().count() == total)
+    // second run is a no-op: nothing undersized remains grouped
+    val snapBefore = t.metadata.currentSnapshotId
+    t.compactBinPack(targetFileBytes = (smallMax + healthySize) / 2)
+    assert(t.metadata.currentSnapshotId == snapBefore)
+  }
+
   test("merge-on-read deletes: no rewrite, exact counts, absorbed by compaction") {
     val src = lineitem.limit(1000)
     val t = GraftTable.create(spark, freshLoc("mor"), src.schema)
