@@ -21,17 +21,18 @@ object StreamingQueries {
   /** events.parquet carries TIMESTAMP(NANOS) — streamed as long + rebuilt
     * (micros) exactly like the batch-side Tables.tbl.
     */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    // the streaming file source wants a DIRECTORY; stage a symlink to the
-    // single events.parquet file (read-only testdata stays untouched)
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The streaming file source wants a DIRECTORY; stage a symlink to the
+    * single events.parquet file (read-only testdata stays untouched).
+    */
+  private def stageEvents(s: SparkSession, dir: String): String = {
     val staging = java.nio.file.Paths.get(
       s"/root/repo/target/stream-src/${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(staging)
@@ -39,13 +40,46 @@ object StreamingQueries {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // maxFilesPerTrigger = max: the AvailableNow run is ONE micro-batch,
-    // so per-key state sees a key's full history at once (cross-batch
-    // session continuation would need EventTimeTimeout emission)
-    s.readStream.schema(schema)
+    staging.toString
+  }
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", Int.MaxValue.toString)
-      .parquet(staging.toString)
+      .parquet(stageEvents(s, dir))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Sessionize a directory of raw event parquet files (ts as long
+    * nanos), reading `maxFiles` files per micro-batch. Sessions CLOSE
+    * when the event-time watermark passes session_end + gap
+    * (EventTimeTimeout) — the same session set emerges whether a user's
+    * history arrives in one batch or across many; each user's trailing
+    * session stays open awaiting more data, exactly as a continuous
+    * pipeline would. StreamingSpec feeds the same events as 1 and as 3
+    * time-ordered batches and asserts identical output.
+    */
+  def sessionizeDir(s: SparkSession, srcDir: String,
+      maxFiles: Int): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the WATERMARKED column itself must flow into the grouped Dataset —
+    // casting it away makes EventTimeTimeout unusable; convert to epoch
+    // seconds inside the state function instead
+    val evs = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFiles.toString)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = evs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        Sessionizer.apply)
+    runToTable(s, sessions.toDF(), "s_sessionize", OutputMode.Append())
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
@@ -81,22 +115,13 @@ object StreamingQueries {
         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
     // Sessionization (30-min inactivity gap) via flatMapGroupsWithState —
-    // custom keyed state, the pattern built-ins can't express.
+    // custom keyed state the built-ins can't express, closed by
+    // EventTimeTimeout so sessions survive micro-batch boundaries.
     GraftQuery(
       "s_sessionize",
-      (s, dir) => {
-        import s.implicits._
-        val evs = eventStream(s, dir)
-          .withWatermark("ts", "2 hours")
-          .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
-          .as[(Long, Long)]
-        val sessions = evs
-          .groupByKey(_._1)
-          .flatMapGroupsWithState(
-            OutputMode.Append, GroupStateTimeout.NoTimeout)(Sessionizer.apply)
-        runToTable(s, sessions.toDF(), "s_sessionize", OutputMode.Append())
-          .orderBy("user_id", "session_start")
-      },
+      (s, dir) =>
+        sessionizeDir(s, stageEvents(s, dir), Int.MaxValue)
+          .orderBy("user_id", "session_start"),
       None),
 
     // Streaming dedup inside the watermark: the stream is doubled (every
@@ -124,16 +149,25 @@ case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
     n_events: Long)
 
 /** Per-user sessionizer: splits the user's event times at >30-min gaps.
-  * State carries an open session across micro-batches; with AvailableNow
-  * the final batch closes everything (emitted on the spot since event
-  * input for a key arrives together).
+  * The trailing session stays OPEN in state across micro-batches; it is
+  * emitted either when a later batch proves the gap was exceeded, or when
+  * the event-time watermark passes session_end + gap (EventTimeTimeout).
+  * A session is therefore emitted exactly once, whether the user's
+  * history arrives in one batch or across many.
   */
 object Sessionizer {
   private val GapSeconds = 30L * 60L
 
-  def apply(userId: Long, rows: Iterator[(Long, Long)],
+  def apply(userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
       state: GroupState[SessionOut]): Iterator[SessionOut] = {
-    val times = rows.map(_._2).toArray.sorted
+    if (state.hasTimedOut) {
+      // watermark passed session_end + gap: no on-time event can extend
+      // this session anymore — close it
+      val open = state.get
+      state.remove()
+      return Iterator.single(open)
+    }
+    val times = rows.map(_._2.getTime / 1000L).toArray.sorted
     if (times.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
     var (start, end, n) = state.getOption match {
@@ -150,11 +184,11 @@ object Sessionizer {
         end = t; n += 1L
       }
     }
-    // single-batch processing (see eventStream): every session is final,
-    // so emit the trailing one and clear state — emitting AND keeping it
-    // would double-count the session if a key ever spanned two batches.
-    state.remove()
-    out += SessionOut(userId, start, end, n)
+    state.update(SessionOut(userId, start, end, n))
+    // close at end + gap in event time; never set a timeout at or before
+    // the current watermark (the API rejects it for already-late state)
+    state.setTimeoutTimestamp(math.max((end + GapSeconds) * 1000L,
+      state.getCurrentWatermarkMs + 1000L))
     out.iterator
   }
 }

@@ -21,23 +21,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("s_sessionize: sessions cover all events with 30-min gaps respected") {
-    val sessions = Registry.byName("s_sessionize").fn(spark, dir).collect()
-    val nEvents = Tables.tbl(spark, dir, "events").count()
-    assert(sessions.map(_.getAs[Long]("n_events")).sum == nEvents)
-    // within each user, consecutive sessions are separated by > 30 min
-    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
-      val sorted = ss.sortBy(_.getAs[Long]("session_start"))
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(b.getAs[Long]("session_start") -
-            a.getAs[Long]("session_end") > 1800L)
-        case _ =>
-      }
-      // sessions are internally consistent
-      sorted.foreach(s => assert(
-        s.getAs[Long]("session_end") >= s.getAs[Long]("session_start")))
+  private def sessionTuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+      r.getAs[Long]("session_end"), r.getAs[Long]("n_events"))).toSet
+
+  test("s_sessionize: emitted sessions match the batch oracle exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val out = sessionTuples(
+      Registry.byName("s_sessionize").fn(spark, dir).collect())
+    // batch-side sessionization oracle: split per-user event times at
+    // >30-min gaps via lag + running sum
+    val evs = Tables.tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val all = evs.withColumn("prev", lag("t", 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("t") - col("prev") > 1800L, 1).otherwise(0))
+      .withColumn("sid", sum("ns").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("s"), max("t").as("e"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s"),
+        r.getAs[Long]("e"), r.getAs[Long]("n")))
+    assert(out.nonEmpty && out.subsetOf(all.toSet))
+    // every non-trailing session (a later session for the user proves the
+    // gap) must be emitted
+    val lastByUser = all.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val nonTrailing = all.filterNot(s => lastByUser(s._1) == s).toSet
+    assert(nonTrailing.subsetOf(out))
+    // a user's TRAILING session closes iff the final watermark
+    // (max ts - 2h) passed session_end + 30min; ±5s boundary band skipped
+    val maxSec = evs.agg(max("t")).head().getLong(0)
+    val cut = maxSec - 7200L - 1800L
+    lastByUser.values.foreach { s =>
+      if (s._3 < cut - 5) assert(out.contains(s), s"closed trailing $s missing")
+      if (s._3 > cut + 5) assert(!out.contains(s), s"open trailing $s emitted")
     }
+  }
+
+  test("s_sessionize: identical output from 1-batch and 3-batch runs") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val staging = java.nio.file.Files.createTempDirectory("sess-batches")
+    val Array(q1, q2) =
+      raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val splits = Seq(
+      raw.filter(col("ts") < q1),
+      raw.filter(col("ts") >= q1 && col("ts") < q2),
+      raw.filter(col("ts") >= q2))
+    splits.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"sess-part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = staging.resolve(f"$i%03d.parquet")
+          java.nio.file.Files.move(p, dst)
+          // strictly increasing mod times fix the micro-batch order
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+          moved = true
+        }
+      }
+      assert(moved, s"no parquet written for split $i")
+    }
+    val multi = sessionTuples(graft.streaming.StreamingQueries
+      .sessionizeDir(spark, staging.toString, maxFiles = 1).collect())
+    val single = sessionTuples(graft.streaming.StreamingQueries
+      .sessionizeDir(spark, staging.toString, maxFiles = 3).collect())
+    assert(multi.nonEmpty)
+    assert(multi == single,
+      s"multi-batch diverged: only-multi=${(multi -- single).take(5)} " +
+        s"only-single=${(single -- multi).take(5)}")
   }
 
   test("s_dedup_stream restores exact per-type counts after doubling") {
@@ -58,5 +114,49 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_bytes") > 0))
     val e = out.map(_.getAs[Double]("byte_entropy"))
     assert(e.forall(x => x >= 0.0 && x <= 4.0)) // 16 bins → max 4 bits
+    // planted PNG-headed assets are sniffed as png with parsed dims;
+    // plain text payloads sniff as unknown regardless of declared format
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 3 == 0) {
+        assert(r.getAs[String]("detected_format") == "png")
+        assert(r.getAs[Long]("width") == 640L)
+      } else assert(r.getAs[String]("detected_format") == "unknown")
+    }
+  }
+
+  test("format sniffer: real magic bytes drive the per-format branch") {
+    import graft.operators.Multimodal
+    // genuine header bytes for each container
+    val jpegSof0 = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x01, 0x00, 0x02, 0x00, 0x03, 0x01)
+      .map(_.toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xf0, 0x00).map(_.toByte) // 320x240 LE
+    val webp = "RIFF".getBytes ++ Array.fill(4)(0.toByte) ++ "WEBP".getBytes
+    val wav = "RIFF".getBytes ++ Array.fill(4)(0.toByte) ++ "WAVE".getBytes
+    val mp4 = Array.fill(4)(0.toByte) ++ "ftypisom".getBytes
+    val pdf = "%PDF-1.7".getBytes
+    assert(Multimodal.sniffFormat(Multimodal.pngHeader(640, 480)) == "png")
+    assert(Multimodal.sniffFormat(jpegSof0) == "jpeg")
+    assert(Multimodal.sniffFormat(gif) == "gif")
+    assert(Multimodal.sniffFormat(webp) == "webp")
+    assert(Multimodal.sniffFormat(wav) == "wav")
+    assert(Multimodal.sniffFormat(mp4) == "mp4")
+    assert(Multimodal.sniffFormat(pdf) == "pdf")
+    assert(Multimodal.sniffFormat("hello world".getBytes) == "unknown")
+    // header parsers pull real dimensions per format
+    val png = Multimodal.decode(1L, "png", Multimodal.pngHeader(123, 77))
+    assert(png.detected_format == "png" &&
+      png.width.contains(123L) && png.height.contains(77L))
+    val jp = Multimodal.decode(2L, "jpeg", jpegSof0)
+    assert(jp.detected_format == "jpeg" &&
+      jp.width.contains(512L) && jp.height.contains(256L))
+    val gf = Multimodal.decode(3L, "gif", gif)
+    assert(gf.detected_format == "gif" &&
+      gf.width.contains(320L) && gf.height.contains(240L))
+    // declared format is carried but never trusted
+    val lying = Multimodal.decode(4L, "png", "plain text".getBytes)
+    assert(lying.format == "png" && lying.detected_format == "unknown")
   }
 }
