@@ -279,24 +279,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def writeStatsShards(writeDir: String, schema: SchemaV2,
       sparkSchema: StructType, spec: PartitionSpec,
       writeId: String): Seq[ShardRef] = {
-    val statFields = sparkSchema.fields.filter(f => f.dataType match {
-      case _: NumericType | StringType | TimestampType | TimestampNTZType |
-          DateType | BooleanType => true
-      case _ => false
-    })
+    // leaf primitive paths, including DOTTED struct fields ("a.b.c") —
+    // struct filters prune exactly like top-level ones
+    val fieldSpecs: Seq[(String, DataType)] = statPaths(sparkSchema)
     val df = spark.read.parquet(writeDir)
-    val aggs = statFields.flatMap { f =>
-      Seq(min(col(f.name)).as(s"min::${f.name}"),
-        max(col(f.name)).as(s"max::${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls::${f.name}"))
+    val aggs = fieldSpecs.flatMap { case (p, _) =>
+      Seq(min(col(p)).as(s"min::$p"),
+        max(col(p)).as(s"max::$p"),
+        sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"nulls::$p"))
     } ++ Seq(count(lit(1)).as("cnt"),
       max(col("_metadata.file_size")).as("__size"))
     val statsRows = df
       .groupBy(col("_metadata.file_path").as("__path"))
       .agg(aggs.head, aggs.tail: _*)
     // close over only serializable values (no `this` — it holds the session)
-    val fieldSpecs: Seq[(String, DataType)] =
-      statFields.map(f => (f.name, f.dataType)).toSeq
     val schemaId = schema.schemaId
     val specLocal = spec
     val jsonLines = statsRows.mapPartitions { it =>
@@ -1147,6 +1143,24 @@ object GraftTable {
 
   object PendingAdds {
     val empty: PendingAdds = PendingAdds(Seq.empty, Seq.empty)
+  }
+
+  /** Leaf primitive stat paths of a schema: top-level primitives plus
+    * dotted struct leaves (arbitrary nesting). Arrays/maps carry no
+    * min/max semantics and are skipped.
+    */
+  private[table] def statPaths(schema: StructType): Seq[(String, DataType)] = {
+    def walk(prefix: String, st: StructType): Seq[(String, DataType)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => walk(p, s)
+          case dt @ (_: NumericType | StringType | TimestampType |
+              TimestampNTZType | DateType | BooleanType) => Seq(p -> dt)
+          case _ => Seq.empty
+        }
+      }
+    walk("", schema)
   }
 
   /** _metadata.file_path is URI-encoded (space→%20, literal %→%25);

@@ -94,16 +94,34 @@ object Pruning {
   }
 
   /** Attribute name behind an (optionally numeric-widening-cast) column
-    * reference. Casts that change comparison semantics (e.g. ts→date) are
-    * rejected → that conjunct is skipped (conservative).
+    * reference; struct-field access chains resolve to DOTTED paths
+    * ("a.b.c"), matching the manifest's nested stat keys. Casts that
+    * change comparison semantics (e.g. ts→date) are rejected → that
+    * conjunct is skipped (conservative).
     */
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      attrName(g.child).map(p => s"$p.${g.extractFieldName}")
     case c: org.apache.spark.sql.catalyst.expressions.Cast
         if org.apache.spark.sql.catalyst.expressions.Cast
           .canUpCast(c.child.dataType, c.dataType) => attrName(c.child)
     case _ => None
+  }
+
+  /** Data type at a (possibly dotted) stat path. */
+  def fieldType(schema: StructType, path: String): Option[DataType] = {
+    def walk(st: DataType, parts: List[String]): Option[DataType] =
+      (st, parts) match {
+        case (t, Nil) => Some(t)
+        case (s: StructType, h :: rest) =>
+          s.fields.find(_.name == h).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+    // prefer an exact top-level match (a column literally named "a.b")
+    schema.fields.find(_.name == path).map(_.dataType)
+      .orElse(walk(schema, path.split('.').toList))
   }
 
   /** A foldable scalar → (value, type). Analysis wraps user literals in
@@ -219,7 +237,7 @@ object Pruning {
 
   private def statsMayMatch(entry: DataFileEntry, colName: String, op: String,
       value: String, schema: StructType): Boolean = {
-    val dt = schema.fields.find(_.name == colName).map(_.dataType)
+    val dt = fieldType(schema, colName)
       .getOrElse(return true)
     entry.stats.get(colName) match {
       case Some(ColStats(Some(mn), Some(mx), _)) => op match {
@@ -243,7 +261,7 @@ object Pruning {
       schema: StructType): Boolean =
     preds.forall {
       case Cmp(colName, op, value) =>
-        val dt = schema.fields.find(_.name == colName).map(_.dataType)
+        val dt = fieldType(schema, colName)
           .getOrElse(return false)
         entry.stats.get(colName) match {
           case Some(ColStats(Some(mn), Some(mx), nulls)) if nulls == 0L =>
@@ -267,7 +285,7 @@ object Pruning {
   private def partitionMayMatch(entry: DataFileEntry, colName: String,
       op: String, value: String, schema: StructType, spec: PartitionSpec,
       specSchema: SchemaV2): Boolean = {
-    val dt = schema.fields.find(_.name == colName).map(_.dataType)
+    val dt = fieldType(schema, colName)
       .getOrElse(return true)
     spec.fields.forall { pf =>
       val sourceName = specSchema.fieldById(pf.sourceId).map(_.name)
@@ -362,7 +380,7 @@ object Pruning {
     }
 
     def one(colName: String, op: String, value: String): Column = {
-      val dt = schema.fields.find(_.name == colName).map(_.dataType)
+      val dt = fieldType(schema, colName)
         .getOrElse(return lit(true))
       val st = col("stats")(colName)
       val statsOk = when(st.isNull || st("min").isNull || st("max").isNull,

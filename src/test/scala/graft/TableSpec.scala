@@ -321,6 +321,30 @@ class TableSpec extends SparkSpec {
     assert(t2.scan().count() == 100)
   }
 
+  test("struct-field filters prune files via dotted nested stats") {
+    val src = lineitem.withColumn("meta",
+      struct(col("l_orderkey").as("ok"), col("l_returnflag").as("flag")))
+    val t = GraftTable.create(spark, freshLoc("nested"), src.schema)
+    // range-clustered files → tight per-file min/max on meta.ok
+    t.append(src.repartitionByRange(8, col("l_orderkey")),
+      sortWithin = Seq(col("l_orderkey")))
+    val total = t.liveEntries().size
+    assert(total == 8)
+    // nested stats were collected under the dotted path
+    assert(t.liveEntries().forall(_.stats.contains("meta.ok")))
+    val f = col("meta.ok") === 42L
+    val planned = t.planFiles(Some(f))
+    assert(planned.size < total, s"struct filter planned ${planned.size}/$total")
+    assert(t.scan(Some(f)).count() == src.filter(f).count())
+    assert(t.countRows(Some(f)) == src.filter(f).count())
+    // distributed planner prunes the same way
+    val dist = t.planFilesDistributed(Some(f)).count()
+    assert(dist == planned.size.toLong)
+    // string leaf too
+    val g = col("meta.flag") === "R"
+    assert(t.scan(Some(g)).count() == src.filter(g).count())
+  }
+
   test("bin-pack compaction merges only undersized files, keeps the rest") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("binpack"), src.schema,
