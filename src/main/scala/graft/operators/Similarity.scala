@@ -110,6 +110,116 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  // ------------------------------------------------------------- IVF ----
+
+  /** Coarse quantizer for IVF: K centroids on the unit sphere, trained by
+    * Lloyd iterations over a bounded driver-side sample (IVF training is
+    * an offline step; the model is centroids only — K×dims doubles — and
+    * broadcasts into the assignment closure). Deterministic: spread
+    * init over the id-sorted sample, fixed iteration count.
+    */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      sampleN: Int = 2000, iters: Int = 10): Array[Array[Double]] = {
+    val sample = corpus.select(idCol, vecCol).orderBy(idCol).limit(sampleN)
+      .collect().map(r => normalizeVec(
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    var cents = Array.tabulate(k)(i => sample(i * sample.length / k))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCell(v, cents)
+        val s = sums(c)
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0L) cents(c) else normalizeVec(sums(c))
+      }.toArray
+    }
+    cents
+  }
+
+  private def normalizeVec(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    v.foreach(x => n += x * x)
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  /** Index of the centroid with the highest dot product (unit vectors →
+    * cosine order). Tight JVM loop, runs inside mapPartitions.
+    */
+  def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { dot += v(i) * ct(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest cells for a query vector (descending dot). */
+  def nearestCells(v: Array[Double], cents: Array[Array[Double]],
+      nprobe: Int): Seq[Int] =
+    cents.indices.map { c =>
+      val ct = cents(c)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { dot += v(i) * ct(i); i += 1 }
+      c -> dot
+    }.sortBy(-_._2).take(nprobe).map(_._1)
+
+  /** IVF approximate top-k: corpus vectors are assigned to their nearest
+    * centroid cell (map-only pass, no shuffle of the corpus); each query
+    * probes its `nprobe` nearest cells and verifies candidates by exact
+    * cosine. Work per query ≈ nprobe × N/K instead of N — the coarse-
+    * quantizer scale path past hyperplane LSH.
+    */
+  def annTopKIvf(corpus: DataFrame, queriesDf: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      cells: Int, nprobe: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cents = trainIvf(corpus, idCol, vecCol, cells)
+    val corpusCells = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, nearestCell(normalizeVec(v.map(_.toDouble)), cents))
+      }).toDF("id", "cell")
+    val qCells = queriesDf
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (qid, v) =>
+        nearestCells(normalizeVec(v.map(_.toDouble)), cents, nprobe)
+          .map(c => (qid, c))
+      }).toDF("q_id", "cell")
+    val cand = broadcast(qCells).join(corpusCells, "cell")
+      .filter(col("q_id") =!= col("id"))
+      .select("q_id", "id").distinct()
+    val qVecs = queriesDf.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("q_vec"))
+    val cVecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    broadcast(cand.join(broadcast(qVecs), "q_id")).join(cVecs, "id")
+      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "embeddings")
 
@@ -175,6 +285,21 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         annTopK(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
           k = 3, tables = 8, planes = 12, dims = 64, cap = 1024)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // IVF ANN: k-means coarse quantizer (16 cells), queries probe their 4
+    // nearest cells — per-query work ≈ nprobe×N/K instead of N. Rows-only
+    // (approximate); SimilaritySpec checks recall on planted twins.
+    GraftQuery(
+      "d_ann_ivf",
+      (s, dir) => {
+        val corpus = emb(s, dir)
+        val q = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        annTopKIvf(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+          k = 3, cells = 16, nprobe = 4)
           .orderBy("q_id", "rank")
       },
       None),

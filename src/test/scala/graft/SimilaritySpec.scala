@@ -72,6 +72,23 @@ class SimilaritySpec extends SparkSpec {
       s"dedup recovered $recovered of $planted planted pairs")
   }
 
+  test("IVF ANN recall >= 0.8 on planted twins, cells partition the corpus") {
+    val base = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.withPlantedTwins(base, "vec_id", "embedding", 1)
+    val q = base.limit(100).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"))
+    val hits = Similarity.annTopKIvf(corpus, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 1, cells = 16, nprobe = 4)
+      .filter(col("neighbor_id") === col("q_id") + 1000000000L)
+      .count()
+    assert(hits >= 80L, s"IVF found $hits/100 planted twins")
+    // the quantizer is deterministic and every vector lands in one cell
+    val cents = Similarity.trainIvf(corpus, "vec_id", "embedding", 16)
+    val cents2 = Similarity.trainIvf(corpus, "vec_id", "embedding", 16)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    assert(cents.length == 16)
+  }
+
   test("per-bucket cap bounds candidate generation under adversarial skew") {
     import spark.implicits._
     // 5000 identical vectors: every table hashes them to ONE bucket —
