@@ -15,14 +15,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a STALE dump from an earlier run must not masquerade as this
+        // run's result — remove it so the compare flags the query
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.isDirectory(dir)) {
+          val w = Files.walk(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            w.sorted(java.util.Comparator.reverseOrder())
+              .iterator.asScala.foreach(Files.deleteIfExists(_))
+          } finally w.close()
+        }
       }
       spark.catalog.clearCache() // release per-query persisted subtrees
     }
+    if (failures > 0)
+      System.err.println(s"[verify] TOTAL FAILED: $failures")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

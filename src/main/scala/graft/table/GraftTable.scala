@@ -816,10 +816,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       if (adds.shards.isEmpty) Set.empty[Map[String, Option[String]]]
       else spark.read.schema(manifestSchema)
         .json(adds.shards.map(_.path): _*)
-        .select("partition").distinct().collect()
+        // set ops don't support MAP columns — canonicalize to a sorted
+        // entry array, which distincts fine
+        .select(array_sort(map_entries(col("partition"))).as("p"))
+        .distinct().collect()
         .map { r =>
-          val m = r.getMap[String, String](0)
-          m.iterator.map { case (k, v) => k -> Option(v) }.toMap
+          r.getSeq[Row](0)
+            .map(e => e.getString(0) -> Option(e.getString(1))).toMap
         }.toSet
     fromEntries ++ fromShards
   }
@@ -901,8 +904,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       return meta.currentSnapshot.getOrElse(
         throw new IllegalStateException("empty table"))
     val rewrittenPaths = small.map(_.path).toSet
-    val rewritten = writeFiles(readAppliedFor(meta, small, schema),
-      repartitionByPartition = meta.defaultSpec.fields.nonEmpty)
+    // the rewrite must actually PACK: without an explicit layout the read
+    // keeps one split per healthy-sized input file and writes it straight
+    // back out. Partitioned tables cluster on partition values (one file
+    // per value); unpartitioned ones coalesce to ceil(totalBytes/target).
+    val applied = readAppliedFor(meta, small, schema)
+    val rewritten =
+      if (meta.defaultSpec.fields.nonEmpty)
+        writeFiles(applied, repartitionByPartition = true)
+      else {
+        val outFiles = math.max(1, math.ceil(
+          small.map(_.fileSize).sum.toDouble / targetFileBytes).toInt)
+        writeFiles(applied.coalesce(outFiles))
+      }
     // delete files referencing a rewritten path hold dead positions (the
     // rewrite applied them); filter delete sets down, keep the rest
     val oldDeletes = entries.filter(_.content == 1)
