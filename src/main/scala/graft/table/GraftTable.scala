@@ -117,9 +117,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val (reused, adds, summaryExtra) = buildRefs(meta)
     val snapId = newSnapshotId()
     val seq = meta.lastSequenceNumber + 1
-    // data and position-delete entries go to SEPARATE manifests so the
-    // read path can locate delete files from O(refs) metadata alone
-    val entryRefs = Seq((0, ""), (1, "-deletes")).flatMap { case (ct, sfx) =>
+    // data, position-delete, and equality-delete entries go to SEPARATE
+    // manifests so the read path locates delete files from O(refs)
+    // metadata alone
+    val entryRefs = Seq((0, ""), (1, "-deletes"), (2, "-eq-deletes"))
+        .flatMap { case (ct, sfx) =>
       val mine = adds.entries.filter(_.content == ct)
       if (mine.isEmpty) Seq.empty else {
         val stamped = mine.map(e =>
@@ -164,6 +166,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         Files.deleteIfExists(manifestListPath(snapId))
         Files.deleteIfExists(metaDir.resolve(s"manifest-$snapId.jsonl"))
         Files.deleteIfExists(metaDir.resolve(s"manifest-$snapId-deletes.jsonl"))
+        Files.deleteIfExists(metaDir.resolve(s"manifest-$snapId-eq-deletes.jsonl"))
         throw e
     }
     snap
@@ -374,6 +377,30 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     manifestsFor(meta, asOf).filter(_.content == 1)
       .flatMap(_.entries).filter(_.content == 1).map(_.path)
 
+  /** Live equality-delete entries (path + sequence number + key cols). */
+  private def eqDeletesFor(meta: TableMetadataV2,
+      asOf: Option[Long]): Seq[DataFileEntry] =
+    manifestsFor(meta, asOf).filter(_.content == 2)
+      .flatMap(_.entries).filter(_.content == 2)
+
+  /** Anti-join the equality deletes that APPLY to data of sequence
+    * number `seq` (strictly smaller than the delete's — a re-inserted
+    * key survives its own past deletion).
+    */
+  private def applyEqDeletes(df: DataFrame, seq: Long,
+      eqDels: Seq[DataFileEntry]): DataFrame = {
+    val out = eqDels.filter(_.sequenceNumber > seq).groupBy(_.eqColumns)
+      .foldLeft(df) { case (d, (cols, ds)) =>
+        val keys = spark.read.parquet(ds.map(_.path): _*)
+          .select(cols.map(col): _*).distinct()
+        d.join(keys, cols, "left_anti")
+      }
+    // a using-columns join moves the join keys to the FRONT of the
+    // output; restore the caller's column order or downstream positional
+    // unions would silently scramble columns
+    out.select(df.columns.toSeq.map(col): _*)
+  }
+
   /** A snapshot's manifest as a DataFrame — the distributed planning
     * path. At 100 TB the manifest is a dataset, not a driver loop: this
     * reader plus `planFilesDistributed` run the same pruning as
@@ -459,11 +486,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // derives them from the deletes-applied read), so their record counts
     // subtract exactly
     val delCount = all.filter(_.content == 1).map(_.recordCount).sum
+    // equality deletes remove an unknown number of rows per key — no
+    // metadata-only count is possible while any are live
+    val hasEq = all.exists(_.content == 2)
     filter match {
+      case None if hasEq => scan(None, asOf).count()
       case None => entries.map(_.recordCount).sum - delCount
-      case Some(f) if delCount > 0 =>
-        // per-file stats cannot certify counts once position deletes
-        // exist — answer from the deletes-applied scan
+      case Some(f) if delCount > 0 || hasEq =>
+        // per-file stats cannot certify counts once MoR deletes exist —
+        // answer from the deletes-applied scan
         scan(Some(f), asOf).count()
       case Some(f) =>
         val schemaId = asOf.flatMap(id =>
@@ -520,17 +551,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val cutoff = System.currentTimeMillis - olderThanMillis
     // data files (paths canonicalized on BOTH sides: a relative table
     // location must not make every live file look unreferenced)
-    val dataDir = Paths.get(location, "data")
-    val orphanData =
-      if (!Files.isDirectory(dataDir)) Seq.empty
+    val orphanData = Seq("data", "deletes").flatMap { sub =>
+      val dir = Paths.get(location, sub)
+      if (!Files.isDirectory(dir)) Seq.empty
       else {
-        val stream = Files.walk(dataDir)
+        val stream = Files.walk(dir)
         try stream.iterator.asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
           .map(p => canon(p.toString)).filterNot(referenced.contains).toSeq
         finally stream.close()
       }
+    }
     // manifests/manifest-lists leaked by lost commit races or crashes —
     // including executor-written shard files under manifest-shards-*/
     val liveManifestPaths = snapRefs.map(r => canon(r.path)).toSet ++
@@ -586,18 +618,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // (path, schema-id) pairs reach the driver — at 100 TB the manifest
     // itself is big data and a driver loop over it is the bottleneck
     val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
-    val planned: Seq[(String, Int)] =
+    val planned: Seq[(String, Int, Long)] =
       if (totalEntries >= distributedPlanningThreshold)
         planFilesDistributedFor(meta, filter, asOf)
-          .select(col("path"), col("schema-id")).collect().toSeq
-          .map(r => (r.getString(0), r.getInt(1)))
-      else planFilesFor(meta, filter, asOf).map(e => (e.path, e.schemaId))
-    val dels = deletePathsFor(meta, asOf)
-    val df =
-      if (dels.isEmpty) readAlignedFilesFor(meta, planned, readSchema)
-      else applyDeletes(
-        readAlignedFilesFor(meta, planned, readSchema, withPos = true),
-        dels).drop(PosPathCol, PosIdxCol)
+          .select(col("path"), col("schema-id"), col("sequence-number"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      else planFilesFor(meta, filter, asOf)
+        .map(e => (e.path, e.schemaId, e.sequenceNumber))
+    val df = readDeletesApplied(meta, planned, readSchema, asOf)
     filter.map(df.filter).getOrElse(df)
   }
 
@@ -637,18 +666,35 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     readAlignedFilesFor(meta, entries.map(e => (e.path, e.schemaId)),
       readSchema)
 
-  /** Like readAlignedFor, but with prior position deletes anti-joined
-    * away — the read every mutation must use, or CoW rewrites would
-    * resurrect MoR-deleted rows.
+  /** Like readAlignedFor, but with prior position AND equality deletes
+    * anti-joined away — the read every mutation must use, or CoW
+    * rewrites would resurrect MoR-deleted rows.
     */
   private def readAppliedFor(meta: TableMetadataV2,
       entries: Seq[DataFileEntry], readSchema: SchemaV2,
-      asOf: Option[Long] = None): DataFrame = {
-    val dels = deletePathsFor(meta, asOf)
-    if (dels.isEmpty) readAlignedFor(meta, entries, readSchema)
-    else applyDeletes(readAlignedFilesFor(meta,
-      entries.map(e => (e.path, e.schemaId)), readSchema, withPos = true),
-      dels).drop(PosPathCol, PosIdxCol)
+      asOf: Option[Long] = None): DataFrame =
+    readDeletesApplied(meta,
+      entries.map(e => (e.path, e.schemaId, e.sequenceNumber)),
+      readSchema, asOf)
+
+  /** The deletes-applied read: position deletes anti-join on (file,
+    * pos); equality deletes anti-join on their key columns per
+    * sequence-number group (files added after a delete are untouched).
+    */
+  private def readDeletesApplied(meta: TableMetadataV2,
+      files: Seq[(String, Int, Long)], readSchema: SchemaV2,
+      asOf: Option[Long]): DataFrame = {
+    val posDels = deletePathsFor(meta, asOf)
+    val eqDels = eqDeletesFor(meta, asOf)
+    def posApplied(fs: Seq[(String, Int)]): DataFrame =
+      if (posDels.isEmpty) readAlignedFilesFor(meta, fs, readSchema)
+      else applyDeletes(readAlignedFilesFor(meta, fs, readSchema,
+        withPos = true), posDels).drop(PosPathCol, PosIdxCol)
+    if (eqDels.isEmpty || files.isEmpty)
+      posApplied(files.map(f => (f._1, f._2)))
+    else files.groupBy(_._3).map { case (seq, fs) =>
+      applyEqDeletes(posApplied(fs.map(f => (f._1, f._2))), seq, eqDels)
+    }.reduce(_.unionByName(_))
   }
 
   /** Anti-join position-delete files (columns file_path, pos) against a
@@ -742,10 +788,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         val writeId = java.util.UUID.randomUUID.toString.take(8)
         val delDir = s"$location/deletes/$writeId"
         val dels = deletePathsFor(meta, None)
-        val annotated = readAlignedFilesFor(meta,
-          affected.map(e => (e.path, e.schemaId)), schema, withPos = true)
-        val live =
-          if (dels.isEmpty) annotated else applyDeletes(annotated, dels)
+        val eqDels = eqDeletesFor(meta, None)
+        // positions derive from the FULLY applied read (prior position
+        // and equality deletes), per sequence-number group
+        val live = affected.groupBy(_.sequenceNumber).map { case (sq, es) =>
+          val ann = readAlignedFilesFor(meta,
+            es.map(e => (e.path, e.schemaId)), schema, withPos = true)
+          applyEqDeletes(
+            if (dels.isEmpty) ann else applyDeletes(ann, dels), sq, eqDels)
+        }.reduce(_.unionByName(_))
         live.filter(cond)
           .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
           .write.mode("errorifexists").parquet(delDir)
@@ -766,6 +817,43 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
           Map("position-delete-files" -> delEntries.size.toString,
             "deleted-rows" -> delEntries.map(_.recordCount).sum.toString)))
+      catch { case _: CommitConflictException if attempts < 5 => }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Merge-on-read EQUALITY delete: drop every CURRENT row whose key
+    * tuple appears in `keys` (a DataFrame whose columns are a subset of
+    * the table's). O(keys) — touches NO data at delete time, the
+    * cheapest mutation for key-addressed curation (e.g. "remove these
+    * doc_ids"). Sequence ordering scopes it: rows appended AFTER this
+    * commit carry larger sequence numbers and are untouched, so a
+    * re-inserted key survives its own past deletion.
+    */
+  def deleteWhereEq(keys: DataFrame): SnapshotV2 = {
+    val meta = metadata
+    val schema = meta.currentSchema
+    val sparkSchema = toSparkSchema(schema)
+    val cols = keys.columns.toSeq
+    cols.foreach(c => require(sparkSchema.fieldNames.contains(c),
+      s"equality-delete column $c is not a table column"))
+    val writeId = java.util.UUID.randomUUID.toString.take(8)
+    val delDir = s"$location/deletes/$writeId"
+    keys.distinct().write.mode("errorifexists").parquet(delDir)
+    val counts = spark.read.schema(keys.schema).parquet(delDir)
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(count(lit(1)).as("n")).collect()
+    val delEntries = counts.toSeq.map(r =>
+      DataFileEntry(decodePath(r.getAs[String]("__f")), r.getAs[Long]("n"),
+        PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
+        content = 2, eqColumns = cols))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return commitSnapshot("delete", fresh =>
+        (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
+          Map("equality-delete-files" -> delEntries.size.toString,
+            "equality-columns" -> cols.mkString(","))))
       catch { case _: CommitConflictException if attempts < 5 => }
     }
     throw new IllegalStateException("unreachable")

@@ -175,6 +175,30 @@ object IcebergQueries {
       Some(s"""$flagAggSql FROM lineitem WHERE l_returnflag <> 'R'
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Merge-on-read EQUALITY delete: key tuples only — no data read at
+    // delete time; rows re-appended afterwards survive (sequence-number
+    // scoping, asserted here).
+    GraftQuery(
+      "ice_delete_eq",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("delete_eq"), src.schema)
+        t.append(src)
+        val keys = src.filter(col("l_orderkey") % 10 === 3)
+          .select("l_orderkey").distinct()
+        t.deleteWhereEq(keys)
+        // re-insert a slice of the deleted keys AFTER the delete: the
+        // equality delete must not touch the younger files
+        val reinserted = src.filter(col("l_orderkey") % 100 === 3)
+        t.append(reinserted)
+        flagAgg(t.scan())
+      },
+      Some(s"""$flagAggSql FROM (
+          SELECT * FROM lineitem WHERE l_orderkey % 10 <> 3
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_orderkey % 100 = 3)
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Dynamic partition overwrite: 1996's months get rewritten content,
     // every other partition is untouched.
     GraftQuery(

@@ -32,10 +32,13 @@ object ColStats {
   * the schema the file was written with (drives evolution-aware reads);
   * `partition` holds the spec's derived partition values (None = null
   * partition); `content` distinguishes DATA files (0) from POSITION
-  * DELETE files (1, parquet of (file_path, pos) pairs — merge-on-read
-  * deletes applied at scan time via anti-join, ordered against data by
-  * sequence number as the reference models at
-  * /root/reference/src/model/snapshot.rs:54).
+  * DELETE files (1, parquet of (file_path, pos) pairs) and EQUALITY
+  * DELETE files (2, parquet of key tuples over `eqColumns`) — merge-on-
+  * read deletes applied at scan time via anti-join. Sequence numbers
+  * order deletes against data exactly as the reference models at
+  * /root/reference/src/model/snapshot.rs:54: an equality delete applies
+  * only to data files with a STRICTLY SMALLER sequence number, so a
+  * re-inserted key survives its own past deletion.
   *
   * Manifests are JSON-lines — one complete file list per snapshot. At
   * 100 TB the same files would be read as a Spark JSON dataset instead of
@@ -52,7 +55,8 @@ case class DataFileEntry(
     partition: Map[String, Option[String]],
     stats: Map[String, ColStats],
     content: Int = 0,
-    fileSize: Long = 0L) {
+    fileSize: Long = 0L,
+    eqColumns: Seq[String] = Seq.empty) {
 
   def isData: Boolean = content == 0
 
@@ -65,6 +69,10 @@ case class DataFileEntry(
     o.put("schema-id", schemaId)
     if (content != 0) o.put("content", content)
     if (fileSize != 0L) o.put("file-size", fileSize)
+    if (eqColumns.nonEmpty) {
+      val a = o.putArray("equality-columns")
+      eqColumns.foreach(a.add)
+    }
     val p = o.putObject("partition")
     partition.toSeq.sortBy(_._1).foreach {
       case (k, Some(v)) => p.put(k, v)
@@ -103,7 +111,9 @@ object DataFileEntry {
       e.getKey -> ColStats.fromJson(e.getValue)
     }.toMap,
     n.path("content").asInt(0),
-    n.path("file-size").asLong(0L))
+    n.path("file-size").asLong(0L),
+    Option(n.get("equality-columns")).map(_.elements.asScala.toSeq
+      .map(_.asText)).getOrElse(Seq.empty))
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
     val lines = entries.map(e => Json.write(e.toJson))

@@ -379,6 +379,39 @@ class TableSpec extends SparkSpec {
     assert(t.metadata.currentSnapshotId == snapBefore)
   }
 
+  test("equality deletes: key-addressed, sequence-scoped, stack with position deletes") {
+    val src = lineitem.limit(1000)
+    val t = GraftTable.create(spark, freshLoc("eqdel"), src.schema)
+    t.append(src)
+    val dataFiles = t.planFiles().map(_.path).toSet
+    // delete all rows of two flags' keys by equality — no data touched
+    val keys = src.filter(col("l_quantity") < 15).select("l_orderkey", "l_linenumber").distinct()
+    t.deleteWhereEq(keys)
+    assert(t.planFiles().map(_.path).toSet == dataFiles)
+    val expect1 = src.join(keys, Seq("l_orderkey", "l_linenumber"), "left_anti")
+    assert(t.scan().count() == expect1.count())
+    assert(t.countRows() == expect1.count())
+    // re-insert some of the deleted rows: younger sequence → they survive
+    val back = src.join(keys, Seq("l_orderkey", "l_linenumber"), "left_semi").limit(50)
+    val backRows = back.count()
+    t.append(back)
+    assert(t.scan().count() == expect1.count() + backRows)
+    // filtered scans apply equality deletes too
+    val f = col("l_returnflag") === "A"
+    assert(t.scan(Some(f)).count() ==
+      expect1.filter(f).count() + back.filter(f).count())
+    // position delete on top composes
+    t.deleteWhereMoR(col("l_returnflag") === "N")
+    val expect3 = expect1.filter(col("l_returnflag") =!= "N").count() +
+      back.filter(col("l_returnflag") =!= "N").count()
+    assert(t.scan().count() == expect3)
+    // compaction absorbs both delete kinds
+    t.compact()
+    assert(t.liveEntries().forall(_.isData))
+    assert(t.scan().count() == expect3)
+    assert(t.countRows() == expect3)
+  }
+
   test("merge-on-read deletes: no rewrite, exact counts, absorbed by compaction") {
     val src = lineitem.limit(1000)
     val t = GraftTable.create(spark, freshLoc("mor"), src.schema)
