@@ -28,6 +28,8 @@ object Pruning {
     */
   case class Cmp(col: String, op: String, value: String)
   case class InSet(col: String, values: Seq[String])
+  case class NullCmp(col: String, isNull: Boolean)
+  case class Prefix(col: String, prefix: String)
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
     .withZone(ZoneOffset.UTC)
@@ -184,6 +186,22 @@ object Pruning {
         if (vals.nonEmpty && vals.forall(_.isDefined))
           Seq(InSet(name, vals.flatten))
         else Seq.empty
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a)
+          if attrName(a).isDefined =>
+        Seq(NullCmp(attrName(a).get, isNull = true))
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a)
+          if attrName(a).isDefined =>
+        Seq(NullCmp(attrName(a).get, isNull = false))
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(a, v)
+          if attrName(a).isDefined =>
+        litVal(v) match {
+          // ASCII-only: char truncation == byte truncation, so the
+          // min/max prefix bound below is sound; otherwise skip
+          case Some((p: org.apache.spark.unsafe.types.UTF8String, _))
+              if p.toString.forall(_ < 128) =>
+            Seq(Prefix(attrName(a).get, p.toString))
+          case _ => Seq.empty
+        }
       case _ => Seq.empty
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -231,6 +249,19 @@ object Pruning {
       case InSet(colName, values) =>
         values.exists(v => statsMayMatch(entry, colName, "=", v, schema) &&
           partitionMayMatch(entry, colName, "=", v, schema, spec, specSchema))
+      case NullCmp(colName, true) =>
+        entry.stats.get(colName).forall(_.nulls > 0L)
+      case NullCmp(colName, false) =>
+        entry.stats.get(colName).forall(_.nulls < entry.recordCount)
+      case Prefix(colName, p) => entry.stats.get(colName) match {
+        // a row with prefix p lies in [p, succ(p)); truncating byte-
+        // ordered bounds to |p| is monotone, so matching files satisfy
+        // min.take ≤ p ≤ max.take (ASCII-guarded at extraction)
+        case Some(ColStats(Some(mn), Some(mx), _)) =>
+          utf8Compare(mn.take(p.length), p) <= 0 &&
+            utf8Compare(mx.take(p.length), p) >= 0
+        case _ => true
+      }
       case _ => true
     }
   }
@@ -275,6 +306,13 @@ object Pruning {
             }
           case _ => false // missing stats or nulls present → must scan
         }
+      case NullCmp(colName, true) =>
+        entry.stats.get(colName).exists(_.nulls == entry.recordCount)
+      case NullCmp(colName, false) =>
+        entry.stats.get(colName).exists(_.nulls == 0L)
+      case Prefix(colName, p) =>
+        entry.stats.get(colName).exists(s => s.nulls == 0L &&
+          s.min.exists(_.startsWith(p)) && s.max.exists(_.startsWith(p)))
       case _ => false // InSet and unknowns → must scan
     }
 
@@ -427,6 +465,16 @@ object Pruning {
       case Cmp(c, op, v) => one(c, op, v)
       case InSet(c, vs) => vs.map(v => one(c, "=", v))
         .foldLeft(lit(false))(_ || _)
+      case NullCmp(c, isNull) =>
+        val st = col("stats")(c)
+        when(st.isNull, lit(true)).otherwise(
+          if (isNull) st("nulls") > 0L
+          else st("nulls") < col("record-count"))
+      case Prefix(c, p) =>
+        val st = col("stats")(c)
+        when(st.isNull || st("min").isNull || st("max").isNull, lit(true))
+          .otherwise(substring(st("min"), 1, p.length) <= p &&
+            substring(st("max"), 1, p.length) >= p)
       case _ => lit(true)
     }.foldLeft(lit(true))(_ && _)
   }

@@ -81,6 +81,42 @@ class PruningFuzzSpec extends SparkSpec {
     check(t, src, rounds = 25)
   }
 
+  test("null-count and string-prefix conjuncts prune files") {
+    val li = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val src = li.select(col("l_orderkey"), col("l_returnflag"),
+      when(col("l_returnflag") === "R", lit(null))
+        .otherwise(col("l_returnflag")).as("flag2"),
+      concat(col("l_returnflag"), lit("-"), col("l_orderkey")).as("tag"))
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-n").toString + "/t",
+      src.schema, partitionBy = Seq(("l_returnflag", TIdentity, "flag_p")))
+    t.append(src, repartitionByPartition = true)
+    assert(t.liveEntries().size == 3) // one file per flag
+    // IS NULL: only the R file carries nulls in flag2
+    assert(t.planFiles(Some(col("flag2").isNull)).size == 1)
+    assert(t.scan(Some(col("flag2").isNull)).count() ==
+      src.filter(col("flag2").isNull).count())
+    // the all-null file is certified fully-matching: metadata-only count
+    assert(t.countRows(Some(col("flag2").isNull)) ==
+      src.filter(col("flag2").isNull).count())
+    // IS NOT NULL: the all-null file is pruned
+    assert(t.planFiles(Some(col("flag2").isNotNull)).size == 2)
+    assert(t.countRows(Some(col("flag2").isNotNull)) ==
+      src.filter(col("flag2").isNotNull).count())
+    // startsWith: tag values cluster by flag prefix
+    assert(t.planFiles(Some(col("tag").startsWith("N-"))).size == 1)
+    assert(t.scan(Some(col("tag").startsWith("N-"))).count() ==
+      src.filter(col("tag").startsWith("N-")).count())
+    // distributed planner agrees
+    spark.conf.set("spark.graft.distributedPlanningThreshold", "0")
+    try {
+      assert(t.planFilesDistributed(Some(col("flag2").isNotNull)).count() == 2L)
+      assert(t.planFilesDistributed(Some(col("tag").startsWith("N-"))).count() == 1L)
+      assert(t.scan(Some(col("tag").startsWith("N-"))).count() ==
+        src.filter(col("tag").startsWith("N-")).count())
+    } finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
+  }
+
   test("fuzz: float columns — inexact binary literals (stats + identity-partition)") {
     val src0 = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
     // qf: many distinct floats like 0.35f whose double widening differs
