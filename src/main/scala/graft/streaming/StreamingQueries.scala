@@ -124,6 +124,39 @@ object StreamingQueries {
           .orderBy("user_id", "session_start"),
       None),
 
+    // Streaming → DURABLE TABLE sink: append-mode windowed aggregation
+    // (only watermark-finalized windows emit) committed to a GraftTable
+    // snapshot per micro-batch via foreachBatch — the production shape,
+    // where nothing accumulates on the driver. The readback scans the
+    // table like any batch consumer.
+    GraftQuery(
+      "s_stream_table_sink",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n_events"))
+        val root = java.nio.file.Files
+          .createTempDirectory("stream-sink").toString
+        val t = graft.table.GraftTable.create(s, s"$root/t", agg.schema)
+        val q = t.appendStream(agg, s"$root/ckpt")
+        q.awaitTermination()
+        t.scan()
+          .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"), col("event_type"), col("n_events"))
+          .orderBy("hour_start", "event_type")
+      },
+      // append mode finalizes a window once the watermark (max ts − 1h)
+      // passes its end: hour buckets with end ≤ max(ts) − 1h
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+            AS hour_start, event_type, COUNT(*) AS n_events
+        FROM events, m
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        GROUP BY 1, 2, m.mx ORDER BY hour_start, event_type""")),
+
     // Streaming dedup inside the watermark: the stream is doubled (every
     // event appears twice) and dropDuplicates restores exact counts.
     GraftQuery(
