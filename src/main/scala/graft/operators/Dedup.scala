@@ -93,6 +93,50 @@ object Dedup {
         min(doc_id) AS keeper_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY fp""")),
 
+    // Deterministic train/eval split: hash-bucketed on a content-stable
+    // key, reproducible across runs and engines (md5 hex prefix compare,
+    // ~10% eval at < "1a" = 26/256). Map-only — no shuffle beyond the
+    // verification aggregate.
+    GraftQuery(
+      "d_split_train_eval",
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+        docs(s, dir)
+          .withColumn("split", when(h < "1a", "eval").otherwise("train"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source", "split")
+      },
+      Some("""SELECT source,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'eval' ELSE 'train' END AS split,
+          COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM documents GROUP BY 1, 2 ORDER BY source, split""")),
+
+    // Eval-set decontamination: drop every document whose normalized
+    // content fingerprint appears in the benchmark set — catches exact
+    // text copies, not just shared ids. Anti-join on the fingerprint
+    // (hash-partitioned; the eval side is small → broadcast).
+    GraftQuery(
+      "d_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val fp = md5(TextOps.normText(col("text")))
+        val evalFps = d.filter(col("doc_id") % 17 === 0)
+          .select(fp.as("fp")).distinct()
+        d.select(col("doc_id"), col("source"), fp.as("fp"))
+          .join(broadcast(evalFps), Seq("fp"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_clean"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ev AS (SELECT DISTINCT md5(${TextOps.normTextSql}) AS fp
+          FROM documents WHERE doc_id % 17 = 0)
+        SELECT source, COUNT(*) AS n_clean FROM documents d
+        WHERE md5(${TextOps.normTextSql}) NOT IN (SELECT fp FROM ev)
+        GROUP BY 1 ORDER BY source""")),
+
     // MinHash + LSH near-dup detection: 64 hashes in 16 bands × 4 rows;
     // candidates from a band-hash equi-join; Jaccard-verified on shingles.
     GraftQuery(
