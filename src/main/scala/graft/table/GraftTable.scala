@@ -187,7 +187,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       attempts += 1
       try return commitSnapshot("append",
         meta => (manifestsFor(meta, None), adds, Map.empty))
-      catch { case _: CommitConflictException if attempts < 5 => }
+      catch { case _: CommitConflictException if attempts < 20 =>
+        // rebase-and-retry is always safe for this op; back off with
+        // jitter so N racing writers serialize instead of starving one
+        Thread.sleep(5L * attempts + scala.util.Random.nextInt(25)) }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -817,7 +820,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
           Map("position-delete-files" -> delEntries.size.toString,
             "deleted-rows" -> delEntries.map(_.recordCount).sum.toString)))
-      catch { case _: CommitConflictException if attempts < 5 => }
+      catch { case _: CommitConflictException if attempts < 20 =>
+        // rebase-and-retry is always safe for this op; back off with
+        // jitter so N racing writers serialize instead of starving one
+        Thread.sleep(5L * attempts + scala.util.Random.nextInt(25)) }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -854,7 +860,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
           Map("equality-delete-files" -> delEntries.size.toString,
             "equality-columns" -> cols.mkString(","))))
-      catch { case _: CommitConflictException if attempts < 5 => }
+      catch { case _: CommitConflictException if attempts < 20 =>
+        // rebase-and-retry is always safe for this op; back off with
+        // jitter so N racing writers serialize instead of starving one
+        Thread.sleep(5L * attempts + scala.util.Random.nextInt(25)) }
     }
     throw new IllegalStateException("unreachable")
   }
