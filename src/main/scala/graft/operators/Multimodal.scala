@@ -76,19 +76,28 @@ object Multimodal {
     */
   private def jpegDims(p: Array[Byte]): (Option[Long], Option[Long]) = {
     var i = 2
-    while (i + 3 < p.length && u8(p(i)) == 0xff) {
-      val marker = u8(p(i + 1))
+    while (i + 1 < p.length && u8(p(i)) == 0xff) {
+      // JPEG permits 0xff FILL bytes between segments — skip runs of
+      // them, or a fill byte reads as a marker and the walk derails
+      var j = i + 1
+      while (j < p.length && u8(p(j)) == 0xff) j += 1
+      if (j >= p.length) return (None, None)
+      val marker = u8(p(j))
       if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
-        return if (i + 8 < p.length)
-          (Some(((u8(p(i + 7)) << 8) | u8(p(i + 8))).toLong),
-            Some(((u8(p(i + 5)) << 8) | u8(p(i + 6))).toLong))
+        return if (j + 7 < p.length)
+          (Some(((u8(p(j + 6)) << 8) | u8(p(j + 7))).toLong),
+            Some(((u8(p(j + 4)) << 8) | u8(p(j + 5))).toLong))
         else (None, None)
       }
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+      // SOS starts entropy-coded data, EOI ends the stream: no SOF now
+      if (marker == 0xda || marker == 0xd9) return (None, None)
+      // standalone (length-less) markers: TEM, RSTn, SOI
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i = j + 1
       else {
-        val len = (u8(p(i + 2)) << 8) | u8(p(i + 3))
+        if (j + 2 >= p.length) return (None, None)
+        val len = (u8(p(j + 1)) << 8) | u8(p(j + 2))
         if (len < 2) return (None, None)
-        i += 2 + len
+        i = j + 1 + len
       }
     }
     (None, None)

@@ -203,19 +203,37 @@ object Sessionizer {
     val times = rows.map(_._2.getTime / 1000L).toArray.sorted
     if (times.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    var (start, end, n) = state.getOption match {
-      case Some(open) if times.head - open.session_end <= GapSeconds =>
-        (open.session_start, open.session_end, open.n_events)
-      case Some(open) => out += open; (times.head, times.head, 0L)
-      case None => (times.head, times.head, 0L)
-    }
-    times.foreach { t =>
-      if (t - end > GapSeconds) {
-        out += SessionOut(userId, start, end, n)
-        start = t; end = t; n = 1L
-      } else {
-        end = t; n += 1L
+
+    /** Plain ascending gap-walk from a seed session; emits closed ones. */
+    def walk(ts: Seq[Long], s0: Long, e0: Long, n0: Long): (Long, Long, Long) = {
+      var (cs, ce, cn) = (s0, e0, n0)
+      ts.foreach { t =>
+        if (t <= ce) { if (t < cs) cs = t; cn += 1L } // late, inside span
+        else if (t - ce <= GapSeconds) { ce = t; cn += 1L }
+        else {
+          out += SessionOut(userId, cs, ce, cn)
+          cs = t; ce = t; cn = 1L
+        }
       }
+      (cs, ce, cn)
+    }
+
+    // the watermark admits LATE events (up to its delay): an event inside
+    // or within a gap of the open session merges without regressing its
+    // bounds; events more than a gap BEFORE its start form their own
+    // earlier sessions, final by construction — the open session's
+    // existence proves the separating gap
+    val (start, end, n) = state.getOption match {
+      case Some(open) =>
+        val (pre, rest) =
+          times.partition(_ < open.session_start - GapSeconds)
+        if (pre.nonEmpty) {
+          val (ps, pe, pn) = walk(pre.tail, pre.head, pre.head, 1L)
+          out += SessionOut(userId, ps, pe, pn)
+        }
+        walk(rest, open.session_start, open.session_end, open.n_events)
+      case None =>
+        walk(times.tail, times.head, times.head, 1L)
     }
     state.update(SessionOut(userId, start, end, n))
     // close at end + gap in event time; never set a timeout at or before

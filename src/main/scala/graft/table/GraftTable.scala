@@ -146,8 +146,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val snap = SnapshotV2(snapId, meta.currentSnapshotId, seq, now,
       manifestListPath(snapId).toString,
       Summary(Some(op), summaryExtra ++ Map(
-        "total-data-files" -> mrefs.map(_.entryCount).sum.toString,
-        "total-records" -> mrefs.map(_.recordCount).sum.toString)),
+        "total-data-files" ->
+          mrefs.filter(_.content == 0).map(_.entryCount).sum.toString,
+        "total-records" ->
+          mrefs.filter(_.content == 0).map(_.recordCount).sum.toString) ++
+        (if (mrefs.exists(_.content != 0)) Map(
+          "total-delete-files" ->
+            mrefs.filter(_.content != 0).map(_.entryCount).sum.toString)
+        else Map.empty)),
       Some(meta.currentSchemaId.toLong))
     val refs = meta.refs.getOrElse(Map.empty) +
       ("main" -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
@@ -180,16 +186,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * commit race is retried against the fresh state.
     */
   def append(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
+      repartitionByPartition: Boolean = false): SnapshotV2 =
+    appendWithSummary(df, Map.empty, sortWithin, repartitionByPartition)
+
+  private def appendWithSummary(df: DataFrame,
+      summaryExtra: Map[String, String], sortWithin: Seq[Column] = Seq.empty,
       repartitionByPartition: Boolean = false): SnapshotV2 = {
     val adds = writeFiles(df, sortWithin, repartitionByPartition)
+    retryingCommit(() => commitSnapshot("append",
+      meta => (manifestsFor(meta, None), adds, summaryExtra)))
+  }
+
+  /** Run an optimistic commit, rebasing and retrying on version-claim
+    * conflicts with jittered backoff so N racing writers serialize
+    * instead of starving one. `body` must RE-DERIVE anything that
+    * depends on current table state on each call.
+    */
+  private def retryingCommit(body: () => SnapshotV2,
+      maxAttempts: Int = 20): SnapshotV2 = {
     var attempts = 0
     while (true) {
       attempts += 1
-      try return commitSnapshot("append",
-        meta => (manifestsFor(meta, None), adds, Map.empty))
-      catch { case _: CommitConflictException if attempts < 20 =>
-        // rebase-and-retry is always safe for this op; back off with
-        // jitter so N racing writers serialize instead of starving one
+      try return body()
+      catch { case _: CommitConflictException if attempts < maxAttempts =>
         Thread.sleep(5L * attempts + scala.util.Random.nextInt(25)) }
     }
     throw new IllegalStateException("unreachable")
@@ -391,18 +410,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * key survives its own past deletion).
     */
   private def applyEqDeletes(df: DataFrame, seq: Long,
-      eqDels: Seq[DataFileEntry]): DataFrame = {
-    val out = eqDels.filter(_.sequenceNumber > seq).groupBy(_.eqColumns)
+      eqDels: Seq[DataFileEntry]): DataFrame =
+    eqDels.filter(_.sequenceNumber > seq).groupBy(_.eqColumns)
       .foldLeft(df) { case (d, (cols, ds)) =>
         val keys = spark.read.parquet(ds.map(_.path): _*)
-          .select(cols.map(col): _*).distinct()
-        d.join(keys, cols, "left_anti")
+          .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*).distinct()
+        // NULL-SAFE equality (null key matches null column, per Iceberg
+        // equality-delete semantics); an expression join also leaves the
+        // left side's column order untouched, unlike a using-columns
+        // join which moves keys to the front and would scramble the
+        // downstream positional unions
+        val cond = cols.map(c => col(c) <=> col(s"__gfeq_$c"))
+          .reduce(_ && _)
+        d.join(keys, cond, "left_anti")
       }
-    // a using-columns join moves the join keys to the FRONT of the
-    // output; restore the caller's column order or downstream positional
-    // unions would silently scramble columns
-    out.select(df.columns.toSeq.map(col): _*)
-  }
 
   /** A snapshot's manifest as a DataFrame — the distributed planning
     * path. At 100 TB the manifest is a dataset, not a driver loop: this
@@ -590,20 +611,40 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   }
 
   /** Continuous ingestion: append each micro-batch of `stream` as a
-    * snapshot (exactly-once per batch via the checkpoint). The caller
-    * owns the returned query's lifecycle.
+    * snapshot. foreachBatch delivery is AT-LEAST-once (a crash between
+    * the table commit and the checkpoint write replays the batch), so
+    * each snapshot records its (stream, batch) id and a replayed batch
+    * is skipped — making the sink exactly-once. The caller owns the
+    * returned query's lifecycle.
     */
   def appendStream(stream: DataFrame, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = Integer.toHexString(checkpoint.hashCode)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { append(batch); () }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitStreamBatch(batch, id, streamId)
       }
       .start()
+  }
+
+  /** Idempotent per-batch commit (package-visible for tests): a batch id
+    * at or below the stream's high-water mark was already committed by a
+    * previous delivery and is skipped.
+    */
+  private[graft] def commitStreamBatch(batch: DataFrame, batchId: Long,
+      streamId: String): Unit = {
+    val key = s"stream-batch-$streamId"
+    val highWater = metadata.snapshots.getOrElse(Seq.empty)
+      .flatMap(_.summary.other.get(key)).map(_.toLong).maxOption
+    if (!highWater.exists(_ >= batchId) && !batch.isEmpty) {
+      appendWithSummary(batch, Map(key -> batchId.toString))
+      ()
+    }
+  }
 
   /** Snapshot-consistent scan with metadata pruning + residual filter.
     * Reads resolve columns by field id across schema versions (rename/add
@@ -763,7 +804,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         // prior MoR deletes applied so the rewrite can't resurrect rows
         else writeFiles(readAppliedFor(meta, maybe, schema)
           .filter(cond.isNull || !cond))
-      (reused, PendingAdds(carried, rewritten.shards),
+      // position deletes referencing rewritten files are now dead —
+      // rebuild the delete set so metadata counts stay exact
+      val posDels = reused.filter(_.content == 1).flatMap(_.entries)
+      val (reusedRefs, newDels) =
+        if (maybe.isEmpty || posDels.isEmpty) (reused, Seq.empty)
+        else (reused.filterNot(_.content == 1),
+          rebuildPosDeletes(posDels, maybe.map(_.path).toSet,
+            schema.schemaId))
+      (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
         Map("rewritten-files" -> maybe.size.toString))
     })
 
@@ -776,57 +825,59 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * deletes-APPLIED read, so a row is never recorded twice and delete
     * record counts subtract exactly. Compaction absorbs delete files.
     */
-  def deleteWhereMoR(cond: Column): SnapshotV2 = {
-    val meta = metadata
-    val schema = meta.currentSchema
-    val sparkSchema = toSparkSchema(schema)
-    val preds = Pruning.extract(spark, cond, sparkSchema)
-    val dataEntries =
-      manifestsFor(meta, None).flatMap(_.entries).filter(_.isData)
-    val affected = dataEntries.filter(e =>
-      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
-    val delEntries: Seq[DataFileEntry] =
-      if (affected.isEmpty) Seq.empty
-      else {
-        val writeId = java.util.UUID.randomUUID.toString.take(8)
-        val delDir = s"$location/deletes/$writeId"
-        val dels = deletePathsFor(meta, None)
-        val eqDels = eqDeletesFor(meta, None)
-        // positions derive from the FULLY applied read (prior position
-        // and equality deletes), per sequence-number group
-        val live = affected.groupBy(_.sequenceNumber).map { case (sq, es) =>
-          val ann = readAlignedFilesFor(meta,
-            es.map(e => (e.path, e.schemaId)), schema, withPos = true)
-          applyEqDeletes(
-            if (dels.isEmpty) ann else applyDeletes(ann, dels), sq, eqDels)
-        }.reduce(_.unionByName(_))
-        live.filter(cond)
-          .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
-          .write.mode("errorifexists").parquet(delDir)
-        val delSchema = StructType(Seq(SparkField("file_path", StringType),
-          SparkField("pos", LongType)))
-        val counts = spark.read.schema(delSchema).parquet(delDir)
-          .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(count(lit(1)).as("n")).collect()
-        counts.toSeq.map(r =>
-          DataFileEntry(decodePath(r.getAs[String]("__f")),
-            r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
-            Map.empty, Map.empty, content = 1))
-      }
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      try return commitSnapshot("delete", fresh =>
+  def deleteWhereMoR(cond: Column): SnapshotV2 =
+    // positions are only valid against the EXACT snapshot they were
+    // computed from — a concurrent rewrite would orphan them (rows
+    // surviving in the new files) and a concurrent MoR delete could
+    // double-record a row. So the whole derivation re-runs on conflict,
+    // pinned to the snapshot observed at the start of each attempt;
+    // abandoned delete files are swept by removeOrphanFiles.
+    retryingCommit(() => {
+      val meta = metadata
+      val schema = meta.currentSchema
+      val sparkSchema = toSparkSchema(schema)
+      val preds = Pruning.extract(spark, cond, sparkSchema)
+      val dataEntries =
+        manifestsFor(meta, None).flatMap(_.entries).filter(_.isData)
+      val affected = dataEntries.filter(e =>
+        Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+      val delEntries: Seq[DataFileEntry] =
+        if (affected.isEmpty) Seq.empty
+        else {
+          val writeId = java.util.UUID.randomUUID.toString.take(8)
+          val delDir = s"$location/deletes/$writeId"
+          val dels = deletePathsFor(meta, None)
+          val eqDels = eqDeletesFor(meta, None)
+          // positions derive from the FULLY applied read (prior position
+          // and equality deletes), per sequence-number group
+          val live = affected.groupBy(_.sequenceNumber).map { case (sq, es) =>
+            val ann = readAlignedFilesFor(meta,
+              es.map(e => (e.path, e.schemaId)), schema, withPos = true)
+            applyEqDeletes(
+              if (dels.isEmpty) ann else applyDeletes(ann, dels), sq, eqDels)
+          }.reduce(_.unionByName(_))
+          live.filter(cond)
+            .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
+            .write.mode("errorifexists").parquet(delDir)
+          val delSchema = StructType(Seq(SparkField("file_path", StringType),
+            SparkField("pos", LongType)))
+          val counts = spark.read.schema(delSchema).parquet(delDir)
+            .groupBy(col("_metadata.file_path").as("__f"))
+            .agg(count(lit(1)).as("n")).collect()
+          counts.toSeq.map(r =>
+            DataFileEntry(decodePath(r.getAs[String]("__f")),
+              r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
+              Map.empty, Map.empty, content = 1))
+        }
+      commitSnapshot("delete", fresh => {
+        if (fresh.currentSnapshotId != meta.currentSnapshotId)
+          throw new CommitConflictException(
+            s"table changed during deleteWhereMoR at $location")
         (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
           Map("position-delete-files" -> delEntries.size.toString,
-            "deleted-rows" -> delEntries.map(_.recordCount).sum.toString)))
-      catch { case _: CommitConflictException if attempts < 20 =>
-        // rebase-and-retry is always safe for this op; back off with
-        // jitter so N racing writers serialize instead of starving one
-        Thread.sleep(5L * attempts + scala.util.Random.nextInt(25)) }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+            "deleted-rows" -> delEntries.map(_.recordCount).sum.toString))
+      })
+    })
 
   /** Merge-on-read EQUALITY delete: drop every CURRENT row whose key
     * tuple appears in `keys` (a DataFrame whose columns are a subset of
@@ -853,19 +904,39 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       DataFileEntry(decodePath(r.getAs[String]("__f")), r.getAs[Long]("n"),
         PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
         content = 2, eqColumns = cols))
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      try return commitSnapshot("delete", fresh =>
-        (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
-          Map("equality-delete-files" -> delEntries.size.toString,
-            "equality-columns" -> cols.mkString(","))))
-      catch { case _: CommitConflictException if attempts < 20 =>
-        // rebase-and-retry is always safe for this op; back off with
-        // jitter so N racing writers serialize instead of starving one
-        Thread.sleep(5L * attempts + scala.util.Random.nextInt(25)) }
-    }
-    throw new IllegalStateException("unreachable")
+    // plain rebase is safe here: equality deletes scope by sequence
+    // number, so whatever commits in between, this delete still applies
+    // to exactly the data that predates it
+    retryingCommit(() => commitSnapshot("delete", fresh =>
+      (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
+        Map("equality-delete-files" -> delEntries.size.toString,
+          "equality-columns" -> cols.mkString(",")))))
+  }
+
+  /** Rebuild position-delete files after `removedPaths` data files left
+    * the table (CoW rewrite/overwrite/compaction): positions referencing
+    * them are dead — the rewrite already applied those deletes (or the
+    * overwrite dropped the rows) — and keeping them would corrupt the
+    * metadata-only count (data minus deletes). Returns replacement
+    * entries; the caller must NOT reuse the old delete manifests.
+    */
+  private def rebuildPosDeletes(oldDeletes: Seq[DataFileEntry],
+      removedPaths: Set[String], schemaId: Int): Seq[DataFileEntry] = {
+    if (oldDeletes.isEmpty) return Seq.empty
+    val writeId = java.util.UUID.randomUUID.toString.take(8)
+    val delDir = s"$location/deletes/$writeId"
+    val dead = udf((raw: String) => removedPaths.contains(decodePath(raw)))
+    spark.read.parquet(oldDeletes.map(_.path): _*)
+      .filter(!dead(col("file_path")))
+      .write.mode("errorifexists").parquet(delDir)
+    val delSchema = StructType(Seq(SparkField("file_path", StringType),
+      SparkField("pos", LongType)))
+    spark.read.schema(delSchema).parquet(delDir)
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(count(lit(1)).as("n")).collect().toSeq
+      .map(r => DataFileEntry(decodePath(r.getAs[String]("__f")),
+        r.getAs[Long]("n"), PendingSnapshot, 0L, schemaId,
+        Map.empty, Map.empty, content = 1))
   }
 
   /** Manifest-granular change split: manifests where NO entry satisfies
@@ -896,8 +967,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     commitSnapshot("overwrite", { meta =>
       val (reused, affected) =
         splitManifestsFor(meta, e => touched.contains(e.partition))
-      val carried = affected.filterNot(e => touched.contains(e.partition))
-      (reused, PendingAdds(carried, adds.shards),
+      val (dropped, carried) =
+        affected.partition(e => touched.contains(e.partition))
+      // positions into dropped files are dead (their rows were replaced)
+      val posDels = reused.filter(_.content == 1).flatMap(_.entries)
+      val (reusedRefs, newDels) =
+        if (dropped.isEmpty || posDels.isEmpty) (reused, Seq.empty)
+        else (reused.filterNot(_.content == 1),
+          rebuildPosDeletes(posDels, dropped.map(_.path).toSet,
+            meta.currentSchema.schemaId))
+      (reusedRefs, PendingAdds(carried ++ newDels, adds.shards),
         Map("replaced-partitions" -> touched.size.toString))
     })
   }
@@ -974,7 +1053,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           (reused ++ affectedManifests).map(_.path).sorted)
         throw new CommitConflictException(
           s"table changed during mergeInto at $location")
-      (reused, PendingAdds(carried, rewritten.shards),
+      // positions into merged-away files are dead — rebuild the set
+      val posDels = reused.filter(_.content == 1).flatMap(_.entries)
+      val (reusedRefs, newDels) =
+        if (affected.isEmpty || posDels.isEmpty) (reused, Seq.empty)
+        else (reused.filterNot(_.content == 1),
+          rebuildPosDeletes(posDels, affected.map(_.path).toSet,
+            schema.schemaId))
+      (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
         Map("merged-files" -> affected.size.toString))
     })
   }
@@ -1016,25 +1102,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       }
     // delete files referencing a rewritten path hold dead positions (the
     // rewrite applied them); filter delete sets down, keep the rest
-    val oldDeletes = entries.filter(_.content == 1)
-    val newDeleteEntries =
-      if (oldDeletes.isEmpty) Seq.empty
-      else {
-        val writeId = java.util.UUID.randomUUID.toString.take(8)
-        val delDir = s"$location/deletes/$writeId"
-        val dead = udf((raw: String) => rewrittenPaths.contains(decodePath(raw)))
-        spark.read.parquet(oldDeletes.map(_.path): _*)
-          .filter(!dead(col("file_path")))
-          .write.mode("errorifexists").parquet(delDir)
-        val delSchema = StructType(Seq(SparkField("file_path", StringType),
-          SparkField("pos", LongType)))
-        spark.read.schema(delSchema).parquet(delDir)
-          .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(count(lit(1)).as("n")).collect().toSeq
-          .map(r => DataFileEntry(decodePath(r.getAs[String]("__f")),
-            r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
-            Map.empty, Map.empty, content = 1))
-      }
+    val newDeleteEntries = rebuildPosDeletes(entries.filter(_.content == 1),
+      rewrittenPaths, schema.schemaId)
     commitSnapshot("replace", { freshMeta =>
       if (freshMeta.currentSnapshotId != meta.currentSnapshotId)
         throw new CommitConflictException(

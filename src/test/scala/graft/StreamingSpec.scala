@@ -125,6 +125,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionizer merges late in-watermark events without splitting") {
+    import graft.streaming.{SessionOut, Sessionizer}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def ev(sec: Long) = (7L, new java.sql.Timestamp(sec * 1000L))
+    def openState(s: SessionOut) = TestGroupState.create[SessionOut](
+      Optional.of(s), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(5000L * 1000L)), false)
+    // open session [10000,10600]; batch mixes a late event inside the
+    // span, a late bridge just before the start, and an on-time extension
+    val st = openState(SessionOut(7L, 10000L, 10600L, 3L))
+    val out = Sessionizer.apply(7L,
+      Iterator(ev(10300L), ev(9000L), ev(11000L)), st).toSeq
+    assert(out.isEmpty, s"no session should close, got $out")
+    assert(st.get == SessionOut(7L, 9000L, 11000L, 6L))
+    // an event more than a gap before the open session's start forms its
+    // own earlier session, final immediately
+    val st2 = openState(SessionOut(7L, 10000L, 10600L, 3L))
+    val out2 = Sessionizer.apply(7L,
+      Iterator(ev(7000L), ev(10700L)), st2).toSeq
+    assert(out2 == Seq(SessionOut(7L, 7000L, 7000L, 1L)))
+    assert(st2.get == SessionOut(7L, 10000L, 10700L, 4L))
+  }
+
   test("format sniffer: real magic bytes drive the per-format branch") {
     import graft.operators.Multimodal
     // genuine header bytes for each container
@@ -158,5 +182,11 @@ class StreamingSpec extends SparkSpec {
     // declared format is carried but never trusted
     val lying = Multimodal.decode(4L, "png", "plain text".getBytes)
     assert(lying.format == "png" && lying.detected_format == "unknown")
+    // 0xff fill bytes between segments must not derail the SOF walk
+    val jpegFill = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x0b,
+      0x08, 0x00, 0x40, 0x00, 0x20, 0x03).map(_.toByte)
+    val jf = Multimodal.decode(5L, "jpeg", jpegFill)
+    assert(jf.detected_format == "jpeg" &&
+      jf.width.contains(32L) && jf.height.contains(64L))
   }
 }

@@ -412,6 +412,28 @@ class TableSpec extends SparkSpec {
     assert(t.countRows() == expect3)
   }
 
+  test("streaming batch commits are idempotent under replayed delivery") {
+    val src = lineitem.limit(100)
+    val t = GraftTable.create(spark, freshLoc("stream-idem"), src.schema)
+    t.commitStreamBatch(src, 0L, "s1")
+    t.commitStreamBatch(src, 0L, "s1") // at-least-once replay → skipped
+    assert(t.scan().count() == 100)
+    assert(t.metadata.snapshots.get.size == 1)
+    t.commitStreamBatch(src, 1L, "s1") // genuinely new batch appends
+    assert(t.scan().count() == 200)
+  }
+
+  test("equality deletes match NULL keys null-safely") {
+    import spark.implicits._
+    val src = Seq((1L, "a"), (2L, null), (3L, "c"), (4L, null))
+      .toDF("id", "k")
+    val t = GraftTable.create(spark, freshLoc("eqnull"), src.schema)
+    t.append(src)
+    // deleting key NULL must remove every null-keyed row
+    t.deleteWhereEq(Seq(Option.empty[String]).toDF("k"))
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("merge-on-read deletes: no rewrite, exact counts, absorbed by compaction") {
     val src = lineitem.limit(1000)
     val t = GraftTable.create(spark, freshLoc("mor"), src.schema)
@@ -442,6 +464,9 @@ class TableSpec extends SparkSpec {
     val expect3 = src.filter(!(col("l_quantity") < 20) &&
       col("l_returnflag") =!= "N").count()
     assert(t.scan().count() == expect3)
+    // the CoW rewrite must also rebuild the delete set: positions into
+    // rewritten files are dead, and metadata-only counts stay exact
+    assert(t.countRows() == expect3)
     // compaction absorbs the position-delete files entirely
     t.compact()
     assert(t.scan().count() == expect3)
