@@ -700,11 +700,6 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     readAppliedFor(meta, entries, meta.currentSchema, Some(toSnapshot))
   }
 
-  /** Field-id-aligned union over per-schema file groups. */
-  private def readAligned(entries: Seq[DataFileEntry],
-      readSchema: SchemaV2): DataFrame =
-    readAlignedFor(metadata, entries, readSchema)
-
   private def readAlignedFor(meta: TableMetadataV2,
       entries: Seq[DataFileEntry], readSchema: SchemaV2): DataFrame =
     readAlignedFilesFor(meta, entries.map(e => (e.path, e.schemaId)),
