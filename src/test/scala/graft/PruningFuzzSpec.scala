@@ -81,6 +81,36 @@ class PruningFuzzSpec extends SparkSpec {
     check(t, src, rounds = 25)
   }
 
+  test("fuzz: filters over stacked position+equality deletes stay exact") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-d").toString + "/t",
+      src.schema)
+    t.append(src.repartitionByRange(6, col("l_orderkey")),
+      sortWithin = Seq(col("l_orderkey")))
+    t.deleteWhereMoR(col("l_quantity") < 8)
+    val keys = src.filter(col("l_returnflag") === "R" &&
+      col("l_linenumber") === 1)
+      .select("l_orderkey", "l_linenumber").distinct()
+    t.deleteWhereEq(keys)
+    // ground truth in plain Spark over the source
+    val remain = src.filter(!(col("l_quantity") < 8))
+      .join(keys, Seq("l_orderkey", "l_linenumber"), "left_anti")
+    assert(t.scan().count() == remain.count())
+    (1 to 15).foreach { _ =>
+      val f = randomPredicate()
+      val expected = remain.filter(f).count()
+      assert(t.scan(Some(f)).count() == expected,
+        s"deleted-scan diverged on: $f")
+      assert(t.countRows(Some(f)) == expected,
+        s"deleted-countRows diverged on: $f")
+      spark.conf.set("spark.graft.distributedPlanningThreshold", "0")
+      try assert(t.scan(Some(f)).count() == expected,
+        s"distributed deleted-scan diverged on: $f")
+      finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
+    }
+  }
+
   test("null-count and string-prefix conjuncts prune files") {
     val li = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
     val src = li.select(col("l_orderkey"), col("l_returnflag"),
