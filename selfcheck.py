@@ -41,6 +41,15 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: error {e}"); fail += 1; continue
     if sorted(mcols) != sorted(ocols):
         print(f"FAIL {name}: cols {sorted(mcols)} vs {sorted(ocols)}"); fail += 1; continue
+    # The driver's hash is type-sensitive (e.g. DuckDB SUM(BIGINT)->HUGEINT
+    # lands as object/float through pandas); mirror that by comparing the
+    # DuckDB-reported column types, not just the values' str() forms.
+    mtypes = {d[0]: str(d[1]) for d in mine.description}
+    otypes = {d[0]: str(d[1]) for d in oc.description}
+    tbad = [(c, mtypes[c], otypes[c]) for c in sorted(mcols)
+            if mtypes[c] != otypes[c]]
+    if tbad:
+        print(f"FAIL {name}: dtypes {tbad}"); fail += 1; continue
     if len(mrows) != len(orows):
         print(f"FAIL {name}: rows {len(mrows)} vs {len(orows)}"); fail += 1; continue
     mi = [mcols.index(c) for c in sorted(mcols)]

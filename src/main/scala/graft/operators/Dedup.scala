@@ -111,7 +111,7 @@ object Dedup {
       Some("""SELECT source,
           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
             THEN 'eval' ELSE 'train' END AS split,
-          COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+          COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1, 2 ORDER BY source, split""")),
 
     // Eval-set decontamination: drop every document whose normalized
