@@ -326,6 +326,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
     Files.createDirectories(metaDir)
     jsonLines.write.mode("errorifexists").text(shardDir.toString)
+    collectShardRefs(shardDir)
+  }
+
+  /** Rollup refs for executor-written JSONL shard files under `shardDir`:
+    * sweep writer markers/empties, then compute per-shard (entry count,
+    * record count) distributedly — O(shards) rows reach the driver.
+    */
+  private def collectShardRefs(shardDir: Path): Seq[ShardRef] = {
     val stream = Files.list(shardDir)
     val (junk, parts) =
       try stream.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
@@ -335,7 +343,6 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val (emptyParts, shards) = parts.partition(p => Files.size(p) == 0L)
     emptyParts.foreach(Files.deleteIfExists(_))
     if (shards.isEmpty) return Seq.empty
-    // per-shard rollups, computed distributedly — O(shards) rows collect
     val counts = spark.read.schema(manifestSchema)
       .json(shards.map(_.toString): _*)
       .groupBy(col("_metadata.file_path").as("__f"))
@@ -434,27 +441,35 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     manifestDfFor(metadata, asOf)
 
   private def manifestDfFor(meta: TableMetadataV2,
-      asOf: Option[Long]): DataFrame = {
-    val refs = manifestsFor(meta, asOf)
+      asOf: Option[Long]): DataFrame =
+    manifestDfForRefs(manifestsFor(meta, asOf)).drop(SrcManifestCol)
+
+  /** Manifest rows of `refs` with a `SrcManifestCol` column holding the
+    * (raw-URI) source manifest path — mutation planning groups by it to
+    * decide which manifests survive verbatim.
+    */
+  private def manifestDfForRefs(refs: Seq[ManifestRef]): DataFrame = {
     if (refs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
-    else {
-      // sequence-number inheritance, distributed: shards of one commit
-      // share (snapshot, sequence), so group refs by the inherited pair
-      // and substitute pending ids as column expressions — one unioned
-      // scan, no per-entry driver work
-      refs.groupBy(r => (r.addedSnapshotId, r.addedSequenceNumber)).map {
-        case ((Some(sid), Some(seq)), rs) =>
-          val pending = col("snapshot-id") === DataFileEntry.PendingSnapshot
-          spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
-            .withColumn("sequence-number",
-              when(pending, lit(seq)).otherwise(col("sequence-number")))
-            .withColumn("snapshot-id",
-              when(pending, lit(sid)).otherwise(col("snapshot-id")))
-        case (_, rs) =>
-          spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
-      }.reduce(_.unionByName(_))
-    }
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(manifestSchema.fields :+
+          SparkField(SrcManifestCol, StringType)))
+    // sequence-number inheritance, distributed: shards of one commit
+    // share (snapshot, sequence), so group refs by the inherited pair
+    // and substitute pending ids as column expressions — one unioned
+    // scan, no per-entry driver work
+    refs.groupBy(r => (r.addedSnapshotId, r.addedSequenceNumber)).map {
+      case ((Some(sid), Some(seq)), rs) =>
+        val pending = col("snapshot-id") === DataFileEntry.PendingSnapshot
+        spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
+          .withColumn("sequence-number",
+            when(pending, lit(seq)).otherwise(col("sequence-number")))
+          .withColumn("snapshot-id",
+            when(pending, lit(sid)).otherwise(col("snapshot-id")))
+          .withColumn(SrcManifestCol, col("_metadata.file_path"))
+      case (_, rs) =>
+        spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
+          .withColumn(SrcManifestCol, col("_metadata.file_path"))
+    }.reduce(_.unionByName(_))
   }
 
   private val manifestSchema: StructType = StructType(Seq(
@@ -1304,6 +1319,11 @@ object GraftTable {
     */
   private val PosPathCol = "__gf_file_path"
   private val PosIdxCol = "__gf_pos"
+
+  /** Internal column carrying each manifest row's source manifest file
+    * (raw URI) through distributed mutation planning.
+    */
+  private val SrcManifestCol = "__gf_manifest"
 
   /** An executor-written manifest shard (JSONL of pending entries) plus
     * the rollup counts the manifest list records.

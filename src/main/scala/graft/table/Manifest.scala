@@ -21,9 +21,12 @@ case class ColStats(min: Option[String], max: Option[String], nulls: Long) {
 }
 
 object ColStats {
+  // executor-serialized shards write explicit nulls (ignoreNullFields
+  // off keeps the format deterministic) — a JSON null node must read
+  // back as None, not the string "null"
   def fromJson(n: JsonNode): ColStats = ColStats(
-    Option(n.get("min")).map(_.asText),
-    Option(n.get("max")).map(_.asText),
+    Option(n.get("min")).filterNot(_.isNull).map(_.asText),
+    Option(n.get("max")).filterNot(_.isNull).map(_.asText),
     n.path("nulls").asLong)
 }
 
@@ -151,6 +154,7 @@ case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     o
   }
   def entries: Seq[DataFileEntry] = {
+    ManifestRef.entriesReads.incrementAndGet()
     val raw = DataFileEntry.readManifest(java.nio.file.Paths.get(path))
     (addedSnapshotId, addedSequenceNumber) match {
       case (Some(sid), Some(seq)) => raw.map(e =>
@@ -163,6 +167,11 @@ case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
 }
 
 object ManifestRef {
+  /** Driver-side manifest-entry materializations (tests assert mutations
+    * planned distributedly never load full entry lists on the driver).
+    */
+  private[graft] val entriesReads = new java.util.concurrent.atomic.AtomicLong
+
   def fromJson(n: JsonNode): ManifestRef = ManifestRef(
     n.path("path").asText,
     n.path("entry-count").asLong,
