@@ -111,7 +111,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def commitSnapshot(op: String,
       buildRefs: TableMetadataV2 =>
-        (Seq[ManifestRef], PendingAdds, Map[String, String]))
+        (Seq[ManifestRef], PendingAdds, Map[String, String]),
+      propsExtra: Map[String, String] = Map.empty)
       : SnapshotV2 = {
     val (baseVersion, meta) = metadataWithVersion
     val (reused, adds, summaryExtra) = buildRefs(meta)
@@ -164,6 +165,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       snapshots = Some(meta.snapshots.getOrElse(Seq.empty) :+ snap),
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
         SnapshotLog(snapId, now)),
+      properties =
+        if (propsExtra.isEmpty) meta.properties
+        else Some(meta.properties.getOrElse(Map.empty) ++ propsExtra),
       refs = Some(refs)), baseVersion + 1)
     catch {
       case e: CommitConflictException =>
@@ -191,10 +195,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   private def appendWithSummary(df: DataFrame,
       summaryExtra: Map[String, String], sortWithin: Seq[Column] = Seq.empty,
-      repartitionByPartition: Boolean = false): SnapshotV2 = {
+      repartitionByPartition: Boolean = false,
+      propsExtra: Map[String, String] = Map.empty): SnapshotV2 = {
     val adds = writeFiles(df, sortWithin, repartitionByPartition)
     retryingCommit(() => commitSnapshot("append",
-      meta => (manifestsFor(meta, None), adds, summaryExtra)))
+      meta => (manifestsFor(meta, None), adds, summaryExtra), propsExtra))
   }
 
   /** Run an optimistic commit, rebasing and retrying on version-claim
@@ -412,25 +417,34 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     manifestsFor(meta, asOf).filter(_.content == 2)
       .flatMap(_.entries).filter(_.content == 2)
 
-  /** Anti-join the equality deletes that APPLY to data of sequence
-    * number `seq` (strictly smaller than the delete's — a re-inserted
-    * key survives its own past deletion).
+  /** Anti-join equality deletes against a read carrying `SeqCol` (the
+    * per-row data sequence number). Each delete file is scanned ONCE per
+    * query: delete files group by (key columns, sequence number), keys
+    * aggregate to their MAX delete sequence, and a single null-safe
+    * anti-join per column-set applies them all — a delete applies iff
+    * its sequence is STRICTLY larger than the row's (a re-inserted key
+    * survives its own past deletion).
+    *
+    * NULL-SAFE equality (null key matches null column, per Iceberg
+    * equality-delete semantics); an expression join also leaves the left
+    * side's column order untouched, unlike a using-columns join which
+    * moves keys to the front and would scramble downstream positional
+    * unions.
     */
-  private def applyEqDeletes(df: DataFrame, seq: Long,
+  private def applyEqDeletesSeq(df: DataFrame,
       eqDels: Seq[DataFileEntry]): DataFrame =
-    eqDels.filter(_.sequenceNumber > seq).groupBy(_.eqColumns)
-      .foldLeft(df) { case (d, (cols, ds)) =>
-        val keys = spark.read.parquet(ds.map(_.path): _*)
-          .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*).distinct()
-        // NULL-SAFE equality (null key matches null column, per Iceberg
-        // equality-delete semantics); an expression join also leaves the
-        // left side's column order untouched, unlike a using-columns
-        // join which moves keys to the front and would scramble the
-        // downstream positional unions
-        val cond = cols.map(c => col(c) <=> col(s"__gfeq_$c"))
-          .reduce(_ && _)
-        d.join(keys, cond, "left_anti")
-      }
+    eqDels.groupBy(_.eqColumns).foldLeft(df) { case (d, (cols, ds)) =>
+      val keys = ds.groupBy(_.sequenceNumber).map { case (dseq, dfs) =>
+        spark.read.parquet(dfs.map(_.path).distinct: _*)
+          .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*)
+          .withColumn("__gfeq_seq", lit(dseq))
+      }.reduce(_.unionByName(_))
+        .groupBy(cols.map(c => col(s"__gfeq_$c")): _*)
+        .agg(max(col("__gfeq_seq")).as("__gfeq_seq"))
+      val cond = cols.map(c => col(c) <=> col(s"__gfeq_$c"))
+        .reduce(_ && _) && col("__gfeq_seq") > col(SeqCol)
+      d.join(keys, cond, "left_anti")
+    }
 
   /** A snapshot's manifest as a DataFrame — the distributed planning
     * path. At 100 TB the manifest is a dataset, not a driver loop: this
@@ -636,7 +650,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val streamId = Integer.toHexString(checkpoint.hashCode)
+    val streamId = streamIdFor(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -646,17 +660,42 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .start()
   }
 
+  /** Stable unique id for a stream writing to this table: a UUID
+    * persisted INSIDE the checkpoint directory on first use, so the id
+    * survives restarts exactly as long as the checkpoint does, and two
+    * different checkpoints can never collide (the previous 32-bit
+    * path-hash id could — e.g. ".../Aa" and ".../BB" hash equal — and a
+    * collision silently skips the other stream's batches).
+    */
+  private[graft] def streamIdFor(checkpoint: String): String = {
+    val dir = Paths.get(checkpoint)
+    Files.createDirectories(dir)
+    val f = dir.resolve("graft-stream-id")
+    if (!Files.exists(f))
+      try Files.write(f,
+        java.util.UUID.randomUUID.toString.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    new String(Files.readAllBytes(f), "UTF-8").trim
+  }
+
   /** Idempotent per-batch commit (package-visible for tests): a batch id
     * at or below the stream's high-water mark was already committed by a
-    * previous delivery and is skipped.
+    * previous delivery and is skipped. The mark is recorded in TABLE
+    * PROPERTIES (snapshot summaries also carry it, but summaries expire
+    * with their snapshots — expireSnapshots must not re-open the
+    * replay/double-commit window).
     */
   private[graft] def commitStreamBatch(batch: DataFrame, batchId: Long,
       streamId: String): Unit = {
     val key = s"stream-batch-$streamId"
-    val highWater = metadata.snapshots.getOrElse(Seq.empty)
-      .flatMap(_.summary.other.get(key)).map(_.toLong).maxOption
+    val meta = metadata
+    val highWater = (meta.properties.flatMap(_.get(key)).map(_.toLong).toSeq
+      ++ meta.snapshots.getOrElse(Seq.empty)
+        .flatMap(_.summary.other.get(key)).map(_.toLong)).maxOption
     if (!highWater.exists(_ >= batchId) && !batch.isEmpty) {
-      appendWithSummary(batch, Map(key -> batchId.toString))
+      appendWithSummary(batch, Map(key -> batchId.toString),
+        propsExtra = Map(key -> batchId.toString))
       ()
     }
   }
@@ -672,21 +711,27 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
-    // above the threshold, pruning runs as a Spark filter over the
-    // manifest dataset (executors parse + evaluate); only SURVIVING
-    // (path, schema-id) pairs reach the driver — at 100 TB the manifest
-    // itself is big data and a driver loop over it is the bottleneck
-    val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
-    val planned: Seq[(String, Int, Long)] =
-      if (totalEntries >= distributedPlanningThreshold)
-        planFilesDistributedFor(meta, filter, asOf)
-          .select(col("path"), col("schema-id"), col("sequence-number"))
-          .collect().toSeq
-          .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-      else planFilesFor(meta, filter, asOf)
-        .map(e => (e.path, e.schemaId, e.sequenceNumber))
+    val planned = plannedFilesFor(meta, filter, asOf)
     val df = readDeletesApplied(meta, planned, readSchema, asOf)
     filter.map(df.filter).getOrElse(df)
+  }
+
+  /** Pruned file plan as (path, schemaId, sequenceNumber) triples. Above
+    * the threshold, pruning runs as a Spark filter over the manifest
+    * dataset (executors parse + evaluate); only SURVIVING triples reach
+    * the driver — at 100 TB the manifest itself is big data and a driver
+    * loop over it is the bottleneck. Shared by scans AND mutations.
+    */
+  private def plannedFilesFor(meta: TableMetadataV2, filter: Option[Column],
+      asOf: Option[Long]): Seq[(String, Int, Long)] = {
+    val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
+    if (totalEntries >= distributedPlanningThreshold)
+      planFilesDistributedFor(meta, filter, asOf)
+        .select(col("path"), col("schema-id"), col("sequence-number"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    else planFilesFor(meta, filter, asOf)
+      .map(e => (e.path, e.schemaId, e.sequenceNumber))
   }
 
   /** Manifest entry count at which planning moves off the driver. */
@@ -732,23 +777,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       readSchema, asOf)
 
   /** The deletes-applied read: position deletes anti-join on (file,
-    * pos); equality deletes anti-join on their key columns per
-    * sequence-number group (files added after a delete are untouched).
+    * pos); equality deletes anti-join once per key-column-set with the
+    * delete sequence in the join condition (files added after a delete
+    * are untouched).
     */
   private def readDeletesApplied(meta: TableMetadataV2,
       files: Seq[(String, Int, Long)], readSchema: SchemaV2,
       asOf: Option[Long]): DataFrame = {
     val posDels = deletePathsFor(meta, asOf)
-    val eqDels = eqDeletesFor(meta, asOf)
+    // a delete at or below EVERY planned file's sequence can never apply
+    val minSeq = files.map(_._3).minOption.getOrElse(Long.MaxValue)
+    val eqDels = eqDeletesFor(meta, asOf).filter(_.sequenceNumber > minSeq)
     def posApplied(fs: Seq[(String, Int)]): DataFrame =
       if (posDels.isEmpty) readAlignedFilesFor(meta, fs, readSchema)
       else applyDeletes(readAlignedFilesFor(meta, fs, readSchema,
         withPos = true), posDels).drop(PosPathCol, PosIdxCol)
     if (eqDels.isEmpty || files.isEmpty)
       posApplied(files.map(f => (f._1, f._2)))
-    else files.groupBy(_._3).map { case (seq, fs) =>
-      applyEqDeletes(posApplied(fs.map(f => (f._1, f._2))), seq, eqDels)
-    }.reduce(_.unionByName(_))
+    else {
+      val base = files.groupBy(_._3).map { case (seq, fs) =>
+        posApplied(fs.map(f => (f._1, f._2))).withColumn(SeqCol, lit(seq))
+      }.reduce(_.unionByName(_))
+      applyEqDeletesSeq(base, eqDels).drop(SeqCol)
+    }
   }
 
   /** Anti-join position-delete files (columns file_path, pos) against a
@@ -805,7 +856,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val preds = Pruning.extract(spark, cond, sparkSchema)
       def hit(e: DataFileEntry): Boolean = e.isData &&
         Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
-      val (reused, affected) = splitManifestsFor(meta, hit)
+      val hitCol =
+        Pruning.mayMatchColumn(preds, sparkSchema, meta.defaultSpec, schema)
+      val (reused, _, affected) = splitManifests(meta, hitCol, hit)
       val (maybe, carried) = affected.partition(hit)
       val rewritten =
         if (maybe.isEmpty) PendingAdds.empty
@@ -845,27 +898,28 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     retryingCommit(() => {
       val meta = metadata
       val schema = meta.currentSchema
-      val sparkSchema = toSparkSchema(schema)
-      val preds = Pruning.extract(spark, cond, sparkSchema)
-      val dataEntries =
-        manifestsFor(meta, None).flatMap(_.entries).filter(_.isData)
-      val affected = dataEntries.filter(e =>
-        Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+      // pruned plan of possibly-affected files — DISTRIBUTED above the
+      // manifest-entry threshold (same path as scan), so a MERGE-scale
+      // table never materializes its full entry list on the driver
+      val affected = plannedFilesFor(meta, Some(cond), None)
       val delEntries: Seq[DataFileEntry] =
         if (affected.isEmpty) Seq.empty
         else {
           val writeId = java.util.UUID.randomUUID.toString.take(8)
           val delDir = s"$location/deletes/$writeId"
           val dels = deletePathsFor(meta, None)
+          val minSeq = affected.map(_._3).min
           val eqDels = eqDeletesFor(meta, None)
+            .filter(_.sequenceNumber > minSeq)
           // positions derive from the FULLY applied read (prior position
-          // and equality deletes), per sequence-number group
-          val live = affected.groupBy(_.sequenceNumber).map { case (sq, es) =>
+          // and equality deletes)
+          val ann0 = affected.groupBy(_._3).map { case (sq, es) =>
             val ann = readAlignedFilesFor(meta,
-              es.map(e => (e.path, e.schemaId)), schema, withPos = true)
-            applyEqDeletes(
-              if (dels.isEmpty) ann else applyDeletes(ann, dels), sq, eqDels)
+              es.map(e => (e._1, e._2)), schema, withPos = true)
+            (if (dels.isEmpty) ann else applyDeletes(ann, dels))
+              .withColumn(SeqCol, lit(sq))
           }.reduce(_.unionByName(_))
+          val live = applyEqDeletesSeq(ann0, eqDels).drop(SeqCol)
           live.filter(cond)
             .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
             .write.mode("errorifexists").parquet(delDir)
@@ -949,21 +1003,45 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         Map.empty, Map.empty, content = 1))
   }
 
-  /** Manifest-granular change split: manifests where NO entry satisfies
-    * `hit` are reused verbatim; the rest contribute their entries (hit or
-    * not) to the new manifest — untouched entries keep their original
-    * added-snapshot ids.
+  /** Manifest-granular change split: manifests where NO data entry
+    * satisfies the predicate are reused verbatim; the rest contribute
+    * their entries (hit or not) to the new manifest — untouched entries
+    * keep their original added-snapshot ids. Position/equality-delete
+    * entries are never `hit` — their manifests are reused verbatim and
+    * stay in force after the rewrite.
+    *
+    * Above the planning threshold the affected-manifest set is computed
+    * DISTRIBUTEDLY: `hitCol` runs as a Spark filter over the manifest
+    * dataset and only affected manifest PATHS reach the driver, whose
+    * entries are then the only ones materialized — mutation planning is
+    * O(affected manifests), not O(table), exactly like scan(). `hitCol`
+    * and `hit` must express the same predicate (column form over
+    * manifest rows / driver form over entries).
+    *
+    * Returns (reused refs, affected refs, affected entries).
     */
-  private def splitManifestsFor(meta: TableMetadataV2,
+  private def splitManifests(meta: TableMetadataV2, hitCol: Column,
       hit: DataFileEntry => Boolean)
-      : (Seq[ManifestRef], Seq[DataFileEntry]) = {
-    // materialize each manifest ONCE (entries re-reads the file);
-    // position-delete entries are never `hit` — their manifests are
-    // reused verbatim and stay in force after the rewrite
-    val loaded = manifestsFor(meta, None).map(r => (r, r.entries))
-    val (affected, reused) =
-      loaded.partition(_._2.exists(e => e.isData && hit(e)))
-    (reused.map(_._1), affected.flatMap(_._2))
+      : (Seq[ManifestRef], Seq[ManifestRef], Seq[DataFileEntry]) = {
+    val refs = manifestsFor(meta, None)
+    if (refs.map(_.entryCount).sum < distributedPlanningThreshold) {
+      // materialize each manifest ONCE (entries re-reads the file)
+      val loaded = refs.map(r => (r, r.entries))
+      val (affected, reused) =
+        loaded.partition(_._2.exists(e => e.isData && hit(e)))
+      (reused.map(_._1), affected.map(_._1), affected.flatMap(_._2))
+    } else {
+      def canon(p: String): String =
+        Paths.get(p).toAbsolutePath.normalize.toString
+      val hitSrcs = manifestDfForRefs(refs)
+        .filter(coalesce(col("content"), lit(0)) === 0)
+        .filter(hitCol)
+        .select(SrcManifestCol).distinct()
+        .collect().map(r => canon(decodePath(r.getString(0)))).toSet
+      val (affected, reused) =
+        refs.partition(r => hitSrcs.contains(canon(r.path)))
+      (reused, affected, affected.flatMap(_.entries))
+    }
   }
 
   /** Dynamic partition overwrite: replaces exactly the partitions present
@@ -974,9 +1052,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       "overwritePartitions needs a partitioned table")
     val adds = writeFiles(df)
     val touched: Set[Map[String, Option[String]]] = addedPartitions(adds)
+    // the replaced-partition predicate in both planning forms: canonical
+    // partition strings compare against the (small) touched set
+    val touchedKeys = touched.map(canonPartition)
+    val hitCol =
+      if (touchedKeys.isEmpty) lit(false)
+      else canonPartitionCol.isin(touchedKeys.toSeq: _*)
     commitSnapshot("overwrite", { meta =>
-      val (reused, affected) =
-        splitManifestsFor(meta, e => touched.contains(e.partition))
+      val (reused, _, affected) =
+        splitManifests(meta, hitCol, e => touched.contains(e.partition))
       val (dropped, carried) =
         affected.partition(e => touched.contains(e.partition))
       // positions into dropped files are dead (their rows were replaced)
@@ -1038,11 +1122,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
     def hit(e: DataFileEntry): Boolean = e.isData &&
       Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
-    val loaded = manifestsFor(meta, None).map(r => (r, r.entries))
-    val (affectedLoaded, reusedLoaded) = loaded.partition(_._2.exists(hit))
-    val affectedManifests = affectedLoaded.map(_._1)
-    val reused = reusedLoaded.map(_._1)
-    val (affected, carried) = affectedLoaded.flatMap(_._2).partition(hit)
+    val hitCol =
+      Pruning.mayMatchColumn(preds, sparkSchema, meta.defaultSpec, schema)
+    val (reused, affectedManifests, affectedEntries) =
+      splitManifests(meta, hitCol, hit)
+    val (affected, carried) = affectedEntries.partition(hit)
     val target = readAppliedFor(meta, affected, schema)
     val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
     // explicit presence marker: testing the source KEY for null would
@@ -1083,54 +1167,91 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * delete files that referenced a rewritten file are dropped (those
     * rows were applied during the rewrite); other delete files survive.
     */
-  def compactBinPack(targetFileBytes: Long = 64L << 20): SnapshotV2 = {
-    val meta = metadata
-    val schema = meta.currentSchema
-    val entries = manifestsFor(meta, None).flatMap(_.entries)
-    val small = entries.filter(_.isData).groupBy(_.partition).values
-      .flatMap { es =>
-        val under = es.filter(e => e.fileSize > 0L &&
-          e.fileSize < targetFileBytes)
-        if (under.size >= 2) under else Seq.empty
-      }.toSeq
-    if (small.isEmpty)
-      return meta.currentSnapshot.getOrElse(
-        throw new IllegalStateException("empty table"))
-    val rewrittenPaths = small.map(_.path).toSet
-    // the rewrite must actually PACK: without an explicit layout the read
-    // keeps one split per healthy-sized input file and writes it straight
-    // back out. Partitioned tables cluster on partition values (one file
-    // per value); unpartitioned ones coalesce to ceil(totalBytes/target).
-    val applied = readAppliedFor(meta, small, schema)
-    val rewritten =
-      if (meta.defaultSpec.fields.nonEmpty)
-        writeFiles(applied, repartitionByPartition = true)
+  def compactBinPack(targetFileBytes: Long = 64L << 20): SnapshotV2 =
+    // conflicts REBASE: the whole derivation re-runs against fresh state
+    // with jittered backoff — a benign concurrent append must not abort
+    // compaction (it used to surface a bare CommitConflictException)
+    retryingCommit(() => {
+      val meta = metadata
+      val schema = meta.currentSchema
+      val refs = manifestsFor(meta, None)
+      def canon(p: String): String =
+        Paths.get(p).toAbsolutePath.normalize.toString
+      // (path, schemaId, seq, size) of undersized files in partitions
+      // holding ≥2 of them, plus their source-manifest paths. Distributed
+      // above the planning threshold (a window count over the manifest
+      // dataset); only the small-file tail reaches the driver —
+      // O(affected), like every other mutation.
+      val (small, affectedSrcs) =
+        if (refs.map(_.entryCount).sum >= distributedPlanningThreshold) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(canonPartitionCol)
+          val rows = manifestDfForRefs(refs)
+            .filter(coalesce(col("content"), lit(0)) === 0)
+            .filter(col("file-size") > 0L &&
+              col("file-size") < targetFileBytes)
+            .withColumn("__n", count(lit(1)).over(w))
+            .filter(col("__n") >= 2)
+            .select(col("path"), col("schema-id"), col("sequence-number"),
+              col("file-size"), col(SrcManifestCol))
+            .collect().toSeq
+          (rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+              r.getLong(3))),
+            rows.map(r => canon(decodePath(r.getString(4)))).toSet)
+        } else {
+          val loaded = refs.map(r => (r, r.entries))
+          val srcByPath = loaded.flatMap { case (r, es) =>
+            es.filter(_.isData).map(e => e.path -> r.path) }.toMap
+          val under = loaded.flatMap(_._2).filter(_.isData)
+            .groupBy(_.partition).values.flatMap { es =>
+              val u = es.filter(e => e.fileSize > 0L &&
+                e.fileSize < targetFileBytes)
+              if (u.size >= 2) u else Seq.empty
+            }.toSeq
+          (under.map(e => (e.path, e.schemaId, e.sequenceNumber, e.fileSize)),
+            under.map(e => canon(srcByPath(e.path))).toSet)
+        }
+      if (small.isEmpty)
+        meta.currentSnapshot.getOrElse(
+          throw new IllegalStateException("empty table"))
       else {
-        val outFiles = math.max(1, math.ceil(
-          small.map(_.fileSize).sum.toDouble / targetFileBytes).toInt)
-        writeFiles(applied.coalesce(outFiles))
+        val rewrittenPaths = small.map(_._1).toSet
+        // the rewrite must actually PACK: without an explicit layout the
+        // read keeps one split per input file and writes it straight back
+        // out. Partitioned tables cluster on partition values (one file
+        // per value); unpartitioned ones coalesce to ceil(bytes/target).
+        val applied = readDeletesApplied(meta,
+          small.map(s => (s._1, s._2, s._3)), schema, None)
+        val rewritten =
+          if (meta.defaultSpec.fields.nonEmpty)
+            writeFiles(applied, repartitionByPartition = true)
+          else {
+            val outFiles = math.max(1, math.ceil(
+              small.map(_._4).sum.toDouble / targetFileBytes).toInt)
+            writeFiles(applied.coalesce(outFiles))
+          }
+        // delete files referencing a rewritten path hold dead positions
+        // (the rewrite applied them); filter delete sets down, keep rest
+        val newDeleteEntries = rebuildPosDeletes(
+          refs.filter(_.content == 1).flatMap(_.entries),
+          rewrittenPaths, schema.schemaId)
+        commitSnapshot("replace", { freshMeta =>
+          if (freshMeta.currentSnapshotId != meta.currentSnapshotId)
+            throw new CommitConflictException(
+              s"table changed during compactBinPack at $location")
+          // manifests holding only untouched data files are reused;
+          // delete manifests were rebuilt above, rewritten entries dropped
+          val (affected, reusedRefs) = refs.partition(r =>
+            r.content == 1 || affectedSrcs.contains(canon(r.path)))
+          val carried = affected.filterNot(_.content == 1)
+            .flatMap(_.entries).filter(e =>
+              e.isData && !rewrittenPaths.contains(e.path))
+          (reusedRefs,
+            PendingAdds(carried ++ newDeleteEntries, rewritten.shards),
+            Map("binpacked-files" -> small.size.toString))
+        })
       }
-    // delete files referencing a rewritten path hold dead positions (the
-    // rewrite applied them); filter delete sets down, keep the rest
-    val newDeleteEntries = rebuildPosDeletes(entries.filter(_.content == 1),
-      rewrittenPaths, schema.schemaId)
-    commitSnapshot("replace", { freshMeta =>
-      if (freshMeta.currentSnapshotId != meta.currentSnapshotId)
-        throw new CommitConflictException(
-          s"table changed during compactBinPack at $location")
-      // manifests whose entries are all untouched data files are reused;
-      // delete manifests were rebuilt above, rewritten entries dropped
-      val loaded = manifestsFor(freshMeta, None).map(r => (r, r.entries))
-      val (affected, reusedRefs) = loaded.partition { case (r, es) =>
-        r.content == 1 || es.exists(e => rewrittenPaths.contains(e.path))
-      }
-      val carried = affected.flatMap(_._2).filter(e =>
-        e.isData && !rewrittenPaths.contains(e.path))
-      (reusedRefs.map(_._1),
-        PendingAdds(carried ++ newDeleteEntries, rewritten.shards),
-        Map("binpacked-files" -> small.size.toString))
     })
-  }
 
   /** Full rewrite: one file per partition value (op=replace). */
   def compact(): SnapshotV2 = {
@@ -1324,6 +1445,27 @@ object GraftTable {
     * (raw URI) through distributed mutation planning.
     */
   private val SrcManifestCol = "__gf_manifest"
+
+  /** Internal column carrying each data row's sequence number through
+    * the equality-delete anti-join.
+    */
+  private val SeqCol = "__gf_seq"
+
+  /** Canonical string form of a partition tuple (sorted key order;
+    * \u0001 marks null). The driver-side and column-side forms MUST
+    * agree — distributed mutation planning compares one to the other.
+    */
+  private[table] def canonPartition(p: Map[String, Option[String]]): String =
+    p.toSeq.sortBy(_._1).map { case (k, v) =>
+      k + "\u0000" + v.getOrElse("\u0001") }.mkString("\u0002")
+
+  /** Column form of [[canonPartition]] over a manifest row's `partition`
+    * map column.
+    */
+  private[table] def canonPartitionCol: Column =
+    array_join(transform(array_sort(map_entries(col("partition"))),
+      e => concat(e.getField("key"), lit("\u0000"),
+        coalesce(e.getField("value"), lit("\u0001")))), "\u0002")
 
   /** An executor-written manifest shard (JSONL of pending entries) plus
     * the rollup counts the manifest list records.

@@ -81,6 +81,17 @@ class MetadataSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Transform.parse("bucket[]"))
   }
 
+  test("ColStats: explicit JSON null min/max parse as None, never \"null\"") {
+    // executor-written shard manifests can carry explicit nulls; parsing
+    // them as the STRING "null" poisoned min/max pruning (r5 fix)
+    val cs = graft.table.ColStats.fromJson(
+      Json.parse("""{"min":null,"max":null,"nulls":3}"""))
+    assert(cs == graft.table.ColStats(None, None, 3L))
+    val present = graft.table.ColStats.fromJson(
+      Json.parse("""{"min":"a","max":"z","nulls":0}"""))
+    assert(present == graft.table.ColStats(Some("a"), Some("z"), 0L))
+  }
+
   test("sort field fixture (sort.rs:62)") {
     val f = SortField.fromJson(Json.parse(
       """{"transform": "bucket[4]", "source-id": 3, "direction": "desc",

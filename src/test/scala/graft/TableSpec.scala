@@ -518,6 +518,59 @@ class TableSpec extends SparkSpec {
     assert(t.planFilesDistributed(None).count() == 10000L)
   }
 
+  test("all-null column through the executor-shard path: stats None, pruning sound") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("id", "s")
+    val allNull = df.filter(col("id") < 3).select(col("id"), col("s"))
+      .coalesce(1)
+    val t = GraftTable.create(spark, freshLoc("nullstats"), df.schema)
+    t.append(allNull)
+    // shards serialize stats on executors; an all-null column must read
+    // back as None min/max (NOT the string "null", which would poison
+    // lexical pruning comparisons — r5 ColStats fix)
+    val st = t.liveEntries().head.stats("s")
+    assert(st.min.isEmpty && st.max.isEmpty, s"stats read back as $st")
+    assert(st.nulls == 2L)
+    // pruning over the all-null file stays sound in both planners
+    assert(t.scan(Some(col("s").isNull)).count() == 2L)
+    assert(t.scan(Some(col("s") === "zzz")).count() == 0L)
+    assert(t.planFiles(Some(col("s").isNotNull)).isEmpty) // nulls==count prunes
+    spark.conf.set("spark.graft.distributedPlanningThreshold", "1")
+    try {
+      assert(t.scan(Some(col("s").isNull)).count() == 2L)
+      assert(t.planFilesDistributed(Some(col("s").isNotNull)).count() == 0L)
+    } finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
+  }
+
+  test("stream ids never collide across checkpoints; high-water mark survives expiry") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-streamid")
+    // "Aa" and "BB" have equal String.hashCode — the old 32-bit id collided
+    val c1 = root.resolve("Aa").toString
+    val c2 = root.resolve("BB").toString
+    assert(c1.hashCode == c2.hashCode)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("streamid"), df.schema)
+    val id1 = t.streamIdFor(c1)
+    val id2 = t.streamIdFor(c2)
+    assert(id1 != id2, "distinct checkpoints must get distinct stream ids")
+    assert(t.streamIdFor(c1) == id1, "id must be stable across calls")
+    t.commitStreamBatch(df, 7L, id1)
+    assert(t.scan().count() == 2L)
+    t.commitStreamBatch(df, 7L, id1) // replayed delivery → skipped
+    assert(t.scan().count() == 2L)
+    t.commitStreamBatch(df, 7L, id2) // OTHER stream, same batch id → lands
+    assert(t.scan().count() == 4L)
+    // the mark lives in table properties, not just expirable summaries
+    (1 to 3).foreach(_ => t.append(df))
+    t.expireSnapshots(1)
+    t.commitStreamBatch(df, 7L, id1) // still skipped after expiry
+    assert(t.scan().count() == 10L)
+    t.commitStreamBatch(df, 8L, id1) // a NEW batch still lands
+    assert(t.scan().count() == 12L)
+  }
+
   test("sorted write produces disjoint per-file key ranges") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("sorted"), src.schema)
