@@ -91,9 +91,24 @@ object StreamingQueries {
     s.table(qname)
   }
 
+  /** Run an APPEND-mode stream into a durable GraftTable sink (snapshot
+    * per micro-batch via foreachBatch) and return a batch scan of the
+    * table — the production shape: only watermark-finalized rows emit
+    * and nothing accumulates on the driver, unlike a Complete-mode
+    * memory sink which re-holds the full result set every batch.
+    */
+  private def runToGraftTable(s: SparkSession, df: DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val t = graft.table.GraftTable.create(s, s"$root/t", df.schema)
+    val q = t.appendStream(df, s"$root/ckpt")
+    q.awaitTermination()
+    t.scan()
+  }
+
   def queries: Seq[GraftQuery] = Seq(
-    // Tumbling-window event aggregation with a watermark; oracle is the
-    // equivalent batch time-bucket SQL.
+    // Tumbling-window event aggregation: append mode (only windows the
+    // watermark has finalized emit) into a durable GraftTable sink;
+    // oracle is the batch SQL over exactly the finalized hour buckets.
     GraftQuery(
       "s_window_agg",
       (s, dir) => {
@@ -102,17 +117,24 @@ object StreamingQueries {
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             r4(dsum(col("value"))).as("sum_value"))
-        runToTable(s, agg, "s_window_agg", OutputMode.Complete())
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n_events"), col("sum_value"))
+        runToGraftTable(s, agg)
           .select(
-            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
               .as("hour_start"),
             col("event_type"), col("n_events"), col("sum_value"))
           .orderBy("hour_start", "event_type")
       },
-      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      // append mode finalizes a window once the watermark (max ts − 1h)
+      // passes its end: hour buckets with end ≤ max(ts) − 1h
+      Some(s"""WITH m AS (SELECT max(ts) AS mx FROM events)
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
           AS hour_start, event_type, COUNT(*) AS n_events,
         ${sqlDsum("value")} AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+        FROM events, m
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        GROUP BY 1, 2, m.mx ORDER BY hour_start, event_type""")),
 
     // Sessionization (30-min inactivity gap) via flatMapGroupsWithState —
     // custom keyed state the built-ins can't express, closed by
@@ -138,12 +160,7 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n_events"))
           .select(col("window.start").as("hour_start"), col("event_type"),
             col("n_events"))
-        val root = java.nio.file.Files
-          .createTempDirectory("stream-sink").toString
-        val t = graft.table.GraftTable.create(s, s"$root/t", agg.schema)
-        val q = t.appendStream(agg, s"$root/ckpt")
-        q.awaitTermination()
-        t.scan()
+        runToGraftTable(s, agg)
           .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
             .as("hour_start"), col("event_type"), col("n_events"))
           .orderBy("hour_start", "event_type")
@@ -158,7 +175,11 @@ object StreamingQueries {
         GROUP BY 1, 2, m.mx ORDER BY hour_start, event_type""")),
 
     // Streaming dedup inside the watermark: the stream is doubled (every
-    // event appears twice) and dropDuplicates restores exact counts.
+    // event appears twice), dropDuplicates restores exact counts, and the
+    // deduped windowed counts land in a durable append-mode GraftTable
+    // sink (chained stateful ops: dedup state → window agg state). The
+    // readback rolls finalized windows up per type — matching the batch
+    // SQL over exactly those hour buckets.
     GraftQuery(
       "s_dedup_stream",
       (s, dir) => {
@@ -168,12 +189,20 @@ object StreamingQueries {
         val deduped = doubled
           .withWatermark("ts", "1 hour")
           .dropDuplicates("event_id")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_windowed"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n_windowed"))
+        runToGraftTable(s, deduped)
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"))
-        runToTable(s, deduped, "s_dedup_stream", OutputMode.Complete())
+          .agg(sum(col("n_windowed")).as("n_events"))
           .orderBy("event_type")
       },
-      None)
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events, m
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        GROUP BY event_type, m.mx ORDER BY event_type"""))
   )
 }
 
@@ -181,65 +210,66 @@ object StreamingQueries {
 case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
     n_events: Long)
 
+/** Sessionizer state: every session of the user that is not yet PROVABLY
+  * final — the watermark has not passed `session_end + gap`, so a late
+  * (but in-watermark) event in some later micro-batch could still extend
+  * or merge it. Bounded: only sessions within the watermark horizon
+  * (delay + gap) can be non-final, so state never grows with history.
+  */
+case class SessState(sessions: Seq[SessionOut])
+
 /** Per-user sessionizer: splits the user's event times at >30-min gaps.
-  * The trailing session stays OPEN in state across micro-batches; it is
-  * emitted either when a later batch proves the gap was exceeded, or when
-  * the event-time watermark passes session_end + gap (EventTimeTimeout).
-  * A session is therefore emitted exactly once, whether the user's
-  * history arrives in one batch or across many.
+  * ALL non-final sessions (not just the trailing one) stay in state
+  * across micro-batches; a session is emitted exactly once, when the
+  * event-time watermark passes `session_end + gap` — at that point no
+  * admissible event (the watermark drops anything older) can extend or
+  * merge it, whether the user's history arrives in one batch or many,
+  * in order or late. (The previous version emitted pre-sessions — events
+  * more than a gap before the open session — immediately; an
+  * in-watermark late event in a later batch could then fall within gap
+  * of an already-emitted session and fragment it.)
   */
 object Sessionizer {
   private val GapSeconds = 30L * 60L
 
+  /** Merge existing sessions and new event times into the user's session
+    * set: sort by start, then fold — an item within gap of the previous
+    * span joins it (transitively, so one late event can bridge two
+    * formerly separate sessions).
+    */
+  private def merged(userId: Long, existing: Seq[SessionOut],
+      times: Array[Long]): Seq[SessionOut] = {
+    val items = existing ++ times.map(t => SessionOut(userId, t, t, 1L))
+    items.sortBy(s => (s.session_start, s.session_end))
+      .foldLeft(List.empty[SessionOut]) { (acc, s) =>
+        acc match {
+          case h :: t if s.session_start <= h.session_end + GapSeconds =>
+            SessionOut(userId, h.session_start,
+              math.max(h.session_end, s.session_end),
+              h.n_events + s.n_events) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+  }
+
   def apply(userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-      state: GroupState[SessionOut]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      // watermark passed session_end + gap: no on-time event can extend
-      // this session anymore — close it
-      val open = state.get
-      state.remove()
-      return Iterator.single(open)
-    }
+      state: GroupState[SessState]): Iterator[SessionOut] = {
     val times = rows.map(_._2.getTime / 1000L).toArray.sorted
-    if (times.isEmpty) return Iterator.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-
-    /** Plain ascending gap-walk from a seed session; emits closed ones. */
-    def walk(ts: Seq[Long], s0: Long, e0: Long, n0: Long): (Long, Long, Long) = {
-      var (cs, ce, cn) = (s0, e0, n0)
-      ts.foreach { t =>
-        if (t <= ce) { if (t < cs) cs = t; cn += 1L } // late, inside span
-        else if (t - ce <= GapSeconds) { ce = t; cn += 1L }
-        else {
-          out += SessionOut(userId, cs, ce, cn)
-          cs = t; ce = t; cn = 1L
-        }
-      }
-      (cs, ce, cn)
+    val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+    val all = merged(userId, existing, times)
+    // watermark in whole seconds, rounded DOWN so the finality test
+    // (end + gap < wm) never fires a second early
+    val wmSec = state.getCurrentWatermarkMs / 1000L
+    val (closed, pending) = all.partition(_.session_end + GapSeconds < wmSec)
+    if (pending.isEmpty) state.remove()
+    else {
+      state.update(SessState(pending))
+      // wake when the earliest pending session becomes final; the API
+      // rejects timeouts at or before the current watermark
+      val next = (pending.map(_.session_end).min + GapSeconds + 1L) * 1000L
+      state.setTimeoutTimestamp(
+        math.max(next, state.getCurrentWatermarkMs + 1000L))
     }
-
-    // the watermark admits LATE events (up to its delay): an event inside
-    // or within a gap of the open session merges without regressing its
-    // bounds; events more than a gap BEFORE its start form their own
-    // earlier sessions, final by construction — the open session's
-    // existence proves the separating gap
-    val (start, end, n) = state.getOption match {
-      case Some(open) =>
-        val (pre, rest) =
-          times.partition(_ < open.session_start - GapSeconds)
-        if (pre.nonEmpty) {
-          val (ps, pe, pn) = walk(pre.tail, pre.head, pre.head, 1L)
-          out += SessionOut(userId, ps, pe, pn)
-        }
-        walk(rest, open.session_start, open.session_end, open.n_events)
-      case None =>
-        walk(times.tail, times.head, times.head, 1L)
-    }
-    state.update(SessionOut(userId, start, end, n))
-    // close at end + gap in event time; never set a timeout at or before
-    // the current watermark (the API rejects it for already-late state)
-    state.setTimeoutTimestamp(math.max((end + GapSeconds) * 1000L,
-      state.getCurrentWatermarkMs + 1000L))
-    out.iterator
+    closed.iterator
   }
 }

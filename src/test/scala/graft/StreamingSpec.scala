@@ -6,9 +6,16 @@ class StreamingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("s_window_agg equals the batch window aggregation") {
+  /** Hour buckets the 1-hour watermark finalizes: window end ≤ max(ts) − 1h. */
+  private def finalizedHours(evs: org.apache.spark.sql.DataFrame) = {
+    val mx = evs.agg(max(col("ts").cast("long"))).head().getLong(0)
+    evs.filter(
+      (floor(col("ts").cast("long") / 3600L) * 3600L) + 3600L <= mx - 3600L)
+  }
+
+  test("s_window_agg equals the batch aggregation over finalized windows") {
     val streamed = Registry.byName("s_window_agg").fn(spark, dir).collect()
-    val batch = Tables.tbl(spark, dir, "events")
+    val batch = finalizedHours(Tables.tbl(spark, dir, "events"))
       .groupBy(date_format(date_trunc("hour", col("ts")),
         "yyyy-MM-dd HH:mm:ss").as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -43,18 +50,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s"),
         r.getAs[Long]("e"), r.getAs[Long]("n")))
     assert(out.nonEmpty && out.subsetOf(all.toSet))
-    // every non-trailing session (a later session for the user proves the
-    // gap) must be emitted
-    val lastByUser = all.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
-    val nonTrailing = all.filterNot(s => lastByUser(s._1) == s).toSet
-    assert(nonTrailing.subsetOf(out))
-    // a user's TRAILING session closes iff the final watermark
-    // (max ts - 2h) passed session_end + 30min; ±5s boundary band skipped
+    // a session is emitted iff the final watermark (max ts − 2h) passed
+    // session_end + 30min — the only point at which NO admissible late
+    // event could still extend or merge it (an earlier emission would
+    // overclaim finality: an in-watermark late event in a later batch
+    // can fall within gap of it). ±5s boundary band skipped.
     val maxSec = evs.agg(max("t")).head().getLong(0)
     val cut = maxSec - 7200L - 1800L
-    lastByUser.values.foreach { s =>
-      if (s._3 < cut - 5) assert(out.contains(s), s"closed trailing $s missing")
-      if (s._3 > cut + 5) assert(!out.contains(s), s"open trailing $s emitted")
+    all.foreach { s =>
+      if (s._3 < cut - 5) assert(out.contains(s), s"final session $s missing")
+      if (s._3 > cut + 5) assert(!out.contains(s), s"non-final $s emitted")
     }
   }
 
@@ -100,7 +105,9 @@ class StreamingSpec extends SparkSpec {
     val deduped = Registry.byName("s_dedup_stream").fn(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events"))
       .toMap
-    val batch = Tables.tbl(spark, dir, "events")
+    // the doubled copies vanish; counts match the batch aggregation over
+    // exactly the watermark-finalized hour buckets
+    val batch = finalizedHours(Tables.tbl(spark, dir, "events"))
       .groupBy("event_type").count().collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count"))
       .toMap
@@ -126,27 +133,50 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("sessionizer merges late in-watermark events without splitting") {
-    import graft.streaming.{SessionOut, Sessionizer}
+    import graft.streaming.{SessState, SessionOut, Sessionizer}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
     def ev(sec: Long) = (7L, new java.sql.Timestamp(sec * 1000L))
-    def openState(s: SessionOut) = TestGroupState.create[SessionOut](
-      Optional.of(s), GroupStateTimeout.EventTimeTimeout, 0L,
-      Optional.of(java.lang.Long.valueOf(5000L * 1000L)), false)
+    def stateOf(wmSec: Long, ss: SessionOut*) = TestGroupState.create[SessState](
+      if (ss.isEmpty) Optional.empty[SessState]() else Optional.of(SessState(ss)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(wmSec * 1000L)), false)
     // open session [10000,10600]; batch mixes a late event inside the
     // span, a late bridge just before the start, and an on-time extension
-    val st = openState(SessionOut(7L, 10000L, 10600L, 3L))
+    val st = stateOf(5000L, SessionOut(7L, 10000L, 10600L, 3L))
     val out = Sessionizer.apply(7L,
       Iterator(ev(10300L), ev(9000L), ev(11000L)), st).toSeq
-    assert(out.isEmpty, s"no session should close, got $out")
-    assert(st.get == SessionOut(7L, 9000L, 11000L, 6L))
-    // an event more than a gap before the open session's start forms its
-    // own earlier session, final immediately
-    val st2 = openState(SessionOut(7L, 10000L, 10600L, 3L))
-    val out2 = Sessionizer.apply(7L,
-      Iterator(ev(7000L), ev(10700L)), st2).toSeq
-    assert(out2 == Seq(SessionOut(7L, 7000L, 7000L, 1L)))
-    assert(st2.get == SessionOut(7L, 10000L, 10700L, 4L))
+    assert(out.isEmpty, s"no session is final at wm=5000, got $out")
+    assert(st.get == SessState(Seq(SessionOut(7L, 9000L, 11000L, 6L))))
+    // an event more than a gap before the open session forms its own
+    // earlier session — HELD in state (not emitted) until the watermark
+    // passes its end+gap: an admissible late event could still extend it
+    val st2 = stateOf(5000L, SessionOut(7L, 10000L, 10600L, 3L))
+    val out2 = Sessionizer.apply(7L, Iterator(ev(7000L), ev(10700L)), st2).toSeq
+    assert(out2.isEmpty, s"pre-session is not final at wm=5000, got $out2")
+    assert(st2.get == SessState(Seq(
+      SessionOut(7L, 7000L, 7000L, 1L), SessionOut(7L, 10000L, 10700L, 4L))))
+    // a later late event within gap of the held pre-session EXTENDS it —
+    // the previous emit-immediately behavior fragmented exactly here
+    val st3 = stateOf(5000L, SessionOut(7L, 7000L, 7000L, 1L),
+      SessionOut(7L, 10000L, 10700L, 4L))
+    val out3 = Sessionizer.apply(7L, Iterator(ev(8000L)), st3).toSeq
+    assert(out3.isEmpty)
+    assert(st3.get == SessState(Seq(
+      SessionOut(7L, 7000L, 8000L, 2L), SessionOut(7L, 10000L, 10700L, 4L))))
+    // once the watermark passes end+gap the pre-session emits exactly
+    // once; the still-open trailing session stays
+    val st4 = stateOf(11000L, SessionOut(7L, 7000L, 8000L, 2L),
+      SessionOut(7L, 10000L, 10700L, 4L))
+    val out4 = Sessionizer.apply(7L, Iterator.empty, st4).toSeq
+    assert(out4 == Seq(SessionOut(7L, 7000L, 8000L, 2L)))
+    assert(st4.get == SessState(Seq(SessionOut(7L, 10000L, 10700L, 4L))))
+    // a bridging late event can MERGE two held sessions into one
+    val st5 = stateOf(5000L, SessionOut(7L, 7000L, 7000L, 1L),
+      SessionOut(7L, 10000L, 10700L, 4L))
+    val out5 = Sessionizer.apply(7L, Iterator(ev(8500L)), st5).toSeq
+    assert(out5.isEmpty)
+    assert(st5.get == SessState(Seq(SessionOut(7L, 7000L, 10700L, 6L))))
   }
 
   test("format sniffer: real magic bytes drive the per-format branch") {
