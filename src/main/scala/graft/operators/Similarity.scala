@@ -180,29 +180,60 @@ object Similarity {
       c -> dot
     }.sortBy(-_._2).take(nprobe).map(_._1)
 
-  /** IVF approximate top-k: corpus vectors are assigned to their nearest
-    * centroid cell (map-only pass, no shuffle of the corpus); each query
-    * probes its `nprobe` nearest cells and verifies candidates by exact
-    * cosine. Work per query ≈ nprobe × N/K instead of N — the coarse-
-    * quantizer scale path past hyperplane LSH.
+  /** Cell assignment for IVF: map-only (the centroid model broadcasts in
+    * the closure), then each cell is CAPPED at `cellCap` members
+    * (deterministic keep-lowest-id row_number) — the hard bound that
+    * keeps one dense cell (clustered/adversarial corpus) from dominating
+    * the candidate join, mirroring the LSH per-bucket cap.
     */
-  def annTopKIvf(corpus: DataFrame, queriesDf: DataFrame, idCol: String,
-      vecCol: String, qIdCol: String, qVecCol: String, k: Int,
-      cells: Int, nprobe: Int): DataFrame = {
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], cellCap: Int): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val cents = trainIvf(corpus, idCol, vecCol, cells)
-    val corpusCells = corpus
+    val assigned = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
         (id, nearestCell(normalizeVec(v.map(_.toDouble)), cents))
       }).toDF("id", "cell")
+    val w = Window.partitionBy("cell").orderBy("id")
+    assigned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cellCap).drop("__rn")
+  }
+
+  /** IVF approximate top-k: corpus vectors are assigned to their nearest
+    * centroid cell (map-only pass, no shuffle of the corpus); each query
+    * probes its `nprobe` nearest cells and verifies candidates by exact
+    * cosine. Work per query ≈ nprobe × N/K instead of N — the coarse-
+    * quantizer scale path past hyperplane LSH.
+    *
+    * Parameters SCALE WITH THE CORPUS unless pinned: cells ≈ √N (per-
+    * query candidates ≈ nprobe·√N, not N/const), nprobe grows with the
+    * cell count, and every cell is capped at ~8× the average cell size —
+    * the fixed 16-cell demo parameterization would probe N/4 of a 100 TB
+    * corpus per query and let one dense cell dominate the join.
+    */
+  def annTopKIvf(corpus: DataFrame, queriesDf: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      cells: Int = 0, nprobe: Int = 0, cellCap: Int = 0): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val n = corpus.count()
+    val nCells =
+      if (cells > 0) cells
+      else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = if (nprobe > 0) nprobe else math.max(4, nCells / 8)
+    val nCap =
+      if (cellCap > 0) cellCap
+      else math.max(64, 8 * math.ceil(n.toDouble / nCells).toInt)
+    val cents = trainIvf(corpus, idCol, vecCol, nCells,
+      sampleN = math.max(2000, 20 * nCells))
+    val corpusCells = ivfAssign(corpus, idCol, vecCol, cents, nCap)
     val qCells = queriesDf
       .select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (qid, v) =>
-        nearestCells(normalizeVec(v.map(_.toDouble)), cents, nprobe)
+        nearestCells(normalizeVec(v.map(_.toDouble)), cents, nProbe)
           .map(c => (qid, c))
       }).toDF("q_id", "cell")
     val cand = broadcast(qCells).join(corpusCells, "cell")
@@ -218,6 +249,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id").as("neighbor_id"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** Attach per-query recall@k vs the EXACT brute-force top-k as a
+    * `recall` column, so the output itself (and any gate reading it)
+    * surfaces a recall collapse. The exact side broadcasts the bounded
+    * query set over one map-only corpus scan — O(Q×N) compute, no
+    * shuffle of the corpus, affordable even at 100 TB for the audit-
+    * sized query sets this travels with.
+    */
+  def withRecall(ann: DataFrame, corpus: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    val exact = broadcast(queriesDf.select(col(qIdCol).as("q_id"),
+        col(qVecCol).as("q_vec")))
+      .crossJoin(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("neighbor_id"), lit(1L).as("__hit"))
+    val recalls = ann.select("q_id", "neighbor_id")
+      .join(exact, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(round(sum(coalesce(col("__hit"), lit(0L))) / lit(k), 4)
+        .as("recall"))
+    ann.join(broadcast(recalls), Seq("q_id"), "left")
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -283,23 +341,29 @@ object Similarity {
         val corpus = emb(s, dir)
         val q = corpus.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        annTopK(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+        val ann = annTopK(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
           k = 3, tables = 8, planes = 12, dims = 64, cap = 1024)
+        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+          k = 3)
           .orderBy("q_id", "rank")
       },
       None),
 
-    // IVF ANN: k-means coarse quantizer (16 cells), queries probe their 4
-    // nearest cells — per-query work ≈ nprobe×N/K instead of N. Rows-only
-    // (approximate); SimilaritySpec checks recall on planted twins.
+    // IVF ANN: k-means coarse quantizer, cells ≈ √N with a per-cell cap
+    // and nprobe scaled to the cell count — per-query work ≈ nprobe×√N.
+    // Rows-only (approximate); the recall column audits each query
+    // against the exact top-k, and SimilaritySpec pins planted-twin
+    // recall and the cap under a clustered corpus.
     GraftQuery(
       "d_ann_ivf",
       (s, dir) => {
         val corpus = emb(s, dir)
         val q = corpus.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        annTopKIvf(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
-          k = 3, cells = 16, nprobe = 4)
+        val ann = annTopKIvf(corpus, q, "vec_id", "embedding", "q_id",
+          "q_vec", k = 3)
+        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+          k = 3)
           .orderBy("q_id", "rank")
       },
       None),

@@ -72,13 +72,14 @@ class SimilaritySpec extends SparkSpec {
       s"dedup recovered $recovered of $planted planted pairs")
   }
 
-  test("IVF ANN recall >= 0.8 on planted twins, cells partition the corpus") {
+  test("IVF ANN recall >= 0.8 on planted twins with corpus-scaled parameters") {
     val base = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = Similarity.withPlantedTwins(base, "vec_id", "embedding", 1)
     val q = base.limit(100).select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"))
+    // auto parameters: cells ≈ √N, scaled nprobe, capped cells
     val hits = Similarity.annTopKIvf(corpus, q, "vec_id", "embedding",
-      "q_id", "q_vec", k = 1, cells = 16, nprobe = 4)
+      "q_id", "q_vec", k = 1)
       .filter(col("neighbor_id") === col("q_id") + 1000000000L)
       .count()
     assert(hits >= 80L, s"IVF found $hits/100 planted twins")
@@ -87,6 +88,41 @@ class SimilaritySpec extends SparkSpec {
     val cents2 = Similarity.trainIvf(corpus, "vec_id", "embedding", 16)
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
     assert(cents.length == 16)
+  }
+
+  test("IVF per-cell cap bounds candidates under a clustered corpus") {
+    import spark.implicits._
+    // 5000 identical vectors collapse into ONE cell — uncapped, every
+    // query probing it would verify the whole corpus
+    val vec = Seq.fill(64)(0.5f)
+    val corpus = spark.range(5000).toDF("vec_id")
+      .withColumn("embedding", typedLit(vec))
+    val cents = Similarity.trainIvf(corpus, "vec_id", "embedding", 4)
+    val capped = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      cents, cellCap = 100)
+    val maxCell = capped.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell <= 100L, s"cell of $maxCell exceeds cap 100")
+  }
+
+  test("ANN outputs carry a recall column pinned >= 0.8 on planted twins") {
+    val base = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.withPlantedTwins(base, "vec_id", "embedding", 1)
+    val q = base.limit(50).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"))
+    val ann = Similarity.annTopK(corpus, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 1, tables = 8, planes = 12, dims = 64, cap = 1024)
+    val out = Similarity.withRecall(ann, corpus, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 1)
+    val meanRecall = out.select("q_id", "recall").distinct()
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(meanRecall >= 0.8, s"mean recall@1 $meanRecall below 0.8")
+    // the registered ANN queries expose the column end-to-end
+    val lsh = Registry.byName("d_ann_lsh").fn(spark, "/root/testdata/sf0.001")
+    assert(lsh.columns.contains("recall"))
+    assert(lsh.select("recall").collect().forall(!_.isNullAt(0)))
+    val ivf = Registry.byName("d_ann_ivf").fn(spark, "/root/testdata/sf0.001")
+    assert(ivf.columns.contains("recall"))
   }
 
   test("per-bucket cap bounds candidate generation under adversarial skew") {
