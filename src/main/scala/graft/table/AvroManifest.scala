@@ -1,0 +1,384 @@
+package graft.table
+
+import graft.model._
+import org.apache.avro.{Schema => ASchema}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.types.{DoubleType, FloatType, TimestampNTZType}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Path
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-spec Avro manifest interop: the v2 `manifest_entry` /
+  * `manifest_file` record shapes with the spec's published field names
+  * AND field-ids (the same metadata surface the reference models at
+  * /root/reference/src/model/snapshot.rs). Graft's native manifests are
+  * JSONL — chosen for the Spark-JSON distributed planning path — so this
+  * module EXPORTS a snapshot as spec-shaped Avro for external Iceberg
+  * tooling, and reads those files back (validated by a golden-fixture
+  * roundtrip spec; no external Iceberg reader installs in this
+  * container).
+  *
+  * Bounds use the spec's single-value binary serialization: int/date
+  * 4-byte little-endian, long/timestamp-micros 8-byte LE, float/double
+  * LE IEEE bits, string UTF-8 bytes, boolean one byte, decimal
+  * minimal-length big-endian unscaled.
+  */
+object AvroManifest {
+
+  // ------------------------------------------------------------ schemas ----
+
+  /** Avro field-type name + value converters for one partition field.
+    * `enc` maps graft's normalized string partition value to the typed
+    * Avro value; `dec` inverts it.
+    */
+  private case class PartCodec(avroType: String,
+      enc: String => Any, dec: Any => String)
+
+  private def partCodec(pf: PartitionField, schema: SchemaV2): PartCodec =
+    pf.transform match {
+      case TBucket(_) | TYear | TMonth | TDay | THour =>
+        PartCodec("int", _.toInt, _.toString)
+      case TVoid => PartCodec("string", identity, _.toString)
+      case TIdentity | TTruncate(_) =>
+        schema.fieldById(pf.sourceId).map(_.fieldType) match {
+          case Some(TInt) => PartCodec("int", _.toInt, _.toString)
+          case Some(TLong) => PartCodec("long", _.toLong, _.toString)
+          case Some(TDate) => PartCodec("int",
+            s => java.time.LocalDate.parse(s).toEpochDay.toInt,
+            v => java.time.LocalDate.ofEpochDay(
+              v.asInstanceOf[Int].toLong).toString)
+          case _ => PartCodec("string", identity, _.toString)
+        }
+    }
+
+  private def partitionSchemaJson(spec: PartitionSpec,
+      schema: SchemaV2): String = {
+    val fields = spec.fields.map { pf =>
+      val c = partCodec(pf, schema)
+      s"""{"name":"${pf.name}","type":["null","${c.avroType}"],""" +
+        s""""default":null,"field-id":${pf.fieldId}}"""
+    }
+    s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Spec v2 manifest_entry schema for one (spec, table-schema) pair —
+    * field names and field-ids are the published constants.
+    */
+  private[graft] def entrySchema(spec: PartitionSpec,
+      schema: SchemaV2): ASchema = {
+    // spec field-ids: null_value_counts 110 (key 121/value 122),
+    // lower_bounds 125 (126/127), upper_bounds 128 (129/130)
+    val json = s"""{
+      "type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        {"name":"data_file","field-id":2,"type":{
+          "type":"record","name":"r2","fields":[
+            {"name":"content","type":"int","field-id":134},
+            {"name":"file_path","type":"string","field-id":100},
+            {"name":"file_format","type":"string","field-id":101},
+            {"name":"partition","field-id":102,
+             "type":${partitionSchemaJson(spec, schema)}},
+            {"name":"record_count","type":"long","field-id":103},
+            {"name":"file_size_in_bytes","type":"long","field-id":104},
+            {"name":"null_value_counts","field-id":110,"type":["null",
+              {"type":"array","logicalType":"map","items":
+                {"type":"record","name":"k121_v122","fields":[
+                  {"name":"key","type":"int","field-id":121},
+                  {"name":"value","type":"long","field-id":122}]}}],
+             "default":null},
+            {"name":"lower_bounds","field-id":125,"type":["null",
+              {"type":"array","logicalType":"map","items":
+                {"type":"record","name":"k126_v127","fields":[
+                  {"name":"key","type":"int","field-id":126},
+                  {"name":"value","type":"bytes","field-id":127}]}}],
+             "default":null},
+            {"name":"upper_bounds","field-id":128,"type":["null",
+              {"type":"array","logicalType":"map","items":
+                {"type":"record","name":"k129_v130","fields":[
+                  {"name":"key","type":"int","field-id":129},
+                  {"name":"value","type":"bytes","field-id":130}]}}],
+             "default":null},
+            {"name":"equality_ids","field-id":135,"type":["null",
+              {"type":"array","items":"int","element-id":136}],
+             "default":null}
+          ]}}
+      ]}"""
+    new ASchema.Parser().parse(json)
+  }
+
+  /** Spec v2 manifest_file schema (manifest-list rows). */
+  private[graft] val listSchema: ASchema = new ASchema.Parser().parse(s"""{
+    "type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_files_count","type":"int","field-id":504},
+      {"name":"existing_files_count","type":"int","field-id":505},
+      {"name":"deleted_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514}
+    ]}""")
+
+  // ----------------------------------------------- single-value encoding ----
+
+  /** Dotted stat path → (field-id, type) over the schema's struct tree. */
+  private[table] def statFields(schema: SchemaV2): Map[String, (Int, IceType)] = {
+    def walk(prefix: String, fields: Seq[StructField]): Seq[(String, (Int, IceType))] =
+      fields.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.fieldType match {
+          case TStruct(fs) => walk(p, fs)
+          case t => Seq(p -> (f.id, t))
+        }
+      }
+    walk("", schema.fields).toMap
+  }
+
+  /** Normalized stat string → spec single-value bytes (None = type not
+    * representable; the stat is skipped, never mis-encoded).
+    */
+  private[table] def encodeBound(v: String, t: IceType): Option[Array[Byte]] = {
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    try t match {
+      case TInt => Some(le(4).putInt(v.toInt).array)
+      case TLong => Some(le(8).putLong(v.toLong).array)
+      case TFloat => Some(le(4).putFloat(v.toFloat).array)
+      case TDouble => Some(le(8).putDouble(v.toDouble).array)
+      case TDate => Some(le(4).putInt(
+        java.time.LocalDate.parse(v).toEpochDay.toInt).array)
+      case TTimestamp | TTimestamptz =>
+        Some(le(8).putLong(Pruning.tsMicros(v)).array)
+      case TString => Some(v.getBytes("UTF-8"))
+      case TBoolean => Some(Array[Byte](if (v.toBoolean) 1 else 0))
+      case TDecimal(_, s) => Some(new java.math.BigDecimal(v)
+        .setScale(s).unscaledValue.toByteArray)
+      case _ => None
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Inverse of [[encodeBound]] back to graft's normalized string form
+    * (via Pruning.normalize so both sides share one rendering).
+    */
+  private[table] def decodeBound(bytes: Array[Byte], t: IceType): Option[String] = {
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case TInt => Some(le.getInt.toString)
+      case TLong => Some(le.getLong.toString)
+      case TFloat => Pruning.normalize(le.getFloat, FloatType)
+      case TDouble => Pruning.normalize(le.getDouble, DoubleType)
+      case TDate => Some(java.time.LocalDate.ofEpochDay(le.getInt.toLong).toString)
+      case TTimestamp | TTimestamptz =>
+        Pruning.normalize(le.getLong, TimestampNTZType)
+      case TString => Some(new String(bytes, "UTF-8"))
+      case TBoolean => Some((bytes.headOption.exists(_ != 0)).toString)
+      case TDecimal(_, s) => Some(new java.math.BigDecimal(
+        new java.math.BigInteger(bytes), s).toPlainString)
+      case _ => None
+    }
+  }
+
+  // -------------------------------------------------------------- write ----
+
+  private def mapArray(schema: ASchema,
+      kvs: Seq[(Int, Any)]): GenericData.Array[GenericRecord] = {
+    val itemSchema = schema.getElementType
+    val arr = new GenericData.Array[GenericRecord](kvs.size, schema)
+    kvs.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k)
+      r.put("value", v)
+      arr.add(r)
+    }
+    arr
+  }
+
+  private def nonNull(s: ASchema): ASchema =
+    s.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+
+  /** Write `entries` as one spec-shaped Avro manifest. `status` is 1
+    * (ADDED) for entries added by `snapshotId`, 0 (EXISTING) otherwise.
+    * Returns the file length in bytes (the manifest list records it).
+    */
+  def writeManifest(path: Path, entries: Seq[DataFileEntry],
+      schema: SchemaV2, spec: PartitionSpec, snapshotId: Long,
+      content: Int): Long = {
+    val aschema = entrySchema(spec, schema)
+    val dfSchema = aschema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val stats = statFields(schema)
+    val codecs = spec.fields.map(pf => pf.name -> partCodec(pf, schema)).toMap
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](aschema))
+    writer.setMeta("schema", Json.write(schema.toJson))
+    writer.setMeta("partition-spec", Json.write(spec.toJson))
+    writer.setMeta("partition-spec-id", spec.specId.toString)
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", if (content == 0) "data" else "deletes")
+    writer.create(aschema, path.toFile)
+    try entries.foreach { e =>
+      val part = new GenericData.Record(partSchema)
+      spec.fields.foreach { pf =>
+        part.put(pf.name,
+          e.partition.get(pf.name).flatten.map(codecs(pf.name).enc).orNull)
+      }
+      val lower = e.stats.toSeq.flatMap { case (name, cs) =>
+        for { (id, t) <- stats.get(name); v <- cs.min
+              b <- encodeBound(v, t) } yield id -> ByteBuffer.wrap(b)
+      }
+      val upper = e.stats.toSeq.flatMap { case (name, cs) =>
+        for { (id, t) <- stats.get(name); v <- cs.max
+              b <- encodeBound(v, t) } yield id -> ByteBuffer.wrap(b)
+      }
+      val nulls = e.stats.toSeq.flatMap { case (name, cs) =>
+        stats.get(name).map { case (id, _) => id -> (cs.nulls: Any) }
+      }
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", e.content)
+      df.put("file_path", e.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.fileSize)
+      df.put("null_value_counts",
+        mapArray(nonNull(dfSchema.getField("null_value_counts").schema()), nulls))
+      df.put("lower_bounds",
+        mapArray(nonNull(dfSchema.getField("lower_bounds").schema()),
+          lower.map { case (k, v) => k -> (v: Any) }))
+      df.put("upper_bounds",
+        mapArray(nonNull(dfSchema.getField("upper_bounds").schema()),
+          upper.map { case (k, v) => k -> (v: Any) }))
+      if (e.eqColumns.nonEmpty) {
+        val ids = e.eqColumns.flatMap(c => stats.get(c).map(_._1))
+        df.put("equality_ids", ids.map(Integer.valueOf).asJava)
+      }
+      val rec = new GenericData.Record(aschema)
+      rec.put("status", if (e.snapshotId == snapshotId) 1 else 0)
+      rec.put("snapshot_id", e.snapshotId)
+      rec.put("sequence_number", e.sequenceNumber)
+      rec.put("file_sequence_number", e.sequenceNumber)
+      rec.put("data_file", df)
+      writer.append(rec)
+    } finally writer.close()
+    java.nio.file.Files.size(path)
+  }
+
+  /** Read a spec-shaped Avro manifest back to graft entries. The entry
+    * schema id comes from the file's `schema` metadata.
+    */
+  def readManifest(path: Path): Seq[DataFileEntry] = {
+    val reader = new DataFileReader[GenericRecord](path.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val schema = SchemaV2.fromJson(Json.parse(
+        new String(reader.getMeta("schema"), "UTF-8")))
+      val spec = PartitionSpec.fromJson(Json.parse(
+        new String(reader.getMeta("partition-spec"), "UTF-8")))
+      val stats = statFields(schema)
+      val byId = stats.map { case (p, (id, t)) => id -> (p, t) }
+      val codecs = spec.fields.map(pf => pf.name -> partCodec(pf, schema)).toMap
+      def str(v: Any): String = v match {
+        case u: Utf8 => u.toString
+        case s: String => s
+        case other => String.valueOf(other)
+      }
+      def asMap(v: Any): Seq[(Int, Any)] = v match {
+        case null => Seq.empty
+        case l: java.util.List[_] => l.asScala.toSeq.map { r =>
+          val rec = r.asInstanceOf[GenericRecord]
+          rec.get("key").asInstanceOf[Int] -> rec.get("value")
+        }
+        case _ => Seq.empty
+      }
+      def bytesOf(v: Any): Array[Byte] = {
+        val bb = v.asInstanceOf[ByteBuffer].duplicate()
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      }
+      reader.iterator.asScala.map { rec =>
+        val df = rec.get("data_file").asInstanceOf[GenericRecord]
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val partVals = spec.fields.map { pf =>
+          pf.name -> Option(part.get(pf.name)).map(codecs(pf.name).dec)
+        }.toMap
+        val lower = asMap(df.get("lower_bounds")).flatMap { case (id, v) =>
+          byId.get(id).flatMap { case (p, t) =>
+            decodeBound(bytesOf(v), t).map(p -> _) } }.toMap
+        val upper = asMap(df.get("upper_bounds")).flatMap { case (id, v) =>
+          byId.get(id).flatMap { case (p, t) =>
+            decodeBound(bytesOf(v), t).map(p -> _) } }.toMap
+        val nulls = asMap(df.get("null_value_counts")).flatMap { case (id, v) =>
+          byId.get(id).map { case (p, _) => p -> v.asInstanceOf[Long] } }.toMap
+        val colStats = (lower.keySet ++ upper.keySet ++ nulls.keySet).map { p =>
+          p -> ColStats(lower.get(p), upper.get(p), nulls.getOrElse(p, 0L))
+        }.toMap
+        val eqIds = df.get("equality_ids") match {
+          case null => Seq.empty[String]
+          case l: java.util.List[_] => l.asScala.toSeq
+            .flatMap(id => byId.get(id.asInstanceOf[Int]).map(_._1))
+          case _ => Seq.empty[String]
+        }
+        DataFileEntry(
+          str(df.get("file_path")),
+          df.get("record_count").asInstanceOf[Long],
+          rec.get("snapshot_id").asInstanceOf[Long],
+          rec.get("sequence_number").asInstanceOf[Long],
+          schema.schemaId,
+          partVals,
+          colStats,
+          df.get("content").asInstanceOf[Int],
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          eqIds)
+      }.toSeq
+    } finally reader.close()
+  }
+
+  /** One manifest-list row per exported manifest. */
+  case class ListEntry(path: Path, length: Long, content: Int,
+      sequenceNumber: Long, addedSnapshotId: Long, fileCount: Long,
+      rowCount: Long)
+
+  def writeManifestList(path: Path, manifests: Seq[ListEntry],
+      specId: Int): Unit = {
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    writer.setMeta("format-version", "2")
+    writer.create(listSchema, path.toFile)
+    try manifests.foreach { m =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", m.path.toString)
+      r.put("manifest_length", m.length)
+      r.put("partition_spec_id", specId)
+      r.put("content", if (m.content == 0) 0 else 1)
+      r.put("sequence_number", m.sequenceNumber)
+      r.put("min_sequence_number", m.sequenceNumber)
+      r.put("added_snapshot_id", m.addedSnapshotId)
+      r.put("added_files_count", m.fileCount.toInt)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", m.rowCount)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      writer.append(r)
+    } finally writer.close()
+  }
+
+  def readManifestList(path: Path): Seq[(String, Long, Int)] = {
+    val reader = new DataFileReader[GenericRecord](path.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try reader.iterator.asScala.map { r =>
+      (r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        r.get("content").asInstanceOf[Int])
+    }.toSeq
+    finally reader.close()
+  }
+}

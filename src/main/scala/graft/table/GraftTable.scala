@@ -1384,6 +1384,38 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     orphans
   }
 
+  /** Export the CURRENT snapshot's manifests and manifest list as
+    * Iceberg-spec Avro files under `outDir` (see [[AvroManifest]]):
+    * entries group by their write schema (the manifest's `schema`
+    * metadata must describe its entries for field-id-addressed stats),
+    * and the manifest list records per-manifest lengths and counts.
+    * Returns the manifest-list path.
+    */
+  def exportAvro(outDir: String): Path = {
+    val meta = metadata
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot to export at $location"))
+    val spec = meta.defaultSpec
+    val dir = Paths.get(outDir)
+    Files.createDirectories(dir)
+    var i = 0
+    val listEntries = manifestsFor(meta, None).flatMap { r =>
+      r.entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, es) =>
+        val schema = meta.schemaById(sid).getOrElse(meta.currentSchema)
+        val p = dir.resolve(f"manifest-$i%05d.avro")
+        i += 1
+        val len = AvroManifest.writeManifest(p, es, schema, spec,
+          snap.snapshotId, r.content)
+        AvroManifest.ListEntry(p, len, r.content,
+          es.map(_.sequenceNumber).min, snap.snapshotId,
+          es.size.toLong, es.map(_.recordCount).sum)
+      }
+    }
+    val listPath = dir.resolve(s"snap-${snap.snapshotId}.avro")
+    AvroManifest.writeManifestList(listPath, listEntries, spec.specId)
+    listPath
+  }
+
   // ----------------------------------------------------- metadata tables ----
 
   /** `.snapshots` metadata table. */

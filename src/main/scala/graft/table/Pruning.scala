@@ -85,6 +85,15 @@ object Pruning {
     case (other, _) => Some(other.toString)
   }
 
+  /** Parse the normalized timestamp encoding back to epoch micros
+    * (inverse of the TsFmt rendering; Avro manifest export encodes
+    * timestamp bounds as micros).
+    */
+  private[table] def tsMicros(s: String): Long = {
+    val inst = LocalDateTime.parse(s, LocalFmt).toInstant(ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
   /** Pad a user-written timestamp literal ("1998-09-02" or
     * "1998-09-02 12:00:00") to the full normalized encoding.
     */

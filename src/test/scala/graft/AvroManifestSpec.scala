@@ -1,0 +1,121 @@
+package graft
+
+import graft.model._
+import graft.table.{AvroManifest, ColStats, DataFileEntry, GraftTable}
+import org.apache.spark.sql.functions._
+
+/** Golden-fixture validation of the Iceberg-spec Avro manifest export:
+  * field names/ids match the published spec constants, and entries
+  * roundtrip byte-exactly (no external Iceberg reader installs in this
+  * container — pyiceberg and DuckDB's iceberg extension both need
+  * network — so the shape is pinned here instead).
+  */
+class AvroManifestSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-$name")
+
+  test("manifest_entry / manifest_file schemas carry the spec field ids") {
+    val schema = SchemaV2(0, None, None, Seq(
+      StructField(1, "id", required = true, TLong),
+      StructField(2, "v", required = false, TString)))
+    val spec = PartitionSpec(1,
+      Seq(PartitionField(1, 1000, "id_bucket", TBucket(4))))
+    val s = AvroManifest.entrySchema(spec, schema)
+    def fid(f: org.apache.avro.Schema.Field): Int =
+      f.getObjectProp("field-id").asInstanceOf[Number].intValue
+    assert(fid(s.getField("status")) == 0)
+    assert(fid(s.getField("snapshot_id")) == 1)
+    assert(fid(s.getField("data_file")) == 2)
+    assert(fid(s.getField("sequence_number")) == 3)
+    assert(fid(s.getField("file_sequence_number")) == 4)
+    val df = s.getField("data_file").schema()
+    assert(fid(df.getField("file_path")) == 100)
+    assert(fid(df.getField("file_format")) == 101)
+    assert(fid(df.getField("partition")) == 102)
+    assert(fid(df.getField("record_count")) == 103)
+    assert(fid(df.getField("file_size_in_bytes")) == 104)
+    assert(fid(df.getField("null_value_counts")) == 110)
+    assert(fid(df.getField("lower_bounds")) == 125)
+    assert(fid(df.getField("upper_bounds")) == 128)
+    assert(fid(df.getField("content")) == 134)
+    assert(fid(df.getField("equality_ids")) == 135)
+    val part = df.getField("partition").schema()
+    assert(fid(part.getField("id_bucket")) == 1000)
+    val ls = AvroManifest.listSchema
+    assert(fid(ls.getField("manifest_path")) == 500)
+    assert(fid(ls.getField("manifest_length")) == 501)
+    assert(fid(ls.getField("partition_spec_id")) == 502)
+    assert(fid(ls.getField("added_snapshot_id")) == 503)
+    assert(fid(ls.getField("added_files_count")) == 504)
+    assert(fid(ls.getField("added_rows_count")) == 512)
+    assert(fid(ls.getField("sequence_number")) == 515)
+    assert(fid(ls.getField("min_sequence_number")) == 516)
+    assert(fid(ls.getField("content")) == 517)
+  }
+
+  test("entries roundtrip through spec-shaped Avro with typed bounds") {
+    val schema = SchemaV2(3, None, None, Seq(
+      StructField(1, "i", required = true, TInt),
+      StructField(2, "l", required = true, TLong),
+      StructField(3, "f", required = false, TFloat),
+      StructField(4, "d", required = false, TDouble),
+      StructField(5, "s", required = false, TString),
+      StructField(6, "dt", required = false, TDate),
+      StructField(7, "ts", required = false, TTimestamp)))
+    val spec = PartitionSpec(1,
+      Seq(PartitionField(2, 1000, "l_bucket", TBucket(8))))
+    val e1 = DataFileEntry("/data/a.parquet", 100L, 42L, 7L, 3,
+      Map("l_bucket" -> Some("3")),
+      Map(
+        "i" -> ColStats(Some("-5"), Some("17"), 0L),
+        "l" -> ColStats(Some("100"), Some("900"), 1L),
+        "f" -> ColStats(Some("0.25"), Some("2.5"), 2L),
+        "d" -> ColStats(Some("-1.5"), Some("3.75"), 0L),
+        "s" -> ColStats(Some("aardvark"), Some("zebra"), 3L),
+        "dt" -> ColStats(Some("2024-01-31"), Some("2024-12-01"), 0L),
+        "ts" -> ColStats(Some("2024-01-31 12:34:56.789000"),
+          Some("2024-12-01 00:00:00.000000"), 0L)),
+      fileSize = 4096L)
+    // a null partition value, no stats, equality-delete columns
+    val e2 = DataFileEntry("/data/b.parquet", 50L, 41L, 6L, 3,
+      Map("l_bucket" -> None), Map.empty, content = 2, fileSize = 99L,
+      eqColumns = Seq("i", "s"))
+    val p = tmp("avro-rt").resolve("m.avro")
+    val len = AvroManifest.writeManifest(p, Seq(e1, e2), schema, spec, 42L, 0)
+    assert(len > 0L && java.nio.file.Files.size(p) == len)
+    assert(AvroManifest.readManifest(p) == Seq(e1, e2))
+  }
+
+  test("exportAvro: a live table's snapshot reads back file-for-file") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(500)
+    val t = GraftTable.create(spark, tmp("avro-exp").toString + "/t",
+      src.schema,
+      partitionBy = Seq(("l_orderkey", TBucket(4), "key_bucket")))
+    t.append(src, repartitionByPartition = true)
+    t.append(src.limit(100))
+    val listPath = t.exportAvro(tmp("avro-out").toString)
+    val manifests = AvroManifest.readManifestList(listPath)
+    assert(manifests.nonEmpty)
+    val back = manifests.flatMap { case (p, len, _) =>
+      val path = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.size(path) == len)
+      AvroManifest.readManifest(path)
+    }
+    val live = t.liveEntries()
+    assert(back.map(_.path).sorted == live.map(_.path).sorted)
+    assert(back.map(_.recordCount).sum == live.map(_.recordCount).sum)
+    val byPath = back.map(e => e.path -> e).toMap
+    live.foreach { e =>
+      val b = byPath(e.path)
+      assert(b.partition == e.partition)
+      assert(b.sequenceNumber == e.sequenceNumber)
+      assert(b.snapshotId == e.snapshotId)
+      assert(b.fileSize == e.fileSize)
+      // representative typed bounds survive the binary encoding
+      assert(b.stats.get("l_orderkey") == e.stats.get("l_orderkey"))
+      assert(b.stats.get("l_comment") == e.stats.get("l_comment"))
+    }
+  }
+}
