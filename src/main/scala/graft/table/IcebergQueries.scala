@@ -333,6 +333,28 @@ object IcebergQueries {
       },
       None),
 
+    // Iceberg-spec Avro manifest export: the snapshot's file inventory
+    // round-trips through spec-shaped manifest_entry/manifest_file Avro
+    // (field-ids, typed bounds — AvroManifestSpec pins the golden shape).
+    GraftQuery(
+      "ice_export_avro",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+        val t = GraftTable.create(s, loc("avroexp"), orders.schema)
+        t.append(orders.filter(col("o_orderkey") % 2 === 0))
+        t.append(orders.filter(col("o_orderkey") % 2 === 1))
+        val listPath = t.exportAvro(loc("avroexp-out"))
+        val entries = AvroManifest.readManifestList(listPath)
+          .flatMap { case (p, _, _) =>
+            AvroManifest.readManifest(java.nio.file.Paths.get(p)) }
+        import s.implicits._
+        Seq((entries.map(_.path).sorted == t.liveEntries().map(_.path).sorted,
+          entries.map(_.recordCount).sum))
+          .toDF("files_match", "total_records")
+      },
+      Some("""SELECT true AS files_match,
+        CAST(COUNT(*) AS BIGINT) AS total_records FROM orders""")),
+
     // Snapshot expiry: old snapshots drop out, newly-orphaned files are
     // physically deleted and reported.
     GraftQuery(
