@@ -103,26 +103,57 @@ object Multimodal {
     (None, None)
   }
 
-  /** PIXEL-DECODE STUB — stands in for the codec call (absent in this
-    * container). Deterministic: byte histogram (16 bins) + Shannon
-    * entropy of the payload. Real decoders plug in here; the signature
-    * and batch shape are the contract.
+  /** Content-decoder contract — the pluggable seam where real codecs go.
+    * A deployment registers codec-backed implementations (JPEG/PNG pixel
+    * decode, audio sample decode); this container has none, so the
+    * deterministic byte-level [[MediaCodec.ByteStats]] fallback stands
+    * in. Codecs are Serializable and the per-query codec set is captured
+    * into the mapPartitions closure ON THE DRIVER, so registration
+    * travels to executors with the plan, never via shared state.
     */
-  private def pixelDecodeStub(p: Array[Byte]): (Double, Array[Long]) = {
-    val hist = new Array[Long](16)
-    p.foreach(b => hist((b & 0xff) >> 4) += 1)
-    val n = p.length.toDouble.max(1.0)
-    val entropy = -hist.filter(_ > 0)
-      .map { c => val pr = c / n; pr * math.log(pr) / math.log(2) }.sum
-    (math.rint(entropy * 10000) / 10000, hist)
+  trait MediaCodec extends Serializable {
+    /** Sniffed format names this codec handles ("*" = any). */
+    def formats: Set[String]
+    /** (entropy-like scalar, 16-bin histogram) from decoded content. */
+    def decodeFeatures(payload: Array[Byte]): (Double, Array[Long])
   }
 
+  object MediaCodec {
+    /** Deterministic byte-level fallback: 16-bin byte histogram +
+      * Shannon entropy — stands in for the absent codec call; real
+      * decoders plug in via [[register]], nothing else moves.
+      */
+    object ByteStats extends MediaCodec {
+      val formats: Set[String] = Set("*")
+      def decodeFeatures(p: Array[Byte]): (Double, Array[Long]) = {
+        val hist = new Array[Long](16)
+        p.foreach(b => hist((b & 0xff) >> 4) += 1)
+        val n = p.length.toDouble.max(1.0)
+        val entropy = -hist.filter(_ > 0)
+          .map { c => val pr = c / n; pr * math.log(pr) / math.log(2) }.sum
+        (math.rint(entropy * 10000) / 10000, hist)
+      }
+    }
+
+    @volatile private var registry: Seq[MediaCodec] = Seq.empty
+    def register(c: MediaCodec): Unit = synchronized { registry :+= c }
+    def clear(): Unit = synchronized { registry = Seq.empty }
+    /** Driver-side snapshot of registered codecs plus the fallback —
+      * capture this into closures (registration order wins ties).
+      */
+    def snapshot(): Seq[MediaCodec] = registry :+ ByteStats
+  }
+
+  private def codecFor(fmt: String, codecs: Seq[MediaCodec]): MediaCodec =
+    codecs.find(c => c.formats.contains(fmt) || c.formats.contains("*"))
+      .getOrElse(MediaCodec.ByteStats)
+
   /** Per-asset extraction: sniff the real format from magic bytes, branch
-    * to the format's header parser for dimensions, then run the (stubbed)
-    * content decode.
+    * to the format's header parser for dimensions, then run the codec's
+    * content decode (ByteStats unless a real codec is registered).
     */
-  def decode(docId: Long, declaredFormat: String,
-      payload: Array[Byte]): MediaFeatures = {
+  def decode(docId: Long, declaredFormat: String, payload: Array[Byte],
+      codecs: Seq[MediaCodec] = MediaCodec.snapshot()): MediaFeatures = {
     val detected = sniffFormat(payload)
     val (w, h) = detected match {
       case "png" => pngDims(payload)
@@ -130,7 +161,7 @@ object Multimodal {
       case "gif" => gifDims(payload)
       case _ => (None, None)
     }
-    val (entropy, hist) = pixelDecodeStub(payload)
+    val (entropy, hist) = codecFor(detected, codecs).decodeFeatures(payload)
     MediaFeatures(docId, declaredFormat, detected, w, h,
       payload.length.toLong, entropy, hist)
   }
@@ -170,13 +201,16 @@ object Multimodal {
               .otherwise("webp").as("format"),
             col("n_chars").as("n_chars"),
             col("source").as("source")).as("media_meta"))
-        // 2. batched decode/extract: one iterator per partition, no shuffle
+        // 2. batched decode/extract: one iterator per partition, no
+        //    shuffle; the codec set snapshots on the DRIVER and ships
+        //    inside the closure
+        val codecs = MediaCodec.snapshot()
         val features = assets
           .select(col("doc_id"), col("media_meta.format").as("format"),
             col("payload"))
           .as[(Long, String, Array[Byte])]
           .mapPartitions(_.map { case (id, fmt, bytes) =>
-            decode(id, fmt, bytes)
+            decode(id, fmt, bytes, codecs)
           })
           .toDF()
         // 3. downstream analytics on extracted features stay relational

@@ -533,18 +533,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def countRows(filter: Option[Column] = None,
       asOf: Option[Long] = None): Long = {
     val meta = metadata
-    val all = manifestsFor(meta, asOf).flatMap(_.entries)
-    val entries = all.filter(_.isData)
+    val refs = manifestsFor(meta, asOf)
     // delete positions are unique and live at write time (deleteWhereMoR
     // derives them from the deletes-applied read), so their record counts
-    // subtract exactly
-    val delCount = all.filter(_.content == 1).map(_.recordCount).sum
+    // subtract exactly; both totals come from the manifest-list ROLLUPS —
+    // an unfiltered count touches neither data nor manifest entries
+    val delCount = refs.filter(_.content == 1).map(_.recordCount).sum
     // equality deletes remove an unknown number of rows per key — no
     // metadata-only count is possible while any are live
-    val hasEq = all.exists(_.content == 2)
+    val hasEq = refs.exists(_.content == 2)
     filter match {
       case None if hasEq => scan(None, asOf).count()
-      case None => entries.map(_.recordCount).sum - delCount
+      case None =>
+        refs.filter(_.content == 0).map(_.recordCount).sum - delCount
       case Some(f) if delCount > 0 || hasEq =>
         // per-file stats cannot certify counts once MoR deletes exist —
         // answer from the deletes-applied scan
@@ -557,19 +558,42 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         val sparkSchema = toSparkSchema(schema)
         val (preds, complete) =
           Pruning.extractWithCompleteness(spark, f, sparkSchema)
-        val may = entries.filter(e =>
-          Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
         // the metadata shortcut is only sound if EVERY conjunct of the
         // filter translated — otherwise mustMatch would certify files
         // against a weaker predicate and silently overcount
-        val (full, partial) =
-          if (complete) may.partition(e =>
-            Pruning.mustMatch(e, preds, sparkSchema))
-          else (Seq.empty[DataFileEntry], may)
+        val (fullCount, partial): (Long, Seq[(String, Int)]) =
+          if (refs.map(_.entryCount).sum >= distributedPlanningThreshold) {
+            // manifest dataset path: may/must evaluate on executors; the
+            // driver sees one aggregate row plus the boundary file list
+            val mdf = manifestDfFor(meta, asOf)
+              .filter(coalesce(col("content"), lit(0)) === 0)
+              .filter(Pruning.mayMatchColumn(preds, sparkSchema,
+                meta.defaultSpec, schema))
+              .withColumn("__must",
+                if (complete) Pruning.mustMatchColumn(preds, sparkSchema)
+                else lit(false))
+            val certain = mdf.filter(col("__must"))
+              .agg(coalesce(sum(col("record-count")), lit(0L)))
+              .head().getLong(0)
+            val boundary = mdf.filter(!col("__must"))
+              .select(col("path"), col("schema-id")).collect().toSeq
+              .map(r => (r.getString(0), r.getInt(1)))
+            (certain, boundary)
+          } else {
+            val entries = refs.flatMap(_.entries).filter(_.isData)
+            val may = entries.filter(e =>
+              Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec,
+                schema))
+            val (full, part) =
+              if (complete) may.partition(e =>
+                Pruning.mustMatch(e, preds, sparkSchema))
+              else (Seq.empty[DataFileEntry], may)
+            (full.map(_.recordCount).sum, part.map(e => (e.path, e.schemaId)))
+          }
         val scanned =
           if (partial.isEmpty) 0L
-          else readAlignedFor(meta, partial, schema).filter(f).count()
-        full.map(_.recordCount).sum + scanned
+          else readAlignedFilesFor(meta, partial, schema).filter(f).count()
+        fullCount + scanned
     }
   }
 
@@ -760,12 +784,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     readAppliedFor(meta, entries, meta.currentSchema, Some(toSnapshot))
   }
 
-  private def readAlignedFor(meta: TableMetadataV2,
-      entries: Seq[DataFileEntry], readSchema: SchemaV2): DataFrame =
-    readAlignedFilesFor(meta, entries.map(e => (e.path, e.schemaId)),
-      readSchema)
-
-  /** Like readAlignedFor, but with prior position AND equality deletes
+  /** Like readAlignedFilesFor, but with prior position AND equality deletes
     * anti-joined away — the read every mutation must use, or CoW
     * rewrites would resurrect MoR-deleted rows.
     */

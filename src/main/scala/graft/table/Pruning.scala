@@ -393,38 +393,8 @@ object Pruning {
       spec: PartitionSpec, specSchema: SchemaV2): Column = {
     import org.apache.spark.sql.functions._
 
-    def cmpCol(a: Column, op: String, value: String, dt: DataType): Column = {
-      // exact, type-appropriate casts: integrals through Decimal(38,0)
-      // (exact for any long), floats/doubles through double (stats are
-      // round-tripped doubles), decimals at their own scale; a failed
-      // cast (null) keeps the file — conservative like the driver path
-      val (l, r) = dt match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          (a.cast(DecimalType(38, 0)),
-            lit(new java.math.BigDecimal(value)).cast(DecimalType(38, 0)))
-        case FloatType =>
-          // stat/partition strings denote FLOAT values (exact-widened
-          // stats round-trip through float losslessly; dir strings are
-          // float shortest-reprs) — parse at float precision, then widen,
-          // so comparison happens in the same double space as the filter
-          (a.cast("float").cast("double"), lit(value.toDouble))
-        case DoubleType =>
-          (a.cast("double"), lit(value.toDouble))
-        case d: DecimalType =>
-          (a.cast(DecimalType(38, math.min(d.scale, 37))),
-            lit(new java.math.BigDecimal(value))
-              .cast(DecimalType(38, math.min(d.scale, 37))))
-        case _ => (a, lit(value))
-      }
-      val c = op match {
-        case "=" => l === r
-        case "<" => l < r
-        case "<=" => l <= r
-        case ">" => l > r
-        case ">=" => l >= r
-      }
-      coalesce(c, lit(true))
-    }
+    def cmpCol(a: Column, op: String, value: String, dt: DataType): Column =
+      statCmp(a, op, value, dt, onNull = true)
 
     def one(colName: String, op: String, value: String): Column = {
       val dt = fieldType(schema, colName)
@@ -485,6 +455,83 @@ object Pruning {
           .otherwise(substring(st("min"), 1, p.length) <= p &&
             substring(st("max"), 1, p.length) >= p)
       case _ => lit(true)
+    }.foldLeft(lit(true))(_ && _)
+  }
+
+  /** Stat-string comparison as a Column: exact, type-appropriate casts —
+    * integrals through Decimal(38,0) (exact for any long), floats/
+    * doubles through double (stats are round-tripped doubles; FLOAT
+    * strings parse at float precision then widen so comparison happens
+    * in the filter's double space), decimals at their own scale. A
+    * failed cast yields `onNull` — true on the may-match side (keep the
+    * file, conservative) and false on the must-match side (scan it,
+    * conservative).
+    */
+  private def statCmp(a: Column, op: String, value: String, dt: DataType,
+      onNull: Boolean): Column = {
+    import org.apache.spark.sql.functions._
+    val (l, r) = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (a.cast(DecimalType(38, 0)),
+          lit(new java.math.BigDecimal(value)).cast(DecimalType(38, 0)))
+      case FloatType =>
+        (a.cast("float").cast("double"), lit(value.toDouble))
+      case DoubleType =>
+        (a.cast("double"), lit(value.toDouble))
+      case d: DecimalType =>
+        (a.cast(DecimalType(38, math.min(d.scale, 37))),
+          lit(new java.math.BigDecimal(value))
+            .cast(DecimalType(38, math.min(d.scale, 37))))
+      case _ => (a, lit(value))
+    }
+    val c = op match {
+      case "=" => l === r
+      case "<" => l < r
+      case "<=" => l <= r
+      case ">" => l > r
+      case ">=" => l >= r
+    }
+    coalesce(c, lit(onNull))
+  }
+
+  /** Column form of [[mustMatch]] over manifest rows: TRUE only when the
+    * file's stats PROVE every row matches every conjunct (no nulls, full
+    * range inside the predicate). Strictly conservative toward false —
+    * missing stats, untranslatable columns, or failed casts mean "must
+    * scan", exactly like the driver path.
+    */
+  def mustMatchColumn(preds: Seq[Any], schema: StructType): Column = {
+    import org.apache.spark.sql.functions._
+    def one(colName: String, op: String, value: String): Column = {
+      val dt = fieldType(schema, colName)
+        .getOrElse(return lit(false))
+      val st = col("stats")(colName)
+      when(st.isNull || st("min").isNull || st("max").isNull ||
+          st("nulls") =!= 0L, lit(false))
+        .otherwise(op match {
+          case "=" => statCmp(st("min"), "=", value, dt, onNull = false) &&
+            statCmp(st("max"), "=", value, dt, onNull = false)
+          case "<" => statCmp(st("max"), "<", value, dt, onNull = false)
+          case "<=" => statCmp(st("max"), "<=", value, dt, onNull = false)
+          case ">" => statCmp(st("min"), ">", value, dt, onNull = false)
+          case ">=" => statCmp(st("min"), ">=", value, dt, onNull = false)
+          case _ => lit(false)
+        })
+    }
+    preds.map {
+      case Cmp(c, op, v) => one(c, op, v)
+      case NullCmp(c, true) =>
+        val st = col("stats")(c)
+        coalesce(st("nulls") === col("record-count"), lit(false))
+      case NullCmp(c, false) =>
+        val st = col("stats")(c)
+        coalesce(st("nulls") === 0L, lit(false))
+      case Prefix(c, p) =>
+        val st = col("stats")(c)
+        coalesce(st("nulls") === 0L &&
+          substring(st("min"), 1, p.length) === p &&
+          substring(st("max"), 1, p.length) === p, lit(false))
+      case _ => lit(false) // InSet and unknowns → must scan
     }.foldLeft(lit(true))(_ && _)
   }
 

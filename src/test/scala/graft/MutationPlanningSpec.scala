@@ -62,6 +62,32 @@ class MutationPlanningSpec extends SparkSpec {
     }
   }
 
+  test("countRows: rollup-only when unfiltered, distributed may/must when filtered") {
+    val t = GraftTable.create(spark, freshLoc("distcount"),
+      spark.range(0).select(col("id"), col("id").cast("string").as("v")).schema)
+    (0 until 6).foreach { k =>
+      t.append(spark.range(k * 100L, k * 100L + 100L)
+        .select(col("id"), col("id").cast("string").as("v")).coalesce(1))
+    }
+    // unfiltered count answers from manifest-list rollups alone — no
+    // manifest ENTRY is materialized at any threshold
+    val dPlain = reads { assert(t.countRows() == 600L) }
+    assert(dPlain == 0L, s"unfiltered countRows read $dPlain manifests")
+    withThreshold(1) {
+      // fully-certain range: stats prove every row of manifests 1-2 match
+      val dRange = reads {
+        assert(t.countRows(Some(col("id").between(100, 299))) == 200L)
+      }
+      assert(dRange == 0L, s"certain countRows read $dRange manifests")
+      // boundary range: one file scanned, rest certified
+      assert(t.countRows(Some(col("id").between(150, 299))) == 150L)
+      // agreement with the driver path on the same filters
+      val exp = t.countRows(Some(col("id") % 7 === 0))
+      spark.conf.unset("spark.graft.distributedPlanningThreshold")
+      assert(t.countRows(Some(col("id") % 7 === 0)) == exp)
+    }
+  }
+
   test("overwritePartitions + compactBinPack plan distributedly") {
     val t = GraftTable.create(spark, freshLoc("distplan2"),
       spark.range(0).select(col("id"), col("id").cast("string").as("cat")).schema,

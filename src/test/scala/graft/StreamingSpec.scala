@@ -179,6 +179,28 @@ class StreamingSpec extends SparkSpec {
     assert(st5.get == SessState(Seq(SessionOut(7L, 7000L, 10700L, 6L))))
   }
 
+  test("media codec seam: registered codecs take over their formats") {
+    import graft.operators.Multimodal
+    import Multimodal.MediaCodec
+    object FixedPng extends Multimodal.MediaCodec {
+      val formats = Set("png")
+      def decodeFeatures(p: Array[Byte]): (Double, Array[Long]) =
+        (42.0, Array.fill(16)(7L))
+    }
+    try {
+      MediaCodec.register(FixedPng)
+      val png = Multimodal.decode(1L, "png", Multimodal.pngHeader(10, 10))
+      assert(png.byte_entropy == 42.0 && png.histogram.forall(_ == 7L))
+      // non-matching formats still fall back to the byte-stats stub
+      val txt = Multimodal.decode(2L, "txt", "hello".getBytes)
+      assert(txt.byte_entropy != 42.0)
+      assert(txt.histogram.sum == 5L)
+    } finally MediaCodec.clear()
+    // with nothing registered the fallback serves every format
+    val plain = Multimodal.decode(3L, "png", Multimodal.pngHeader(10, 10))
+    assert(plain.byte_entropy != 42.0)
+  }
+
   test("format sniffer: real magic bytes drive the per-format branch") {
     import graft.operators.Multimodal
     // genuine header bytes for each container
