@@ -40,4 +40,30 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.liveManifests().map(_.addedSequenceNumber.get).distinct.size ==
       writers)
   }
+
+  test("compaction rebases across concurrent appends instead of aborting") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(300)
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("conc2").toString + "/t",
+      src.schema)
+    t.append(src.repartition(8)) // 8 undersized files → compactable
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // racing appends force version-claim conflicts; compactBinPack must
+      // rebase (re-derive the small-file set) rather than surface a
+      // CommitConflictException like it used to
+      val appends = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          (1 to 3).foreach(_ => t.append(src.limit(50).repartition(2)))
+      })
+      val compact = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = t.compactBinPack().snapshotId
+      })
+      compact.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      appends.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    assert(t.scan().count() == 300L + 3 * 50L)
+    assert(t.countRows() == 450L)
+  }
 }

@@ -48,6 +48,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("equality deletes: one anti-join per column-set, not per data-sequence group") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("planspec3").toString + "/t",
+      src.schema)
+    // three data sequence groups…
+    t.append(src.filter(col("l_linenumber") === 1))
+    t.append(src.filter(col("l_linenumber") === 2))
+    t.deleteWhereEq(src.filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber").distinct())
+    t.append(src.filter(col("l_linenumber") === 3))
+    // …one key-column-set: the scan CONSTRUCTS a single anti-join above
+    // the union with the delete sequence in the join condition (the old
+    // fold built one join per seq group, re-planning the delete read
+    // each time). Catalyst then legally pushes it through the union and
+    // specializes each branch's build by its literal sequence — so the
+    // structural property is pinned on the ANALYZED plan, and the
+    // physical requirement is that every residual anti-join broadcasts.
+    val df = t.scan()
+    val analyzedAnti = df.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(analyzedAnti.size == 1,
+      s"expected one constructed eq-delete anti-join, got ${analyzedAnti.size}")
+    val p = plan(df)
+    assert(p.linesIterator.filter(_.contains("LeftAnti"))
+      .forall(_.contains("BroadcastHashJoin")),
+      "eq-delete anti-joins must broadcast, never shuffle the data side")
+    // correctness across the groups: deletes are KEY-addressed (the
+    // synthetic lineitem has duplicate key pairs, so anti-join — not a
+    // quantity filter — is the oracle) and apply only to earlier data
+    val keys = src.filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber").distinct()
+    def antiCount(lineno: Int): Long =
+      src.filter(col("l_linenumber") === lineno)
+        .join(keys, Seq("l_orderkey", "l_linenumber"), "left_anti").count()
+    val expected = antiCount(1) + antiCount(2) +
+      src.filter(col("l_linenumber") === 3).count()
+    assert(t.scan().count() == expected)
+  }
+
   test("column selection prunes the parquet read schema through scan()") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
     val t = GraftTable.create(spark,
