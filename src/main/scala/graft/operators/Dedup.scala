@@ -73,6 +73,76 @@ object Dedup {
           * 2 > size(hashes),
         call_function("shiftleft", lit(1L), i)).otherwise(0L))
 
+  /** MinHash+LSH near-dup pairs (doc_a < doc_b, jac): 16 bands × 4 rows
+    * by default; candidates from a band-hash equi-join, Jaccard-verified
+    * on the shingle hashes. The signature subtree is persisted — it
+    * feeds the band explode AND both sides of the verification join.
+    */
+  def minhashPairs(d: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rows: Int = 4, tau: Double = 0.5): DataFrame = {
+    val sigs = d.select(
+      col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), 3).as("sh"))
+      .withColumn("sig", minhashSigFromHashes(col("sh"), bands * rows))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows)))))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("band_id"), col("band_hash"))
+    val cand = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= tau)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** Connected components over an undirected edge list `(a, b)` by
+    * iterative min-label propagation: each round every node adopts the
+    * minimum label in its neighborhood. One shuffle-join pair per round,
+    * no driver state beyond the convergence counter; rounds needed =
+    * cluster diameter — near-dup clusters are band-join cliques/short
+    * chains, so a handful closes them (`maxIter` bounds adversarial
+    * chains; unconverged labels are still a sound refinement). Returns
+    * (id, label) with label = min id of the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val e0 = edges.toDF("a", "b")
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "documents")
 
@@ -141,36 +211,25 @@ object Dedup {
     // candidates from a band-hash equi-join; Jaccard-verified on shingles.
     GraftQuery(
       "d_dedup_minhash",
+      (s, dir) =>
+        minhashPairs(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_a", "doc_b"),
+      None),
+
+    // Near-dup CLUSTER resolution: the step after pair generation in a
+    // real curation pipeline — pairs → connected components → one keeper
+    // per cluster (transitive closure: A≈B and B≈C cluster A,B,C even
+    // when A,C never paired). Per-round cost is a band-key-sized join;
+    // no driver state.
+    GraftQuery(
+      "d_dedup_cluster",
       (s, dir) => {
-        val bands = 16
-        val rows = 4
-        // persisted: the signature subtree feeds the band explode AND both
-        // sides of the verification join — without it the (expensive)
-        // shingle+hash pipeline runs three times
-        val sigs = docs(s, dir).select(
-          col("doc_id"),
-          shingleHashes(col("text"), 3).as("sh"))
-          .withColumn("sig", minhashSigFromHashes(col("sh"), bands * rows))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val banded = sigs.select(
-          col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows)))))
-            .as(Seq("band_id", "band_hash")))
-        val a = banded.select(col("doc_id").as("doc_a"),
-          col("band_id"), col("band_hash"))
-        val b = banded.select(col("doc_id").as("doc_b"),
-          col("band_id"), col("band_hash"))
-        val cand = a.join(b, Seq("band_id", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-          .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
-          .filter(col("jac") >= 0.5)
-          .select("doc_a", "doc_b", "jac")
-          .orderBy("doc_a", "doc_b")
+        val pairs = minhashPairs(docs(s, dir), "doc_id", "text")
+          .select("doc_a", "doc_b")
+        connectedComponents(pairs)
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("cluster_id")
       },
       None),
 

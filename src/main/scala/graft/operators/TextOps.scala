@@ -123,6 +123,48 @@ object TextOps {
           .orderBy("source"),
       None),
 
+    // PII scrubbing: redact emails and phone numbers, report per-doc
+    // redaction counts — a standard pre-training curation pass. The test
+    // corpus has no natural PII, so deterministic PII is PLANTED per
+    // doc_id (both engines build the identical augmented text) and the
+    // operator must find exactly it. Map-only codegen'd regexes.
+    GraftQuery(
+      "d_pii_scrub",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1 \\d{3}-\\d{3}-\\d{4}"
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1 555-"),
+          lpad(pmod(col("doc_id"), lit(743L)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(9973L)).cast("string"), 4, "0"))
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            regexp_count(aug, lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(aug, lit(phoneRe)).cast("long").as("n_phones"),
+            length(regexp_replace(regexp_replace(aug, emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]")).cast("long").as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+          SELECT doc_id, text || ' contact user' || doc_id
+            || '@mail.example.com or +1 555-'
+            || lpad(CAST(doc_id % 743 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 9973 AS VARCHAR), 4, '0') AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(t,
+            '\+1 \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+          CAST(length(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\+1 \d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS BIGINT) AS clean_len
+        FROM aug ORDER BY doc_id""")),
+
     // Language ID: stopword-profile scores, argmax with fixed tiebreak
     // order (en > de > fr > es > zh), same CASE order on both sides.
     GraftQuery(

@@ -59,6 +59,30 @@ class DedupSpec extends SparkSpec {
     assert(rows((0L, 1L)) > 0.8)
   }
 
+  test("connectedComponents closes chains transitively, keeps islands apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus island 10-11: min-label propagation must close
+    // the 4-chain (diameter 3) and must NOT leak across components
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L).forall(labels(_) == 10L))
+  }
+
+  test("d_dedup_cluster groups transitive near-dups into one cluster") {
+    // doc 20 bridges 0 and 1 even if (0,1) alone were below threshold:
+    // clusters come from components, not raw pairs
+    val clusters = run("d_dedup_cluster").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    // exact-dup pair (2,3) is its own cluster; near-dup pair (0,1) another
+    assert(clusters(0L) == 2L)
+    assert(clusters(2L) == 2L)
+    assert(!clusters.keySet.exists(_ >= 4L))
+  }
+
   test("jaccard helper matches set arithmetic") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
