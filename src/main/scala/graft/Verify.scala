@@ -8,8 +8,11 @@ object Verify {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
     val sfDir = args(0); val outDir = args(1)
     // optional trailing names run a subset (fast local iteration);
-    // the driver passes none and gets the full dump
+    // the driver passes none and gets the full dump. Unknown names fail
+    // LOUDLY — a typo silently verifying nothing would read as a pass
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

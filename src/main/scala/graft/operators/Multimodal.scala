@@ -151,9 +151,13 @@ object Multimodal {
   /** Per-asset extraction: sniff the real format from magic bytes, branch
     * to the format's header parser for dimensions, then run the codec's
     * content decode (ByteStats unless a real codec is registered).
+    * `codecs` is deliberately NOT defaulted to `MediaCodec.snapshot()`:
+    * a default would evaluate on whichever JVM runs the closure, so an
+    * executor would silently see an empty registry — callers must take
+    * the snapshot on the driver and pass it in.
     */
   def decode(docId: Long, declaredFormat: String, payload: Array[Byte],
-      codecs: Seq[MediaCodec] = MediaCodec.snapshot()): MediaFeatures = {
+      codecs: Seq[MediaCodec]): MediaFeatures = {
     val detected = sniffFormat(payload)
     val (w, h) = detected match {
       case "png" => pngDims(payload)

@@ -218,7 +218,9 @@ object Similarity {
       cells: Int = 0, nprobe: Int = 0, cellCap: Int = 0): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val n = corpus.count()
+    // the corpus count feeds only the defaulted parameters — callers
+    // pinning all three skip the extra pass entirely
+    lazy val n = corpus.count()
     val nCells =
       if (cells > 0) cells
       else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)

@@ -341,10 +341,14 @@ object AvroManifest {
     } finally reader.close()
   }
 
-  /** One manifest-list row per exported manifest. */
+  /** One manifest-list row per exported manifest. Field 515
+    * (`sequence_number`, the sequence the manifest was added at) and 516
+    * (`min_sequence_number`, its oldest entry) are distinct — a manifest
+    * carrying older entries after a rewrite was still ADDED later.
+    */
   case class ListEntry(path: Path, length: Long, content: Int,
-      sequenceNumber: Long, addedSnapshotId: Long, fileCount: Long,
-      rowCount: Long)
+      addedSequenceNumber: Long, minSequenceNumber: Long,
+      addedSnapshotId: Long, fileCount: Long, rowCount: Long)
 
   def writeManifestList(path: Path, manifests: Seq[ListEntry],
       specId: Int): Unit = {
@@ -358,8 +362,8 @@ object AvroManifest {
       r.put("manifest_length", m.length)
       r.put("partition_spec_id", specId)
       r.put("content", if (m.content == 0) 0 else 1)
-      r.put("sequence_number", m.sequenceNumber)
-      r.put("min_sequence_number", m.sequenceNumber)
+      r.put("sequence_number", m.addedSequenceNumber)
+      r.put("min_sequence_number", m.minSequenceNumber)
       r.put("added_snapshot_id", m.addedSnapshotId)
       r.put("added_files_count", m.fileCount.toInt)
       r.put("existing_files_count", 0)

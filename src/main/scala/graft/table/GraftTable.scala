@@ -564,7 +564,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         val (fullCount, partial): (Long, Seq[(String, Int)]) =
           if (refs.map(_.entryCount).sum >= distributedPlanningThreshold) {
             // manifest dataset path: may/must evaluate on executors; the
-            // driver sees one aggregate row plus the boundary file list
+            // driver sees one aggregate row plus the boundary file list.
+            // Cached so the JSON parse + predicate evaluation run ONCE
+            // for the two consuming jobs.
             val mdf = manifestDfFor(meta, asOf)
               .filter(coalesce(col("content"), lit(0)) === 0)
               .filter(Pruning.mayMatchColumn(preds, sparkSchema,
@@ -572,13 +574,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               .withColumn("__must",
                 if (complete) Pruning.mustMatchColumn(preds, sparkSchema)
                 else lit(false))
-            val certain = mdf.filter(col("__must"))
-              .agg(coalesce(sum(col("record-count")), lit(0L)))
-              .head().getLong(0)
-            val boundary = mdf.filter(!col("__must"))
-              .select(col("path"), col("schema-id")).collect().toSeq
-              .map(r => (r.getString(0), r.getInt(1)))
-            (certain, boundary)
+              .select(col("path"), col("schema-id"), col("record-count"),
+                col("__must"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val certain = mdf.filter(col("__must"))
+                .agg(coalesce(sum(col("record-count")), lit(0L)))
+                .head().getLong(0)
+              val boundary = mdf.filter(!col("__must"))
+                .select(col("path"), col("schema-id")).collect().toSeq
+                .map(r => (r.getString(0), r.getInt(1)))
+              (certain, boundary)
+            } finally mdf.unpersist()
           } else {
             val entries = refs.flatMap(_.entries).filter(_.isData)
             val may = entries.filter(e =>
@@ -619,12 +626,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   def removeOrphanFiles(olderThanMillis: Long = 3600000L): Seq[String] = {
     val meta = metadata
-    def canon(p: String): String =
-      Paths.get(p).toAbsolutePath.normalize.toString
     val snapRefs = meta.snapshots.getOrElse(Seq.empty)
       .flatMap(s => ManifestList.read(Paths.get(s.manifestList)))
       .distinct
-    val referenced = snapRefs.flatMap(_.entries).map(e => canon(e.path)).toSet
+    val referenced = snapRefs.flatMap(_.entries).map(e => canonPath(e.path)).toSet
     val cutoff = System.currentTimeMillis - olderThanMillis
     // data files (paths canonicalized on BOTH sides: a relative table
     // location must not make every live file look unreferenced)
@@ -636,14 +641,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         try stream.iterator.asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-          .map(p => canon(p.toString)).filterNot(referenced.contains).toSeq
+          .map(p => canonPath(p.toString)).filterNot(referenced.contains).toSeq
         finally stream.close()
       }
     }
     // manifests/manifest-lists leaked by lost commit races or crashes —
     // including executor-written shard files under manifest-shards-*/
-    val liveManifestPaths = snapRefs.map(r => canon(r.path)).toSet ++
-      meta.snapshots.getOrElse(Seq.empty).map(s => canon(s.manifestList))
+    val liveManifestPaths = snapRefs.map(r => canonPath(r.path)).toSet ++
+      meta.snapshots.getOrElse(Seq.empty).map(s => canonPath(s.manifestList))
     val stream2 = Files.walk(metaDir)
     val orphanMeta =
       try stream2.iterator.asScala
@@ -655,7 +660,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               _.getFileName.toString.startsWith("manifest-shards-")))
         }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .map(p => canon(p.toString)).filterNot(liveManifestPaths.contains)
+        .map(p => canonPath(p.toString)).filterNot(liveManifestPaths.contains)
         .toSeq
       finally stream2.close()
     val orphans = orphanData ++ orphanMeta
@@ -1050,15 +1055,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         loaded.partition(_._2.exists(e => e.isData && hit(e)))
       (reused.map(_._1), affected.map(_._1), affected.flatMap(_._2))
     } else {
-      def canon(p: String): String =
-        Paths.get(p).toAbsolutePath.normalize.toString
       val hitSrcs = manifestDfForRefs(refs)
         .filter(coalesce(col("content"), lit(0)) === 0)
         .filter(hitCol)
         .select(SrcManifestCol).distinct()
-        .collect().map(r => canon(decodePath(r.getString(0)))).toSet
+        .collect().map(r => canonPath(decodePath(r.getString(0)))).toSet
       val (affected, reused) =
-        refs.partition(r => hitSrcs.contains(canon(r.path)))
+        refs.partition(r => hitSrcs.contains(canonPath(r.path)))
       (reused, affected, affected.flatMap(_.entries))
     }
   }
@@ -1194,8 +1197,6 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val meta = metadata
       val schema = meta.currentSchema
       val refs = manifestsFor(meta, None)
-      def canon(p: String): String =
-        Paths.get(p).toAbsolutePath.normalize.toString
       // (path, schemaId, seq, size) of undersized files in partitions
       // holding ≥2 of them, plus their source-manifest paths. Distributed
       // above the planning threshold (a window count over the manifest
@@ -1216,7 +1217,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             .collect().toSeq
           (rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
               r.getLong(3))),
-            rows.map(r => canon(decodePath(r.getString(4)))).toSet)
+            rows.map(r => canonPath(decodePath(r.getString(4)))).toSet)
         } else {
           val loaded = refs.map(r => (r, r.entries))
           val srcByPath = loaded.flatMap { case (r, es) =>
@@ -1228,7 +1229,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               if (u.size >= 2) u else Seq.empty
             }.toSeq
           (under.map(e => (e.path, e.schemaId, e.sequenceNumber, e.fileSize)),
-            under.map(e => canon(srcByPath(e.path))).toSet)
+            under.map(e => canonPath(srcByPath(e.path))).toSet)
         }
       if (small.isEmpty)
         meta.currentSnapshot.getOrElse(
@@ -1261,7 +1262,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           // manifests holding only untouched data files are reused;
           // delete manifests were rebuilt above, rewritten entries dropped
           val (affected, reusedRefs) = refs.partition(r =>
-            r.content == 1 || affectedSrcs.contains(canon(r.path)))
+            r.content == 1 || affectedSrcs.contains(canonPath(r.path)))
           val carried = affected.filterNot(_.content == 1)
             .flatMap(_.entries).filter(e =>
               e.isData && !rewrittenPaths.contains(e.path))
@@ -1425,9 +1426,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         i += 1
         val len = AvroManifest.writeManifest(p, es, schema, spec,
           snap.snapshotId, r.content)
+        // spec field 515 = sequence the manifest was ADDED at (the ref's
+        // inherited sequence, else the newest entry — carried entries
+        // keep older sequences), 516 = min entry sequence
         AvroManifest.ListEntry(p, len, r.content,
-          es.map(_.sequenceNumber).min, snap.snapshotId,
-          es.size.toLong, es.map(_.recordCount).sum)
+          addedSequenceNumber = r.addedSequenceNumber
+            .getOrElse(es.map(_.sequenceNumber).max),
+          minSequenceNumber = es.map(_.sequenceNumber).min,
+          addedSnapshotId = snap.snapshotId,
+          fileCount = es.size.toLong,
+          rowCount = es.map(_.recordCount).sum)
       }
     }
     val listPath = dir.resolve(s"snap-${snap.snapshotId}.avro")
@@ -1555,6 +1563,13 @@ object GraftTable {
     * decode to the on-disk path or reads of escaped partition dirs
     * (e.g. identity timestamps, ':'→%3A in the dir name) break.
     */
+  /** Canonical absolute path — the single comparison form for manifest
+    * and data-file identity (mutation planning decides manifest reuse by
+    * it, orphan collection decides deletion by it).
+    */
+  private[table] def canonPath(p: String): String =
+    Paths.get(p).toAbsolutePath.normalize.toString
+
   private[table] def decodePath(raw: String): String =
     try new java.net.URI(raw).getPath
     catch { case _: Exception => raw.stripPrefix("file:") }

@@ -189,15 +189,15 @@ class StreamingSpec extends SparkSpec {
     }
     try {
       MediaCodec.register(FixedPng)
-      val png = Multimodal.decode(1L, "png", Multimodal.pngHeader(10, 10))
+      val png = Multimodal.decode(1L, "png", Multimodal.pngHeader(10, 10), MediaCodec.snapshot())
       assert(png.byte_entropy == 42.0 && png.histogram.forall(_ == 7L))
       // non-matching formats still fall back to the byte-stats stub
-      val txt = Multimodal.decode(2L, "txt", "hello".getBytes)
+      val txt = Multimodal.decode(2L, "txt", "hello".getBytes, MediaCodec.snapshot())
       assert(txt.byte_entropy != 42.0)
       assert(txt.histogram.sum == 5L)
     } finally MediaCodec.clear()
     // with nothing registered the fallback serves every format
-    val plain = Multimodal.decode(3L, "png", Multimodal.pngHeader(10, 10))
+    val plain = Multimodal.decode(3L, "png", Multimodal.pngHeader(10, 10), MediaCodec.snapshot())
     assert(plain.byte_entropy != 42.0)
   }
 
@@ -222,22 +222,22 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.sniffFormat(pdf) == "pdf")
     assert(Multimodal.sniffFormat("hello world".getBytes) == "unknown")
     // header parsers pull real dimensions per format
-    val png = Multimodal.decode(1L, "png", Multimodal.pngHeader(123, 77))
+    val png = Multimodal.decode(1L, "png", Multimodal.pngHeader(123, 77), Nil)
     assert(png.detected_format == "png" &&
       png.width.contains(123L) && png.height.contains(77L))
-    val jp = Multimodal.decode(2L, "jpeg", jpegSof0)
+    val jp = Multimodal.decode(2L, "jpeg", jpegSof0, Nil)
     assert(jp.detected_format == "jpeg" &&
       jp.width.contains(512L) && jp.height.contains(256L))
-    val gf = Multimodal.decode(3L, "gif", gif)
+    val gf = Multimodal.decode(3L, "gif", gif, Nil)
     assert(gf.detected_format == "gif" &&
       gf.width.contains(320L) && gf.height.contains(240L))
     // declared format is carried but never trusted
-    val lying = Multimodal.decode(4L, "png", "plain text".getBytes)
+    val lying = Multimodal.decode(4L, "png", "plain text".getBytes, Nil)
     assert(lying.format == "png" && lying.detected_format == "unknown")
     // 0xff fill bytes between segments must not derail the SOF walk
     val jpegFill = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x0b,
       0x08, 0x00, 0x40, 0x00, 0x20, 0x03).map(_.toByte)
-    val jf = Multimodal.decode(5L, "jpeg", jpegFill)
+    val jf = Multimodal.decode(5L, "jpeg", jpegFill, Nil)
     assert(jf.detected_format == "jpeg" &&
       jf.width.contains(32L) && jf.height.contains(64L))
   }
