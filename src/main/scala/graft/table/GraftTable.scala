@@ -782,11 +782,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val meta = metadata
     val fromSeq = meta.snapshotById(fromSnapshot)
       .getOrElse(throw new IllegalArgumentException("bad from")).sequenceNumber
-    val entries = liveEntries(Some(toSnapshot))
-      .filter(e => e.isData && e.sequenceNumber > fromSeq)
+    // the added-since filter runs over the manifest dataset above the
+    // planning threshold (sequence-number is a manifest column) — an
+    // incremental consumer of a huge table plans O(added), not O(table)
+    val refs = manifestsFor(meta, Some(toSnapshot))
+    val planned: Seq[(String, Int, Long)] =
+      if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
+        manifestDfFor(meta, Some(toSnapshot))
+          .filter(coalesce(col("content"), lit(0)) === 0 &&
+            col("sequence-number") > fromSeq)
+          .select(col("path"), col("schema-id"), col("sequence-number"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      else refs.flatMap(_.entries)
+        .filter(e => e.isData && e.sequenceNumber > fromSeq)
+        .map(e => (e.path, e.schemaId, e.sequenceNumber))
     // rows added in range but MoR-deleted by toSnapshot are not in the
     // current state of the range — apply its delete files
-    readAppliedFor(meta, entries, meta.currentSchema, Some(toSnapshot))
+    readDeletesApplied(meta, planned, meta.currentSchema, Some(toSnapshot))
   }
 
   /** Like readAlignedFilesFor, but with prior position AND equality deletes

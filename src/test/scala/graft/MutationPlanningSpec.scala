@@ -50,6 +50,14 @@ class MutationPlanningSpec extends SparkSpec {
       assert(t.scan().count() == 1189)
       assert(dMor <= 4, s"deleteWhereMoR materialized $dMor manifests")
 
+      // incremental read plans from the manifest dataset too
+      val snaps = t.metadata.snapshots.get.sortBy(_.sequenceNumber)
+      val dInc = reads {
+        assert(t.incrementalRead(snaps(snaps.size - 3).snapshotId,
+          snaps.last.snapshotId).count() >= 0L)
+      }
+      assert(dInc <= 2, s"incrementalRead materialized $dInc manifests")
+
       // merge keyed into one manifest's range (plus the delete manifest
       // the MoR delete just added)
       val dMerge = reads {
