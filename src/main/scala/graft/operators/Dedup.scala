@@ -16,6 +16,24 @@ object Dedup {
 
   // ---- shared building blocks -------------------------------------------
 
+  /** Materialize `out` eagerly and release the persisted intermediates
+    * that fed it. `Dataset.persist` registers with the SQL CacheManager,
+    * which holds the blocks until an explicit `unpersist` — an operator
+    * that returns a frame derived from a persisted subtree would leak
+    * that cache into the shared session forever. `localCheckpoint`
+    * blocks instead belong to the RDD's ContextCleaner scope: they are
+    * dropped automatically once the returned frame is unreferenced on
+    * the driver. (Trade-off: truncated lineage means lost blocks are not
+    * recomputable after executor failure — on a real cluster prefer a
+    * reliable checkpoint dir for multi-hour jobs.)
+    */
+  private def materializeAndRelease(out: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val res = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    res
+  }
+
   /** Distinct word n-gram shingles of the normalized text (1-based slice).
     * Documents shorter than n words collapse to a single shingle.
     */
@@ -99,10 +117,13 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jac") >= tau)
       .select("doc_a", "doc_b", "jac")
+    // pairs output is far smaller than the signature subtree; once it is
+    // materialized the sigs cache must not outlive this call
+    materializeAndRelease(verified, sigs)
   }
 
   /** Connected components over an undirected edge list `(a, b)` by
@@ -139,8 +160,7 @@ object Dedup {
       done = changed == 0L
       i += 1
     }
-    sym.unpersist()
-    labels
+    materializeAndRelease(labels, labels, sym)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -255,14 +275,16 @@ object Dedup {
           col("sim").as("sim_a"), col("chunk_id"), col("chunk_val"))
         val b = chunked.select(col("doc_id").as("doc_b"),
           col("sim").as("sim_b"), col("chunk_id"), col("chunk_val"))
-        a.join(b, Seq("chunk_id", "chunk_val"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
-              .as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy("doc_a", "doc_b")
+        materializeAndRelease(
+          a.join(b, Seq("chunk_id", "chunk_val"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"),
+              bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+                .as("hamming"))
+            .distinct()
+            .filter(col("hamming") <= 3)
+            .orderBy("doc_a", "doc_b"),
+          sigs)
       },
       None),
 
@@ -287,11 +309,13 @@ object Dedup {
           .distinct()
         val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-          .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
-          .filter(col("jac") >= 0.4)
-          .select("doc_a", "doc_b", "jac")
-          .orderBy("doc_a", "doc_b")
+        materializeAndRelease(
+          cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
+            .filter(col("jac") >= 0.4)
+            .select("doc_a", "doc_b", "jac")
+            .orderBy("doc_a", "doc_b"),
+          sh)
       },
       None)
   )

@@ -220,7 +220,9 @@ object AvroManifest {
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](aschema))
     writer.setMeta("schema", Json.write(schema.toJson))
-    writer.setMeta("partition-spec", Json.write(spec.toJson))
+    // Spec: the 'partition-spec' key holds the JSON *fields* list; the id
+    // travels separately in 'partition-spec-id' (pyiceberg parses it so).
+    writer.setMeta("partition-spec", Json.write(spec.toJson.path("fields")))
     writer.setMeta("partition-spec-id", spec.specId.toString)
     writer.setMeta("format-version", "2")
     writer.setMeta("content", if (content == 0) "data" else "deletes")
@@ -281,8 +283,17 @@ object AvroManifest {
     try {
       val schema = SchemaV2.fromJson(Json.parse(
         new String(reader.getMeta("schema"), "UTF-8")))
-      val spec = PartitionSpec.fromJson(Json.parse(
-        new String(reader.getMeta("partition-spec"), "UTF-8")))
+      val specNode = Json.parse(
+        new String(reader.getMeta("partition-spec"), "UTF-8"))
+      val specId = Option(reader.getMetaString("partition-spec-id"))
+        .map(_.toInt).getOrElse(0)
+      // Spec form is the bare fields array; pre-fix exports carried the
+      // whole {"spec-id":..,"fields":[..]} object — accept both.
+      val spec =
+        if (specNode.isArray)
+          PartitionSpec(specId,
+            specNode.elements.asScala.toSeq.map(PartitionField.fromJson))
+        else PartitionSpec.fromJson(specNode)
       val stats = statFields(schema)
       val byId = stats.map { case (p, (id, t)) => id -> (p, t) }
       val codecs = spec.fields.map(pf => pf.name -> partCodec(pf, schema)).toMap

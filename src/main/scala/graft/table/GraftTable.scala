@@ -1428,12 +1428,28 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val meta = metadata
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no snapshot to export at $location"))
+    // Graft tables carry exactly one partition spec for their lifetime
+    // (no spec-evolution API; dropColumn refuses spec source columns), so
+    // defaultSpec IS every entry's write-time spec. Guard that invariant:
+    // if spec evolution is ever added, data entries written under an older
+    // spec must export under THAT spec, not be silently stamped with this
+    // one — fail loudly instead of mislabeling partition values.
     val spec = meta.defaultSpec
+    require(meta.partitionSpecs.size <= 1,
+      s"exportAvro assumes a single unevolved partition spec; table has " +
+        s"${meta.partitionSpecs.size} — group entries by write-time spec")
+    val specNames = spec.fields.map(_.name).toSet
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
     var i = 0
     val listEntries = manifestsFor(meta, None).flatMap { r =>
       r.entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, es) =>
+        es.filter(_.isData).foreach { e =>
+          require(e.partition.keySet == specNames,
+            s"data file ${e.path} has partition keys ${e.partition.keySet} " +
+              s"but the table spec defines $specNames — written under a " +
+              "different spec?")
+        }
         val schema = meta.schemaById(sid).getOrElse(meta.currentSchema)
         val p = dir.resolve(f"manifest-$i%05d.avro")
         i += 1

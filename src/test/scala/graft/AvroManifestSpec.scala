@@ -87,6 +87,47 @@ class AvroManifestSpec extends SparkSpec {
     assert(AvroManifest.readManifest(p) == Seq(e1, e2))
   }
 
+  test("'partition-spec' metadata is the bare fields array; legacy object form still reads") {
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val schema = SchemaV2(0, None, None, Seq(
+      StructField(1, "id", required = true, TLong)))
+    val spec = PartitionSpec(1,
+      Seq(PartitionField(1, 1000, "id_bucket", TBucket(4))))
+    val e = DataFileEntry("/data/a.parquet", 10L, 1L, 1L, 0,
+      Map("id_bucket" -> Some("2")), Map.empty, fileSize = 1L)
+    val dir = tmp("avro-specmeta")
+    val p = dir.resolve("m.avro")
+    AvroManifest.writeManifest(p, Seq(e), schema, spec, 1L, 0)
+
+    // The spec defines this key as the JSON FIELDS list (the id travels in
+    // 'partition-spec-id'); external readers such as pyiceberg parse it as
+    // a field array and would fail on a wrapped {"spec-id":..} object.
+    val r = new DataFileReader[GenericRecord](p.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val (rawSpec, rawSchema, recs, aschema) = try {
+      (new String(r.getMeta("partition-spec"), "UTF-8"),
+        r.getMetaString("schema"),
+        r.iterator.asScala.toList, r.getSchema)
+    } finally r.close()
+    val node = Json.parse(rawSpec)
+    assert(node.isArray, s"expected bare fields array, got $rawSpec")
+    assert(node == spec.toJson.path("fields"))
+    assert(AvroManifest.readManifest(p) == Seq(e))
+
+    // pre-fix exports carried the whole spec object — must still read
+    val p2 = dir.resolve("legacy.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](aschema))
+    w.setMeta("schema", rawSchema)
+    w.setMeta("partition-spec", Json.write(spec.toJson))
+    w.setMeta("partition-spec-id", spec.specId.toString)
+    w.create(aschema, p2.toFile)
+    try recs.foreach(w.append) finally w.close()
+    assert(AvroManifest.readManifest(p2) == Seq(e))
+  }
+
   test("exportAvro: a live table's snapshot reads back file-for-file") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
       .limit(500)
