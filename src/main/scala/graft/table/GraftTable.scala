@@ -433,18 +433,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def applyEqDeletesSeq(df: DataFrame,
       eqDels: Seq[DataFileEntry]): DataFrame =
-    eqDels.groupBy(_.eqColumns).foldLeft(df) { case (d, (cols, ds)) =>
-      val keys = ds.groupBy(_.sequenceNumber).map { case (dseq, dfs) =>
-        spark.read.parquet(dfs.map(_.path).distinct: _*)
-          .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*)
-          .withColumn("__gfeq_seq", lit(dseq))
-      }.reduce(_.unionByName(_))
-        .groupBy(cols.map(c => col(s"__gfeq_$c")): _*)
-        .agg(max(col("__gfeq_seq")).as("__gfeq_seq"))
-      val cond = cols.map(c => col(c) <=> col(s"__gfeq_$c"))
-        .reduce(_ && _) && col("__gfeq_seq") > col(SeqCol)
-      d.join(keys, cond, "left_anti")
-    }
+    GraftTable.applyEqDeletesSeqCore(spark, df, eqDels)
 
   /** A snapshot's manifest as a DataFrame — the distributed planning
     * path. At 100 TB the manifest is a dataset, not a driver loop: this
@@ -820,66 +809,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def readDeletesApplied(meta: TableMetadataV2,
       files: Seq[(String, Int, Long)], readSchema: SchemaV2,
-      asOf: Option[Long]): DataFrame = {
-    val posDels = deletePathsFor(meta, asOf)
-    // a delete at or below EVERY planned file's sequence can never apply
-    val minSeq = files.map(_._3).minOption.getOrElse(Long.MaxValue)
-    val eqDels = eqDeletesFor(meta, asOf).filter(_.sequenceNumber > minSeq)
-    def posApplied(fs: Seq[(String, Int)]): DataFrame =
-      if (posDels.isEmpty) readAlignedFilesFor(meta, fs, readSchema)
-      else applyDeletes(readAlignedFilesFor(meta, fs, readSchema,
-        withPos = true), posDels).drop(PosPathCol, PosIdxCol)
-    if (eqDels.isEmpty || files.isEmpty)
-      posApplied(files.map(f => (f._1, f._2)))
-    else {
-      val base = files.groupBy(_._3).map { case (seq, fs) =>
-        posApplied(fs.map(f => (f._1, f._2))).withColumn(SeqCol, lit(seq))
-      }.reduce(_.unionByName(_))
-      applyEqDeletesSeq(base, eqDels).drop(SeqCol)
-    }
-  }
+      asOf: Option[Long]): DataFrame =
+    GraftTable.readDeletesAppliedCore(spark, meta, files, readSchema,
+      deletePathsFor(meta, asOf), eqDeletesFor(meta, asOf))
 
   /** Anti-join position-delete files (columns file_path, pos) against a
     * position-annotated read. Delete sets are small relative to data —
     * Spark broadcasts them and the scan stays map-side.
     */
   private def applyDeletes(df: DataFrame,
-      deletePaths: Seq[String]): DataFrame = {
-    val d = spark.read.parquet(deletePaths: _*)
-      .select(col("file_path").as(PosPathCol), col("pos").as(PosIdxCol))
-    df.join(d, Seq(PosPathCol, PosIdxCol), "left_anti")
-  }
+      deletePaths: Seq[String]): DataFrame =
+    GraftTable.applyPosDeletesCore(spark, df, deletePaths)
 
   private def readAlignedFilesFor(meta: TableMetadataV2,
       files: Seq[(String, Int)], readSchema: SchemaV2,
-      withPos: Boolean = false): DataFrame = {
-    val targetSpark0 = toSparkSchema(readSchema)
-    val targetSpark =
-      if (!withPos) targetSpark0
-      else StructType(targetSpark0.fields ++ Seq(
-        SparkField(PosPathCol, StringType), SparkField(PosIdxCol, LongType)))
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], targetSpark)
-    val groups = files.groupBy(_._2)
-    groups.map { case (sid, es) =>
-      val fileSchema = meta.schemaById(sid).getOrElse(readSchema)
-      val df = spark.read
-        .schema(toSparkSchema(fileSchema))
-        .parquet(es.map(_._1): _*)
-      val cols = readSchema.fields.map { f =>
-        fileSchema.fieldById(f.id) match {
-          case Some(ff) => col(ff.name).as(f.name)
-          case None => lit(null).cast(toSparkType(f.fieldType)).as(f.name)
-        }
-      } ++ (if (withPos) Seq(
-        // raw (undecoded) file path: both sides of the delete anti-join
-        // come from _metadata.file_path, so the encoding cancels out
-        col("_metadata.file_path").as(PosPathCol),
-        col("_metadata.row_index").as(PosIdxCol)) else Seq.empty)
-      df.select(cols: _*)
-    }.reduce(_.union(_))
-  }
+      withPos: Boolean = false): DataFrame =
+    GraftTable.readAlignedFilesCore(spark, meta, files, readSchema, withPos)
 
   // ------------------------------------------------------- mutation ops ----
 
@@ -1538,6 +1483,102 @@ object GraftTable {
     * the equality-delete anti-join.
     */
   private val SeqCol = "__gf_seq"
+
+  // ------------------------------------------------------- read core ----
+  // Static so the external-layout reader (IcebergInterop) applies the
+  // EXACT same alignment and MoR-delete semantics as native scans — two
+  // implementations of sequence-scoped delete application would drift.
+
+  /** Schema-aligned read of `(path, schemaId)` files: each schema group
+    * is read with its write-time schema, then projected to `readSchema`
+    * by FIELD ID (renames resolve, dropped fields null-fill).
+    */
+  private[table] def readAlignedFilesCore(spark: SparkSession,
+      meta: TableMetadataV2, files: Seq[(String, Int)],
+      readSchema: SchemaV2, withPos: Boolean = false): DataFrame = {
+    val targetSpark0 = toSparkSchema(readSchema)
+    val targetSpark =
+      if (!withPos) targetSpark0
+      else StructType(targetSpark0.fields ++ Seq(
+        SparkField(PosPathCol, StringType), SparkField(PosIdxCol, LongType)))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], targetSpark)
+    val groups = files.groupBy(_._2)
+    groups.map { case (sid, es) =>
+      val fileSchema = meta.schemaById(sid).getOrElse(readSchema)
+      val df = spark.read
+        .schema(toSparkSchema(fileSchema))
+        .parquet(es.map(_._1): _*)
+      val cols = readSchema.fields.map { f =>
+        fileSchema.fieldById(f.id) match {
+          case Some(ff) => col(ff.name).as(f.name)
+          case None => lit(null).cast(toSparkType(f.fieldType)).as(f.name)
+        }
+      } ++ (if (withPos) Seq(
+        // raw (undecoded) file path: both sides of the delete anti-join
+        // come from _metadata.file_path, so the encoding cancels out
+        col("_metadata.file_path").as(PosPathCol),
+        col("_metadata.row_index").as(PosIdxCol)) else Seq.empty)
+      df.select(cols: _*)
+    }.reduce(_.union(_))
+  }
+
+  /** Anti-join position-delete files (columns file_path, pos) against a
+    * position-annotated read. Delete sets are small relative to data —
+    * Spark broadcasts them and the scan stays map-side.
+    */
+  private[table] def applyPosDeletesCore(spark: SparkSession, df: DataFrame,
+      deletePaths: Seq[String]): DataFrame = {
+    val d = spark.read.parquet(deletePaths: _*)
+      .select(col("file_path").as(PosPathCol), col("pos").as(PosIdxCol))
+    df.join(d, Seq(PosPathCol, PosIdxCol), "left_anti")
+  }
+
+  /** Anti-join equality deletes against a read carrying `SeqCol` (the
+    * per-row data sequence number); see the instance doc on
+    * [[GraftTable.applyEqDeletesSeq]] semantics.
+    */
+  private[table] def applyEqDeletesSeqCore(spark: SparkSession, df: DataFrame,
+      eqDels: Seq[DataFileEntry]): DataFrame =
+    eqDels.groupBy(_.eqColumns).foldLeft(df) { case (d, (cols, ds)) =>
+      val keys = ds.groupBy(_.sequenceNumber).map { case (dseq, dfs) =>
+        spark.read.parquet(dfs.map(_.path).distinct: _*)
+          .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*)
+          .withColumn("__gfeq_seq", lit(dseq))
+      }.reduce(_.unionByName(_))
+        .groupBy(cols.map(c => col(s"__gfeq_$c")): _*)
+        .agg(max(col("__gfeq_seq")).as("__gfeq_seq"))
+      val cond = cols.map(c => col(c) <=> col(s"__gfeq_$c"))
+        .reduce(_ && _) && col("__gfeq_seq") > col(SeqCol)
+      d.join(keys, cond, "left_anti")
+    }
+
+  /** The deletes-applied read over explicit delete sets: position deletes
+    * anti-join on (file, pos); equality deletes once per column-set with
+    * sequence scoping (a delete applies iff strictly newer than the row).
+    */
+  private[table] def readDeletesAppliedCore(spark: SparkSession,
+      meta: TableMetadataV2, files: Seq[(String, Int, Long)],
+      readSchema: SchemaV2, posDels: Seq[String],
+      eqDels0: Seq[DataFileEntry]): DataFrame = {
+    // a delete at or below EVERY planned file's sequence can never apply
+    val minSeq = files.map(_._3).minOption.getOrElse(Long.MaxValue)
+    val eqDels = eqDels0.filter(_.sequenceNumber > minSeq)
+    def posApplied(fs: Seq[(String, Int)]): DataFrame =
+      if (posDels.isEmpty) readAlignedFilesCore(spark, meta, fs, readSchema)
+      else applyPosDeletesCore(spark,
+        readAlignedFilesCore(spark, meta, fs, readSchema, withPos = true),
+        posDels).drop(PosPathCol, PosIdxCol)
+    if (eqDels.isEmpty || files.isEmpty)
+      posApplied(files.map(f => (f._1, f._2)))
+    else {
+      val base = files.groupBy(_._3).map { case (seq, fs) =>
+        posApplied(fs.map(f => (f._1, f._2))).withColumn(SeqCol, lit(seq))
+      }.reduce(_.unionByName(_))
+      applyEqDeletesSeqCore(spark, base, eqDels).drop(SeqCol)
+    }
+  }
 
   /** Canonical string form of a partition tuple (sorted key order;
     * \u0001 marks null). The driver-side and column-side forms MUST

@@ -1,0 +1,99 @@
+package graft.table
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Full Iceberg table-layout interop: a graft snapshot exported as the
+  * directory layout external Iceberg readers discover on their own —
+  * `metadata/vN.metadata.json` (+ `version-hint.text`) pointing at an
+  * Avro manifest list and Avro manifests — and an import path that reads
+  * such a layout back WITHOUT graft's native JSONL manifests, going only
+  * through the spec-shaped files (the same metadata surface the
+  * reference models at /root/reference/src/model/table.rs:19 and
+  * snapshot.rs).
+  *
+  * The export is a metadata overlay: data and delete files are
+  * referenced at their original absolute paths (Iceberg permits absolute
+  * `file_path`s), so exporting a 100 TB table costs O(metadata), never a
+  * data copy. The import applies position AND equality deletes through
+  * [[GraftTable.readDeletesAppliedCore]] — the exact logic native scans
+  * use, so merge-on-read semantics cannot drift between the two paths.
+  */
+object IcebergInterop {
+
+  /** Export `t`'s current snapshot as a self-contained Iceberg layout
+    * under `dir`. Only the current snapshot travels (older snapshots'
+    * manifest lists are native JSONL and would dangle for an external
+    * reader); refs are trimmed to those pinning the exported snapshot.
+    * Returns the metadata.json path.
+    */
+  def exportTable(t: GraftTable, dir: String): Path = {
+    val meta = t.metadata
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("no snapshot to export"))
+    val metaDir = Paths.get(dir, "metadata")
+    Files.createDirectories(metaDir)
+    val listPath = t.exportAvro(metaDir.toString)
+    val extMeta = meta.copy(
+      location = dir,
+      snapshots = Some(Seq(snap.copy(manifestList = listPath.toString))),
+      snapshotLog = Some(Seq(SnapshotLog(snap.snapshotId, snap.timestampMs))),
+      metadataLog = None,
+      refs = meta.refs.map(_.filter(_._2.snapshotId == snap.snapshotId))
+        .filter(_.nonEmpty))
+    val p = metaDir.resolve("v1.metadata.json")
+    Files.writeString(p, Json.write(extMeta.toJson))
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    p
+  }
+
+  /** Locate the current metadata.json of an Iceberg-layout table dir:
+    * `version-hint.text` if present, else the highest `vN.metadata.json`.
+    */
+  def currentMetadataPath(dir: String): Path = {
+    val metaDir = Paths.get(dir, "metadata")
+    val hint = metaDir.resolve("version-hint.text")
+    if (Files.exists(hint))
+      metaDir.resolve(s"v${Files.readString(hint).trim}.metadata.json")
+    else {
+      val vs = Files.list(metaDir).iterator.asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+          n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+        .toSeq
+      require(vs.nonEmpty, s"no metadata.json under $metaDir")
+      metaDir.resolve(s"v${vs.max}.metadata.json")
+    }
+  }
+
+  /** Read an Iceberg-layout table through the external format only:
+    * metadata.json → Avro manifest list → Avro manifests → schema-aligned
+    * parquet read with position and sequence-scoped equality deletes
+    * applied. `asOf` selects a snapshot id (must be reachable from the
+    * exported metadata).
+    */
+  def readTable(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val meta = TableMetadataV2.fromJsonString(
+      Files.readString(currentMetadataPath(dir)))
+    val snap = asOf
+      .map(id => meta.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id in layout")))
+      .orElse(meta.currentSnapshot)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
+    val manifests = AvroManifest.readManifestList(Paths.get(snap.manifestList))
+    val entries = manifests.flatMap { case (p, _, _) =>
+      AvroManifest.readManifest(Paths.get(p))
+    }
+    val data = entries.filter(_.isData)
+    val posDels = entries.filter(_.content == 1).map(_.path)
+    val eqDels = entries.filter(_.content == 2)
+    val schemaId = snap.schemaId.map(_.toInt).getOrElse(meta.currentSchemaId)
+    val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
+    GraftTable.readDeletesAppliedCore(spark, meta,
+      data.map(e => (e.path, e.schemaId, e.sequenceNumber)),
+      readSchema, posDels, eqDels)
+  }
+}

@@ -355,6 +355,38 @@ object IcebergQueries {
       Some("""SELECT true AS files_match,
         CAST(COUNT(*) AS BIGINT) AS total_records FROM orders""")),
 
+    // Full Iceberg-layout interop roundtrip: export metadata.json + Avro
+    // manifest list/manifests, then read the table back through the
+    // EXTERNAL format only (no native JSONL manifests touched). The
+    // table carries position deletes, equality deletes AND a younger
+    // re-insert, so merge-on-read semantics — including sequence-scoped
+    // equality application — must survive the layout roundtrip.
+    GraftQuery(
+      "ice_import_external",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("extimp"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+        t.append(src.filter(col("l_orderkey") % 2 === 0),
+          repartitionByPartition = true)
+        t.append(src.filter(col("l_orderkey") % 2 === 1),
+          repartitionByPartition = true)
+        t.deleteWhereMoR(col("l_quantity") < 5)
+        t.deleteWhereEq(src.filter(col("l_orderkey") % 10 === 3)
+          .select("l_orderkey").distinct())
+        t.append(src.filter(col("l_orderkey") % 100 === 3),
+          repartitionByPartition = true)
+        val layout = loc("extimp-layout")
+        IcebergInterop.exportTable(t, layout)
+        flagAgg(IcebergInterop.readTable(s, layout))
+      },
+      Some(s"""$flagAggSql FROM (
+          SELECT * FROM lineitem
+          WHERE l_quantity >= 5 AND l_orderkey % 10 <> 3
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_orderkey % 100 = 3)
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Snapshot expiry: old snapshots drop out, newly-orphaned files are
     // physically deleted and reported.
     GraftQuery(

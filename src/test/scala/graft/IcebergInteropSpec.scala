@@ -1,0 +1,81 @@
+package graft
+
+import graft.table.{GraftTable, IcebergInterop}
+import org.apache.spark.sql.functions._
+
+/** External-layout interop: a graft table exported as metadata.json +
+  * Avro manifests must read back identically through the external format
+  * only — including schema evolution (field-id alignment) and
+  * merge-on-read deletes (the import shares the native read core, but
+  * these tests pin the behavior through the public layout surface).
+  */
+class IcebergInteropSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+
+  test("layout roundtrip: discovery via version-hint, rows identical") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "orders").limit(400)
+    val t = GraftTable.create(spark, tmp("ie-rt") + "/t", src.schema)
+    t.append(src)
+    val layout = tmp("ie-rt-out")
+    val metaPath = IcebergInterop.exportTable(t, layout)
+    assert(metaPath.getFileName.toString == "v1.metadata.json")
+    assert(IcebergInterop.currentMetadataPath(layout) == metaPath)
+    val back = IcebergInterop.readTable(spark, layout)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("o_totalprice")).head ==
+      src.agg(sum("o_totalprice")).head)
+  }
+
+  test("schema evolution survives the layout: old files align by field id") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(300)
+    val t = GraftTable.create(spark, tmp("ie-evo") + "/t", src.schema)
+    t.append(src.limit(100))
+    t.renameColumn("o_totalprice", "price")
+    t.dropColumn("o_custkey")
+    t.append(src.select(col("o_orderkey"),
+      col("o_totalprice").as("price")).limit(50))
+    val layout = tmp("ie-evo-out")
+    IcebergInterop.exportTable(t, layout)
+    val back = IcebergInterop.readTable(spark, layout)
+    // current schema names, old files' renamed column resolved by id
+    assert(back.columns.toSeq == Seq("o_orderkey", "price"))
+    assert(back.count() == 150)
+    assert(back.filter(col("price").isNull).count() == 0)
+  }
+
+  test("MoR deletes apply through the external read (seq-scoped eq)") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "orders")
+      .limit(500)
+    val t = GraftTable.create(spark, tmp("ie-mor") + "/t", src.schema)
+    t.append(src)
+    t.deleteWhereMoR(col("o_orderkey") % 7 === 0)
+    t.deleteWhereEq(src.filter(col("o_orderkey") % 5 === 0)
+      .select("o_custkey").distinct())
+    // younger re-insert of an eq-deleted key must survive
+    val resurrect = src.filter(col("o_orderkey") % 5 === 0).limit(20)
+    t.append(resurrect)
+    val layout = tmp("ie-mor-out")
+    IcebergInterop.exportTable(t, layout)
+    val back = IcebergInterop.readTable(spark, layout)
+    val native = t.scan()
+    assert(back.count() == native.count())
+    assert(back.agg(sum("o_orderkey")).head == native.agg(sum("o_orderkey")).head)
+  }
+
+  test("export with no snapshot fails loudly; bad asOf rejected") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "orders").limit(10)
+    val t = GraftTable.create(spark, tmp("ie-err") + "/t", src.schema)
+    intercept[IllegalStateException] {
+      IcebergInterop.exportTable(t, tmp("ie-err-out"))
+    }
+    t.append(src)
+    val layout = tmp("ie-err-out2")
+    IcebergInterop.exportTable(t, layout)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readTable(spark, layout, asOf = Some(12345L))
+    }
+  }
+}
