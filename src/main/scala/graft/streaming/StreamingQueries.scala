@@ -43,6 +43,49 @@ object StreamingQueries {
     staging.toString
   }
 
+  /** Stage events as a 3-file in-order CDC feed: disjoint ascending ts
+    * ranges (equal timestamps land in one file, so cross-file ties can't
+    * reorder a key's history), file mtimes ascending so the file source
+    * processes them oldest-first. Re-staged fresh each run.
+    */
+  private def stageCdcFeed(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staging = Paths.get(
+      s"/root/repo/target/stream-src/cdc-${Integer.toHexString(dir.hashCode)}")
+    if (Files.isDirectory(staging)) {
+      val w = Files.walk(staging)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    Files.createDirectories(staging)
+    val raw = s.read.schema(eventSchema).parquet(s"$dir/events.parquet")
+    val b = raw.agg(min("ts"), max("ts")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (b1, b2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+    val ranges = Seq(col("ts") <= b1,
+      col("ts") > b1 && col("ts") <= b2, col("ts") > b2)
+    ranges.zipWithIndex.foreach { case (p, i) =>
+      val tmp = staging.resolve(s"tmp-$i")
+      raw.filter(p).coalesce(1).write.parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = staging.resolve(f"cdc-$i.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      val w = Files.walk(tmp)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    staging.toString
+  }
+
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream.schema(eventSchema)
@@ -173,6 +216,66 @@ object StreamingQueries {
         FROM events, m
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
         GROUP BY 1, 2, m.mx ORDER BY hour_start, event_type""")),
+
+    // CDC upsert apply: each micro-batch reduces to the newest event per
+    // user (row_number over ts, event_id) and MERGEs into a durable
+    // GraftTable — the streaming change-apply path of a CDC feed. The
+    // feed is staged as three disjoint ascending time ranges processed
+    // one per micro-batch (a CDC source is in-order by construction;
+    // mtimes pin the file order), so the final table is the latest state
+    // per key regardless of which batch carried it. At 100 TB the same
+    // pipeline holds — mergeInto plans O(affected files) via key-envelope
+    // pruning — with more events batched per merge commit.
+    GraftQuery(
+      "s_stream_merge_upsert",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val staging = stageCdcFeed(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("cdc-sink").toString
+        val sinkSchema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("last_ts", TimestampType),
+          StructField("last_type", StringType),
+          StructField("last_value", DoubleType),
+          StructField("last_event_id", LongType)))
+        val t = graft.table.GraftTable.create(s, s"$root/t", sinkSchema)
+        val stream = s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staging)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val w = Window.partitionBy("user_id")
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val latest = batch
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+              .select(col("user_id"), col("ts").as("last_ts"),
+                col("event_type").as("last_type"),
+                col("value").as("last_value"),
+                col("event_id").as("last_event_id"))
+            t.mergeInto(latest, Seq("user_id")); ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(t.metadata.snapshots.exists(_.size == 3),
+          "expected one merge commit per staged CDC file")
+        t.scan()
+          .select(col("user_id"),
+            date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            col("last_type"), col("last_value"), col("last_event_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+          event_type AS last_type, value AS last_value,
+          event_id AS last_event_id
+        FROM events
+        QUALIFY row_number()
+          OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id""")),
 
     // Streaming dedup inside the watermark: the stream is doubled (every
     // event appears twice), dropDuplicates restores exact counts, and the

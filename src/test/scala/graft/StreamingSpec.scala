@@ -101,6 +101,21 @@ class StreamingSpec extends SparkSpec {
         s"only-single=${(single -- multi).take(5)}")
   }
 
+  test("s_stream_merge_upsert converges to batch last-event-per-user") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Registry.byName("s_stream_merge_upsert").fn(spark, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = Tables.tbl(spark, dir, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("event_id").as("last_event_id"))
+      .orderBy("user_id")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("s_dedup_stream restores exact per-type counts after doubling") {
     val deduped = Registry.byName("s_dedup_stream").fn(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events"))
