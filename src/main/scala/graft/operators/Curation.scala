@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 dataset-curation operators beyond dedup: mixture sampling,
+  * n-gram-level decontamination, and sequence packing — the steps that
+  * turn a cleaned corpus into actual training batches.
+  *
+  * Scale notes (100 TB): mixture sampling is map-only (a deterministic
+  * hash threshold per row); n-gram decontamination is a banded semi-join
+  * on gram hashes (the eval side is small and broadcast); packing is
+  * partition-local streaming fold — one shuffle to co-locate buckets,
+  * then constant-memory iteration, never a driver loop.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.tbl(s, dir, "documents")
+
+  /** Word n-gram hashes WITHOUT the short-document fallback (documents
+    * shorter than n words contribute no grams — matching the SQL oracle,
+    * unlike [[Dedup.shingleHashes]] which collapses them to one shingle
+    * for near-dup recall).
+    */
+  private def gramHashes(c: org.apache.spark.sql.Column, n: Int) = {
+    val toks = split(TextOps.normText(c), " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Tokens-per-pack budget for d_pack_sequences. */
+  private val PackBudget = 256L
+  private val PackBuckets = 32
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Weighted mixture sampling: each source gets a deterministic target
+    // rate (derived from the source name so both engines agree) and rows
+    // are kept by an md5-threshold on the doc id — reproducible across
+    // runs, engines and partitionings, no RNG state. Map-only; the only
+    // shuffle is the reporting aggregate.
+    GraftQuery(
+      "d_sample_mixture",
+      (s, dir) => {
+        val k = (ascii(substring(col("source"), 4, 1)) % 5 + 1) * 51
+        val thr = lpad(lower(hex(k)), 2, "0")
+        val kept =
+          substring(md5(col("doc_id").cast("string")), 1, 2) < thr
+        docs(s, dir)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("frac_kept",
+            round(col("n_kept").cast("double") /
+              col("n_docs").cast("double"), 4))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          CAST(COUNT(*) FILTER (WHERE
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < printf('%02x', (ascii(substr(source, 4, 1)) % 5 + 1) * 51))
+            AS BIGINT) AS n_kept,
+          round(CAST(COUNT(*) FILTER (WHERE
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < printf('%02x', (ascii(substr(source, 4, 1)) % 5 + 1) * 51))
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS frac_kept
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // N-GRAM-level decontamination (the GPT-3-style pass): a training
+    // document is contaminated if it shares ANY word 8-gram with the
+    // eval set — catching partial copies the whole-document fingerprint
+    // anti-join (d_decontaminate) misses. Gram HASHES travel, never gram
+    // strings (xxhash64, ~2^-64 collision per pair); the eval gram set
+    // is distinct + broadcast, the train side is an explode + semi-join,
+    // both map-side at any corpus size.
+    GraftQuery(
+      "d_decontaminate_ngram",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val grams = d.select(col("doc_id"), col("source"),
+          explode(gramHashes(col("text"), 8)).as("g"))
+        val evalG = grams.filter(col("doc_id") % 17 === 0)
+          .select("g").distinct()
+        val contaminated = grams.join(broadcast(evalG), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        d.join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_clean"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            string_split(${TextOps.normTextSql}, ' ') AS t FROM documents),
+          grams AS (SELECT doc_id, source,
+            unnest(list_transform(range(1, len(t) - 7 + 1),
+              i -> array_to_string(t[i:i+7], ' '))) AS g FROM toks),
+          eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+          contam AS (SELECT DISTINCT doc_id FROM grams
+            JOIN eval_g USING (g))
+        SELECT source, COUNT(*) AS n_clean FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        GROUP BY source ORDER BY source""")),
+
+    // Sequence packing: greedy next-fit of documents into fixed token
+    // budgets — the step that turns documents into training sequences.
+    // Deterministic at any parallelism: docs bucket by doc_id, buckets
+    // co-locate via one shuffle, and a partition-local STREAMING fold
+    // (sorted iterator, constant memory — no per-group materialization)
+    // assigns pack ids; a document longer than the budget gets its own
+    // overflow pack rather than being silently split. At 100 TB the
+    // bucket count scales with corpus size; the fold stays O(1) memory.
+    GraftQuery(
+      "d_pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val budget = PackBudget
+        val sorted = docs(s, dir)
+          .select(
+            pmod(col("doc_id"), lit(PackBuckets.toLong)).cast("int")
+              .as("bucket"),
+            col("doc_id"),
+            TextOps.wsTokens(col("text")).as("n_tokens"))
+          .repartition(PackBuckets, col("bucket"))
+          .sortWithinPartitions("bucket", "doc_id")
+          .as[(Int, Long, Long)]
+        val packed = sorted.mapPartitions { it =>
+          var curBucket = Int.MinValue
+          var pack = 0L
+          var used = 0L
+          it.map { case (b, id, nt) =>
+            if (b != curBucket) { curBucket = b; pack = 0L; used = 0L }
+            else if (used + nt > budget && used > 0L) { pack += 1; used = 0L }
+            used += nt
+            (b, pack, id, nt)
+          }
+        }.toDF("bucket", "pack_id", "doc_id", "n_tokens")
+        packed.groupBy("bucket", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            round(sum("n_tokens").cast("double") / budget.toDouble, 4)
+              .as("fill"))
+          .orderBy("bucket", "pack_id")
+      },
+      None)
+  )
+}

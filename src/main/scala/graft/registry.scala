@@ -25,6 +25,7 @@ object Registry {
       table.IcebergQueries.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
+      operators.Curation.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       streaming.StreamingQueries.queries
