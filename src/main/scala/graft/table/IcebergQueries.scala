@@ -117,6 +117,39 @@ object IcebergQueries {
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Z-order clustering: data files range-partitioned on the scaled
+    // Morton interleave of (l_orderkey, l_partkey), so every file bounds
+    // BOTH dimensions and stats pruning works for filters on EITHER —
+    // a lexicographic sort would prune only its leading column. The
+    // require()s fail the query if either dimension stops pruning.
+    GraftQuery(
+      "ice_zorder_cluster",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("zorder"), src.schema)
+        val b = src.agg(min("l_orderkey"), max("l_orderkey"),
+          min("l_partkey"), max("l_partkey")).head()
+        val z = graft.functions.ZOrder.zorderScaled(
+          col("l_orderkey"), b.getLong(0), b.getLong(1),
+          col("l_partkey"), b.getLong(2), b.getLong(3))
+        t.append(src.repartitionByRange(16, z).sortWithinPartitions(z))
+        val total = t.liveEntries().size
+        require(total >= 8, s"expected a multi-file layout, got $total")
+        val okLo = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+        val pkLo = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 8
+        val prunedA = t.planFiles(Some(col("l_orderkey") <= okLo)).size
+        val prunedB = t.planFiles(Some(col("l_partkey") <= pkLo)).size
+        require(prunedA < total,
+          s"no pruning on l_orderkey: $prunedA of $total")
+        require(prunedB < total,
+          s"no pruning on l_partkey: $prunedB of $total")
+        flagAgg(t.scan(Some(col("l_partkey") <= pkLo)))
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_partkey <= (SELECT min(l_partkey)
+          + (max(l_partkey) - min(l_partkey)) // 8 FROM lineitem)
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Time travel: read @snapshot-1 sees only the first append.
     GraftQuery(
       "ice_time_travel",
