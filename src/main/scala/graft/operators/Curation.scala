@@ -104,6 +104,44 @@ object Curation {
         WHERE doc_id NOT IN (SELECT doc_id FROM contam)
         GROUP BY source ORDER BY source""")),
 
+    // Intra-document repetition scoring (the Gopher-rule family): the
+    // fraction of duplicate tokens and duplicate word 3-grams within
+    // each document, plus the resulting keep/drop flag — boilerplate and
+    // looped generations score high and get filtered before training.
+    // Pure column expressions, map-only, codegen'd end to end.
+    GraftQuery(
+      "d_repetition_score",
+      (s, dir) => {
+        val toks = split(TextOps.normText(col("text")), " ")
+        val grams = transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+        val rep1 = lit(1.0) -
+          size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double")
+        val rep3 = lit(1.0) -
+          size(array_distinct(grams)).cast("double") /
+            size(grams).cast("double")
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            round(rep1, 4).as("dup_token_frac"),
+            round(rep3, 4).as("dup_3gram_frac"),
+            (rep3 > 0.2).as("flagged"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            string_split(${TextOps.normTextSql}, ' ') AS t FROM documents),
+          g AS (SELECT doc_id, source, t,
+            list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) AS grams FROM toks)
+        SELECT doc_id, source,
+          round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+            / CAST(len(t) AS DOUBLE), 4) AS dup_token_frac,
+          round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+            / CAST(len(grams) AS DOUBLE), 4) AS dup_3gram_frac,
+          (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+            / CAST(len(grams) AS DOUBLE)) > 0.2 AS flagged
+        FROM g ORDER BY doc_id""")),
+
     // Sequence packing: greedy next-fit of documents into fixed token
     // budgets — the step that turns documents into training sequences.
     // Deterministic at any parallelism: docs bucket by doc_id, buckets

@@ -103,4 +103,23 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
       s"scan reads columns the query never uses: $read")
   }
+
+  test("d_decontaminate_ngram: eval gram set broadcasts, corpus never shuffles for the semi-join") {
+    val p = plan(Registry.byName("d_decontaminate_ngram")
+      .fn(spark, "/root/testdata/sf0.001"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      "eval-gram semi-join is not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d_sample_mixture: map-side partial aggregation before the shuffle") {
+    val p = plan(Registry.byName("d_sample_mixture")
+      .fn(spark, "/root/testdata/sf0.001"))
+    // partial_count/partial_sum must appear below the exchange — the
+    // keep-decision reduces map-side, only per-source partials shuffle
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "no map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
