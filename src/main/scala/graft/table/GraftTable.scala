@@ -1326,6 +1326,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       (name -> SnapshotRef(snapshotId, TagRetention(Long.MaxValue))))), v + 1)
   }
 
+
   /** Expire all but the last `keepLast` snapshots (ref'd snapshots always
     * survive). Deletes newly-orphaned data files and expired manifests;
     * returns the orphaned data file paths.

@@ -150,6 +150,29 @@ object IcebergQueries {
           + (max(l_partkey) - min(l_partkey)) // 8 FROM lineitem)
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Rollback: move the current pointer back to a prior snapshot
+    // (metadata-only recovery from a bad commit) and keep writing — the
+    // rolled-past append must vanish from scans while the post-rollback
+    // append lands on top of the restored state.
+    GraftQuery(
+      "ice_rollback",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("rollback"), src.schema)
+        val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
+        t.append(src.filter(col("l_orderkey") % 2 === 1))
+        t.rollbackTo(s1.snapshotId)
+        require(t.metadata.currentSnapshotId.contains(s1.snapshotId),
+          "rollback did not move the current pointer")
+        t.append(src.filter(col("l_orderkey") % 2 === 1 &&
+          col("l_orderkey") % 3 === 0))
+        flagAgg(t.scan())
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_orderkey % 2 = 0
+          OR (l_orderkey % 2 = 1 AND l_orderkey % 3 = 0)
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Time travel: read @snapshot-1 sees only the first append.
     GraftQuery(
       "ice_time_travel",
