@@ -36,6 +36,30 @@ object Curation {
   private val PackBudget = 256L
   private val PackBuckets = 32
 
+  /** (duplicate-token fraction, duplicate-3-gram fraction) for a text
+    * column. Documents with fewer than 3 tokens have no 3-grams — their
+    * dup_3gram_frac is defined as 0.0 (nothing can repeat), and the gram
+    * construction is guarded so `sequence`/`slice` never see a negative
+    * range (an unguarded `sequence(0, size-3)` counts DOWN for short
+    * docs and `slice` throws on start 0).
+    */
+  def repetitionFracs(c: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val toks = split(TextOps.normText(c), " ")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val rep1 = lit(1.0) -
+      size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")
+    val rep3 = when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+    (rep1, rep3)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     // Weighted mixture sampling: each source gets a deterministic target
     // rate (derived from the source name so both engines agree) and rows
@@ -112,15 +136,7 @@ object Curation {
     GraftQuery(
       "d_repetition_score",
       (s, dir) => {
-        val toks = split(TextOps.normText(col("text")), " ")
-        val grams = transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3))))
-        val rep1 = lit(1.0) -
-          size(array_distinct(toks)).cast("double") /
-            size(toks).cast("double")
-        val rep3 = lit(1.0) -
-          size(array_distinct(grams)).cast("double") /
-            size(grams).cast("double")
+        val (rep1, rep3) = repetitionFracs(col("text"))
         docs(s, dir)
           .select(col("doc_id"), col("source"),
             round(rep1, 4).as("dup_token_frac"),
@@ -136,10 +152,12 @@ object Curation {
         SELECT doc_id, source,
           round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
             / CAST(len(t) AS DOUBLE), 4) AS dup_token_frac,
-          round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-            / CAST(len(grams) AS DOUBLE), 4) AS dup_3gram_frac,
-          (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-            / CAST(len(grams) AS DOUBLE)) > 0.2 AS flagged
+          round(CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+              / CAST(len(grams) AS DOUBLE) END, 4) AS dup_3gram_frac,
+          (CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+              / CAST(len(grams) AS DOUBLE) END) > 0.2 AS flagged
         FROM g ORDER BY doc_id""")),
 
     // Sequence packing: greedy next-fit of documents into fixed token

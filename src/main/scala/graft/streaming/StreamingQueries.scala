@@ -48,7 +48,7 @@ object StreamingQueries {
     * reorder a key's history), file mtimes ascending so the file source
     * processes them oldest-first. Re-staged fresh each run.
     */
-  private def stageCdcFeed(s: SparkSession, dir: String): String = {
+  private def stageCdcFeed(s: SparkSession, dir: String): (String, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,27 +63,36 @@ object StreamingQueries {
     Files.createDirectories(staging)
     val raw = s.read.schema(eventSchema).parquet(s"$dir/events.parquet")
     val b = raw.agg(min("ts"), max("ts")).head()
+    require(!b.isNullAt(0), "events table is empty — nothing to stage as CDC")
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     val (b1, b2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
     val ranges = Seq(col("ts") <= b1,
       col("ts") > b1 && col("ts") <= b2, col("ts") > b2)
-    ranges.zipWithIndex.foreach { case (p, i) =>
-      val tmp = staging.resolve(s"tmp-$i")
-      raw.filter(p).coalesce(1).write.parquet(tmp.toString)
-      val ls = Files.list(tmp)
-      val part = try ls.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      finally ls.close()
-      val dst = staging.resolve(f"cdc-$i.parquet")
-      Files.move(part, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-      val w = Files.walk(tmp)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally w.close()
+    // A skewed or single-timestamp feed can leave a ts-third empty —
+    // stage only non-empty files so "one merge commit per file" holds.
+    var staged = 0
+    ranges.foreach { p =>
+      val part = raw.filter(p)
+      if (!part.isEmpty) {
+        val i = staged
+        val tmp = staging.resolve(s"tmp-$i")
+        part.coalesce(1).write.parquet(tmp.toString)
+        val ls = Files.list(tmp)
+        val src = try ls.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+        val dst = staging.resolve(f"cdc-$i.parquet")
+        Files.move(src, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+        val w = Files.walk(tmp)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        staged += 1
+      }
     }
-    staging.toString
+    (staging.toString, staged)
   }
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
@@ -230,7 +239,7 @@ object StreamingQueries {
       "s_stream_merge_upsert",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val staging = stageCdcFeed(s, dir)
+        val (staging, nStaged) = stageCdcFeed(s, dir)
         val root = java.nio.file.Files
           .createTempDirectory("cdc-sink").toString
         val sinkSchema = StructType(Seq(
@@ -260,8 +269,8 @@ object StreamingQueries {
           .option("checkpointLocation", s"$root/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        require(t.metadata.snapshots.exists(_.size == 3),
-          "expected one merge commit per staged CDC file")
+        require(t.metadata.snapshots.exists(_.size == nStaged),
+          s"expected one merge commit per staged CDC file ($nStaged)")
         t.scan()
           .select(col("user_id"),
             date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),

@@ -58,11 +58,13 @@ object IcebergInterop {
     if (Files.exists(hint))
       metaDir.resolve(s"v${Files.readString(hint).trim}.metadata.json")
     else {
-      val vs = Files.list(metaDir).iterator.asScala
+      val ls = Files.list(metaDir)
+      val vs = try ls.iterator.asScala
         .map(_.getFileName.toString)
         .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
           n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
         .toSeq
+      finally ls.close()
       require(vs.nonEmpty, s"no metadata.json under $metaDir")
       metaDir.resolve(s"v${vs.max}.metadata.json")
     }

@@ -34,6 +34,31 @@ class CurationSpec extends SparkSpec {
     assert(packs.collect().toSeq == packs.collect().toSeq)
   }
 
+  test("repetitionFracs survives degenerate documents") {
+    // docs with <3 tokens used to feed sequence(0, size-3) a DESCENDING
+    // range and crash slice(); empty gram lists divided by zero
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""),              // 1 empty token after split
+      (2L, "word"),          // 1 token
+      (3L, "two words"),     // 2 tokens — still no 3-gram
+      (4L, "a a a a a a"),   // fully repeated
+      (5L, "all tokens here differ today"))
+      .toDF("doc_id", "text")
+    val (rep1, rep3) = operators.Curation.repetitionFracs(col("text"))
+    val rows = df.select(col("doc_id"), round(rep1, 4).as("r1"),
+        round(rep3, 4).as("r3"))
+      .orderBy("doc_id").collect()
+    assert(rows.length == 5)
+    // short docs: no 3-grams → defined as 0.0, never null/NaN/crash
+    assert(rows.take(3).forall(_.getDouble(2) == 0.0))
+    // "a a a a a a": 6 tokens 1 distinct → 1-1/6; 4 identical grams → 1-1/4
+    assert(math.abs(rows(3).getDouble(1) - 0.8333) < 1e-9)
+    assert(rows(3).getDouble(2) == 0.75)
+    // all-distinct doc repeats nothing
+    assert(rows(4).getDouble(1) == 0.0 && rows(4).getDouble(2) == 0.0)
+  }
+
   test("d_decontaminate_ngram catches partial overlap exact dedup misses") {
     // the ngram pass must drop at least as many docs as whole-document
     // fingerprint decontamination (every exact copy shares all grams)
