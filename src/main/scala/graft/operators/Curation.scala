@@ -36,28 +36,36 @@ object Curation {
   private val PackBudget = 256L
   private val PackBuckets = 32
 
-  /** (duplicate-token fraction, duplicate-3-gram fraction) for a text
-    * column. Documents with fewer than 3 tokens have no 3-grams — their
-    * dup_3gram_frac is defined as 0.0 (nothing can repeat), and the gram
-    * construction is guarded so `sequence`/`slice` never see a negative
-    * range (an unguarded `sequence(0, size-3)` counts DOWN for short
-    * docs and `slice` throws on start 0).
+  /** Adds raw `dup_token_frac` / `dup_3gram_frac` columns computed from
+    * a text column. Documents with fewer than 3 tokens have no 3-grams —
+    * their dup_3gram_frac is defined as 0.0 (nothing can repeat), and the
+    * gram construction is guarded so `sequence`/`slice` never see a
+    * negative range (an unguarded `sequence(0, size-3)` counts DOWN for
+    * short docs and `slice` throws on start 0).
+    *
+    * Deliberately STAGED projections: the token/gram arrays materialize
+    * once per row and the fraction layer reads the counts. Expressed as
+    * one flat select, every consumer of the gram array re-inlined its
+    * O(tokens) construction (CollapseProject duplicates aliases into
+    * each use site) — a measured ~6× slowdown of this operator.
     */
-  def repetitionFracs(c: org.apache.spark.sql.Column)
-      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val toks = split(TextOps.normText(c), " ")
+  def withRepetitionFracs(df: DataFrame,
+      text: org.apache.spark.sql.Column): DataFrame = {
+    val toks = split(TextOps.normText(text), " ")
     val grams = when(size(toks) >= 3,
       transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array().cast("array<string>"))
-    val rep1 = lit(1.0) -
-      size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double")
-    val rep3 = when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"))
-      .otherwise(lit(0.0))
-    (rep1, rep3)
+    df.withColumn("__toks", toks).withColumn("__grams", grams)
+      .withColumn("__nt", size(col("__toks")).cast("double"))
+      .withColumn("__dt", size(array_distinct(col("__toks"))).cast("double"))
+      .withColumn("__ng", size(col("__grams")).cast("double"))
+      .withColumn("__dg", size(array_distinct(col("__grams"))).cast("double"))
+      .withColumn("dup_token_frac", lit(1.0) - col("__dt") / col("__nt"))
+      .withColumn("dup_3gram_frac",
+        when(col("__ng") > 0, lit(1.0) - col("__dg") / col("__ng"))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__grams", "__nt", "__dt", "__ng", "__dg")
   }
 
   def queries: Seq[GraftQuery] = Seq(
@@ -136,12 +144,11 @@ object Curation {
     GraftQuery(
       "d_repetition_score",
       (s, dir) => {
-        val (rep1, rep3) = repetitionFracs(col("text"))
-        docs(s, dir)
+        withRepetitionFracs(docs(s, dir), col("text"))
           .select(col("doc_id"), col("source"),
-            round(rep1, 4).as("dup_token_frac"),
-            round(rep3, 4).as("dup_3gram_frac"),
-            (rep3 > 0.2).as("flagged"))
+            round(col("dup_token_frac"), 4).as("dup_token_frac"),
+            round(col("dup_3gram_frac"), 4).as("dup_3gram_frac"),
+            (col("dup_3gram_frac") > 0.2).as("flagged"))
           .orderBy("doc_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id, source,

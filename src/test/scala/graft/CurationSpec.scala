@@ -34,7 +34,7 @@ class CurationSpec extends SparkSpec {
     assert(packs.collect().toSeq == packs.collect().toSeq)
   }
 
-  test("repetitionFracs survives degenerate documents") {
+  test("withRepetitionFracs survives degenerate documents") {
     // docs with <3 tokens used to feed sequence(0, size-3) a DESCENDING
     // range and crash slice(); empty gram lists divided by zero
     import spark.implicits._
@@ -45,9 +45,9 @@ class CurationSpec extends SparkSpec {
       (4L, "a a a a a a"),   // fully repeated
       (5L, "all tokens here differ today"))
       .toDF("doc_id", "text")
-    val (rep1, rep3) = operators.Curation.repetitionFracs(col("text"))
-    val rows = df.select(col("doc_id"), round(rep1, 4).as("r1"),
-        round(rep3, 4).as("r3"))
+    val rows = operators.Curation.withRepetitionFracs(df, col("text"))
+      .select(col("doc_id"), round(col("dup_token_frac"), 4).as("r1"),
+        round(col("dup_3gram_frac"), 4).as("r3"))
       .orderBy("doc_id").collect()
     assert(rows.length == 5)
     // short docs: no 3-grams → defined as 0.0, never null/NaN/crash
