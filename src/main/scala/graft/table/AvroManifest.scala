@@ -347,7 +347,8 @@ object AvroManifest {
           colStats,
           df.get("content").asInstanceOf[Int],
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          eqIds)
+          eqIds,
+          specId = Some(specId))
       }.toSeq
     } finally reader.close()
   }
@@ -359,7 +360,8 @@ object AvroManifest {
     */
   case class ListEntry(path: Path, length: Long, content: Int,
       addedSequenceNumber: Long, minSequenceNumber: Long,
-      addedSnapshotId: Long, fileCount: Long, rowCount: Long)
+      addedSnapshotId: Long, fileCount: Long, rowCount: Long,
+      specId: Option[Int] = None)
 
   def writeManifestList(path: Path, manifests: Seq[ListEntry],
       specId: Int): Unit = {
@@ -371,7 +373,7 @@ object AvroManifest {
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", m.path.toString)
       r.put("manifest_length", m.length)
-      r.put("partition_spec_id", specId)
+      r.put("partition_spec_id", m.specId.getOrElse(specId))
       r.put("content", if (m.content == 0) 0 else 1)
       r.put("sequence_number", m.addedSequenceNumber)
       r.put("min_sequence_number", m.minSequenceNumber)

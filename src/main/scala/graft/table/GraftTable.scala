@@ -386,6 +386,44 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       asOf: Option[Long] = None): Seq[DataFileEntry] =
     planFilesFor(metadata, filter, asOf)
 
+  /** The spec an entry's partition values were derived under: its
+    * recorded spec-id when present; the table's single spec otherwise.
+    * Legacy entries (no spec-id) in an EVOLVED table resolve by exact
+    * partition-key-name match, else fall back to stats-only pruning —
+    * interpreting values under the wrong spec could prune a matching
+    * file, which is the one unforgivable pruning bug.
+    */
+  private def specForEntry(meta: TableMetadataV2,
+      e: DataFileEntry): PartitionSpec =
+    e.specId.flatMap(id => meta.partitionSpecs.find(_.specId == id))
+      .orElse {
+        if (meta.partitionSpecs.size <= 1) Some(meta.defaultSpec)
+        else meta.partitionSpecs.find(
+          _.fields.map(_.name).toSet == e.partition.keySet)
+      }.getOrElse(PartitionSpec.unpartitioned)
+
+  private def entryMayMatch(meta: TableMetadataV2, e: DataFileEntry,
+      preds: Seq[Any], sparkSchema: StructType, schema: SchemaV2): Boolean =
+    Pruning.mayMatch(e, preds, sparkSchema, specForEntry(meta, e), schema)
+
+  /** Spec-aware distributed may-match: single-spec tables keep the plain
+    * predicate; evolved tables dispatch per manifest row on `spec-id`,
+    * with stats-only pruning for rows carrying no/unknown spec.
+    */
+  private def mayMatchColumnFor(meta: TableMetadataV2, preds: Seq[Any],
+      sparkSchema: StructType, schema: SchemaV2): Column =
+    if (meta.partitionSpecs.size <= 1)
+      Pruning.mayMatchColumn(preds, sparkSchema, meta.defaultSpec, schema)
+    else {
+      val statsOnly = Pruning.mayMatchColumn(preds, sparkSchema,
+        PartitionSpec.unpartitioned, schema)
+      meta.partitionSpecs.foldRight(statsOnly) { (s, els) =>
+        when(col("spec-id") === s.specId,
+          Pruning.mayMatchColumn(preds, sparkSchema, s, schema))
+          .otherwise(els)
+      }
+    }
+
   private def planFilesFor(meta: TableMetadataV2, filter: Option[Column],
       asOf: Option[Long]): Seq[DataFileEntry] = {
     val entries = manifestsFor(meta, asOf).flatMap(_.entries)
@@ -399,7 +437,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       case Some(f) =>
         val preds = Pruning.extract(spark, f, sparkSchema)
         dataEntries.filter(e =>
-          Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema))
+          entryMayMatch(meta, e, preds, sparkSchema, schema))
     }
   }
 
@@ -487,7 +525,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       SparkField("max", StringType),
       SparkField("nulls", LongType))))),
     SparkField("content", IntegerType),
-    SparkField("file-size", LongType)))
+    SparkField("file-size", LongType),
+    SparkField("spec-id", IntegerType)))
 
   /** Distributed equivalent of `planFiles`: prune as a Spark filter over
     * the manifest DataFrame. Returns surviving file paths.
@@ -509,8 +548,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       case None => mdf
       case Some(f) =>
         val preds = Pruning.extract(spark, f, sparkSchema)
-        mdf.filter(Pruning.mayMatchColumn(preds, sparkSchema,
-          meta.defaultSpec, schema))
+        mdf.filter(mayMatchColumnFor(meta, preds, sparkSchema, schema))
     }
   }
 
@@ -558,8 +596,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             // for the two consuming jobs.
             val mdf = manifestDfFor(meta, asOf)
               .filter(coalesce(col("content"), lit(0)) === 0)
-              .filter(Pruning.mayMatchColumn(preds, sparkSchema,
-                meta.defaultSpec, schema))
+              .filter(mayMatchColumnFor(meta, preds, sparkSchema, schema))
               .withColumn("__must",
                 if (complete) Pruning.mustMatchColumn(preds, sparkSchema)
                 else lit(false))
@@ -578,8 +615,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           } else {
             val entries = refs.flatMap(_.entries).filter(_.isData)
             val may = entries.filter(e =>
-              Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec,
-                schema))
+              entryMayMatch(meta, e, preds, sparkSchema, schema))
             val (full, part) =
               if (complete) may.partition(e =>
                 Pruning.mustMatch(e, preds, sparkSchema))
@@ -837,9 +873,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val sparkSchema = toSparkSchema(schema)
       val preds = Pruning.extract(spark, cond, sparkSchema)
       def hit(e: DataFileEntry): Boolean = e.isData &&
-        Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
-      val hitCol =
-        Pruning.mayMatchColumn(preds, sparkSchema, meta.defaultSpec, schema)
+        entryMayMatch(meta, e, preds, sparkSchema, schema)
+      val hitCol = mayMatchColumnFor(meta, preds, sparkSchema, schema)
       val (reused, _, affected) = splitManifests(meta, hitCol, hit)
       val (maybe, carried) = affected.partition(hit)
       val rewritten =
@@ -1101,9 +1136,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .map(v => Pruning.Cmp(k, "<=", v))).flatten
     }
     def hit(e: DataFileEntry): Boolean = e.isData &&
-      Pruning.mayMatch(e, preds, sparkSchema, meta.defaultSpec, schema)
-    val hitCol =
-      Pruning.mayMatchColumn(preds, sparkSchema, meta.defaultSpec, schema)
+      entryMayMatch(meta, e, preds, sparkSchema, schema)
+    val hitCol = mayMatchColumnFor(meta, preds, sparkSchema, schema)
     val (reused, affectedManifests, affectedEntries) =
       splitManifests(meta, hitCol, hit)
     val (affected, carried) = affectedEntries.partition(hit)
@@ -1311,6 +1345,47 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Partition-spec evolution (metadata-only, like the reference's
+    * plural `partition-specs` + `default-spec-id` at
+    * /root/reference/src/model/table.rs:19): future writes derive
+    * partition values under the NEW spec; existing files keep their
+    * write-time spec (recorded per entry as `spec-id`) and scans prune
+    * each file under the spec it was written with. Passing an empty list
+    * un-partitions future writes. An identical existing spec is reused
+    * instead of re-registered.
+    */
+  def evolvePartitionSpec(
+      partitionBy: Seq[(String, Transform, String)]): Unit = {
+    val (v, meta) = metadataWithVersion
+    val schema = meta.currentSchema
+    partitionBy.foreach { case (_, _, name) =>
+      require(schema.fieldByName(name).isEmpty,
+        s"partition field name '$name' collides with a schema column")
+    }
+    var nextFieldId = meta.lastPartitionId
+    val fields = partitionBy.map { case (src, t, name) =>
+      val f = schema.fieldByName(src).getOrElse(
+        throw new IllegalArgumentException(s"no column $src"))
+      nextFieldId += 1
+      PartitionField(f.id, nextFieldId, name, t)
+    }
+    val existing = meta.partitionSpecs.find(s =>
+      s.fields.map(f => (f.sourceId, f.name, f.transform)) ==
+        fields.map(f => (f.sourceId, f.name, f.transform)))
+    val (spec, specs, lastPid) = existing match {
+      case Some(s) => (s, meta.partitionSpecs, meta.lastPartitionId)
+      case None =>
+        val s = PartitionSpec(
+          meta.partitionSpecs.map(_.specId).max + 1, fields)
+        (s, meta.partitionSpecs :+ s, nextFieldId)
+    }
+    writeMetadataAt(meta.copy(
+      partitionSpecs = specs,
+      defaultSpecId = spec.specId,
+      lastPartitionId = lastPid,
+      lastUpdatedMs = System.currentTimeMillis), v + 1)
+  }
+
   // ------------------------------------------------------- refs/expiry ----
 
   def createBranch(name: String, snapshotId: Long): Unit = {
@@ -1374,47 +1449,48 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val meta = metadata
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no snapshot to export at $location"))
-    // Graft tables carry exactly one partition spec for their lifetime
-    // (no spec-evolution API; dropColumn refuses spec source columns), so
-    // defaultSpec IS every entry's write-time spec. Guard that invariant:
-    // if spec evolution is ever added, data entries written under an older
-    // spec must export under THAT spec, not be silently stamped with this
-    // one — fail loudly instead of mislabeling partition values.
-    val spec = meta.defaultSpec
-    require(meta.partitionSpecs.size <= 1,
-      s"exportAvro assumes a single unevolved partition spec; table has " +
-        s"${meta.partitionSpecs.size} — group entries by write-time spec")
-    val specNames = spec.fields.map(_.name).toSet
+    // An Iceberg manifest holds entries of exactly ONE partition spec
+    // (its list row records the partition-spec-id) — an evolved table
+    // groups entries by their write-time spec and exports one manifest
+    // per (schema, spec) group, each under THAT spec's layout. Entries
+    // whose values can't be attributed to a known spec would export with
+    // mislabeled partition tuples — fail loudly instead.
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
     var i = 0
     val listEntries = manifestsFor(meta, None).flatMap { r =>
-      r.entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, es) =>
-        es.filter(_.isData).foreach { e =>
-          require(e.partition.keySet == specNames,
-            s"data file ${e.path} has partition keys ${e.partition.keySet} " +
-              s"but the table spec defines $specNames — written under a " +
-              "different spec?")
+      r.entries.groupBy(e => (e.schemaId, specForEntry(meta, e).specId))
+        .toSeq.sortBy(_._1).map { case ((sid, specId), es) =>
+          val spec = meta.partitionSpecs.find(_.specId == specId)
+            .getOrElse(PartitionSpec.unpartitioned)
+          val specNames = spec.fields.map(_.name).toSet
+          es.filter(_.isData).foreach { e =>
+            require(e.partition.keySet == specNames,
+              s"data file ${e.path} has partition keys " +
+                s"${e.partition.keySet} but spec $specId defines " +
+                s"$specNames — written under an unregistered spec?")
+          }
+          val schema = meta.schemaById(sid).getOrElse(meta.currentSchema)
+          val p = dir.resolve(f"manifest-$i%05d.avro")
+          i += 1
+          val len = AvroManifest.writeManifest(p, es, schema, spec,
+            snap.snapshotId, r.content)
+          // spec field 515 = sequence the manifest was ADDED at (the ref's
+          // inherited sequence, else the newest entry — carried entries
+          // keep older sequences), 516 = min entry sequence
+          AvroManifest.ListEntry(p, len, r.content,
+            addedSequenceNumber = r.addedSequenceNumber
+              .getOrElse(es.map(_.sequenceNumber).max),
+            minSequenceNumber = es.map(_.sequenceNumber).min,
+            addedSnapshotId = snap.snapshotId,
+            fileCount = es.size.toLong,
+            rowCount = es.map(_.recordCount).sum,
+            specId = Some(spec.specId))
         }
-        val schema = meta.schemaById(sid).getOrElse(meta.currentSchema)
-        val p = dir.resolve(f"manifest-$i%05d.avro")
-        i += 1
-        val len = AvroManifest.writeManifest(p, es, schema, spec,
-          snap.snapshotId, r.content)
-        // spec field 515 = sequence the manifest was ADDED at (the ref's
-        // inherited sequence, else the newest entry — carried entries
-        // keep older sequences), 516 = min entry sequence
-        AvroManifest.ListEntry(p, len, r.content,
-          addedSequenceNumber = r.addedSequenceNumber
-            .getOrElse(es.map(_.sequenceNumber).max),
-          minSequenceNumber = es.map(_.sequenceNumber).min,
-          addedSnapshotId = snap.snapshotId,
-          fileCount = es.size.toLong,
-          rowCount = es.map(_.recordCount).sum)
-      }
     }
     val listPath = dir.resolve(s"snap-${snap.snapshotId}.avro")
-    AvroManifest.writeManifestList(listPath, listEntries, spec.specId)
+    AvroManifest.writeManifestList(listPath, listEntries,
+      meta.defaultSpec.specId)
     listPath
   }
 
@@ -1678,7 +1754,7 @@ object GraftTable {
     }.toMap
     val entry = DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
       0L, schemaId, parsePartition(path, spec), stats,
-      fileSize = r.getAs[Long]("__size"))
+      fileSize = r.getAs[Long]("__size"), specId = Some(spec.specId))
     graft.model.Json.write(entry.toJson)
   }
 

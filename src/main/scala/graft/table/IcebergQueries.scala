@@ -150,6 +150,42 @@ object IcebergQueries {
           + (max(l_partkey) - min(l_partkey)) // 8 FROM lineitem)
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Partition-spec evolution (the reference's plural partition-specs +
+    // default-spec-id at /root/reference/src/model/table.rs:19): the
+    // table re-partitions for FUTURE writes only — old files keep their
+    // write-time spec and keep pruning under it, new files prune under
+    // the new one, and a scan spanning both answers exactly.
+    GraftQuery(
+      "ice_spec_evolution",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("specevo"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+        t.append(src.filter(col("l_orderkey") % 2 === 0),
+          repartitionByPartition = true)
+        t.evolvePartitionSpec(
+          Seq(("l_orderkey", TBucket(8), "key_bucket")))
+        t.append(src.filter(col("l_orderkey") % 2 === 1),
+          repartitionByPartition = true)
+        val entries = t.liveEntries()
+        require(entries.flatMap(_.specId).toSet == Set(1, 2),
+          "expected files under both specs")
+        val monthF = col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01")
+        val oldPruned = t.planFiles(Some(monthF)).count(_.specId.contains(1))
+        require(oldPruned == 12,
+          s"old-spec month pruning broke: $oldPruned files")
+        val newPruned = t.planFiles(Some(col("l_orderkey") === 43L))
+          .count(_.specId.contains(2))
+        require(newPruned == 1,
+          s"new-spec bucket pruning broke: $newPruned files")
+        flagAgg(t.scan(Some(monthF)))
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Rollback: move the current pointer back to a prior snapshot
     // (metadata-only recovery from a bad commit) and keep writing — the
     // rolled-past append must vanish from scans while the post-rollback

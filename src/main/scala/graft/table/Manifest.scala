@@ -59,7 +59,12 @@ case class DataFileEntry(
     stats: Map[String, ColStats],
     content: Int = 0,
     fileSize: Long = 0L,
-    eqColumns: Seq[String] = Seq.empty) {
+    eqColumns: Seq[String] = Seq.empty,
+    // spec the partition values were derived under — entries written
+    // before spec evolution existed carry None and prune by stats only
+    // once the table holds several specs (resolving them under the NEW
+    // default spec could prune a matching file)
+    specId: Option[Int] = None) {
 
   def isData: Boolean = content == 0
 
@@ -70,6 +75,7 @@ case class DataFileEntry(
     o.put("snapshot-id", snapshotId)
     o.put("sequence-number", sequenceNumber)
     o.put("schema-id", schemaId)
+    specId.foreach(o.put("spec-id", _))
     if (content != 0) o.put("content", content)
     if (fileSize != 0L) o.put("file-size", fileSize)
     if (eqColumns.nonEmpty) {
@@ -116,7 +122,8 @@ object DataFileEntry {
     n.path("content").asInt(0),
     n.path("file-size").asLong(0L),
     Option(n.get("equality-columns")).map(_.elements.asScala.toSeq
-      .map(_.asText)).getOrElse(Seq.empty))
+      .map(_.asText)).getOrElse(Seq.empty),
+    Option(n.get("spec-id")).filterNot(_.isNull).map(_.asInt))
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
     val lines = entries.map(e => Json.write(e.toJson))

@@ -84,7 +84,9 @@ class AvroManifestSpec extends SparkSpec {
     val p = tmp("avro-rt").resolve("m.avro")
     val len = AvroManifest.writeManifest(p, Seq(e1, e2), schema, spec, 42L, 0)
     assert(len > 0L && java.nio.file.Files.size(p) == len)
-    assert(AvroManifest.readManifest(p) == Seq(e1, e2))
+    // readback stamps the manifest's spec id on every entry
+    assert(AvroManifest.readManifest(p) ==
+      Seq(e1, e2).map(_.copy(specId = Some(spec.specId))))
   }
 
   test("'partition-spec' metadata is the bare fields array; legacy object form still reads") {
@@ -114,7 +116,8 @@ class AvroManifestSpec extends SparkSpec {
     val node = Json.parse(rawSpec)
     assert(node.isArray, s"expected bare fields array, got $rawSpec")
     assert(node == spec.toJson.path("fields"))
-    assert(AvroManifest.readManifest(p) == Seq(e))
+    assert(AvroManifest.readManifest(p) ==
+      Seq(e.copy(specId = Some(spec.specId))))
 
     // pre-fix exports carried the whole spec object — must still read
     val p2 = dir.resolve("legacy.avro")
@@ -125,7 +128,8 @@ class AvroManifestSpec extends SparkSpec {
     w.setMeta("partition-spec-id", spec.specId.toString)
     w.create(aschema, p2.toFile)
     try recs.foreach(w.append) finally w.close()
-    assert(AvroManifest.readManifest(p2) == Seq(e))
+    assert(AvroManifest.readManifest(p2) ==
+      Seq(e.copy(specId = Some(spec.specId))))
   }
 
   test("exportAvro: a live table's snapshot reads back file-for-file") {
