@@ -24,13 +24,12 @@ object Curation {
     * unlike [[Dedup.shingleHashes]] which collapses them to one shingle
     * for near-dup recall).
     */
-  private def gramHashes(c: org.apache.spark.sql.Column, n: Int) = {
-    val toks = split(TextOps.normText(c), " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  private def gramHashes(c: org.apache.spark.sql.Column, n: Int) =
+    TextOps.bindOnce(split(TextOps.normText(c), " "), toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>")))
 
   /** Tokens-per-pack budget for d_pack_sequences. */
   private val PackBudget = 256L
@@ -52,9 +51,12 @@ object Curation {
   def withRepetitionFracs(df: DataFrame,
       text: org.apache.spark.sql.Column): DataFrame = {
     val toks = split(TextOps.normText(text), " ")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    // grams slice the MATERIALIZED token column: an attribute reference
+    // is O(1) per lambda element where the raw split expression re-runs
+    // per element (see TextOps.bindOnce)
+    val grams = when(size(col("__toks")) >= 3,
+      transform(sequence(lit(0), size(col("__toks")) - 3),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(3)))))
       .otherwise(array().cast("array<string>"))
     df.withColumn("__toks", toks).withColumn("__grams", grams)
       .withColumn("__nt", size(col("__toks")).cast("double"))

@@ -37,28 +37,27 @@ object Dedup {
   /** Distinct word n-gram shingles of the normalized text (1-based slice).
     * Documents shorter than n words collapse to a single shingle.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = split(TextOps.normText(c), " ")
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+  def shingles(c: Column, n: Int): Column =
+    TextOps.bindOnce(split(TextOps.normText(c), " "), toks =>
+      array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", toks)))))
 
   /** Distinct word n-gram shingles as 64-bit HASHES, never materializing
     * shingle strings: tokens are hashed once, then each shingle hash is
     * xxhash64 over the n-window of token hashes. Jaccard over these long
     * arrays is exact up to hash collisions (~2^-64 per pair).
     */
-  def shingleHashes(c: Column, n: Int): Column = {
-    val th = transform(split(TextOps.normText(c), " "), t => xxhash64(t))
-    array_distinct(
-      when(size(th) >= n,
-        transform(sequence(lit(0), size(th) - n),
-          i => xxhash64(slice(th, i + 1, lit(n)))))
-        .otherwise(array(xxhash64(th))))
-  }
+  def shingleHashes(c: Column, n: Int): Column =
+    TextOps.bindOnce(
+      transform(split(TextOps.normText(c), " "), t => xxhash64(t)),
+      th => array_distinct(
+        when(size(th) >= n,
+          transform(sequence(lit(0), size(th) - n),
+            i => xxhash64(slice(th, i + 1, lit(n)))))
+          .otherwise(array(xxhash64(th)))))
 
   /** MinHash signature. Each shingle STRING is hashed once (xxhash64);
     * the K permutations re-hash that fixed-width long (xxhash64(k, h))

@@ -21,6 +21,19 @@ object TextOps {
     regexp_replace(lower(trim(c)), "\\s+", " ")
   val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Let-binding for Column expressions: evaluate `body(x)` with `x`
+    * bound ONCE per row to `value`. Higher-order lambdas are interpreted
+    * with no common-subexpression elimination, so a lambda body that
+    * references a non-attribute array (e.g. `slice(tokens, i, n)` where
+    * `tokens` is itself a split/regexp expression) re-evaluates that
+    * whole expression per array ELEMENT — O(len²) per row, a measured 9×
+    * slowdown on gram construction. Routing the array through a
+    * single-element transform turns those references into lambda-variable
+    * lookups.
+    */
+  def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Whitespace token count (trim first so empty/blank text counts 0/1
     * identically on both sides).
     */
