@@ -280,6 +280,80 @@ object Similarity {
     ann.join(broadcast(recalls), Seq("q_id"), "left")
   }
 
+  // --------------------------------------------------------- k-means ----
+
+  /** FULLY distributed spherical k-means (contrast trainIvf, which fits
+    * on a bounded driver-side sample): per iteration, assignment is
+    * map-only against broadcast centroids and the new means come from ONE
+    * partially-aggregated shuffle of (cell, dim) sums — K×D rows reach
+    * the driver, never vectors. This is the shape that survives 100 TB:
+    * driver memory is the model (K×D doubles), executor work is linear
+    * per pass, and the iteration count is fixed.
+    *
+    * Deterministic: centroids initialize from the k vectors with the
+    * lowest xxhash64(id) (a seedless spread over the corpus), ties broken
+    * by id; iteration order is fixed.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    var cents = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+      .as[(Long, Array[Float])].collect()
+      .map(r => normalizeVec(r._2.map(_.toDouble)))
+    require(cents.length == k, s"corpus smaller than k=$k")
+    for (_ <- 1 to iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val sums = corpus.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (_, v) =>
+            (nearestCell(normalizeVec(v.map(_.toDouble)), cs), v)
+          }
+        }.toDF("cell", "vec")
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val d = new Array[Double](cents(0).length)
+        rows.foreach(r => d(r.getInt(1)) = r.getLong(3) match {
+          case 0L => 0.0
+          case n => r.getDouble(2) / n
+        })
+        next(cell) = normalizeVec(d) // empty cells keep their centroid
+      }
+      cents = next
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** Map-only cluster assignment: (id, cluster, cosine to its centroid). */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          val u = normalizeVec(v.map(_.toDouble))
+          val c = nearestCell(u, cs)
+          var dot = 0.0
+          var i = 0
+          while (i < u.length) { dot += u(i) * cs(c)(i); i += 1 }
+          (id, c, dot)
+        }
+      }.toDF("id", "cluster", "sim")
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "embeddings")
 
@@ -383,6 +457,27 @@ object Similarity {
         nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95,
           tables = 8, planes = 12, dims = 64, cap = 1024)
           .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // Distributed spherical k-means over the embedding corpus — the
+    // clustering step a training pipeline uses for semantic sharding,
+    // diversity sampling and curriculum mixes. k scales with the corpus
+    // (≈√N); every stage is map-only or a K×D-sized aggregate, so the
+    // same plan runs at 100 TB. Output: per-cluster membership counts
+    // and mean cosine cohesion (no SQL oracle — pinned by SimilaritySpec
+    // on planted clusters instead).
+    GraftQuery(
+      "d_kmeans_embed",
+      (s, dir) => {
+        val corpus = emb(s, dir)
+        val k = math.max(8, math.sqrt(corpus.count().toDouble).toInt / 2)
+        val cents = kmeansFit(corpus, "vec_id", "embedding", k, iters = 5)
+        kmeansAssign(corpus, "vec_id", "embedding", cents)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            round(avg(col("sim")), 4).as("avg_cohesion"))
+          .orderBy("cluster")
       },
       None)
   )

@@ -158,4 +158,46 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(t1.toSeq != b1.toSeq)
   }
+
+  test("distributed k-means recovers planted clusters") {
+    import spark.implicits._
+    // 4 orthogonal prototypes + small deterministic noise: k-means must
+    // reassemble the generating groups (purity 1.0 on this separation)
+    val dims = 16
+    val protos = Array.tabulate(4, dims)((c, d) =>
+      if (d == c * 4) 1.0f else 0.0f)
+    val data = (0L until 400L).map { id =>
+      val c = (id % 4).toInt
+      val noise = Array.tabulate(dims)(d =>
+        (((id * 31 + d * 7) % 13).toFloat - 6f) / 100f)
+      (id, protos(c).zip(noise).map { case (p, n) => p + n })
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding", 4, iters = 5)
+    val assigned = Similarity
+      .kmeansAssign(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == 400)
+    // every generating group lands in ONE cluster, all groups distinct
+    val byGroup = (0 until 4).map(g =>
+      (0L until 400L).filter(_ % 4 == g).map(assigned).distinct)
+    assert(byGroup.forall(_.size == 1), s"split groups: $byGroup")
+    assert(byGroup.flatten.distinct.size == 4, s"merged groups: $byGroup")
+  }
+
+  test("k-means is deterministic and improves cohesion over init") {
+    val emb = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val c1 = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, iters = 4)
+    val c2 = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, iters = 4)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val c0 = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, iters = 0)
+    def cohesion(cs: Array[Array[Double]]): Double =
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", cs)
+        .agg(avg("sim")).head.getDouble(0)
+    assert(cohesion(c1) >= cohesion(c0) - 1e-9,
+      "Lloyd iterations must not reduce mean cosine to centroid")
+    // every vector is assigned exactly once
+    val total = Similarity.kmeansAssign(emb, "vec_id", "embedding", c1).count()
+    assert(total == emb.count())
+  }
 }
