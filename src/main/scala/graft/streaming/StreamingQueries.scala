@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.{GraftQuery, Help}
+import graft.{GraftQuery, Help, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -285,6 +285,45 @@ object StreamingQueries {
         QUALIFY row_number()
           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         ORDER BY user_id""")),
+
+    // Streaming read FROM a graft table (the Iceberg streaming-read
+    // surface): a pipeline tails the table as a source; appends
+    // committed between runs flow through exactly once (the file
+    // source's checkpointed seen-files log), proven by consuming in TWO
+    // AvailableNow passes that share one checkpoint with an append in
+    // between — any reprocessing or skip would shift the final counts.
+    GraftQuery(
+      "s_stream_from_table",
+      (s, dir) => {
+        val events = Tables.tbl(s, dir, "events")
+        val root = java.nio.file.Files
+          .createTempDirectory("tbl-stream").toString
+        val src = graft.table.GraftTable.create(s, s"$root/src",
+          events.schema)
+        val sink = graft.table.GraftTable.create(s, s"$root/snk",
+          events.schema)
+        def drain(): Unit = {
+          val q = sink.appendStream(
+            src.readStream(maxFilesPerTrigger = Some(4)), s"$root/ckpt")
+          q.awaitTermination()
+        }
+        src.append(events.filter(col("user_id") % 3 === 0))
+        src.append(events.filter(col("user_id") % 3 === 1))
+        drain()
+        val consumedAt1 = sink.countRows()
+        src.append(events.filter(col("user_id") % 3 === 2))
+        drain()
+        require(sink.countRows() > consumedAt1,
+          "second pass consumed nothing — incremental tail broke")
+        sink.scan()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            r4(dsum(col("value"))).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          ${sqlDsum("value")} AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Streaming dedup inside the watermark: the stream is doubled (every
     // event appears twice), dropDuplicates restores exact counts, and the

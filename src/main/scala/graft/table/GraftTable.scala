@@ -827,6 +827,33 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     readDeletesApplied(meta, planned, meta.currentSchema, Some(toSnapshot))
   }
 
+  /** Structured-streaming source over an APPEND-ONLY table: the stream
+    * tails the table's data directory, so files committed by future
+    * appends flow into later micro-batches, and a restarted query
+    * resumes from its checkpoint without re-reading consumed files (the
+    * file source's seen-files log provides exactly-once consumption).
+    * Mirrors the Iceberg streaming-read contract: tables whose history
+    * contains deletes/overwrites/compactions are rejected — their
+    * rewritten files would double-count rows. Known gap vs
+    * snapshot-offset streaming (documented, not hidden): data files of
+    * an in-flight or failed write are visible to the directory listing
+    * before/without their commit.
+    */
+  def readStream(maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val meta = metadata
+    val nonAppend = meta.snapshots.getOrElse(Seq.empty)
+      .flatMap(_.summary.operation).filterNot(_ == "append").distinct
+    require(nonAppend.isEmpty,
+      s"streaming read requires an append-only history; found $nonAppend")
+    val sparkSchema = toSparkSchema(meta.currentSchema)
+    Files.createDirectories(Paths.get(location, "data")) // pre-append tail
+    var r = spark.readStream.schema(sparkSchema)
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger.foreach(n =>
+      r = r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(s"$location/data")
+  }
+
   /** Like readAlignedFilesFor, but with prior position AND equality deletes
     * anti-joined away — the read every mutation must use, or CoW
     * rewrites would resurrect MoR-deleted rows.

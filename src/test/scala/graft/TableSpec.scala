@@ -588,4 +588,15 @@ class TableSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("streaming read refuses a table with non-append history") {
+    val src = lineitem.limit(200)
+    val t = GraftTable.create(spark, freshLoc("streamguard"), src.schema)
+    t.append(src)
+    t.readStream() // append-only history is fine
+    t.deleteWhere(col("l_orderkey") % 2 === 0)
+    val e = intercept[IllegalArgumentException](t.readStream())
+    assert(e.getMessage.contains("append-only"),
+      s"wrong failure: ${e.getMessage}")
+  }
 }
