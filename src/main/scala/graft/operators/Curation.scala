@@ -209,6 +209,105 @@ object Curation {
               .as("fill"))
           .orderBy("bucket", "pack_id")
       },
-      None)
+      None),
+
+    // The END-TO-END curation funnel: language gate → quality gate →
+    // repetition gate → exact dedup → eval decontamination, reported as
+    // cumulative per-source survivor counts (the table a pipeline owner
+    // reads to see where documents die). One map-only flag pass feeds
+    // the gate counts; dedup is a hash-partitioned keep-first window on
+    // the survivor set; decontamination broadcasts the eval fingerprint
+    // set — no stage shuffles the corpus more than once at any scale.
+    GraftQuery(
+      "d_curation_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nTok = TextOps.wsTokens(col("text"))
+        val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))
+          .cast("double") / length(col("text")).cast("double")
+        val stops = regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|in|a)\\b")).cast("double") /
+          greatest(nTok.cast("double"), lit(1.0))
+        val quality = least(nTok.cast("double") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - punct) * (lit(1.0) - stops)
+        val base = withRepetitionFracs(docs(s, dir), col("text"))
+          .withColumn("fp", md5(TextOps.normText(col("text"))))
+          .withColumn("lang_ok", regexp_count(lower(col("text")),
+            lit("\\b(the|and|of|to|in)\\b")) >= 1)
+          .withColumn("q_ok", round(quality, 4) > 0.1)
+          .withColumn("rep_ok", round(col("dup_3gram_frac"), 4) <= 0.2)
+        val surv = base.filter(
+          col("lang_ok") && col("q_ok") && col("rep_ok"))
+        val deduped = surv.withColumn("__rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("__rn") === 1)
+        val evalFps = docs(s, dir).filter(col("doc_id") % 17 === 0)
+          .select(md5(TextOps.normText(col("text"))).as("fp")).distinct()
+        val clean = deduped.join(broadcast(evalFps), Seq("fp"), "left_anti")
+        val gates = base.groupBy("source").agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("lang_ok") && col("q_ok"), 1L).otherwise(0L))
+            .as("n_quality"),
+          sum(when(col("lang_ok") && col("q_ok") && col("rep_ok"), 1L)
+            .otherwise(0L)).as("n_rep"))
+        val nDedup = deduped.groupBy("source")
+          .agg(count(lit(1)).as("n_dedup"))
+        val nClean = clean.groupBy("source")
+          .agg(count(lit(1)).as("n_clean"))
+        gates.join(nDedup, Seq("source"), "left")
+          .join(nClean, Seq("source"), "left")
+          .select(col("source"), col("n_raw"), col("n_lang"),
+            col("n_quality"), col("n_rep"),
+            coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+            coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            string_split(${TextOps.normTextSql}, ' ') AS t FROM documents),
+          g AS (SELECT doc_id,
+            list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) AS grams FROM toks),
+          rep AS (SELECT doc_id,
+            CASE WHEN len(grams) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                / CAST(len(grams) AS DOUBLE) END AS r3 FROM g),
+          flags AS (SELECT d.doc_id, d.source,
+            md5(${TextOps.normTextSql}) AS fp,
+            (CAST(len(regexp_extract_all(lower(text),
+              '\\b(the|and|of|to|in)\\b')) AS BIGINT) >= 1) AS lang_ok,
+            (round(least(CAST(${TextOps.wsTokensSql} AS DOUBLE) / 100.0, 1.0)
+              * (1.0 - CAST(len(regexp_extract_all(text,
+                  '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE))
+              * (1.0 - CAST(len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|in|a)\\b')) AS DOUBLE)
+                / greatest(CAST(${TextOps.wsTokensSql} AS DOUBLE), 1.0)), 4)
+              > 0.1) AS q_ok,
+            (round(rep.r3, 4) <= 0.2) AS rep_ok
+            FROM documents d JOIN rep ON rep.doc_id = d.doc_id),
+          s3 AS (SELECT * FROM flags WHERE lang_ok AND q_ok AND rep_ok),
+          ded AS (SELECT *, row_number()
+            OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM s3),
+          evalf AS (SELECT DISTINCT md5(${TextOps.normTextSql}) AS fp
+            FROM documents WHERE doc_id % 17 = 0),
+          agg1 AS (SELECT source, COUNT(*) AS n_raw,
+            CAST(COUNT(*) FILTER (WHERE lang_ok) AS BIGINT) AS n_lang,
+            CAST(COUNT(*) FILTER (WHERE lang_ok AND q_ok) AS BIGINT)
+              AS n_quality,
+            CAST(COUNT(*) FILTER (WHERE lang_ok AND q_ok AND rep_ok)
+              AS BIGINT) AS n_rep
+            FROM flags GROUP BY source),
+          agg2 AS (SELECT source, COUNT(*) AS n_dedup FROM ded
+            WHERE rn = 1 GROUP BY source),
+          agg3 AS (SELECT source, COUNT(*) AS n_clean FROM ded
+            WHERE rn = 1 AND fp NOT IN (SELECT fp FROM evalf)
+            GROUP BY source)
+        SELECT source, n_raw, n_lang, n_quality, n_rep,
+          CAST(coalesce(n_dedup, 0) AS BIGINT) AS n_dedup,
+          CAST(coalesce(n_clean, 0) AS BIGINT) AS n_clean
+        FROM agg1 LEFT JOIN agg2 USING (source)
+          LEFT JOIN agg3 USING (source)
+        ORDER BY source"""))
   )
 }
