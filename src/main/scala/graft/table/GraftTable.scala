@@ -1553,6 +1553,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         "sequence_number", "schema_id", "partition")
   }
 
+  /** `.partitions` metadata table: per partition tuple — live file and
+    * record counts, plus the spec the tuple was written under. Computed
+    * as a distributed aggregate over the manifest dataset: at millions
+    * of files this is a Spark job over manifest rows, never a driver
+    * loop (contrast filesDf, which is a driver-side listing by design).
+    */
+  def partitionsDf: DataFrame =
+    manifestDf(None)
+      .filter(coalesce(col("content"), lit(0)) === 0)
+      .select(
+        concat_ws(",", transform(array_sort(map_entries(col("partition"))),
+          e => concat(e("key"), lit("="),
+            coalesce(e("value"), lit("null"))))).as("partition"),
+        coalesce(col("spec-id"), lit(0)).as("spec_id"),
+        col("record-count").as("rc"))
+      .groupBy("partition", "spec_id")
+      .agg(count(lit(1)).as("file_count"), sum("rc").as("record_count"))
+
   /** refs metadata table. */
   def refsDf: DataFrame = {
     import spark.implicits._

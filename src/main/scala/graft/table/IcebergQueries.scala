@@ -406,6 +406,31 @@ object IcebergQueries {
       },
       None),
 
+    // `.partitions` metadata table: per-partition file/record counts as
+    // a DISTRIBUTED aggregate over the manifest dataset (the shape that
+    // answers "how is this 100 TB table laid out" without a driver
+    // loop). Oracle recomputes the month ordinals and per-partition
+    // counts straight from the source parquet; one file per partition is
+    // part of the contract (repartitionByPartition clusters writes).
+    GraftQuery(
+      "ice_partitions_meta",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("partsmeta"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+        t.append(src, repartitionByPartition = true)
+        t.partitionsDf
+          .select(col("partition"), col("file_count"),
+            col("record_count"))
+          .orderBy("partition")
+      },
+      Some("""SELECT 'ship_month='
+          || CAST((EXTRACT(YEAR FROM l_shipdate) - 1970) * 12
+            + EXTRACT(MONTH FROM l_shipdate) - 1 AS VARCHAR) AS partition,
+          CAST(1 AS BIGINT) AS file_count,
+          COUNT(*) AS record_count
+        FROM lineitem GROUP BY 1 ORDER BY partition""")),
+
     // Branch + tag refs: read the table AS OF a named ref.
     GraftQuery(
       "ice_branch_tag",
