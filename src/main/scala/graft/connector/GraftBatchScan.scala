@@ -1,0 +1,277 @@
+package graft.connector
+
+import graft.table.GraftTable
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal => CatalystLiteral, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import scala.jdk.CollectionConverters._
+
+/** Native DSv2 batch scan for delete-free snapshots — the dominant table
+  * shape at scale (append-only ingest).
+  *
+  * Planning happens on the driver against graft metadata: the pushed
+  * filters drive transform-aware partition + min/max file pruning, the
+  * surviving files are bin-packed into input partitions, and each
+  * partition delegates to Spark's own vectorized parquet reader
+  * (ParquetFileFormat.buildReaderWithPartitionValues — the exact reader
+  * FileSourceScanExec uses), so the scan inherits codegen-friendly
+  * columnar batches, row-group statistics skipping, and page-level
+  * filtering for free.
+  *
+  * Schema evolution is resolved per file group: files written under an
+  * older schema are read with their write-time physical column names and
+  * projected to the current schema BY FIELD ID (renames resolve, dropped
+  * fields null-fill) — columnar batches stay columnar through the
+  * projection (column reorder + constant null vectors).
+  *
+  * Implements SupportsRuntimeFiltering on the partition-spec source
+  * columns, so dynamic partition pruning re-plans the file list when a
+  * join's build side completes.
+  */
+class GraftBatchScan(protected val graft: GraftTable,
+    protected val prunedSchema: StructType,
+    protected val pushed: Array[Filter], protected val asOf: Option[Long])
+    extends Scan with Batch with GraftScanStatistics
+    with SupportsRuntimeFiltering {
+
+  private def spark: SparkSession = SparkSession.active
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var plannedCache: Array[InputPartition] = _
+
+  override def readSchema(): StructType = prunedSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val rt = if (runtimeFilters.isEmpty) ""
+      else s" runtime=[${runtimeFilters.mkString(", ")}]"
+    s"graft ${graft.location} pushed=[${pushed.mkString(", ")}]$rt"
+  }
+
+  // ------------------------------------------------- runtime filtering ----
+
+  override def filterAttributes(): Array[NamedReference] = {
+    val meta = graft.metadata
+    // only partition source columns that survived column pruning — Spark
+    // resolves these against the scan's output
+    val visible = prunedSchema.fieldNames.toSet
+    meta.defaultSpec.fields.flatMap(pf =>
+      meta.currentSchema.fieldById(pf.sourceId)
+        .filter(f => visible.contains(f.name))
+        .map(f => Expressions.column(f.name))).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+    plannedCache = null
+  }
+
+  // --------------------------------------------------------- planning ----
+
+  private def effectiveFilter = (pushed ++ runtimeFilters)
+    .flatMap(FilterColumns.toColumn).reduceOption(_ && _)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cached = plannedCache
+    if (cached != null) return cached
+    val entries = graft.planFiles(effectiveFilter, asOf).filter(_.isData)
+    val conf = spark.sessionState.conf
+    val target = math.max(1L << 20, conf.filesMaxPartitionBytes)
+    val hadoop = spark.sessionState.newHadoopConf()
+    def sizeOf(path: String, recorded: Long): Long =
+      if (recorded > 0L) recorded
+      else { // legacy entries predating fileSize stats: ask the FS once
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hadoop).getFileStatus(p).getLen
+      }
+    // bin-pack per schema group (a partition reads with ONE physical
+    // schema): first-fit-decreasing against the maxPartitionBytes target
+    val parts = entries.groupBy(_.schemaId).toSeq.flatMap { case (sid, es) =>
+      val sized = es.map(e => (e.path, sizeOf(e.path, e.fileSize)))
+        .sortBy(-_._2)
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+      sized.foreach { f =>
+        bins.indexWhere(_._2 + f._2 <= target) match {
+          case -1 =>
+            bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
+          case i =>
+            bins(i)._1 += f
+            bins(i) = (bins(i)._1, bins(i)._2 + f._2)
+        }
+      }
+      bins.map(b => GraftInputPartition(sid, b._1.toArray))
+    }
+    val out: Array[InputPartition] = parts.toArray
+    plannedCache = out
+    out
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = graft.metadata
+    val parquet = new ParquetFileFormat
+    // the logical schema the pruned column NAMES resolve against: the
+    // asOf snapshot's schema for time travel, else the current schema
+    val readIce = asOf
+      .flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
+      .map(_.toInt).flatMap(meta.schemaById)
+      .getOrElse(meta.currentSchema)
+    // schemas are append-only in table metadata, so resolving a planned
+    // entry's write-time schema against the latest metadata is safe
+    val groups = planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].schemaId).distinct.map { sid =>
+      val fileSchema = meta.schemaById(sid).getOrElse(readIce)
+      // physical read schema: the pruned logical columns that exist in
+      // this file group, under their WRITE-TIME names
+      val physFields = prunedSchema.fields.flatMap { f =>
+        val logicalId = readIce.fieldByName(f.name)
+          .orElse(fileSchema.fieldByName(f.name)).map(_.id)
+        logicalId.flatMap(fileSchema.fieldById).map(ff =>
+          (f.name, StructField(ff.name, f.dataType, nullable = true)))
+      }
+      val physSchema = StructType(physFields.map(_._2))
+      val physIndex = physFields.map(_._1).zipWithIndex.toMap
+      val slots: Array[Int] =
+        prunedSchema.fields.map(f => physIndex.getOrElse(f.name, -1))
+      val identity = slots.length == physSchema.length &&
+        slots.zipWithIndex.forall { case (s, i) => s == i }
+      // only push row-group filters whose columns kept their physical
+      // name — parquet-level filtering is best-effort; Spark re-applies
+      val physNames = physSchema.fieldNames.toSet
+      val pushable = pushed.filter(
+        _.references.forall(r => physNames.contains(r)))
+      val columnar = parquet.supportBatch(spark, physSchema)
+      val readFunc = parquet.buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = physSchema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = physSchema,
+        filters = pushable.toIndexedSeq,
+        options = Map(
+          org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> columnar.toString),
+        // a FRESH conf per group: buildReaderWithPartitionValues writes
+        // the requested schema INTO the conf it is given, and a shared
+        // conf object would leak the last group's schema into all of
+        // them (local mode hands broadcasts back unserialized)
+        hadoopConf = spark.sessionState.newHadoopConf())
+      if (sys.props.contains("graft.debug.scan"))
+        println(s"GROUP sid=$sid phys=${physSchema.fieldNames.mkString(",")} " +
+          s"slots=${slots.mkString(",")} identity=$identity columnar=$columnar")
+      sid -> SchemaGroupReader(readFunc, slots, identity, columnar,
+        physSchema, prunedSchema)
+    }.toMap
+    new GraftReaderFactory(groups)
+  }
+
+  // Scan equality enables exchange reuse and is required for runtime
+  // filtering; identity = (table, snapshot pin, projection, filters).
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftBatchScan =>
+      o.graft.location == graft.location && o.asOf == asOf &&
+        o.prunedSchema == prunedSchema &&
+        o.pushed.toSeq == pushed.toSeq &&
+        o.runtimeFilters.toSeq == runtimeFilters.toSeq
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (graft.location, asOf, prunedSchema, pushed.toSeq).hashCode()
+}
+
+/** One input partition: files of one write-time schema, bin-packed to
+  * the maxPartitionBytes target.
+  */
+case class GraftInputPartition(schemaId: Int,
+    files: Array[(String, Long)]) extends InputPartition
+
+/** Per-schema-group read recipe: Spark's parquet reader closure plus the
+  * field-id alignment (slot i of the logical output = physical column
+  * slots(i), or -1 → null fill).
+  */
+case class SchemaGroupReader(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    slots: Array[Int],
+    identity: Boolean,
+    columnar: Boolean,
+    physSchema: StructType,
+    logicalSchema: StructType) extends Serializable
+
+class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    groups(partition.asInstanceOf[GraftInputPartition].schemaId).columnar
+
+  private def rawIterator(p: GraftInputPartition): Iterator[AnyRef] = {
+    val g = groups(p.schemaId)
+    p.files.iterator.flatMap { case (path, size) =>
+      g.readFunc(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(path), 0L, size))
+        .asInstanceOf[Iterator[AnyRef]]
+    }
+  }
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val g = groups(p.schemaId)
+    // the parquet reader may yield ColumnarBatch even on the row path
+    // (vectorized reader); flatten defensively
+    val rows: Iterator[InternalRow] = rawIterator(p).flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+    val aligned: Iterator[InternalRow] =
+      if (g.identity) rows
+      else {
+        val exprs = g.slots.zip(g.logicalSchema.fields).map {
+          case (-1, f) => CatalystLiteral(null, f.dataType)
+          case (i, f) => BoundReference(i, f.dataType, nullable = true)
+        }
+        val proj = UnsafeProjection.create(exprs.toIndexedSeq)
+        rows.map(proj)
+      }
+    iteratorReader(aligned)
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val g = groups(p.schemaId)
+    val batches = rawIterator(p).map(_.asInstanceOf[ColumnarBatch])
+    val aligned: Iterator[ColumnarBatch] =
+      if (g.identity) batches
+      else batches.map { b =>
+        val vecs: Array[ColumnVector] =
+          g.slots.zip(g.logicalSchema.fields).map {
+            case (-1, f) =>
+              val v = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(b.numRows, f.dataType)
+              v.setNull()
+              v
+            case (i, _) => b.column(i)
+          }
+        new ColumnarBatch(vecs, b.numRows)
+      }
+    iteratorReader(aligned)
+  }
+
+  private def iteratorReader[T](it: Iterator[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private var current: T = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): T = current
+      override def close(): Unit = ()
+    }
+}

@@ -1,0 +1,221 @@
+package graft.connector
+
+import graft.table.GraftTable
+import graft.model.{TBucket, TDay, THour, TIdentity, TMonth, TTruncate, TVoid, TYear, Transform => IceTransform}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform => SparkTransform}
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** A Spark TableCatalog over a warehouse directory of graft tables —
+  * full SQL DDL/DML surface:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", "graft.connector.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.g.warehouse", "/wh")
+  *   spark.sql("CREATE TABLE g.db.t (id BIGINT, d DATE) PARTITIONED BY (months(d))")
+  *   spark.sql("INSERT INTO g.db.t SELECT ...")
+  *   spark.sql("SELECT * FROM g.db.t WHERE d >= DATE'2024-01-01'")
+  *   spark.sql("ALTER TABLE g.db.t ADD COLUMN score DOUBLE")
+  * }}}
+  *
+  * Layout: `warehouse/namespace.../tableName/` is the table location
+  * (identified by its `metadata/` directory). Namespaces are directories.
+  * Hidden-partition SQL transforms (years/months/days/hours/bucket/
+  * truncate) map onto graft partition specs; identity partitions get a
+  * `_p`-suffixed partition-field name (graft keeps source columns in the
+  * data files — hidden partitioning, not directory-only columns).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null && wh.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.warehouse")
+    warehouse = Paths.get(wh)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): Path =
+    ident.namespace.foldLeft(warehouse)(_.resolve(_)).resolve(ident.name)
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("metadata"))
+
+  // ------------------------------------------------------------ tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val ls = Files.list(dir)
+    try ls.iterator.asScala
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally ls.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(p.toString, None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[SparkTransform],
+      properties: java.util.Map[String, String]): Table = {
+    val p = tablePath(ident)
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(p.getParent)
+    val partitionBy = partitions.map(toGraftPartition(_, schema)).toSeq
+    // strip Spark-managed props (provider/location/owner) from table props
+    val props = properties.asScala.toMap --
+      Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+        TableCatalog.PROP_COMMENT)
+    GraftTable.create(spark, p.toString, schema, partitionBy,
+      properties = props)
+    new GraftSparkTable(p.toString, None)
+  }
+
+  /** SQL PARTITIONED BY transform → (sourceColumn, transform, fieldName).
+    * Identity partitions are suffixed `_p`: graft models hidden
+    * partitioning, so the partition field must not shadow the data column.
+    */
+  private def toGraftPartition(t: SparkTransform,
+      schema: StructType): (String, IceTransform, String) = {
+    val refs = t.references()
+    require(refs.length == 1 && refs.head.fieldNames.length == 1,
+      s"unsupported partition reference in $t")
+    val c = refs.head.fieldNames.head
+    def intArg: Int = t.arguments().collectFirst {
+      case l: Literal[_] if l.dataType == IntegerType =>
+        l.value.asInstanceOf[Int]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$t needs an int literal argument"))
+    t.name() match {
+      case "identity" => (c, TIdentity, s"${c}_p")
+      case "years" | "year" => (c, TYear, s"${c}_year")
+      case "months" | "month" => (c, TMonth, s"${c}_month")
+      case "days" | "day" => (c, TDay, s"${c}_day")
+      case "hours" | "hour" => (c, THour, s"${c}_hour")
+      case "bucket" => (c, TBucket(intArg), s"${c}_bucket")
+      case "truncate" => (c, TTruncate(intArg), s"${c}_trunc")
+      case "void" => (c, TVoid, s"${c}_void")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported transform $other")
+    }
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported")
+        t.addColumn(add.fieldNames.head, add.dataType)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "nested RENAME COLUMN is not supported")
+        t.renameColumn(ren.fieldNames.head, ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "nested DROP COLUMN is not supported")
+        t.dropColumn(del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) return false
+    val w = Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    finally w.close()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    // graft manifests pin absolute file paths (like Iceberg's Hadoop
+    // catalog); a directory move would orphan every entry
+    throw new UnsupportedOperationException(
+      "graft tables pin absolute paths; use CREATE TABLE ... AS SELECT")
+
+  // -------------------------------------------------------- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val ls = Files.list(warehouse)
+    try ls.iterator.asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally ls.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val ls = Files.list(dir)
+    try ls.iterator.asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally ls.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) return false
+    val ls = Files.list(dir)
+    val empty = try !ls.iterator.hasNext finally ls.close()
+    if (!empty && !cascade)
+      throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
+    val w = Files.walk(dir)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    finally w.close()
+    true
+  }
+}

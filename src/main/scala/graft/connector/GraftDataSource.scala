@@ -1,0 +1,321 @@
+package graft.connector
+
+import graft.table.GraftTable
+import graft.model._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform => SparkTransform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+/** Spark DataSourceV2 connector for graft tables:
+  *
+  * {{{
+  *   spark.read.format("graft").load("/path/to/table")          // batch read
+  *   spark.read.format("graft").option("snapshot-id", id).load(p) // time travel
+  *   spark.read.format("graft").option("ref", "audit").load(p)  // branch/tag
+  *   df.write.format("graft").mode("append").save(p)            // commit append
+  * }}}
+  *
+  * The scan integrates with Catalyst natively: filters arrive via
+  * SupportsPushDownFilters and drive graft's transform-aware partition +
+  * min/max file pruning BEFORE any Spark job runs; column pruning arrives
+  * via SupportsPushDownRequiredColumns and reaches the parquet readers;
+  * SupportsReportStatistics feeds pruned row/byte counts to the join
+  * planner so a filtered graft table broadcasts when it should.
+  *
+  * Execution delegates to the proven DataFrame read path (schema-aligned
+  * reads, position + sequence-scoped equality deletes) through Spark's
+  * V1Scan bridge — the same strategy Spark's own JDBC connector uses — so
+  * DSv2 reads and `GraftTable.scan` CANNOT drift semantically.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def location(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft source requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSparkTable.load(location(options), options).schema()
+
+  override def getTable(schema: StructType,
+      partitioning: Array[SparkTransform],
+      properties: java.util.Map[String, String]): Table =
+    GraftSparkTable.load(location(new CaseInsensitiveStringMap(properties)),
+      new CaseInsensitiveStringMap(properties))
+}
+
+object GraftSparkTable {
+  def load(location: String, options: CaseInsensitiveStringMap): GraftSparkTable = {
+    val asOf = readSnapshotId(location, options)
+    new GraftSparkTable(location, asOf)
+  }
+
+  /** Resolve the `snapshot-id` / `ref` read options to a snapshot id. */
+  private def readSnapshotId(location: String,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val sid = Option(options.get("snapshot-id")).map(_.toLong)
+    val ref = Option(options.get("ref"))
+    require(sid.isEmpty || ref.isEmpty,
+      "set at most one of snapshot-id and ref")
+    sid.orElse(ref.map { name =>
+      val t = GraftTable.load(SparkSession.active, location)
+      t.metadata.refs.flatMap(_.get(name))
+        .getOrElse(throw new IllegalArgumentException(s"no ref $name"))
+        .snapshotId
+    })
+  }
+}
+
+/** One graft table as a Spark DSv2 Table (optionally pinned to a
+  * snapshot for time travel — reads resolve the snapshot's own schema).
+  */
+class GraftSparkTable(val location: String, asOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private[connector] def graft: GraftTable = GraftTable.load(spark, location)
+
+  override def name(): String = s"graft.`$location`"
+
+  override def schema(): StructType = {
+    val meta = graft.metadata
+    val sid = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
+      .map(_.toInt).getOrElse(meta.currentSchemaId)
+    GraftTable.toSparkSchema(meta.schemaById(sid).getOrElse(meta.currentSchema))
+  }
+
+  override def partitioning(): Array[SparkTransform] =
+    graft.metadata.defaultSpec.fields.flatMap { pf =>
+      graft.metadata.currentSchema.fieldById(pf.sourceId).map { src =>
+        pf.transform match {
+          case TIdentity => Expressions.identity(src.name)
+          case TBucket(n) => Expressions.bucket(n, src.name)
+          case TTruncate(w) =>
+            Expressions.apply("truncate", Expressions.literal(w),
+              Expressions.column(src.name))
+          case TYear => Expressions.years(src.name)
+          case TMonth => Expressions.months(src.name)
+          case TDay => Expressions.days(src.name)
+          case THour => Expressions.hours(src.name)
+          case TVoid =>
+            Expressions.apply("void", Expressions.column(src.name))
+        }
+      }
+    }.toArray
+
+  override def properties(): java.util.Map[String, String] =
+    graft.metadata.properties.getOrElse(Map.empty).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      // BATCH_WRITE advertises writability to DataFrameWriter.save();
+      // the WriteBuilder still produces a V1Write, which Spark's write
+      // strategy routes to the V1 exec nodes
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(graft, schema(), asOf)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel read")
+    new GraftWriteBuilder(graft)
+  }
+}
+
+/** Collects Catalyst's pushed filters and required columns. Filters are
+  * used for file-level pruning (and reported as pushed for plan
+  * visibility) but conservatively re-evaluated by Spark above the scan —
+  * min/max pruning is may-match, not exact.
+  */
+class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
+    asOf: Option[Long]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredNames: Seq[String] = tableSchema.fieldNames.toSeq
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FilterColumns.toColumn(_).isDefined)
+    filters // all residual: file pruning is approximate by design
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // nested pruning is intentionally widened back to whole top-level
+    // columns: the V1 bridge materializes full field values
+    requiredNames = requiredSchema.fieldNames.toSeq
+
+  override def build(): Scan = {
+    val prunedSchema = StructType(
+      tableSchema.fields.filter(f => requiredNames.contains(f.name)))
+    // delete-free snapshots (the dominant shape at scale: append-only
+    // ingest) take the native columnar batch path; snapshots carrying
+    // position/equality deletes fall back to the V1 bridge, which runs
+    // the proven DataFrame delete-application logic unchanged
+    val hasDeletes = graft.liveManifests(asOf).exists(_.content != 0)
+    if (hasDeletes) new GraftV1Scan(graft, prunedSchema, pushed, asOf)
+    else new GraftBatchScan(graft, prunedSchema, pushed, asOf)
+  }
+}
+
+/** The scan: prunes with the pushed filters, reports pruned-plan
+  * statistics, and executes through the table's DataFrame read path.
+  */
+/** Post-pruning statistics shared by both scan shapes: the join planner
+  * sees the size AFTER partition/stats pruning, so a filtered fact table
+  * can broadcast. Above the distributed-planning threshold the estimate
+  * falls back to O(refs) manifest rollups — never a driver loop over all
+  * entries.
+  */
+trait GraftScanStatistics extends SupportsReportStatistics {
+  protected def graft: GraftTable
+  protected def prunedSchema: StructType
+  protected def pushed: Array[Filter]
+  protected def asOf: Option[Long]
+
+  protected final def filterColumn: Option[Column] =
+    pushed.flatMap(FilterColumns.toColumn).reduceOption(_ && _)
+
+  override def estimateStatistics(): Statistics = {
+    val refs = graft.liveManifests(asOf)
+    val (rows, bytes) =
+      if (refs.map(_.entryCount).sum >= 100000L) {
+        val dataRefs = refs.filter(_.content == 0)
+        val delRows = refs.filter(_.content != 0).map(_.recordCount).sum
+        (math.max(0L, dataRefs.map(_.recordCount).sum - delRows), 0L)
+      } else {
+        val entries = graft.planFiles(filterColumn, asOf).filter(_.isData)
+        (entries.map(_.recordCount).sum,
+          entries.map(e => math.max(e.fileSize, 0L)).sum)
+      }
+    val rowWidth = math.max(8,
+      prunedSchema.fields.map(_.dataType.defaultSize + 1).sum)
+    val sizeEst = if (bytes > 0L) bytes else rows * rowWidth
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(sizeEst)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+}
+
+/** The deletes-present scan shape: executes through the table's
+  * DataFrame read path (schema-aligned reads, position + sequence-scoped
+  * equality deletes) via Spark's V1 bridge, so DSv2 reads of mutated
+  * tables CANNOT drift from `GraftTable.scan`. (Note: Spark wraps V1
+  * scans in a stats-opaque V1ScanWrapper during pushdown, so reported
+  * statistics only bind on the native batch path.)
+  */
+class GraftV1Scan(protected val graft: GraftTable,
+    protected val prunedSchema: StructType,
+    protected val pushed: Array[Filter], protected val asOf: Option[Long])
+    extends V1Scan with GraftScanStatistics {
+
+  override def readSchema(): StructType = prunedSchema
+
+  override def description(): String =
+    s"graft ${graft.location} pushed=[${pushed.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = prunedSchema
+      // rows come out of an inner Spark plan as UnsafeRow already
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val df = graft.scan(filterColumn, asOf)
+        val projected =
+          if (prunedSchema.isEmpty) df.select()
+          else df.select(prunedSchema.fieldNames.map(col).toIndexedSeq: _*)
+        projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+}
+
+/** Write modes arrive as WriteBuilder mixin calls; execution delegates to
+  * the table's commit protocol (executor-written stats shards + atomic
+  * metadata swap with optimistic retry) through the V1 bridge.
+  */
+class GraftWriteBuilder(graft: GraftTable) extends WriteBuilder
+    with SupportsTruncate with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var overwriteCond: Option[Column] = None
+  private var dynamic = false
+
+  override def truncate(): WriteBuilder = {
+    overwriteCond = Some(lit(true)); this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteCond = Some(filters.flatMap(FilterColumns.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true)))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          if (dynamic) { graft.overwritePartitions(data); () }
+          else overwriteCond match {
+            // one commit: readers never see the truncated-but-unfilled gap
+            case Some(cond) => graft.overwriteWhere(cond, data); ()
+            case None => graft.append(data); ()
+          }
+      }
+  }
+}
+
+/** DSv2 source Filter → Column translation (the subset graft pruning
+  * understands; anything else stays Spark-side).
+  */
+object FilterColumns {
+  import sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}

@@ -23,6 +23,7 @@ object Registry {
     operators.Relational.queries ++
       functions.TransformQueries.queries ++
       table.IcebergQueries.queries ++
+      connector.ConnectorQueries.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Curation.queries ++

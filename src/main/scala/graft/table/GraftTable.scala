@@ -894,8 +894,23 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   /** Copy-on-write DELETE WHERE: untouched files survive as-is; files that
     * may contain matching rows are rewritten without them.
     */
-  def deleteWhere(cond: Column): SnapshotV2 =
-    commitSnapshot("delete", { meta =>
+  def deleteWhere(cond: Column): SnapshotV2 = deleteAndAdd(cond, None)
+
+  /** Atomic INSERT OVERWRITE: ONE commit removes the rows matching `cond`
+    * (file-granular CoW, like deleteWhere) and adds `replacement`'s rows.
+    * Readers never observe the truncated-but-not-refilled intermediate
+    * state a delete-then-append pair would expose.
+    */
+  def overwriteWhere(cond: Column, replacement: DataFrame): SnapshotV2 = {
+    // replacement files are written ONCE; a conflict retry re-refs the
+    // same shards (commitSnapshot design) while re-deriving the rewrite
+    val adds = writeFiles(replacement)
+    retryingCommit(() => deleteAndAdd(cond, Some(adds)))
+  }
+
+  private def deleteAndAdd(cond: Column,
+      extraAdds: Option[PendingAdds]): SnapshotV2 =
+    commitSnapshot(if (extraAdds.isEmpty) "delete" else "overwrite", { meta =>
       val schema = meta.currentSchema
       val sparkSchema = toSparkSchema(schema)
       val preds = Pruning.extract(spark, cond, sparkSchema)
@@ -919,7 +934,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         else (reused.filterNot(_.content == 1),
           rebuildPosDeletes(posDels, maybe.map(_.path).toSet,
             schema.schemaId))
-      (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
+      (reusedRefs,
+        PendingAdds(carried ++ newDels,
+          rewritten.shards ++ extraAdds.map(_.shards).getOrElse(Seq.empty)),
         Map("rewritten-files" -> maybe.size.toString))
     })
 
