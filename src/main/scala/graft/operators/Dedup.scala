@@ -316,6 +316,62 @@ object Dedup {
             .orderBy("doc_a", "doc_b"),
           sh)
       },
-      None)
+      None),
+
+    // Exact duplicated-SPAN scoring (the exact-substring dedup family, at
+    // 10-token-window granularity): a window occurring in more than one
+    // document marks boilerplate; each doc reports how much of it is
+    // covered by such windows, plus the keep/drop verdict. Inverted-index
+    // shape: one shuffle keyed on span hash with map-side combine; the
+    // per-span payload is a distinct-doc count, never a postings list —
+    // no all-pairs work, no skew from viral spans.
+    GraftQuery(
+      "d_dedup_substring",
+      (s, dir) => {
+        val W = 10
+        val d = Tables.tbl(s, dir, "documents")
+          .withColumn("__gs",
+            TextOps.bindOnce(split(TextOps.normText(col("text")), " "),
+              toks => when(size(toks) >= W,
+                transform(sequence(lit(0), size(toks) - W),
+                  i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(W))))))
+                .otherwise(array().cast("array<bigint>"))))
+        val spans = d.select(col("doc_id"), explode(col("__gs")).as("g"))
+        val dup = spans.groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select("g")
+        val perDoc = spans.join(dup, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+        d.select(col("doc_id"), col("source"),
+            size(col("__gs")).cast("bigint").as("n_spans"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_dup_spans"))
+          .withColumn("dup_frac", round(
+            when(col("n_spans") === 0, 0.0)
+              .otherwise(col("n_dup_spans").cast("double") / col("n_spans")),
+            4))
+          .withColumn("keep", col("dup_frac") <= 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            string_split(${TextOps.normTextSql}, ' ') AS t FROM documents),
+          grams AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(t) - 9 + 1),
+              i -> array_to_string(t[i:i+9], ' '))) AS g FROM toks),
+          dup AS (SELECT g FROM grams
+            GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+          per AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM grams
+            JOIN dup USING (g) GROUP BY doc_id),
+          base AS (SELECT doc_id, source,
+            CAST(GREATEST(len(t) - 9, 0) AS BIGINT) AS n_spans FROM toks),
+          scored AS (SELECT b.doc_id, b.source, b.n_spans,
+            COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+            round(CASE WHEN b.n_spans = 0 THEN 0.0
+              ELSE COALESCE(p.n_dup_spans, 0) / CAST(b.n_spans AS DOUBLE)
+              END, 4) AS dup_frac
+            FROM base b LEFT JOIN per p USING (doc_id))
+        SELECT doc_id, source, n_spans, n_dup_spans, dup_frac,
+          (dup_frac <= 0.5) AS keep
+        FROM scored ORDER BY doc_id"""))
   )
 }

@@ -27,6 +27,7 @@ object Registry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Curation.queries ++
+      operators.Retrieval.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       streaming.StreamingQueries.queries

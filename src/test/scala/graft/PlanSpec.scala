@@ -122,4 +122,25 @@ class PlanSpec extends SparkSpec {
       "no map-side partial aggregation")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("d_bm25_topk: broadcast one-row stats, distributed top-k, no SMJ") {
+    val p = plan(Registry.byName("d_bm25_topk")
+      .fn(spark, "/root/testdata/sf0.001"))
+    // the global-stats row joins back by BROADCAST nested loop (1 row),
+    // never a shuffle join; ranking is TakeOrdered, not a global sort
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "global stats row is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k is not a distributed TakeOrdered")
+  }
+
+  test("d_importance_weight: scoring pass is map-only over the scan") {
+    val p = plan(Registry.byName("d_importance_weight")
+      .fn(spark, "/root/testdata/sf0.001"))
+    // the 256-bucket model is inlined as a literal — the scored output
+    // plan has NO join and NO aggregation exchange above the scan
+    assert(!p.contains("Join"), "scoring pass should not join")
+    assert(!p.contains("HashAggregate"), "scoring pass should not aggregate")
+  }
 }
