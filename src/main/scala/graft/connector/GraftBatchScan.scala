@@ -84,8 +84,57 @@ class GraftBatchScan(protected val graft: GraftTable,
     val cached = plannedCache
     if (cached != null) return cached
     val entries = graft.planFiles(effectiveFilter, asOf).filter(_.isData)
-    val conf = spark.sessionState.conf
-    val target = math.max(1L << 20, conf.filesMaxPartitionBytes)
+    val out = GraftRead.binPack(spark, entries)
+    plannedCache = out
+    out
+  }
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new GraftMicroBatchStream(graft, prunedSchema, pushed)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = graft.metadata
+    // the logical schema the pruned column NAMES resolve against: the
+    // asOf snapshot's schema for time travel, else the current schema
+    val readIce = asOf
+      .flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
+      .map(_.toInt).flatMap(meta.schemaById)
+      .getOrElse(meta.currentSchema)
+    val sids = planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].schemaId).distinct
+    GraftRead.factoryFor(spark, meta, readIce, prunedSchema, pushed, sids)
+  }
+
+  // Scan equality enables exchange reuse and is required for runtime
+  // filtering; identity = (table, snapshot pin, projection, filters).
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftBatchScan =>
+      o.graft.location == graft.location && o.asOf == asOf &&
+        o.prunedSchema == prunedSchema &&
+        o.pushed.toSeq == pushed.toSeq &&
+        o.runtimeFilters.toSeq == runtimeFilters.toSeq
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (graft.location, asOf, prunedSchema, pushed.toSeq).hashCode()
+}
+
+/** Shared planning/reading machinery for the batch scan and the
+  * micro-batch stream: bin-packing surviving files into input
+  * partitions, and building per-write-time-schema reader recipes.
+  */
+object GraftRead {
+
+  /** Bin-pack data-file entries into input partitions, one write-time
+    * schema per partition, first-fit-decreasing against the session's
+    * maxPartitionBytes target.
+    */
+  def binPack(spark: SparkSession,
+      entries: Seq[graft.table.DataFileEntry]): Array[InputPartition] = {
+    val target = math.max(1L << 20,
+      spark.sessionState.conf.filesMaxPartitionBytes)
     val hadoop = spark.sessionState.newHadoopConf()
     def sizeOf(path: String, recorded: Long): Long =
       if (recorded > 0L) recorded
@@ -93,9 +142,7 @@ class GraftBatchScan(protected val graft: GraftTable,
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(hadoop).getFileStatus(p).getLen
       }
-    // bin-pack per schema group (a partition reads with ONE physical
-    // schema): first-fit-decreasing against the maxPartitionBytes target
-    val parts = entries.groupBy(_.schemaId).toSeq.flatMap { case (sid, es) =>
+    entries.groupBy(_.schemaId).toSeq.flatMap { case (sid, es) =>
       val sized = es.map(e => (e.path, sizeOf(e.path, e.fileSize)))
         .sortBy(-_._2)
       val bins = scala.collection.mutable.ArrayBuffer
@@ -110,25 +157,20 @@ class GraftBatchScan(protected val graft: GraftTable,
         }
       }
       bins.map(b => GraftInputPartition(sid, b._1.toArray))
-    }
-    val out: Array[InputPartition] = parts.toArray
-    plannedCache = out
-    out
+    }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val meta = graft.metadata
+  /** Reader factory covering the given write-time schema ids: each group
+    * reads files under their physical column names (resolved BY FIELD ID
+    * against the logical read schema) through Spark's vectorized parquet
+    * reader, then aligns to the logical schema.
+    */
+  def factoryFor(spark: SparkSession,
+      meta: graft.model.TableMetadataV2, readIce: graft.model.SchemaV2,
+      prunedSchema: StructType, pushed: Array[Filter],
+      sids: Seq[Int]): GraftReaderFactory = {
     val parquet = new ParquetFileFormat
-    // the logical schema the pruned column NAMES resolve against: the
-    // asOf snapshot's schema for time travel, else the current schema
-    val readIce = asOf
-      .flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
-      .map(_.toInt).flatMap(meta.schemaById)
-      .getOrElse(meta.currentSchema)
-    // schemas are append-only in table metadata, so resolving a planned
-    // entry's write-time schema against the latest metadata is safe
-    val groups = planInputPartitions()
-      .map(_.asInstanceOf[GraftInputPartition].schemaId).distinct.map { sid =>
+    val groups = sids.map { sid =>
       val fileSchema = meta.schemaById(sid).getOrElse(readIce)
       // physical read schema: the pruned logical columns that exist in
       // this file group, under their WRITE-TIME names
@@ -172,20 +214,6 @@ class GraftBatchScan(protected val graft: GraftTable,
     }.toMap
     new GraftReaderFactory(groups)
   }
-
-  // Scan equality enables exchange reuse and is required for runtime
-  // filtering; identity = (table, snapshot pin, projection, filters).
-  override def equals(other: Any): Boolean = other match {
-    case o: GraftBatchScan =>
-      o.graft.location == graft.location && o.asOf == asOf &&
-        o.prunedSchema == prunedSchema &&
-        o.pushed.toSeq == pushed.toSeq &&
-        o.runtimeFilters.toSeq == runtimeFilters.toSeq
-    case _ => false
-  }
-
-  override def hashCode(): Int =
-    (graft.location, asOf, prunedSchema, pushed.toSeq).hashCode()
 }
 
 /** One input partition: files of one write-time schema, bin-packed to

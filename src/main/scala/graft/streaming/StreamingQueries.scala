@@ -325,6 +325,45 @@ object StreamingQueries {
           ${sqlDsum("value")} AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // The same incremental-tail contract through the PUBLIC DSv2 surface:
+    // spark.readStream.format("graft") tails COMMITTED snapshots by
+    // sequence-number offsets (uncommitted files invisible, exactly-once
+    // across checkpointed restarts), micro-batches append into a durable
+    // graft sink. Two AvailableNow passes share one checkpoint with an
+    // append in between.
+    GraftQuery(
+      "s_stream_dsv2",
+      (s, dir) => {
+        val events = Tables.tbl(s, dir, "events")
+        val root = java.nio.file.Files
+          .createTempDirectory("dsv2-tbl-stream").toString
+        val src = graft.table.GraftTable.create(s, s"$root/src",
+          events.schema)
+        val sink = graft.table.GraftTable.create(s, s"$root/snk",
+          events.schema)
+        def drain(): Unit = {
+          val q = sink.appendStream(
+            s.readStream.format("graft").load(s"$root/src"), s"$root/ckpt")
+          q.awaitTermination()
+        }
+        src.append(events.filter(col("user_id") % 3 === 0))
+        src.append(events.filter(col("user_id") % 3 === 1))
+        drain()
+        val consumedAt1 = sink.countRows()
+        src.append(events.filter(col("user_id") % 3 === 2))
+        drain()
+        require(sink.countRows() > consumedAt1,
+          "second pass consumed nothing — snapshot-offset tail broke")
+        sink.scan()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            r4(dsum(col("value"))).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          ${sqlDsum("value")} AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Streaming dedup inside the watermark: the stream is doubled (every
     // event appears twice), dropDuplicates restores exact counts, and the
     // deduped windowed counts land in a durable append-mode GraftTable
