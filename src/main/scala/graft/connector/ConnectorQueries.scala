@@ -79,8 +79,6 @@ object ConnectorQueries {
           partitionBy = Seq(("l_shipdate", graft.model.TMonth, "ship_month")))
         src.filter(col("l_orderkey") % 2 === 0)
           .write.format("graft").mode("append").save(where)
-        src.filter(col("l_orderkey") % 2 === 1)
-          .write.format("graft").mode("append").save(where)
         val t = GraftTable.load(s, where)
         t.createTag("pre", t.metadata.currentSnapshotId.get)
         // ONE-commit truncate-and-replace through the connector
@@ -105,7 +103,8 @@ object ConnectorQueries {
          GROUP BY 1) a
         JOIN
         (SELECT l_returnflag, COUNT(*) AS n_before FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         WHERE l_orderkey % 2 = 0
+           AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY 1) b
         ON a.l_returnflag = b.l_returnflag
         ORDER BY a.l_returnflag""")))

@@ -73,8 +73,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTableDir(p)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(p.toString, None)
+    if (isTableDir(p)) return new GraftSparkTable(p.toString, None)
+    // metadata table: g.db.t.snapshots parses as namespace [db, t] with
+    // name "snapshots" — route to the parent table's metadata view
+    if (ident.namespace.nonEmpty && GraftMetaTable.Kinds.contains(ident.name)) {
+      val parent = ident.namespace.foldLeft(warehouse)(_.resolve(_))
+      if (isTableDir(parent))
+        return new GraftMetaTable(parent.toString, ident.name)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -140,6 +147,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         t.dropColumn(del.fieldNames.head)
+      case set: TableChange.SetProperty =>
+        t.updateProperties(Map(set.property -> Some(set.value)))
+      case rm: TableChange.RemoveProperty =>
+        t.updateProperties(Map(rm.property -> None))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: $other")
     }

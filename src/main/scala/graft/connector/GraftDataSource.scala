@@ -141,6 +141,56 @@ class GraftSparkTable(val location: String, asOf: Option[Long])
   }
 }
 
+/** Read-only metadata tables surfaced through SQL (Iceberg parity):
+  * `SELECT * FROM g.db.t.snapshots|history|files|partitions`. Each read
+  * recomputes from current table metadata.
+  */
+class GraftMetaTable(location: String, kind: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def df: DataFrame = {
+    val t = GraftTable.load(spark, location)
+    kind match {
+      case "snapshots" => t.snapshotsDf
+      case "history" => t.historyDf
+      case "files" => t.filesDf
+      case "partitions" => t.partitionsDf
+    }
+  }
+
+  override def name(): String = s"graft.`$location`.$kind"
+
+  override def schema(): StructType = df.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      private val pinned = df
+      override def readSchema(): StructType = pinned.schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = pinned.schema
+          override def needConversion: Boolean = false
+          override def buildScan(): RDD[Row] =
+            pinned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }
+        rel.asInstanceOf[T]
+      }
+    }
+  }
+}
+
+object GraftMetaTable {
+  val Kinds: Set[String] = Set("snapshots", "history", "files", "partitions")
+}
+
 /** Collects Catalyst's pushed filters and required columns. Filters are
   * used for file-level pruning (and reported as pushed for plan
   * visibility) but conservatively re-evaluated by Spark above the scan —

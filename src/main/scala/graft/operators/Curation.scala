@@ -230,12 +230,18 @@ object Curation {
           greatest(nTok.cast("double"), lit(1.0))
         val quality = least(nTok.cast("double") / lit(100.0), lit(1.0)) *
           (lit(1.0) - punct) * (lit(1.0) - stops)
+        // ONE materialized flag pass: three consumers read it (gate
+        // counts, dedup window, decontamination) — without the
+        // checkpoint each branch re-runs the regexp/gram heavy scan
+        // (measured ~3x this operator's cost)
         val base = withRepetitionFracs(docs(s, dir), col("text"))
           .withColumn("fp", md5(TextOps.normText(col("text"))))
           .withColumn("lang_ok", regexp_count(lower(col("text")),
             lit("\\b(the|and|of|to|in)\\b")) >= 1)
           .withColumn("q_ok", round(quality, 4) > 0.1)
           .withColumn("rep_ok", round(col("dup_3gram_frac"), 4) <= 0.2)
+          .select("doc_id", "source", "fp", "lang_ok", "q_ok", "rep_ok")
+          .localCheckpoint()
         val surv = base.filter(
           col("lang_ok") && col("q_ok") && col("rep_ok"))
         val deduped = surv.withColumn("__rn", row_number().over(

@@ -1374,6 +1374,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * referenced by a partition spec or sort order cannot be dropped — the
     * table would be permanently unable to write.
     */
+  /** Metadata-only property update: set the given keys, remove the keys
+    * mapped to None. Atomic via the same version-claim as every commit.
+    */
+  def updateProperties(changes: Map[String, Option[String]]): Unit = {
+    val (baseVersion, meta) = metadataWithVersion
+    val cur = meta.properties.getOrElse(Map.empty)
+    val next = changes.foldLeft(cur) {
+      case (m, (k, Some(v))) => m + (k -> v)
+      case (m, (k, None)) => m - k
+    }
+    writeMetadataAt(meta.copy(
+      properties = if (next.isEmpty) None else Some(next),
+      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
+  }
+
   def dropColumn(name: String): Unit = {
     val meta = metadata
     val fid = meta.currentSchema.fieldByName(name).map(_.id)

@@ -192,6 +192,15 @@ class ConnectorSpec extends SparkSpec {
     spark.sql("ALTER TABLE gtest.db.li DROP COLUMN remark")
     assert(!spark.table("gtest.db.li").schema.fieldNames.contains("remark"))
 
+    // properties round-trip through SET/UNSET TBLPROPERTIES
+    spark.sql(
+      "ALTER TABLE gtest.db.li SET TBLPROPERTIES ('write.target'='128m')")
+    assert(GraftTable.load(spark, s"$wh/db/li").metadata.properties
+      .exists(_.get("write.target").contains("128m")))
+    spark.sql("ALTER TABLE gtest.db.li UNSET TBLPROPERTIES ('write.target')")
+    assert(!GraftTable.load(spark, s"$wh/db/li").metadata.properties
+      .exists(_.contains("write.target")))
+
     assert(spark.sql("SHOW TABLES IN gtest.db").collect()
       .map(_.getString(1)).contains("li"))
     spark.sql("DROP TABLE gtest.db.li")
@@ -237,6 +246,34 @@ class ConnectorSpec extends SparkSpec {
         .count()
       assert(joined.count() == expected)
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("SQL metadata tables: t.snapshots / t.partitions / t.files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh3").toString
+    spark.conf.set("spark.sql.catalog.gmeta", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmeta.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.db")
+    spark.sql(
+      """CREATE TABLE gmeta.db.t (k BIGINT, d TIMESTAMP_NTZ)
+        |PARTITIONED BY (months(d))""".stripMargin)
+    lineitem.select(col("l_orderkey").as("k"),
+        col("l_shipdate").as("d"))
+      .createOrReplaceTempView("meta_src")
+    spark.sql("INSERT INTO gmeta.db.t SELECT * FROM meta_src")
+    spark.sql("INSERT INTO gmeta.db.t SELECT * FROM meta_src")
+
+    val snaps = spark.sql(
+      "SELECT operation FROM gmeta.db.t.snapshots ORDER BY sequence_number")
+      .collect().map(_.getString(0))
+    assert(snaps.toSeq == Seq("append", "append"))
+    assert(spark.sql("SELECT * FROM gmeta.db.t.history").count() == 2)
+    val nFiles = spark.sql("SELECT COUNT(*) FROM gmeta.db.t.files")
+      .head().getLong(0)
+    assert(nFiles > 0)
+    val recs = spark.sql(
+      "SELECT SUM(record_count) FROM gmeta.db.t.partitions")
+      .head().getLong(0)
+    assert(recs == lineitem.count() * 2)
   }
 
   test("SQL CTAS creates and fills a graft table") {
