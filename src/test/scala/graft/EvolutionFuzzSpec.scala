@@ -73,6 +73,12 @@ class EvolutionFuzzSpec extends SparkSpec {
       val out = t.scan()
       assert(out.columns.toSeq == cols, s"round $round: columns diverged")
       assert(out.count() == appended.map(_._1.size).sum)
+      // the DSv2 connector must agree with scan() on every history —
+      // its native batch path re-implements field-id alignment
+      val dsv2 = spark.read.format("graft").load(loc)
+      assert(dsv2.columns.toSeq == cols, s"round $round: DSv2 columns")
+      assert(dsv2.exceptAll(out).isEmpty && out.exceptAll(dsv2).isEmpty,
+        s"round $round: DSv2 read diverged from scan()")
       val rows = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
       appended.foreach { case (ids, present) =>
         ids.foreach { id =>

@@ -46,6 +46,10 @@ class PruningFuzzSpec extends SparkSpec {
       val expected = src.filter(f).count()
       assert(t.scan(Some(f)).count() == expected, s"scan diverged on: $f")
       assert(t.countRows(Some(f)) == expected, s"countRows diverged on: $f")
+      // DSv2 path: Catalyst-pushed filters drive the same pruning (native
+      // batch scan on delete-free tables, V1 bridge otherwise)
+      assert(spark.read.format("graft").load(t.location).filter(f).count()
+        == expected, s"DSv2 read diverged on: $f")
       // same scan with planning forced onto the distributed path
       spark.conf.set("spark.graft.distributedPlanningThreshold", "0")
       try assert(t.scan(Some(f)).count() == expected,
