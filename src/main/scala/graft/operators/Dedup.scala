@@ -329,6 +329,8 @@ object Dedup {
       "d_dedup_substring",
       (s, dir) => {
         val W = 10
+        // span-hash arrays materialize ONCE (two consumers: the exploded
+        // inverted index and the per-doc span counts)
         val d = Tables.tbl(s, dir, "documents")
           .withColumn("__gs",
             TextOps.bindOnce(split(TextOps.normText(col("text")), " "),
@@ -336,6 +338,8 @@ object Dedup {
                 transform(sequence(lit(0), size(toks) - W),
                   i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(W))))))
                 .otherwise(array().cast("array<bigint>"))))
+          .select(col("doc_id"), col("source"), col("__gs"))
+          .localCheckpoint()
         val spans = d.select(col("doc_id"), explode(col("__gs")).as("g"))
         val dup = spans.groupBy("g")
           .agg(countDistinct(col("doc_id")).as("nd"))

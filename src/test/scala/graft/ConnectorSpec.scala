@@ -331,6 +331,28 @@ class ConnectorSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("concurrent format(graft) writers all commit through the V2 path") {
+    val src = lineitem.limit(300).cache()
+    val loc = freshLoc("conc")
+    GraftTable.create(spark, loc, src.schema)
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (1 to writers).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            src.write.format("graft").mode("append").save(loc)
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val t = GraftTable.load(spark, loc)
+    assert(t.scan().count() == src.count() * writers)
+    assert(t.metadata.snapshots.get.size == writers)
+    assert(t.metadata.snapshots.get.map(_.sequenceNumber).sorted ==
+      (1L to writers.toLong))
+  }
+
   test("DSv2 read equals scan on a mutated table (deletes + evolution)") {
     val src = lineitem.limit(400).cache()
     val loc = freshLoc("mut")
