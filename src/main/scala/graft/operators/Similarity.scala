@@ -354,6 +354,162 @@ object Similarity {
       }.toDF("id", "cluster", "sim")
   }
 
+  // -------------------------------------------- product quantization ----
+
+  /** Per-subspace PQ codebooks: the embedding splits into `m` contiguous
+    * subvectors, each quantized against its own `k` centroids fit by
+    * Lloyd iterations over a bounded driver-side sample (the offline
+    * training step; the whole model is m×k×(d/m) doubles). Vectors are
+    * normalized FIRST, so PQ L2 distance ranks like cosine.
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, sampleN: Int = 2000, iters: Int = 10)
+      : Array[Array[Array[Double]]] = {
+    val sample = corpus.select(idCol, vecCol).orderBy(idCol).limit(sampleN)
+      .collect().map(r => normalizeVec(
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    val d = sample(0).length
+    require(d % m == 0, s"dims $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m) { sub =>
+      val vecs = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
+      var cents = Array.tabulate(k)(i => vecs(i * vecs.length / k))
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        vecs.foreach { v =>
+          val c = nearestSub(v, cents)
+          val s = sums(c)
+          var i = 0
+          while (i < dsub) { s(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0L) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** Index of the L2-nearest subspace centroid (tight JVM loop). */
+  private def nearestSub(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d2 = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - ct(i); d2 += x * x; i += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Map-only PQ encoding: each vector becomes `m` small centroid ids —
+    * the stored index is m bytes/vector, ~(4·d/m)× smaller than the
+    * float vectors, which is the reason PQ survives RAM at 100 TB.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(codebooks)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        val m = cb.length
+        it.map { case (id, v) =>
+          val u = normalizeVec(v.map(_.toDouble))
+          val dsub = u.length / m
+          (id, Array.tabulate(m)(sub =>
+            nearestSub(u.slice(sub * dsub, (sub + 1) * dsub), cb(sub))))
+        }
+      }.toDF("id", "code")
+  }
+
+  /** PQ approximate top-k: asymmetric distance computation over the
+    * compressed domain, then exact re-rank of the shortlist.
+    *
+    * Each query precomputes an m×k table of exact subvector→centroid
+    * distances; scoring a candidate is m TABLE LOOKUPS over its code —
+    * a pure column expression (codegen'd), no float vectors move during
+    * the scan. The top `refine·k` shortlist per query is then re-ranked
+    * by exact cosine (only shortlist vectors are fetched) — the
+    * standard ADC+refine pipeline: quantization noise picks the
+    * shortlist, exact math picks the winners. Exhaustive over codes
+    * (the compressed-domain scan); compose with IVF cells to bound
+    * candidates when N is extreme. Unit vectors make PQ-L2 and cosine
+    * order identical: sim ≈ 1 − d²/2.
+    */
+  def annTopKPq(corpus: DataFrame, queriesDf: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      m: Int = 8, kCents: Int = 16, refine: Int = 24): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cb = trainPq(corpus, idCol, vecCol, m, kCents)
+    val codes = pqEncode(corpus, idCol, vecCol, cb)
+    val bc = s.sparkContext.broadcast(cb)
+    // per-query flattened distance table: entry sub*kCents+c = ||q_sub - cent||²
+    val qTables = queriesDf
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cbv = bc.value
+        it.map { case (qid, v) =>
+          val u = normalizeVec(v.map(_.toDouble))
+          val dsub = u.length / cbv.length
+          val table = new Array[Double](cbv.length * cbv(0).length)
+          var sub = 0
+          while (sub < cbv.length) {
+            var c = 0
+            while (c < cbv(sub).length) {
+              var d2 = 0.0
+              var i = 0
+              while (i < dsub) {
+                val x = u(sub * dsub + i) - cbv(sub)(c)(i)
+                d2 += x * x
+                i += 1
+              }
+              table(sub * cbv(0).length + c) = d2
+              c += 1
+            }
+            sub += 1
+          }
+          (qid, table)
+        }
+      }.toDF("q_id", "table")
+    // ADC scoring as a column expression: d² = Σ_sub table[sub·k + code[sub]]
+    val d2 = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, sub) => acc + element_at(col("table"),
+        sub * kCents + element_at(col("code"), sub + 1) + 1))
+    val wPq = Window.partitionBy("q_id").orderBy(col("pq_sim").desc, col("id"))
+    val shortlist = broadcast(qTables).crossJoin(codes)
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("pq_sim", lit(1.0) - d2 / 2.0)
+      .withColumn("__rn", row_number().over(wPq))
+      .filter(col("__rn") <= refine * k)
+      .select("q_id", "id")
+    // exact re-rank of the shortlist: only refine·k vectors per query
+    val qVecs = queriesDf.select(col(qIdCol).cast("long").as("q_id"),
+      col(qVecCol).as("q_vec"))
+    val cVecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    broadcast(shortlist.join(broadcast(qVecs), "q_id")).join(cVecs, "id")
+      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "embeddings")
 
@@ -437,6 +593,25 @@ object Similarity {
         val q = corpus.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val ann = annTopKIvf(corpus, q, "vec_id", "embedding", "q_id",
+          "q_vec", k = 3)
+        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+          k = 3)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // PQ ANN: 8 subspaces × 16 centroids — the memory-bounded layer of
+    // the ANN stack (codes are 8 small ints/vector vs 256 float bytes);
+    // query scoring is table lookups in the compressed domain. Rows-only
+    // (approximate); the recall column audits each query, SimilaritySpec
+    // pins planted-twin recall.
+    GraftQuery(
+      "d_ann_pq",
+      (s, dir) => {
+        val corpus = emb(s, dir)
+        val q = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val ann = annTopKPq(corpus, q, "vec_id", "embedding", "q_id",
           "q_vec", k = 3)
         withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
           k = 3)

@@ -90,6 +90,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.length == 16)
   }
 
+  test("PQ ANN finds planted twins and codebooks are deterministic") {
+    val base = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.withPlantedTwins(base, "vec_id", "embedding", 1)
+    val q = base.limit(100).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"))
+    val hits = Similarity.annTopKPq(corpus, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 1)
+      .filter(col("neighbor_id") === col("q_id") + 1000000000L)
+      .count()
+    assert(hits >= 80L, s"PQ found $hits/100 planted twins")
+    // codebooks deterministic; codes compress 64 floats to 8 small ids
+    val cb = Similarity.trainPq(corpus, "vec_id", "embedding", 8, 16)
+    val cb2 = Similarity.trainPq(corpus, "vec_id", "embedding", 8, 16)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+    val row = codes.head()
+    val code = row.getAs[scala.collection.Seq[Int]]("code")
+    assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
+  }
+
   test("IVF per-cell cap bounds candidates under a clustered corpus") {
     import spark.implicits._
     // 5000 identical vectors collapse into ONE cell — uncapped, every
