@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
 object ConnectorQueries {
   import Help._
 
+  /** Catalog warehouse paths are memoized per session: Spark caches
+    * catalog instances after first use, so re-pointing the warehouse conf
+    * (and deleting the old directory) mid-session would leave the cached
+    * GraftCatalog reading a vanished path. Re-runs reuse the same
+    * warehouse and rely on DROP TABLE IF EXISTS for isolation.
+    */
+  private val warehouseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def warehouseLoc(name: String): String =
+    warehouseCache.computeIfAbsent(name, _ => loc(name))
+
   private def loc(name: String): String = {
     val root = java.nio.file.Paths.get("/root/repo/target/graft-conn")
     if (java.nio.file.Files.isDirectory(root)) {
@@ -46,7 +58,7 @@ object ConnectorQueries {
     GraftQuery(
       "ice_sql_catalog",
       (s, dir) => {
-        val wh = loc("wh")
+        val wh = warehouseLoc("wh")
         s.conf.set("spark.sql.catalog.graft_ct", "graft.connector.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ct.db")

@@ -83,8 +83,13 @@ class GraftBatchScan(protected val graft: GraftTable,
   override def planInputPartitions(): Array[InputPartition] = {
     val cached = plannedCache
     if (cached != null) return cached
-    val entries = graft.planFiles(effectiveFilter, asOf).filter(_.isData)
-    val out = GraftRead.binPack(spark, entries)
+    // threshold-dispatched: big tables prune on executors over the
+    // manifest dataset; only surviving (path, schema, size) rows reach
+    // the driver for bin-packing — the connector never materializes the
+    // full entry list driver-side
+    val files = graft.plannedConnectorFiles(effectiveFilter, asOf)
+      .map(f => (f._1, f._2, f._4))
+    val out = GraftRead.binPack(spark, files)
     plannedCache = out
     out
   }
@@ -127,12 +132,12 @@ class GraftBatchScan(protected val graft: GraftTable,
   */
 object GraftRead {
 
-  /** Bin-pack data-file entries into input partitions, one write-time
-    * schema per partition, first-fit-decreasing against the session's
-    * maxPartitionBytes target.
+  /** Bin-pack planned (path, schemaId, fileSize) files into input
+    * partitions, one write-time schema per partition, first-fit-decreasing
+    * against the session's maxPartitionBytes target.
     */
   def binPack(spark: SparkSession,
-      entries: Seq[graft.table.DataFileEntry]): Array[InputPartition] = {
+      files: Seq[(String, Int, Long)]): Array[InputPartition] = {
     val target = math.max(1L << 20,
       spark.sessionState.conf.filesMaxPartitionBytes)
     val hadoop = spark.sessionState.newHadoopConf()
@@ -142,8 +147,8 @@ object GraftRead {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(hadoop).getFileStatus(p).getLen
       }
-    entries.groupBy(_.schemaId).toSeq.flatMap { case (sid, es) =>
-      val sized = es.map(e => (e.path, sizeOf(e.path, e.fileSize)))
+    files.groupBy(_._2).toSeq.flatMap { case (sid, es) =>
+      val sized = es.map(e => (e._1, sizeOf(e._1, e._3)))
         .sortBy(-_._2)
       val bins = scala.collection.mutable.ArrayBuffer
         .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
@@ -170,7 +175,12 @@ object GraftRead {
       prunedSchema: StructType, pushed: Array[Filter],
       sids: Seq[Int]): GraftReaderFactory = {
     val parquet = new ParquetFileFormat
-    val groups = sids.map { sid =>
+    // resolve every group's physical schema FIRST: Spark's
+    // DataSourceV2ScanExecBase forbids mixing row-based and columnar
+    // input partitions in one scan, so the batch decision is a single
+    // scan-wide AND over all schema groups — an evolved table whose
+    // groups differ in batch support falls back to rows uniformly
+    val resolved = sids.map { sid =>
       val fileSchema = meta.schemaById(sid).getOrElse(readIce)
       // physical read schema: the pruned logical columns that exist in
       // this file group, under their WRITE-TIME names
@@ -180,6 +190,12 @@ object GraftRead {
         logicalId.flatMap(fileSchema.fieldById).map(ff =>
           (f.name, StructField(ff.name, f.dataType, nullable = true)))
       }
+      (sid, physFields)
+    }
+    val columnar = resolved.forall { case (_, physFields) =>
+      parquet.supportBatch(spark, StructType(physFields.map(_._2)))
+    }
+    val groups = resolved.map { case (sid, physFields) =>
       val physSchema = StructType(physFields.map(_._2))
       val physIndex = physFields.map(_._1).zipWithIndex.toMap
       val slots: Array[Int] =
@@ -191,7 +207,6 @@ object GraftRead {
       val physNames = physSchema.fieldNames.toSet
       val pushable = pushed.filter(
         _.references.forall(r => physNames.contains(r)))
-      val columnar = parquet.supportBatch(spark, physSchema)
       val readFunc = parquet.buildReaderWithPartitionValues(
         sparkSession = spark,
         dataSchema = physSchema,

@@ -132,8 +132,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
-    val t = GraftTable.load(spark, tablePath(ident).toString)
+    // existence check FIRST: a missing table must surface Spark's
+    // NoSuchTableException, not whatever GraftTable.load throws
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident).toString)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,

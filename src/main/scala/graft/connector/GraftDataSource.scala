@@ -249,7 +249,7 @@ trait GraftScanStatistics extends SupportsReportStatistics {
   override def estimateStatistics(): Statistics = {
     val refs = graft.liveManifests(asOf)
     val (rows, bytes) =
-      if (refs.map(_.entryCount).sum >= 100000L) {
+      if (refs.map(_.entryCount).sum >= graft.planningThreshold) {
         val dataRefs = refs.filter(_.content == 0)
         val delRows = refs.filter(_.content != 0).map(_.recordCount).sum
         (math.max(0L, dataRefs.map(_.recordCount).sum - delRows), 0L)
@@ -281,6 +281,13 @@ class GraftV1Scan(protected val graft: GraftTable,
     extends V1Scan with GraftScanStatistics {
 
   override def readSchema(): StructType = prunedSchema
+
+  // a streaming read that routed here (history carries deletes) must
+  // surface GraftMicroBatchStream's append-only diagnostic, not Scan's
+  // generic UnsupportedOperationException
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(graft, prunedSchema, pushed)
 
   override def description(): String =
     s"graft ${graft.location} pushed=[${pushed.mkString(", ")}]"

@@ -70,9 +70,13 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     val from = start.asInstanceOf[GraftSeqOffset].seq
     val to = end.asInstanceOf[GraftSeqOffset].seq
     if (to <= from) return Array.empty
-    val entries = graft.planFiles(filterColumn).filter(e =>
-      e.isData && e.sequenceNumber > from && e.sequenceNumber <= to)
-    GraftRead.binPack(spark, entries)
+    // threshold-dispatched with the sequence-range bound pushed into the
+    // (possibly distributed) manifest filter — a micro-batch over a huge
+    // table plans O(batch), never materializing the full entry list
+    val files = graft
+      .plannedConnectorFiles(filterColumn, None, Some((from, to)))
+      .map(f => (f._1, f._2, f._4))
+    GraftRead.binPack(spark, files)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -788,6 +788,43 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .map(e => (e.path, e.schemaId, e.sequenceNumber))
   }
 
+  /** Pruned file plan for the DSv2 connector: (path, schemaId,
+    * sequenceNumber, fileSize) — the columns bin-packing needs. Same
+    * threshold dispatch as `plannedFilesFor`: above it, pruning (and the
+    * micro-batch sequence-range bound) runs as a Spark filter over the
+    * manifest dataset and only SURVIVING rows reach the driver, so the
+    * connector — the public read surface — never materializes the full
+    * entry list driver-side.
+    */
+  private[graft] def plannedConnectorFiles(filter: Option[Column],
+      asOf: Option[Long] = None,
+      seqRange: Option[(Long, Long)] = None): Seq[(String, Int, Long, Long)] = {
+    val meta = metadata
+    val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
+    if (totalEntries >= distributedPlanningThreshold) {
+      val base = planFilesDistributedFor(meta, filter, asOf)
+      val ranged = seqRange.fold(base) { case (from, to) =>
+        base.filter(col("sequence-number") > from &&
+          col("sequence-number") <= to)
+      }
+      ranged.select(col("path"), col("schema-id"), col("sequence-number"),
+          coalesce(col("file-size"), lit(0L)))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    } else {
+      val es = planFilesFor(meta, filter, asOf)
+      val ranged = seqRange.fold(es) { case (from, to) =>
+        es.filter(e => e.sequenceNumber > from && e.sequenceNumber <= to)
+      }
+      ranged.map(e => (e.path, e.schemaId, e.sequenceNumber, e.fileSize))
+    }
+  }
+
+  /** Conf-visible planning threshold (the connector's statistics path
+    * must honor the same dispatch as planning).
+    */
+  private[graft] def planningThreshold: Long = distributedPlanningThreshold
+
   /** Manifest entry count at which planning moves off the driver. */
   private def distributedPlanningThreshold: Long =
     spark.conf.getOption("spark.graft.distributedPlanningThreshold")

@@ -328,7 +328,44 @@ class ConnectorSpec extends SparkSpec {
 
     t.deleteWhere(col("user_id") === -1L)
     val err = intercept[Exception] { drain() }
-    assert(err.getMessage != null)
+    // the V1-bridge scan must still route streaming to the micro-batch
+    // stream so the user sees the append-only diagnostic, not a generic
+    // "unsupported" from Scan's default toMicroBatchStream
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(err).exists(_.contains("append-only")),
+      s"expected the append-only diagnostic, got: ${messages(err)}")
+  }
+
+  test("connector planning stays off the driver above the threshold") {
+    val src = lineitem.limit(800).cache()
+    val loc = freshLoc("distplan")
+    val t = GraftTable.create(spark, loc, src.schema,
+      partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+    // several commits → several manifests, so bounded planning is visible
+    (0 to 3).foreach(i =>
+      t.append(src.filter(col("l_orderkey") % 4 === i)))
+    spark.conf.set("spark.graft.distributedPlanningThreshold", "1")
+    try {
+      val before = graft.table.ManifestRef.entriesReads.get()
+      // batch read through the native DSv2 path with a pushed filter
+      val n = spark.read.format("graft").load(loc)
+        .filter(col("l_shipdate") >= "1997-06-01")
+        .select("l_orderkey", "l_quantity").count()
+      assert(n == src.filter(col("l_shipdate") >= "1997-06-01").count())
+      // micro-batch planning through the streaming path
+      val root = java.nio.file.Files.createTempDirectory("distplan-s").toString
+      val q = spark.readStream.format("graft").load(loc)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(graft.table.ManifestRef.entriesReads.get() == before,
+        "connector planning materialized manifest entries on the driver")
+    } finally
+      spark.conf.unset("spark.graft.distributedPlanningThreshold")
   }
 
   test("concurrent format(graft) writers all commit through the V2 path") {
