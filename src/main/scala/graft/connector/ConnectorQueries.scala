@@ -52,7 +52,119 @@ object ConnectorQueries {
   private val flagAggSql =
     s"SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty"
 
+  /** Shared setup for the SQL DML queries: a fresh catalog table filled
+    * from lineitem (keys l_orderkey+l_linenumber are unique).
+    */
+  private def dmlTable(s: SparkSession, dir: String, name: String,
+      where: String = "true"): String = {
+    val wh = warehouseLoc("wh")
+    s.conf.set("spark.sql.catalog.graft_ct", "graft.connector.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ct.db")
+    s.sql(s"DROP TABLE IF EXISTS graft_ct.db.$name")
+    s.sql(
+      s"""CREATE TABLE graft_ct.db.$name (
+         |  l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,
+         |  l_returnflag STRING, l_shipdate TIMESTAMP_NTZ
+         |) PARTITIONED BY (bucket(8, l_orderkey))""".stripMargin)
+    Tables.tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate")
+      .createOrReplaceTempView(s"li_src_$name")
+    s.sql(s"""INSERT INTO graft_ct.db.$name
+             |SELECT * FROM li_src_$name WHERE $where""".stripMargin)
+    s"graft_ct.db.$name"
+  }
+
+  private def flagQtyAgg(s: SparkSession, table: String): DataFrame =
+    s.table(table).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), r4(dsum(col("l_quantity"))).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   def queries: Seq[GraftQuery] = Seq(
+    // SQL DELETE FROM through the catalog (SupportsDeleteV2 → the
+    // engine's file-granular CoW deleteWhere; bucket pruning bounds the
+    // rewrite to files that may hold matching keys).
+    GraftQuery(
+      "ice_sql_delete",
+      (s, dir) => {
+        val t = dmlTable(s, dir, "li_del")
+        s.sql(s"""DELETE FROM $t
+                 |WHERE l_shipdate >= TIMESTAMP'1998-01-01 00:00:00'
+                 |  AND l_returnflag = 'N'""".stripMargin)
+        flagQtyAgg(s, t)
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE NOT (l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_returnflag = 'N')
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // SQL UPDATE through the session extensions (UpdateTable →
+    // GraftUpdateCommand → engine updateWhere): assignments may
+    // self-reference (qty = qty + 100), only matching rows change.
+    GraftQuery(
+      "ice_sql_update",
+      (s, dir) => {
+        val t = dmlTable(s, dir, "li_upd")
+        s.sql(s"""UPDATE $t SET l_quantity = l_quantity + 100
+                 |WHERE l_returnflag = 'R' AND l_quantity < 10""".stripMargin)
+        flagQtyAgg(s, t)
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        ${sqlDsum("CASE WHEN l_returnflag = 'R' AND l_quantity < 10 " +
+          "THEN l_quantity + 100 ELSE l_quantity END")} AS sum_qty
+        FROM lineitem
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // SQL MERGE INTO through the session extensions (MergeIntoTable →
+    // GraftMergeCommand → engine mergeApply): conditional delete,
+    // update, and insert clauses in one statement, file-granular CoW
+    // bounded by the source's key envelope.
+    GraftQuery(
+      "ice_sql_merge",
+      (s, dir) => {
+        val t = dmlTable(s, dir, "li_mrg", where = "l_orderkey % 3 = 0")
+        Tables.tbl(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") * 2).as("l_quantity"), col("l_returnflag"),
+            col("l_shipdate"))
+          .createOrReplaceTempView("li_mrg_source")
+        s.sql(
+          s"""MERGE INTO $t t USING li_mrg_source s
+             |ON t.l_orderkey = s.l_orderkey
+             |  AND t.l_linenumber = s.l_linenumber
+             |WHEN MATCHED AND s.l_quantity > 80 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity + 100
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+        flagQtyAgg(s, t)
+      },
+      Some(s"""WITH tgt AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+          FROM lineitem WHERE l_orderkey % 3 = 0),
+        src AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+            l_quantity * 2 AS l_quantity
+          FROM lineitem WHERE l_orderkey % 2 = 0),
+        merged AS (
+          SELECT t.l_returnflag AS l_returnflag,
+            CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_quantity + 100
+                 ELSE t.l_quantity END AS q
+          FROM tgt t LEFT JOIN src s
+            ON t.l_orderkey = s.l_orderkey
+            AND t.l_linenumber = s.l_linenumber
+          WHERE s.l_orderkey IS NULL OR s.l_quantity <= 80
+          UNION ALL
+          SELECT s.l_returnflag, s.l_quantity AS q
+          FROM src s LEFT JOIN tgt t
+            ON t.l_orderkey = s.l_orderkey
+            AND t.l_linenumber = s.l_linenumber
+          WHERE t.l_orderkey IS NULL)
+        SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("q")} AS sum_qty
+        FROM merged GROUP BY 1 ORDER BY l_returnflag""")),
     // Full SQL surface through the TableCatalog: CREATE TABLE with
     // hidden partitioning, INSERT INTO, pushdown-pruned SELECT.
     GraftQuery(

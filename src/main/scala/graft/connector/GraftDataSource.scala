@@ -82,10 +82,45 @@ object GraftSparkTable {
   * snapshot for time travel — reads resolve the snapshot's own schema).
   */
 class GraftSparkTable(val location: String, asOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
   private[connector] def graft: GraftTable = GraftTable.load(spark, location)
+
+  // ------------------------------------------ SQL DELETE FROM support ----
+  // `DELETE FROM graft_cat.db.t WHERE ...` plans DeleteFromTableExec when
+  // every predicate translates; execution is the engine's file-granular
+  // copy-on-write deleteWhere (exact row-level semantics, not a
+  // metadata-only drop), so any translatable predicate is accepted.
+
+  private def deleteCondition(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Column] = {
+    val v1 = org.apache.spark.sql.graft.Bridge.predicatesToV1(predicates)
+    if (v1.length != predicates.length) None
+    else {
+      val cols = v1.flatMap(FilterColumns.toColumn)
+      if (cols.length != v1.length) None
+      // rows delete iff ALL predicates match
+      else Some(cols.reduceOption(_ && _).getOrElse(lit(true)))
+    }
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = asOf.isEmpty && deleteCondition(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    require(asOf.isEmpty, "cannot delete from a time-travel read")
+    val cond = deleteCondition(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable DELETE predicates: ${predicates.mkString(", ")}"))
+    graft.deleteWhere(cond)
+    ()
+  }
 
   override def name(): String = s"graft.`$location`"
 

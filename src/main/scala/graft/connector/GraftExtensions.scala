@@ -1,0 +1,150 @@
+package graft.connector
+
+import graft.table.{GraftTable, MergeDelete => GMergeDelete, MergeInsert => GMergeInsert, MergeUpdate => GMergeUpdate, MergeAction => GMergeAction}
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Session extensions wiring SQL row-level DML onto graft tables:
+  *
+  * {{{
+  *   spark.sql.extensions = graft.connector.GraftSparkSessionExtensions
+  *
+  *   UPDATE g.db.t SET qty = qty * 2 WHERE flag = 'R'
+  *   MERGE INTO g.db.t t USING src s ON t.id = s.id
+  *     WHEN MATCHED AND s.qty > 40 THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * (`DELETE FROM` needs no extension — GraftSparkTable implements
+  * SupportsDeleteV2 natively.)
+  *
+  * A resolution rule claims resolved UpdateTable / MergeIntoTable plans
+  * over graft relations before Spark's row-level-operation rewrites (which
+  * require a full DSv2 BatchWrite) and maps them onto the engine's proven
+  * copy-on-write mutations (`updateWhere` / `mergeApply`) — the same
+  * extension-library pattern Iceberg uses for its SQL surface. Spark's
+  * analyzer has already resolved and type-validated every expression and
+  * expanded `SET *` / `INSERT *`; execution re-binds them by NAME against
+  * the engine's scan (target columns bare, source columns under
+  * `GraftTable.MergeSourcePrefix`).
+  */
+class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => GraftDmlRewrite)
+}
+
+object GraftDmlRewrite extends Rule[LogicalPlan] {
+
+  private def graftLocation(table: LogicalPlan): Option[String] =
+    EliminateSubqueryAliases(table) match {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftSparkTable => Some(g.location)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(tbl, assignments, cond) if u.resolved =>
+      graftLocation(tbl).fold(u: LogicalPlan)(loc =>
+        GraftUpdateCommand(loc,
+          assignments.map(a => (attrName(a.key), a.value)), cond))
+    case m @ MergeIntoTable(tgt, src, mergeCond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution) if m.resolved =>
+      graftLocation(tgt).fold(m: LogicalPlan) { loc =>
+        if (withSchemaEvolution) throw new UnsupportedOperationException(
+          "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft tables")
+        GraftMergeCommand(loc, src, mergeCond, matched, notMatched,
+          notMatchedBySource)
+      }
+  }
+
+  private[connector] def attrName(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case other => throw new UnsupportedOperationException(
+      s"unsupported assignment target $other (nested fields not supported)")
+  }
+}
+
+/** Eager `UPDATE` on a graft table: delegates to the engine's
+  * file-granular CoW `updateWhere`.
+  */
+case class GraftUpdateCommand(location: String,
+    assignments: Seq[(String, Expression)],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(spark, location)
+    def toCol(e: Expression): Column = Bridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+    t.updateWhere(condition.map(toCol).getOrElse(lit(true)),
+      assignments.map { case (n, v) => n -> toCol(v) }.toMap)
+    Seq.empty
+  }
+}
+
+/** Eager `MERGE INTO` on a graft table: delegates to the engine's
+  * generalized `mergeApply`. The ON clause must be a conjunction of
+  * `target.col = source.col` equalities (the shape the engine's
+  * key-envelope file pruning understands).
+  */
+case class GraftMergeCommand(location: String, source: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(spark, location)
+    val srcDf = Bridge.ofRows(spark, source)
+    val srcAttrs = source.outputSet
+    // re-bind by name: target columns bare, source columns prefixed (the
+    // engine aliases the source side under MergeSourcePrefix pre-join)
+    def toCol(e: Expression): Column = Bridge.column(e.transform {
+      case a: AttributeReference if srcAttrs.contains(a) =>
+        UnresolvedAttribute.quoted(GraftTable.MergeSourcePrefix + a.name)
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys: Seq[(String, String)] = conjuncts(mergeCondition).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if srcAttrs.contains(r) && !srcAttrs.contains(l) => (l.name, r.name)
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if srcAttrs.contains(l) && !srcAttrs.contains(r) => (r.name, l.name)
+      case other => throw new UnsupportedOperationException(
+        "MERGE ON must be a conjunction of target.col = source.col " +
+          s"equalities; got $other")
+    }
+    def assignmentsOf(asg: Seq[Assignment]): Map[String, Column] =
+      asg.map(a => GraftDmlRewrite.attrName(a.key) -> toCol(a.value)).toMap
+    def convert(a: MergeAction): GMergeAction = a match {
+      case u: UpdateAction =>
+        GMergeUpdate(u.condition.map(toCol), assignmentsOf(u.assignments))
+      case d: DeleteAction => GMergeDelete(d.condition.map(toCol))
+      case i: InsertAction =>
+        GMergeInsert(i.condition.map(toCol), assignmentsOf(i.assignments))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE action $other")
+    }
+    t.mergeApply(srcDf, keys,
+      matchedActions.map(convert),
+      notMatchedActions.map(convert).map(_.asInstanceOf[GMergeInsert]),
+      notMatchedBySourceActions.map(convert))
+    Seq.empty
+  }
+}

@@ -451,13 +451,103 @@ object Similarity {
   def annTopKPq(corpus: DataFrame, queriesDf: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, k: Int,
       m: Int = 8, kCents: Int = 16, refine: Int = 24): DataFrame = {
-    val s = corpus.sparkSession
-    import s.implicits._
     val cb = trainPq(corpus, idCol, vecCol, m, kCents)
     val codes = pqEncode(corpus, idCol, vecCol, cb)
+    val qTables = pqQueryTables(queriesDf, qIdCol, qVecCol, cb)
+    val wPq = Window.partitionBy("q_id").orderBy(col("pq_sim").desc, col("id"))
+    val shortlist = broadcast(qTables).crossJoin(codes)
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("pq_sim", lit(1.0) - adcD2(m, kCents) / 2.0)
+      .withColumn("__rn", row_number().over(wPq))
+      .filter(col("__rn") <= refine * k)
+      .select("q_id", "id")
+    exactReRank(shortlist, corpus, queriesDf, idCol, vecCol, qIdCol,
+      qVecCol, k)
+  }
+
+  /** IVFADC: the PQ compressed-domain scan bounded by the IVF coarse
+    * quantizer — the composition that survives extreme N. Vectors are
+    * assigned to their nearest IVF cell AND PQ-encoded in ONE map-only
+    * pass (both models broadcast); each query ADC-scans only its
+    * `nprobe` probed cells, so the per-query shortlist join touches
+    * ≈ nprobe · N/cells codes instead of all N (the exhaustive
+    * `annTopKPq` scan), and the exact re-rank stays refine·k vectors.
+    * Codes quantize the raw (normalized) vectors, not cell residuals —
+    * one shared codebook, cheaper training, recall audited in-band.
+    */
+  def annTopKIvfPq(corpus: DataFrame, queriesDf: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      cells: Int = 0, nprobe: Int = 0, cellCap: Int = 0,
+      m: Int = 8, kCents: Int = 16, refine: Int = 24): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    // coarse-quantizer parameters scale with the corpus (see annTopKIvf)
+    lazy val n = corpus.count()
+    val nCells =
+      if (cells > 0) cells
+      else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = if (nprobe > 0) nprobe else math.max(4, nCells / 8)
+    val nCap =
+      if (cellCap > 0) cellCap
+      else math.max(64, 8 * math.ceil(n.toDouble / nCells).toInt)
+    val cents = trainIvf(corpus, idCol, vecCol, nCells,
+      sampleN = math.max(2000, 20 * nCells))
+    val cb = trainPq(corpus, idCol, vecCol, m, kCents)
+    val bcCents = s.sparkContext.broadcast(cents)
+    val bcCb = s.sparkContext.broadcast(cb)
+    // one pass over the corpus: cell assignment + PQ code per vector
+    val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        val cbv = bcCb.value
+        val mm = cbv.length
+        it.map { case (id, v) =>
+          val u = normalizeVec(v.map(_.toDouble))
+          val dsub = u.length / mm
+          (id, nearestCell(u, cs), Array.tabulate(mm)(sub =>
+            nearestSub(u.slice(sub * dsub, (sub + 1) * dsub), cbv(sub))))
+        }
+      }.toDF("id", "cell", "code")
+    // per-cell cap: one dense cell must not dominate the candidate join
+    val wCap = Window.partitionBy("cell").orderBy("id")
+    val codes = assigned.withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= nCap).drop("__rn")
+    val qCells = queriesDf
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.flatMap { case (qid, v) =>
+          nearestCells(normalizeVec(v.map(_.toDouble)), cs, nProbe)
+            .map(c => (qid, c))
+        }
+      }.toDF("q_id", "cell")
+    val qTables = pqQueryTables(queriesDf, qIdCol, qVecCol, cb)
+    // candidates bounded to probed cells: the broadcast query side joins
+    // codes ON CELL (no per-query full-corpus scan or window)
+    val wPq = Window.partitionBy("q_id").orderBy(col("pq_sim").desc, col("id"))
+    val shortlist = broadcast(qCells.join(qTables, "q_id"))
+      .join(codes, "cell")
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("pq_sim", lit(1.0) - adcD2(m, kCents) / 2.0)
+      .withColumn("__rn", row_number().over(wPq))
+      .filter(col("__rn") <= refine * k)
+      .select("q_id", "id")
+    exactReRank(shortlist, corpus, queriesDf, idCol, vecCol, qIdCol,
+      qVecCol, k)
+  }
+
+  /** Per-query flattened ADC distance table: entry sub·k + c =
+    * ||q_sub − centroid_c||² (built in a tight loop, the model
+    * broadcast).
+    */
+  private def pqQueryTables(queriesDf: DataFrame, qIdCol: String,
+      qVecCol: String, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val s = queriesDf.sparkSession
+    import s.implicits._
     val bc = s.sparkContext.broadcast(cb)
-    // per-query flattened distance table: entry sub*kCents+c = ||q_sub - cent||²
-    val qTables = queriesDf
+    queriesDf
       .select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -485,18 +575,23 @@ object Similarity {
           (qid, table)
         }
       }.toDF("q_id", "table")
-    // ADC scoring as a column expression: d² = Σ_sub table[sub·k + code[sub]]
-    val d2 = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+  }
+
+  /** ADC scoring as a pure column expression (codegen'd):
+    * d² = Σ_sub table[sub·k + code[sub]].
+    */
+  private def adcD2(m: Int, kCents: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, sub) => acc + element_at(col("table"),
         sub * kCents + element_at(col("code"), sub + 1) + 1))
-    val wPq = Window.partitionBy("q_id").orderBy(col("pq_sim").desc, col("id"))
-    val shortlist = broadcast(qTables).crossJoin(codes)
-      .filter(col("q_id") =!= col("id"))
-      .withColumn("pq_sim", lit(1.0) - d2 / 2.0)
-      .withColumn("__rn", row_number().over(wPq))
-      .filter(col("__rn") <= refine * k)
-      .select("q_id", "id")
-    // exact re-rank of the shortlist: only refine·k vectors per query
+
+  /** Exact cosine re-rank of a (q_id, id) candidate shortlist: only
+    * shortlist vectors are fetched; output is the standard
+    * (q_id, rank, neighbor_id, sim) shape.
+    */
+  private def exactReRank(shortlist: DataFrame, corpus: DataFrame,
+      queriesDf: DataFrame, idCol: String, vecCol: String, qIdCol: String,
+      qVecCol: String, k: Int): DataFrame = {
     val qVecs = queriesDf.select(col(qIdCol).cast("long").as("q_id"),
       col(qVecCol).as("q_vec"))
     val cVecs = corpus.select(col(idCol).cast("long").as("id"),
@@ -602,9 +697,11 @@ object Similarity {
 
     // PQ ANN: 8 subspaces × 16 centroids — the memory-bounded layer of
     // the ANN stack (codes are 8 small ints/vector vs 256 float bytes);
-    // query scoring is table lookups in the compressed domain. Rows-only
-    // (approximate); the recall column audits each query, SimilaritySpec
-    // pins planted-twin recall.
+    // query scoring is table lookups in the compressed domain. The scan
+    // here is EXHAUSTIVE over codes (the correct compressed-domain
+    // baseline); d_ann_ivfpq is the cell-bounded composition for
+    // extreme N. Rows-only (approximate); the recall column audits each
+    // query, SimilaritySpec pins planted-twin recall.
     GraftQuery(
       "d_ann_pq",
       (s, dir) => {
@@ -613,6 +710,25 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val ann = annTopKPq(corpus, q, "vec_id", "embedding", "q_id",
           "q_vec", k = 3)
+        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+          k = 3)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // IVFADC: PQ codes scanned only within each query's nprobe probed
+    // IVF cells — per-query ADC work ≈ nprobe·√N instead of N, with the
+    // same m-byte memory story and exact re-rank. The 100 TB shape of
+    // the ANN stack. Rows-only (approximate); in-band recall column,
+    // SimilaritySpec pins planted-twin recall on a clustered corpus.
+    GraftQuery(
+      "d_ann_ivfpq",
+      (s, dir) => {
+        val corpus = emb(s, dir)
+        val q = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val ann = annTopKIvfPq(corpus, q, "vec_id", "embedding", "q_id",
+          "q_vec", k = 3, nprobe = 8)
         withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
           k = 3)
           .orderBy("q_id", "rank")

@@ -947,7 +947,43 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   private def deleteAndAdd(cond: Column,
       extraAdds: Option[PendingAdds]): SnapshotV2 =
-    commitSnapshot(if (extraAdds.isEmpty) "delete" else "overwrite", { meta =>
+    // keep rows where cond is FALSE or NULL (SQL DELETE deletes only
+    // rows where cond is true; !NULL is NULL and would drop them)
+    cowRewrite(if (extraAdds.isEmpty) "delete" else "overwrite", cond,
+      df => df.filter(cond.isNull || !cond), extraAdds)
+
+  /** Copy-on-write UPDATE WHERE: files that may contain rows matching
+    * `cond` are rewritten with `assignments` applied to matching rows
+    * (a row updates only where cond is TRUE — null is not matched);
+    * untouched files survive as-is. Assignment values may reference any
+    * table column (e.g. `SET qty = qty * 2`).
+    */
+  def updateWhere(cond: Column,
+      assignments: Map[String, Column]): SnapshotV2 = {
+    val sparkSchema = toSparkSchema(metadata.currentSchema)
+    assignments.keys.foreach(k =>
+      require(sparkSchema.fieldNames.contains(k),
+        s"UPDATE assignment targets unknown column $k"))
+    retryingCommit(() => cowRewrite("overwrite", cond, df => df.select(
+      sparkSchema.fields.toIndexedSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(v) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*), None))
+  }
+
+  /** Shared file-granular CoW mutation: untouched files survive as-is;
+    * files that may contain rows matching `cond` are re-read (prior MoR
+    * deletes applied, so the rewrite can't resurrect rows) and replaced
+    * by `rewrite`'s output. Position deletes into rewritten files are
+    * rebuilt so metadata counts stay exact.
+    */
+  private def cowRewrite(op: String, cond: Column,
+      rewrite: DataFrame => DataFrame,
+      extraAdds: Option[PendingAdds]): SnapshotV2 =
+    commitSnapshot(op, { meta =>
       val schema = meta.currentSchema
       val sparkSchema = toSparkSchema(schema)
       val preds = Pruning.extract(spark, cond, sparkSchema)
@@ -958,11 +994,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val (maybe, carried) = affected.partition(hit)
       val rewritten =
         if (maybe.isEmpty) PendingAdds.empty
-        // keep rows where cond is FALSE or NULL (SQL DELETE deletes only
-        // rows where cond is true; !NULL is NULL and would drop them);
-        // prior MoR deletes applied so the rewrite can't resurrect rows
-        else writeFiles(readAppliedFor(meta, maybe, schema)
-          .filter(cond.isNull || !cond))
+        else writeFiles(rewrite(readAppliedFor(meta, maybe, schema)))
       // position deletes referencing rewritten files are now dead —
       // rebuild the delete set so metadata counts stay exact
       val posDels = reused.filter(_.content == 1).flatMap(_.entries)
@@ -1197,43 +1229,123 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * source's values, unmatched source rows are inserted. File-granular
     * CoW — only files whose key range intersects the source's key range
     * are rewritten (stats-conservative; disjoint files provably hold no
-    * matching key).
+    * matching key). The star case of `mergeApply`.
     */
   def mergeInto(source: DataFrame, keys: Seq[String]): SnapshotV2 = {
+    val allCols = toSparkSchema(metadata.currentSchema).fieldNames.toSeq
+    val star = allCols.map(n =>
+      n -> col(s"${GraftTable.MergeSourcePrefix}$n")).toMap
+    mergeApply(source, keys.map(k => (k, k)),
+      matched = Seq(MergeUpdate(None, star)),
+      notMatched = Seq(MergeInsert(None, star)))
+  }
+
+  /** Generalized MERGE on equality keys (the full SQL MERGE INTO shape):
+    * `matched` actions apply to (target, source) key matches, `notMatched`
+    * to source-only rows, `notMatchedBySource` to target-only rows — each
+    * list first-match-wins on its optional condition, SQL-style (a null
+    * condition is not a match; a row with no applicable action keeps its
+    * current fate: matched/target-only rows survive unchanged, source-only
+    * rows are not inserted).
+    *
+    * Action conditions and values reference TARGET columns by name and
+    * SOURCE columns as `GraftTable.MergeSourcePrefix + name`.
+    *
+    * Scale: file-granular CoW — only files whose key envelope intersects
+    * the source's are rewritten, unless `notMatchedBySource` actions are
+    * present (those touch every target row by definition, so every data
+    * file is affected).
+    */
+  def mergeApply(source: DataFrame, keys: Seq[(String, String)],
+      matched: Seq[MergeAction],
+      notMatched: Seq[MergeInsert],
+      notMatchedBySource: Seq[MergeAction] = Seq.empty): SnapshotV2 = {
     val meta = metadata
     val schema = meta.currentSchema
     val sparkSchema = toSparkSchema(schema)
-    // key envelope of the source (tiny aggregate) → affected-file predicate
-    val bounds = source.agg(
-      keys.map(k => min(col(k)).as(s"mn::$k")).head,
-      (keys.map(k => min(col(k)).as(s"mn::$k")).tail ++
-        keys.map(k => max(col(k)).as(s"mx::$k"))): _*).head()
-    val preds = keys.flatMap { k =>
-      val dt = sparkSchema(k).dataType
-      Seq(
-        Pruning.normalize(bounds.getAs[Any](s"mn::$k"), dt)
-          .map(v => Pruning.Cmp(k, ">=", v)),
-        Pruning.normalize(bounds.getAs[Any](s"mx::$k"), dt)
-          .map(v => Pruning.Cmp(k, "<=", v))).flatten
+    val srcPfx = GraftTable.MergeSourcePrefix
+    keys.foreach { case (t, s) =>
+      require(sparkSchema.fieldNames.contains(t),
+        s"merge key $t is not a table column")
+      require(source.columns.contains(s),
+        s"merge key $s is not a source column")
     }
+    require(source.columns.distinct.length == source.columns.length,
+      "merge source has duplicate column names")
+    // key envelope of the source (tiny aggregate) → affected-file
+    // predicate; not-matched-by-source actions touch every target row,
+    // so they force every data file into the rewrite
+    val preds: Seq[Pruning.Cmp] =
+      if (notMatchedBySource.nonEmpty) Seq.empty
+      else {
+        val aggs = keys.map { case (t, s) => min(col(s)).as(s"mn::$t") } ++
+          keys.map { case (t, s) => max(col(s)).as(s"mx::$t") }
+        val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+        keys.flatMap { case (t, _) =>
+          val dt = sparkSchema(t).dataType
+          Seq(
+            Pruning.normalize(bounds.getAs[Any](s"mn::$t"), dt)
+              .map(v => Pruning.Cmp(t, ">=", v)),
+            Pruning.normalize(bounds.getAs[Any](s"mx::$t"), dt)
+              .map(v => Pruning.Cmp(t, "<=", v))).flatten
+        }
+      }
+    val hitAll = notMatchedBySource.nonEmpty
     def hit(e: DataFileEntry): Boolean = e.isData &&
-      entryMayMatch(meta, e, preds, sparkSchema, schema)
-    val hitCol = mayMatchColumnFor(meta, preds, sparkSchema, schema)
+      (hitAll || entryMayMatch(meta, e, preds, sparkSchema, schema))
+    val hitCol =
+      if (hitAll) lit(true)
+      else mayMatchColumnFor(meta, preds, sparkSchema, schema)
     val (reused, affectedManifests, affectedEntries) =
       splitManifests(meta, hitCol, hit)
     val (affected, carried) = affectedEntries.partition(hit)
+    // explicit presence markers: testing a KEY for null would
+    // misclassify null-keyed rows on either side
     val target = readAppliedFor(meta, affected, schema)
-    val dataCols = sparkSchema.fieldNames.filterNot(keys.contains)
-    // explicit presence marker: testing the source KEY for null would
-    // misclassify a null-keyed source row and null out its values
-    val src = source.select(sparkSchema.fieldNames.map(n =>
-      col(n).as(s"__src_$n")) :+ lit(1).as("__src_present"): _*)
-    val joinCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
-    val merged = target.join(src, joinCond, "full_outer").select(
-      (keys.map(k => coalesce(col(k), col(s"__src_$k")).as(k)) ++
-        dataCols.map(n =>
-          when(col("__src_present").isNotNull, col(s"__src_$n"))
-            .otherwise(col(n)).as(n))): _*)
+      .withColumn("__tgt_present", lit(1))
+    val src = source.select(source.columns.toIndexedSeq.map(n =>
+      col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
+    val joinCond = keys.map { case (t, s) =>
+      col(t) === col(s"$srcPfx$s") }.reduce(_ && _)
+    val joined = target.join(src, joinCond, "full_outer")
+
+    val isMatched =
+      col("__tgt_present").isNotNull && col("__src_present").isNotNull
+    val isTgtOnly =
+      col("__tgt_present").isNotNull && col("__src_present").isNull
+    def condOf(a: MergeAction): Column = a.condition.getOrElse(lit(true))
+    // first-match-wins chains: value and keep fold over the SAME
+    // conditions in the same order, so they always agree on which
+    // action (if any) applied
+    def keepChain(actions: Seq[MergeAction], default: Column): Column =
+      actions.foldRight(default) { (a, els) =>
+        when(condOf(a),
+          lit(!a.isInstanceOf[MergeDelete])).otherwise(els)
+      }
+    def valueChain(actions: Seq[MergeAction], f: SparkField,
+        default: Column): Column =
+      actions.foldRight(default) { (a, els) =>
+        val v = a match {
+          case MergeUpdate(_, asg) =>
+            asg.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
+          case MergeInsert(_, vals) => vals.get(f.name)
+            .map(_.cast(f.dataType)).getOrElse(lit(null).cast(f.dataType))
+          case _: MergeDelete => col(f.name) // dropped by keepChain
+        }
+        when(condOf(a), v).otherwise(els)
+      }
+    val keep =
+      when(isMatched, keepChain(matched, lit(true)))
+        .when(isTgtOnly, keepChain(notMatchedBySource, lit(true)))
+        .otherwise(keepChain(notMatched, lit(false)))
+    val outCols = sparkSchema.fields.toIndexedSeq.map { f =>
+      when(isMatched, valueChain(matched, f, col(f.name)))
+        .when(isTgtOnly, valueChain(notMatchedBySource, f, col(f.name)))
+        .otherwise(valueChain(notMatched, f,
+          lit(null).cast(f.dataType)))
+        .cast(f.dataType).as(f.name)
+    }
+    val merged = joined.filter(keep).select(outCols: _*)
     val rewritten = writeFiles(merged)
     commitSnapshot("overwrite", { freshMeta =>
       // the rewrite was derived from `meta`; if the manifest set moved
@@ -1241,7 +1353,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       if (manifestsFor(freshMeta, None).map(_.path).sorted !=
           (reused ++ affectedManifests).map(_.path).sorted)
         throw new CommitConflictException(
-          s"table changed during mergeInto at $location")
+          s"table changed during merge at $location")
       // positions into merged-away files are dead — rebuild the set
       val posDels = reused.filter(_.content == 1).flatMap(_.entries)
       val (reusedRefs, newDels) =
@@ -1654,7 +1766,35 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   */
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** One WHEN clause of a generalized MERGE (`GraftTable.mergeApply`):
+  * within a clause list, the first action whose condition evaluates TRUE
+  * applies (SQL MERGE semantics). Conditions and values reference target
+  * columns by name and source columns as
+  * `GraftTable.MergeSourcePrefix + name`.
+  */
+sealed trait MergeAction { def condition: Option[Column] }
+
+/** WHEN [NOT] MATCHED ... THEN UPDATE SET — columns absent from
+  * `assignments` keep their current value.
+  */
+case class MergeUpdate(condition: Option[Column],
+    assignments: Map[String, Column]) extends MergeAction
+
+/** WHEN MATCHED ... THEN DELETE. */
+case class MergeDelete(condition: Option[Column]) extends MergeAction
+
+/** WHEN NOT MATCHED ... THEN INSERT — columns absent from `values`
+  * insert NULL.
+  */
+case class MergeInsert(condition: Option[Column],
+    values: Map[String, Column]) extends MergeAction
+
 object GraftTable {
+
+  /** Prefix under which `mergeApply` action expressions reference SOURCE
+    * columns (target columns go by their bare names).
+    */
+  val MergeSourcePrefix = "__src_"
 
   /** Sentinel for entries not yet bound to a committed snapshot. */
   private val PendingSnapshot = DataFileEntry.PendingSnapshot

@@ -13,6 +13,24 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DSv2 Predicate → V1 Filter translation (PredicateUtils is
+    * `private[sql]` in Spark 4) — used by SupportsDeleteV2.
+    */
+  def predicatesToV1(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
+  /** DataFrame over an already-analyzed logical plan (Dataset.ofRows is
+    * `private[sql]` in Spark 4) — used to execute the source side of a
+    * rewritten MERGE command.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function on a LIVE session (extensions normally apply
     * only at session build time; this installs into the session's
     * function registry directly).

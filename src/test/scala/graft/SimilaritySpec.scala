@@ -111,6 +111,29 @@ class SimilaritySpec extends SparkSpec {
     assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
   }
 
+  test("IVFADC finds planted twins with the scan bounded to probed cells") {
+    val base = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.withPlantedTwins(base, "vec_id", "embedding", 1)
+    val q = base.limit(100).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"))
+    val ann = Similarity.annTopKIvfPq(corpus, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 1, nprobe = 8)
+    val hits = ann
+      .filter(col("neighbor_id") === col("q_id") + 1000000000L)
+      .count()
+    assert(hits >= 80L, s"IVFADC found $hits/100 planted twins")
+    // the plan must NOT contain the exhaustive per-query scan shape: the
+    // shortlist join is an equi-join on cell, never a cross join of
+    // query tables against every code
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "IVFADC plan fell back to a cartesian scan")
+    // determinism across runs (models train on id-ordered samples)
+    val again = Similarity.annTopKIvfPq(corpus, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 1, nprobe = 8)
+    assert(ann.exceptAll(again).isEmpty && again.exceptAll(ann).isEmpty)
+  }
+
   test("IVF per-cell cap bounds candidates under a clustered corpus") {
     import spark.implicits._
     // 5000 identical vectors collapse into ONE cell — uncapped, every

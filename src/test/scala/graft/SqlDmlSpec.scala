@@ -1,0 +1,145 @@
+package graft
+
+import graft.table.{GraftTable, MergeDelete, MergeInsert, MergeUpdate}
+import org.apache.spark.sql.functions._
+
+/** SQL row-level DML through the catalog: DELETE FROM (native
+  * SupportsDeleteV2), UPDATE and MERGE INTO (GraftSparkSessionExtensions
+  * rewriting onto the engine's CoW mutations), plus the engine-level
+  * updateWhere / mergeApply semantics they delegate to.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml-wh").toString
+    spark.conf.set("spark.sql.catalog.gdml", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdml.db")
+    dir
+  }
+
+  private def freshTable(name: String): String = {
+    wh
+    spark.sql(s"DROP TABLE IF EXISTS gdml.db.$name")
+    spark.sql(
+      s"""CREATE TABLE gdml.db.$name (
+         |  id BIGINT, grp STRING, qty DOUBLE
+         |) PARTITIONED BY (bucket(4, id))""".stripMargin)
+    import spark.implicits._
+    (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd", i.toDouble))
+      .toDF("id", "grp", "qty").createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO gdml.db.$name SELECT * FROM src_$name")
+    name
+  }
+
+  test("DELETE FROM deletes exactly the matching rows") {
+    val t = freshTable("del")
+    spark.sql(s"DELETE FROM gdml.db.$t WHERE qty <= 20 AND grp = 'odd'")
+    val left = spark.sql(s"SELECT count(*) AS n, sum(qty) AS s FROM gdml.db.$t").head()
+    assert(left.getLong(0) == 90)
+    assert(left.getDouble(1) == (1L to 100L).map(_.toDouble).sum - (1 to 20 by 2).sum)
+    // delete on a missing-table surfaces the standard analysis error
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM gdml.db.nope WHERE qty = 1") }
+    assert(err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      err.getMessage.toLowerCase.contains("not found"))
+  }
+
+  test("UPDATE applies assignments to matching rows only") {
+    val t = freshTable("upd")
+    spark.sql(
+      s"UPDATE gdml.db.$t SET qty = qty * 2, grp = 'boosted' WHERE id > 90")
+    val out = spark.sql(
+      s"""SELECT grp, count(*) AS n, sum(qty) AS s FROM gdml.db.$t
+         |GROUP BY grp ORDER BY grp""".stripMargin).collect()
+    val boosted = out.find(_.getString(0) == "boosted").get
+    assert(boosted.getLong(1) == 10)
+    assert(boosted.getDouble(2) == (91 to 100).map(_ * 2.0).sum)
+    // untouched rows keep their values
+    assert(out.map(_.getLong(1)).sum == 100)
+    assert(spark.sql(s"SELECT sum(qty) FROM gdml.db.$t WHERE id <= 90")
+      .head().getDouble(0) == (1 to 90).map(_.toDouble).sum)
+  }
+
+  test("MERGE INTO: conditional delete, update, insert") {
+    val t = freshTable("mrg")
+    import spark.implicits._
+    // source: ids 51..150, qty = id * 10
+    (51L to 150L).map(i => (i, "src", i * 10.0))
+      .toDF("id", "grp", "qty").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"""MERGE INTO gdml.db.$t t USING mrg_src s ON t.id = s.id
+         |WHEN MATCHED AND s.qty > 900 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET qty = s.qty + t.qty
+         |WHEN NOT MATCHED AND s.id <= 140 THEN INSERT *
+         |""".stripMargin)
+    // ids 1..50 untouched; 51..90 updated to 11*id; 91..100 deleted
+    // (s.qty>900); 101..140 inserted (id*10); 141..150 not inserted
+    val rows = spark.sql(s"SELECT id, grp, qty FROM gdml.db.$t ORDER BY id")
+      .collect()
+    assert(rows.length == 50 + 40 + 40)
+    assert(rows.take(50).forall(r => r.getDouble(2) == r.getLong(0).toDouble))
+    assert(rows.slice(50, 90).forall(r =>
+      r.getDouble(2) == r.getLong(0) * 11.0))
+    assert(!rows.exists(r => r.getLong(0) > 90 && r.getLong(0) <= 100))
+    assert(rows.drop(90).forall(r =>
+      r.getLong(0) > 100 && r.getLong(0) <= 140 &&
+        r.getDouble(2) == r.getLong(0) * 10.0 && r.getString(1) == "src"))
+  }
+
+  test("MERGE INTO: not-matched-by-source actions touch target-only rows") {
+    val t = freshTable("mrgnbs")
+    import spark.implicits._
+    (1L to 30L).map(i => (i, "s", 0.0)).toDF("id", "grp", "qty")
+      .createOrReplaceTempView("mrgnbs_src")
+    spark.sql(
+      s"""MERGE INTO gdml.db.$t t USING mrgnbs_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET grp = 'kept'
+         |WHEN NOT MATCHED BY SOURCE AND t.id > 95 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grp = 'stale'
+         |""".stripMargin)
+    val byGrp = spark.sql(
+      s"SELECT grp, count(*) FROM gdml.db.$t GROUP BY grp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("kept" -> 30L, "stale" -> 65L))
+  }
+
+  test("engine updateWhere: null condition rows are not matched") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-updw").toString + "/t"
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
+      .toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df.schema)
+    t.append(df)
+    t.updateWhere(col("v") > 10, Map("v" -> (col("v") + 1)))
+    val out = t.scan().orderBy("id").collect()
+    assert(out.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ==
+      Seq(5.0, null, 51.0))
+  }
+
+  test("engine mergeApply prunes: disjoint-key files are not rewritten") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-mrgprune").toString + "/t"
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df.schema)
+    // two files with disjoint id ranges
+    t.append((1L to 50L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .coalesce(1))
+    t.append((51L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .coalesce(1))
+    val filesBefore = t.planFiles().map(_.path).toSet
+    val src = Seq((60L, -1.0)).toDF("id", "v")
+    t.mergeApply(src, Seq(("id", "id")),
+      matched = Seq(MergeUpdate(None, Map("v" -> col("__src_v")))),
+      notMatched = Seq(MergeInsert(None,
+        Map("id" -> col("__src_id"), "v" -> col("__src_v")))))
+    val filesAfter = t.planFiles().map(_.path).toSet
+    // the 1..50 file must have survived the merge untouched
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      "merge rewrote every file despite disjoint key ranges")
+    assert(t.scan(Some(col("id") === 60L)).head().getDouble(1) == -1.0)
+    assert(t.scan().count() == 100)
+  }
+}
