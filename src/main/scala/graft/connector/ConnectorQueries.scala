@@ -101,6 +101,17 @@ object ConnectorQueries {
           AND l_returnflag = 'N')
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Metadata-only COUNT(*): SupportsPushDownAggregates answers a bare
+    // count from manifest-list rollups — zero data files scanned at any
+    // table size (ConnectorSpec proves it by deleting the data files).
+    GraftQuery(
+      "ice_sql_count",
+      (s, dir) => {
+        val t = dmlTable(s, dir, "li_cnt")
+        s.sql(s"SELECT COUNT(*) AS n FROM $t")
+      },
+      Some("SELECT COUNT(*) AS n FROM lineitem")),
+
     // SQL UPDATE through the session extensions (UpdateTable →
     // GraftUpdateCommand → engine updateWhere): assignments may
     // self-reference (qty = qty + 100), only matching rows change.

@@ -233,10 +233,12 @@ object GraftMetaTable {
   */
 class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     asOf: Option[Long]) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredNames: Seq[String] = tableSchema.fieldNames.toSeq
+  private var pushedCountStar: Int = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(FilterColumns.toColumn(_).isDefined)
@@ -245,12 +247,39 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ------------------------------------------- COUNT(*) from metadata ----
+  // A bare `SELECT COUNT(*) FROM graft.t` answers from manifest rollups
+  // (GraftTable.countRows) — zero data files scanned at any table size.
+  // Complete pushdown is only claimed for ungrouped COUNT(*) with no
+  // filters: graft's file pruning is may-match (filters stay residual),
+  // so Spark never offers an aggregation past a filtered scan, and
+  // min/max manifest stats can't answer MIN/MAX once MoR deletes exist —
+  // those aggregate through the ordinary columnar scan instead.
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    supportCompletePushDown(agg) && {
+      pushedCountStar = agg.aggregateExpressions.length
+      true
+    }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // nested pruning is intentionally widened back to whole top-level
     // columns: the V1 bridge materializes full field values
     requiredNames = requiredSchema.fieldNames.toSeq
 
   override def build(): Scan = {
+    if (pushedCountStar > 0)
+      return new GraftCountScan(graft, asOf, pushedCountStar)
     val prunedSchema = StructType(
       tableSchema.fields.filter(f => requiredNames.contains(f.name)))
     // delete-free snapshots (the dominant shape at scale: append-only
@@ -260,6 +289,41 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     val hasDeletes = graft.liveManifests(asOf).exists(_.content != 0)
     if (hasDeletes) new GraftV1Scan(graft, prunedSchema, pushed, asOf)
     else new GraftBatchScan(graft, prunedSchema, pushed, asOf)
+  }
+}
+
+/** Completely-pushed COUNT(*): one row of metadata-derived counts
+  * (manifest-list rollups; only equality deletes force a real scan,
+  * inside countRows). Output columns bind positionally to the pushed
+  * aggregate expressions.
+  */
+class GraftCountScan(graft: GraftTable, asOf: Option[Long], n: Int)
+    extends V1Scan {
+
+  private val schema = StructType(
+    (0 until n).map(i => org.apache.spark.sql.types.StructField(
+      s"count_star_$i", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"graft ${graft.location} PushedAggregates=[COUNT(*)]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = GraftCountScan.this.schema
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val cnt = graft.countRows(None, asOf)
+        val one = context.sparkSession.range(1)
+          .select((0 until n).map(i => lit(cnt).as(s"count_star_$i")): _*)
+        one.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
+    rel.asInstanceOf[T]
   }
 }
 

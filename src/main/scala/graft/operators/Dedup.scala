@@ -130,8 +130,10 @@ object Dedup {
     * minimum label in its neighborhood. One shuffle-join pair per round,
     * no driver state beyond the convergence counter; rounds needed =
     * cluster diameter — near-dup clusters are band-join cliques/short
-    * chains, so a handful closes them (`maxIter` bounds adversarial
-    * chains; unconverged labels are still a sound refinement). Returns
+    * chains, so a handful closes them. `maxIter` bounds adversarial
+    * chains, and hitting it UNCONVERGED is an explicit failure (silently
+    * returning split clusters would corrupt downstream dedup decisions;
+    * callers with genuinely deep chains raise `maxIter`). Returns
     * (id, label) with label = min id of the component.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
@@ -139,9 +141,14 @@ object Dedup {
     val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round TRUNCATES lineage (localCheckpoint): without it the
+    // logical plan nests one join-tree per round, making round i cost
+    // O(i) analysis and deep iteration counts blow up the driver — the
+    // label table is small ((id, label) pairs), so re-materializing it
+    // per round is the cheap side of that trade
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -150,16 +157,20 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       done = changed == 0L
       i += 1
     }
-    materializeAndRelease(labels, labels, sym)
+    sym.unpersist()
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
+    labels
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -330,7 +341,12 @@ object Dedup {
       (s, dir) => {
         val W = 10
         // span-hash arrays materialize ONCE (two consumers: the exploded
-        // inverted index and the per-doc span counts)
+        // inverted index and the per-doc span counts); persisted with
+        // LINEAGE intact, so an executor loss recomputes the lost
+        // partitions instead of failing the job (the 100 TB posture —
+        // localCheckpoint would truncate lineage for speed). The small
+        // per-doc result is checkpointed at the end, which releases this
+        // cache via materializeAndRelease.
         val d = Tables.tbl(s, dir, "documents")
           .withColumn("__gs",
             TextOps.bindOnce(split(TextOps.normText(col("text")), " "),
@@ -339,23 +355,25 @@ object Dedup {
                   i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(W))))))
                 .otherwise(array().cast("array<bigint>"))))
           .select(col("doc_id"), col("source"), col("__gs"))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val spans = d.select(col("doc_id"), explode(col("__gs")).as("g"))
         val dup = spans.groupBy("g")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") > 1).select("g")
         val perDoc = spans.join(dup, Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-        d.select(col("doc_id"), col("source"),
-            size(col("__gs")).cast("bigint").as("n_spans"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("n_dup_spans"))
-          .withColumn("dup_frac", round(
-            when(col("n_spans") === 0, 0.0)
-              .otherwise(col("n_dup_spans").cast("double") / col("n_spans")),
-            4))
-          .withColumn("keep", col("dup_frac") <= 0.5)
-          .orderBy("doc_id")
+        materializeAndRelease(
+          d.select(col("doc_id"), col("source"),
+              size(col("__gs")).cast("bigint").as("n_spans"))
+            .join(perDoc, Seq("doc_id"), "left")
+            .na.fill(0L, Seq("n_dup_spans"))
+            .withColumn("dup_frac", round(
+              when(col("n_spans") === 0, 0.0)
+                .otherwise(col("n_dup_spans").cast("double") / col("n_spans")),
+              4))
+            .withColumn("keep", col("dup_frac") <= 0.5)
+            .orderBy("doc_id"),
+          d)
       },
       Some(s"""WITH toks AS (SELECT doc_id, source,
             string_split(${TextOps.normTextSql}, ' ') AS t FROM documents),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftQuery, Tables}
+import graft.{GraftQuery, Help, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,14 +112,15 @@ object Retrieval {
               math.log((r.getAs[Long]("cc") + 1.0) / (tc + buckets)))
         }.toMap
         val llrMap = typedLit(llr)
-        docs(s, dir).withColumn("__t", toks(col("text")))
+        val docsScored = docs(s, dir).withColumn("__t", toks(col("text")))
           .withColumn("llr_score", round(
             when(size(col("__t")) === 0, 0.0).otherwise(
               aggregate(col("__t"), lit(0.0), (acc, t) =>
                 acc + element_at(llrMap, substring(md5(t), 1, 2))) /
                 size(col("__t"))), 4))
-          .select("doc_id", "source", "llr_score")
-          .orderBy("doc_id")
+        Help.sortForGate(
+          docsScored.select("doc_id", "source", "llr_score"),
+          col("doc_id"))
       },
       Some(s"""WITH toksd AS (SELECT doc_id, source,
             unnest(string_split(${TextOps.normTextSql}, ' ')) AS tok

@@ -74,4 +74,13 @@ object Help {
   /** DuckDB-side exact average: exact sum / count, then round. */
   def sqlDavg(expr: String): String =
     s"round(CAST(SUM(CAST(($expr) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4)"
+
+  /** GATE-ONLY total order: the driver's hash-compare needs deterministic
+    * row order, so score-emitting operators sort their full output here.
+    * A production caller DROPS this sort — the operator's real output is
+    * unordered (map-only), and a full-corpus global sort would be the
+    * only shuffle in the plan at 100 TB.
+    */
+  def sortForGate(df: org.apache.spark.sql.DataFrame,
+      cols: Column*): org.apache.spark.sql.DataFrame = df.orderBy(cols: _*)
 }

@@ -132,6 +132,67 @@ class AvroManifestSpec extends SparkSpec {
       Seq(e.copy(specId = Some(spec.specId))))
   }
 
+  test("exported files read with the PLAIN Avro library: embedded schema, v2 metadata, field-ids") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    // independent-reader evidence: everything below decodes the exported
+    // bytes with org.apache.avro generic classes only — the embedded
+    // writer schema, not graft's — so any Avro-based Iceberg reader
+    // parses the same structures
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(300)
+    val t = GraftTable.create(spark, tmp("avro-ind").toString + "/t",
+      src.schema,
+      partitionBy = Seq(("l_orderkey", TBucket(4), "key_bucket")))
+    t.append(src, repartitionByPartition = true)
+    val listPath = t.exportAvro(tmp("avro-ind-out").toString)
+    def openGeneric(p: java.nio.file.Path) =
+      new DataFileReader[GenericRecord](p.toFile,
+        new GenericDatumReader[GenericRecord]())
+    def fid(s: org.apache.avro.Schema, name: String): Int =
+      s.getField(name).getObjectProp("field-id")
+        .asInstanceOf[Number].intValue
+    // manifest list: embedded schema carries the spec list field-ids
+    val lr = openGeneric(listPath)
+    val listRecs = try lr.iterator.asScala.toVector finally lr.close()
+    assert(listRecs.nonEmpty)
+    val lSchema = listRecs.head.getSchema
+    assert(fid(lSchema, "manifest_path") == 500)
+    assert(fid(lSchema, "manifest_length") == 501)
+    assert(fid(lSchema, "added_snapshot_id") == 503)
+    assert(fid(lSchema, "sequence_number") == 515)
+    listRecs.foreach { r =>
+      val mPath = java.nio.file.Paths.get(r.get("manifest_path").toString)
+      assert(java.nio.file.Files.size(mPath) ==
+        r.get("manifest_length").asInstanceOf[Long])
+      val mr = openGeneric(mPath)
+      // spec-required v2 file metadata keys, written per manifest
+      val meta = Seq("schema", "partition-spec", "partition-spec-id",
+        "format-version", "content")
+      meta.foreach(k => assert(mr.getMetaString(k) != null,
+        s"manifest missing required metadata key $k"))
+      assert(mr.getMetaString("format-version") == "2")
+      val recs = try mr.iterator.asScala.toVector finally mr.close()
+      assert(recs.nonEmpty)
+      val eSchema = recs.head.getSchema
+      assert(fid(eSchema, "status") == 0)
+      assert(fid(eSchema, "data_file") == 2)
+      val dfSchema = eSchema.getField("data_file").schema()
+      assert(fid(dfSchema, "file_path") == 100)
+      assert(fid(dfSchema, "record_count") == 103)
+      recs.foreach { rec =>
+        val df = rec.get("data_file").asInstanceOf[GenericRecord]
+        assert(df.get("file_path").toString.endsWith(".parquet"))
+        assert(df.get("file_format").toString == "PARQUET")
+        assert(df.get("record_count").asInstanceOf[Long] > 0L)
+        // hidden-partition value present under the spec'd field name
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        assert(part.getSchema.getField("key_bucket") != null)
+      }
+    }
+  }
+
   test("exportAvro: a live table's snapshot reads back file-for-file") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
       .limit(500)

@@ -338,6 +338,39 @@ class ConnectorSpec extends SparkSpec {
       s"expected the append-only diagnostic, got: ${messages(err)}")
   }
 
+  test("bare COUNT(*) answers from metadata: zero data files scanned") {
+    val src = lineitem.limit(500).cache()
+    val loc = freshLoc("cnt")
+    val t = GraftTable.create(spark, loc, src.schema)
+    t.append(src)
+    t.append(src.limit(100))
+    // filtered count still goes through the real scan (pre-deletion)
+    val filtered = spark.read.format("graft").load(loc)
+      .filter(col("l_quantity") >= 25).count()
+    assert(filtered == 600 - src.unionAll(src.limit(100))
+      .filter(col("l_quantity") < 25).count())
+    // destroy every data file: only a metadata-only plan can still count
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(loc, "data"))
+    try {
+      import scala.jdk.CollectionConverters._
+      w.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.delete(p))
+    } finally w.close()
+    assert(spark.read.format("graft").load(loc).count() == 600L,
+      "DataFrame count() did not answer from metadata")
+    // and through SQL with multiple count(*) expressions
+    val wh = java.nio.file.Files.createTempDirectory("graft-cnt-wh")
+    spark.conf.set("spark.sql.catalog.gcnt", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcnt.warehouse", wh.toString)
+    java.nio.file.Files.createDirectories(wh.resolve("db"))
+    val link = wh.resolve("db").resolve("t")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(loc))
+    val r = spark.sql(
+      "SELECT COUNT(*) AS a, COUNT(*) AS b FROM gcnt.db.t").head()
+    assert(r.getLong(0) == 600L && r.getLong(1) == 600L)
+  }
+
   test("connector planning stays off the driver above the threshold") {
     val src = lineitem.limit(800).cache()
     val loc = freshLoc("distplan")

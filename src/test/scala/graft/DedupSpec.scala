@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(Seq(10L, 11L).forall(labels(_) == 10L))
   }
 
+  test("connectedComponents fails LOUDLY when a chain outruns maxIter") {
+    import spark.implicits._
+    // a 25-node path has diameter 24: with maxIter=5 the labels cannot
+    // converge, and silence would mean split clusters downstream
+    val chain = (1L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val err = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 5).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // with enough rounds the same chain resolves to one component
+    val labels = Dedup.connectedComponents(chain, maxIter = 30).collect()
+      .map(r => r.getAs[Long]("label")).distinct
+    assert(labels.toSeq == Seq(1L))
+  }
+
   test("d_dedup_cluster groups transitive near-dups into one cluster") {
     // doc 20 bridges 0 and 1 even if (0,1) alone were below threshold:
     // clusters come from components, not raw pairs
