@@ -84,6 +84,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new NoSuchTableException(ident)
   }
 
+  // ------------------------------------------------- SQL time travel ----
+  // SELECT ... FROM g.db.t VERSION AS OF <snapshot-id | ref-name>
+  // SELECT ... FROM g.db.t TIMESTAMP AS OF '<ts>'
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val snapshotId = version.toLongOption
+      .filter(id => t.metadata.snapshotById(id).isDefined)
+      .orElse(t.metadata.refs.flatMap(_.get(version)).map(_.snapshotId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot or ref '$version' on ${ident.name}"))
+    new GraftSparkTable(tablePath(ident).toString, Some(snapshotId))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val ms = timestampMicros / 1000L
+    // the snapshot CURRENT at that wall-clock time: latest whose commit
+    // timestamp is <= the asked instant (Iceberg time-travel contract)
+    val snap = t.metadata.snapshots.getOrElse(Seq.empty)
+      .filter(_.timestampMs <= ms)
+      .sortBy(s => (s.timestampMs, s.sequenceNumber)).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before timestamp $ms on ${ident.name}"))
+    new GraftSparkTable(tablePath(ident).toString, Some(snap.snapshotId))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[SparkTransform],
       properties: java.util.Map[String, String]): Table = {

@@ -238,7 +238,7 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredNames: Seq[String] = tableSchema.fieldNames.toSeq
-  private var pushedCountStar: Int = 0
+  private var pushedAggs: Seq[GraftAggScan.Agg] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(FilterColumns.toColumn(_).isDefined)
@@ -247,29 +247,61 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  // ------------------------------------------- COUNT(*) from metadata ----
-  // A bare `SELECT COUNT(*) FROM graft.t` answers from manifest rollups
-  // (GraftTable.countRows) — zero data files scanned at any table size.
-  // Complete pushdown is only claimed for ungrouped COUNT(*) with no
-  // filters: graft's file pruning is may-match (filters stay residual),
-  // so Spark never offers an aggregation past a filtered scan, and
-  // min/max manifest stats can't answer MIN/MAX once MoR deletes exist —
-  // those aggregate through the ordinary columnar scan instead.
+  // --------------------------- COUNT(*)/MIN/MAX from table metadata ----
+  // A bare `SELECT COUNT(*)[, MIN(c), MAX(c)] FROM graft.t` answers from
+  // manifest rollups and per-file stat bounds (GraftTable.countRows /
+  // columnExtreme) — zero data files scanned, except legacy files
+  // written without stats for the asked column (the boundary set).
+  // Complete pushdown is only claimed when sound:
+  //   - no pushed filters (graft file pruning is may-match, filters stay
+  //     residual, so Spark never offers an aggregation past a filter);
+  //   - MIN/MAX only on stat-aggregable types (no float/double — NaN
+  //     ordering; no zoned timestamps — decode would be tz-dependent)
+  //     and only on DELETE-FREE snapshots (a MoR delete could remove
+  //     the extreme row);
+  //   - COUNT(*) alone tolerates deletes (countRows subtracts exactly).
+  // Everything else aggregates through the ordinary columnar scan.
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      : Boolean = translate(agg).isDefined
+
+  private def translate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[GraftAggScan.Agg]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    def topCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 &&
+            tableSchema.fieldNames.contains(r.fieldNames()(0)) &&
+            _root_.graft.table.Pruning.statAggregable(
+              tableSchema(r.fieldNames()(0)).dataType) =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val translated = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAggScan.CountStarAgg)
+      case m: Min => topCol(m.column).map(GraftAggScan.MinAgg)
+      case m: Max => topCol(m.column).map(GraftAggScan.MaxAgg)
+      case _ => None
+    }
+    if (translated.exists(_.isEmpty)) return None
+    val aggs = translated.flatten
+    val needsDeleteFree = aggs.exists(_ != GraftAggScan.CountStarAgg)
+    if (needsDeleteFree && graft.liveManifests(asOf).exists(_.content != 0))
+      None
+    else Some(aggs)
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    supportCompletePushDown(agg) && {
-      pushedCountStar = agg.aggregateExpressions.length
-      true
+    translate(agg) match {
+      case Some(aggs) => pushedAggs = aggs; true
+      case None => false
     }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -278,8 +310,14 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     requiredNames = requiredSchema.fieldNames.toSeq
 
   override def build(): Scan = {
-    if (pushedCountStar > 0)
-      return new GraftCountScan(graft, asOf, pushedCountStar)
+    if (pushedAggs.nonEmpty)
+      return new GraftAggScan(graft, asOf, pushedAggs,
+        pushedAggs.map {
+          case GraftAggScan.CountStarAgg =>
+            org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType
+          case GraftAggScan.MinAgg(c) => tableSchema(c).dataType
+          case GraftAggScan.MaxAgg(c) => tableSchema(c).dataType
+        })
     val prunedSchema = StructType(
       tableSchema.fields.filter(f => requiredNames.contains(f.name)))
     // delete-free snapshots (the dominant shape at scale: append-only
@@ -292,39 +330,61 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
   }
 }
 
-/** Completely-pushed COUNT(*): one row of metadata-derived counts
-  * (manifest-list rollups; only equality deletes force a real scan,
-  * inside countRows). Output columns bind positionally to the pushed
-  * aggregate expressions.
+/** Completely-pushed metadata aggregation: one row of COUNT(*)/MIN/MAX
+  * values derived from manifest rollups and per-file stat bounds
+  * (GraftTable.countRows / columnExtreme). Output columns bind
+  * positionally to the pushed aggregate expressions.
   */
-class GraftCountScan(graft: GraftTable, asOf: Option[Long], n: Int)
-    extends V1Scan {
+class GraftAggScan(graft: GraftTable, asOf: Option[Long],
+    aggs: Seq[GraftAggScan.Agg],
+    types: Seq[org.apache.spark.sql.types.DataType]) extends V1Scan {
 
-  private val schema = StructType(
-    (0 until n).map(i => org.apache.spark.sql.types.StructField(
-      s"count_star_$i", org.apache.spark.sql.types.LongType,
-      nullable = false)))
+  private val schema = StructType(aggs.zip(types).zipWithIndex.map {
+    case ((a, dt), i) => org.apache.spark.sql.types.StructField(
+      s"agg_$i", dt, nullable = a != GraftAggScan.CountStarAgg)
+  })
 
   override def readSchema(): StructType = schema
 
-  override def description(): String =
-    s"graft ${graft.location} PushedAggregates=[COUNT(*)]"
+  override def description(): String = {
+    val shown = aggs.map {
+      case GraftAggScan.CountStarAgg => "COUNT(*)"
+      case GraftAggScan.MinAgg(c) => s"MIN($c)"
+      case GraftAggScan.MaxAgg(c) => s"MAX($c)"
+    }
+    s"graft ${graft.location} PushedAggregates=[${shown.mkString(", ")}]"
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val rel = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
-      override def schema: StructType = GraftCountScan.this.schema
+      override def schema: StructType = GraftAggScan.this.schema
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] = {
-        val cnt = graft.countRows(None, asOf)
-        val one = context.sparkSession.range(1)
-          .select((0 until n).map(i => lit(cnt).as(s"count_star_$i")): _*)
+        lazy val cnt = graft.countRows(None, asOf)
+        val values: Seq[Any] = aggs.map {
+          case GraftAggScan.CountStarAgg => cnt
+          case GraftAggScan.MinAgg(c) =>
+            graft.columnExtreme(c, isMin = true, asOf).orNull
+          case GraftAggScan.MaxAgg(c) =>
+            graft.columnExtreme(c, isMin = false, asOf).orNull
+        }
+        val one = context.sparkSession.createDataFrame(
+          java.util.Collections.singletonList(Row(values: _*)),
+          GraftAggScan.this.schema)
         one.queryExecution.toRdd.asInstanceOf[RDD[Row]]
       }
     }
     rel.asInstanceOf[T]
   }
+}
+
+object GraftAggScan {
+  sealed trait Agg
+  case object CountStarAgg extends Agg
+  case class MinAgg(col: String) extends Agg
+  case class MaxAgg(col: String) extends Agg
 }
 
 /** The scan: prunes with the pushed filters, reports pruned-plan

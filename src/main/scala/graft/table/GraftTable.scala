@@ -629,6 +629,89 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Metadata-derived MIN or MAX of a top-level column over a
+    * DELETE-FREE snapshot: per-file stat bounds aggregate to the global
+    * extreme without touching data (above the planning threshold the
+    * aggregation runs distributed over the manifest dataset). Files
+    * written without stats for the column are the boundary set — only
+    * those are scanned. Returns None when the column is null in every
+    * row. The caller guarantees type eligibility
+    * (Pruning.statAggregable) and the delete-free precondition.
+    */
+  private[graft] def columnExtreme(colName: String, isMin: Boolean,
+      asOf: Option[Long] = None): Option[Any] = {
+    val meta = metadata
+    val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
+      .map(_.toInt).getOrElse(meta.currentSchemaId)
+    val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
+    val sparkSchema = toSparkSchema(schema)
+    val dt = sparkSchema(colName).dataType
+    require(Pruning.statAggregable(dt), s"not stat-aggregable: $dt")
+    val refs = manifestsFor(meta, asOf)
+    require(refs.forall(_.content == 0),
+      "metadata MIN/MAX needs a delete-free snapshot")
+    val key = if (isMin) "min" else "max"
+    def pick(c: Column) = if (isMin) min(c) else max(c)
+    // (stat-certified extreme, files lacking usable stats → scan them).
+    // A file is SKIPPED only when its stats prove the column all-null;
+    // a missing or inconsistent stats entry sends it to the scan set.
+    val (certified: Option[Any], missing: Seq[(String, Int)]) =
+      if (refs.map(_.entryCount).sum >= distributedPlanningThreshold) {
+        val mdf = manifestDfFor(meta, asOf)
+          .filter(coalesce(col("content"), lit(0)) === 0)
+          .select(col("path"), col("schema-id"),
+            col("stats")(colName)(key).as("v"),
+            col("stats")(colName)("nulls").as("nulls"),
+            col("record-count").as("rc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val r = mdf.filter(col("v").isNotNull)
+            .agg(pick(Pruning.decodeStatColumn(col("v"), dt))).head()
+          val best = if (r.isNullAt(0)) None else Some(r.get(0))
+          val miss = mdf.filter(col("v").isNull &&
+              !(col("nulls").isNotNull && col("nulls") === col("rc")))
+            .select("path", "schema-id").collect().toSeq
+            .map(x => (x.getString(0), x.getInt(1)))
+          (best, miss)
+        } finally { mdf.unpersist(); () }
+      } else {
+        val entries = refs.flatMap(_.entries).filter(_.isData)
+        val sides = entries.map { e =>
+          e.stats.get(colName) match {
+            case Some(cs) =>
+              (if (isMin) cs.min else cs.max) match {
+                case Some(v) => Left(Some(v))
+                case None if cs.nulls == e.recordCount => Left(None)
+                case None => Right((e.path, e.schemaId))
+              }
+            case None => Right((e.path, e.schemaId))
+          }
+        }
+        val vals = sides.collect { case Left(Some(v)) => v }
+        val best = vals.reduceOption { (a, b) =>
+          if ((Pruning.compare(a, b, dt) <= 0) == isMin) a else b
+        }.map(Pruning.decodeStat(_, dt))
+        (best, sides.collect { case Right(pe) => pe })
+      }
+    val scanned: Option[Any] =
+      if (missing.isEmpty) None
+      else {
+        val r = readAlignedFilesFor(meta, missing, schema)
+          .agg(pick(col(colName))).head()
+        if (r.isNullAt(0)) None else Some(r.get(0))
+      }
+    (certified.toSeq ++ scanned.toSeq) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case cands =>
+        // combine in Spark so type ordering matches the engine exactly
+        val rows = cands.map(v => Row(v)).asJava
+        val df = spark.createDataFrame(rows,
+          StructType(Seq(SparkField("v", dt))))
+        Some(df.agg(pick(col("v"))).head().get(0))
+    }
+  }
+
   /** Roll the table back to an earlier snapshot (metadata-only: the
     * snapshot becomes current again; later snapshots stay until expiry).
     */
@@ -948,9 +1031,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def deleteAndAdd(cond: Column,
       extraAdds: Option[PendingAdds]): SnapshotV2 =
     // keep rows where cond is FALSE or NULL (SQL DELETE deletes only
-    // rows where cond is true; !NULL is NULL and would drop them)
+    // rows where cond is true; !NULL is NULL and would drop them).
+    // Whole-file drops enabled: a file whose stats prove EVERY row
+    // matches leaves metadata without being read — partition-aligned
+    // deletes (the common retention/GDPR shape) become metadata-only.
     cowRewrite(if (extraAdds.isEmpty) "delete" else "overwrite", cond,
-      df => df.filter(cond.isNull || !cond), extraAdds)
+      df => df.filter(cond.isNull || !cond), extraAdds,
+      dropWholeFiles = true)
 
   /** Copy-on-write UPDATE WHERE: files that may contain rows matching
     * `cond` are rewritten with `assignments` applied to matching rows
@@ -979,34 +1066,50 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * deletes applied, so the rewrite can't resurrect rows) and replaced
     * by `rewrite`'s output. Position deletes into rewritten files are
     * rebuilt so metadata counts stay exact.
+    *
+    * With `dropWholeFiles` (delete only — sound solely when `rewrite`
+    * removes exactly the cond-true rows): files whose stats PROVE every
+    * row matches a fully-translated predicate are dropped from metadata
+    * without being read — a partition-aligned DELETE touches no data at
+    * any table size.
     */
   private def cowRewrite(op: String, cond: Column,
       rewrite: DataFrame => DataFrame,
-      extraAdds: Option[PendingAdds]): SnapshotV2 =
+      extraAdds: Option[PendingAdds],
+      dropWholeFiles: Boolean = false): SnapshotV2 =
     commitSnapshot(op, { meta =>
       val schema = meta.currentSchema
       val sparkSchema = toSparkSchema(schema)
-      val preds = Pruning.extract(spark, cond, sparkSchema)
+      val (preds, complete) =
+        Pruning.extractWithCompleteness(spark, cond, sparkSchema)
       def hit(e: DataFileEntry): Boolean = e.isData &&
         entryMayMatch(meta, e, preds, sparkSchema, schema)
       val hitCol = mayMatchColumnFor(meta, preds, sparkSchema, schema)
       val (reused, _, affected) = splitManifests(meta, hitCol, hit)
-      val (maybe, carried) = affected.partition(hit)
+      val (maybe0, carried) = affected.partition(hit)
+      // whole-file drops are only sound when EVERY conjunct of cond
+      // translated (else mustMatch would certify against a weaker
+      // predicate and delete rows cond keeps)
+      val (dropped, maybe) =
+        if (dropWholeFiles && complete)
+          maybe0.partition(e => Pruning.mustMatch(e, preds, sparkSchema))
+        else (Seq.empty[DataFileEntry], maybe0)
       val rewritten =
         if (maybe.isEmpty) PendingAdds.empty
         else writeFiles(rewrite(readAppliedFor(meta, maybe, schema)))
-      // position deletes referencing rewritten files are now dead —
-      // rebuild the delete set so metadata counts stay exact
+      // position deletes referencing rewritten OR dropped files are now
+      // dead — rebuild the delete set so metadata counts stay exact
+      val gone = (maybe ++ dropped).map(_.path).toSet
       val posDels = reused.filter(_.content == 1).flatMap(_.entries)
       val (reusedRefs, newDels) =
-        if (maybe.isEmpty || posDels.isEmpty) (reused, Seq.empty)
+        if (gone.isEmpty || posDels.isEmpty) (reused, Seq.empty)
         else (reused.filterNot(_.content == 1),
-          rebuildPosDeletes(posDels, maybe.map(_.path).toSet,
-            schema.schemaId))
+          rebuildPosDeletes(posDels, gone, schema.schemaId))
       (reusedRefs,
         PendingAdds(carried ++ newDels,
           rewritten.shards ++ extraAdds.map(_.shards).getOrElse(Seq.empty)),
-        Map("rewritten-files" -> maybe.size.toString))
+        Map("rewritten-files" -> maybe.size.toString,
+          "dropped-files" -> dropped.size.toString))
     })
 
   /** Merge-on-read DELETE WHERE: instead of rewriting affected data files

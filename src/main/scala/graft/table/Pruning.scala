@@ -40,6 +40,51 @@ object Pruning {
   private def isTs(dt: DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
 
+  /** Types whose manifest min/max strings certify an exact global
+    * MIN/MAX. Float/double are excluded (NaN ordering), zoned timestamps
+    * are excluded (the SQL-side decode would depend on session
+    * timezone), booleans add nothing.
+    */
+  def statAggregable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Decode a normalized stat string back to the external JVM value
+    * (inverse of `normalize` for `statAggregable` types).
+    */
+  def decodeStat(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case StringType => s
+    case DateType => java.time.LocalDate.parse(s)
+    case TimestampNTZType => LocalDateTime.parse(s, LocalFmt)
+    case d: DecimalType =>
+      new java.math.BigDecimal(s).setScale(d.scale)
+    case other =>
+      throw new IllegalArgumentException(s"not stat-aggregable: $other")
+  }
+
+  /** SQL-side equivalent of `decodeStat`, so stat extremes aggregate
+    * DISTRIBUTED over the manifest dataset (normalized encodings order
+    * correctly under the decoded type).
+    */
+  def decodeStatColumn(c: org.apache.spark.sql.Column,
+      dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    dt match {
+      case StringType => c
+      case DateType => to_date(c)
+      case TimestampNTZType =>
+        to_timestamp_ntz(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case other => c.cast(other) // integral + decimal plain strings
+    }
+  }
+
   /** Normalize a collected/literal value to the manifest string encoding.
     * Covers both external (collect) and internal (Literal.eval) forms of
     * timestamps — with and without timezone (Spark 4 infers parquet

@@ -358,7 +358,11 @@ class ConnectorSpec extends SparkSpec {
     } finally w.close()
     assert(spark.read.format("graft").load(loc).count() == 600L,
       "DataFrame count() did not answer from metadata")
-    // and through SQL with multiple count(*) expressions
+    // MIN/MAX from per-file stat bounds, mixed with COUNT(*), and
+    // through SQL via the catalog — still zero data files on disk
+    val expMin = src.agg(min("l_orderkey")).head().getLong(0)
+    val expMax = src.agg(max("l_shipdate")).head()
+      .getAs[java.time.LocalDateTime](0)
     val wh = java.nio.file.Files.createTempDirectory("graft-cnt-wh")
     spark.conf.set("spark.sql.catalog.gcnt", "graft.connector.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gcnt.warehouse", wh.toString)
@@ -367,8 +371,18 @@ class ConnectorSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(link,
       java.nio.file.Paths.get(loc))
     val r = spark.sql(
-      "SELECT COUNT(*) AS a, COUNT(*) AS b FROM gcnt.db.t").head()
-    assert(r.getLong(0) == 600L && r.getLong(1) == 600L)
+      """SELECT COUNT(*) AS a, MIN(l_orderkey) AS b, MAX(l_shipdate) AS c,
+        |       MAX(l_returnflag) AS d
+        |FROM gcnt.db.t""".stripMargin).head()
+    assert(r.getLong(0) == 600L)
+    assert(r.getLong(1) == expMin)
+    assert(r.getAs[java.time.LocalDateTime](2) == expMax)
+    assert(r.getString(3) == "R")
+    // float/double min/max must NOT claim pushdown (NaN ordering) —
+    // with the data files gone the ordinary scan fails, proving the
+    // eligibility gate rather than silently wrong answers
+    intercept[Exception] {
+      spark.sql("SELECT MIN(l_quantity) FROM gcnt.db.t").collect() }
   }
 
   test("connector planning stays off the driver above the threshold") {

@@ -104,6 +104,66 @@ class SqlDmlSpec extends SparkSpec {
     assert(byGrp == Map("kept" -> 30L, "stale" -> 65L))
   }
 
+  test("partition-aligned DELETE drops whole files without reading them") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-dropfile").toString + "/t"
+    val df = (1L to 100L).map(i => (i, (i % 4).toString, i.toDouble))
+      .toDF("id", "part", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      partitionBy = Seq(("part", graft.model.TIdentity, "part_p")))
+    t.append(df, repartitionByPartition = true)
+    val before = t.planFiles().map(_.path).toSet
+    // destroy the partition's data files on disk: only a metadata-only
+    // drop can delete it without failing
+    val victims = t.planFiles(Some(col("part") === "3")).map(_.path)
+    assert(victims.nonEmpty)
+    victims.foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val snap = t.deleteWhere(col("part") === "3")
+    assert(snap.summary.other("dropped-files").toInt == victims.size)
+    assert(snap.summary.other("rewritten-files").toInt == 0)
+    val after = t.planFiles().map(_.path).toSet
+    assert(after == before -- victims)
+    assert(t.scan().count() == 75)
+    // a NON-aligned delete still rewrites (mid-partition predicate)
+    val snap2 = t.deleteWhere(col("id") <= 2)
+    assert(snap2.summary.other("rewritten-files").toInt > 0)
+    assert(t.scan().count() == 75 - df.filter(col("id") <= 2 &&
+      col("part") =!= "3").count())
+  }
+
+  test("SQL time travel and TRUNCATE through the catalog") {
+    val t = freshTable("tt")
+    val loc = s"$wh/db/$t"
+    val g = GraftTable.load(spark, loc)
+    val v1 = g.metadata.currentSnapshotId.get
+    g.createTag("before_del", v1)
+    spark.sql(s"DELETE FROM gdml.db.$t WHERE id > 50")
+    assert(spark.sql(s"SELECT count(*) FROM gdml.db.$t").head().getLong(0) == 50)
+    // VERSION AS OF snapshot id and ref name both see the pre-delete rows
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdml.db.$t VERSION AS OF $v1")
+      .head().getLong(0) == 100)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdml.db.$t VERSION AS OF 'before_del'")
+      .head().getLong(0) == 100)
+    // TIMESTAMP AS OF the first snapshot's commit time
+    val ts1 = g.metadata.snapshots.get.find(_.snapshotId == v1).get.timestampMs
+    val tsLit = java.time.Instant.ofEpochMilli(ts1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdml.db.$t TIMESTAMP AS OF '$tsLit'")
+      .head().getLong(0) == 100)
+    // bad version fails loudly
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM gdml.db.$t VERSION AS OF 999999").collect() }
+    assert(err.getMessage.contains("999999"))
+    // TRUNCATE TABLE (TruncatableTable via SupportsDeleteV2)
+    spark.sql(s"TRUNCATE TABLE gdml.db.$t")
+    assert(spark.sql(s"SELECT count(*) FROM gdml.db.$t").head().getLong(0) == 0)
+  }
+
   test("engine updateWhere: null condition rows are not matched") {
     import spark.implicits._
     val loc = java.nio.file.Files
