@@ -101,6 +101,72 @@ object ConnectorQueries {
           AND l_returnflag = 'N')
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Storage-partitioned join: two graft tables identity-partitioned on
+    // the same key report KeyGroupedPartitioning, so their join plans
+    // with ZERO shuffles (asserted in-query) — co-located joins are the
+    // difference between a node-local merge and moving 100 TB across
+    // the wire. Executed eagerly under pinned confs (broadcast off, AQE
+    // off, v2 bucketing on), restored afterwards.
+    GraftQuery(
+      "ice_spj_join",
+      (s, dir) => {
+        val src = Tables.tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+        def build(name: String, df: DataFrame): String = {
+          val where = loc(name)
+          GraftTable.create(s, where, df.schema,
+            partitionBy = Seq(("l_returnflag", graft.model.TIdentity,
+              "flag_p")))
+          GraftTable.load(s, where)
+            .append(df, repartitionByPartition = true)
+          where
+        }
+        val locA = build("spjq_a", src)
+        val locB = build("spjq_b", src
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(r4(dsum(col("l_quantity"))).as("q")).toDF())
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.enabled" -> "false")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val joined = s.read.format("graft").load(locA)
+            .join(s.read.format("graft").load(locB), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), r4(dsum(col("q"))).as("sum_q"))
+            .orderBy("l_returnflag")
+          // the ONLY permissible exchange is the rangepartitioning of the
+          // gate-only orderBy; a hash exchange would mean the join or
+          // aggregate lost the storage partitioning
+          val shuffles = joined.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec
+                if !e.outputPartitioning.isInstanceOf[
+                  org.apache.spark.sql.catalyst.plans.physical
+                    .RangePartitioning] => e
+          }
+          require(shuffles.isEmpty,
+            s"storage-partitioned join planned ${shuffles.size} hash shuffles")
+          // materialize under the pinned confs; callers see a local frame
+          val rows = joined.collect().toSeq
+          s.createDataFrame(
+            new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows).asJava), joined.schema)
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some(s"""WITH b AS (
+          SELECT l_returnflag, l_linestatus,
+            ${sqlDsum("l_quantity")} AS q
+          FROM lineitem GROUP BY 1, 2)
+        SELECT a.l_returnflag, COUNT(*) AS n, ${sqlDsum("b.q")} AS sum_q
+        FROM lineitem a JOIN b ON a.l_returnflag = b.l_returnflag
+        GROUP BY 1 ORDER BY a.l_returnflag""")),
+
     // Metadata-only COUNT(*): SupportsPushDownAggregates answers a bare
     // count from manifest-list rollups — zero data files scanned at any
     // table size (ConnectorSpec proves it by deleting the data files).

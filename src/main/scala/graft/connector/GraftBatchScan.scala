@@ -40,12 +40,14 @@ class GraftBatchScan(protected val graft: GraftTable,
     protected val prunedSchema: StructType,
     protected val pushed: Array[Filter], protected val asOf: Option[Long])
     extends Scan with Batch with GraftScanStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def spark: SparkSession = SparkSession.active
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
   @volatile private var plannedCache: Array[InputPartition] = _
+  @volatile private var plannedKeyGroups: Int = -1
 
   override def readSchema(): StructType = prunedSchema
 
@@ -80,16 +82,73 @@ class GraftBatchScan(protected val graft: GraftTable,
   private def effectiveFilter = (pushed ++ runtimeFilters)
     .flatMap(FilterColumns.toColumn).reduceOption(_ && _)
 
+  // ----------------------------------------- storage-partitioned joins ----
+
+  /** The table's partition tuple as DSv2 clustering keys, when the scan
+    * can promise key-grouped output: a SINGLE spec whose fields are all
+    * IDENTITY transforms on columns surviving the projection. (Transform
+    * partitions — bucket/temporal — would need a FunctionCatalog binding
+    * so both join sides resolve the same function; identity covers the
+    * co-location join shape without one.) Returns (clustering
+    * expressions, partition-field name + source type per key).
+    */
+  private def spjKeys: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
+      Seq[(String, org.apache.spark.sql.types.DataType)])] = {
+    val meta = graft.metadata
+    if (meta.partitionSpecs.size != 1 || asOf.nonEmpty) return None
+    val spec = meta.defaultSpec
+    if (spec.fields.isEmpty) return None
+    val fields = spec.fields.map { pf =>
+      if (pf.transform != _root_.graft.model.TIdentity) return None
+      val src = meta.currentSchema.fieldById(pf.sourceId)
+        .getOrElse(return None)
+      if (!prunedSchema.fieldNames.contains(src.name)) return None
+      (pf.name, src.name, GraftTable.toSparkType(src.fieldType))
+    }
+    Some((fields.map(f => Expressions.identity(f._2)).toArray,
+      fields.map(f => (f._1, f._3))))
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val parts = planInputPartitions()
+    spjKeys match {
+      case Some((exprs, _)) if plannedKeyGroups >= 0 =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs, plannedKeyGroups)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(parts.length)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val cached = plannedCache
     if (cached != null) return cached
     // threshold-dispatched: big tables prune on executors over the
-    // manifest dataset; only surviving (path, schema, size) rows reach
-    // the driver for bin-packing — the connector never materializes the
-    // full entry list driver-side
+    // manifest dataset; only surviving (path, schema, size, partition)
+    // rows reach the driver for bin-packing — the connector never
+    // materializes the full entry list driver-side
     val files = graft.plannedConnectorFiles(effectiveFilter, asOf)
-      .map(f => (f._1, f._2, f._4))
-    val out = GraftRead.binPack(spark, files)
+    val out = spjKeys match {
+      case Some((_, keyFields))
+          if files.forall(f =>
+            keyFields.forall { case (n, _) => f.partition.contains(n) }) =>
+        try {
+          val (parts, groups) = GraftRead.binPackKeyed(spark, files, keyFields)
+          plannedKeyGroups = groups
+          parts
+        } catch { case _: Exception =>
+          // undecodable partition value → fall back to unkeyed splits
+          plannedKeyGroups = -1
+          GraftRead.binPack(spark,
+            files.map(f => (f.path, f.schemaId, f.fileSize)))
+        }
+      case _ =>
+        plannedKeyGroups = -1
+        GraftRead.binPack(spark,
+          files.map(f => (f.path, f.schemaId, f.fileSize)))
+    }
     plannedCache = out
     out
   }
@@ -107,7 +166,7 @@ class GraftBatchScan(protected val graft: GraftTable,
       .map(_.toInt).flatMap(meta.schemaById)
       .getOrElse(meta.currentSchema)
     val sids = planInputPartitions()
-      .map(_.asInstanceOf[GraftInputPartition].schemaId).distinct
+      .map(_.asInstanceOf[GraftSplit].schemaId).distinct
     GraftRead.factoryFor(spark, meta, readIce, prunedSchema, pushed, sids)
   }
 
@@ -148,21 +207,78 @@ object GraftRead {
         p.getFileSystem(hadoop).getFileStatus(p).getLen
       }
     files.groupBy(_._2).toSeq.flatMap { case (sid, es) =>
-      val sized = es.map(e => (e._1, sizeOf(e._1, e._3)))
-        .sortBy(-_._2)
-      val bins = scala.collection.mutable.ArrayBuffer
-        .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
-      sized.foreach { f =>
-        bins.indexWhere(_._2 + f._2 <= target) match {
-          case -1 =>
-            bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
-          case i =>
-            bins(i)._1 += f
-            bins(i) = (bins(i)._1, bins(i)._2 + f._2)
-        }
-      }
-      bins.map(b => GraftInputPartition(sid, b._1.toArray))
+      packBins(es.map(e => (e._1, sizeOf(e._1, e._3))), target)
+        .map(b => GraftInputPartition(sid, b))
     }.toArray
+  }
+
+  private def packBins(sized0: Seq[(String, Long)],
+      target: Long): Seq[Array[(String, Long)]] = {
+    val sized = sized0.sortBy(-_._2)
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    sized.foreach { f =>
+      bins.indexWhere(_._2 + f._2 <= target) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
+        case i =>
+          bins(i)._1 += f
+          bins(i) = (bins(i)._1, bins(i)._2 + f._2)
+      }
+    }
+    bins.map(_._1.toArray).toSeq
+  }
+
+  /** Key-grouped bin-packing for storage-partitioned joins: files group
+    * by their partition TUPLE first (the decoded tuple rides on every
+    * split as its HasPartitionKey), then bin-pack within each
+    * (partition, write-schema) group. Returns (splits, distinct key
+    * count). Throws if a partition value fails to decode — the caller
+    * falls back to unkeyed splits.
+    */
+  def binPackKeyed(spark: SparkSession, files: Seq[graft.table.ConnectorFile],
+      keyFields: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : (Array[InputPartition], Int) = {
+    val target = math.max(1L << 20,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val hadoop = spark.sessionState.newHadoopConf()
+    def sizeOf(path: String, recorded: Long): Long =
+      if (recorded > 0L) recorded
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hadoop).getFileStatus(p).getLen
+      }
+    val grouped = files.groupBy(f =>
+      keyFields.map { case (n, _) => f.partition.getOrElse(n, None) })
+    val splits = grouped.toSeq.flatMap { case (keyStrs, fs) =>
+      val keyVals: Array[Any] = keyStrs.zip(keyFields).map {
+        case (vOpt, (_, dt)) =>
+          vOpt.map(decodePartitionValue(_, dt)).orNull
+      }.toArray
+      fs.groupBy(_.schemaId).toSeq.flatMap { case (sid, es) =>
+        packBins(es.map(e => (e.path, sizeOf(e.path, e.fileSize))), target)
+          .map(b => GraftKeyedPartition(sid, b, keyVals))
+      }
+    }
+    (splits.toArray, grouped.size)
+  }
+
+  /** Hive-style partition-directory string → Catalyst internal value of
+    * the source column type (identity transforms render the raw value;
+    * Cast-from-string inverts it — dates ISO, timestamps
+    * `yyyy-MM-dd HH:mm:ss[.S]`, numerics plain). Both sides of a
+    * storage-partitioned join decode through this same path, so the
+    * grouping keys compare consistently.
+    */
+  private def decodePartitionValue(s: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val v = Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s), org.apache.spark.sql.types.StringType),
+      dt, Some("UTC")).eval(null)
+    if (v == null)
+      throw new IllegalArgumentException(s"undecodable partition value $s")
+    v
   }
 
   /** Reader factory covering the given write-time schema ids: each group
@@ -234,8 +350,23 @@ object GraftRead {
 /** One input partition: files of one write-time schema, bin-packed to
   * the maxPartitionBytes target.
   */
+sealed trait GraftSplit extends InputPartition {
+  def schemaId: Int
+  def files: Array[(String, Long)]
+}
+
 case class GraftInputPartition(schemaId: Int,
-    files: Array[(String, Long)]) extends InputPartition
+    files: Array[(String, Long)]) extends GraftSplit
+
+/** A split whose rows all share one partition tuple — the unit of
+  * key-grouped (storage-partitioned) execution.
+  */
+case class GraftKeyedPartition(schemaId: Int,
+    files: Array[(String, Long)], keyVals: Array[Any]) extends GraftSplit
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
+}
 
 /** Per-schema-group read recipe: Spark's parquet reader closure plus the
   * field-id alignment (slot i of the logical output = physical column
@@ -253,9 +384,9 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    groups(partition.asInstanceOf[GraftInputPartition].schemaId).columnar
+    groups(partition.asInstanceOf[GraftSplit].schemaId).columnar
 
-  private def rawIterator(p: GraftInputPartition): Iterator[AnyRef] = {
+  private def rawIterator(p: GraftSplit): Iterator[AnyRef] = {
     val g = groups(p.schemaId)
     p.files.iterator.flatMap { case (path, size) =>
       g.readFunc(PartitionedFile(InternalRow.empty,
@@ -266,7 +397,7 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val p = partition.asInstanceOf[GraftSplit]
     val g = groups(p.schemaId)
     // the parquet reader may yield ColumnarBatch even on the row path
     // (vectorized reader); flatten defensively
@@ -289,7 +420,7 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val p = partition.asInstanceOf[GraftSplit]
     val g = groups(p.schemaId)
     val batches = rawIterator(p).map(_.asInstanceOf[ColumnarBatch])
     val aligned: Iterator[ColumnarBatch] =

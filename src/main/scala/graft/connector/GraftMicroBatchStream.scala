@@ -75,7 +75,7 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     // table plans O(batch), never materializing the full entry list
     val files = graft
       .plannedConnectorFiles(filterColumn, None, Some((from, to)))
-      .map(f => (f._1, f._2, f._4))
+      .map(f => (f.path, f.schemaId, f.fileSize))
     GraftRead.binPack(spark, files)
   }
 

@@ -881,7 +881,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private[graft] def plannedConnectorFiles(filter: Option[Column],
       asOf: Option[Long] = None,
-      seqRange: Option[(Long, Long)] = None): Seq[(String, Int, Long, Long)] = {
+      seqRange: Option[(Long, Long)] = None): Seq[ConnectorFile] = {
     val meta = metadata
     val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
     if (totalEntries >= distributedPlanningThreshold) {
@@ -891,15 +891,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           col("sequence-number") <= to)
       }
       ranged.select(col("path"), col("schema-id"), col("sequence-number"),
-          coalesce(col("file-size"), lit(0L)))
+          coalesce(col("file-size"), lit(0L)), col("partition"))
         .collect().toSeq
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .map { r =>
+          val part =
+            if (r.isNullAt(4)) Map.empty[String, Option[String]]
+            else r.getMap[String, String](4).toMap
+              .map { case (k, v) => k -> Option(v) }
+          ConnectorFile(r.getString(0), r.getInt(1), r.getLong(2),
+            r.getLong(3), part)
+        }
     } else {
       val es = planFilesFor(meta, filter, asOf)
       val ranged = seqRange.fold(es) { case (from, to) =>
         es.filter(e => e.sequenceNumber > from && e.sequenceNumber <= to)
       }
-      ranged.map(e => (e.path, e.schemaId, e.sequenceNumber, e.fileSize))
+      ranged.map(e =>
+        ConnectorFile(e.path, e.schemaId, e.sequenceNumber, e.fileSize,
+          e.partition))
     }
   }
 
@@ -1868,6 +1877,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   * The operation should be re-derived against the refreshed table state.
   */
 class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** One pruned data file as the DSv2 connector consumes it: bin-packing
+  * needs (schemaId, fileSize); storage-partitioned joins need the
+  * partition tuple.
+  */
+case class ConnectorFile(path: String, schemaId: Int,
+    sequenceNumber: Long, fileSize: Long,
+    partition: Map[String, Option[String]])
 
 /** One WHEN clause of a generalized MERGE (`GraftTable.mergeApply`):
   * within a clause list, the first action whose condition evaluates TRUE

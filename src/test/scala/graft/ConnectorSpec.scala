@@ -415,6 +415,55 @@ class ConnectorSpec extends SparkSpec {
       spark.conf.unset("spark.graft.distributedPlanningThreshold")
   }
 
+  test("storage-partitioned join: co-partitioned tables join with no shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val src = lineitem.limit(2000).cache()
+    def build(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val loc = freshLoc(name)
+      val t = GraftTable.create(spark, loc, df.schema,
+        partitionBy = Seq(("l_returnflag", graft.model.TIdentity, "flag_p")))
+      t.append(df, repartitionByPartition = true)
+      loc
+    }
+    val locA = build("spja", src)
+    val locB = build("spjb",
+      src.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("q")).toDF())
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.read.format("graft").load(locA)
+      val b = spark.read.format("graft").load(locB)
+      val joined = a.join(b, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      // the join itself must be shuffle-free (both sides key-grouped on
+      // the storage partitioning); only the final single-key aggregate
+      // may exchange — and since the join output is already clustered
+      // by the key, even that collapses
+      assert(shuffles.isEmpty,
+        s"expected a shuffle-free storage-partitioned join, found " +
+          s"${shuffles.size} exchanges:\n${joined.queryExecution.executedPlan}")
+      // and the answer matches the computation on the raw source
+      val expect = src.join(
+          src.groupBy("l_returnflag", "l_linestatus")
+            .agg(sum("l_quantity").as("q")), "l_returnflag")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(joined.exceptAll(expect).isEmpty &&
+        expect.exceptAll(joined).isEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("concurrent format(graft) writers all commit through the V2 path") {
     val src = lineitem.limit(300).cache()
     val loc = freshLoc("conc")
