@@ -85,12 +85,14 @@ class GraftBatchScan(protected val graft: GraftTable,
   // ----------------------------------------- storage-partitioned joins ----
 
   /** The table's partition tuple as DSv2 clustering keys, when the scan
-    * can promise key-grouped output: a SINGLE spec whose fields are all
-    * IDENTITY transforms on columns surviving the projection. (Transform
-    * partitions — bucket/temporal — would need a FunctionCatalog binding
-    * so both join sides resolve the same function; identity covers the
-    * co-location join shape without one.) Returns (clustering
-    * expressions, partition-field name + source type per key).
+    * can promise key-grouped output: a SINGLE spec whose fields are
+    * identity or bucket transforms on columns surviving the projection
+    * (bucket resolves through GraftCatalog's FunctionCatalog — both join
+    * sides bind the same canonical murmur3 function; temporal/truncate
+    * transforms could follow the same path). Returns (clustering
+    * expressions, partition-field name + KEY VALUE type per key — the
+    * transform's OUTPUT type, which is what the partition directory
+    * renders and what HasPartitionKey rows must carry).
     */
   private def spjKeys: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
       Seq[(String, org.apache.spark.sql.types.DataType)])] = {
@@ -99,13 +101,23 @@ class GraftBatchScan(protected val graft: GraftTable,
     val spec = meta.defaultSpec
     if (spec.fields.isEmpty) return None
     val fields = spec.fields.map { pf =>
-      if (pf.transform != _root_.graft.model.TIdentity) return None
       val src = meta.currentSchema.fieldById(pf.sourceId)
         .getOrElse(return None)
       if (!prunedSchema.fieldNames.contains(src.name)) return None
-      (pf.name, src.name, GraftTable.toSparkType(src.fieldType))
+      pf.transform match {
+        case _root_.graft.model.TIdentity =>
+          (pf.name, Expressions.identity(src.name),
+            GraftTable.toSparkType(src.fieldType))
+        case _root_.graft.model.TBucket(n) =>
+          (pf.name, Expressions.bucket(n, src.name),
+            org.apache.spark.sql.types.IntegerType
+              : org.apache.spark.sql.types.DataType)
+        case _ => return None
+      }
     }
-    Some((fields.map(f => Expressions.identity(f._2)).toArray,
+    Some((fields.map(_._2)
+        .map(_.asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+        .toArray,
       fields.map(f => (f._1, f._3))))
   }
 

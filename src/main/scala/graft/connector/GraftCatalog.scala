@@ -30,7 +30,8 @@ import scala.jdk.CollectionConverters._
   * `_p`-suffixed partition-field name (graft keeps source columns in the
   * data files — hidden partitioning, not directory-only columns).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -204,6 +205,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // catalog); a directory move would orphan every entry
     throw new UnsupportedOperationException(
       "graft tables pin absolute paths; use CREATE TABLE ... AS SELECT")
+
+  // --------------------------------------------------------- functions ----
+  // System functions backing partition-transform resolution (storage-
+  // partitioned joins over bucket tables); exposed in every namespace.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   // -------------------------------------------------------- namespaces ----
 

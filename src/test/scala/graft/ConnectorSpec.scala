@@ -464,6 +464,52 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("bucket SPJ: catalog tables bucketed on the join key, no shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wh = java.nio.file.Files.createTempDirectory("graft-bspj-wh")
+    spark.conf.set("spark.sql.catalog.gbspj", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbspj.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbspj.db")
+    spark.sql(
+      """CREATE TABLE gbspj.db.orders (o_key BIGINT, o_total DOUBLE)
+        |PARTITIONED BY (bucket(8, o_key))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE gbspj.db.items (o_key BIGINT, qty DOUBLE)
+        |PARTITIONED BY (bucket(8, o_key))""".stripMargin)
+    import spark.implicits._
+    (1L to 400L).map(i => (i, i * 1.5)).toDF("o_key", "o_total")
+      .createOrReplaceTempView("bspj_o")
+    (1L to 1200L).map(i => (i % 400 + 1, i * 0.25)).toDF("o_key", "qty")
+      .createOrReplaceTempView("bspj_i")
+    spark.sql("INSERT INTO gbspj.db.orders SELECT * FROM bspj_o")
+    spark.sql("INSERT INTO gbspj.db.items SELECT * FROM bspj_i")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        """SELECT o.o_key, o.o_total, SUM(i.qty) AS q
+          |FROM gbspj.db.orders o JOIN gbspj.db.items i
+          |  ON o.o_key = i.o_key
+          |GROUP BY o.o_key, o.o_total""".stripMargin)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected a shuffle-free bucket SPJ, found ${shuffles.size}:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.count() == 400)
+      assert(joined.filter(col("o_key") === 7L).head().getDouble(2) ==
+        (1L to 1200L).filter(i => i % 400 + 1 == 7).map(_ * 0.25).sum)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("concurrent format(graft) writers all commit through the V2 path") {
     val src = lineitem.limit(300).cache()
     val loc = freshLoc("conc")
