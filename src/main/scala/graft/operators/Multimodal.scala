@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * Scala analogue of mapInPandas: one iterator per partition, constant
   * memory, no shuffle). Format SNIFFING (magic bytes) and header-level
   * metadata (PNG/GIF/JPEG dimensions, container detection) are real
-  * byte-level parsers; only the PIXEL/SAMPLE decode is a clearly-marked
-  * deterministic stub (this container has no codecs — a real deployment
-  * swaps `pixelDecodeStub` for the codec call, nothing else moves).
+  * byte-level parsers. IMAGE pixel decode is REAL too — the JDK's
+  * javax.imageio handles PNG/JPEG/GIF/BMP with no external libraries
+  * (ImageIoCodec: luma features, bilinear resize, thumbnail re-encode).
+  * Only audio/video SAMPLE decode still degrades to the deterministic
+  * ByteStats fallback (no codecs for those in the JDK); a deployment
+  * registers real ones through the same MediaCodec seam.
   */
 object Multimodal {
 
@@ -138,10 +141,101 @@ object Multimodal {
     @volatile private var registry: Seq[MediaCodec] = Seq.empty
     def register(c: MediaCodec): Unit = synchronized { registry :+= c }
     def clear(): Unit = synchronized { registry = Seq.empty }
-    /** Driver-side snapshot of registered codecs plus the fallback —
-      * capture this into closures (registration order wins ties).
+    /** Driver-side snapshot of registered codecs plus the defaults —
+      * capture this into closures (registration order wins ties). The
+      * JDK's ImageIO decodes PNG/JPEG/GIF/BMP with no external codecs,
+      * so real pixel decode is on by default; ByteStats remains the
+      * universal fallback.
       */
-    def snapshot(): Seq[MediaCodec] = registry :+ ByteStats
+    def snapshot(): Seq[MediaCodec] = registry ++ Seq(ImageIoCodec, ByteStats)
+  }
+
+  /** REAL pixel decode via the JDK's javax.imageio (no external codec
+    * libraries): features come from DECODED LUMA, not payload bytes — a
+    * 16-bin luminance histogram and its entropy. Payloads ImageIO cannot
+    * decode (truncated, header-only) fall back to ByteStats, so the
+    * operator never fails on a corrupt asset — it degrades per-row.
+    */
+  object ImageIoCodec extends MediaCodec {
+    val formats: Set[String] = Set("png", "jpeg", "gif", "bmp")
+
+    def decodeFeatures(p: Array[Byte]): (Double, Array[Long]) =
+      decodeImage(p) match {
+        case None => MediaCodec.ByteStats.decodeFeatures(p)
+        case Some(img) =>
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              hist(luma(img.getRGB(x, y)) >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (img.getWidth.toLong * img.getHeight).toDouble.max(1.0)
+          val entropy = -hist.filter(_ > 0)
+            .map { c => val pr = c / n; pr * math.log(pr) / math.log(2) }
+            .sum
+          (math.rint(entropy * 10000) / 10000, hist)
+      }
+  }
+
+  /** Rec.601 integer luma of a packed RGB pixel (0..255). */
+  private def luma(rgb: Int): Int =
+    (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+      114 * (rgb & 0xff)) / 1000
+
+  /** Decode an image payload to pixels; None if the bytes are not a
+    * decodable image (headless-safe, pure JDK).
+    */
+  def decodeImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p)))
+    catch { case _: Exception => None }
+
+  /** Bilinear resize to (w, h), re-encoded as PNG — the real thumbnail
+    * path (Graphics2D, pure JDK).
+    */
+  def resizePng(p: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(p).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Deterministic synthetic photo for the planted corpus: pixel (x, y)
+    * of asset `id` mixes the coordinates through a xorshift of the id —
+    * stable across JVMs, structured enough that resize/luma statistics
+    * are non-trivial.
+    */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = id * 6364136223846793005L + (x * 1315423911L) ^
+          (y * 2654435761L)
+        v ^= v >>> 33; v *= 0xff51afd7ed558ccdL; v ^= v >>> 33
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   private def codecFor(fmt: String, codecs: Seq[MediaCodec]): MediaCodec =
@@ -223,6 +317,63 @@ object Multimodal {
             col("width"), col("n_bytes"),
             round(col("byte_entropy"), 4).as("byte_entropy"),
             col("histogram")(0).as("hist_0"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // REAL image decode / feature-extract / resize (pure JDK ImageIO —
+    // no external codec libraries): a planted corpus of deterministic
+    // PNGs flows through the binary-column pipeline, each asset is
+    // DECODED TO PIXELS, luma statistics come from the pixels, and a
+    // bilinear 8x6 thumbnail is re-encoded and re-decoded to prove the
+    // resize is genuine. Batched per partition, no shuffle; rows-only
+    // (pixel decode has no SQL oracle — MultimodalSpec pins values).
+    GraftQuery(
+      "m_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val assets = Tables.tbl(s, dir, "documents")
+          .select(col("doc_id")).limit(400)
+          .as[Long]
+          .mapPartitions(_.map(id =>
+            (id, syntheticPng(id, 32, 24), "png")))
+          .toDF("doc_id", "payload", "format")
+        val codecs = MediaCodec.snapshot()
+        assets.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            val img = decodeImage(bytes).getOrElse(
+              throw new IllegalStateException(s"undecodable asset $id"))
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += luma(img.getRGB(x, y)); x += 1
+              }
+              y += 1
+            }
+            val mean = sum.toDouble / (img.getWidth * img.getHeight)
+            val (entropy, _) = codecFor("png", codecs).decodeFeatures(bytes)
+            val thumbBytes = resizePng(bytes, 8, 6).get
+            val thumb = decodeImage(thumbBytes).get
+            var tsum = 0L
+            var ty = 0
+            while (ty < thumb.getHeight) {
+              var tx = 0
+              while (tx < thumb.getWidth) {
+                tsum += luma(thumb.getRGB(tx, ty)); tx += 1
+              }
+              ty += 1
+            }
+            (id, img.getWidth, img.getHeight,
+              math.rint(mean * 100) / 100, entropy,
+              thumb.getWidth, thumb.getHeight,
+              math.rint(tsum.toDouble / 48 * 100) / 100,
+              thumbBytes.length > 0)
+          })
+          .toDF("doc_id", "width", "height", "luma_mean", "luma_entropy",
+            "thumb_w", "thumb_h", "thumb_luma_mean", "thumb_encoded")
           .orderBy("doc_id")
       },
       None)
