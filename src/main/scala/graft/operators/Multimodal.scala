@@ -147,7 +147,8 @@ object Multimodal {
       * so real pixel decode is on by default; ByteStats remains the
       * universal fallback.
       */
-    def snapshot(): Seq[MediaCodec] = registry ++ Seq(ImageIoCodec, ByteStats)
+    def snapshot(): Seq[MediaCodec] =
+      registry ++ Seq(ImageIoCodec, WavCodec, ByteStats)
   }
 
   /** REAL pixel decode via the JDK's javax.imageio (no external codec
@@ -179,6 +180,81 @@ object Multimodal {
             .sum
           (math.rint(entropy * 10000) / 10000, hist)
       }
+  }
+
+  /** REAL audio sample decode via the JDK's javax.sound.sampled (WAV/
+    * PCM — no external codec libraries): features come from DECODED
+    * SAMPLES — a 16-bin histogram over normalized magnitude and its
+    * entropy. Non-WAV or undecodable payloads fall back to ByteStats.
+    */
+  object WavCodec extends MediaCodec {
+    val formats: Set[String] = Set("wav")
+
+    def decodeFeatures(p: Array[Byte]): (Double, Array[Long]) =
+      decodeWavSamples(p) match {
+        case None => MediaCodec.ByteStats.decodeFeatures(p)
+        case Some((_, _, samples)) =>
+          val hist = new Array[Long](16)
+          samples.foreach { s =>
+            hist(math.min(15, (math.abs(s.toInt) * 16) / 32768)) += 1
+          }
+          val n = samples.length.toDouble.max(1.0)
+          val entropy = -hist.filter(_ > 0)
+            .map { c => val pr = c / n; pr * math.log(pr) / math.log(2) }
+            .sum
+          (math.rint(entropy * 10000) / 10000, hist)
+      }
+  }
+
+  /** Decode a WAV payload to (sampleRate, channels, 16-bit samples);
+    * None when the bytes are not decodable PCM audio.
+    */
+  def decodeWavSamples(p: Array[Byte])
+      : Option[(Int, Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val bytes = ais.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1) & 0xff
+          out(i) =
+            (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic tone for the planted corpus: a 16-bit mono
+    * PCM WAV mixing two id-derived frequencies — stable across JVMs.
+    */
+  def syntheticWav(id: Long, rate: Int, nSamples: Int): Array[Byte] = {
+    val f1 = 200.0 + (id % 17) * 40.0
+    val f2 = 1000.0 + (id % 7) * 130.0
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val t = i.toDouble / rate
+      val v = (math.sin(2 * math.Pi * f1 * t) * 9000 +
+        math.sin(2 * math.Pi * f2 * t) * 4000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Rec.601 integer luma of a packed RGB pixel (0..255). */
@@ -374,6 +450,46 @@ object Multimodal {
           })
           .toDF("doc_id", "width", "height", "luma_mean", "luma_entropy",
             "thumb_w", "thumb_h", "thumb_luma_mean", "thumb_encoded")
+          .orderBy("doc_id")
+      },
+      None),
+
+    // REAL audio decode (pure JDK javax.sound.sampled — PCM WAV): planted
+    // deterministic tones decoded to SAMPLES, per-asset sample rate,
+    // duration, RMS level, peak, and zero-crossing rate — the audio
+    // analogues of the image features, from decoded content not payload
+    // bytes. Batched per partition, no shuffle; rows-only
+    // (MultimodalSpec/ImageDecodeSpec pin DSP ground truths).
+    GraftQuery(
+      "m_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.tbl(s, dir, "documents")
+          .select(col("doc_id")).limit(300)
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val wav = syntheticWav(id, rate = 8000, nSamples = 2000)
+            val (rate, channels, samples) = decodeWavSamples(wav).getOrElse(
+              throw new IllegalStateException(s"undecodable audio $id"))
+            var sumSq = 0.0
+            var peak = 0
+            var crossings = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toInt
+              sumSq += v.toDouble * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && ((v >= 0) != (samples(i - 1) >= 0))) crossings += 1
+              i += 1
+            }
+            val rms = math.sqrt(sumSq / math.max(1, samples.length))
+            (id, rate, channels, samples.length,
+              math.rint(rms * 100) / 100, peak,
+              math.rint(crossings.toDouble / samples.length * 10000) / 10000,
+              sniffFormat(wav))
+          })
+          .toDF("doc_id", "sample_rate", "channels", "n_samples", "rms",
+            "peak", "zero_cross_rate", "detected_format")
           .orderBy("doc_id")
       },
       None)

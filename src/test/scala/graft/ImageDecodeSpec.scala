@@ -58,6 +58,66 @@ class ImageDecodeSpec extends SparkSpec {
     assert(Multimodal.resizePng("not an image".getBytes, 8, 6).isEmpty)
   }
 
+  test("audio decode is real: silence has zero RMS, tones match DSP math") {
+    // pure silence → all samples 0 → rms 0, zero entropy in one bin
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val silentPcm = new Array[Byte](2000)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(silentPcm), fmt, 1000L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val silent = bos.toByteArray
+    val (_, _, samples) = Multimodal.decodeWavSamples(silent).get
+    assert(samples.length == 1000 && samples.forall(_ == 0))
+    val (entropy, hist) = Multimodal.WavCodec.decodeFeatures(silent)
+    assert(entropy == 0.0 && hist(0) == 1000L)
+    // a pure 440 Hz sine at amplitude A has RMS ≈ A/sqrt(2) and
+    // zero-crossing rate ≈ 2f/rate — decoded values must match the math
+    val rate = 8000
+    val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos2)
+    val (r2, ch2, tone) = Multimodal.decodeWavSamples(bos2.toByteArray).get
+    assert(r2 == 8000 && ch2 == 1)
+    val rms = math.sqrt(tone.map(s => s.toDouble * s).sum / tone.length)
+    assert(math.abs(rms - 12000 / math.sqrt(2)) < 100, s"rms $rms")
+    val crossings = (1 until tone.length)
+      .count(i => (tone(i) >= 0) != (tone(i - 1) >= 0))
+    assert(math.abs(crossings.toDouble / n - 2.0 * 440 / rate) < 0.01)
+    // undecodable audio degrades to byte stats, never fails
+    assert(Multimodal.decodeWavSamples("nope".getBytes).isEmpty)
+  }
+
+  test("m_audio_decode: deterministic sample features for every asset") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.byName("m_audio_decode").fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("n_samples") == 2000)
+      assert(r.getAs[String]("detected_format") == "wav")
+      // two-tone mix at 9000+4000 amplitude: RMS in a sane band
+      val rms = r.getAs[Double]("rms")
+      assert(rms > 4000 && rms < 12000, s"rms $rms")
+      assert(r.getAs[Int]("peak") <= 13000)
+      val zc = r.getAs[Double]("zero_cross_rate")
+      assert(zc > 0.0 && zc < 1.0)
+    }
+    val again = Registry.byName("m_audio_decode").fn(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("m_image_decode: deterministic pixel features for every asset") {
     val dir = "/root/testdata/sf0.001"
     val out = Registry.byName("m_image_decode").fn(spark, dir).collect()
