@@ -956,6 +956,132 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     readDeletesApplied(meta, planned, meta.currentSchema, Some(toSnapshot))
   }
 
+  /** Row-level changelog between two snapshots (CDC): for every commit
+    * in `(fromSnapshot, toSnapshot]` emits that commit's logical row
+    * changes — appends as `insert` rows, merge-on-read deletes
+    * (position AND equality) as `delete` rows WITH the full deleted-row
+    * content recovered from the referenced data files. Copy-on-write
+    * commits (CoW delete/overwrite/compaction) interleave physical
+    * rewrites with logical changes and are rejected loudly — the same
+    * restriction Iceberg's changelog scan imposes.
+    *
+    * Output = the table schema plus `_change_type` ('insert'|'delete'),
+    * `_commit_snapshot_id`, `_commit_sequence`. Per-commit recovery
+    * reads only the files the commit touched (positions are
+    * point-addressed; equality deletes re-derive their live candidate
+    * set exactly as the original commit scoped it).
+    */
+  def changes(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val meta = metadata
+    def snapOf(id: Long): SnapshotV2 = meta.snapshotById(id)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
+    val fromSeq = snapOf(fromSnapshotId).sequenceNumber
+    val toSeq = snapOf(toSnapshotId).sequenceNumber
+    require(fromSeq <= toSeq, "fromSnapshot must precede toSnapshot")
+    val inRange = meta.snapshots.getOrElse(Seq.empty)
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+    inRange.foreach { s =>
+      val op = s.summary.operation.getOrElse("unknown")
+      val cow = s.summary.other.get("rewritten-files").exists(_.toInt > 0) ||
+        s.summary.other.get("dropped-files").exists(_.toInt > 0) ||
+        op == "overwrite" || op == "replace"
+      require(!cow && (op == "append" || op == "delete"),
+        s"changelog cannot express snapshot ${s.snapshotId} ($op): " +
+          "copy-on-write rewrites interleave physical and logical changes")
+    }
+    val schema = meta.currentSchema
+    val sparkSchema = toSparkSchema(schema)
+    val bySeq = meta.snapshots.getOrElse(Seq.empty)
+      .map(s => s.sequenceNumber -> s.snapshotId).toMap
+    val refs = manifestsFor(meta, Some(toSnapshotId))
+    val emptyOut = {
+      val fields = sparkSchema.fields :+
+        SparkField("_change_type", StringType) :+
+        SparkField("_commit_snapshot_id", LongType) :+
+        SparkField("_commit_sequence", LongType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(fields))
+    }
+    def tag(df: DataFrame, tpe: String, seq: Long): DataFrame =
+      df.select(sparkSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_snapshot_id", lit(bySeq.getOrElse(seq, -1L)))
+        .withColumn("_commit_sequence", lit(seq))
+
+    val dataEntries = refs.filter(_.content == 0).flatMap(_.entries)
+      .filter(_.isData)
+    val allPosDeletePaths = deletePathsFor(meta, Some(toSnapshotId))
+    val allEqDeletes = eqDeletesFor(meta, Some(toSnapshotId))
+
+    // inserts: the rows each in-range append committed, as written
+    val inserts = dataEntries
+      .filter(e => e.sequenceNumber > fromSeq && e.sequenceNumber <= toSeq)
+      .groupBy(_.sequenceNumber).toSeq.map { case (sq, es) =>
+        tag(readAlignedFilesFor(meta, es.map(e => (e.path, e.schemaId)),
+          schema), "insert", sq)
+      }
+
+    // position deletes: point-addressed (file, pos) → recover the rows
+    // by semi-joining the annotated read of ONLY the referenced files
+    val posDels = refs.filter(_.content == 1).flatMap(_.entries)
+      .filter(e => e.content == 1 &&
+        e.sequenceNumber > fromSeq && e.sequenceNumber <= toSeq)
+    val posDeleted = posDels.groupBy(_.sequenceNumber).toSeq.map {
+      case (sq, es) =>
+        val positions = spark.read.parquet(es.map(_.path): _*)
+          .select(col("file_path"), col("pos"))
+        val touched = positions.select("file_path").distinct()
+          .collect().map(r => canonPath(decodePath(r.getString(0)))).toSet
+        val files = dataEntries
+          .filter(e => touched.contains(canonPath(e.path)))
+          .map(e => (e.path, e.schemaId))
+        val annotated = readAlignedFilesFor(meta, files, schema,
+          withPos = true)
+        tag(annotated.join(
+            broadcast(positions.withColumnRenamed("file_path", PosPathCol)
+              .withColumnRenamed("pos", PosIdxCol)),
+            Seq(PosPathCol, PosIdxCol), "left_semi"),
+          "delete", sq)
+    }
+
+    // equality deletes: candidates are the rows LIVE just before the
+    // commit (earlier-sequence data, position deletes applied, earlier
+    // equality deletes applied) that match the commit's key tuples
+    val eqDeleted = allEqDeletes
+      .filter(e => e.sequenceNumber > fromSeq && e.sequenceNumber <= toSeq)
+      .groupBy(_.sequenceNumber).toSeq.map { case (sq, es) =>
+        val priorData = dataEntries.filter(_.sequenceNumber < sq)
+        val annotated = priorData.groupBy(_.sequenceNumber).toSeq.map {
+          case (dsq, des) =>
+            readAlignedFilesFor(meta, des.map(e => (e.path, e.schemaId)),
+              schema, withPos = true).withColumn(SeqCol, lit(dsq))
+        }.reduceOption(_ unionByName _)
+        annotated match {
+          case None => tag(emptyOut.drop(
+            "_change_type", "_commit_snapshot_id", "_commit_sequence"),
+            "delete", sq)
+          case Some(cand0) =>
+            val live = GraftTable.applyEqDeletesSeqCore(spark,
+              applyDeletes(cand0, allPosDeletePaths),
+              allEqDeletes.filter(_.sequenceNumber < sq))
+            val deleted = es.groupBy(_.eqColumns).toSeq.map {
+              case (cols, dels) =>
+                val keys = spark.read.parquet(dels.map(_.path): _*)
+                  .select(cols.map(col).toIndexedSeq: _*).distinct()
+                  .select(cols.map(c => col(c).as(s"__k_$c"))
+                    .toIndexedSeq: _*)
+                live.join(broadcast(keys),
+                  cols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+                  "left_semi")
+            }.reduce(_ unionByName _)
+            tag(deleted, "delete", sq)
+        }
+      }
+
+    (inserts ++ posDeleted ++ eqDeleted)
+      .foldLeft(emptyOut)(_ unionByName _)
+  }
+
   /** Structured-streaming source over an APPEND-ONLY table: the stream
     * tails the table's data directory, so files committed by future
     * appends flow into later micro-batches, and a restarted query

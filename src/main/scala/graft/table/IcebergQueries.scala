@@ -50,6 +50,42 @@ object IcebergQueries {
     s"SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty"
 
   def queries: Seq[GraftQuery] = Seq(
+    // Row-level changelog (CDC): appends emit inserts, merge-on-read
+    // position AND equality deletes emit delete rows with full content
+    // recovered; CoW rewrites are rejected (Iceberg changelog-scan
+    // contract). The consumer shape: incremental downstream sync.
+    GraftQuery(
+      "ice_changelog",
+      (s, dir) => {
+        val src = li(s, dir).select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_returnflag")
+        val t = GraftTable.create(s, loc("cdc"), src.schema)
+        val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
+        t.append(src.filter(col("l_orderkey") % 2 === 1))
+        t.deleteWhereMoR(col("l_quantity") < 5)
+        val s4 = t.deleteWhereEq(src.filter(col("l_orderkey") % 10 === 3)
+          .select("l_orderkey").distinct())
+        t.changes(s1.snapshotId, s4.snapshotId)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            r4(dsum(col("l_quantity"))).as("sum_qty"),
+            countDistinct(col("_commit_snapshot_id")).as("n_commits"))
+          .orderBy("change_type")
+      },
+      Some(s"""WITH ins AS (
+          SELECT l_quantity FROM lineitem WHERE l_orderkey % 2 = 1),
+        del AS (
+          SELECT l_quantity FROM lineitem WHERE l_quantity < 5
+          UNION ALL
+          SELECT l_quantity FROM lineitem
+          WHERE l_orderkey % 10 = 3 AND l_quantity >= 5)
+        SELECT 'delete' AS change_type, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty, CAST(2 AS BIGINT) AS n_commits FROM del
+        UNION ALL
+        SELECT 'insert' AS change_type, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty, CAST(1 AS BIGINT) AS n_commits FROM ins
+        ORDER BY change_type""")),
+
     // Metadata JSON roundtrip (spec §Table Metadata; the reference's own
     // serde tests in table.rs/schema.rs are mirrored in MetadataSpec).
     GraftQuery(

@@ -164,6 +164,35 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM gdml.db.$t").head().getLong(0) == 0)
   }
 
+  test("changes(): row-level CDC with recovered delete content") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-cdc").toString + "/t"
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a", 1.0)).toDF("id", "k", "v").schema)
+    val s1 = t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"))
+    val s2 = t.append(Seq((3L, "c", 3.0), (4L, "d", 4.0)).toDF("id", "k", "v"))
+    val s3 = t.deleteWhereMoR(col("id") === 2L)
+    val s4 = t.deleteWhereEq(Seq(Tuple1("c")).toDF("k"))
+    val ch = t.changes(s1.snapshotId, s4.snapshotId).collect()
+    def rows(tpe: String) = ch.filter(_.getAs[String]("_change_type") == tpe)
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("k"),
+        r.getAs[Long]("_commit_snapshot_id"))).sortBy(_._1)
+    assert(rows("insert").toSeq ==
+      Seq((3L, "c", s2.snapshotId), (4L, "d", s2.snapshotId)))
+    // deleted rows carry FULL recovered content and the deleting commit
+    assert(rows("delete").toSeq ==
+      Seq((2L, "b", s3.snapshotId), (3L, "c", s4.snapshotId)))
+    // empty range → empty changelog with the full schema
+    assert(t.changes(s4.snapshotId, s4.snapshotId).count() == 0)
+    // CoW commits are rejected loudly
+    t.deleteWhere(col("id") === 1L)
+    val s5 = GraftTable.load(spark, loc).metadata.currentSnapshotId.get
+    val err = intercept[IllegalArgumentException] {
+      t.changes(s1.snapshotId, s5).collect() }
+    assert(err.getMessage.contains("copy-on-write"))
+  }
+
   test("engine updateWhere: null condition rows are not matched") {
     import spark.implicits._
     val loc = java.nio.file.Files
