@@ -167,6 +167,26 @@ object ConnectorQueries {
         FROM lineitem a JOIN b ON a.l_returnflag = b.l_returnflag
         GROUP BY 1 ORDER BY a.l_returnflag""")),
 
+    // SQL CALL maintenance surface (ProcedureCatalog): tag → destructive
+    // delete → rollback_to_snapshot → compact, all through spark.sql;
+    // the readback proves the rollback restored the pre-delete rows and
+    // compaction preserved them bit-for-bit.
+    GraftQuery(
+      "ice_sql_call",
+      (s, dir) => {
+        val t = dmlTable(s, dir, "li_call")
+        val loc = s"${warehouseLoc("wh")}/db/li_call"
+        val v1 = GraftTable.load(s, loc).metadata.currentSnapshotId.get
+        s.sql(s"CALL graft_ct.system.create_tag('db.li_call', 'pre')")
+        s.sql(s"DELETE FROM $t WHERE l_quantity >= 10")
+        s.sql(s"CALL graft_ct.system.rollback_to_snapshot('db.li_call', $v1)")
+        s.sql(s"CALL graft_ct.system.compact('db.li_call', ${256L << 20})")
+        flagQtyAgg(s, t)
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Metadata-only COUNT(*): SupportsPushDownAggregates answers a bare
     // count from manifest-list rollups — zero data files scanned at any
     // table size (ConnectorSpec proves it by deleting the data files).

@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
   * data files — hidden partitioning, not directory-only columns).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -205,6 +205,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // catalog); a directory move would orphan every entry
     throw new UnsupportedOperationException(
       "graft tables pin absolute paths; use CREATE TABLE ... AS SELECT")
+
+  // -------------------------------------------------------- procedures ----
+  // SQL CALL surface for table maintenance:
+  //   CALL <cat>.system.expire_snapshots('db.t', 3)   etc.
+
+  private def resolveTablePath(ident: String): String = {
+    val parts = ident.split('.')
+    val p = parts.foldLeft(warehouse)(_.resolve(_))
+    if (!isTableDir(p)) throw new NoSuchTableException(
+      Identifier.of(parts.dropRight(1), parts.last))
+    p.toString
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names
+      .map(Identifier.of(Array("system"), _)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name, resolveTablePath).getOrElse(
+      throw new RuntimeException(s"no such procedure ${ident.name}"))
 
   // --------------------------------------------------------- functions ----
   // System functions backing partition-transform resolution (storage-

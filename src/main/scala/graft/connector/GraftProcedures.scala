@@ -1,0 +1,141 @@
+package graft.connector
+
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance stored procedures behind Spark 4's SQL `CALL` syntax —
+  * the operational surface of the table format without leaving SQL:
+  *
+  * {{{
+  *   CALL g.system.expire_snapshots(`table` => 'db.t', keep_last => 3)
+  *   CALL g.system.remove_orphan_files('db.t', 0)
+  *   CALL g.system.rollback_to_snapshot('db.t', 123456789)
+  *   CALL g.system.compact('db.t')
+  *   CALL g.system.create_tag('db.t', 'audit-2026q1')
+  *   CALL g.system.create_branch('db.t', 'wip', 123456789)
+  * }}}
+  *
+  * Each delegates to the proven engine API and returns a one-row result
+  * set (LocalScan) describing what happened. The `table` argument is a
+  * catalog-relative identifier (`db.t` or `t`).
+  */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
+    "rollback_to_snapshot", "compact", "create_tag", "create_branch")
+
+  def load(name: String, resolveTable: String => String)
+      : Option[UnboundProcedure] = {
+    def p(n: String, params: Seq[ProcedureParameter],
+        out: StructType)(body: (GraftTable, InternalRow) => Seq[Any])
+        : UnboundProcedure =
+      new GraftProcedure(n, params.toArray, out, resolveTable, body)
+    val table = ProcedureParameter.in("table", StringType).build()
+    name match {
+      case "expire_snapshots" => Some(p("expire_snapshots",
+        Seq(table,
+          ProcedureParameter.in("keep_last", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(StructField("removed_data_files", LongType)))) {
+        (t, args) => Seq(t.expireSnapshots(args.getInt(1)).size.toLong)
+      })
+      case "remove_orphan_files" => Some(p("remove_orphan_files",
+        Seq(table,
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("3600000").build()),
+        StructType(Seq(StructField("removed_files", LongType)))) {
+        (t, args) => Seq(t.removeOrphanFiles(args.getLong(1)).size.toLong)
+      })
+      case "rollback_to_snapshot" => Some(p("rollback_to_snapshot",
+        Seq(table, ProcedureParameter.in("snapshot_id", LongType).build()),
+        StructType(Seq(StructField("current_snapshot_id", LongType)))) {
+        (t, args) =>
+          t.rollbackTo(args.getLong(1))
+          Seq(t.metadata.currentSnapshotId.getOrElse(-1L))
+      })
+      case "compact" => Some(p("compact",
+        Seq(table,
+          ProcedureParameter.in("target_file_bytes", LongType)
+            .defaultValue((64L << 20).toString).build()),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("rewritten_files", LongType)))) {
+        (t, args) =>
+          val snap = t.compactBinPack(args.getLong(1))
+          Seq(snap.snapshotId,
+            snap.summary.other.get("compacted-files")
+              .orElse(snap.summary.other.get("rewritten-files"))
+              .map(_.toLong).getOrElse(0L))
+      })
+      case "create_tag" => Some(p("create_tag",
+        Seq(table, ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(StructField("tag", StringType),
+          StructField("snapshot_id", LongType)))) {
+        (t, args) =>
+          val sid = args.getLong(2) match {
+            case -1L => t.metadata.currentSnapshotId.getOrElse(
+              throw new IllegalStateException("table has no snapshot"))
+            case s => s
+          }
+          t.createTag(args.getUTF8String(1).toString, sid)
+          Seq(args.getUTF8String(1), sid)
+      })
+      case "create_branch" => Some(p("create_branch",
+        Seq(table, ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(StructField("branch", StringType),
+          StructField("snapshot_id", LongType)))) {
+        (t, args) =>
+          val sid = args.getLong(2) match {
+            case -1L => t.metadata.currentSnapshotId.getOrElse(
+              throw new IllegalStateException("table has no snapshot"))
+            case s => s
+          }
+          t.createBranch(args.getUTF8String(1).toString, sid)
+          Seq(args.getUTF8String(1), sid)
+      })
+      case _ => None
+    }
+  }
+}
+
+/** One maintenance procedure: binds as-declared, executes on the driver
+  * against the resolved table, returns its one-row summary as a
+  * LocalScan.
+  */
+class GraftProcedure(procName: String,
+    params: Array[ProcedureParameter], outSchema: StructType,
+    resolveTable: String => String,
+    body: (GraftTable, InternalRow) => Seq[Any])
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"graft maintenance: $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val tableIdent = input.getUTF8String(0).toString
+    val t = GraftTable.load(SparkSession.active, resolveTable(tableIdent))
+    val values = body(t, input)
+    val row: InternalRow = new GenericInternalRow(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }.toArray[Any])
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"graft $procName result"
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}

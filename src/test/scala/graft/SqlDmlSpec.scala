@@ -164,6 +164,43 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM gdml.db.$t").head().getLong(0) == 0)
   }
 
+  test("CALL procedures: tag, rollback, compact, expire, orphans") {
+    val t = freshTable("proc")
+    val loc = s"$wh/db/$t"
+    val g = GraftTable.load(spark, loc)
+    val v1 = g.metadata.currentSnapshotId.get
+    // tag the current snapshot by default, then mutate and roll back
+    val tagged = spark.sql(
+      s"CALL gdml.system.create_tag(`table` => 'db.$t', name => 'keep')")
+      .head()
+    assert(tagged.getString(0) == "keep" && tagged.getLong(1) == v1)
+    spark.sql(s"DELETE FROM gdml.db.$t WHERE id > 10")
+    assert(spark.table(s"gdml.db.$t").count() == 10)
+    val rolled = spark.sql(
+      s"CALL gdml.system.rollback_to_snapshot('db.$t', $v1)").head()
+    assert(rolled.getLong(0) == v1)
+    assert(spark.table(s"gdml.db.$t").count() == 100)
+    // compaction through CALL commits a new snapshot
+    val compacted = spark.sql(
+      s"CALL gdml.system.compact('db.$t', ${256L << 20})").head()
+    assert(compacted.getLong(0) != v1)
+    // branch via CALL
+    val br = spark.sql(
+      s"CALL gdml.system.create_branch('db.$t', 'wip', $v1)").head()
+    assert(br.getString(0) == "wip" && br.getLong(1) == v1)
+    // expire everything but the latest (tagged/branched snapshots stay)
+    spark.sql(s"CALL gdml.system.expire_snapshots('db.$t', 1)").head()
+    assert(GraftTable.load(spark, loc).metadata.refs.get.keySet
+      .intersect(Set("keep", "wip")) == Set("keep", "wip"))
+    // orphan cleanup runs (nothing eligible under a 1h cutoff)
+    assert(spark.sql(
+      s"CALL gdml.system.remove_orphan_files('db.$t', ${3600L * 1000})")
+      .head().getLong(0) == 0L)
+    // unknown table fails loudly
+    intercept[Exception] {
+      spark.sql("CALL gdml.system.compact('db.nope')").collect() }
+  }
+
   test("changes(): row-level CDC with recovered delete content") {
     import spark.implicits._
     val loc = java.nio.file.Files
