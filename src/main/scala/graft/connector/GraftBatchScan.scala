@@ -96,6 +96,11 @@ class GraftBatchScan(protected val graft: GraftTable,
     */
   private def spjKeys: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
       Seq[(String, org.apache.spark.sql.types.DataType)])] = {
+    // key-grouped splits are only useful when storage-partitioned
+    // execution is enabled; otherwise plain bin-packing sizes splits
+    // better (keyed grouping forces >= one split per partition value)
+    if (spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
+        "false") != "true") return None
     val meta = graft.metadata
     if (meta.partitionSpecs.size != 1 || asOf.nonEmpty) return None
     val spec = meta.defaultSpec
