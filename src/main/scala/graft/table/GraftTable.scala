@@ -112,7 +112,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def commitSnapshot(op: String,
       buildRefs: TableMetadataV2 =>
         (Seq[ManifestRef], PendingAdds, Map[String, String]),
-      propsExtra: Map[String, String] = Map.empty)
+      propsExtra: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None)
       : SnapshotV2 = {
     val (baseVersion, meta) = metadataWithVersion
     val (reused, adds, summaryExtra) = buildRefs(meta)
@@ -144,7 +145,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val mrefs = reused ++ entryRefs ++ shardRefs
     ManifestList.write(manifestListPath(snapId), mrefs)
     val now = System.currentTimeMillis
-    val snap = SnapshotV2(snapId, meta.currentSnapshotId, seq, now,
+    // a branch commit parents off the BRANCH head and moves only that
+    // ref; main (currentSnapshotId + snapshot log) stays untouched —
+    // the write-audit-publish isolation property
+    val parentId = toBranch match {
+      case Some(b) => Some(meta.refs.flatMap(_.get(b)).getOrElse(
+        throw new IllegalArgumentException(s"no branch $b")).snapshotId)
+      case None => meta.currentSnapshotId
+    }
+    val snap = SnapshotV2(snapId, parentId, seq, now,
       manifestListPath(snapId).toString,
       Summary(Some(op), summaryExtra ++ Map(
         "total-data-files" ->
@@ -156,15 +165,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             mrefs.filter(_.content != 0).map(_.entryCount).sum.toString)
         else Map.empty)),
       Some(meta.currentSchemaId.toLong))
+    val target = toBranch.getOrElse("main")
     val refs = meta.refs.getOrElse(Map.empty) +
-      ("main" -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
+      (target -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
     try writeMetadataAt(meta.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
-      currentSnapshotId = Some(snapId),
+      currentSnapshotId =
+        if (toBranch.isEmpty) Some(snapId) else meta.currentSnapshotId,
       snapshots = Some(meta.snapshots.getOrElse(Seq.empty) :+ snap),
-      snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
-        SnapshotLog(snapId, now)),
+      snapshotLog =
+        if (toBranch.isEmpty)
+          Some(meta.snapshotLog.getOrElse(Seq.empty) :+
+            SnapshotLog(snapId, now))
+        else meta.snapshotLog,
       properties =
         if (propsExtra.isEmpty) meta.properties
         else Some(meta.properties.getOrElse(Map.empty) ++ propsExtra),
@@ -1845,6 +1859,49 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val (v, meta) = metadataWithVersion
     writeMetadataAt(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
       (name -> SnapshotRef(snapshotId, TagRetention(Long.MaxValue))))), v + 1)
+  }
+
+  /** Append onto a BRANCH (write-audit-publish): the commit parents off
+    * the branch head and moves only the branch ref — main readers never
+    * see the staged rows until `fastForward` publishes them. Audit the
+    * staged state via `scanRef(branch)`.
+    */
+  def appendToBranch(branch: String, df: DataFrame,
+      sortWithin: Seq[Column] = Seq.empty,
+      repartitionByPartition: Boolean = false): SnapshotV2 = {
+    val adds = writeFiles(df, sortWithin, repartitionByPartition)
+    retryingCommit(() => commitSnapshot("append", fresh => {
+      val head = fresh.refs.flatMap(_.get(branch)).getOrElse(
+        throw new IllegalArgumentException(s"no branch $branch")).snapshotId
+      (manifestsFor(fresh, Some(head)), adds,
+        Map("branch" -> branch))
+    }, toBranch = Some(branch)))
+  }
+
+  /** Publish a branch: fast-forward main to the branch head. Requires
+    * main's current snapshot to be an ANCESTOR of the branch head (the
+    * branch must contain everything main has) — otherwise publishing
+    * would silently drop main-only commits.
+    */
+  def fastForward(branch: String): Unit = {
+    val (v, meta) = metadataWithVersion
+    val head = meta.refs.flatMap(_.get(branch)).getOrElse(
+      throw new IllegalArgumentException(s"no branch $branch")).snapshotId
+    val ancestors = Iterator.iterate(Option(head))(cur => cur.flatMap(id =>
+        meta.snapshotById(id).flatMap(_.parentSnapshotId)))
+      .takeWhile(_.isDefined).map(_.get).toSet
+    meta.currentSnapshotId.foreach(cur => require(ancestors.contains(cur),
+      s"main ($cur) is not an ancestor of branch $branch ($head); " +
+        "fast-forward would drop main-only commits"))
+    val now = System.currentTimeMillis
+    writeMetadataAt(meta.copy(
+      currentSnapshotId = Some(head),
+      snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
+        SnapshotLog(head, now)),
+      refs = Some(meta.refs.getOrElse(Map.empty) +
+        ("main" -> SnapshotRef(head,
+          BranchRetention(1, Long.MaxValue, Long.MaxValue)))),
+      lastUpdatedMs = now), v + 1)
   }
 
 

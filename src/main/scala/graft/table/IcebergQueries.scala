@@ -50,6 +50,48 @@ object IcebergQueries {
     s"SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty"
 
   def queries: Seq[GraftQuery] = Seq(
+    // Write-audit-publish: stage appends on an isolated branch (main
+    // readers see nothing), audit the staged state via the branch scan,
+    // then fast-forward main — the production pattern for validated
+    // ingestion. Output proves isolation at every stage.
+    GraftQuery(
+      "ice_wap",
+      (s, dir) => {
+        import s.implicits._
+        val src = li(s, dir).select("l_orderkey", "l_quantity",
+          "l_returnflag")
+        val t = GraftTable.create(s, loc("wap"), src.schema)
+        t.append(src.filter(col("l_orderkey") % 2 === 0))
+        t.createBranch("audit", t.metadata.currentSnapshotId.get)
+        t.appendToBranch("audit", src.filter(col("l_orderkey") % 4 === 1))
+        t.appendToBranch("audit", src.filter(col("l_orderkey") % 4 === 3))
+        val mainBefore = t.scan().count()
+        val branchRows = t.scanRef("audit").count()
+        t.fastForward("audit")
+        val mainAfter = flagAgg(t.scan()).collect().toSeq
+        val rows: Seq[(String, Long, Option[String], Option[Double])] =
+          Seq(("1_main_pre_publish", mainBefore,
+              None: Option[String], None: Option[Double]),
+            ("2_audit_branch", branchRows, None, None)) ++
+          mainAfter.map(r => ("3_main_published", r.getAs[Long]("n"),
+            Option(r.getAs[String]("l_returnflag")),
+            Some(r.getAs[Double]("sum_qty"))))
+        rows.toDF("stage", "n", "l_returnflag", "sum_qty")
+          .orderBy("stage", "l_returnflag")
+      },
+      Some(s"""WITH evens AS (
+          SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)
+        SELECT '1_main_pre_publish' AS stage, COUNT(*) AS n,
+          CAST(NULL AS VARCHAR) AS l_returnflag,
+          CAST(NULL AS DOUBLE) AS sum_qty FROM evens
+        UNION ALL
+        SELECT '2_audit_branch', COUNT(*), NULL, NULL FROM lineitem
+        UNION ALL
+        SELECT '3_main_published', COUNT(*), l_returnflag,
+          ${sqlDsum("l_quantity")} FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY stage, l_returnflag""")),
+
     // Row-level changelog (CDC): appends emit inserts, merge-on-read
     // position AND equality deletes emit delete rows with full content
     // recovered; CoW rewrites are rejected (Iceberg changelog-scan

@@ -201,6 +201,38 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql("CALL gdml.system.compact('db.nope')").collect() }
   }
 
+  test("write-audit-publish: branch isolation and fast-forward safety") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-wap").toString + "/t"
+    val df0 = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df0.schema)
+    t.append(df0)
+    t.createBranch("audit", t.metadata.currentSnapshotId.get)
+    t.appendToBranch("audit",
+      (11L to 20L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    // isolation: main unchanged, branch sees staged rows
+    assert(t.scan().count() == 10)
+    assert(t.scanRef("audit").count() == 20)
+    // a second staged append stacks on the branch head
+    t.appendToBranch("audit",
+      (21L to 25L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    assert(t.scanRef("audit").count() == 25)
+    assert(t.scan().count() == 10)
+    // publish: main fast-forwards to the branch head
+    t.fastForward("audit")
+    assert(t.scan().count() == 25)
+    // diverged main (a commit after the branch point) must refuse
+    t.createBranch("stale", t.metadata.currentSnapshotId.get)
+    t.append(Seq((99L, 9.9)).toDF("id", "v"))
+    val err = intercept[IllegalArgumentException] { t.fastForward("stale") }
+    assert(err.getMessage.contains("not an ancestor"))
+    // unknown branch fails loudly on write and publish
+    intercept[IllegalArgumentException] {
+      t.appendToBranch("nope", df0) }
+    intercept[IllegalArgumentException] { t.fastForward("nope") }
+  }
+
   test("changes(): row-level CDC with recovered delete content") {
     import spark.implicits._
     val loc = java.nio.file.Files
