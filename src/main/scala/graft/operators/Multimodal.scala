@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * metadata (PNG/GIF/JPEG dimensions, container detection) are real
   * byte-level parsers. IMAGE pixel decode is REAL too — the JDK's
   * javax.imageio handles PNG/JPEG/GIF/BMP with no external libraries
-  * (ImageIoCodec: luma features, bilinear resize, thumbnail re-encode).
-  * Only audio/video SAMPLE decode still degrades to the deterministic
-  * ByteStats fallback (no codecs for those in the JDK); a deployment
-  * registers real ones through the same MediaCodec seam.
+  * (ImageIoCodec: luma features, bilinear resize, thumbnail re-encode) —
+  * as are WAV audio sample decode (WavCodec, javax.sound.sampled) and
+  * AVI/MJPEG video frame decode ([[Video]]: RIFF container parse +
+  * per-frame ImageIO). Only non-MJPEG video SAMPLE decode degrades to
+  * the deterministic ByteStats fallback (no H.264/VP9 in the JDK); a
+  * deployment registers real codecs through the same MediaCodec seam.
   */
 object Multimodal {
 
@@ -55,6 +57,8 @@ object Multimodal {
       startsWith(p, Array('W', 'E', 'B', 'P'), off = 8)) "webp"
     else if (startsWith(p, Array('R', 'I', 'F', 'F')) &&
       startsWith(p, Array('W', 'A', 'V', 'E'), off = 8)) "wav"
+    else if (startsWith(p, Array('R', 'I', 'F', 'F')) &&
+      startsWith(p, Array('A', 'V', 'I', ' '), off = 8)) "avi"
     else if (p.length >= 12 &&
       startsWith(p, Array('f', 't', 'y', 'p'), off = 4)) "mp4"
     else if (startsWith(p, Array('I', 'D', '3')) ||
@@ -258,6 +262,8 @@ object Multimodal {
   }
 
   /** Rec.601 integer luma of a packed RGB pixel (0..255). */
+  private[operators] def lumaOf(rgb: Int): Int = luma(rgb)
+
   private def luma(rgb: Int): Int =
     (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
       114 * (rgb & 0xff)) / 1000

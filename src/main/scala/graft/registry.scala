@@ -30,6 +30,7 @@ object Registry {
       operators.Retrieval.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Video.queries ++
       streaming.StreamingQueries.queries
 
   lazy val byName: Map[String, GraftQuery] = {
