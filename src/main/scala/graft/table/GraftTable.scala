@@ -292,7 +292,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     if (effectiveSort.nonEmpty)
       out = out.sortWithinPartitions(effectiveSort: _*)
 
-    val writer = out.write.mode("errorifexists")
+    // bloom'd columns also get PARQUET-native bloom filters: the manifest
+    // sidecar skips whole FILES at planning, the in-file bloom skips ROW
+    // GROUPS inside the survivors (Spark's reader applies it to pushed
+    // point predicates automatically)
+    val writer = Blooms
+      .bloomColumns(meta.properties.getOrElse(Map.empty), sparkSchema)
+      .foldLeft(out.write.mode("errorifexists")) { case (w, (name, _)) =>
+        w.option(s"parquet.bloom.filter.enabled#$name", "true")
+      }
     (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
       .parquet(writeDir)
 
@@ -309,7 +317,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
     if (!wrote) PendingAdds.empty
     else PendingAdds(Seq.empty,
-      writeStatsShards(writeDir, schema, sparkSchema, spec, writeId))
+      writeStatsShards(writeDir, schema, sparkSchema, spec, writeId,
+        meta.properties.getOrElse(Map.empty)))
   }
 
   /** One distributed pass over the freshly written files: per-file row
@@ -322,25 +331,43 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def writeStatsShards(writeDir: String, schema: SchemaV2,
       sparkSchema: StructType, spec: PartitionSpec,
-      writeId: String): Seq[ShardRef] = {
+      writeId: String, props: Map[String, String]): Seq[ShardRef] = {
     // leaf primitive paths, including DOTTED struct fields ("a.b.c") —
     // struct filters prune exactly like top-level ones
     val fieldSpecs: Seq[(String, DataType)] = statPaths(sparkSchema)
     val df = spark.read.parquet(writeDir)
+    // opt-in per-file bloom filters ride the SAME aggregate pass (zero
+    // extra scans) — Spark's codegen'd BloomFilterAggregate over the
+    // canonical xxhash64 (see Blooms for the hash contract)
+    val bloomCols = Blooms.bloomColumns(props, sparkSchema)
+    val (bloomItems, bloomBits) = Blooms.sizing(props)
+    val bloomAggs = bloomCols.map { case (name, dt) =>
+      org.apache.spark.sql.graft.Bridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            org.apache.spark.sql.graft.Bridge.expression(
+              Blooms.hashColumn(name, dt)),
+            org.apache.spark.sql.catalyst.expressions.Literal(bloomItems),
+            org.apache.spark.sql.catalyst.expressions.Literal(bloomBits))
+          .toAggregateExpression()).as(s"bloom::$name")
+    }
     val aggs = fieldSpecs.flatMap { case (p, _) =>
       Seq(min(col(p)).as(s"min::$p"),
         max(col(p)).as(s"max::$p"),
         sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"nulls::$p"))
     } ++ Seq(count(lit(1)).as("cnt"),
-      max(col("_metadata.file_size")).as("__size"))
+      max(col("_metadata.file_size")).as("__size")) ++ bloomAggs
     val statsRows = df
       .groupBy(col("_metadata.file_path").as("__path"))
       .agg(aggs.head, aggs.tail: _*)
     // close over only serializable values (no `this` — it holds the session)
     val schemaId = schema.schemaId
     val specLocal = spec
+    val bloomColNames = bloomCols.map(_._1)
+    val bloomDir = metaDir.resolve(s"blooms-$writeId").toString
     val jsonLines = statsRows.mapPartitions { it =>
-      it.map(r => statsRowToEntryJson(r, fieldSpecs, schemaId, specLocal))
+      it.map(r => statsRowToEntryJson(r, fieldSpecs, schemaId, specLocal,
+        bloomColNames, bloomDir))
     }(org.apache.spark.sql.Encoders.STRING)
     val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
     Files.createDirectories(metaDir)
@@ -418,25 +445,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   private def entryMayMatch(meta: TableMetadataV2, e: DataFileEntry,
       preds: Seq[Any], sparkSchema: StructType, schema: SchemaV2): Boolean =
-    Pruning.mayMatch(e, preds, sparkSchema, specForEntry(meta, e), schema)
+    Pruning.mayMatch(e, preds, sparkSchema, specForEntry(meta, e), schema) &&
+      Blooms.entryMayMatch(e, Blooms.bloomPreds(preds, sparkSchema))
 
   /** Spec-aware distributed may-match: single-spec tables keep the plain
     * predicate; evolved tables dispatch per manifest row on `spec-id`,
     * with stats-only pruning for rows carrying no/unknown spec.
     */
   private def mayMatchColumnFor(meta: TableMetadataV2, preds: Seq[Any],
-      sparkSchema: StructType, schema: SchemaV2): Column =
-    if (meta.partitionSpecs.size <= 1)
-      Pruning.mayMatchColumn(preds, sparkSchema, meta.defaultSpec, schema)
-    else {
-      val statsOnly = Pruning.mayMatchColumn(preds, sparkSchema,
-        PartitionSpec.unpartitioned, schema)
-      meta.partitionSpecs.foldRight(statsOnly) { (s, els) =>
-        when(col("spec-id") === s.specId,
-          Pruning.mayMatchColumn(preds, sparkSchema, s, schema))
-          .otherwise(els)
+      sparkSchema: StructType, schema: SchemaV2): Column = {
+    val statsPart =
+      if (meta.partitionSpecs.size <= 1)
+        Pruning.mayMatchColumn(preds, sparkSchema, meta.defaultSpec, schema)
+      else {
+        val statsOnly = Pruning.mayMatchColumn(preds, sparkSchema,
+          PartitionSpec.unpartitioned, schema)
+        meta.partitionSpecs.foldRight(statsOnly) { (s, els) =>
+          when(col("spec-id") === s.specId,
+            Pruning.mayMatchColumn(preds, sparkSchema, s, schema))
+            .otherwise(els)
+        }
       }
-    }
+    statsPart && Blooms.mayMatchColumn(Blooms.bloomPreds(preds, sparkSchema))
+  }
 
   private def planFilesFor(meta: TableMetadataV2, filter: Option[Column],
       asOf: Option[Long]): Seq[DataFileEntry] = {
@@ -540,7 +571,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       SparkField("nulls", LongType))))),
     SparkField("content", IntegerType),
     SparkField("file-size", LongType),
-    SparkField("spec-id", IntegerType)))
+    SparkField("spec-id", IntegerType),
+    SparkField(Blooms.sparkField.name, Blooms.sparkField.dataType)))
 
   /** Distributed equivalent of `planFiles`: prune as a Spark filter over
     * the manifest DataFrame. Returns surviving file paths.
@@ -771,6 +803,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // including executor-written shard files under manifest-shards-*/
     val liveManifestPaths = snapRefs.map(r => canonPath(r.path)).toSet ++
       meta.snapshots.getOrElse(Seq.empty).map(s => canonPath(s.manifestList))
+    // bloom sidecars referenced by ANY snapshot's entries stay; the rest
+    // (orphaned by aborted writes or expired rewrites) go with the data
+    val liveBloomPaths = snapRefs.flatMap(_.entries)
+      .flatMap(_.bloom.map(b => canonPath(b.path))).toSet
     val stream2 = Files.walk(metaDir)
     val orphanMeta =
       try stream2.iterator.asScala
@@ -778,11 +814,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .filter { p =>
           val n = p.getFileName.toString
           n.startsWith("manifest-") || n.endsWith(".manifest-list.json") ||
+            (n.endsWith(".bloom") && Option(p.getParent).exists(
+              _.getFileName.toString.startsWith("blooms-"))) ||
             (n.startsWith("part-") && Option(p.getParent).exists(
               _.getFileName.toString.startsWith("manifest-shards-")))
         }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .map(p => canonPath(p.toString)).filterNot(liveManifestPaths.contains)
+        .map(p => canonPath(p.toString))
+        .filterNot(liveManifestPaths.contains)
+        .filterNot(liveBloomPaths.contains)
         .toSeq
       finally stream2.close()
     val orphans = orphanData ++ orphanMeta
@@ -1922,9 +1962,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       ManifestList.read(Paths.get(s.manifestList)))
     val expiredRefs = expired.flatMap(s =>
       ManifestList.read(Paths.get(s.manifestList)))
-    val liveFiles = retainedRefs.flatMap(_.entries).map(_.path).toSet
-    val orphans = expiredRefs.flatMap(_.entries)
+    val retainedEntries = retainedRefs.flatMap(_.entries)
+    val expiredEntries = expiredRefs.flatMap(_.entries)
+    val liveFiles = retainedEntries.map(_.path).toSet
+    val orphans = expiredEntries
       .map(_.path).distinct.filterNot(liveFiles.contains)
+    // bloom sidecars follow their data files (shared ones survive)
+    val liveBlooms = retainedEntries.flatMap(_.bloom.map(_.path)).toSet
+    val orphanBlooms = expiredEntries.flatMap(_.bloom.map(_.path))
+      .distinct.filterNot(liveBlooms.contains)
     val retainedManifests = retainedRefs.map(_.path).toSet
     val orphanManifests = expiredRefs.map(_.path).distinct
       .filterNot(retainedManifests.contains)
@@ -1936,6 +1982,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .filter(l => keep.contains(l.snapshotId))),
       lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphanBlooms.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
     orphans
@@ -2301,7 +2348,8 @@ object GraftTable {
     */
   private[table] def statsRowToEntryJson(r: Row,
       statFields: Seq[(String, DataType)], schemaId: Int,
-      spec: PartitionSpec): String = {
+      spec: PartitionSpec, bloomCols: Seq[String] = Seq.empty,
+      bloomDir: String = ""): String = {
     val path = decodePath(r.getAs[String]("__path"))
     val stats = statFields.map { case (name, dt) =>
       name -> ColStats(
@@ -2309,9 +2357,31 @@ object GraftTable {
         Pruning.normalize(r.getAs[Any](s"max::$name"), dt),
         r.getAs[Long](s"nulls::$name"))
     }.toMap
+    // bloom sidecar: written HERE on the executor, next to the stats that
+    // sized it — the manifest entry carries only {path, off, len} ranges
+    val bloomRef = {
+      val bytes = bloomCols.flatMap(c =>
+        Option(r.getAs[Array[Byte]](s"bloom::$c")).map(c -> _))
+      if (bytes.isEmpty) None
+      else {
+        val dir = Paths.get(bloomDir)
+        Files.createDirectories(dir)
+        val f = dir.resolve(java.util.UUID.randomUUID.toString + ".bloom")
+        val out = Files.newOutputStream(f)
+        var off = 0L
+        val cols = Seq.newBuilder[(String, (Long, Long))]
+        try bytes.foreach { case (c, b) =>
+          out.write(b)
+          cols += c -> (off, b.length.toLong)
+          off += b.length
+        } finally out.close()
+        Some(Blooms.BloomRef(f.toString, cols.result().toMap))
+      }
+    }
     val entry = DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
       0L, schemaId, parsePartition(path, spec), stats,
-      fileSize = r.getAs[Long]("__size"), specId = Some(spec.specId))
+      fileSize = r.getAs[Long]("__size"), specId = Some(spec.specId),
+      bloom = bloomRef)
     graft.model.Json.write(entry.toJson)
   }
 

@@ -50,6 +50,49 @@ object IcebergQueries {
     s"SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty"
 
   def queries: Seq[GraftQuery] = Seq(
+    // Per-file bloom-filter file skipping: a point lookup on a
+    // high-cardinality UNSORTED key — the min/max-unprunable case —
+    // plans only the bloom-kept files. Pruning is REQUIRED in-query
+    // (kept < total files, for every lookup); the rows themselves come
+    // from the bloom-pruned scan and must match DuckDB exactly (a bloom
+    // has false positives, never false negatives).
+    GraftQuery(
+      "ice_bloom_prune",
+      (s, dir) => {
+        import s.implicits._
+        val src = li(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .withColumn("rid",
+            col("l_orderkey") * lit(10L) + col("l_linenumber"))
+        val t = GraftTable.create(s, loc("bloom"), src.schema,
+          // sized for sf0.1's ~75k keys/file (oversizing is cheap: ~90KB
+          // per sidecar; undersizing saturates the bloom and costs recall
+          // of the SKIP, never of the rows)
+          properties = Map(Blooms.ColumnsProp -> "rid",
+            Blooms.ItemsProp -> "100000"))
+        // round-robin layout: every file's [min,max] rid range overlaps
+        t.append(src.repartition(8))
+        val bounds = src.agg(min("rid"), max("rid")).head()
+        val targets = Seq(bounds.getLong(0), bounds.getLong(1))
+        val total = t.planFiles().length
+        targets.foreach { rid =>
+          val kept = t.planFiles(Some(col("rid") === rid)).length
+          require(kept < total,
+            s"bloom pruned nothing for rid=$rid: $kept of $total files")
+        }
+        t.scan(Some(col("rid").isin(targets: _*)))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            r4(col("l_quantity")).as("qty"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH r AS (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+            l_orderkey * 10 + l_linenumber AS rid FROM lineitem)
+        SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 4) AS qty
+        FROM r
+        WHERE rid IN (SELECT MIN(rid) FROM r UNION SELECT MAX(rid) FROM r)
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // Write-audit-publish: stage appends on an isolated branch (main
     // readers see nothing), audit the staged state via the branch scan,
     // then fast-forward main — the production pattern for validated

@@ -64,7 +64,10 @@ case class DataFileEntry(
     // before spec evolution existed carry None and prune by stats only
     // once the table holds several specs (resolving them under the NEW
     // default spec could prune a matching file)
-    specId: Option[Int] = None) {
+    specId: Option[Int] = None,
+    // per-column bloom-filter sidecar ranges (point-lookup file skipping;
+    // see Blooms) — absent on tables without graft.bloom.columns
+    bloom: Option[Blooms.BloomRef] = None) {
 
   def isData: Boolean = content == 0
 
@@ -90,6 +93,16 @@ case class DataFileEntry(
     val s = o.putObject("stats")
     stats.toSeq.sortBy(_._1).foreach { case (k, v) =>
       s.set[ObjectNode](k, v.toJson)
+    }
+    bloom.foreach { b =>
+      val bo = o.putObject("bloom")
+      bo.put("path", b.path)
+      val cs = bo.putObject("cols")
+      b.cols.toSeq.sortBy(_._1).foreach { case (k, (off, len)) =>
+        val c = cs.putObject(k)
+        c.put("off", off)
+        c.put("len", len)
+      }
     }
     o
   }
@@ -123,7 +136,14 @@ object DataFileEntry {
     n.path("file-size").asLong(0L),
     Option(n.get("equality-columns")).map(_.elements.asScala.toSeq
       .map(_.asText)).getOrElse(Seq.empty),
-    Option(n.get("spec-id")).filterNot(_.isNull).map(_.asInt))
+    Option(n.get("spec-id")).filterNot(_.isNull).map(_.asInt),
+    Option(n.get("bloom")).filterNot(_.isNull).map { b =>
+      Blooms.BloomRef(b.path("path").asText,
+        b.path("cols").properties.asScala.map { e =>
+          e.getKey -> (e.getValue.path("off").asLong,
+            e.getValue.path("len").asLong)
+        }.toMap)
+    })
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
     val lines = entries.map(e => Json.write(e.toJson))
