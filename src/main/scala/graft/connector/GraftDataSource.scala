@@ -23,6 +23,7 @@ import scala.jdk.CollectionConverters._
   *   spark.read.format("graft").option("snapshot-id", id).load(p) // time travel
   *   spark.read.format("graft").option("ref", "audit").load(p)  // branch/tag
   *   df.write.format("graft").mode("append").save(p)            // commit append
+  *   df.write.format("graft").option("branch", b).mode("append").save(p) // WAP stage
   * }}}
   *
   * The scan integrates with Catalyst natively: filters arrive via
@@ -172,12 +173,12 @@ class GraftSparkTable(val location: String, asOf: Option[Long])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel read")
-    new GraftWriteBuilder(graft)
+    new GraftWriteBuilder(graft, Option(info.options.get("branch")))
   }
 }
 
 /** Read-only metadata tables surfaced through SQL (Iceberg parity):
-  * `SELECT * FROM g.db.t.snapshots|history|files|partitions`. Each read
+  * `SELECT * FROM g.db.t.snapshots|history|files|partitions|refs`. Each read
   * recomputes from current table metadata.
   */
 class GraftMetaTable(location: String, kind: String)
@@ -192,6 +193,7 @@ class GraftMetaTable(location: String, kind: String)
       case "history" => t.historyDf
       case "files" => t.filesDf
       case "partitions" => t.partitionsDf
+      case "refs" => t.refsDf
     }
   }
 
@@ -223,7 +225,8 @@ class GraftMetaTable(location: String, kind: String)
 }
 
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "history", "files", "partitions")
+  val Kinds: Set[String] =
+    Set("snapshots", "history", "files", "partitions", "refs")
 }
 
 /** Collects Catalyst's pushed filters and required columns. Filters are
@@ -474,7 +477,8 @@ class GraftV1Scan(protected val graft: GraftTable,
   * the table's commit protocol (executor-written stats shards + atomic
   * metadata swap with optimistic retry) through the V1 bridge.
   */
-class GraftWriteBuilder(graft: GraftTable) extends WriteBuilder
+class GraftWriteBuilder(graft: GraftTable, branch: Option[String] = None)
+    extends WriteBuilder
     with SupportsTruncate with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var overwriteCond: Option[Column] = None
@@ -498,11 +502,20 @@ class GraftWriteBuilder(graft: GraftTable) extends WriteBuilder
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          if (dynamic) { graft.overwritePartitions(data); () }
-          else overwriteCond match {
-            // one commit: readers never see the truncated-but-unfilled gap
-            case Some(cond) => graft.overwriteWhere(cond, data); ()
-            case None => graft.append(data); ()
+          branch match {
+            // write-audit-publish through the PUBLIC surface: stage onto
+            // the branch, audit via .option("ref", b), publish with
+            // fastForward — main readers see nothing until then
+            case Some(b) =>
+              require(overwriteCond.isEmpty && !dynamic,
+                "branch writes support append only (stage, audit, publish)")
+              graft.appendToBranch(b, data); ()
+            case None if dynamic => graft.overwritePartitions(data); ()
+            case None => overwriteCond match {
+              // one commit: readers never see the truncated-but-unfilled gap
+              case Some(cond) => graft.overwriteWhere(cond, data); ()
+              case None => graft.append(data); ()
+            }
           }
       }
   }

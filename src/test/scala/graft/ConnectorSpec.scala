@@ -274,6 +274,15 @@ class ConnectorSpec extends SparkSpec {
       "SELECT SUM(record_count) FROM gmeta.db.t.partitions")
       .head().getLong(0)
     assert(recs == lineitem.count() * 2)
+    // refs: main plus a staged WAP branch, each with its head snapshot
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/t")
+    t.createBranch("audit", t.metadata.currentSnapshotId.get)
+    val refs = spark.sql(
+      "SELECT name, type, snapshot_id FROM gmeta.db.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.map(x => (x._1, x._2)).toSeq ==
+      Seq(("audit", "branch"), ("main", "branch")))
+    assert(refs(0)._3 == refs(1)._3) // branch starts at main's head
   }
 
   test("SQL CTAS creates and fills a graft table") {

@@ -233,6 +233,31 @@ class SqlDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.fastForward("nope") }
   }
 
+  test("WAP through the DSv2 surface: branch write option + ref read") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-wap-dsv2").toString + "/t"
+    val df0 = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df0.schema)
+    t.append(df0)
+    t.createBranch("audit", t.metadata.currentSnapshotId.get)
+    // stage through the public writer; main readers see nothing
+    (11L to 15L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .write.format("graft").option("branch", "audit")
+      .mode("append").save(loc)
+    assert(spark.read.format("graft").load(loc).count() == 10)
+    assert(spark.read.format("graft").option("ref", "audit").load(loc)
+      .count() == 15)
+    t.fastForward("audit")
+    assert(spark.read.format("graft").load(loc).count() == 15)
+    // branch writes are append-only staging: overwrite modes refuse
+    val err = intercept[Exception] {
+      df0.write.format("graft").option("branch", "audit")
+        .mode("overwrite").save(loc)
+    }
+    assert(err.getMessage.contains("append only"))
+  }
+
   test("changes(): row-level CDC with recovered delete content") {
     import spark.implicits._
     val loc = java.nio.file.Files
