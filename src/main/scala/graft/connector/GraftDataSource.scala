@@ -501,8 +501,14 @@ class GraftWriteBuilder(graft: GraftTable, branch: Option[String] = None)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          branch match {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          // Iceberg-style session-wide WAP: with graft.wap.branch set,
+          // every plain INSERT/append stages onto that branch until the
+          // conf is cleared and the branch fast-forwarded
+          val effectiveBranch = branch.orElse(
+            Option(data.sparkSession.conf.get("graft.wap.branch", null))
+              .filter(_.nonEmpty))
+          effectiveBranch match {
             // write-audit-publish through the PUBLIC surface: stage onto
             // the branch, audit via .option("ref", b), publish with
             // fastForward — main readers see nothing until then
@@ -517,6 +523,7 @@ class GraftWriteBuilder(graft: GraftTable, branch: Option[String] = None)
               case None => graft.append(data); ()
             }
           }
+        }
       }
   }
 }

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
-    "rollback_to_snapshot", "compact", "create_tag", "create_branch")
+    "rollback_to_snapshot", "compact", "create_tag", "create_branch",
+    "fast_forward")
 
   def load(name: String, resolveTable: String => String)
       : Option[UnboundProcedure] = {
@@ -101,6 +102,17 @@ object GraftProcedures {
           }
           t.createBranch(args.getUTF8String(1).toString, sid)
           Seq(args.getUTF8String(1), sid)
+      })
+      // the WAP publish step: CALL g.system.fast_forward('db.t', 'audit')
+      // moves main to the branch head (refuses when main diverged)
+      case "fast_forward" => Some(p("fast_forward",
+        Seq(table, ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(StructField("branch", StringType),
+          StructField("current_snapshot_id", LongType)))) {
+        (t, args) =>
+          t.fastForward(args.getUTF8String(1).toString)
+          Seq(args.getUTF8String(1),
+            t.metadata.currentSnapshotId.getOrElse(-1L))
       })
       case _ => None
     }

@@ -233,6 +233,37 @@ class SqlDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.fastForward("nope") }
   }
 
+  test("SQL-only WAP: wap.branch conf + CALL fast_forward") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wapsql").toString
+    spark.conf.set("spark.sql.catalog.gwap", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gwap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gwap.db")
+    spark.sql("CREATE TABLE gwap.db.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gwap.db.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("CALL gwap.system.create_branch('db.t', 'audit')")
+    spark.conf.set("graft.wap.branch", "audit")
+    try {
+      // with the conf set, a plain INSERT stages onto the branch
+      spark.sql("INSERT INTO gwap.db.t VALUES (3, 3.0), (4, 4.0)")
+      assert(spark.sql("SELECT COUNT(*) FROM gwap.db.t").head.getLong(0) == 2)
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM gwap.db.t VERSION AS OF 'audit'")
+        .head.getLong(0) == 4)
+    } finally spark.conf.unset("graft.wap.branch")
+    // publish via SQL; main now sees the staged rows
+    val out = spark.sql("CALL gwap.system.fast_forward('db.t', 'audit')")
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "audit")
+    assert(spark.sql("SELECT COUNT(*) FROM gwap.db.t").head.getLong(0) == 4)
+    // publishing a diverged branch refuses through SQL too
+    spark.sql("CALL gwap.system.create_branch('db.t', 'stale')")
+    spark.sql("INSERT INTO gwap.db.t VALUES (9, 9.0)")
+    val err = intercept[Exception] {
+      spark.sql("CALL gwap.system.fast_forward('db.t', 'stale')").collect()
+    }
+    assert(err.getMessage.contains("not an ancestor"))
+  }
+
   test("WAP through the DSv2 surface: branch write option + ref read") {
     import spark.implicits._
     val loc = java.nio.file.Files
