@@ -85,6 +85,30 @@ class PruningFuzzSpec extends SparkSpec {
     check(t, src, rounds = 25)
   }
 
+  test("fuzz: bloom'd unsorted table (bloom + stats pruning)") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-bl").toString + "/t",
+      src.schema,
+      properties = Map(
+        graft.table.Blooms.ColumnsProp -> "l_orderkey,l_returnflag",
+        graft.table.Blooms.ItemsProp -> "4000"))
+    // round-robin layout: every file's key range overlaps — equality
+    // conjuncts in the random predicates exercise the bloom paths on
+    // every planning surface check() covers (driver, distributed, DSv2,
+    // countRows); a broken hash contract shows up as lost rows
+    t.append(src.repartition(6))
+    check(t, src, rounds = 25)
+    // bloom pruning survives MoR deletes (data-file blooms unchanged)
+    t.deleteWhereMoR(col("l_quantity") < 5)
+    val remain = src.filter(!(col("l_quantity") < 5))
+    (1 to 10).foreach { _ =>
+      val f = randomPredicate()
+      assert(t.scan(Some(f)).count() == remain.filter(f).count(),
+        s"bloom'd deleted-scan diverged on: $f")
+    }
+  }
+
   test("fuzz: filters over stacked position+equality deletes stay exact") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
     val t = GraftTable.create(spark,
