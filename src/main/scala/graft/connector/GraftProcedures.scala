@@ -29,7 +29,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
-    "fast_forward")
+    "fast_forward", "rewrite_manifests")
 
   def load(name: String, resolveTable: String => String)
       : Option[UnboundProcedure] = {
@@ -113,6 +113,21 @@ object GraftProcedures {
           t.fastForward(args.getUTF8String(1).toString)
           Seq(args.getUTF8String(1),
             t.metadata.currentSnapshotId.getOrElse(-1L))
+      })
+      // metadata-only manifest consolidation (no data file moves)
+      case "rewrite_manifests" => Some(p("rewrite_manifests",
+        Seq(table,
+          ProcedureParameter.in("target_entries", LongType)
+            .defaultValue("250000").build()),
+        StructType(Seq(StructField("rewritten_manifests", LongType),
+          StructField("consolidated_manifests", LongType)))) {
+        (t, args) =>
+          val snap = t.rewriteManifests(args.getLong(1))
+          Seq(
+            snap.summary.other.get("rewritten-manifests")
+              .map(_.toLong).getOrElse(0L),
+            snap.summary.other.get("consolidated-manifests")
+              .map(_.toLong).getOrElse(0L))
       })
       case _ => None
     }

@@ -141,7 +141,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // ref (with inherited ids) is created at commit time, so a conflict
     // retry re-refs the same shards without any rewrite
     val shardRefs = adds.shards.map(s => ManifestRef(s.path, s.entryCount,
-      s.recordCount, Some(snapId), Some(seq)))
+      s.recordCount, Some(snapId), Some(seq), content = s.content))
     val mrefs = reused ++ entryRefs ++ shardRefs
     ManifestList.write(manifestListPath(snapId), mrefs)
     val now = System.currentTimeMillis
@@ -571,6 +571,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       SparkField("nulls", LongType))))),
     SparkField("content", IntegerType),
     SparkField("file-size", LongType),
+    SparkField("equality-columns", ArrayType(StringType)),
     SparkField("spec-id", IntegerType),
     SparkField(Blooms.sparkField.name, Blooms.sparkField.dataType)))
 
@@ -1666,6 +1667,61 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * delete files that referenced a rewritten file are dropped (those
     * rows were applied during the rewrite); other delete files survive.
     */
+  /** METADATA-ONLY manifest consolidation: rewrite the current snapshot's
+    * many small manifests (one-plus per commit — after 10k appends,
+    * planning reads 10k files) into few entry-count-sized ones. No data
+    * file moves; per-entry snapshot/sequence ids are MATERIALIZED from
+    * their inherited values, so incremental reads and delete sequencing
+    * are byte-for-byte unaffected. The rewrite itself is a Spark job
+    * over the manifest dataset (executors serialize the consolidated
+    * shards; the driver sees only rollup counts) — consolidating a
+    * million-file table's metadata never loads it on the driver.
+    * Content types keep separate manifests (the read path locates delete
+    * files from O(refs) metadata alone). Prior snapshots still reference
+    * the old manifest files untouched — time travel is unaffected, and
+    * expireSnapshots reclaims them once unreferenced.
+    */
+  def rewriteManifests(targetEntriesPerManifest: Long = 250000L)
+      : SnapshotV2 =
+    retryingCommit(() => {
+      val meta = metadata
+      val refs = manifestsFor(meta, None)
+      val byContent = refs.groupBy(_.content)
+      // already consolidated: one manifest per present content type
+      if (byContent.values.forall(_.size <= 1))
+        meta.currentSnapshot.getOrElse(
+          throw new IllegalStateException("empty table"))
+      else {
+      val writeId = java.util.UUID.randomUUID.toString.take(8)
+      val allShards = byContent.toSeq.sortBy(_._1).flatMap { case (ct, rs) =>
+        val entriesN = rs.map(_.entryCount).sum
+        if (entriesN == 0L) Seq.empty
+        else {
+          val nOut = math.max(1, math.ceil(
+            entriesN.toDouble / targetEntriesPerManifest).toInt)
+          val dir = metaDir.resolve(s"manifest-shards-rw-$writeId-c$ct")
+          manifestDfForRefs(rs).drop(SrcManifestCol)
+            .map(r => graft.model.Json.write(
+              GraftTable.manifestRowToEntry(r).toJson))(
+              org.apache.spark.sql.Encoders.STRING)
+            .coalesce(nOut)
+            .write.mode("errorifexists").text(dir.toString)
+          collectShardRefs(dir).map(_.copy(content = ct))
+        }
+      }
+      commitSnapshot("replace", { fresh =>
+        // rebase-unsafe: the consolidated shards snapshot THIS metadata
+        // version's entries — a concurrent commit means re-derive
+        if (fresh.currentSnapshotId != meta.currentSnapshotId)
+          throw new CommitConflictException(
+            s"table changed during rewriteManifests at $location")
+        (Seq.empty, PendingAdds(Seq.empty, allShards),
+          Map("rewritten-manifests" -> refs.size.toString,
+            "consolidated-manifests" -> allShards.size.toString))
+      })
+      }
+    })
+
   def compactBinPack(targetFileBytes: Long = 64L << 20): SnapshotV2 =
     // conflicts REBASE: the whole derivation re-runs against fresh state
     // with jittered backoff — a benign concurrent append must not abort
@@ -2280,7 +2336,8 @@ object GraftTable {
   /** An executor-written manifest shard (JSONL of pending entries) plus
     * the rollup counts the manifest list records.
     */
-  case class ShardRef(path: String, entryCount: Long, recordCount: Long)
+  case class ShardRef(path: String, entryCount: Long, recordCount: Long,
+      content: Int = 0)
 
   /** What a mutation hands to commitSnapshot: carried-over driver-side
     * entries (from existing manifests) plus executor-written shard
@@ -2383,6 +2440,44 @@ object GraftTable {
       fileSize = r.getAs[Long]("__size"), specId = Some(spec.specId),
       bloom = bloomRef)
     graft.model.Json.write(entry.toJson)
+  }
+
+  /** Inverse of the manifest-dataset read: one manifest DF row back to a
+    * DataFileEntry (all fields, including equality columns and bloom
+    * refs). Runs on EXECUTORS during manifest consolidation — the driver
+    * never materializes entry lists.
+    */
+  private[table] def manifestRowToEntry(r: Row): DataFileEntry = {
+    def opt[T](name: String)(get: Int => T): Option[T] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(get(i))
+    }
+    DataFileEntry(
+      path = r.getAs[String]("path"),
+      recordCount = r.getAs[Long]("record-count"),
+      snapshotId = r.getAs[Long]("snapshot-id"),
+      sequenceNumber = r.getAs[Long]("sequence-number"),
+      schemaId = r.getAs[Int]("schema-id"),
+      partition = opt("partition")(i => r.getMap[String, String](i))
+        .map(_.toMap.map { case (k, v) => k -> Option(v) })
+        .getOrElse(Map.empty),
+      stats = opt("stats")(i => r.getMap[String, Row](i))
+        .map(_.toMap.map { case (k, s) =>
+          k -> ColStats(Option(s.getAs[String]("min")),
+            Option(s.getAs[String]("max")), s.getAs[Long]("nulls"))
+        }).getOrElse(Map.empty),
+      content = opt("content")(r.getInt).getOrElse(0),
+      fileSize = opt("file-size")(r.getLong).getOrElse(0L),
+      eqColumns = opt("equality-columns")(i => r.getSeq[String](i))
+        .getOrElse(Seq.empty),
+      specId = opt("spec-id")(r.getInt),
+      bloom = opt("bloom")(i => r.getStruct(i)).map { b =>
+        Blooms.BloomRef(b.getAs[String]("path"),
+          Option(b.getAs[scala.collection.Map[String, Row]]("cols"))
+            .map(_.toMap.map { case (k, c) =>
+              k -> (c.getAs[Long]("off"), c.getAs[Long]("len"))
+            }).getOrElse(Map.empty))
+      })
   }
 
   private def newSnapshotId(): Long =

@@ -196,6 +196,13 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(
       s"CALL gdml.system.remove_orphan_files('db.$t', ${3600L * 1000})")
       .head().getLong(0) == 0L)
+    // metadata-only manifest consolidation through CALL
+    spark.sql(
+      s"INSERT INTO gdml.db.$t VALUES (201, 'x', 1.0), (202, 'y', 2.0)")
+    val rw = spark.sql(
+      s"CALL gdml.system.rewrite_manifests('db.$t')").head()
+    assert(rw.getLong(0) >= 2 && rw.getLong(1) >= 1)
+    assert(spark.table(s"gdml.db.$t").count() == 102)
     // unknown table fails loudly
     intercept[Exception] {
       spark.sql("CALL gdml.system.compact('db.nope')").collect() }
