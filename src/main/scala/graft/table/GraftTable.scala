@@ -1980,6 +1980,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * would silently drop main-only commits.
     */
   def fastForward(branch: String): Unit = {
+    // retry on version conflicts like any commit: each attempt re-reads
+    // metadata, so the ancestor check re-evaluates against fresh state
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      try return fastForwardOnce(branch)
+      catch { case _: CommitConflictException if attempts < 20 =>
+        Thread.sleep(5L * attempts + scala.util.Random.nextInt(25)) }
+    }
+  }
+
+  private def fastForwardOnce(branch: String): Unit = {
     val (v, meta) = metadataWithVersion
     val head = meta.refs.flatMap(_.get(branch)).getOrElse(
       throw new IllegalArgumentException(s"no branch $branch")).snapshotId
