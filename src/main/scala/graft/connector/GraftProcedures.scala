@@ -42,9 +42,18 @@ object GraftProcedures {
       case "expire_snapshots" => Some(p("expire_snapshots",
         Seq(table,
           ProcedureParameter.in("keep_last", IntegerType)
-            .defaultValue("1").build()),
+            .defaultValue("1").build(),
+          // -1 = no age rule; otherwise snapshots younger than this
+          // survive regardless of count (union of retention rules)
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("-1").build()),
         StructType(Seq(StructField("removed_data_files", LongType)))) {
-        (t, args) => Seq(t.expireSnapshots(args.getInt(1)).size.toLong)
+        (t, args) =>
+          val age = args.getLong(2) match {
+            case -1L => None
+            case ms => Some(ms)
+          }
+          Seq(t.expireSnapshots(args.getInt(1), age).size.toLong)
       })
       case "remove_orphan_files" => Some(p("remove_orphan_files",
         Seq(table,

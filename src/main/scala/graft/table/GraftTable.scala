@@ -2014,14 +2014,23 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
 
   /** Expire all but the last `keepLast` snapshots (ref'd snapshots always
-    * survive). Deletes newly-orphaned data files and expired manifests;
-    * returns the orphaned data file paths.
+    * survive). With `olderThanMs` set, snapshots committed within that
+    * age also survive regardless of count (Iceberg's expire-by-timestamp
+    * semantics — retention is the UNION of both rules). Deletes
+    * newly-orphaned data files and expired manifests; returns the
+    * orphaned data file paths.
     */
-  def expireSnapshots(keepLast: Int): Seq[String] = {
+  def expireSnapshots(keepLast: Int,
+      olderThanMs: Option[Long] = None): Seq[String] = {
     val (baseVersion, meta) = metadataWithVersion
     val all = meta.snapshots.getOrElse(Seq.empty).sortBy(_.sequenceNumber)
     val refIds = meta.refs.getOrElse(Map.empty).values.map(_.snapshotId).toSet
-    val keep = all.takeRight(keepLast).map(_.snapshotId).toSet ++ refIds
+    val cutoff = olderThanMs.map(System.currentTimeMillis - _)
+    val young = cutoff.map(c =>
+      all.filter(_.timestampMs >= c).map(_.snapshotId).toSet)
+      .getOrElse(Set.empty)
+    val keep = all.takeRight(keepLast).map(_.snapshotId).toSet ++ refIds ++
+      young
     val (retained, expired) = all.partition(s => keep.contains(s.snapshotId))
     if (expired.isEmpty) return Seq.empty
     // manifests are SHARED across snapshots: only delete manifests (and

@@ -321,6 +321,21 @@ class TableSpec extends SparkSpec {
     assert(t2.scan().count() == 100)
   }
 
+  test("age-based expiry keeps young snapshots regardless of count") {
+    val src = lineitem.limit(50)
+    val t = GraftTable.create(spark, freshLoc("expire3"), src.schema)
+    val s1 = t.append(src)
+    t.compact()
+    // everything committed seconds ago → a 1h age rule retains ALL of it
+    assert(t.expireSnapshots(keepLast = 1,
+      olderThanMs = Some(3600L * 1000)).isEmpty)
+    assert(t.scan(asOf = Some(s1.snapshotId)).count() == 50)
+    // age 0 → the age rule protects nothing; count rule applies as before
+    val orphans = t.expireSnapshots(keepLast = 1, olderThanMs = Some(0L))
+    assert(orphans.nonEmpty)
+    assert(t.scan().count() == 50)
+  }
+
   test("struct-field filters prune files via dotted nested stats") {
     val src = lineitem.withColumn("meta",
       struct(col("l_orderkey").as("ok"), col("l_returnflag").as("flag")))
