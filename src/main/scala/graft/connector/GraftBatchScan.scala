@@ -208,6 +208,11 @@ class GraftBatchScan(protected val graft: GraftTable,
   */
 object GraftRead {
 
+  /** Alignment-slot marker: emit the FILE PATH as a per-file constant
+    * (the `_file` metadata column). -1 stays the null-fill marker.
+    */
+  val FileSlot: Int = -2
+
   /** Bin-pack planned (path, schemaId, fileSize) files into input
     * partitions, one write-time schema per partition, first-fit-decreasing
     * against the session's maxPartitionBytes target.
@@ -331,8 +336,10 @@ object GraftRead {
     val groups = resolved.map { case (sid, physFields) =>
       val physSchema = StructType(physFields.map(_._2))
       val physIndex = physFields.map(_._1).zipWithIndex.toMap
-      val slots: Array[Int] =
-        prunedSchema.fields.map(f => physIndex.getOrElse(f.name, -1))
+      val slots: Array[Int] = prunedSchema.fields.map { f =>
+        if (f.name == GraftMetaColumns.File) GraftRead.FileSlot
+        else physIndex.getOrElse(f.name, -1)
+      }
       val identity = slots.length == physSchema.length &&
         slots.zipWithIndex.forall { case (s, i) => s == i }
       // only push row-group filters whose columns kept their physical
@@ -403,10 +410,17 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
   override def supportColumnarReads(partition: InputPartition): Boolean =
     groups(partition.asInstanceOf[GraftSplit].schemaId).columnar
 
-  private def rawIterator(p: GraftSplit): Iterator[AnyRef] = {
+  private def rawIterator(p: GraftSplit): Iterator[AnyRef] =
+    perFileIterator(p).flatMap(_._2)
+
+  /** One (path, reader output) pair per file — the path feeds per-file
+    * constant columns (`_file`).
+    */
+  private def perFileIterator(p: GraftSplit)
+      : Iterator[(String, Iterator[AnyRef])] = {
     val g = groups(p.schemaId)
-    p.files.iterator.flatMap { case (path, size) =>
-      g.readFunc(PartitionedFile(InternalRow.empty,
+    p.files.iterator.map { case (path, size) =>
+      path -> g.readFunc(PartitionedFile(InternalRow.empty,
         SparkPath.fromPathString(path), 0L, size))
         .asInstanceOf[Iterator[AnyRef]]
     }
@@ -418,19 +432,24 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
     val g = groups(p.schemaId)
     // the parquet reader may yield ColumnarBatch even on the row path
     // (vectorized reader); flatten defensively
-    val rows: Iterator[InternalRow] = rawIterator(p).flatMap {
+    def rowsOf(raw: Iterator[AnyRef]): Iterator[InternalRow] = raw.flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r: InternalRow => Iterator.single(r)
     }
     val aligned: Iterator[InternalRow] =
-      if (g.identity) rows
-      else {
+      if (g.identity) rowsOf(rawIterator(p))
+      else perFileIterator(p).flatMap { case (path, raw) =>
+        // projection is rebuilt per FILE so FileSlot binds this file's
+        // path as a constant; cheap next to reading the file itself
         val exprs = g.slots.zip(g.logicalSchema.fields).map {
+          case (GraftRead.FileSlot, f) => CatalystLiteral(
+            org.apache.spark.unsafe.types.UTF8String.fromString(path),
+            f.dataType)
           case (-1, f) => CatalystLiteral(null, f.dataType)
           case (i, f) => BoundReference(i, f.dataType, nullable = true)
         }
         val proj = UnsafeProjection.create(exprs.toIndexedSeq)
-        rows.map(proj)
+        rowsOf(raw).map(proj)
       }
     iteratorReader(aligned)
   }
@@ -439,20 +458,27 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftSplit]
     val g = groups(p.schemaId)
-    val batches = rawIterator(p).map(_.asInstanceOf[ColumnarBatch])
     val aligned: Iterator[ColumnarBatch] =
-      if (g.identity) batches
-      else batches.map { b =>
-        val vecs: Array[ColumnVector] =
-          g.slots.zip(g.logicalSchema.fields).map {
-            case (-1, f) =>
-              val v = new org.apache.spark.sql.execution.vectorized
-                .ConstantColumnVector(b.numRows, f.dataType)
-              v.setNull()
-              v
-            case (i, _) => b.column(i)
-          }
-        new ColumnarBatch(vecs, b.numRows)
+      if (g.identity) rawIterator(p).map(_.asInstanceOf[ColumnarBatch])
+      else perFileIterator(p).flatMap { case (path, raw) =>
+        raw.map(_.asInstanceOf[ColumnarBatch]).map { b =>
+          val vecs: Array[ColumnVector] =
+            g.slots.zip(g.logicalSchema.fields).map {
+              case (GraftRead.FileSlot, f) =>
+                val v = new org.apache.spark.sql.execution.vectorized
+                  .ConstantColumnVector(b.numRows, f.dataType)
+                v.setUtf8String(org.apache.spark.unsafe.types
+                  .UTF8String.fromString(path))
+                v
+              case (-1, f) =>
+                val v = new org.apache.spark.sql.execution.vectorized
+                  .ConstantColumnVector(b.numRows, f.dataType)
+                v.setNull()
+                v
+              case (i, _) => b.column(i)
+            }
+          new ColumnarBatch(vecs, b.numRows)
+        }
       }
     iteratorReader(aligned)
   }

@@ -84,7 +84,16 @@ object GraftSparkTable {
   */
 class GraftSparkTable(val location: String, asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Iceberg-parity virtual columns, servable on BOTH read paths: the
+    * native columnar scan emits a per-file constant vector, the V1
+    * delete-bridge derives it from `_metadata.file_path`.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMetaColumns.columns
 
   private def spark: SparkSession = SparkSession.active
   private[connector] def graft: GraftTable = GraftTable.load(spark, location)
@@ -234,6 +243,20 @@ object GraftMetaTable {
   * visibility) but conservatively re-evaluated by Spark above the scan —
   * min/max pruning is may-match, not exact.
   */
+/** Metadata (virtual) columns the connector serves. */
+object GraftMetaColumns {
+  val File = graft.table.GraftTable.FileCol
+
+  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = File
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "on-disk data file path of the row"
+    })
+}
+
 class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     asOf: Option[Long]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
@@ -322,7 +345,13 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
           case GraftAggScan.MaxAgg(c) => tableSchema(c).dataType
         })
     val prunedSchema = StructType(
-      tableSchema.fields.filter(f => requiredNames.contains(f.name)))
+      tableSchema.fields.filter(f => requiredNames.contains(f.name)) ++
+        // requested metadata columns ride at the END of the read schema;
+        // the reader factories emit them as per-file constants
+        (if (requiredNames.contains(GraftMetaColumns.File))
+          Seq(org.apache.spark.sql.types.StructField(GraftMetaColumns.File,
+            org.apache.spark.sql.types.StringType, nullable = false))
+        else Seq.empty))
     // delete-free snapshots (the dominant shape at scale: append-only
     // ingest) take the native columnar batch path; snapshots carrying
     // position/equality deletes fall back to the V1 bridge, which runs
@@ -462,7 +491,9 @@ class GraftV1Scan(protected val graft: GraftTable,
       // rows come out of an inner Spark plan as UnsafeRow already
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] = {
-        val df = graft.scan(filterColumn, asOf)
+        val withFile =
+          prunedSchema.fieldNames.contains(GraftMetaColumns.File)
+        val df = graft.scan(filterColumn, asOf, withFileColumn = withFile)
         val projected =
           if (prunedSchema.isEmpty) df.select()
           else df.select(prunedSchema.fieldNames.map(col).toIndexedSeq: _*)

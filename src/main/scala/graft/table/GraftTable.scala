@@ -896,7 +896,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * Reads resolve columns by field id across schema versions (rename/add
     * survive; old files project nulls for later columns).
     */
-  def scan(filter: Option[Column] = None, asOf: Option[Long] = None): DataFrame = {
+  def scan(filter: Option[Column] = None, asOf: Option[Long] = None,
+      withFileColumn: Boolean = false): DataFrame = {
     // pin ONE metadata version for the whole read: snapshot resolution,
     // pruning, and schema alignment must not mix concurrent commits
     val meta = metadata
@@ -904,7 +905,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val planned = plannedFilesFor(meta, filter, asOf)
-    val df = readDeletesApplied(meta, planned, readSchema, asOf)
+    val df = readDeletesApplied(meta, planned, readSchema, asOf,
+      withFile = withFileColumn)
     filter.map(df.filter).getOrElse(df)
   }
 
@@ -1182,9 +1184,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def readDeletesApplied(meta: TableMetadataV2,
       files: Seq[(String, Int, Long)], readSchema: SchemaV2,
-      asOf: Option[Long]): DataFrame =
+      asOf: Option[Long], withFile: Boolean = false): DataFrame =
     GraftTable.readDeletesAppliedCore(spark, meta, files, readSchema,
-      deletePathsFor(meta, asOf), eqDeletesFor(meta, asOf))
+      deletePathsFor(meta, asOf), eqDeletesFor(meta, asOf), withFile)
 
   /** Anti-join position-delete files (columns file_path, pos) against a
     * position-annotated read. Delete sets are small relative to data —
@@ -2253,12 +2255,13 @@ object GraftTable {
     */
   private[table] def readAlignedFilesCore(spark: SparkSession,
       meta: TableMetadataV2, files: Seq[(String, Int)],
-      readSchema: SchemaV2, withPos: Boolean = false): DataFrame = {
+      readSchema: SchemaV2, withPos: Boolean = false,
+      withFile: Boolean = false): DataFrame = {
     val targetSpark0 = toSparkSchema(readSchema)
-    val targetSpark =
-      if (!withPos) targetSpark0
-      else StructType(targetSpark0.fields ++ Seq(
-        SparkField(PosPathCol, StringType), SparkField(PosIdxCol, LongType)))
+    val targetSpark = StructType(targetSpark0.fields ++
+      (if (withPos) Seq(SparkField(PosPathCol, StringType),
+        SparkField(PosIdxCol, LongType)) else Seq.empty) ++
+      (if (withFile) Seq(SparkField(FileCol, StringType)) else Seq.empty))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], targetSpark)
@@ -2277,10 +2280,21 @@ object GraftTable {
         // raw (undecoded) file path: both sides of the delete anti-join
         // come from _metadata.file_path, so the encoding cancels out
         col("_metadata.file_path").as(PosPathCol),
-        col("_metadata.row_index").as(PosIdxCol)) else Seq.empty)
+        col("_metadata.row_index").as(PosIdxCol)) else Seq.empty) ++
+        (if (withFile) Seq(
+          // user-facing virtual column: the DECODED on-disk path, same
+          // form the manifest stores (and the native DSv2 path emits)
+          decodePathUdf(col("_metadata.file_path")).as(FileCol))
+        else Seq.empty)
       df.select(cols: _*)
     }.reduce(_.union(_))
   }
+
+  /** `_file` metadata-column name (Iceberg-parity virtual column). */
+  val FileCol = "_file"
+
+  private lazy val decodePathUdf =
+    udf((s: String) => decodePath(s))
 
   /** Anti-join position-delete files (columns file_path, pos) against a
     * position-annotated read. Delete sets are small relative to data —
@@ -2319,14 +2333,16 @@ object GraftTable {
   private[table] def readDeletesAppliedCore(spark: SparkSession,
       meta: TableMetadataV2, files: Seq[(String, Int, Long)],
       readSchema: SchemaV2, posDels: Seq[String],
-      eqDels0: Seq[DataFileEntry]): DataFrame = {
+      eqDels0: Seq[DataFileEntry], withFile: Boolean = false): DataFrame = {
     // a delete at or below EVERY planned file's sequence can never apply
     val minSeq = files.map(_._3).minOption.getOrElse(Long.MaxValue)
     val eqDels = eqDels0.filter(_.sequenceNumber > minSeq)
     def posApplied(fs: Seq[(String, Int)]): DataFrame =
-      if (posDels.isEmpty) readAlignedFilesCore(spark, meta, fs, readSchema)
+      if (posDels.isEmpty) readAlignedFilesCore(spark, meta, fs, readSchema,
+        withFile = withFile)
       else applyPosDeletesCore(spark,
-        readAlignedFilesCore(spark, meta, fs, readSchema, withPos = true),
+        readAlignedFilesCore(spark, meta, fs, readSchema, withPos = true,
+          withFile = withFile),
         posDels).drop(PosPathCol, PosIdxCol)
     if (eqDels.isEmpty || files.isEmpty)
       posApplied(files.map(f => (f._1, f._2)))
