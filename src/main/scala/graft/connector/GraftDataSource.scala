@@ -5,6 +5,7 @@ import graft.model._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform => SparkTransform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -455,7 +456,69 @@ trait GraftScanStatistics extends SupportsReportStatistics {
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(sizeEst)
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats()
+          : java.util.Map[expressions.NamedReference,
+            colstats.ColumnStatistics] = reportedColumnStats
     }
+  }
+
+  /** ANALYZE-produced per-column statistics (NDV / nulls / bounds from
+    * the stats sidecar of this read's snapshot or its nearest ancestor),
+    * keyed for Spark's `transformV2Stats` → CBO join sizing. Table-level
+    * numbers ride with the post-pruning row count: pushed filters stay
+    * RESIDUAL in the plan here (may-match pruning), so Spark's own
+    * FilterEstimation applies selectivity above the scan using exactly
+    * these stats. Computed once per scan — O(analyzed columns).
+    */
+  protected final lazy val reportedColumnStats
+      : java.util.Map[expressions.NamedReference,
+        colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[expressions.NamedReference,
+      colstats.ColumnStatistics]()
+    try graft.columnStatistics(asOf).foreach { case (_, _, entries) =>
+      val byName = entries.map(e => e.name -> e).toMap
+      prunedSchema.fields.foreach { f =>
+        byName.get(f.name).foreach { e =>
+          // min/max only for types whose catalyst-internal value is the
+          // parsed box (CBO range estimation); others still carry NDV
+          def parse(s: String): Option[Object] = f.dataType match {
+            case org.apache.spark.sql.types.IntegerType =>
+              s.toIntOption.map(Int.box)
+            case org.apache.spark.sql.types.LongType =>
+              s.toLongOption.map(Long.box)
+            case org.apache.spark.sql.types.ShortType =>
+              s.toShortOption.map(Short.box)
+            case org.apache.spark.sql.types.DoubleType =>
+              s.toDoubleOption.map(Double.box)
+            case org.apache.spark.sql.types.FloatType =>
+              s.toFloatOption.map(Float.box)
+            case _ => None
+          }
+          m.put(Expressions.column(f.name),
+            new colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                OptionalLong.of(e.ndv)
+              override def nullCount(): OptionalLong =
+                OptionalLong.of(e.nullCount)
+              override def min(): java.util.Optional[Object] =
+                e.min.flatMap(parse) match {
+                  case Some(v) => java.util.Optional.of(v)
+                  case None => java.util.Optional.empty()
+                }
+              override def max(): java.util.Optional[Object] =
+                e.max.flatMap(parse) match {
+                  case Some(v) => java.util.Optional.of(v)
+                  case None => java.util.Optional.empty()
+                }
+              override def avgLen(): OptionalLong =
+                e.avgLen.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+              override def maxLen(): OptionalLong =
+                e.maxLen.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+            })
+        }
+      }
+    } catch { case _: Exception => () } // stats are advisory, never fatal
+    m
   }
 }
 

@@ -29,7 +29,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
-    "fast_forward", "rewrite_manifests")
+    "fast_forward", "rewrite_manifests", "analyze_table")
 
   def load(name: String, resolveTable: String => String)
       : Option[UnboundProcedure] = {
@@ -137,6 +137,22 @@ object GraftProcedures {
               .map(_.toLong).getOrElse(0L),
             snap.summary.other.get("consolidated-manifests")
               .map(_.toLong).getOrElse(0L))
+      })
+      // ANALYZE: one distributed pass → NDV sketches + rollups in a
+      // stats sidecar; the connector reports them to the CBO
+      case "analyze_table" => Some(p("analyze_table",
+        Seq(table,
+          ProcedureParameter.in("columns", StringType)
+            .defaultValue("''").build()),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("analyzed_columns", LongType),
+          StructField("stats_path", StringType)))) {
+        (t, args) =>
+          val cols = Option(args.getUTF8String(1)).map(_.toString)
+            .getOrElse("").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val ref = t.analyze(cols)
+          val n = graft.table.Stats.readFile(ref.path)._2.size.toLong
+          Seq(ref.snapshotId, n, UTF8String.fromString(ref.path))
       })
       case _ => None
     }

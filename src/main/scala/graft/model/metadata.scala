@@ -471,6 +471,27 @@ object MetadataLog {
     MetadataLog(n.path("metadata-file").asText, n.path("timestamp-ms").asLong)
 }
 
+/** One table-statistics file (Iceberg spec §"Table Statistics": the
+  * `statistics` metadata list references puffin-style sidecar files,
+  * keyed by the snapshot they were computed at). The file itself holds
+  * per-column NDV sketches + rollups; metadata carries only the pointer.
+  */
+case class StatisticsFileRef(snapshotId: Long, path: String,
+    fileSizeBytes: Long) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("snapshot-id", snapshotId)
+    o.put("statistics-path", path)
+    o.put("file-size-in-bytes", fileSizeBytes)
+    o
+  }
+}
+object StatisticsFileRef {
+  def fromJson(n: JsonNode): StatisticsFileRef = StatisticsFileRef(
+    n.path("snapshot-id").asLong, n.path("statistics-path").asText,
+    n.path("file-size-in-bytes").asLong)
+}
+
 // ------------------------------------------------------- table metadata ----
 
 /** table.rs:19 TableMetadataV2 — the root metadata document. */
@@ -492,7 +513,8 @@ case class TableMetadataV2(
     metadataLog: Option[Seq[MetadataLog]] = None,
     sortOrders: Seq[SortOrder] = Seq(SortOrder.unsorted),
     defaultSortOrderId: Long = 0L,
-    refs: Option[Map[String, SnapshotRef]] = None) {
+    refs: Option[Map[String, SnapshotRef]] = None,
+    statistics: Option[Seq[StatisticsFileRef]] = None) {
 
   // validate the UUID eagerly, as the reference does via the Uuid type
   java.util.UUID.fromString(tableUuid)
@@ -544,6 +566,9 @@ case class TableMetadataV2(
       val ro = o.putObject("refs")
       r.toSeq.sortBy(_._1).foreach { case (k, v) => ro.set[ObjectNode](k, v.toJson) }
     }
+    statistics.foreach { ss =>
+      val a = o.putArray("statistics"); ss.foreach(s => a.add(s.toJson))
+    }
     o
   }
 
@@ -582,6 +607,8 @@ object TableMetadataV2 {
       defaultSortOrderId = n.path("default-sort-order-id").asLong,
       refs = Option(n.get("refs")).map(r =>
         r.properties.asScala.map(e =>
-          e.getKey -> SnapshotRef.fromJson(e.getValue)).toMap))
+          e.getKey -> SnapshotRef.fromJson(e.getValue)).toMap),
+      statistics = Option(n.get("statistics"))
+        .map(_.elements.asScala.toSeq.map(StatisticsFileRef.fromJson)))
   }
 }

@@ -1888,6 +1888,76 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
   }
 
+  /** ANALYZE: compute per-column NDV sketches + exact rollups in ONE
+    * distributed aggregate over the current snapshot (deletes applied),
+    * write them to a puffin-style stats sidecar, and reference it from
+    * metadata's `statistics` list keyed by snapshot id. Join planning
+    * reads these through the connector's reported column statistics —
+    * see [[Stats]] for the scale rationale. Driver memory is
+    * O(columns × sketch), never O(rows).
+    */
+  def analyze(columns: Seq[String] = Seq.empty)
+      : graft.model.StatisticsFileRef = {
+    val meta0 = metadata
+    val sid = meta0.currentSnapshotId.getOrElse(throw new IllegalStateException(
+      s"no snapshot to analyze at $location"))
+    // pin the snapshot: a concurrent commit must not shift what the
+    // stats describe out from under the recorded snapshot id
+    val df = scan(asOf = Some(sid))
+    val all = df.schema.fields.filter(f => Stats.eligible(f.dataType)).toSeq
+    val targets =
+      if (columns.isEmpty) all
+      else columns.map(c => all.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no analyzable column $c")))
+    require(targets.nonEmpty, "no analyzable columns")
+    val exprs = Stats.aggExprs(targets)
+    val row = df.agg(exprs.head, exprs.tail: _*).head()
+    val entries = Stats.entriesFromRow(row, targets)
+    val (path, size) = Stats.writeFile(Paths.get(location, "stats"), sid,
+      row.getAs[Long]("cnt"), entries)
+    val ref = graft.model.StatisticsFileRef(sid, path, size)
+    // metadata-only commit; re-derive against fresh state on conflict
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, meta) = metadataWithVersion
+      val kept = meta.statistics.getOrElse(Seq.empty)
+        .filterNot(_.snapshotId == sid)
+      try {
+        writeMetadataAt(meta.copy(statistics = Some(kept :+ ref),
+          lastUpdatedMs = System.currentTimeMillis), v + 1)
+        return ref
+      } catch {
+        case _: CommitConflictException if attempts < 20 =>
+          Thread.sleep(5L * attempts + scala.util.Random.nextInt(25))
+      }
+    }
+    ref
+  }
+
+  /** Column statistics for a read of `asOf` (default: current snapshot):
+    * the stats file computed AT that snapshot, or at its nearest
+    * ANCESTOR (appends since ANALYZE leave estimates useful; non-lineal
+    * snapshots' stats never apply). Returns (ref, row-count, entries).
+    */
+  def columnStatistics(asOf: Option[Long] = None)
+      : Option[(graft.model.StatisticsFileRef, Long, Seq[ColumnStatsEntry])] = {
+    val meta = metadata
+    val bySnap = meta.statistics.getOrElse(Seq.empty)
+      .map(s => s.snapshotId -> s).toMap
+    if (bySnap.isEmpty) return None
+    var cur = asOf.orElse(meta.currentSnapshotId)
+    while (cur.isDefined) {
+      bySnap.get(cur.get) match {
+        case Some(ref) if Files.exists(Paths.get(ref.path)) =>
+          val (rows, entries) = Stats.readFile(ref.path)
+          return Some((ref, rows, entries))
+        case _ => cur = meta.snapshotById(cur.get).flatMap(_.parentSnapshotId)
+      }
+    }
+    None
+  }
+
   def dropColumn(name: String): Unit = {
     val meta = metadata
     val fid = meta.currentSchema.fieldByName(name).map(_.id)
@@ -2053,16 +2123,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val retainedManifests = retainedRefs.map(_.path).toSet
     val orphanManifests = expiredRefs.map(_.path).distinct
       .filterNot(retainedManifests.contains)
+    // stats files follow their snapshots: refs to expired snapshots go
+    // (an ancestor-walk from any retained snapshot can never reach them)
+    val (retainedStats, expiredStats) = meta.statistics.getOrElse(Seq.empty)
+      .partition(s => keep.contains(s.snapshotId))
     // commit the metadata FIRST: if the commit conflicts, nothing has
     // been deleted and current metadata still references intact files
     writeMetadataAt(meta.copy(
       snapshots = Some(retained),
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty)
         .filter(l => keep.contains(l.snapshotId))),
+      statistics = if (retainedStats.isEmpty) None else Some(retainedStats),
       lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphanBlooms.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expiredStats.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
     expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
     orphans
   }

@@ -641,7 +641,50 @@ object IcebergQueries {
         import s.implicits._
         orphans.sorted.toDF("orphan_path")
       },
-      None)
+      None),
+
+    // ANALYZE: one distributed pass computes NDV sketches + exact
+    // rollups into a stats sidecar referenced from metadata; the
+    // connector reports them to Spark's CBO for join sizing. Exact
+    // rollups are oracle-checked; the sketch estimate is gated in-band
+    // against the engine's exact distinct count (±5%).
+    GraftQuery(
+      "ice_analyze",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+        val t = GraftTable.create(s, loc("analyze"), orders.schema)
+        t.append(orders)
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+        t.analyze(cols)
+        val entries = t.columnStatistics().get._3
+        val exact = t.scan().agg(
+          countDistinct(col("o_orderkey")).as("o_orderkey"),
+          countDistinct(col("o_custkey")).as("o_custkey"),
+          countDistinct(col("o_orderstatus")).as("o_orderstatus")).head()
+        import s.implicits._
+        entries.map { e =>
+          val ex = exact.getAs[Long](e.name)
+          (e.name, e.nullCount, e.min.getOrElse(""), e.max.getOrElse(""),
+            math.abs(e.ndv - ex).toDouble <= 0.05 * ex)
+        }.toDF("col_name", "null_count", "min_val", "max_val", "ndv_ok")
+          .orderBy("col_name")
+      },
+      Some("""SELECT col_name, null_count, min_val, max_val, ndv_ok FROM (
+          SELECT 'o_orderkey' AS col_name,
+            COUNT(*) - COUNT(o_orderkey) AS null_count,
+            CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+            CAST(MAX(o_orderkey) AS VARCHAR) AS max_val,
+            TRUE AS ndv_ok FROM orders
+          UNION ALL
+          SELECT 'o_custkey',
+            COUNT(*) - COUNT(o_custkey),
+            CAST(MIN(o_custkey) AS VARCHAR),
+            CAST(MAX(o_custkey) AS VARCHAR), TRUE FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus',
+            COUNT(*) - COUNT(o_orderstatus),
+            MIN(o_orderstatus), MAX(o_orderstatus), TRUE FROM orders
+        ) ORDER BY col_name"""))
   )
 }
 

@@ -1,0 +1,162 @@
+package graft
+
+import graft.table.{GraftTable, Stats}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE table statistics: NDV sketches + rollups in a stats sidecar,
+  * ancestor-resolved across appends, expired with their snapshots, and
+  * reported to Spark's CBO through the connector.
+  */
+class StatsSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-stats").toString + "/t"
+
+  private def build(loc: String, n: Int = 5000): GraftTable = {
+    import spark.implicits._
+    val df = (1 to n).map { i =>
+      (i.toLong, (i % 97).toLong,
+        if (i % 10 == 0) null else s"name-${i % 500}",
+        i.toDouble / 7.0)
+    }.toDF("id", "grp", "name", "score")
+    val t = GraftTable.create(spark, loc, df.schema)
+    t.append(df.repartition(4))
+    t
+  }
+
+  test("analyze: exact nulls/min/max, NDV within 2%, bounded sketch") {
+    val loc = tmp()
+    val t = build(loc)
+    val ref = t.analyze()
+    assert(ref.snapshotId == t.metadata.currentSnapshotId.get)
+    val (rows, entries) = Stats.readFile(ref.path)
+    assert(rows == 5000L)
+    val byName = entries.map(e => e.name -> e).toMap
+    assert(byName.keySet == Set("id", "grp", "name", "score"))
+    // exact rollups
+    assert(byName("id").nullCount == 0 && byName("name").nullCount == 500)
+    assert(byName("id").min.contains("1") && byName("id").max.contains("5000"))
+    assert(byName("grp").min.contains("0") && byName("grp").max.contains("96"))
+    // NDV: id unique (5000), grp 97, name 500 minus the nulled slots
+    def err(c: String, exact: Long): Double =
+      math.abs(byName(c).ndv - exact).toDouble / exact
+    assert(err("id", 5000) < 0.02, s"id ndv=${byName("id").ndv}")
+    assert(byName("grp").ndv == 97L) // sparse-mode sketch is exact
+    assert(err("score", 5000) < 0.02)
+    // string lengths present for the CBO's row-width estimate
+    assert(byName("name").avgLen.exists(l => l >= 6 && l <= 10))
+    assert(byName("name").maxLen.contains(8L))
+    // sketch bytes bounded (mergeable summary, not data)
+    assert(entries.flatMap(_.sketch).forall(_.length < 64 * 1024))
+    // metadata references the file
+    assert(t.metadata.statistics.exists(_.exists(_.path == ref.path)))
+  }
+
+  test("stats resolve from nearest ancestor after appends; refresh replaces") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = build(loc, 1000)
+    val ref = t.analyze(Seq("id", "grp"))
+    // append twice: current snapshot has no stats, ancestor does
+    t.append((1001L to 1200L).map(i =>
+      (i, i % 97, s"name-$i", i / 7.0)).toDF("id", "grp", "name", "score"))
+    t.append((1201L to 1300L).map(i =>
+      (i, i % 97, s"name-$i", i / 7.0)).toDF("id", "grp", "name", "score"))
+    val got = t.columnStatistics()
+    assert(got.exists(_._1.snapshotId == ref.snapshotId),
+      "ancestor stats should resolve")
+    // re-analyze at head: now exact-match resolution, new NDV
+    val ref2 = t.analyze(Seq("id", "grp"))
+    val got2 = t.columnStatistics().get
+    assert(got2._1.snapshotId == t.metadata.currentSnapshotId.get)
+    assert(got2._3.find(_.name == "id").get.ndv > 1200,
+      "refreshed NDV sees appended rows")
+    // both stats files coexist (keyed by snapshot) until expiry
+    assert(t.metadata.statistics.get.map(_.snapshotId).toSet ==
+      Set(ref.snapshotId, ref2.snapshotId))
+  }
+
+  test("time-travel reads resolve the as-of snapshot's stats") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = build(loc, 800)
+    val sid1 = t.metadata.currentSnapshotId.get
+    val ref1 = t.analyze(Seq("id"))
+    t.append((801L to 900L).map(i =>
+      (i, i % 97, s"n$i", i / 7.0)).toDF("id", "grp", "name", "score"))
+    t.analyze(Seq("id"))
+    val atOld = t.columnStatistics(Some(sid1)).get
+    assert(atOld._1.path == ref1.path)
+    assert(atOld._3.head.ndv <= 810, "old snapshot stats, not head's")
+  }
+
+  test("expire_snapshots drops stats files with their snapshots") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = build(loc, 500)
+    val ref1 = t.analyze()
+    t.append((501L to 600L).map(i =>
+      (i, i % 97, s"n$i", i / 7.0)).toDF("id", "grp", "name", "score"))
+    val ref2 = t.analyze()
+    t.expireSnapshots(keepLast = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ref1.path)),
+      "expired snapshot's stats file should be deleted")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ref2.path)))
+    assert(t.metadata.statistics.get.map(_.snapshotId) == Seq(ref2.snapshotId))
+    // reads still fine, stats resolve to the surviving file
+    assert(t.columnStatistics().exists(_._1.path == ref2.path))
+  }
+
+  test("connector reports column stats; catalyst attributeStats populate") {
+    val loc = tmp()
+    val t = build(loc)
+    t.analyze()
+    val df = spark.read.format("graft").load(loc)
+    val scanRel = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+    }
+    assert(scanRel.nonEmpty)
+    val stats = scanRel.head.computeStats()
+    assert(stats.rowCount.contains(BigInt(5000)))
+    val attr = stats.attributeStats.toSeq.map { case (a, s) => a.name -> s }
+      .toMap
+    assert(attr.contains("id") && attr.contains("grp"),
+      s"attributeStats missing: ${attr.keySet}")
+    assert(attr("grp").distinctCount.contains(BigInt(97)))
+    assert(attr("id").nullCount.contains(BigInt(0)))
+    assert(attr("id").min.contains(1L) && attr("id").max.contains(5000L))
+  }
+
+  test("CALL analyze_table through the catalog; CBO join estimate uses NDV") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-whstats").toString
+    spark.conf.set("spark.sql.catalog.gst", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gst.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.db")
+    spark.sql("CREATE TABLE gst.db.t (id BIGINT, grp BIGINT)")
+    spark.sql(
+      "INSERT INTO gst.db.t SELECT id, id % 11 FROM range(2000)")
+    val out = spark.sql("CALL gst.system.analyze_table('db.t')").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    val got = t.columnStatistics().get._3.map(e => e.name -> e.ndv).toMap
+    assert(got("grp") == 11L)
+    assert(math.abs(got("id") - 2000L) <= 40L)
+    // with CBO on, the reported NDV drives the join cost model
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val joined = spark.sql(
+        "SELECT a.grp, count(*) c FROM gst.db.t a JOIN gst.db.t b " +
+          "ON a.grp = b.grp GROUP BY a.grp")
+      val jstats = joined.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.stats.rowCount
+      }
+      // 2000×2000 rows / max(ndv)=11 ≈ 364k estimated join rows —
+      // without NDV the estimate would be the 4M cross size
+      assert(jstats.exists(_.exists(rc =>
+        rc > BigInt(100000) && rc < BigInt(1000000))),
+        s"join row estimate should reflect NDV, got $jstats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+}
