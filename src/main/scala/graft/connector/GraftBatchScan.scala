@@ -213,6 +213,14 @@ object GraftRead {
     */
   val FileSlot: Int = -2
 
+  /** Alignment-slot marker: emit the row's ORIGINAL position within its
+    * data file (the `_pos` metadata column). Requesting it disables
+    * parquet-level row-group filter pushdown for the scan — positions
+    * must be file-absolute, and skipped row groups would renumber them
+    * (Spark re-applies every filter above the scan regardless).
+    */
+  val PosSlot: Int = -3
+
   /** Bin-pack planned (path, schemaId, fileSize) files into input
     * partitions, one write-time schema per partition, first-fit-decreasing
     * against the session's maxPartitionBytes target.
@@ -338,15 +346,20 @@ object GraftRead {
       val physIndex = physFields.map(_._1).zipWithIndex.toMap
       val slots: Array[Int] = prunedSchema.fields.map { f =>
         if (f.name == GraftMetaColumns.File) GraftRead.FileSlot
+        else if (f.name == GraftMetaColumns.Pos) GraftRead.PosSlot
         else physIndex.getOrElse(f.name, -1)
       }
       val identity = slots.length == physSchema.length &&
         slots.zipWithIndex.forall { case (s, i) => s == i }
       // only push row-group filters whose columns kept their physical
-      // name — parquet-level filtering is best-effort; Spark re-applies
+      // name — parquet-level filtering is best-effort; Spark re-applies.
+      // `_pos` disables parquet filtering entirely: row positions must
+      // stay file-absolute, and row-group skipping would renumber them
       val physNames = physSchema.fieldNames.toSet
-      val pushable = pushed.filter(
-        _.references.forall(r => physNames.contains(r)))
+      val pushable =
+        if (slots.contains(GraftRead.PosSlot)) Array.empty[Filter]
+        else pushed.filter(
+          _.references.forall(r => physNames.contains(r)))
       val readFunc = parquet.buildReaderWithPartitionValues(
         sparkSession = spark,
         dataSchema = physSchema,
@@ -440,16 +453,31 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
       if (g.identity) rowsOf(rawIterator(p))
       else perFileIterator(p).flatMap { case (path, raw) =>
         // projection is rebuilt per FILE so FileSlot binds this file's
-        // path as a constant; cheap next to reading the file itself
+        // path as a constant; PosSlot reads a one-field meta row joined
+        // to the right of the data row and stepped per row
+        val nPhys = g.physSchema.length
         val exprs = g.slots.zip(g.logicalSchema.fields).map {
           case (GraftRead.FileSlot, f) => CatalystLiteral(
             org.apache.spark.unsafe.types.UTF8String.fromString(path),
             f.dataType)
+          case (GraftRead.PosSlot, _) => BoundReference(nPhys,
+            org.apache.spark.sql.types.LongType, nullable = false)
           case (-1, f) => CatalystLiteral(null, f.dataType)
           case (i, f) => BoundReference(i, f.dataType, nullable = true)
         }
         val proj = UnsafeProjection.create(exprs.toIndexedSeq)
-        rowsOf(raw).map(proj)
+        if (g.slots.contains(GraftRead.PosSlot)) {
+          val metaRow = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(1)
+          val joined = new org.apache.spark.sql.catalyst.expressions
+            .JoinedRow
+          var pos = -1L
+          rowsOf(raw).map { r =>
+            pos += 1L
+            metaRow.setLong(0, pos)
+            proj(joined(r, metaRow))
+          }
+        } else rowsOf(raw).map(proj)
       }
     iteratorReader(aligned)
   }
@@ -461,7 +489,10 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
     val aligned: Iterator[ColumnarBatch] =
       if (g.identity) rawIterator(p).map(_.asInstanceOf[ColumnarBatch])
       else perFileIterator(p).flatMap { case (path, raw) =>
+        var filePos = 0L // running row offset within THIS file
         raw.map(_.asInstanceOf[ColumnarBatch]).map { b =>
+          val start = filePos
+          filePos += b.numRows
           val vecs: Array[ColumnVector] =
             g.slots.zip(g.logicalSchema.fields).map {
               case (GraftRead.FileSlot, f) =>
@@ -469,6 +500,13 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
                   .ConstantColumnVector(b.numRows, f.dataType)
                 v.setUtf8String(org.apache.spark.unsafe.types
                   .UTF8String.fromString(path))
+                v
+              case (GraftRead.PosSlot, _) =>
+                val v = new org.apache.spark.sql.execution.vectorized
+                  .OnHeapColumnVector(b.numRows,
+                    org.apache.spark.sql.types.LongType)
+                var i = 0
+                while (i < b.numRows) { v.putLong(i, start + i); i += 1 }
                 v
               case (-1, f) =>
                 val v = new org.apache.spark.sql.execution.vectorized

@@ -247,15 +247,29 @@ object GraftMetaTable {
 /** Metadata (virtual) columns the connector serves. */
 object GraftMetaColumns {
   val File = graft.table.GraftTable.FileCol
+  val Pos = graft.table.GraftTable.RowPosCol
+
+  /** (name, type, comment) of every served metadata column, in the
+    * order they append to a read schema when requested.
+    */
+  val specs: Seq[(String, org.apache.spark.sql.types.DataType, String)] =
+    Seq(
+      (File, org.apache.spark.sql.types.StringType,
+        "on-disk data file path of the row"),
+      (Pos, org.apache.spark.sql.types.LongType,
+        "original row position within the data file"))
+
+  val names: Set[String] = specs.map(_._1).toSet
 
   val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = File
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "on-disk data file path of the row"
-    })
+    specs.map { case (n, dt, c) =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = c
+      }: org.apache.spark.sql.connector.catalog.MetadataColumn
+    }.toArray
 }
 
 class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
@@ -348,11 +362,12 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     val prunedSchema = StructType(
       tableSchema.fields.filter(f => requiredNames.contains(f.name)) ++
         // requested metadata columns ride at the END of the read schema;
-        // the reader factories emit them as per-file constants
-        (if (requiredNames.contains(GraftMetaColumns.File))
-          Seq(org.apache.spark.sql.types.StructField(GraftMetaColumns.File,
-            org.apache.spark.sql.types.StringType, nullable = false))
-        else Seq.empty))
+        // the reader factories emit them per file (path constant / row
+        // position counter)
+        GraftMetaColumns.specs.collect {
+          case (n, dt, _) if requiredNames.contains(n) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = false)
+        })
     // delete-free snapshots (the dominant shape at scale: append-only
     // ingest) take the native columnar batch path; snapshots carrying
     // position/equality deletes fall back to the V1 bridge, which runs
@@ -556,7 +571,10 @@ class GraftV1Scan(protected val graft: GraftTable,
       override def buildScan(): RDD[Row] = {
         val withFile =
           prunedSchema.fieldNames.contains(GraftMetaColumns.File)
-        val df = graft.scan(filterColumn, asOf, withFileColumn = withFile)
+        val withPos =
+          prunedSchema.fieldNames.contains(GraftMetaColumns.Pos)
+        val df = graft.scan(filterColumn, asOf, withFileColumn = withFile,
+          withPosColumn = withPos)
         val projected =
           if (prunedSchema.isEmpty) df.select()
           else df.select(prunedSchema.fieldNames.map(col).toIndexedSeq: _*)

@@ -897,7 +897,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * survive; old files project nulls for later columns).
     */
   def scan(filter: Option[Column] = None, asOf: Option[Long] = None,
-      withFileColumn: Boolean = false): DataFrame = {
+      withFileColumn: Boolean = false,
+      withPosColumn: Boolean = false): DataFrame = {
     // pin ONE metadata version for the whole read: snapshot resolution,
     // pruning, and schema alignment must not mix concurrent commits
     val meta = metadata
@@ -906,7 +907,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val planned = plannedFilesFor(meta, filter, asOf)
     val df = readDeletesApplied(meta, planned, readSchema, asOf,
-      withFile = withFileColumn)
+      withFile = withFileColumn, withRowPos = withPosColumn)
     filter.map(df.filter).getOrElse(df)
   }
 
@@ -1184,9 +1185,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def readDeletesApplied(meta: TableMetadataV2,
       files: Seq[(String, Int, Long)], readSchema: SchemaV2,
-      asOf: Option[Long], withFile: Boolean = false): DataFrame =
+      asOf: Option[Long], withFile: Boolean = false,
+      withRowPos: Boolean = false): DataFrame =
     GraftTable.readDeletesAppliedCore(spark, meta, files, readSchema,
-      deletePathsFor(meta, asOf), eqDeletesFor(meta, asOf), withFile)
+      deletePathsFor(meta, asOf), eqDeletesFor(meta, asOf), withFile,
+      withRowPos)
 
   /** Anti-join position-delete files (columns file_path, pos) against a
     * position-annotated read. Delete sets are small relative to data —
@@ -2332,12 +2335,13 @@ object GraftTable {
   private[table] def readAlignedFilesCore(spark: SparkSession,
       meta: TableMetadataV2, files: Seq[(String, Int)],
       readSchema: SchemaV2, withPos: Boolean = false,
-      withFile: Boolean = false): DataFrame = {
+      withFile: Boolean = false, withRowPos: Boolean = false): DataFrame = {
     val targetSpark0 = toSparkSchema(readSchema)
     val targetSpark = StructType(targetSpark0.fields ++
       (if (withPos) Seq(SparkField(PosPathCol, StringType),
         SparkField(PosIdxCol, LongType)) else Seq.empty) ++
-      (if (withFile) Seq(SparkField(FileCol, StringType)) else Seq.empty))
+      (if (withFile) Seq(SparkField(FileCol, StringType)) else Seq.empty) ++
+      (if (withRowPos) Seq(SparkField(RowPosCol, LongType)) else Seq.empty))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], targetSpark)
@@ -2361,6 +2365,10 @@ object GraftTable {
           // user-facing virtual column: the DECODED on-disk path, same
           // form the manifest stores (and the native DSv2 path emits)
           decodePathUdf(col("_metadata.file_path")).as(FileCol))
+        else Seq.empty) ++
+        // original in-file position (file-absolute even under parquet
+        // row-group skipping — Spark's reader tracks it)
+        (if (withRowPos) Seq(col("_metadata.row_index").as(RowPosCol))
         else Seq.empty)
       df.select(cols: _*)
     }.reduce(_.union(_))
@@ -2368,6 +2376,12 @@ object GraftTable {
 
   /** `_file` metadata-column name (Iceberg-parity virtual column). */
   val FileCol = "_file"
+
+  /** `_pos` metadata-column name: the row's ORIGINAL position within its
+    * data file (survives MoR delete application — it is the position an
+    * Iceberg position-delete would reference).
+    */
+  val RowPosCol = "_pos"
 
   private lazy val decodePathUdf =
     udf((s: String) => decodePath(s))
@@ -2409,16 +2423,17 @@ object GraftTable {
   private[table] def readDeletesAppliedCore(spark: SparkSession,
       meta: TableMetadataV2, files: Seq[(String, Int, Long)],
       readSchema: SchemaV2, posDels: Seq[String],
-      eqDels0: Seq[DataFileEntry], withFile: Boolean = false): DataFrame = {
+      eqDels0: Seq[DataFileEntry], withFile: Boolean = false,
+      withRowPos: Boolean = false): DataFrame = {
     // a delete at or below EVERY planned file's sequence can never apply
     val minSeq = files.map(_._3).minOption.getOrElse(Long.MaxValue)
     val eqDels = eqDels0.filter(_.sequenceNumber > minSeq)
     def posApplied(fs: Seq[(String, Int)]): DataFrame =
       if (posDels.isEmpty) readAlignedFilesCore(spark, meta, fs, readSchema,
-        withFile = withFile)
+        withFile = withFile, withRowPos = withRowPos)
       else applyPosDeletesCore(spark,
         readAlignedFilesCore(spark, meta, fs, readSchema, withPos = true,
-          withFile = withFile),
+          withFile = withFile, withRowPos = withRowPos),
         posDels).drop(PosPathCol, PosIdxCol)
     if (eqDels.isEmpty || files.isEmpty)
       posApplied(files.map(f => (f._1, f._2)))

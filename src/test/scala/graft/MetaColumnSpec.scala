@@ -79,6 +79,50 @@ class MetaColumnSpec extends SparkSpec {
     assert((oldFiles intersect newFiles).isEmpty)
   }
 
+  test("native path: _pos is the in-file row position, exact per file") {
+    import spark.implicits._
+    val loc = tmp()
+    val df0 = (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df0.schema)
+    t.append(df0.repartition(4))
+    val out = spark.read.format("graft").load(loc)
+      .select(col("id"), col("_file"), col("_pos")).collect()
+    assert(out.length == 400)
+    // per file: positions are exactly 0..n-1 (no gaps, no dups)
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.toSeq == (0L until ps.length).toSeq)
+    }
+    // a filtered read keeps the ORIGINAL positions (row-group filter
+    // pushdown is disabled when _pos rides; Spark re-filters above)
+    val byId = out.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val filtered = spark.read.format("graft").load(loc)
+      .filter(col("id") > 350).select("id", "_file", "_pos").collect()
+    assert(filtered.length == 50)
+    filtered.foreach(r => assert(
+      byId(r.getLong(0)) == (r.getString(1), r.getLong(2)),
+      s"position changed under filtering for id ${r.getLong(0)}"))
+  }
+
+  test("MoR deletes: _pos survives as the ORIGINAL file position") {
+    import spark.implicits._
+    val loc = tmp()
+    val df0 = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df0.schema)
+    t.append(df0.coalesce(1))
+    // full-scan ordering before the delete pins each id's position
+    val before = t.scan(withPosColumn = true)
+      .select("id", "_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.deleteWhereMoR(col("id") % 3 === 0)
+    val after = spark.read.format("graft").load(loc)
+      .select(col("id"), col("_pos")).collect()
+    assert(after.length == 100 - 33)
+    after.foreach(r => assert(r.getLong(1) == before(r.getLong(0)),
+      s"_pos shifted after MoR delete for id ${r.getLong(0)}"))
+  }
+
   test("_file is absent unless selected; SQL surface works") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-whmc").toString
@@ -91,8 +135,9 @@ class MetaColumnSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gmc.db.t").columns.toSeq ==
       Seq("id", "v"))
     // explicit selection works through SQL
-    val rows = spark.sql("SELECT id, _file FROM gmc.db.t ORDER BY id")
+    val rows = spark.sql("SELECT id, _file, _pos FROM gmc.db.t ORDER BY id")
       .collect()
     assert(rows.length == 2 && rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.forall(_.getLong(2) >= 0L))
   }
 }
