@@ -382,6 +382,28 @@ object GraftRead {
     }.toMap
     new GraftReaderFactory(groups)
   }
+
+  /** Single-schema reader factory for files the engine itself wrote
+    * with exactly `schema` (no field-id alignment — identity reads):
+    * the changelog's staged-range splits.
+    */
+  def flatFactory(spark: SparkSession,
+      schema: StructType): GraftReaderFactory = {
+    val parquet = new ParquetFileFormat
+    val columnar = parquet.supportBatch(spark, schema)
+    val readFunc = parquet.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = schema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = schema,
+      filters = Seq.empty,
+      options = Map(
+        org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> columnar.toString),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    new GraftReaderFactory(Map(0 -> SchemaGroupReader(readFunc,
+      schema.indices.toArray, identity = true, columnar, schema, schema)))
+  }
 }
 
 /** One input partition: files of one write-time schema, bin-packed to

@@ -61,7 +61,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 object GraftSparkTable {
   def load(location: String, options: CaseInsensitiveStringMap): GraftSparkTable = {
     val asOf = readSnapshotId(location, options)
-    new GraftSparkTable(location, asOf)
+    new GraftSparkTable(location, asOf,
+      changelog = options.getBoolean(GraftChangelog.OptionKey, false))
   }
 
   /** Resolve the `snapshot-id` / `ref` read options to a snapshot id. */
@@ -83,18 +84,24 @@ object GraftSparkTable {
 /** One graft table as a Spark DSv2 Table (optionally pinned to a
   * snapshot for time travel — reads resolve the snapshot's own schema).
   */
-class GraftSparkTable(val location: String, asOf: Option[Long])
+class GraftSparkTable(val location: String, asOf: Option[Long],
+    changelog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+  def this(location: String, asOf: Option[Long]) =
+    this(location, asOf, changelog = false)
+
   /** Iceberg-parity virtual columns, servable on BOTH read paths: the
     * native columnar scan emits a per-file constant vector, the V1
-    * delete-bridge derives it from `_metadata.file_path`.
+    * delete-bridge derives it from `_metadata.file_path`. The changelog
+    * shape serves none — its change rows are staged materializations,
+    * not file-resident rows.
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    GraftMetaColumns.columns
+    if (changelog) Array.empty else GraftMetaColumns.columns
 
   private def spark: SparkSession = SparkSession.active
   private[connector] def graft: GraftTable = GraftTable.load(spark, location)
@@ -139,7 +146,9 @@ class GraftSparkTable(val location: String, asOf: Option[Long])
     val meta = graft.metadata
     val sid = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).getOrElse(meta.currentSchemaId)
-    GraftTable.toSparkSchema(meta.schemaById(sid).getOrElse(meta.currentSchema))
+    val base = GraftTable.toSparkSchema(
+      meta.schemaById(sid).getOrElse(meta.currentSchema))
+    if (changelog) GraftChangelog.schemaFor(base) else base
   }
 
   override def partitioning(): Array[SparkTransform] =
@@ -179,10 +188,21 @@ class GraftSparkTable(val location: String, asOf: Option[Long])
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(graft, schema(), asOf)
+    if (changelog) {
+      val g = graft
+      val start = GraftChangelog.fromSeq(g,
+        options.get(GraftChangelog.FromOption))
+      val to = Option(options.get(GraftChangelog.ToOption)).map(_.toLong)
+      val out = schema()
+      new ScanBuilder {
+        override def build(): Scan =
+          new GraftChangelogScan(g, out, start, to)
+      }
+    } else new GraftScanBuilder(graft, schema(), asOf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel read")
+    require(!changelog, "the changelog read shape is not writable")
     new GraftWriteBuilder(graft, Option(info.options.get("branch")))
   }
 }

@@ -29,7 +29,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
-    "fast_forward", "rewrite_manifests", "analyze_table")
+    "fast_forward", "rewrite_manifests", "analyze_table",
+    "create_changelog_view")
 
   def load(name: String, resolveTable: String => String)
       : Option[UnboundProcedure] = {
@@ -153,6 +154,33 @@ object GraftProcedures {
           val ref = t.analyze(cols)
           val n = graft.table.Stats.readFile(ref.path)._2.size.toLong
           Seq(ref.snapshotId, n, UTF8String.fromString(ref.path))
+      })
+      // row-level CDC as a queryable temp view:
+      //   CALL g.system.create_changelog_view('db.t', 'changes_v')
+      // from/to default to the full history up to the current snapshot
+      case "create_changelog_view" => Some(p("create_changelog_view",
+        Seq(table, ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("from_snapshot", LongType)
+            .defaultValue("-1").build(),
+          ProcedureParameter.in("to_snapshot", LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("to_snapshot_id", LongType)))) {
+        (t, args) =>
+          val to = args.getLong(3) match {
+            case -1L => t.metadata.currentSnapshotId.getOrElse(
+              throw new IllegalStateException("table has no snapshot"))
+            case s => s
+          }
+          val fromSeq = args.getLong(2) match {
+            case -1L => 0L
+            case s => t.metadata.snapshotById(s).getOrElse(
+              throw new IllegalArgumentException(s"no snapshot $s"))
+              .sequenceNumber
+          }
+          val view = args.getUTF8String(1).toString
+          t.changesBySeq(fromSeq, to).createOrReplaceTempView(view)
+          Seq(UTF8String.fromString(view), to)
       })
       case _ => None
     }

@@ -393,6 +393,44 @@ object StreamingQueries {
         FROM events, m
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
         GROUP BY event_type, m.mx ORDER BY event_type"""))
+    ,
+
+    // Streaming CHANGE DATA FEED: readStream the connector changelog of
+    // a MoR table (append + MoR delete commits) into a durable sink.
+    // Each micro-batch is one staged changesBySeq range — inserts plus
+    // RECOVERED delete rows — with exactly-once sequence offsets. The
+    // oracle reconstructs the same change set relationally.
+    GraftQuery(
+      "s_cdf_stream",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+        val root = java.nio.file.Files
+          .createTempDirectory("cdf-src").toString
+        val t = graft.table.GraftTable.create(s, s"$root/t", orders.schema)
+        t.append(orders)
+        t.deleteWhereMoR(col("o_orderkey") % 7 === 0)
+        val src = s.readStream.format("graft")
+          .option("changelog", "true").load(s"$root/t")
+        val sink = graft.table.GraftTable.create(s, s"$root/sink",
+          graft.connector.GraftChangelog.schemaFor(
+            orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType]))
+        val q = sink.appendStream(src, s"$root/ckpt")
+        q.awaitTermination()
+        sink.scan()
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"))
+          .orderBy("change_type")
+      },
+      Some("""SELECT change_type, n, key_sum FROM (
+          SELECT 'delete' AS change_type, COUNT(*) AS n,
+            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+          FROM orders
+        ) ORDER BY change_type"""))
   )
 }
 

@@ -1031,9 +1031,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   def changes(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val meta = metadata
+    val fromSeq = meta.snapshotById(fromSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $fromSnapshotId")).sequenceNumber
+    changesBySeq(fromSeq, toSnapshotId)
+  }
+
+  /** [[changes]] addressed by starting SEQUENCE (exclusive): `fromSeq=0`
+    * replays the table's entire history — the streaming changelog's
+    * offset domain (sequence numbers survive snapshot expiry and need no
+    * starting snapshot to still exist).
+    */
+  def changesBySeq(fromSeq: Long, toSnapshotId: Long): DataFrame = {
+    val meta = metadata
     def snapOf(id: Long): SnapshotV2 = meta.snapshotById(id)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
-    val fromSeq = snapOf(fromSnapshotId).sequenceNumber
     val toSeq = snapOf(toSnapshotId).sequenceNumber
     require(fromSeq <= toSeq, "fromSnapshot must precede toSnapshot")
     val inRange = meta.snapshots.getOrElse(Seq.empty)
