@@ -38,7 +38,8 @@ import scala.jdk.CollectionConverters._
   */
 class GraftBatchScan(protected val graft: GraftTable,
     protected val prunedSchema: StructType,
-    protected val pushed: Array[Filter], protected val asOf: Option[Long])
+    protected val pushed: Array[Filter], protected val asOf: Option[Long],
+    limits: StreamLimits = StreamLimits.none)
     extends Scan with Batch with GraftScanStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -172,7 +173,7 @@ class GraftBatchScan(protected val graft: GraftTable,
 
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
-    new GraftMicroBatchStream(graft, prunedSchema, pushed)
+    new GraftMicroBatchStream(graft, prunedSchema, pushed, limits)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val meta = graft.metadata

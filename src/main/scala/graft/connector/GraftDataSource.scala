@@ -198,7 +198,8 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
         override def build(): Scan =
           new GraftChangelogScan(g, out, start, to)
       }
-    } else new GraftScanBuilder(graft, schema(), asOf)
+    } else new GraftScanBuilder(graft, schema(), asOf,
+      StreamLimits.fromOptions(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel read")
@@ -293,7 +294,8 @@ object GraftMetaColumns {
 }
 
 class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
-    asOf: Option[Long]) extends ScanBuilder
+    asOf: Option[Long], limits: StreamLimits = StreamLimits.none)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -393,8 +395,8 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     // position/equality deletes fall back to the V1 bridge, which runs
     // the proven DataFrame delete-application logic unchanged
     val hasDeletes = graft.liveManifests(asOf).exists(_.content != 0)
-    if (hasDeletes) new GraftV1Scan(graft, prunedSchema, pushed, asOf)
-    else new GraftBatchScan(graft, prunedSchema, pushed, asOf)
+    if (hasDeletes) new GraftV1Scan(graft, prunedSchema, pushed, asOf, limits)
+    else new GraftBatchScan(graft, prunedSchema, pushed, asOf, limits)
   }
 }
 
@@ -566,7 +568,8 @@ trait GraftScanStatistics extends SupportsReportStatistics {
   */
 class GraftV1Scan(protected val graft: GraftTable,
     protected val prunedSchema: StructType,
-    protected val pushed: Array[Filter], protected val asOf: Option[Long])
+    protected val pushed: Array[Filter], protected val asOf: Option[Long],
+    limits: StreamLimits = StreamLimits.none)
     extends V1Scan with GraftScanStatistics {
 
   override def readSchema(): StructType = prunedSchema
@@ -576,7 +579,7 @@ class GraftV1Scan(protected val graft: GraftTable,
   // generic UnsupportedOperationException
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(graft, prunedSchema, pushed)
+    new GraftMicroBatchStream(graft, prunedSchema, pushed, limits)
 
   override def description(): String =
     s"graft ${graft.location} pushed=[${pushed.mkString(", ")}]"

@@ -3,9 +3,41 @@ package graft.connector
 import graft.table.GraftTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Per-trigger admission caps parsed from the streaming read options
+  * (`maxFilesPerTrigger` / `maxRowsPerTrigger`, file-source parity
+  * naming). `none` = drain everything available each trigger.
+  */
+case class StreamLimits(maxFiles: Option[Int], maxRows: Option[Long]) {
+  def toReadLimit: ReadLimit = {
+    val ls = maxFiles.map(ReadLimit.maxFiles).toSeq ++
+      maxRows.map(ReadLimit.maxRows).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+}
+
+object StreamLimits {
+  val none: StreamLimits = StreamLimits(None, None)
+
+  def fromOptions(options: CaseInsensitiveStringMap): StreamLimits = {
+    def pos(key: String): Option[Long] =
+      Option(options.get(key)).map { v =>
+        val n = v.toLong
+        require(n > 0, s"$key must be positive, got $v")
+        n
+      }
+    StreamLimits(pos("maxFilesPerTrigger").map(_.toInt),
+      pos("maxRowsPerTrigger"))
+  }
+}
 
 /** Snapshot-offset streaming read of an append-only graft table:
   * `spark.readStream.format("graft").load(location)`.
@@ -19,12 +51,22 @@ import org.apache.spark.sql.types.StructType
   * metadata (append-only history keeps every entry live), so offsets
   * survive snapshot expiry.
   *
+  * Admission control: `maxFilesPerTrigger` / `maxRowsPerTrigger` cap how
+  * many snapshots a single micro-batch admits. Per-snapshot added
+  * file/row counts come from the monotone `total-data-files` /
+  * `total-records` summary deltas — O(snapshots-in-backlog) arithmetic on
+  * already-loaded metadata, no manifest reads at offset time. A first
+  * read of a large table therefore drains as a sequence of bounded
+  * batches instead of one batch over the whole table; at least one
+  * snapshot is always admitted so the stream makes progress even when a
+  * single commit exceeds the cap (file-source semantics).
+  *
   * Histories containing deletes/overwrites/compactions are rejected at
   * offset time — rewritten files would double-count rows (the same
   * contract as Iceberg's streaming read and GraftTable.readStream).
   */
 class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter], limits: StreamLimits = StreamLimits.none)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -54,8 +96,67 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     GraftSeqOffset(availableNowCap.fold(committedSeq)(
       cap => math.min(cap, committedSeq)))
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    latestOffset()
+  override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftSeqOffset].seq
+    val cap = availableNowCap.fold(committedSeq)(
+      c => math.min(c, committedSeq))
+    if (cap <= from) return GraftSeqOffset(from)
+    val (maxFiles, maxRows) = caps(limit)
+    if (maxFiles.isEmpty && maxRows.isEmpty) return GraftSeqOffset(cap)
+    // snapshots in the admissible backlog, oldest first; append-only
+    // history makes the summary totals monotone, so added-per-snapshot is
+    // the delta against the previous snapshot's totals
+    val snaps = graft.metadata.snapshots.getOrElse(Seq.empty)
+      .filter(s => s.sequenceNumber <= cap).sortBy(_.sequenceNumber)
+    def totals(s: _root_.graft.model.SnapshotV2): (Long, Long) = (
+      s.summary.other.get("total-data-files").map(_.toLong).getOrElse(-1L),
+      s.summary.other.get("total-records").map(_.toLong).getOrElse(-1L))
+    var prevFiles = 0L
+    var prevRows = 0L
+    snaps.takeWhile(_.sequenceNumber <= from).lastOption.foreach { s =>
+      val (f, r) = totals(s); prevFiles = f; prevRows = r
+    }
+    var admFiles = 0L
+    var admRows = 0L
+    var end = from
+    var open = true
+    snaps.dropWhile(_.sequenceNumber <= from).foreach { s =>
+      if (open) {
+        val (tf, tr) = totals(s)
+        // totals absent (foreign metadata) or non-monotone (shouldn't
+        // happen append-only): charge one file/one row so the walk still
+        // terminates against the cap instead of admitting unboundedly
+        val addF = if (tf >= 0 && prevFiles >= 0 && tf >= prevFiles)
+          tf - prevFiles else 1L
+        val addR = if (tr >= 0 && prevRows >= 0 && tr >= prevRows)
+          tr - prevRows else 1L
+        val fits = maxFiles.forall(admFiles + addF <= _) &&
+          maxRows.forall(admRows + addR <= _)
+        // an oversized single commit is admitted alone (progress)
+        if (fits || end == from) {
+          admFiles += addF; admRows += addR
+          prevFiles = tf; prevRows = tr
+          end = s.sequenceNumber
+          if (!fits) open = false
+        } else open = false
+      }
+    }
+    GraftSeqOffset(end)
+  }
+
+  /** Flatten a (possibly composite) ReadLimit to file/row caps. */
+  private def caps(limit: ReadLimit): (Option[Long], Option[Long]) = {
+    def flat(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flat)
+      case _: ReadAllAvailable => Seq.empty
+      case x => Seq(x)
+    }
+    val ls = flat(limit)
+    (ls.collectFirst { case f: ReadMaxFiles => f.maxFiles.toLong },
+      ls.collectFirst { case r: ReadMaxRows => r.maxRows })
+  }
 
   override def reportLatestOffset(): Offset = GraftSeqOffset(committedSeq)
 

@@ -555,4 +555,57 @@ class ConnectorSpec extends SparkSpec {
     assert(viaScan.exceptAll(viaDsv2).isEmpty &&
       viaDsv2.exceptAll(viaScan).isEmpty)
   }
+
+  test("streaming admission control: maxFilesPerTrigger / maxRowsPerTrigger") {
+    val events = Tables.tbl(spark, "/root/testdata/sf0.001", "events")
+      .limit(800).cache()
+    val total = events.count()
+    val root = java.nio.file.Files.createTempDirectory("dsv2-limit").toString
+    val t = GraftTable.create(spark, s"$root/src", events.schema)
+    // backlog of 4 append snapshots, 2 data files each
+    for (i <- 0 until 4)
+      t.append(events.filter(col("user_id") % 4 === i).repartition(2))
+    val maxSnapRows = (0 until 4)
+      .map(i => events.filter(col("user_id") % 4 === i).count()).max
+
+    // drain the backlog under the given read options; returns the
+    // per-micro-batch row counts in arrival order
+    def drain(tag: String, opts: (String, String)*): Seq[Long] = {
+      val sizes = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[java.lang.Long]())
+      val reader = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(s"$root/src").writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          sizes.add(df.count()): Unit
+        }
+        .option("checkpointLocation", s"$root/ckpt-$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      sizes.asScala.toSeq.map(_.longValue).filter(_ > 0)
+    }
+
+    // no limit: the whole backlog is one batch
+    val all = drain("all")
+    assert(all.size == 1 && all.sum == total, s"unlimited drain: $all")
+
+    // 2-file cap admits exactly one 2-file snapshot per batch
+    val byFiles = drain("files", "maxFilesPerTrigger" -> "2")
+    assert(byFiles.size == 4, s"expected 4 capped batches, got $byFiles")
+    assert(byFiles.sum == total, s"capped drain lost rows: $byFiles")
+
+    // a row cap below two snapshots' rows also yields snapshot-per-batch
+    val byRows = drain("rows", "maxRowsPerTrigger" -> maxSnapRows.toString)
+    assert(byRows.size == 4, s"expected 4 row-capped batches, got $byRows")
+    assert(byRows.sum == total, s"row-capped drain lost rows: $byRows")
+
+    // an oversized single commit is still admitted (progress guarantee):
+    // each snapshot has 2 files, cap of 1 must not stall the stream
+    val oversized = drain("oversized", "maxFilesPerTrigger" -> "1")
+    assert(oversized.size == 4 && oversized.sum == total,
+      s"oversized-commit progress violated: $oversized")
+  }
 }
