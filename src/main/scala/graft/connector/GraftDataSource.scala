@@ -209,8 +209,9 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
 }
 
 /** Read-only metadata tables surfaced through SQL (Iceberg parity):
-  * `SELECT * FROM g.db.t.snapshots|history|files|partitions|refs`. Each read
-  * recomputes from current table metadata.
+  * `SELECT * FROM g.db.t.snapshots|history|files|partitions|refs|manifests|
+  * metadata_log_entries`. Each read recomputes from current table
+  * metadata.
   */
 class GraftMetaTable(location: String, kind: String)
     extends Table with SupportsRead {
@@ -225,6 +226,8 @@ class GraftMetaTable(location: String, kind: String)
       case "files" => t.filesDf
       case "partitions" => t.partitionsDf
       case "refs" => t.refsDf
+      case "manifests" => t.manifestsDf
+      case "metadata_log_entries" => t.metadataLogDf
     }
   }
 
@@ -257,7 +260,8 @@ class GraftMetaTable(location: String, kind: String)
 
 object GraftMetaTable {
   val Kinds: Set[String] =
-    Set("snapshots", "history", "files", "partitions", "refs")
+    Set("snapshots", "history", "files", "partitions", "refs",
+      "manifests", "metadata_log_entries")
 }
 
 /** Collects Catalyst's pushed filters and required columns. Filters are

@@ -2264,6 +2264,28 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .groupBy("partition", "spec_id")
       .agg(count(lit(1)).as("file_count"), sum("rc").as("record_count"))
 
+  /** `.manifests` metadata table: one row per manifest the current
+    * snapshot references (data and delete manifests; `content` 0 = data,
+    * 1 = position deletes, 2 = equality deletes).
+    */
+  def manifestsDf: DataFrame = {
+    import spark.implicits._
+    liveManifests(None).map(m => (m.path, m.content, m.entryCount,
+      m.recordCount, m.addedSnapshotId, m.addedSequenceNumber))
+      .toDF("path", "content", "entry_count", "record_count",
+        "added_snapshot_id", "added_sequence_number")
+  }
+
+  /** `.metadata_log_entries` metadata table: every metadata.json version
+    * this table has ever committed, oldest first.
+    */
+  def metadataLogDf: DataFrame = {
+    import spark.implicits._
+    metadata.metadataLog.getOrElse(Seq.empty)
+      .map(l => (l.timestampMs, l.metadataFile))
+      .toDF("timestamp_ms", "file")
+  }
+
   /** refs metadata table. */
   def refsDf: DataFrame = {
     import spark.implicits._

@@ -283,6 +283,23 @@ class ConnectorSpec extends SparkSpec {
     assert(refs.map(x => (x._1, x._2)).toSeq ==
       Seq(("audit", "branch"), ("main", "branch")))
     assert(refs(0)._3 == refs(1)._3) // branch starts at main's head
+
+    // manifests: every manifest the current snapshot references, with
+    // rollup counts that reconcile against the files table
+    val mans = spark.sql(
+      """SELECT content, entry_count, record_count
+        |FROM gmeta.db.t.manifests""".stripMargin).collect()
+    assert(mans.nonEmpty && mans.forall(_.getInt(0) == 0))
+    assert(mans.map(_.getLong(1)).sum == nFiles)
+    assert(mans.map(_.getLong(2)).sum == lineitem.count() * 2)
+    // metadata_log_entries: one versioned metadata file per commit so
+    // far (create + 2 inserts + the branch), oldest first
+    val log = spark.sql(
+      "SELECT timestamp_ms, file FROM gmeta.db.t.metadata_log_entries")
+      .collect()
+    assert(log.length >= 3, s"metadata log too short: ${log.length}")
+    assert(log.map(_.getLong(0)).toSeq == log.map(_.getLong(0)).sorted.toSeq)
+    assert(log.map(_.getString(1)).distinct.length == log.length)
   }
 
   test("SQL CTAS creates and fills a graft table") {
