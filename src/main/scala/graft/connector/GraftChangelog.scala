@@ -112,7 +112,8 @@ object GraftChangelog {
   * or `toMicroBatchStream` on the same built scan).
   */
 class GraftChangelogScan(graft: GraftTable, outSchema: StructType,
-    startSeq: Long, toSnapshot: Option[Long]) extends Scan with Batch {
+    startSeq: Long, toSnapshot: Option[Long],
+    limits: StreamLimits = StreamLimits.none) extends Scan with Batch {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -134,14 +135,15 @@ class GraftChangelogScan(graft: GraftTable, outSchema: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new GraftChangelogStream(graft, outSchema, startSeq,
-      checkpointLocation)
+      checkpointLocation, limits)
 }
 
 /** The streaming shape: sequence-number offsets, each micro-batch one
   * staged changes() range.
   */
 class GraftChangelogStream(graft: GraftTable, outSchema: StructType,
-    startSeq: Long, checkpointLocation: String)
+    startSeq: Long, checkpointLocation: String,
+    limits: StreamLimits = StreamLimits.none)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -158,8 +160,20 @@ class GraftChangelogStream(graft: GraftTable, outSchema: StructType,
     GraftSeqOffset(availableNowCap.fold(committedSeq)(
       cap => math.min(cap, committedSeq)))
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    latestOffset()
+  override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
+
+  // admission caps bound each staged changes() range: under deletes the
+  // summary totals are not monotone, so non-monotone deltas charge one
+  // file each — approximate, but every batch stays bounded
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftSeqOffset].seq
+    val cap = availableNowCap.fold(committedSeq)(
+      c => math.min(c, committedSeq))
+    val (maxFiles, maxRows) = SnapshotAdmission.caps(limit)
+    GraftSeqOffset(SnapshotAdmission.admissibleEnd(
+      graft.metadata.snapshots.getOrElse(Seq.empty),
+      from, cap, maxFiles, maxRows))
+  }
 
   override def reportLatestOffset(): Offset = GraftSeqOffset(committedSeq)
 

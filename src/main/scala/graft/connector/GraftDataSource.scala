@@ -196,7 +196,8 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
       val out = schema()
       new ScanBuilder {
         override def build(): Scan =
-          new GraftChangelogScan(g, out, start, to)
+          new GraftChangelogScan(g, out, start, to,
+            StreamLimits.fromOptions(options))
       }
     } else new GraftScanBuilder(graft, schema(), asOf,
       StreamLimits.fromOptions(options))

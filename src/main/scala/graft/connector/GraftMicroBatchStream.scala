@@ -39,6 +39,75 @@ object StreamLimits {
   }
 }
 
+/** Offset admission shared by the snapshot stream and the changelog
+  * stream: walk the committed snapshots oldest-first and pick the
+  * greatest end sequence whose accumulated added-file/row deltas fit the
+  * caps. Deltas come from the monotone `total-data-files` /
+  * `total-records` summary rollups — pure arithmetic on already-loaded
+  * metadata, no manifest reads at offset time.
+  */
+private[connector] object SnapshotAdmission {
+
+  /** Flatten a (possibly composite) ReadLimit to file/row caps. */
+  def caps(limit: ReadLimit): (Option[Long], Option[Long]) = {
+    def flat(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flat)
+      case _: ReadAllAvailable => Seq.empty
+      case x => Seq(x)
+    }
+    val ls = flat(limit)
+    (ls.collectFirst { case f: ReadMaxFiles => f.maxFiles.toLong },
+      ls.collectFirst { case r: ReadMaxRows => r.maxRows })
+  }
+
+  /** End sequence for the batch (from, cap] under the caps; `from` when
+    * nothing is admissible. At least one snapshot is always admitted so
+    * the stream makes progress even when a single commit exceeds the cap
+    * (file-source semantics). Totals absent (foreign metadata) or
+    * non-monotone (delete commits in a changelog history) charge one
+    * file/one row, keeping the walk bounded instead of admitting the
+    * whole backlog.
+    */
+  def admissibleEnd(snapshots: Seq[_root_.graft.model.SnapshotV2],
+      from: Long, cap: Long,
+      maxFiles: Option[Long], maxRows: Option[Long]): Long = {
+    if (cap <= from) return from
+    if (maxFiles.isEmpty && maxRows.isEmpty) return cap
+    val snaps = snapshots.filter(_.sequenceNumber <= cap)
+      .sortBy(_.sequenceNumber)
+    def totals(s: _root_.graft.model.SnapshotV2): (Long, Long) = (
+      s.summary.other.get("total-data-files").map(_.toLong).getOrElse(-1L),
+      s.summary.other.get("total-records").map(_.toLong).getOrElse(-1L))
+    var prevFiles = 0L
+    var prevRows = 0L
+    snaps.takeWhile(_.sequenceNumber <= from).lastOption.foreach { s =>
+      val (f, r) = totals(s); prevFiles = f; prevRows = r
+    }
+    var admFiles = 0L
+    var admRows = 0L
+    var end = from
+    var open = true
+    snaps.dropWhile(_.sequenceNumber <= from).foreach { s =>
+      if (open) {
+        val (tf, tr) = totals(s)
+        val addF = if (tf >= 0 && prevFiles >= 0 && tf >= prevFiles)
+          tf - prevFiles else 1L
+        val addR = if (tr >= 0 && prevRows >= 0 && tr >= prevRows)
+          tr - prevRows else 1L
+        val fits = maxFiles.forall(admFiles + addF <= _) &&
+          maxRows.forall(admRows + addR <= _)
+        if (fits || end == from) {
+          admFiles += addF; admRows += addR
+          prevFiles = tf; prevRows = tr
+          end = s.sequenceNumber
+          if (!fits) open = false
+        } else open = false
+      }
+    }
+    end
+  }
+}
+
 /** Snapshot-offset streaming read of an append-only graft table:
   * `spark.readStream.format("graft").load(location)`.
   *
@@ -102,60 +171,10 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     val from = start.asInstanceOf[GraftSeqOffset].seq
     val cap = availableNowCap.fold(committedSeq)(
       c => math.min(c, committedSeq))
-    if (cap <= from) return GraftSeqOffset(from)
-    val (maxFiles, maxRows) = caps(limit)
-    if (maxFiles.isEmpty && maxRows.isEmpty) return GraftSeqOffset(cap)
-    // snapshots in the admissible backlog, oldest first; append-only
-    // history makes the summary totals monotone, so added-per-snapshot is
-    // the delta against the previous snapshot's totals
-    val snaps = graft.metadata.snapshots.getOrElse(Seq.empty)
-      .filter(s => s.sequenceNumber <= cap).sortBy(_.sequenceNumber)
-    def totals(s: _root_.graft.model.SnapshotV2): (Long, Long) = (
-      s.summary.other.get("total-data-files").map(_.toLong).getOrElse(-1L),
-      s.summary.other.get("total-records").map(_.toLong).getOrElse(-1L))
-    var prevFiles = 0L
-    var prevRows = 0L
-    snaps.takeWhile(_.sequenceNumber <= from).lastOption.foreach { s =>
-      val (f, r) = totals(s); prevFiles = f; prevRows = r
-    }
-    var admFiles = 0L
-    var admRows = 0L
-    var end = from
-    var open = true
-    snaps.dropWhile(_.sequenceNumber <= from).foreach { s =>
-      if (open) {
-        val (tf, tr) = totals(s)
-        // totals absent (foreign metadata) or non-monotone (shouldn't
-        // happen append-only): charge one file/one row so the walk still
-        // terminates against the cap instead of admitting unboundedly
-        val addF = if (tf >= 0 && prevFiles >= 0 && tf >= prevFiles)
-          tf - prevFiles else 1L
-        val addR = if (tr >= 0 && prevRows >= 0 && tr >= prevRows)
-          tr - prevRows else 1L
-        val fits = maxFiles.forall(admFiles + addF <= _) &&
-          maxRows.forall(admRows + addR <= _)
-        // an oversized single commit is admitted alone (progress)
-        if (fits || end == from) {
-          admFiles += addF; admRows += addR
-          prevFiles = tf; prevRows = tr
-          end = s.sequenceNumber
-          if (!fits) open = false
-        } else open = false
-      }
-    }
-    GraftSeqOffset(end)
-  }
-
-  /** Flatten a (possibly composite) ReadLimit to file/row caps. */
-  private def caps(limit: ReadLimit): (Option[Long], Option[Long]) = {
-    def flat(l: ReadLimit): Seq[ReadLimit] = l match {
-      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flat)
-      case _: ReadAllAvailable => Seq.empty
-      case x => Seq(x)
-    }
-    val ls = flat(limit)
-    (ls.collectFirst { case f: ReadMaxFiles => f.maxFiles.toLong },
-      ls.collectFirst { case r: ReadMaxRows => r.maxRows })
+    val (maxFiles, maxRows) = SnapshotAdmission.caps(limit)
+    GraftSeqOffset(SnapshotAdmission.admissibleEnd(
+      graft.metadata.snapshots.getOrElse(Seq.empty),
+      from, cap, maxFiles, maxRows))
   }
 
   override def reportLatestOffset(): Offset = GraftSeqOffset(committedSeq)

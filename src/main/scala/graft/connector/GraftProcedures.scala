@@ -32,6 +32,10 @@ object GraftProcedures {
     "fast_forward", "rewrite_manifests", "analyze_table",
     "create_changelog_view")
 
+  /** Live data-file count from manifest rollups — O(refs), no entries. */
+  private def dataFileCount(t: GraftTable): Long =
+    t.liveManifests(None).filter(_.content == 0).map(_.entryCount).sum
+
   def load(name: String, resolveTable: String => String)
       : Option[UnboundProcedure] = {
     def p(n: String, params: Seq[ProcedureParameter],
@@ -73,15 +77,52 @@ object GraftProcedures {
       case "compact" => Some(p("compact",
         Seq(table,
           ProcedureParameter.in("target_file_bytes", LongType)
-            .defaultValue((64L << 20).toString).build()),
+            .defaultValue((64L << 20).toString).build(),
+          // binpack (default): merge undersized files only;
+          // sort: FULL rewrite clustered on sort_by columns;
+          // zorder: full rewrite on a range-scaled 2-column interleave
+          ProcedureParameter.in("strategy", StringType)
+            .defaultValue("'binpack'").build(),
+          ProcedureParameter.in("sort_by", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(StructField("snapshot_id", LongType),
           StructField("rewritten_files", LongType)))) {
         (t, args) =>
-          val snap = t.compactBinPack(args.getLong(1))
-          Seq(snap.snapshotId,
-            snap.summary.other.get("compacted-files")
-              .orElse(snap.summary.other.get("rewritten-files"))
-              .map(_.toLong).getOrElse(0L))
+          import org.apache.spark.sql.functions.col
+          val sortBy = args.getUTF8String(3).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          args.getUTF8String(2).toString match {
+            case "binpack" =>
+              val snap = t.compactBinPack(args.getLong(1))
+              Seq(snap.snapshotId,
+                snap.summary.other.get("binpacked-files")
+                  .map(_.toLong).getOrElse(0L))
+            case "sort" =>
+              require(sortBy.nonEmpty, "sort strategy needs sort_by")
+              val n = dataFileCount(t)
+              Seq(t.compact(sortBy.map(col)).snapshotId, n)
+            case "zorder" =>
+              require(sortBy.length == 2,
+                s"zorder strategy needs exactly 2 sort_by columns, " +
+                  s"got $sortBy")
+              val Seq(a, b) = sortBy
+              // range-scale each dimension from the table's own stat
+              // bounds so both contribute bits at the same significance
+              def bound(c: String, isMin: Boolean): Long =
+                t.columnExtreme(c, isMin) match {
+                  case Some(v: Number) => v.longValue
+                  case other => throw new IllegalArgumentException(
+                    s"zorder column $c has no numeric bounds: $other")
+                }
+              val z = _root_.graft.functions.ZOrder.zorderScaled(
+                col(a), bound(a, isMin = true), bound(a, isMin = false),
+                col(b), bound(b, isMin = true), bound(b, isMin = false))
+              val n = dataFileCount(t)
+              Seq(t.compact(Seq(z)).snapshotId, n)
+            case other => throw new IllegalArgumentException(
+              s"unknown compact strategy '$other' " +
+                "(binpack | sort | zorder)")
+          }
       })
       case "create_tag" => Some(p("create_tag",
         Seq(table, ProcedureParameter.in("name", StringType).build(),

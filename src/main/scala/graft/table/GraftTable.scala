@@ -289,8 +289,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             }
           }
         }).getOrElse(Seq.empty)
+    // partition columns lead the sort: FileFormatWriter REQUIRES rows
+    // ordered by the partition expressions and silently inserts its own
+    // partition-only sort when they are not — which would destroy the
+    // requested clustering. Leading with them satisfies the writer's
+    // required ordering, so the data-column order survives into files.
     if (effectiveSort.nonEmpty)
-      out = out.sortWithinPartitions(effectiveSort: _*)
+      out = out.sortWithinPartitions(
+        partNames.map(col) ++ effectiveSort: _*)
 
     // bloom'd columns also get PARQUET-native bloom filters: the manifest
     // sidecar skips whole FILES at planning, the in-file bloom skips ROW
@@ -1823,27 +1829,35 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       }
     })
 
-  /** Full rewrite: one file per partition value (op=replace). */
-  def compact(): SnapshotV2 = {
-    val meta = metadata
-    val schema = meta.currentSchema
-    // deletes-applied read; the replace commit reuses no manifests, so
-    // absorbed position-delete files drop out of the table here
-    val df = readAppliedFor(meta,
-      manifestsFor(meta, None).flatMap(_.entries).filter(_.isData), schema)
-    val partNames = meta.defaultSpec.fields.map(_.name)
-    val rewritten =
-      if (partNames.nonEmpty) writeFiles(df, repartitionByPartition = true)
-      else writeFiles(df.coalesce(1))
-    commitSnapshot("replace", { freshMeta =>
-      // currentSnapshotId moves on BOTH data commits and rollbacks
-      // (lastSequenceNumber would miss a racing rollback)
-      if (freshMeta.currentSnapshotId != meta.currentSnapshotId)
-        throw new CommitConflictException(
-          s"table changed during compact at $location")
-      (Seq.empty, rewritten, Map.empty)
+  /** Full rewrite: one file per partition value (op=replace). With
+    * `sortWithin`, rows are clustered within each rewritten file (the
+    * sort / z-order strategies of rewrite_data_files — pass a plain
+    * column list or one z-order interleave column); scan-relevant
+    * min/max stats tighten accordingly. Conflicts rebase: the rewrite
+    * re-derives against fresh state like compactBinPack.
+    */
+  def compact(sortWithin: Seq[Column] = Seq.empty): SnapshotV2 =
+    retryingCommit(() => {
+      val meta = metadata
+      val schema = meta.currentSchema
+      // deletes-applied read; the replace commit reuses no manifests, so
+      // absorbed position-delete files drop out of the table here
+      val df = readAppliedFor(meta,
+        manifestsFor(meta, None).flatMap(_.entries).filter(_.isData), schema)
+      val partNames = meta.defaultSpec.fields.map(_.name)
+      val rewritten =
+        if (partNames.nonEmpty)
+          writeFiles(df, sortWithin, repartitionByPartition = true)
+        else writeFiles(df.coalesce(1), sortWithin)
+      commitSnapshot("replace", { freshMeta =>
+        // currentSnapshotId moves on BOTH data commits and rollbacks
+        // (lastSequenceNumber would miss a racing rollback)
+        if (freshMeta.currentSnapshotId != meta.currentSnapshotId)
+          throw new CommitConflictException(
+            s"table changed during compact at $location")
+        (Seq.empty, rewritten, Map.empty)
+      })
     })
-  }
 
   // ---------------------------------------------------- schema evolution ----
 

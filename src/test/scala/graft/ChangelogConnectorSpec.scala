@@ -133,4 +133,45 @@ class ChangelogConnectorSpec extends SparkSpec {
       "SELECT count(DISTINCT _commit_snapshot_id) FROM cdf_v")
       .head().getLong(0) == 2L)
   }
+
+  test("streaming changelog honors maxFilesPerTrigger admission caps") {
+    import spark.implicits._
+    val loc = tmp("graft-cdfl")
+    val df0 = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df0.schema)
+    // 4 single-file append commits, then one MoR delete commit
+    for (i <- 0 until 4)
+      t.append(df0.filter(col("id") % 4 === i).coalesce(1))
+    t.deleteWhereMoR(col("id") % 10 === 0)
+
+    def drain(tag: String, opts: (String, String)*): Seq[Long] = {
+      val sizes = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[java.lang.Long]())
+      val reader = opts.foldLeft(
+        spark.readStream.format("graft").option("changelog", "true")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(loc).writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            sizes.add(df.count()): Unit
+        }
+        .option("checkpointLocation", s"$loc-ckpt-$tag")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      sizes.asScala.toSeq.map(_.longValue).filter(_ > 0)
+    }
+
+    val all = drain("all")
+    assert(all.size == 1, s"unlimited drain should be one batch: $all")
+    // one file per append commit: cap 1 yields one append per batch; the
+    // MoR delete adds no data files (zero delta) so it coalesces into
+    // the last batch rather than stalling the walk
+    val capped = drain("capped", "maxFilesPerTrigger" -> "1")
+    assert(capped.size >= 4, s"expected per-commit batches, got $capped")
+    assert(capped.sum == all.sum,
+      s"capped drain changed the row total: $capped vs $all")
+  }
 }

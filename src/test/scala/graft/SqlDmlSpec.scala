@@ -208,6 +208,52 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql("CALL gdml.system.compact('db.nope')").collect() }
   }
 
+  test("CALL compact strategies: sort and zorder full rewrites") {
+    val t = freshTable("sortz")
+    // scatter rows across several commits so the rewrite has real work
+    spark.sql(s"INSERT INTO gdml.db.$t SELECT id + 100, grp, qty " +
+      s"FROM src_$t")
+    val sorted = spark.sql(
+      s"CALL gdml.system.compact('db.$t', ${64L << 20}, 'sort', 'id')")
+      .head()
+    assert(sorted.getLong(1) >= 2, "expected a multi-file rewrite")
+    assert(spark.table(s"gdml.db.$t").count() == 200)
+    // every rewritten file is internally ordered on the sort column
+    val paths = spark.sql(s"SELECT file_path FROM gdml.db.$t.files")
+      .collect().map(_.getString(0))
+    assert(paths.nonEmpty && paths.length <= 4) // one per live bucket
+    paths.foreach { pth =>
+      val ids = spark.read.parquet(pth).select("id")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq == ids.sorted.toSeq, s"$pth is not sorted")
+    }
+
+    // zorder: unpartitioned two-dimension table rewrites into one file
+    // whose row order follows the range-scaled interleave
+    spark.sql("DROP TABLE IF EXISTS gdml.db.zgrid")
+    spark.sql("CREATE TABLE gdml.db.zgrid (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO gdml.db.zgrid " +
+      "SELECT pmod(hash(id), 16), pmod(hash(id * 7), 16) " +
+      "FROM range(256) AS r(id)")
+    val z = spark.sql(
+      s"CALL gdml.system.compact('db.zgrid', ${64L << 20}, 'zorder', " +
+        "'x,y')").head()
+    assert(z.getLong(1) >= 1)
+    val zPaths = spark.sql("SELECT file_path FROM gdml.db.zgrid.files")
+      .collect().map(_.getString(0))
+    assert(zPaths.length == 1, s"expected one rewritten file: $zPaths")
+    // fixed 16-byte interleave: hex strings compare like unsigned bytes
+    val zs = spark.read.parquet(zPaths.head)
+      .select(hex(graft.functions.ZOrder.zorderScaled(
+        col("x"), 0, 15, col("y"), 0, 15)).as("z"))
+      .collect().map(_.getString(0))
+    assert(zs.zip(zs.drop(1)).forall { case (a, b) => a <= b },
+      "file rows do not follow z-order")
+    // the strategy knob rejects nonsense loudly
+    intercept[Exception] { spark.sql(
+      s"CALL gdml.system.compact('db.$t', 1, 'shuffle', '')").collect() }
+  }
+
   test("write-audit-publish: branch isolation and fast-forward safety") {
     import spark.implicits._
     val loc = java.nio.file.Files
