@@ -148,24 +148,29 @@ class GraftBatchScan(protected val graft: GraftTable,
     // rows reach the driver for bin-packing — the connector never
     // materializes the full entry list driver-side
     val files = graft.plannedConnectorFiles(effectiveFilter, asOf)
+    // `_pos` positions are counted per file from zero — such scans read
+    // whole files; everything else range-splits oversized files
+    val splitOk =
+      !prunedSchema.fieldNames.contains(GraftMetaColumns.Pos)
     val out = spjKeys match {
       case Some((_, keyFields))
           if files.forall(f =>
             keyFields.forall { case (n, _) => f.partition.contains(n) }) =>
         try {
-          val (parts, groups) = GraftRead.binPackKeyed(spark, files, keyFields)
+          val (parts, groups) =
+            GraftRead.binPackKeyed(spark, files, keyFields, splitOk)
           plannedKeyGroups = groups
           parts
         } catch { case _: Exception =>
           // undecodable partition value → fall back to unkeyed splits
           plannedKeyGroups = -1
           GraftRead.binPack(spark,
-            files.map(f => (f.path, f.schemaId, f.fileSize)))
+            files.map(f => (f.path, f.schemaId, f.fileSize)), splitOk)
         }
       case _ =>
         plannedKeyGroups = -1
         GraftRead.binPack(spark,
-          files.map(f => (f.path, f.schemaId, f.fileSize)))
+          files.map(f => (f.path, f.schemaId, f.fileSize)), splitOk)
     }
     plannedCache = out
     out
@@ -225,9 +230,17 @@ object GraftRead {
   /** Bin-pack planned (path, schemaId, fileSize) files into input
     * partitions, one write-time schema per partition, first-fit-decreasing
     * against the session's maxPartitionBytes target.
+    *
+    * Files larger than the target SPLIT into byte ranges (parquet is
+    * range-splittable: a reader processes exactly the row groups whose
+    * midpoint falls inside its range), so one multi-GB file fans out
+    * across tasks instead of serializing on one. Pass
+    * `splitLargeFiles = false` when the scan serves `_pos` — positions
+    * are counted per FILE from zero, so those scans must read whole
+    * files.
     */
-  def binPack(spark: SparkSession,
-      files: Seq[(String, Int, Long)]): Array[InputPartition] = {
+  def binPack(spark: SparkSession, files: Seq[(String, Int, Long)],
+      splitLargeFiles: Boolean = true): Array[InputPartition] = {
     val target = math.max(1L << 20,
       spark.sessionState.conf.filesMaxPartitionBytes)
     val hadoop = spark.sessionState.newHadoopConf()
@@ -238,23 +251,39 @@ object GraftRead {
         p.getFileSystem(hadoop).getFileStatus(p).getLen
       }
     files.groupBy(_._2).toSeq.flatMap { case (sid, es) =>
-      packBins(es.map(e => (e._1, sizeOf(e._1, e._3))), target)
-        .map(b => GraftInputPartition(sid, b))
+      val ranges = es.flatMap(e =>
+        splitRanges(e._1, sizeOf(e._1, e._3), target, splitLargeFiles))
+      packBins(ranges, target).map(b => GraftInputPartition(sid, b))
     }.toArray
   }
 
-  private def packBins(sized0: Seq[(String, Long)],
-      target: Long): Seq[Array[(String, Long)]] = {
-    val sized = sized0.sortBy(-_._2)
+  /** (path, start, length) ranges of one file: whole when it fits the
+    * target (or splitting is off), else even chunks ≤ target.
+    */
+  private def splitRanges(path: String, size: Long, target: Long,
+      split: Boolean): Seq[(String, Long, Long)] =
+    if (!split || size <= target) Seq((path, 0L, size))
+    else {
+      val n = math.ceil(size.toDouble / target).toLong
+      val chunk = math.ceil(size.toDouble / n).toLong
+      (0L until n).map { i =>
+        val start = i * chunk
+        (path, start, math.min(chunk, size - start))
+      }
+    }
+
+  private def packBins(sized0: Seq[(String, Long, Long)],
+      target: Long): Seq[Array[(String, Long, Long)]] = {
+    val sized = sized0.sortBy(-_._3)
     val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long, Long)], Long)]
     sized.foreach { f =>
-      bins.indexWhere(_._2 + f._2 <= target) match {
+      bins.indexWhere(_._2 + f._3 <= target) match {
         case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f._3))
         case i =>
           bins(i)._1 += f
-          bins(i) = (bins(i)._1, bins(i)._2 + f._2)
+          bins(i) = (bins(i)._1, bins(i)._2 + f._3)
       }
     }
     bins.map(_._1.toArray).toSeq
@@ -268,8 +297,8 @@ object GraftRead {
     * falls back to unkeyed splits.
     */
   def binPackKeyed(spark: SparkSession, files: Seq[graft.table.ConnectorFile],
-      keyFields: Seq[(String, org.apache.spark.sql.types.DataType)])
-      : (Array[InputPartition], Int) = {
+      keyFields: Seq[(String, org.apache.spark.sql.types.DataType)],
+      splitLargeFiles: Boolean = true): (Array[InputPartition], Int) = {
     val target = math.max(1L << 20,
       spark.sessionState.conf.filesMaxPartitionBytes)
     val hadoop = spark.sessionState.newHadoopConf()
@@ -287,8 +316,11 @@ object GraftRead {
           vOpt.map(decodePartitionValue(_, dt)).orNull
       }.toArray
       fs.groupBy(_.schemaId).toSeq.flatMap { case (sid, es) =>
-        packBins(es.map(e => (e.path, sizeOf(e.path, e.fileSize))), target)
-          .map(b => GraftKeyedPartition(sid, b, keyVals))
+        // ranges of one file share its partition tuple, so splitting
+        // preserves the one-key-per-split SPJ contract
+        val ranges = es.flatMap(e => splitRanges(e.path,
+          sizeOf(e.path, e.fileSize), target, splitLargeFiles))
+        packBins(ranges, target).map(b => GraftKeyedPartition(sid, b, keyVals))
       }
     }
     (splits.toArray, grouped.size)
@@ -407,22 +439,22 @@ object GraftRead {
   }
 }
 
-/** One input partition: files of one write-time schema, bin-packed to
-  * the maxPartitionBytes target.
+/** One input partition: (path, start, length) byte ranges of one
+  * write-time schema, bin-packed to the maxPartitionBytes target.
   */
 sealed trait GraftSplit extends InputPartition {
   def schemaId: Int
-  def files: Array[(String, Long)]
+  def files: Array[(String, Long, Long)]
 }
 
 case class GraftInputPartition(schemaId: Int,
-    files: Array[(String, Long)]) extends GraftSplit
+    files: Array[(String, Long, Long)]) extends GraftSplit
 
 /** A split whose rows all share one partition tuple — the unit of
   * key-grouped (storage-partitioned) execution.
   */
 case class GraftKeyedPartition(schemaId: Int,
-    files: Array[(String, Long)], keyVals: Array[Any]) extends GraftSplit
+    files: Array[(String, Long, Long)], keyVals: Array[Any]) extends GraftSplit
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
@@ -455,9 +487,9 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
   private def perFileIterator(p: GraftSplit)
       : Iterator[(String, Iterator[AnyRef])] = {
     val g = groups(p.schemaId)
-    p.files.iterator.map { case (path, size) =>
+    p.files.iterator.map { case (path, start, len) =>
       path -> g.readFunc(PartitionedFile(InternalRow.empty,
-        SparkPath.fromPathString(path), 0L, size))
+        SparkPath.fromPathString(path), start, len))
         .asInstanceOf[Iterator[AnyRef]]
     }
   }

@@ -196,7 +196,9 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     val files = graft
       .plannedConnectorFiles(filterColumn, None, Some((from, to)))
       .map(f => (f.path, f.schemaId, f.fileSize))
-    GraftRead.binPack(spark, files)
+    GraftRead.binPack(spark, files,
+      splitLargeFiles =
+        !prunedSchema.fieldNames.contains(GraftMetaColumns.Pos))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

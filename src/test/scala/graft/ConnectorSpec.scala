@@ -573,6 +573,46 @@ class ConnectorSpec extends SparkSpec {
       viaDsv2.exceptAll(viaScan).isEmpty)
   }
 
+  test("large files range-split into multiple input partitions") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.01", "lineitem")
+    val big = src.unionAll(src.withColumn("l_orderkey",
+      col("l_orderkey") + 10000000L))
+    val loc = freshLoc("split")
+    // small row groups so byte ranges land on distinct group midpoints
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 256 * 1024)
+    val t = try {
+      val t = GraftTable.create(spark, loc, big.schema)
+      t.append(big.coalesce(1))
+      t
+    } finally oldBlock match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
+    }
+    val entries = t.liveManifests().filter(_.content == 0)
+    assert(entries.map(_.entryCount).sum == 1, "expected one data file")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+    try {
+      val df = spark.read.format("graft").load(loc)
+      // the single >1MiB file fans out over several byte-range splits...
+      assert(df.rdd.getNumPartitions >= 2,
+        s"expected range splits, got ${df.rdd.getNumPartitions}")
+      // ...with no row lost or duplicated across range boundaries
+      assert(df.count() == big.count())
+      val whole = t.scan()
+      assert(df.exceptAll(whole).isEmpty && whole.exceptAll(df).isEmpty)
+      // a _pos scan must NOT split (positions count per file from zero):
+      // one partition for the one file, every position distinct
+      val withPos = spark.read.format("graft").load(loc)
+        .select(col("l_orderkey"), col("_pos"))
+      assert(withPos.rdd.getNumPartitions == 1,
+        "a _pos scan must read whole files")
+      assert(withPos.select("_pos").distinct().count() == big.count())
+    } finally
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("streaming admission control: maxFilesPerTrigger / maxRowsPerTrigger") {
     val events = Tables.tbl(spark, "/root/testdata/sf0.001", "events")
       .limit(800).cache()
