@@ -30,7 +30,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
     "fast_forward", "rewrite_manifests", "analyze_table",
-    "create_changelog_view")
+    "create_changelog_view", "set_sort_order")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -222,6 +222,20 @@ object GraftProcedures {
           val view = args.getUTF8String(1).toString
           t.changesBySeq(fromSeq, to).createOrReplaceTempView(view)
           Seq(UTF8String.fromString(view), to)
+      })
+      // default write clustering without leaving SQL:
+      //   CALL g.system.set_sort_order('db.t', 'c1,c2')  ('' = unsorted)
+      // subsequent INSERTs cluster within files on the order; re-cluster
+      // existing data via compact(strategy => 'sort')
+      case "set_sort_order" => Some(p("set_sort_order",
+        Seq(table, ProcedureParameter.in("order_by", StringType).build()),
+        StructType(Seq(StructField("sort_order_id", LongType)))) {
+        (t, args) =>
+          val cols = args.getUTF8String(1).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          t.replaceSortOrder(
+            cols.map(c => (c, _root_.graft.model.TIdentity)))
+          Seq(t.metadata.defaultSortOrderId)
       })
       case _ => None
     }

@@ -302,9 +302,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // sidecar skips whole FILES at planning, the in-file bloom skips ROW
     // GROUPS inside the survivors (Spark's reader applies it to pushed
     // point predicates automatically)
+    // file sizing: the write.target-records-per-file property rolls the
+    // writer to a fresh file at the cap, bounding file sizes regardless
+    // of task partitioning (Spark's maxRecordsPerFile — no extra shuffle)
+    val sized = meta.properties.getOrElse(Map.empty)
+      .get("write.target-records-per-file").map(_.toLong)
+      .foldLeft(out.write.mode("errorifexists"))(
+        (w, n) => w.option("maxRecordsPerFile", n))
     val writer = Blooms
       .bloomColumns(meta.properties.getOrElse(Map.empty), sparkSchema)
-      .foldLeft(out.write.mode("errorifexists")) { case (w, (name, _)) =>
+      .foldLeft(sized) { case (w, (name, _)) =>
         w.option(s"parquet.bloom.filter.enabled#$name", "true")
       }
     (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
@@ -1914,6 +1921,32 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
     writeMetadataAt(meta.copy(
       properties = if (next.isEmpty) None else Some(next),
+      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
+  }
+
+  /** Replace the default write sort order (metadata-only). Subsequent
+    * writes cluster rows within files on the new order — tightening
+    * min/max stats for scan pruning — while existing files keep their
+    * layout (re-cluster them via compact with a sort strategy). Empty
+    * fields reset to unsorted. Mirrors sort.rs:36-52 SortOrder
+    * evolution: orders are append-only, the default id moves.
+    */
+  def replaceSortOrder(fields: Seq[(String, Transform)]): Unit = {
+    val (baseVersion, meta) = metadataWithVersion
+    val schema = meta.currentSchema
+    val order =
+      if (fields.isEmpty) SortOrder.unsorted
+      else SortOrder(meta.sortOrders.map(_.orderId).max + 1,
+        fields.map { case (src, t) =>
+          val f = schema.fieldByName(src).getOrElse(
+            throw new IllegalArgumentException(s"no column $src"))
+          SortField(f.id, t, SortAsc, NullsFirst)
+        })
+    writeMetadataAt(meta.copy(
+      sortOrders =
+        if (order.orderId == 0) meta.sortOrders
+        else meta.sortOrders :+ order,
+      defaultSortOrderId = order.orderId.toLong,
       lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
   }
 

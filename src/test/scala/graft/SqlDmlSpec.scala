@@ -254,6 +254,28 @@ class SqlDmlSpec extends SparkSpec {
       s"CALL gdml.system.compact('db.$t', 1, 'shuffle', '')").collect() }
   }
 
+  test("CALL set_sort_order: subsequent INSERTs cluster within files") {
+    val t = freshTable("sortddl")
+    val oid = spark.sql(
+      s"CALL gdml.system.set_sort_order('db.$t', 'id')").head().getLong(0)
+    assert(oid == 1L)
+    // scattered insert order; bucket partitioning spreads across files
+    spark.sql(s"INSERT INTO gdml.db.$t " +
+      "SELECT pmod(id * 613, 1000), 'g', 1.0 FROM range(500)")
+    val g = GraftTable.load(spark, s"$wh/db/$t")
+    val snap = g.metadata.currentSnapshotId.get
+    val newFiles = spark.sql(
+      s"SELECT file_path FROM gdml.db.$t.files " +
+        s"WHERE added_snapshot_id = $snap")
+      .collect().map(_.getString(0))
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { p =>
+      val ids = spark.read.parquet(p).select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"$p not clustered after set_sort_order")
+    }
+  }
+
   test("write-audit-publish: branch isolation and fast-forward safety") {
     import spark.implicits._
     val loc = java.nio.file.Files

@@ -604,6 +604,54 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("replaceSortOrder clusters new writes; records-per-file cap sizes them") {
+    import spark.implicits._
+    val loc = freshLoc("sortevolve")
+    val rows = (1L to 1000L).map(i => ((i * 613) % 1000, s"v$i"))
+      .toDF("k", "v")
+    val t = GraftTable.create(spark, loc, rows.schema)
+    t.append(rows.coalesce(1))
+    // pre-evolution file is unclustered (scattered insert order)
+    def fileRows(path: String): Seq[Long] =
+      spark.read.parquet(path).select("k").collect().map(_.getLong(0)).toSeq
+    val before = fileRows(t.liveEntries().head.path)
+    assert(before != before.sorted, "test premise: unsorted input")
+
+    // evolve the default sort order; metadata is spec-shaped
+    t.replaceSortOrder(Seq(("k", TIdentity)))
+    assert(t.metadata.defaultSortOrderId == 1L)
+    assert(t.metadata.sortOrders.map(_.orderId) == Seq(0, 1))
+    // a second replace appends another order and moves the default
+    t.replaceSortOrder(Seq(("k", TIdentity)))
+    assert(t.metadata.defaultSortOrderId == 2L)
+    intercept[IllegalArgumentException] {
+      t.replaceSortOrder(Seq(("nope", TIdentity)))
+    }
+
+    // new writes cluster on the evolved order without any explicit sort
+    val snap = t.append(rows.coalesce(1))
+    val newFiles = t.liveEntries()
+      .filter(_.snapshotId == snap.snapshotId).map(_.path)
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { p =>
+      val ks = fileRows(p)
+      assert(ks == ks.sorted, s"$p not clustered on evolved order")
+    }
+
+    // write.target-records-per-file bounds file sizes from a property
+    t.updateProperties(Map("write.target-records-per-file" -> Some("150")))
+    val snap2 = t.append(rows.coalesce(1))
+    val sized = t.liveEntries().filter(_.snapshotId == snap2.snapshotId)
+    assert(sized.size >= 7, s"expected >=7 capped files, got ${sized.size}")
+    assert(sized.forall(_.recordCount <= 150),
+      s"files exceed the cap: ${sized.map(_.recordCount)}")
+    // each rolled file is still internally clustered
+    sized.map(_.path).foreach { p =>
+      val ks = fileRows(p)
+      assert(ks == ks.sorted, s"sized file $p lost clustering")
+    }
+  }
+
   test("streaming read refuses a table with non-append history") {
     val src = lineitem.limit(200)
     val t = GraftTable.create(spark, freshLoc("streamguard"), src.schema)
