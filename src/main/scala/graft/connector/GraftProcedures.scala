@@ -30,11 +30,41 @@ object GraftProcedures {
   val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
     "fast_forward", "rewrite_manifests", "analyze_table",
-    "create_changelog_view", "set_sort_order")
+    "create_changelog_view", "set_sort_order", "evolve_partition_spec")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
     t.liveManifests(None).filter(_.content == 0).map(_.entryCount).sum
+
+  /** One `transform(col)` spec string → (source column, transform,
+    * partition field name), same naming as the catalog's CREATE TABLE
+    * transform parsing. A bare column name means identity.
+    */
+  private def parseTransformSpec(s: String)
+      : (String, _root_.graft.model.Transform, String) = {
+    import _root_.graft.model._
+    val Fn = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
+    s.trim match {
+      case Fn(fn, argstr) =>
+        val args = argstr.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        def c = args.last // bucket(4, id) / truncate(10, s): column last
+        fn.toLowerCase match {
+          case "identity" => (args.head, TIdentity, s"${args.head}_p")
+          case "years" | "year" => (args.head, TYear, s"${args.head}_year")
+          case "months" | "month" =>
+            (args.head, TMonth, s"${args.head}_month")
+          case "days" | "day" => (args.head, TDay, s"${args.head}_day")
+          case "hours" | "hour" => (args.head, THour, s"${args.head}_hour")
+          case "bucket" => (c, TBucket(args.head.toInt), s"${c}_bucket")
+          case "truncate" => (c, TTruncate(args.head.toInt), s"${c}_trunc")
+          case "void" => (args.head, TVoid, s"${args.head}_void")
+          case other => throw new IllegalArgumentException(
+            s"unsupported transform $other")
+        }
+      case bare if bare.nonEmpty => (bare, TIdentity, s"${bare}_p")
+      case _ => throw new IllegalArgumentException("empty transform spec")
+    }
+  }
 
   def load(name: String, resolveTable: String => String)
       : Option[UnboundProcedure] = {
@@ -236,6 +266,21 @@ object GraftProcedures {
           t.replaceSortOrder(
             cols.map(c => (c, _root_.graft.model.TIdentity)))
           Seq(t.metadata.defaultSortOrderId)
+      })
+      // hidden-partitioning evolution without leaving SQL:
+      //   CALL g.system.evolve_partition_spec('db.t', 'months(d), bucket(8, id)')
+      // future writes partition under the new spec; existing files keep
+      // their write-time spec and still prune under it ('' un-partitions)
+      case "evolve_partition_spec" => Some(p("evolve_partition_spec",
+        Seq(table,
+          ProcedureParameter.in("partition_by", StringType).build()),
+        StructType(Seq(StructField("spec_id", LongType)))) {
+        (t, args) =>
+          val specs = args.getUTF8String(1).toString
+            .split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq
+            .map(parseTransformSpec)
+          t.evolvePartitionSpec(specs)
+          Seq(t.metadata.defaultSpecId.toLong)
       })
       case _ => None
     }

@@ -276,6 +276,31 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("CALL evolve_partition_spec: new writes land under the new spec") {
+    val t = freshTable("specddl") // starts bucket(4, id)
+    val sid = spark.sql(
+      s"CALL gdml.system.evolve_partition_spec('db.$t', " +
+        "'truncate(1, grp)')").head().getLong(0)
+    assert(sid == 2L)
+    spark.sql(s"INSERT INTO gdml.db.$t " +
+      "SELECT id + 1000, 'odd', 2.0 FROM range(50)")
+    val g = GraftTable.load(spark, s"$wh/db/$t")
+    val snap = g.metadata.currentSnapshotId.get
+    // new files carry the new spec's partition tuple; old files keep
+    // their write-time bucket tuple and the table still reads whole
+    val parts = spark.sql(
+      s"SELECT partition FROM gdml.db.$t.files " +
+        s"WHERE added_snapshot_id = $snap").collect().map(_.getString(0))
+    assert(parts.nonEmpty && parts.forall(_.startsWith("grp_trunc=")),
+      s"new files not under evolved spec: ${parts.toSeq}")
+    assert(spark.table(s"gdml.db.$t").count() == 150)
+    // both specs prune: a grp filter hits only new-spec survivors plus
+    // old files (may-match), and results stay exact
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdml.db.$t WHERE grp = 'odd'")
+      .head().getLong(0) == 100)
+  }
+
   test("write-audit-publish: branch isolation and fast-forward safety") {
     import spark.implicits._
     val loc = java.nio.file.Files
