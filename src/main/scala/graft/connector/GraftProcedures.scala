@@ -30,7 +30,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq("expire_snapshots", "remove_orphan_files",
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
     "fast_forward", "rewrite_manifests", "analyze_table",
-    "create_changelog_view", "set_sort_order", "evolve_partition_spec")
+    "create_changelog_view", "set_sort_order", "evolve_partition_spec",
+    "rollback_to_timestamp")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -102,6 +103,21 @@ object GraftProcedures {
         StructType(Seq(StructField("current_snapshot_id", LongType)))) {
         (t, args) =>
           t.rollbackTo(args.getLong(1))
+          Seq(t.metadata.currentSnapshotId.getOrElse(-1L))
+      })
+      // state as of a wall-clock instant: the newest snapshot COMMITTED
+      // at or before the timestamp (epoch millis) becomes current
+      case "rollback_to_timestamp" => Some(p("rollback_to_timestamp",
+        Seq(table, ProcedureParameter.in("timestamp_ms", LongType).build()),
+        StructType(Seq(StructField("current_snapshot_id", LongType)))) {
+        (t, args) =>
+          val ts = args.getLong(1)
+          val snap = t.metadata.snapshots.getOrElse(Seq.empty)
+            .filter(_.timestampMs <= ts)
+            .sortBy(s => (s.timestampMs, s.sequenceNumber)).lastOption
+            .getOrElse(throw new IllegalArgumentException(
+              s"no snapshot committed at or before $ts"))
+          t.rollbackTo(snap.snapshotId)
           Seq(t.metadata.currentSnapshotId.getOrElse(-1L))
       })
       case "compact" => Some(p("compact",

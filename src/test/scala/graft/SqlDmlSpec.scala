@@ -276,6 +276,26 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("CALL rollback_to_timestamp restores the newest covered snapshot") {
+    val t = freshTable("rbts")
+    val g = GraftTable.load(spark, s"$wh/db/$t")
+    val s1 = g.metadata.currentSnapshot.get
+    Thread.sleep(5) // distinct commit timestamps
+    spark.sql(s"INSERT INTO gdml.db.$t VALUES (999, 'x', 9.0)")
+    val s2 = GraftTable.load(spark, s"$wh/db/$t").metadata.currentSnapshot.get
+    assert(s2.timestampMs >= s1.timestampMs)
+    // an instant between the two commits resolves to the first
+    val mid = s2.timestampMs - 1
+    val out = spark.sql(
+      s"CALL gdml.system.rollback_to_timestamp('db.$t', $mid)").head()
+    assert(out.getLong(0) == s1.snapshotId)
+    assert(spark.table(s"gdml.db.$t").count() == 100)
+    // before the first commit: loud failure, state unchanged
+    intercept[Exception] { spark.sql(
+      s"CALL gdml.system.rollback_to_timestamp('db.$t', 1)").collect() }
+    assert(spark.table(s"gdml.db.$t").count() == 100)
+  }
+
   test("CALL evolve_partition_spec: new writes land under the new spec") {
     val t = freshTable("specddl") // starts bucket(4, id)
     val sid = spark.sql(
