@@ -61,8 +61,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 object GraftSparkTable {
   def load(location: String, options: CaseInsensitiveStringMap): GraftSparkTable = {
     val asOf = readSnapshotId(location, options)
+    val incremental = Option(options.get("start-snapshot-id")).map { s =>
+      require(asOf.isEmpty,
+        "incremental read cannot combine with snapshot-id/ref time travel")
+      (s.toLong, Option(options.get("end-snapshot-id")).map(_.toLong))
+    }
     new GraftSparkTable(location, asOf,
-      changelog = options.getBoolean(GraftChangelog.OptionKey, false))
+      changelog = options.getBoolean(GraftChangelog.OptionKey, false),
+      incremental = incremental)
   }
 
   /** Resolve the `snapshot-id` / `ref` read options to a snapshot id. */
@@ -85,7 +91,8 @@ object GraftSparkTable {
   * snapshot for time travel — reads resolve the snapshot's own schema).
   */
 class GraftSparkTable(val location: String, asOf: Option[Long],
-    changelog: Boolean = false)
+    changelog: Boolean = false,
+    incremental: Option[(Long, Option[Long])] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -199,13 +206,57 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
           new GraftChangelogScan(g, out, start, to,
             StreamLimits.fromOptions(options))
       }
-    } else new GraftScanBuilder(graft, schema(), asOf,
-      StreamLimits.fromOptions(options))
+    } else incremental match {
+      case Some((from, toOpt)) =>
+        // append-flavored incremental consumption as a batch read:
+        //   spark.read.format("graft").option("start-snapshot-id", s1)
+        //     [.option("end-snapshot-id", s2)].load(loc)
+        // rows added strictly after `from` up to `to` (default current),
+        // with the range's MoR deletes applied — the engine's
+        // incrementalRead, planned O(added) above the threshold
+        val g = graft
+        val to = toOpt.orElse(g.metadata.currentSnapshotId).getOrElse(
+          throw new IllegalArgumentException("table has no snapshot"))
+        val out = schema()
+        new ScanBuilder {
+          override def build(): Scan = new GraftIncrementalScan(g, out, from, to)
+        }
+      case None => new GraftScanBuilder(graft, schema(), asOf,
+        StreamLimits.fromOptions(options))
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel read")
     require(!changelog, "the changelog read shape is not writable")
+    require(incremental.isEmpty, "an incremental read is not writable")
     new GraftWriteBuilder(graft, Option(info.options.get("branch")))
+  }
+}
+
+/** Incremental batch read: rows added in `(from, to]` with the range's
+  * MoR deletes applied — the engine's incrementalRead behind the V1
+  * bridge (it is a deletes-applied DataFrame, same bridge rationale as
+  * GraftV1Scan). Volume is O(added), so pushdown stays with Spark.
+  */
+class GraftIncrementalScan(graft: GraftTable, out: StructType,
+    from: Long, to: Long) extends V1Scan {
+
+  override def readSchema(): StructType = out
+
+  override def description(): String =
+    s"graft-incremental ${graft.location} ($from, $to]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = out
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        graft.incrementalRead(from, to)
+          .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }
+    rel.asInstanceOf[T]
   }
 }
 

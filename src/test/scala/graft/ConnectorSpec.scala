@@ -573,6 +573,43 @@ class ConnectorSpec extends SparkSpec {
       viaDsv2.exceptAll(viaScan).isEmpty)
   }
 
+  test("incremental batch read: start/end-snapshot-id options") {
+    import spark.implicits._
+    val loc = freshLoc("incr")
+    val df = (1L to 90L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df.schema)
+    val s1 = t.append(df.filter(col("id") <= 30))
+    val s2 = t.append(df.filter(col("id") > 30 && col("id") <= 60))
+    t.deleteWhereMoR(col("id") === 40L) // inside the range, MoR
+    val s3 = t.append(df.filter(col("id") > 60))
+
+    // (s1, current]: appends 2+3 minus the MoR-deleted row
+    val got = spark.read.format("graft")
+      .option("start-snapshot-id", s1.snapshotId).load(loc)
+    val wantIds = (31L to 90L).filterNot(_ == 40L)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == wantIds)
+    // bounded end: (s1, s2] stops before the third append
+    val bounded = spark.read.format("graft")
+      .option("start-snapshot-id", s1.snapshotId)
+      .option("end-snapshot-id", s2.snapshotId).load(loc)
+    assert(bounded.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (31L to 60L))
+    // matches the engine surface exactly
+    val engine = t.incrementalRead(s1.snapshotId, s3.snapshotId)
+    assert(got.exceptAll(engine).isEmpty && engine.exceptAll(got).isEmpty)
+    // guards: no combining with time travel, not writable
+    intercept[Exception] {
+      spark.read.format("graft")
+        .option("start-snapshot-id", s1.snapshotId)
+        .option("snapshot-id", s2.snapshotId).load(loc).collect()
+    }
+    intercept[Exception] {
+      df.write.format("graft").mode("append")
+        .option("start-snapshot-id", s1.snapshotId).save(loc)
+    }
+  }
+
   test("large files range-split into multiple input partitions") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.01", "lineitem")
     val big = src.unionAll(src.withColumn("l_orderkey",
