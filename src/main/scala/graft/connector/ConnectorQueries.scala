@@ -215,6 +215,35 @@ object ConnectorQueries {
         FROM lineitem
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Sort-order evolution + clustered rewrite, all from SQL:
+    // CALL set_sort_order evolves the default write order, CALL
+    // compact(strategy => 'sort') rewrites the table clustered on it,
+    // and the query REQUIRES per-file clustering in-band (via the
+    // _file/_pos metadata columns) before returning the oracle-checked
+    // aggregate — proving rows were reordered without being changed.
+    GraftQuery(
+      "ice_sorted_compact",
+      (s, dir) => {
+        val t = dmlTable(s, dir, "li_sortc")
+        s.sql(
+          "CALL graft_ct.system.set_sort_order('db.li_sortc', 'l_quantity')")
+        s.sql(s"CALL graft_ct.system.compact('db.li_sortc', " +
+          s"${256L << 20}, 'sort', 'l_quantity')")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_file")).orderBy(col("_pos"))
+        val violations = s.table(t)
+          .select(col("_file"), col("_pos"), col("l_quantity"))
+          .withColumn("prev", lag(col("l_quantity"), 1).over(w))
+          .filter(col("prev") > col("l_quantity"))
+          .count()
+        require(violations == 0,
+          s"$violations rows out of order inside rewritten files")
+        flagQtyAgg(s, t)
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // SQL MERGE INTO through the session extensions (MergeIntoTable →
     // GraftMergeCommand → engine mergeApply): conditional delete,
     // update, and insert clauses in one statement, file-granular CoW
