@@ -31,7 +31,7 @@ object GraftProcedures {
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
     "fast_forward", "rewrite_manifests", "analyze_table",
     "create_changelog_view", "set_sort_order", "evolve_partition_spec",
-    "rollback_to_timestamp")
+    "rollback_to_timestamp", "rewrite_position_deletes")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -282,6 +282,18 @@ object GraftProcedures {
           t.replaceSortOrder(
             cols.map(c => (c, _root_.graft.model.TIdentity)))
           Seq(t.metadata.defaultSortOrderId)
+      })
+      // MoR maintenance: union per-commit position-delete files so scans
+      // stop opening one tiny delete file per historical DELETE
+      case "rewrite_position_deletes" => Some(p("rewrite_position_deletes",
+        Seq(table),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("consolidated_files", LongType)))) {
+        (t, args) =>
+          val before = t.liveManifests(None).filter(_.content == 1)
+            .map(_.entryCount).sum
+          val snap = t.rewritePositionDeletes()
+          Seq(snap.snapshotId, before)
       })
       // hidden-partitioning evolution without leaving SQL:
       //   CALL g.system.evolve_partition_spec('db.t', 'months(d), bucket(8, id)')

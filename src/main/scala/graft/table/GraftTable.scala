@@ -1836,6 +1836,59 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       }
     })
 
+  /** Consolidate position-delete files. A long merge-on-read history
+    * accumulates one small delete file per commit and EVERY scan opens
+    * all of them; this delete-only rewrite unions the live position
+    * deletes into ~targetRows-sized files (data files and data
+    * manifests untouched — equality-delete manifests reused verbatim).
+    * Positions name exact data-file paths, which are unique, so merging
+    * across commit sequences cannot change which rows are deleted; the
+    * distinct() guard keeps the metadata-only count exact even if a
+    * duplicated position ever slipped in. Commits op=replace, so — like
+    * compaction — changelog ranges crossing it refuse loudly.
+    */
+  def rewritePositionDeletes(targetRows: Long = 1L << 22): SnapshotV2 =
+    retryingCommit(() => {
+      val meta = metadata
+      val refs = manifestsFor(meta, None)
+      val posEntries = refs.filter(_.content == 1).flatMap(_.entries)
+        .filter(_.content == 1)
+      if (posEntries.size <= 1)
+        meta.currentSnapshot.getOrElse(
+          throw new IllegalStateException("empty table"))
+      else {
+        val schema = meta.currentSchema
+        val writeId = java.util.UUID.randomUUID.toString.take(8)
+        val delDir = s"$location/deletes/$writeId"
+        val delSchema = StructType(Seq(SparkField("file_path", StringType),
+          SparkField("pos", LongType)))
+        val total = posEntries.map(_.recordCount).sum
+        val outFiles = math.max(1,
+          math.ceil(total.toDouble / targetRows).toInt)
+        // sorted by (file, pos): the scan-side per-file anti-join reads
+        // tight clustered ranges instead of scattering over every file
+        spark.read.schema(delSchema).parquet(posEntries.map(_.path): _*)
+          .distinct().repartitionByRange(outFiles, col("file_path"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.mode("errorifexists").parquet(delDir)
+        val counts = spark.read.schema(delSchema).parquet(delDir)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(count(lit(1)).as("n")).collect()
+        val newEntries = counts.toSeq.map(r =>
+          DataFileEntry(decodePath(r.getAs[String]("__f")),
+            r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
+            Map.empty, Map.empty, content = 1))
+        commitSnapshot("replace", fresh => {
+          if (fresh.currentSnapshotId != meta.currentSnapshotId)
+            throw new CommitConflictException(
+              s"table changed during rewritePositionDeletes at $location")
+          (manifestsFor(fresh, None).filterNot(_.content == 1),
+            PendingAdds(newEntries, Seq.empty),
+            Map("consolidated-delete-files" -> posEntries.size.toString))
+        })
+      }
+    })
+
   /** Full rewrite: one file per partition value (op=replace). With
     * `sortWithin`, rows are clustered within each rewritten file (the
     * sort / z-order strategies of rewrite_data_files — pass a plain

@@ -276,6 +276,25 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("CALL rewrite_position_deletes reports and consolidates") {
+    val t = freshTable("posproc")
+    val g = GraftTable.load(spark, s"$wh/db/$t")
+    (0 until 3).foreach(i => g.deleteWhereMoR(col("id") % 7 === i))
+    // parallel delete writes emit several part files per commit — the
+    // accumulation consolidation exists to fix
+    val before = g.liveManifests().filter(_.content == 1)
+      .map(_.entryCount).sum
+    assert(before >= 3)
+    val out = spark.sql(
+      s"CALL gdml.system.rewrite_position_deletes('db.$t')").head()
+    assert(out.getLong(1) == before)
+    val g2 = GraftTable.load(spark, s"$wh/db/$t")
+    assert(g2.liveManifests().filter(_.content == 1)
+      .map(_.entryCount).sum == 1)
+    assert(spark.table(s"gdml.db.$t").count() ==
+      (1L to 100L).count(_ % 7 >= 3))
+  }
+
   test("CALL rollback_to_timestamp restores the newest covered snapshot") {
     val t = freshTable("rbts")
     val g = GraftTable.load(spark, s"$wh/db/$t")

@@ -652,6 +652,41 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("rewritePositionDeletes consolidates MoR delete files exactly") {
+    val src = lineitem.limit(600).cache()
+    val t = GraftTable.create(spark, freshLoc("posrw"), src.schema)
+    t.append(src)
+    // five MoR delete commits → five position-delete files
+    (0 until 5).foreach(i =>
+      t.deleteWhereMoR(col("l_orderkey") % 11 === i))
+    def delFiles: Seq[_root_.graft.table.ManifestRef] =
+      t.liveManifests().filter(_.content == 1)
+    assert(delFiles.map(_.entryCount).sum == 5)
+    val expect = src.filter(col("l_orderkey") % 11 >= 5)
+    val wantRows = expect.count()
+    assert(t.scan().count() == wantRows)
+    assert(t.countRows() == wantRows) // metadata-only count agrees
+
+    val snap = t.rewritePositionDeletes()
+    assert(snap.summary.other("consolidated-delete-files") == "5")
+    assert(delFiles.map(_.entryCount).sum == 1, "expected one delete file")
+    // nothing changed semantically: scan, metadata count, eq behavior
+    assert(t.scan().count() == wantRows)
+    assert(t.countRows() == wantRows)
+    assert(t.scan().exceptAll(expect).isEmpty &&
+      expect.exceptAll(t.scan()).isEmpty)
+    // further mutation still composes: another MoR delete then compact
+    t.deleteWhereMoR(col("l_orderkey") % 11 === 5)
+    val want2 = src.filter(col("l_orderkey") % 11 >= 6).count()
+    assert(t.scan().count() == want2 && t.countRows() == want2)
+    t.compactBinPack()
+    assert(t.scan().count() == want2)
+    // a second consolidation (possibly a no-op) changes nothing
+    t.rewritePositionDeletes()
+    assert(t.scan().count() == want2)
+    assert(t.countRows() == want2)
+  }
+
   test("streaming read refuses a table with non-append history") {
     val src = lineitem.limit(200)
     val t = GraftTable.create(spark, freshLoc("streamguard"), src.schema)
