@@ -31,7 +31,8 @@ object GraftProcedures {
     "rollback_to_snapshot", "compact", "create_tag", "create_branch",
     "fast_forward", "rewrite_manifests", "analyze_table",
     "create_changelog_view", "set_sort_order", "evolve_partition_spec",
-    "rollback_to_timestamp", "rewrite_position_deletes")
+    "rollback_to_timestamp", "rewrite_position_deletes",
+    "convert_equality_deletes")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -282,6 +283,19 @@ object GraftProcedures {
           t.replaceSortOrder(
             cols.map(c => (c, _root_.graft.model.TIdentity)))
           Seq(t.metadata.defaultSortOrderId)
+      })
+      // MoR maintenance: resolve equality deletes to positions once, so
+      // scans stop re-running the key anti-join and metadata-only
+      // counts work again
+      case "convert_equality_deletes" => Some(p("convert_equality_deletes",
+        Seq(table),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("materialized_positions", LongType)))) {
+        (t, args) =>
+          val snap = t.convertEqualityDeletes()
+          Seq(snap.snapshotId,
+            snap.summary.other.get("materialized-positions")
+              .map(_.toLong).getOrElse(0L))
       })
       // MoR maintenance: union per-commit position-delete files so scans
       // stop opening one tiny delete file per historical DELETE

@@ -1836,6 +1836,73 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       }
     })
 
+  /** Materialize live equality deletes as position deletes. Equality
+    * deletes are the cheapest to WRITE (O(keys), no data read) but the
+    * most expensive to READ — every scan runs a sequence-scoped
+    * anti-join per column-set, and metadata-only COUNT/MIN/MAX refuse
+    * while any are live. This maintenance pass resolves each doomed row
+    * to its (file, position) once — under the exact scan semantics
+    * (position deletes applied first, then the sequence-scoped key
+    * match) — commits the positions, and drops the equality manifests.
+    * Data files untouched; metadata-only counts work again afterward.
+    * Candidate files are those with sequence below the newest equality
+    * delete (older deletes cannot touch newer rows).
+    */
+  def convertEqualityDeletes(): SnapshotV2 = retryingCommit(() => {
+    val meta = metadata
+    val refs = manifestsFor(meta, None)
+    val eqDels = refs.filter(_.content == 2).flatMap(_.entries)
+      .filter(_.content == 2)
+    if (eqDels.isEmpty)
+      meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException("empty table"))
+    else {
+      val schema = meta.currentSchema
+      val maxEq = eqDels.map(_.sequenceNumber).max
+      // threshold-dispatched planning, bounded by the eq-scope sequence
+      val files = plannedConnectorFiles(None, None)
+        .filter(_.sequenceNumber < maxEq)
+        .map(f => (f.path, f.schemaId, f.sequenceNumber))
+      val newEntries: Seq[DataFileEntry] =
+        if (files.isEmpty) Seq.empty
+        else {
+          val writeId = java.util.UUID.randomUUID.toString.take(8)
+          val delDir = s"$location/deletes/$writeId"
+          val posDels = deletePathsFor(meta, None)
+          val base = files.groupBy(_._3).map { case (seq, fs) =>
+            val ann = readAlignedFilesFor(meta,
+              fs.map(f => (f._1, f._2)), schema, withPos = true)
+            (if (posDels.isEmpty) ann else applyDeletes(ann, posDels))
+              .withColumn(SeqCol, lit(seq))
+          }.reduce(_.unionByName(_))
+          GraftTable.eqDeleteMatchesCore(spark, base, eqDels)
+            .select(col(PosPathCol).as("file_path"),
+              col(PosIdxCol).as("pos"))
+            .distinct()
+            .write.mode("errorifexists").parquet(delDir)
+          val delSchema = StructType(Seq(
+            SparkField("file_path", StringType),
+            SparkField("pos", LongType)))
+          spark.read.schema(delSchema).parquet(delDir)
+            .groupBy(col("_metadata.file_path").as("__f"))
+            .agg(count(lit(1)).as("n")).collect().toSeq
+            .map(r => DataFileEntry(decodePath(r.getAs[String]("__f")),
+              r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
+              Map.empty, Map.empty, content = 1))
+        }
+      commitSnapshot("replace", fresh => {
+        if (fresh.currentSnapshotId != meta.currentSnapshotId)
+          throw new CommitConflictException(
+            s"table changed during convertEqualityDeletes at $location")
+        (manifestsFor(fresh, None).filterNot(_.content == 2),
+          PendingAdds(newEntries, Seq.empty),
+          Map("converted-equality-files" -> eqDels.size.toString,
+            "materialized-positions" ->
+              newEntries.map(_.recordCount).sum.toString))
+      })
+    }
+  })
+
   /** Consolidate position-delete files. A long merge-on-read history
     * accumulates one small delete file per commit and EVERY scan opens
     * all of them; this delete-only rewrite unions the live position
@@ -2538,17 +2605,34 @@ object GraftTable {
   private[table] def applyEqDeletesSeqCore(spark: SparkSession, df: DataFrame,
       eqDels: Seq[DataFileEntry]): DataFrame =
     eqDels.groupBy(_.eqColumns).foldLeft(df) { case (d, (cols, ds)) =>
-      val keys = ds.groupBy(_.sequenceNumber).map { case (dseq, dfs) =>
-        spark.read.parquet(dfs.map(_.path).distinct: _*)
-          .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*)
-          .withColumn("__gfeq_seq", lit(dseq))
-      }.reduce(_.unionByName(_))
-        .groupBy(cols.map(c => col(s"__gfeq_$c")): _*)
-        .agg(max(col("__gfeq_seq")).as("__gfeq_seq"))
-      val cond = cols.map(c => col(c) <=> col(s"__gfeq_$c"))
-        .reduce(_ && _) && col("__gfeq_seq") > col(SeqCol)
-      d.join(keys, cond, "left_anti")
+      val keys = eqKeySets(spark, cols, ds)
+      d.join(keys, eqMatchCond(cols), "left_anti")
     }
+
+  /** Rows of `df` an equality delete WOULD remove (the semi-join dual of
+    * applyEqDeletesSeqCore) — rows matching ANY column-set's keys under
+    * the same sequence scoping. Used to materialize eq deletes as
+    * positions.
+    */
+  private[table] def eqDeleteMatchesCore(spark: SparkSession, df: DataFrame,
+      eqDels: Seq[DataFileEntry]): DataFrame =
+    eqDels.groupBy(_.eqColumns).map { case (cols, ds) =>
+      df.join(eqKeySets(spark, cols, ds), eqMatchCond(cols), "left_semi")
+    }.reduce(_.unionByName(_))
+
+  private def eqKeySets(spark: SparkSession, cols: Seq[String],
+      ds: Seq[DataFileEntry]): DataFrame =
+    ds.groupBy(_.sequenceNumber).map { case (dseq, dfs) =>
+      spark.read.parquet(dfs.map(_.path).distinct: _*)
+        .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*)
+        .withColumn("__gfeq_seq", lit(dseq))
+    }.reduce(_.unionByName(_))
+      .groupBy(cols.map(c => col(s"__gfeq_$c")): _*)
+      .agg(max(col("__gfeq_seq")).as("__gfeq_seq"))
+
+  private def eqMatchCond(cols: Seq[String]): Column =
+    cols.map(c => col(c) <=> col(s"__gfeq_$c"))
+      .reduce(_ && _) && col("__gfeq_seq") > col(SeqCol)
 
   /** The deletes-applied read over explicit delete sets: position deletes
     * anti-join on (file, pos); equality deletes once per column-set with

@@ -276,6 +276,20 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("CALL convert_equality_deletes restores metadata-only counting") {
+    import spark.implicits._
+    val t = freshTable("eqproc")
+    val g = GraftTable.load(spark, s"$wh/db/$t")
+    g.deleteWhereEq((1L to 10L).toDF("id"))
+    val out = spark.sql(
+      s"CALL gdml.system.convert_equality_deletes('db.$t')").head()
+    assert(out.getLong(1) == 10)
+    val g2 = GraftTable.load(spark, s"$wh/db/$t")
+    assert(g2.liveManifests().forall(_.content != 2))
+    assert(spark.table(s"gdml.db.$t").count() == 90)
+    assert(g2.countRows() == 90)
+  }
+
   test("CALL rewrite_position_deletes reports and consolidates") {
     val t = freshTable("posproc")
     val g = GraftTable.load(spark, s"$wh/db/$t")

@@ -687,6 +687,47 @@ class TableSpec extends SparkSpec {
     assert(t.countRows() == want2)
   }
 
+  test("convertEqualityDeletes materializes positions, counts return") {
+    import spark.implicits._
+    val df0 = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("eqconv"), df0.schema)
+    t.append(df0.filter(col("id") <= 100))
+    // stack the tricky shapes: a position delete, two eq-delete commits
+    // on different column sets, and a RE-INSERT of a deleted key (the
+    // sequence-scoped case conversion must preserve)
+    t.deleteWhereMoR(col("id") === 7L)
+    t.deleteWhereEq(Seq(5L, 6L, 7L).toDF("id")) // 7 already pos-deleted
+    t.deleteWhereEq(Seq(("v10")).toDF("v"))
+    t.append(df0.filter(col("id") === 5L)) // id 5 re-inserted, survives
+    val expect = df0.filter(col("id") <= 100)
+      .filter(!col("id").isin(6L, 7L, 10L))
+    def sameAsExpected(): Unit = {
+      assert(t.scan().count() == expect.count())
+      assert(t.scan().exceptAll(expect).isEmpty &&
+        expect.exceptAll(t.scan()).isEmpty)
+    }
+    sameAsExpected()
+    // metadata-only count refuses while eq deletes live (falls through
+    // to an exact scan-count inside countRows)
+    assert(t.countRows() == expect.count())
+
+    val snap = t.convertEqualityDeletes()
+    assert(snap.summary.other("converted-equality-files").toLong >= 2)
+    // 6 and 10 materialized; 7 was already position-deleted; the
+    // re-inserted 5 survives (its row is NEWER than the eq delete)
+    assert(snap.summary.other("materialized-positions").toLong == 3)
+    assert(t.liveManifests().forall(_.content != 2), "eq manifests live")
+    sameAsExpected()
+    assert(t.countRows() == expect.count())
+    // time travel BEFORE the conversion still applies eq semantics
+    val preConv = t.metadata.snapshots.get
+      .sortBy(_.sequenceNumber).takeRight(2).head
+    assert(t.scan(asOf = Some(preConv.snapshotId)).count() == expect.count())
+    // conversion is idempotent once nothing equality-shaped remains
+    t.convertEqualityDeletes()
+    sameAsExpected()
+  }
+
   test("streaming read refuses a table with non-append history") {
     val src = lineitem.limit(200)
     val t = GraftTable.create(spark, freshLoc("streamguard"), src.schema)
