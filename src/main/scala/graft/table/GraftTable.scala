@@ -1859,9 +1859,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     else {
       val schema = meta.currentSchema
       val maxEq = eqDels.map(_.sequenceNumber).max
-      // threshold-dispatched planning, bounded by the eq-scope sequence
-      val files = plannedConnectorFiles(None, None)
-        .filter(_.sequenceNumber < maxEq)
+      // threshold-dispatched planning with the eq-scope sequence bound
+      // pushed INTO the (possibly distributed) manifest filter — only
+      // candidate rows reach the driver
+      val files = plannedConnectorFiles(None, None,
+          seqRange = Some((0L, maxEq - 1)))
         .map(f => (f.path, f.schemaId, f.sequenceNumber))
       val newEntries: Seq[DataFileEntry] =
         if (files.isEmpty) Seq.empty
