@@ -280,6 +280,7 @@ class GraftMetaTable(location: String, kind: String)
       case "refs" => t.refsDf
       case "manifests" => t.manifestsDf
       case "metadata_log_entries" => t.metadataLogDf
+      case "position_deletes" => t.positionDeletesDf
     }
   }
 
@@ -313,7 +314,7 @@ class GraftMetaTable(location: String, kind: String)
 object GraftMetaTable {
   val Kinds: Set[String] =
     Set("snapshots", "history", "files", "partitions", "refs",
-      "manifests", "metadata_log_entries")
+      "manifests", "metadata_log_entries", "position_deletes")
 }
 
 /** Collects Catalyst's pushed filters and required columns. Filters are

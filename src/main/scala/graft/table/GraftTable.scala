@@ -2455,6 +2455,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .toDF("timestamp_ms", "file")
   }
 
+  /** `.position_deletes` metadata table: every live (data file, row
+    * position) delete tuple plus the delete file holding it — the MoR
+    * debugging view. Reads the delete parquet distributed; row volume
+    * is O(deleted rows).
+    */
+  def positionDeletesDf: DataFrame = {
+    val paths = liveManifests().filter(_.content == 1)
+      .flatMap(_.entries).filter(_.content == 1).map(_.path)
+    val delSchema = StructType(Seq(SparkField("file_path", StringType),
+      SparkField("pos", LongType)))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(delSchema.fields :+
+          SparkField("delete_file", StringType)))
+    else spark.read.schema(delSchema).parquet(paths: _*)
+      .withColumn("delete_file", col("_metadata.file_path"))
+  }
+
   /** refs metadata table. */
   def refsDf: DataFrame = {
     import spark.implicits._

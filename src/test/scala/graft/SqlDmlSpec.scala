@@ -299,6 +299,11 @@ class SqlDmlSpec extends SparkSpec {
     val before = g.liveManifests().filter(_.content == 1)
       .map(_.entryCount).sum
     assert(before >= 3)
+    // the position_deletes metadata table exposes the live tuples
+    val deleted = (1L to 100L).count(_ % 7 < 3)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gdml.db.$t.position_deletes")
+      .head().getLong(0) == deleted)
     val out = spark.sql(
       s"CALL gdml.system.rewrite_position_deletes('db.$t')").head()
     assert(out.getLong(1) == before)
@@ -307,6 +312,10 @@ class SqlDmlSpec extends SparkSpec {
       .map(_.entryCount).sum == 1)
     assert(spark.table(s"gdml.db.$t").count() ==
       (1L to 100L).count(_ % 7 >= 3))
+    // same tuples, now all in the single consolidated delete file
+    val pd = spark.sql(s"SELECT delete_file FROM gdml.db.$t.position_deletes")
+      .collect().map(_.getString(0))
+    assert(pd.length == deleted && pd.distinct.length == 1)
   }
 
   test("CALL rollback_to_timestamp restores the newest covered snapshot") {
