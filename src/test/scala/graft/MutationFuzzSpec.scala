@@ -46,7 +46,7 @@ class MutationFuzzSpec extends SparkSpec {
       model ++= init.map(r => r._1 -> (r._2, r._3))
 
       (1 to 10).foreach { step =>
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
           case 0 => // append
             val rows = freshBatch(10 + rnd.nextInt(20))
             t.append(df(rows))
@@ -77,6 +77,10 @@ class MutationFuzzSpec extends SparkSpec {
           case 5 => t.compactBinPack(); ()
           case 6 => t.rewriteManifests(); ()
           case 7 => t.expireSnapshots(keepLast = 2); ()
+          // the MoR maintenance rewrites are semantic NO-OPS: the model
+          // is untouched and every subsequent step must still agree
+          case 8 => t.rewritePositionDeletes(); ()
+          case 9 => t.convertEqualityDeletes(); ()
           case _ => // WAP cycle: stage 2 appends, publish or abandon
             val br = s"wap$step"
             t.createBranch(br, t.metadata.currentSnapshotId.get)
