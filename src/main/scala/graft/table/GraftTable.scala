@@ -839,9 +839,41 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .filterNot(liveBloomPaths.contains)
         .toSeq
       finally stream2.close()
+    // changelog staging ranges (location/_changelog/<stream>/<from>-<to>)
+    // are normally cleaned on checkpoint commit; a crashed or abandoned
+    // stream leaves its last ranges behind forever. Ranges whose newest
+    // file predates the cutoff are swept WHOLE — a restarted stream
+    // re-stages deterministically from metadata, so (like all orphan
+    // cleanup) run with a cutoff comfortably above any stream's downtime
+    val changelogRoot = Paths.get(location, "_changelog")
+    val orphanStaged: Seq[Path] =
+      if (!Files.isDirectory(changelogRoot)) Seq.empty
+      else {
+        val ls = Files.walk(changelogRoot, 2)
+        val rangeDirs =
+          try ls.iterator.asScala.filter(d =>
+            Files.isDirectory(d) &&
+              d.getFileName.toString.matches("""\d+-\d+""")).toSeq
+          finally ls.close()
+        rangeDirs.filter { d =>
+          val w = Files.walk(d)
+          val newest =
+            try w.iterator.asScala.filter(Files.isRegularFile(_))
+              .map(Files.getLastModifiedTime(_).toMillis)
+              .maxOption.getOrElse(Files.getLastModifiedTime(d).toMillis)
+            finally w.close()
+          newest < cutoff
+        }
+      }
+    orphanStaged.foreach { d =>
+      val w = Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
     val orphans = orphanData ++ orphanMeta
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    orphans.sorted
+    (orphans ++ orphanStaged.map(d => canonPath(d.toString))).sorted
   }
 
   /** Continuous ingestion: append each micro-batch of `stream` as a

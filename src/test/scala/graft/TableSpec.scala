@@ -166,9 +166,17 @@ class TableSpec extends SparkSpec {
     // simulate a failed write: parquet data that never got committed
     val stray = java.nio.file.Paths.get(t.location, "data", "failed-write")
     src.limit(10).coalesce(1).write.parquet(stray.toString)
+    // and an abandoned changelog staging range from a crashed stream
+    val staged = java.nio.file.Paths.get(t.location,
+      "_changelog", "s-dead", "0-3")
+    src.limit(5).coalesce(1).write.parquet(staged.toString)
     val removed = t.removeOrphanFiles(olderThanMillis = 0L)
     assert(removed.nonEmpty)
-    assert(removed.forall(_.contains("failed-write")))
+    assert(removed.forall(p =>
+      p.contains("failed-write") || p.contains("_changelog")))
+    assert(removed.exists(_.contains("s-dead")),
+      "abandoned staging range must be swept")
+    assert(!java.nio.file.Files.exists(staged))
     assert(t.scan().count() == 100)
   }
 
