@@ -66,4 +66,39 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.scan().count() == 300L + 3 * 50L)
     assert(t.countRows() == 450L)
   }
+
+  test("MoR maintenance rewrites rebase across concurrent appends") {
+    import spark.implicits._
+    val df0 = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("conc3").toString + "/t",
+      df0.schema)
+    t.append(df0)
+    (0 until 3).foreach(i => t.deleteWhereMoR(col("id") % 50 === i))
+    t.deleteWhereEq((200L to 210L).toDF("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // appends race both maintenance commits; each must rebase and
+      // re-derive rather than abort or drop the racing rows
+      val appends = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 3).foreach(k =>
+          t.append((1000L * k to 1000L * k + 20).map(i => (i, s"n$i"))
+            .toDF("id", "v")))
+      })
+      val maint = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          t.convertEqualityDeletes()
+          t.rewritePositionDeletes()
+        }
+      })
+      maint.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      appends.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val expected = 300L - (1L to 300L).count(i =>
+      i % 50 < 3 || (i >= 200 && i <= 210 && i % 50 >= 3)) + 3 * 21L
+    assert(t.scan().count() == expected)
+    assert(t.countRows() == expected)
+    assert(t.liveManifests().forall(_.content != 2),
+      "equality manifests must be gone after conversion")
+  }
 }
