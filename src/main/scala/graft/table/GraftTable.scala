@@ -270,8 +270,6 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       out = out.withColumn(pf.name,
         transformColumn(pf.transform, col(src.name), srcType))
     }
-    if (repartitionByPartition && partNames.nonEmpty)
-      out = out.repartition(partNames.map(col): _*)
     // explicit sortWithin wins; otherwise the table's default SortOrder
     // applies automatically (clustered files → tight min/max stats)
     val effectiveSort =
@@ -289,6 +287,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             }
           }
         }).getOrElse(Seq.empty)
+    // declarative shuffle before the write — the write.distribution-mode
+    // table property (explicit repartitionByPartition wins):
+    //   hash  → one shuffle clustering rows by partition tuple (fewest
+    //           files: one per partition value per write)
+    //   range → global range shuffle on (partition, sort) keys: files
+    //           carry DISJOINT key ranges, the layout scan pruning wants
+    //   none/absent → keep the input partitioning (fastest, may fan out)
+    val distMode = meta.properties.getOrElse(Map.empty)
+      .get("write.distribution-mode")
+    if (repartitionByPartition && partNames.nonEmpty)
+      out = out.repartition(partNames.map(col): _*)
+    else distMode match {
+      case Some("hash") if partNames.nonEmpty =>
+        out = out.repartition(partNames.map(col): _*)
+      case Some("range")
+          if partNames.nonEmpty || effectiveSort.nonEmpty =>
+        out = out.repartitionByRange(
+          partNames.map(col) ++ effectiveSort: _*)
+      case Some(m) if m != "none" && m != "hash" && m != "range" =>
+        throw new IllegalArgumentException(
+          s"unknown write.distribution-mode '$m' (none | hash | range)")
+      case _ => ()
+    }
     // partition columns lead the sort: FileFormatWriter REQUIRES rows
     // ordered by the partition expressions and silently inserts its own
     // partition-only sort when they are not — which would destroy the

@@ -736,6 +736,54 @@ class TableSpec extends SparkSpec {
     sameAsExpected()
   }
 
+  test("write.distribution-mode shapes append layout declaratively") {
+    import spark.implicits._
+    // range: scattered input globally range-shuffles on the sort order →
+    // disjoint per-file key ranges without the caller pre-shuffling
+    val src = lineitem
+    val tr = GraftTable.create(spark, freshLoc("distrange"), src.schema,
+      sortOrder = Seq(("l_orderkey", TIdentity)),
+      properties = Map("write.distribution-mode" -> "range"))
+    // AQE rightly coalesces a tiny range shuffle to one partition; pin
+    // several output files to make the disjointness observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "6")
+    try tr.append(src.repartition(8))
+    finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+    val ranges = tr.liveEntries().flatMap { e =>
+      for {
+        st <- e.stats.get("l_orderkey")
+        mn <- st.min; mx <- st.max
+      } yield (BigDecimal(mn), BigDecimal(mx))
+    }.sortBy(_._1)
+    assert(ranges.size > 1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, "range-mode files must not overlap")
+      case _ =>
+    }
+    assert(tr.scan().count() == src.count())
+
+    // hash: partitioned table clusters by partition tuple → one file per
+    // live partition value even from scattered input
+    val rows = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val th = GraftTable.create(spark, freshLoc("disthash"), rows.schema,
+      partitionBy = Seq(("g", TIdentity, "g_p")),
+      properties = Map("write.distribution-mode" -> "hash"))
+    th.append(rows.repartition(8))
+    assert(th.liveEntries().size == 3,
+      s"expected one file per partition value, got ${th.liveEntries().size}")
+    assert(th.scan().count() == 300)
+
+    // unknown modes fail loudly
+    val tb = GraftTable.create(spark, freshLoc("distbad"), rows.schema,
+      properties = Map("write.distribution-mode" -> "zigzag"))
+    intercept[IllegalArgumentException] { tb.append(rows) }
+  }
+
   test("streaming read refuses a table with non-append history") {
     val src = lineitem.limit(200)
     val t = GraftTable.create(spark, freshLoc("streamguard"), src.schema)
