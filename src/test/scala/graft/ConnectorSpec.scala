@@ -701,5 +701,20 @@ class ConnectorSpec extends SparkSpec {
     val oversized = drain("oversized", "maxFilesPerTrigger" -> "1")
     assert(oversized.size == 4 && oversized.sum == total,
       s"oversized-commit progress violated: $oversized")
+
+    // capped resume on a committed checkpoint: two more commits land,
+    // re-running the SAME checkpoint reads exactly the new snapshots —
+    // one per capped batch, nothing re-read
+    val extra = (1 to 2).map { i =>
+      val rows = events.withColumn("user_id",
+        col("user_id") + lit(1000L * i))
+      t.append(rows.repartition(2))
+      rows.count()
+    }
+    val resumed = drain("files", "maxFilesPerTrigger" -> "2")
+    assert(resumed.size == 2,
+      s"resume should process 2 new capped batches: $resumed")
+    assert(resumed.sum == extra.sum,
+      s"resume read wrong rows: $resumed vs ${extra.sum}")
   }
 }
