@@ -63,10 +63,11 @@ private[connector] object SnapshotAdmission {
   /** End sequence for the batch (from, cap] under the caps; `from` when
     * nothing is admissible. At least one snapshot is always admitted so
     * the stream makes progress even when a single commit exceeds the cap
-    * (file-source semantics). Totals absent (foreign metadata) or
-    * non-monotone (delete commits in a changelog history) charge one
-    * file/one row, keeping the walk bounded instead of admitting the
-    * whole backlog.
+    * (file-source semantics). Append commits carry EXACT
+    * `added-data-files` / `added-records` summary keys (used directly);
+    * older or foreign snapshots fall back to total-rollup deltas, and
+    * absent/non-monotone totals charge one file/one row so the walk
+    * stays bounded instead of admitting the whole backlog.
     */
   def admissibleEnd(snapshots: Seq[_root_.graft.model.SnapshotV2],
       from: Long, cap: Long,
@@ -75,9 +76,10 @@ private[connector] object SnapshotAdmission {
     if (maxFiles.isEmpty && maxRows.isEmpty) return cap
     val snaps = snapshots.filter(_.sequenceNumber <= cap)
       .sortBy(_.sequenceNumber)
-    def totals(s: _root_.graft.model.SnapshotV2): (Long, Long) = (
-      s.summary.other.get("total-data-files").map(_.toLong).getOrElse(-1L),
-      s.summary.other.get("total-records").map(_.toLong).getOrElse(-1L))
+    def key(s: _root_.graft.model.SnapshotV2, k: String): Long =
+      s.summary.other.get(k).map(_.toLong).getOrElse(-1L)
+    def totals(s: _root_.graft.model.SnapshotV2): (Long, Long) =
+      (key(s, "total-data-files"), key(s, "total-records"))
     var prevFiles = 0L
     var prevRows = 0L
     snaps.takeWhile(_.sequenceNumber <= from).lastOption.foreach { s =>
@@ -90,10 +92,18 @@ private[connector] object SnapshotAdmission {
     snaps.dropWhile(_.sequenceNumber <= from).foreach { s =>
       if (open) {
         val (tf, tr) = totals(s)
-        val addF = if (tf >= 0 && prevFiles >= 0 && tf >= prevFiles)
-          tf - prevFiles else 1L
-        val addR = if (tr >= 0 && prevRows >= 0 && tr >= prevRows)
-          tr - prevRows else 1L
+        val exactF = key(s, "added-data-files")
+        val exactR = key(s, "added-records")
+        val addF =
+          if (exactF >= 0) exactF
+          else if (tf >= 0 && prevFiles >= 0 && tf >= prevFiles)
+            tf - prevFiles
+          else 1L
+        val addR =
+          if (exactR >= 0) exactR
+          else if (tr >= 0 && prevRows >= 0 && tr >= prevRows)
+            tr - prevRows
+          else 1L
         val fits = maxFiles.forall(admFiles + addF <= _) &&
           maxRows.forall(admRows + addR <= _)
         if (fits || end == from) {

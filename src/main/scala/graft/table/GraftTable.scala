@@ -153,9 +153,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         throw new IllegalArgumentException(s"no branch $b")).snapshotId)
       case None => meta.currentSnapshotId
     }
+    // appends additionally record their EXACT per-commit adds (every
+    // entry/shard of an append is new): streaming admission control
+    // reads these directly instead of deriving deltas from the totals
+    val addedSummary =
+      if (op != "append") Map.empty[String, String]
+      else {
+        val mine = entryRefs ++ shardRefs
+        Map(
+          "added-data-files" ->
+            mine.filter(_.content == 0).map(_.entryCount).sum.toString,
+          "added-records" ->
+            mine.filter(_.content == 0).map(_.recordCount).sum.toString)
+      }
     val snap = SnapshotV2(snapId, parentId, seq, now,
       manifestListPath(snapId).toString,
-      Summary(Some(op), summaryExtra ++ Map(
+      Summary(Some(op), summaryExtra ++ addedSummary ++ Map(
         "total-data-files" ->
           mrefs.filter(_.content == 0).map(_.entryCount).sum.toString,
         "total-records" ->

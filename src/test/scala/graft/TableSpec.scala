@@ -736,6 +736,22 @@ class TableSpec extends SparkSpec {
     sameAsExpected()
   }
 
+  test("append summaries carry exact added-file/record counts") {
+    import spark.implicits._
+    val rows = (1L to 120L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("addsum"), rows.schema)
+    val s1 = t.append(rows.repartition(3))
+    assert(s1.summary.other("added-data-files").toLong == 3)
+    assert(s1.summary.other("added-records").toLong == 120)
+    val s2 = t.append(rows.limit(30).coalesce(1))
+    assert(s2.summary.other("added-data-files").toLong == 1)
+    assert(s2.summary.other("added-records").toLong == 30)
+    // non-append commits do NOT claim exact adds (their shards may
+    // carry rewritten survivors)
+    val s3 = t.deleteWhere(col("id") <= 10)
+    assert(!s3.summary.other.contains("added-data-files"))
+  }
+
   test("write.distribution-mode shapes append layout declaratively") {
     import spark.implicits._
     // range: scattered input globally range-shuffles on the sort order →
