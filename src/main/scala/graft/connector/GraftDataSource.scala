@@ -281,6 +281,8 @@ class GraftMetaTable(location: String, kind: String)
       case "manifests" => t.manifestsDf
       case "metadata_log_entries" => t.metadataLogDf
       case "position_deletes" => t.positionDeletesDf
+      case "all_files" => t.allFilesDf
+      case "all_manifests" => t.allManifestsDf
     }
   }
 
@@ -314,7 +316,8 @@ class GraftMetaTable(location: String, kind: String)
 object GraftMetaTable {
   val Kinds: Set[String] =
     Set("snapshots", "history", "files", "partitions", "refs",
-      "manifests", "metadata_log_entries", "position_deletes")
+      "manifests", "metadata_log_entries", "position_deletes",
+      "all_files", "all_manifests")
 }
 
 /** Collects Catalyst's pushed filters and required columns. Filters are

@@ -2539,6 +2539,39 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .withColumn("delete_file", col("_metadata.file_path"))
   }
 
+  /** `.all_files` metadata table: every file any RETAINED snapshot
+    * references (time-travel debugging — shows files the current
+    * snapshot no longer holds). Driver walks the manifest lists of the
+    * history; row volume is O(retained history), a debugging view by
+    * design (contrast the distributed partitionsDf).
+    */
+  def allFilesDf: DataFrame = {
+    import spark.implicits._
+    allRefs.flatMap(_.entries)
+      .map(e => (e.path, e.content, e.recordCount, e.snapshotId,
+        e.sequenceNumber))
+      .distinct
+      .toDF("file_path", "content", "record_count", "added_snapshot_id",
+        "sequence_number")
+  }
+
+  /** `.all_manifests` metadata table: every manifest any retained
+    * snapshot references.
+    */
+  def allManifestsDf: DataFrame = {
+    import spark.implicits._
+    allRefs.map(r => (r.path, r.content, r.entryCount, r.recordCount,
+        r.addedSnapshotId, r.addedSequenceNumber))
+      .distinct
+      .toDF("path", "content", "entry_count", "record_count",
+        "added_snapshot_id", "added_sequence_number")
+  }
+
+  private def allRefs: Seq[ManifestRef] =
+    metadata.snapshots.getOrElse(Seq.empty)
+      .flatMap(s => ManifestList.read(Paths.get(s.manifestList)))
+      .distinct
+
   /** refs metadata table. */
   def refsDf: DataFrame = {
     import spark.implicits._

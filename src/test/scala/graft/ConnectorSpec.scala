@@ -300,6 +300,25 @@ class ConnectorSpec extends SparkSpec {
     assert(log.length >= 3, s"metadata log too short: ${log.length}")
     assert(log.map(_.getLong(0)).toSeq == log.map(_.getLong(0)).sorted.toSeq)
     assert(log.map(_.getString(1)).distinct.length == log.length)
+    // all_files covers files the CURRENT snapshot dropped: after a CoW
+    // delete, the rewritten-away originals stay visible through history
+    val liveBefore = spark.sql(
+      "SELECT file_path FROM gmeta.db.t.files")
+      .collect().map(_.getString(0)).toSet
+    t.deleteWhere(col("k") % 2 === 0)
+    val allAfter = spark.sql(
+      "SELECT DISTINCT file_path FROM gmeta.db.t.all_files")
+      .collect().map(_.getString(0)).toSet
+    val liveAfter = spark.sql(
+      "SELECT file_path FROM gmeta.db.t.files")
+      .collect().map(_.getString(0)).toSet
+    assert(liveBefore.subsetOf(allAfter),
+      "all_files must retain pre-delete files")
+    assert(liveAfter.subsetOf(allAfter) && liveAfter != allAfter)
+    assert(spark.sql("SELECT COUNT(*) FROM gmeta.db.t.all_manifests")
+      .head().getLong(0) >
+      spark.sql("SELECT COUNT(*) FROM gmeta.db.t.manifests")
+        .head().getLong(0))
   }
 
   test("SQL CTAS creates and fills a graft table") {
