@@ -106,6 +106,21 @@ object GraftChangelog {
   def streamKey(checkpointLocation: String): String =
     "s-" + Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(checkpointLocation))
+
+  /** Liveness marker refreshed at every offset poll: a RUNNING stream —
+    * even one idle past the orphan cutoff — keeps this fresh, so the
+    * orphan sweep can tell a live-but-idle stream's staged ranges from a
+    * dead stream's leftovers instead of guessing from range-file mtimes.
+    */
+  val HeartbeatFile = "_heartbeat"
+
+  def touchHeartbeat(graft: GraftTable, key: String): Unit = {
+    val dir = stagingRoot(graft, key)
+    try {
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(HeartbeatFile), Array.empty[Byte])
+    } catch { case _: java.io.IOException => () } // advisory only
+  }
 }
 
 /** Batch + streaming changelog scan (one class: Spark calls `toBatch`
@@ -156,23 +171,27 @@ class GraftChangelogStream(graft: GraftTable, outSchema: StructType,
 
   override def initialOffset(): Offset = GraftSeqOffset(startSeq)
 
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = {
+    GraftChangelog.touchHeartbeat(graft, key)
     GraftSeqOffset(availableNowCap.fold(committedSeq)(
       cap => math.min(cap, committedSeq)))
+  }
 
   override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
 
-  // admission caps bound each staged changes() range: under deletes the
-  // summary totals are not monotone, so non-monotone deltas charge one
-  // file each — approximate, but every batch stays bounded
+  // admission caps bound each staged changes() range. chargeDeletes:
+  // delete commits add no DATA files/records, but each stages changelog
+  // delete rows — charge them by their delete-file/record deltas (1-file
+  // floor) so delete-heavy backlogs stay bounded by the caps too
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    GraftChangelog.touchHeartbeat(graft, key)
     val from = start.asInstanceOf[GraftSeqOffset].seq
     val cap = availableNowCap.fold(committedSeq)(
       c => math.min(c, committedSeq))
     val (maxFiles, maxRows) = SnapshotAdmission.caps(limit)
     GraftSeqOffset(SnapshotAdmission.admissibleEnd(
       graft.metadata.snapshots.getOrElse(Seq.empty),
-      from, cap, maxFiles, maxRows))
+      from, cap, maxFiles, maxRows, chargeDeletes = true))
   }
 
   override def reportLatestOffset(): Offset = GraftSeqOffset(committedSeq)

@@ -34,8 +34,13 @@ object StreamLimits {
         require(n > 0, s"$key must be positive, got $v")
         n
       }
-    StreamLimits(pos("maxFilesPerTrigger").map(_.toInt),
-      pos("maxRowsPerTrigger"))
+    // narrow with a range check: a value above Int.MaxValue must fail
+    // loudly, not overflow into a tiny (or negative) cap
+    StreamLimits(pos("maxFilesPerTrigger").map { n =>
+      require(n <= Int.MaxValue,
+        s"maxFilesPerTrigger must fit in an Int, got $n")
+      n.toInt
+    }, pos("maxRowsPerTrigger"))
   }
 }
 
@@ -68,10 +73,19 @@ private[connector] object SnapshotAdmission {
     * older or foreign snapshots fall back to total-rollup deltas, and
     * absent/non-monotone totals charge one file/one row so the walk
     * stays bounded instead of admitting the whole backlog.
+    *
+    * `chargeDeletes` (the CHANGELOG stream): a MoR delete commit leaves
+    * `total-data-files`/`total-records` unchanged yet can stage millions
+    * of changelog delete rows, so non-append commits are additionally
+    * charged by their `total-delete-files`/`total-delete-records` deltas
+    * (pos-deletes: exact rows; eq-deletes: key-count proxy), with a
+    * 1-file/1-row floor when the keys are absent — delete batches stay
+    * bounded by the caps instead of riding in free.
     */
   def admissibleEnd(snapshots: Seq[_root_.graft.model.SnapshotV2],
       from: Long, cap: Long,
-      maxFiles: Option[Long], maxRows: Option[Long]): Long = {
+      maxFiles: Option[Long], maxRows: Option[Long],
+      chargeDeletes: Boolean = false): Long = {
     if (cap <= from) return from
     if (maxFiles.isEmpty && maxRows.isEmpty) return cap
     val snaps = snapshots.filter(_.sequenceNumber <= cap)
@@ -80,10 +94,15 @@ private[connector] object SnapshotAdmission {
       s.summary.other.get(k).map(_.toLong).getOrElse(-1L)
     def totals(s: _root_.graft.model.SnapshotV2): (Long, Long) =
       (key(s, "total-data-files"), key(s, "total-records"))
+    def delTotals(s: _root_.graft.model.SnapshotV2): (Long, Long) =
+      (key(s, "total-delete-files"), key(s, "total-delete-records"))
     var prevFiles = 0L
     var prevRows = 0L
+    var prevDelFiles = 0L
+    var prevDelRows = 0L
     snaps.takeWhile(_.sequenceNumber <= from).lastOption.foreach { s =>
       val (f, r) = totals(s); prevFiles = f; prevRows = r
+      val (df, dr) = delTotals(s); prevDelFiles = df; prevDelRows = dr
     }
     var admFiles = 0L
     var admRows = 0L
@@ -92,23 +111,38 @@ private[connector] object SnapshotAdmission {
     snaps.dropWhile(_.sequenceNumber <= from).foreach { s =>
       if (open) {
         val (tf, tr) = totals(s)
+        val (tdf, tdr) = delTotals(s)
         val exactF = key(s, "added-data-files")
         val exactR = key(s, "added-records")
-        val addF =
+        var addF =
           if (exactF >= 0) exactF
           else if (tf >= 0 && prevFiles >= 0 && tf >= prevFiles)
             tf - prevFiles
           else 1L
-        val addR =
+        var addR =
           if (exactR >= 0) exactR
           else if (tr >= 0 && prevRows >= 0 && tr >= prevRows)
             tr - prevRows
           else 1L
+        val isAppend = s.summary.operation.contains("append")
+        if (chargeDeletes && !isAppend) {
+          val delF =
+            if (tdf >= 0 && prevDelFiles >= 0 && tdf >= prevDelFiles)
+              tdf - prevDelFiles
+            else -1L
+          val delR =
+            if (tdr >= 0 && prevDelRows >= 0 && tdr >= prevDelRows)
+              tdr - prevDelRows
+            else -1L
+          addF = math.max(1L, addF + math.max(delF, 0L))
+          addR = math.max(1L, addR + math.max(delR, 0L))
+        }
         val fits = maxFiles.forall(admFiles + addF <= _) &&
           maxRows.forall(admRows + addR <= _)
         if (fits || end == from) {
           admFiles += addF; admRows += addR
           prevFiles = tf; prevRows = tr
+          prevDelFiles = tdf; prevDelRows = tdr
           end = s.sequenceNumber
           if (!fits) open = false
         } else open = false

@@ -106,18 +106,28 @@ object GraftProcedures {
           t.rollbackTo(args.getLong(1))
           Seq(t.metadata.currentSnapshotId.getOrElse(-1L))
       })
-      // state as of a wall-clock instant: the newest snapshot COMMITTED
-      // at or before the timestamp (epoch millis) becomes current
+      // state as of a wall-clock instant: the newest MAIN-ancestry
+      // snapshot COMMITTED at or before the timestamp (epoch millis)
+      // becomes current. Candidates are restricted to the current main
+      // head's parent chain — branch-only (write-audit-publish) and
+      // rolled-back-away snapshots were never main's state at any
+      // instant, so rolling onto one would publish unaudited rows
       case "rollback_to_timestamp" => Some(p("rollback_to_timestamp",
         Seq(table, ProcedureParameter.in("timestamp_ms", LongType).build()),
         StructType(Seq(StructField("current_snapshot_id", LongType)))) {
         (t, args) =>
           val ts = args.getLong(1)
-          val snap = t.metadata.snapshots.getOrElse(Seq.empty)
-            .filter(_.timestampMs <= ts)
+          val meta = t.metadata
+          val mainAncestry = Iterator.iterate(meta.currentSnapshotId)(c =>
+              c.flatMap(id =>
+                meta.snapshotById(id).flatMap(_.parentSnapshotId)))
+            .takeWhile(_.isDefined).map(_.get).toSet
+          val snap = meta.snapshots.getOrElse(Seq.empty)
+            .filter(s => mainAncestry.contains(s.snapshotId) &&
+              s.timestampMs <= ts)
             .sortBy(s => (s.timestampMs, s.sequenceNumber)).lastOption
             .getOrElse(throw new IllegalArgumentException(
-              s"no snapshot committed at or before $ts"))
+              s"no main-ancestry snapshot committed at or before $ts"))
           t.rollbackTo(snap.snapshotId)
           Seq(t.metadata.currentSnapshotId.getOrElse(-1L))
       })

@@ -175,7 +175,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           mrefs.filter(_.content == 0).map(_.recordCount).sum.toString) ++
         (if (mrefs.exists(_.content != 0)) Map(
           "total-delete-files" ->
-            mrefs.filter(_.content != 0).map(_.entryCount).sum.toString)
+            mrefs.filter(_.content != 0).map(_.entryCount).sum.toString,
+          // delete ROWS rollup (positions for pos-deletes — exact rows
+          // removed; key rows for eq-deletes — a proxy): changelog
+          // admission charges delete commits by this delta so row caps
+          // bound delete-heavy backlogs too
+          "total-delete-records" ->
+            mrefs.filter(_.content != 0).map(_.recordCount).sum.toString)
         else Map.empty)),
       Some(meta.currentSchemaId.toLong))
     val target = toBranch.getOrElse("main")
@@ -878,7 +884,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // stream leaves its last ranges behind forever. Ranges whose newest
     // file predates the cutoff are swept WHOLE — a restarted stream
     // re-stages deterministically from metadata, so (like all orphan
-    // cleanup) run with a cutoff comfortably above any stream's downtime
+    // cleanup) run with a cutoff comfortably above any stream's downtime.
+    // A RUNNING stream refreshes its `_heartbeat` marker at every offset
+    // poll, so a live-but-idle stream (paused longer than the cutoff)
+    // keeps its staged, not-yet-committed ranges — only streams with a
+    // stale (or absent, pre-heartbeat) marker are candidates
     val changelogRoot = Paths.get(location, "_changelog")
     val orphanStaged: Seq[Path] =
       if (!Files.isDirectory(changelogRoot)) Seq.empty
@@ -889,7 +899,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             Files.isDirectory(d) &&
               d.getFileName.toString.matches("""\d+-\d+""")).toSeq
           finally ls.close()
-        rangeDirs.filter { d =>
+        def streamAlive(rangeDir: Path): Boolean =
+          Option(rangeDir.getParent).exists { streamDir =>
+            val hb = streamDir.resolve("_heartbeat")
+            Files.isRegularFile(hb) &&
+              Files.getLastModifiedTime(hb).toMillis >= cutoff
+          }
+        rangeDirs.filterNot(streamAlive).filter { d =>
           val w = Files.walk(d)
           val newest =
             try w.iterator.asScala.filter(Files.isRegularFile(_))
@@ -2124,7 +2140,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val schema = meta.currentSchema
     val order =
       if (fields.isEmpty) SortOrder.unsorted
-      else SortOrder(meta.sortOrders.map(_.orderId).max + 1,
+      // maxOption: metadata deserialized from a file without the
+      // sort-orders key carries an EMPTY list (the unsorted default only
+      // applies at construction) — allocate from 0 instead of crashing
+      else SortOrder(meta.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1,
         fields.map { case (src, t) =>
           val f = schema.fieldByName(src).getOrElse(
             throw new IllegalArgumentException(s"no column $src"))

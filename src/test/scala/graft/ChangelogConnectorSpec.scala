@@ -167,10 +167,12 @@ class ChangelogConnectorSpec extends SparkSpec {
     val all = drain("all")
     assert(all.size == 1, s"unlimited drain should be one batch: $all")
     // one file per append commit: cap 1 yields one append per batch; the
-    // MoR delete adds no data files (zero delta) so it coalesces into
-    // the last batch rather than stalling the walk
+    // MoR delete adds no DATA files but is charged by its delete-file
+    // delta (1-file floor), so it lands in its OWN batch instead of
+    // riding in free — delete-heavy backlogs stay bounded by the caps
     val capped = drain("capped", "maxFilesPerTrigger" -> "1")
-    assert(capped.size >= 4, s"expected per-commit batches, got $capped")
+    assert(capped.size == 5,
+      s"expected 4 append + 1 delete batches, got $capped")
     assert(capped.sum == all.sum,
       s"capped drain changed the row total: $capped vs $all")
   }

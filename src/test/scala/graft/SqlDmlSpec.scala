@@ -336,6 +336,21 @@ class SqlDmlSpec extends SparkSpec {
     intercept[Exception] { spark.sql(
       s"CALL gdml.system.rollback_to_timestamp('db.$t', 1)").collect() }
     assert(spark.table(s"gdml.db.$t").count() == 100)
+    // candidates are MAIN-ancestry only: a branch-staged (unpublished
+    // WAP) snapshot and the rolled-back-away s2 are both newer than s1,
+    // yet rolling to "now" must stay on s1 — moving main onto either
+    // would publish rows main never held at any instant
+    val g2 = GraftTable.load(spark, s"$wh/db/$t")
+    g2.createBranch("audit", s1.snapshotId)
+    import spark.implicits._
+    g2.appendToBranch("audit",
+      Seq((7777L, "staged", 1.0)).toDF("id", "grp", "qty"))
+    Thread.sleep(5)
+    val out2 = spark.sql(s"CALL gdml.system.rollback_to_timestamp(" +
+      s"'db.$t', ${System.currentTimeMillis})").head()
+    assert(out2.getLong(0) == s1.snapshotId,
+      s"rollback left main ancestry: ${out2.getLong(0)}")
+    assert(spark.table(s"gdml.db.$t").count() == 100)
   }
 
   test("CALL evolve_partition_spec: new writes land under the new spec") {

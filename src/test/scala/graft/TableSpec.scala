@@ -180,6 +180,37 @@ class TableSpec extends SparkSpec {
     assert(t.scan().count() == 100)
   }
 
+  test("orphan sweep spares staged ranges of a live-but-idle stream") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import java.nio.file.attribute.FileTime
+    val src = lineitem.limit(20)
+    val t = GraftTable.create(spark, freshLoc("hbsweep"), src.schema)
+    t.append(src)
+    val old = FileTime.fromMillis(System.currentTimeMillis - 60000)
+    def stage(stream: String): java.nio.file.Path = {
+      val d = JPaths.get(t.location, "_changelog", stream, "0-3")
+      src.limit(5).coalesce(1).write.parquet(d.toString)
+      // age every staged file past the cutoff window
+      val w = JFiles.walk(d)
+      try w.iterator().forEachRemaining(p =>
+        JFiles.setLastModifiedTime(p, old): Unit)
+      finally w.close()
+      d
+    }
+    val dead = stage("s-dead2")
+    val live = stage("s-live")
+    // a RUNNING stream refreshes this marker at every offset poll —
+    // fresh heartbeat means the stream is alive even if staging is old
+    JFiles.write(JPaths.get(t.location, "_changelog", "s-live",
+      "_heartbeat"), Array.empty[Byte])
+    val removed = t.removeOrphanFiles(olderThanMillis = 5000L)
+    assert(!JFiles.exists(dead), "dead stream's range must be swept")
+    assert(JFiles.exists(live),
+      "live stream's staged range must survive the sweep")
+    assert(removed.exists(_.contains("s-dead2")) &&
+      !removed.exists(_.contains("s-live")))
+  }
+
   test("appends reuse parent manifests; mutations rewrite only touched ones") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("mreuse"), src.schema,
