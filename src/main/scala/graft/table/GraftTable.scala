@@ -3078,6 +3078,11 @@ object GraftTable {
     case TDate => DateType
     case TTimestamp => TimestampNTZType
     case TTimestamptz => TimestampType
+    // Spark has no time-of-day type: surface `time` (schema.rs:16) as
+    // its spec-defined physical form, microseconds since midnight. The
+    // mapping is one-way (LongType infers back to TLong) — readable,
+    // filterable, never a MatchError
+    case TTime => LongType
     case TBinary => BinaryType
     case TUuid => StringType
     case TFixed(_) => BinaryType
