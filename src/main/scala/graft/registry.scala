@@ -43,14 +43,39 @@ object Registry {
 /** Shared helpers for reading driver-generated test tables. */
 object Tables {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
-      // default; read it as a long and rebuild a (micros) timestamp with
-      // integer arithmetic — ns-epoch values overflow double precision.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(rawEvents(spark, s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Read an events file whatever its physical ts encoding. nanosAsLong
+    * only affects TIMESTAMP(NANOS) columns (which Spark otherwise refuses
+    * to read at all), so setting it unconditionally is safe — a
+    * micros-typed file is untouched and still loads as a timestamp.
+    */
+  def rawEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+
+  /** Normalize a `ts` column to session-tz TimestampType whatever
+    * physical encoding the data generator chose — the encoding has
+    * changed across testdata generations, so NOTHING may assume one:
+    *   - int64 nanos-as-long (legacy TIMESTAMP(NANOS) via nanosAsLong):
+    *     integer div to micros — ns-epoch values overflow double;
+    *   - timestamp[us] without tz (loads as TIMESTAMP_NTZ): cast — the
+    *     session tz is pinned UTC everywhere, so the wall clock is
+    *     preserved exactly as the DuckDB oracle reads it;
+    *   - an already-tz'd timestamp: pass through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }
 

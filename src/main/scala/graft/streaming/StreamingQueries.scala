@@ -18,16 +18,16 @@ import org.apache.spark.sql.types._
 object StreamingQueries {
   import Help._
 
-  /** events.parquet carries TIMESTAMP(NANOS) — streamed as long + rebuilt
-    * (micros) exactly like the batch-side Tables.tbl.
+  /** Schema the staged event files ACTUALLY carry — the physical ts
+    * encoding has changed across testdata generations (int64
+    * TIMESTAMP(NANOS) vs timestamp[us]), so a streaming reader must take
+    * its schema from the file and normalize, never assume an encoding
+    * (see Tables.normalizeTs).
     */
-  private val eventSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def fileSchema(s: SparkSession, path: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path).schema
+  }
 
   /** The streaming file source wants a DIRECTORY; stage a symlink to the
     * single events.parquet file (read-only testdata stays untouched).
@@ -51,7 +51,6 @@ object StreamingQueries {
   private def stageCdcFeed(s: SparkSession, dir: String): (String, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staging = Paths.get(
       s"/root/repo/target/stream-src/cdc-${Integer.toHexString(dir.hashCode)}")
     if (Files.isDirectory(staging)) {
@@ -61,13 +60,16 @@ object StreamingQueries {
       finally w.close()
     }
     Files.createDirectories(staging)
-    val raw = s.read.schema(eventSchema).parquet(s"$dir/events.parquet")
-    val b = raw.agg(min("ts"), max("ts")).head()
+    // normalized BEFORE staging: the staged feed always carries a plain
+    // session-tz timestamp regardless of the source file's encoding
+    val raw = graft.Tables.normalizeTs(
+      graft.Tables.rawEvents(s, s"$dir/events.parquet"))
+    val tsm = unix_micros(col("ts"))
+    val b = raw.agg(min(tsm), max(tsm)).head()
     require(!b.isNullAt(0), "events table is empty — nothing to stage as CDC")
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     val (b1, b2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
-    val ranges = Seq(col("ts") <= b1,
-      col("ts") > b1 && col("ts") <= b2, col("ts") > b2)
+    val ranges = Seq(tsm <= b1, tsm > b1 && tsm <= b2, tsm > b2)
     // A skewed or single-timestamp feed can leave a ts-third empty —
     // stage only non-empty files so "one merge commit per file" holds.
     var staged = 0
@@ -96,11 +98,11 @@ object StreamingQueries {
   }
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", Int.MaxValue.toString)
-      .parquet(stageEvents(s, dir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val staged = stageEvents(s, dir)
+    graft.Tables.normalizeTs(
+      s.readStream.schema(fileSchema(s, staged))
+        .option("maxFilesPerTrigger", Int.MaxValue.toString)
+        .parquet(staged))
   }
 
   /** Sessionize a directory of raw event parquet files (ts as long
@@ -115,14 +117,13 @@ object StreamingQueries {
   def sessionizeDir(s: SparkSession, srcDir: String,
       maxFiles: Int): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the WATERMARKED column itself must flow into the grouped Dataset —
     // casting it away makes EventTimeTimeout unusable; convert to epoch
     // seconds inside the state function instead
-    val evs = s.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", maxFiles.toString)
-      .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evs = graft.Tables.normalizeTs(
+      s.readStream.schema(fileSchema(s, srcDir))
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(srcDir))
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
@@ -249,10 +250,10 @@ object StreamingQueries {
           StructField("last_value", DoubleType),
           StructField("last_event_id", LongType)))
         val t = graft.table.GraftTable.create(s, s"$root/t", sinkSchema)
-        val stream = s.readStream.schema(eventSchema)
+        // staged files carry an already-normalized timestamp ts
+        val stream = s.readStream.schema(fileSchema(s, staging))
           .option("maxFilesPerTrigger", "1")
           .parquet(staging)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val w = Window.partitionBy("user_id")

@@ -64,15 +64,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("s_sessionize: identical output from 1-batch and 3-batch runs") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // normalized read (encoding-agnostic); split on epoch micros and stage
+    // files whose ts is a plain timestamp — sessionizeDir takes its schema
+    // from the staged files
+    val raw = Tables.tbl(spark, dir, "events")
+      .withColumn("tsm", unix_micros(col("ts")))
     val staging = java.nio.file.Files.createTempDirectory("sess-batches")
     val Array(q1, q2) =
-      raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+      raw.stat.approxQuantile("tsm", Array(0.33, 0.66), 0.0)
     val splits = Seq(
-      raw.filter(col("ts") < q1),
-      raw.filter(col("ts") >= q1 && col("ts") < q2),
-      raw.filter(col("ts") >= q2))
+      raw.filter(col("tsm") < q1),
+      raw.filter(col("tsm") >= q1 && col("tsm") < q2),
+      raw.filter(col("tsm") >= q2)).map(_.drop("tsm"))
     splits.zipWithIndex.foreach { case (df, i) =>
       val tmp = java.nio.file.Files.createTempDirectory(s"sess-part$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
