@@ -831,54 +831,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   /** Delete data files under the table location that no snapshot
     * references (failed writes, aborted commits). Returns removed paths.
+    *
+    * Above the planning threshold the reachability diff is DISTRIBUTED:
+    * the referenced set (data, delete, bloom paths of every retained
+    * snapshot) is the manifest dataset, candidates come from a
+    * per-directory walk fanned out over executors, and the diff is one
+    * anti-join — the driver sees O(immediate children) walk units and
+    * the final deletion set, never the full file inventory.
     */
   def removeOrphanFiles(olderThanMillis: Long = 3600000L): Seq[String] = {
     val meta = metadata
     val snapRefs = meta.snapshots.getOrElse(Seq.empty)
       .flatMap(s => ManifestList.read(Paths.get(s.manifestList)))
-      .distinct
-    val referenced = snapRefs.flatMap(_.entries).map(e => canonPath(e.path)).toSet
+      .groupBy(_.path).map(_._2.head).toSeq
     val cutoff = System.currentTimeMillis - olderThanMillis
-    // data files (paths canonicalized on BOTH sides: a relative table
-    // location must not make every live file look unreferenced)
-    val orphanData = Seq("data", "deletes").flatMap { sub =>
-      val dir = Paths.get(location, sub)
-      if (!Files.isDirectory(dir)) Seq.empty
-      else {
-        val stream = Files.walk(dir)
-        try stream.iterator.asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-          .map(p => canonPath(p.toString)).filterNot(referenced.contains).toSeq
-        finally stream.close()
-      }
-    }
     // manifests/manifest-lists leaked by lost commit races or crashes —
-    // including executor-written shard files under manifest-shards-*/
+    // including executor-written shard files under manifest-shards-*/ —
+    // are identified against the (metadata-plane, O(manifests)) live set
     val liveManifestPaths = snapRefs.map(r => canonPath(r.path)).toSet ++
       meta.snapshots.getOrElse(Seq.empty).map(s => canonPath(s.manifestList))
-    // bloom sidecars referenced by ANY snapshot's entries stay; the rest
-    // (orphaned by aborted writes or expired rewrites) go with the data
-    val liveBloomPaths = snapRefs.flatMap(_.entries)
-      .flatMap(_.bloom.map(b => canonPath(b.path))).toSet
-    val stream2 = Files.walk(metaDir)
-    val orphanMeta =
-      try stream2.iterator.asScala
-        .filter(Files.isRegularFile(_))
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("manifest-") || n.endsWith(".manifest-list.json") ||
-            (n.endsWith(".bloom") && Option(p.getParent).exists(
-              _.getFileName.toString.startsWith("blooms-"))) ||
-            (n.startsWith("part-") && Option(p.getParent).exists(
-              _.getFileName.toString.startsWith("manifest-shards-")))
-        }
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .map(p => canonPath(p.toString))
-        .filterNot(liveManifestPaths.contains)
-        .filterNot(liveBloomPaths.contains)
-        .toSeq
-      finally stream2.close()
+    val (orphanData, orphanMeta) =
+      if (snapRefs.map(_.entryCount).sum >= distributedPlanningThreshold)
+        orphanScanDistributed(snapRefs, liveManifestPaths, cutoff)
+      else orphanScanLocal(snapRefs, liveManifestPaths, cutoff)
     // changelog staging ranges (location/_changelog/<stream>/<from>-<to>)
     // are normally cleaned on checkpoint commit; a crashed or abandoned
     // stream leaves its last ranges behind forever. Ranges whose newest
@@ -922,8 +897,68 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       finally w.close()
     }
     val orphans = orphanData ++ orphanMeta
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deleteDistributed(orphans)
     (orphans ++ orphanStaged.map(d => canonPath(d.toString))).sorted
+  }
+
+  /** Driver-side orphan scan (below the planning threshold): walk the
+    * data/deletes dirs and the metadata dir, diff against the referenced
+    * sets in memory. Paths canonicalized on BOTH sides: a relative table
+    * location must not make every live file look unreferenced.
+    */
+  private def orphanScanLocal(snapRefs: Seq[ManifestRef],
+      liveManifestPaths: Set[String],
+      cutoff: Long): (Seq[String], Seq[String]) = {
+    val referenced =
+      snapRefs.flatMap(_.entries).map(e => canonPath(e.path)).toSet
+    val orphanData = Seq("data", "deletes").flatMap { sub =>
+      GraftTable.walkFilesOlder(
+        Paths.get(location, sub).toString, cutoff, GraftTable.isDataCandidate)
+        .filterNot(referenced.contains)
+    }
+    // bloom sidecars referenced by ANY snapshot's entries stay; the rest
+    // (orphaned by aborted writes or expired rewrites) go with the data
+    val liveBloomPaths = snapRefs.flatMap(_.entries)
+      .flatMap(_.bloom.map(b => canonPath(b.path))).toSet
+    val orphanMeta = GraftTable.walkFilesOlder(
+      metaDir.toString, cutoff, GraftTable.isMetaCandidate)
+      .filterNot(liveManifestPaths.contains)
+      .filterNot(liveBloomPaths.contains)
+    (orphanData, orphanMeta)
+  }
+
+  /** Distributed orphan scan: referenced paths from the manifest
+    * dataset, candidate files from a per-child-directory walk on
+    * executors, one anti-join. Returns (data orphans, metadata orphans).
+    */
+  private def orphanScanDistributed(snapRefs: Seq[ManifestRef],
+      liveManifestPaths: Set[String],
+      cutoff: Long): (Seq[String], Seq[String]) = {
+    import spark.implicits._
+    val refDf = manifestDfForRefs(snapRefs)
+    val referenced = refDf.select(col("path").as("p"))
+      .unionAll(refDf.select(col("bloom")("path").as("p"))
+        .where(col("p").isNotNull))
+      .as[String].map(GraftTable.canonPath).toDF("p")
+      .unionAll(liveManifestPaths.toSeq.toDF("p"))
+      .distinct()
+    def walk(units: Seq[String],
+        pred: java.nio.file.Path => Boolean): DataFrame =
+      if (units.isEmpty) spark.emptyDataset[String].toDF("p")
+      else spark.sparkContext
+        .parallelize(units, math.max(1, math.min(units.size, 256)))
+        .flatMap(u => GraftTable.walkFilesOlder(u, cutoff, pred))
+        .toDF("p")
+    val dataUnits = Seq("data", "deletes")
+      .flatMap(sub => GraftTable.listChildren(Paths.get(location, sub)))
+    val cands = walk(dataUnits, GraftTable.isDataCandidate)
+      .withColumn("is_meta", lit(false))
+      .unionAll(walk(GraftTable.listChildren(metaDir),
+        GraftTable.isMetaCandidate).withColumn("is_meta", lit(true)))
+    val rows = cands.distinct()
+      .join(referenced, Seq("p"), "left_anti").collect()
+    (rows.filter(!_.getBoolean(1)).map(_.getString(0)).toSeq,
+      rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq)
   }
 
   /** Continuous ingestion: append each micro-batch of `stream` as a
@@ -2285,17 +2320,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   // ------------------------------------------------------- refs/expiry ----
 
-  def createBranch(name: String, snapshotId: Long): Unit = {
+  def createBranch(name: String, snapshotId: Long,
+      retention: BranchRetention =
+        BranchRetention(1, Long.MaxValue, Long.MaxValue)): Unit = {
     val (v, meta) = metadataWithVersion
     writeMetadataAt(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
-      (name -> SnapshotRef(snapshotId,
-        BranchRetention(1, Long.MaxValue, Long.MaxValue))))), v + 1)
+      (name -> SnapshotRef(snapshotId, retention)))), v + 1)
   }
 
-  def createTag(name: String, snapshotId: Long): Unit = {
+  def createTag(name: String, snapshotId: Long,
+      maxRefAgeMs: Long = Long.MaxValue): Unit = {
     val (v, meta) = metadataWithVersion
     writeMetadataAt(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
-      (name -> SnapshotRef(snapshotId, TagRetention(Long.MaxValue))))), v + 1)
+      (name -> SnapshotRef(snapshotId, TagRetention(maxRefAgeMs))))), v + 1)
   }
 
   /** Append onto a BRANCH (write-audit-publish): the commit parents off
@@ -2354,44 +2391,89 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   }
 
 
-  /** Expire all but the last `keepLast` snapshots (ref'd snapshots always
-    * survive). With `olderThanMs` set, snapshots committed within that
-    * age also survive regardless of count (Iceberg's expire-by-timestamp
-    * semantics — retention is the UNION of both rules). Deletes
-    * newly-orphaned data files and expired manifests; returns the
-    * orphaned data file paths.
+  /** Expire all but the last `keepLast` snapshots. With `olderThanMs`
+    * set, snapshots committed within that age also survive regardless of
+    * count (Iceberg's expire-by-timestamp semantics — retention is the
+    * UNION of both rules). Per-ref Retention policies (reference
+    * snapshot.rs:70-95) are ENFORCED here, not just serialized:
+    *   - a non-main ref whose referenced snapshot is older than its
+    *     max-ref-age-ms drops out entirely (tag or branch);
+    *   - each surviving branch keeps its newest min-snapshots-to-keep
+    *     ancestors, plus every ancestor younger than max-snapshot-age-ms
+    *     (Long.MaxValue = unset → only the global rules apply);
+    *   - a surviving tag pins exactly its snapshot.
+    * Deletes newly-orphaned data files and expired manifests; returns
+    * the orphaned data file paths. Above the planning threshold the
+    * entry-level orphan diff runs as anti-joins over the manifest
+    * dataset — at 100 TB the expired history's entry list is big data
+    * and only the DELETION SET reaches the driver.
     */
   def expireSnapshots(keepLast: Int,
       olderThanMs: Option[Long] = None): Seq[String] = {
     val (baseVersion, meta) = metadataWithVersion
     val all = meta.snapshots.getOrElse(Seq.empty).sortBy(_.sequenceNumber)
-    val refIds = meta.refs.getOrElse(Map.empty).values.map(_.snapshotId).toSet
-    val cutoff = olderThanMs.map(System.currentTimeMillis - _)
+    val now = System.currentTimeMillis
+    val refs0 = meta.refs.getOrElse(Map.empty)
+    val refs = refs0.filter { case (name, r) =>
+      val maxRefAge = r.retention match {
+        case BranchRetention(_, _, m) => m
+        case TagRetention(m) => m
+      }
+      name == "main" || maxRefAge == Long.MaxValue ||
+        meta.snapshotById(r.snapshotId).forall(s =>
+          now - s.timestampMs <= maxRefAge)
+    }
+    val refKeep: Set[Long] = refs.values.flatMap { r =>
+      r.retention match {
+        case BranchRetention(minKeep, maxSnapAge, _) =>
+          ancestryOf(meta, r.snapshotId).zipWithIndex.collect {
+            case (id, i) if i < minKeep ||
+              (maxSnapAge != Long.MaxValue &&
+                meta.snapshotById(id).exists(s =>
+                  now - s.timestampMs <= maxSnapAge)) => id
+          }
+        case _: TagRetention => Seq(r.snapshotId)
+      }
+    }.toSet
+    val cutoff = olderThanMs.map(now - _)
     val young = cutoff.map(c =>
       all.filter(_.timestampMs >= c).map(_.snapshotId).toSet)
       .getOrElse(Set.empty)
-    val keep = all.takeRight(keepLast).map(_.snapshotId).toSet ++ refIds ++
-      young
+    val keep = all.takeRight(keepLast).map(_.snapshotId).toSet ++ refKeep ++
+      young ++ meta.currentSnapshotId
     val (retained, expired) = all.partition(s => keep.contains(s.snapshotId))
-    if (expired.isEmpty) return Seq.empty
+    if (expired.isEmpty && refs.size == refs0.size) return Seq.empty
     // manifests are SHARED across snapshots: only delete manifests (and
-    // their files) referenced exclusively by expired snapshots
+    // their files) referenced exclusively by expired snapshots. A
+    // manifest also referenced by a retained snapshot keeps ALL its
+    // entries live, so only the exclusive set can contribute orphans.
     val retainedRefs = retained.flatMap(s =>
       ManifestList.read(Paths.get(s.manifestList)))
+      .groupBy(_.path).map(_._2.head).toSeq
     val expiredRefs = expired.flatMap(s =>
       ManifestList.read(Paths.get(s.manifestList)))
-    val retainedEntries = retainedRefs.flatMap(_.entries)
-    val expiredEntries = expiredRefs.flatMap(_.entries)
-    val liveFiles = retainedEntries.map(_.path).toSet
-    val orphans = expiredEntries
-      .map(_.path).distinct.filterNot(liveFiles.contains)
-    // bloom sidecars follow their data files (shared ones survive)
-    val liveBlooms = retainedEntries.flatMap(_.bloom.map(_.path)).toSet
-    val orphanBlooms = expiredEntries.flatMap(_.bloom.map(_.path))
-      .distinct.filterNot(liveBlooms.contains)
     val retainedManifests = retainedRefs.map(_.path).toSet
     val orphanManifests = expiredRefs.map(_.path).distinct
       .filterNot(retainedManifests.contains)
+    val exclusiveRefs = expiredRefs
+      .filterNot(r => retainedManifests.contains(r.path))
+      .groupBy(_.path).map(_._2.head).toSeq
+    val (orphans, orphanBlooms) =
+      if ((exclusiveRefs ++ retainedRefs).map(_.entryCount).sum >=
+          distributedPlanningThreshold)
+        expireDiffDistributed(retainedRefs, exclusiveRefs)
+      else {
+        val retainedEntries = retainedRefs.flatMap(_.entries)
+        val exclusiveEntries = exclusiveRefs.flatMap(_.entries)
+        val liveFiles = retainedEntries.map(_.path).toSet
+        val o = exclusiveEntries
+          .map(_.path).distinct.filterNot(liveFiles.contains)
+        // bloom sidecars follow their data files (shared ones survive)
+        val liveBlooms = retainedEntries.flatMap(_.bloom.map(_.path)).toSet
+        val ob = exclusiveEntries.flatMap(_.bloom.map(_.path))
+          .distinct.filterNot(liveBlooms.contains)
+        (o, ob)
+      }
     // stats files follow their snapshots: refs to expired snapshots go
     // (an ancestor-walk from any retained snapshot can never reach them)
     val (retainedStats, expiredStats) = meta.statistics.getOrElse(Seq.empty)
@@ -2402,15 +2484,58 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       snapshots = Some(retained),
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty)
         .filter(l => keep.contains(l.snapshotId))),
+      refs = if (refs.isEmpty) None else Some(refs),
       statistics = if (retainedStats.isEmpty) None else Some(retainedStats),
       lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    orphanBlooms.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deleteDistributed(orphans ++ orphanBlooms)
     orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expiredStats.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
     expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
     orphans
   }
+
+  /** Snapshot ids reachable from `head` via parent links, newest first. */
+  private def ancestryOf(meta: TableMetadataV2, head: Long): Seq[Long] =
+    Iterator.iterate(Option(head))(cur => cur.flatMap(id =>
+      meta.snapshotById(id).flatMap(_.parentSnapshotId)))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+
+  /** Entry-level expiry diff as anti-joins over the manifest dataset:
+    * data-file and bloom-sidecar paths of expired-exclusive manifests
+    * minus those any retained manifest still references. Executors parse
+    * and diff; only orphan paths reach the driver.
+    */
+  private def expireDiffDistributed(retainedRefs: Seq[ManifestRef],
+      exclusiveRefs: Seq[ManifestRef]): (Seq[String], Seq[String]) = {
+    if (exclusiveRefs.isEmpty) return (Seq.empty, Seq.empty)
+    def paths(refs: Seq[ManifestRef]): DataFrame = {
+      val df = manifestDfForRefs(refs)
+      df.select(col("path").as("p"), lit(false).as("is_bloom"))
+        .unionAll(df.select(col("bloom")("path").as("p"),
+          lit(true).as("is_bloom")).where(col("p").isNotNull))
+        .distinct()
+    }
+    val ex = paths(exclusiveRefs)
+    val orphanRows =
+      (if (retainedRefs.isEmpty) ex
+       else ex.join(paths(retainedRefs).select("p"), Seq("p"), "left_anti"))
+        .collect()
+    (orphanRows.filter(!_.getBoolean(1)).map(_.getString(0)).toSeq,
+      orphanRows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq)
+  }
+
+  /** Delete a set of files: driver loop for small sets, a parallelized
+    * executor job above the planning threshold (expiring a 100 TB
+    * table's history deletes millions of files — the storage client runs
+    * where the work is).
+    */
+  private def deleteDistributed(paths: Seq[String]): Unit =
+    if (paths.size < distributedPlanningThreshold)
+      paths.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    else
+      spark.sparkContext.parallelize(paths,
+        math.max(1, math.min(paths.size / 1000, 256)))
+        .foreach(p => Files.deleteIfExists(Paths.get(p)))
 
   /** Export the CURRENT snapshot's manifests and manifest list as
     * Iceberg-spec Avro files under `outDir` (see [[AvroManifest]]):
@@ -2489,15 +2614,31 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .toDF("made_current_at_ms", "snapshot_id")
   }
 
-  /** `.files` metadata table. */
+  /** `.files` metadata table. Above the planning threshold it is served
+    * straight off the manifest dataset — a million-file table's file
+    * listing is a Spark scan, not a driver-side Seq.
+    */
   def filesDf: DataFrame = {
-    import spark.implicits._
-    liveEntries().map(e => (e.path, e.recordCount, e.snapshotId,
-      e.sequenceNumber, e.schemaId,
-      e.partition.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString(",")))
-      .toDF("file_path", "record_count", "added_snapshot_id",
-        "sequence_number", "schema_id", "partition")
+    val refs = liveManifests(None)
+    if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
+      manifestDfForRefs(refs).select(
+        col("path").as("file_path"),
+        col("record-count").as("record_count"),
+        col("snapshot-id").as("added_snapshot_id"),
+        col("sequence-number").as("sequence_number"),
+        col("schema-id").as("schema_id"),
+        concat_ws(",", transform(array_sort(map_entries(col("partition"))),
+          e => concat(e("key"), lit("="),
+            coalesce(e("value"), lit("null"))))).as("partition"))
+    else {
+      import spark.implicits._
+      refs.flatMap(_.entries).map(e => (e.path, e.recordCount, e.snapshotId,
+        e.sequenceNumber, e.schemaId,
+        e.partition.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString(",")))
+        .toDF("file_path", "record_count", "added_snapshot_id",
+          "sequence_number", "schema_id", "partition")
+    }
   }
 
   /** `.partitions` metadata table: per partition tuple — live file and
@@ -2560,18 +2701,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   /** `.all_files` metadata table: every file any RETAINED snapshot
     * references (time-travel debugging — shows files the current
-    * snapshot no longer holds). Driver walks the manifest lists of the
-    * history; row volume is O(retained history), a debugging view by
-    * design (contrast the distributed partitionsDf).
+    * snapshot no longer holds). Above the planning threshold the whole
+    * history's entry list is served off the manifest dataset; the
+    * driver never materializes it.
     */
   def allFilesDf: DataFrame = {
-    import spark.implicits._
-    allRefs.flatMap(_.entries)
-      .map(e => (e.path, e.content, e.recordCount, e.snapshotId,
-        e.sequenceNumber))
-      .distinct
-      .toDF("file_path", "content", "record_count", "added_snapshot_id",
-        "sequence_number")
+    val refs = allRefs
+    if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
+      manifestDfForRefs(refs).select(
+        col("path").as("file_path"),
+        coalesce(col("content"), lit(0)).as("content"),
+        col("record-count").as("record_count"),
+        col("snapshot-id").as("added_snapshot_id"),
+        col("sequence-number").as("sequence_number"))
+        .distinct()
+    else {
+      import spark.implicits._
+      refs.flatMap(_.entries)
+        .map(e => (e.path, e.content, e.recordCount, e.snapshotId,
+          e.sequenceNumber))
+        .distinct
+        .toDF("file_path", "content", "record_count", "added_snapshot_id",
+          "sequence_number")
+    }
   }
 
   /** `.all_manifests` metadata table: every manifest any retained
@@ -2861,6 +3013,44 @@ object GraftTable {
     */
   private[table] def canonPath(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** A directory's immediate children — the walk units the distributed
+    * orphan scan fans out over executors (O(children) driver work).
+    */
+  private[table] def listChildren(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val ls = Files.list(dir)
+      try ls.iterator.asScala.map(_.toString).toList finally ls.close()
+    }
+
+  /** Recursively list regular files under `root` (a directory or a
+    * single file) older than `cutoff` and matching `pred`, as canonical
+    * paths. Static so executor closures capture no table instance.
+    */
+  private[table] def walkFilesOlder(root: String, cutoff: Long,
+      pred: Path => Boolean): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) return Seq.empty
+    val s = Files.walk(r)
+    try s.iterator.asScala
+      .filter(p => Files.isRegularFile(p) && pred(p) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff)
+      .map(p => canonPath(p.toString)).toList
+    finally s.close()
+  }
+
+  private[table] val isDataCandidate: Path => Boolean =
+    p => p.getFileName.toString.endsWith(".parquet")
+
+  private[table] val isMetaCandidate: Path => Boolean = p => {
+    val n = p.getFileName.toString
+    n.startsWith("manifest-") || n.endsWith(".manifest-list.json") ||
+      (n.endsWith(".bloom") && Option(p.getParent).exists(
+        _.getFileName.toString.startsWith("blooms-"))) ||
+      (n.startsWith("part-") && Option(p.getParent).exists(
+        _.getFileName.toString.startsWith("manifest-shards-")))
+  }
 
   private[table] def decodePath(raw: String): String =
     try new java.net.URI(raw).getPath

@@ -625,19 +625,33 @@ object IcebergQueries {
           SELECT * FROM lineitem WHERE l_orderkey % 100 = 3)
         GROUP BY 1 ORDER BY l_returnflag""")),
 
-    // Snapshot expiry: old snapshots drop out, newly-orphaned files are
-    // physically deleted and reported.
+    // Snapshot expiry WITH per-ref retention: old snapshots drop out,
+    // newly-orphaned files are physically deleted and reported; an
+    // aged-out tag (max-ref-age-ms) stops pinning its snapshot while a
+    // live tag keeps pinning — reference snapshot.rs:70-95 enforced,
+    // not just serialized.
     GraftQuery(
       "ice_expire_snapshots",
       (s, dir) => {
         val orders = Tables.tbl(s, dir, "orders")
         val t = GraftTable.create(s, loc("expire"), orders.schema)
         t.append(orders.filter(col("o_orderkey") % 2 === 0))
+        val sEven = t.metadata.currentSnapshotId.get
         t.append(orders.filter(col("o_orderkey") % 2 === 1))
+        val sOdd = t.metadata.currentSnapshotId.get
         t.compact() // makes the pre-compaction files orphanable
+        t.createTag("pinned-rc", sEven) // never ages out — pins sEven
+        t.createTag("stale-rc", sOdd, maxRefAgeMs = 1L)
+        Thread.sleep(5)
         val orphans = t.expireSnapshots(keepLast = 1)
         require(orphans.nonEmpty, "expected orphaned files after compaction")
-        require(t.metadata.snapshots.get.size == 1, "expected 1 snapshot kept")
+        val meta = t.metadata
+        require(!meta.refs.get.contains("stale-rc"), "stale tag must age out")
+        require(meta.refs.get.contains("pinned-rc"), "live tag must survive")
+        require(meta.snapshots.get.map(_.snapshotId).toSet
+          .subsetOf(Set(sEven, meta.currentSnapshotId.get)) &&
+          meta.snapshots.get.size == 2,
+          "expected pinned + current snapshots kept")
         import s.implicits._
         orphans.sorted.toDF("orphan_path")
       },
