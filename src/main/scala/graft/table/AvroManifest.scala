@@ -44,7 +44,11 @@ object AvroManifest {
       case TIdentity | TTruncate(_) =>
         schema.fieldById(pf.sourceId).map(_.fieldType) match {
           case Some(TInt) => PartCodec("int", _.toInt, _.toString)
-          case Some(TLong) => PartCodec("long", _.toLong, _.toString)
+          // `time` surfaces as micros-since-midnight longs (spec physical
+          // form) — the manifest partition field must be Avro long, not
+          // the string fallback external readers fail schema resolution on
+          case Some(TLong) | Some(TTime) =>
+            PartCodec("long", _.toLong, _.toString)
           case Some(TDate) => PartCodec("int",
             s => java.time.LocalDate.parse(s).toEpochDay.toInt,
             v => java.time.LocalDate.ofEpochDay(
@@ -151,7 +155,9 @@ object AvroManifest {
     def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     try t match {
       case TInt => Some(le(4).putInt(v.toInt).array)
-      case TLong => Some(le(8).putLong(v.toLong).array)
+      // time = micros-since-midnight stored as an 8-byte little-endian
+      // long, exactly the spec's single-value serialization for `time`
+      case TLong | TTime => Some(le(8).putLong(v.toLong).array)
       case TFloat => Some(le(4).putFloat(v.toFloat).array)
       case TDouble => Some(le(8).putDouble(v.toDouble).array)
       case TDate => Some(le(4).putInt(
@@ -173,7 +179,7 @@ object AvroManifest {
     def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     t match {
       case TInt => Some(le.getInt.toString)
-      case TLong => Some(le.getLong.toString)
+      case TLong | TTime => Some(le.getLong.toString)
       case TFloat => Pruning.normalize(le.getFloat, FloatType)
       case TDouble => Pruning.normalize(le.getDouble, DoubleType)
       case TDate => Some(java.time.LocalDate.ofEpochDay(le.getInt.toLong).toString)

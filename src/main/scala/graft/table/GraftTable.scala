@@ -260,6 +260,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val meta = metadata
     val spec = meta.defaultSpec
     val schema = meta.currentSchema
+    // `time` columns surface as LongType, but Spark would write them as
+    // plain INT64 without the spec-required TIME(MICROS) annotation —
+    // silently degrading every external reader of the data files. The
+    // READ path stays full (reference-written TIME files scan fine);
+    // writes are rejected until the table evolves the column away.
+    schema.fields.find(f => GraftTable.containsTime(f.fieldType))
+      .foreach(f => throw new IllegalArgumentException(
+        s"column ${f.name}: writing `time` columns is unsupported — Spark " +
+          "writes INT64 without the TIME(MICROS) annotation external " +
+          "readers require; store micros-since-midnight as `long` instead"))
     val sparkSchema = toSparkSchema(schema)
     val writeId = java.util.UUID.randomUUID.toString.take(8)
     val writeDir = s"$location/data/$writeId"
@@ -3013,6 +3023,15 @@ object GraftTable {
     */
   private[table] def canonPath(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** Whether a type contains `time` anywhere (write admission). */
+  private[table] def containsTime(t: IceType): Boolean = t match {
+    case TTime => true
+    case TStruct(fs) => fs.exists(f => containsTime(f.fieldType))
+    case TList(_, _, el) => containsTime(el)
+    case TMap(_, k, _, _, v) => containsTime(k) || containsTime(v)
+    case _ => false
+  }
 
   /** A directory's immediate children — the walk units the distributed
     * orphan scan fans out over executors (O(children) driver work).
