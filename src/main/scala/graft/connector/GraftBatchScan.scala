@@ -362,28 +362,48 @@ object GraftRead {
     val resolved = sids.map { sid =>
       val fileSchema = meta.schemaById(sid).getOrElse(readIce)
       // physical read schema: the pruned logical columns that exist in
-      // this file group, under their WRITE-TIME names
-      val physFields = prunedSchema.fields.flatMap { f =>
-        val logicalId = readIce.fieldByName(f.name)
-          .orElse(fileSchema.fieldByName(f.name)).map(_.id)
-        logicalId.flatMap(fileSchema.fieldById).map(ff =>
-          (f.name, StructField(ff.name, f.dataType, nullable = true)))
+      // this file group, under their WRITE-TIME names. Nested struct
+      // shapes evolve by field id, but the parquet reader resolves
+      // SUBfields by name — a group whose struct shape differs from the
+      // logical one reads the file's own shape and realigns per row.
+      val physFields = prunedSchema.fields.toSeq.flatMap { f =>
+        val readField = readIce.fieldByName(f.name)
+          .orElse(fileSchema.fieldByName(f.name))
+        readField.flatMap(rf => fileSchema.fields.find(_.id == rf.id)
+          .map(ff => (rf, ff))).map { case (rf, ff) =>
+          val realign = (ff.fieldType, rf.fieldType) match {
+            case (ft: graft.model.TStruct, rt: graft.model.TStruct)
+              if ft != rt => Some((ft: graft.model.IceType,
+                rt: graft.model.IceType))
+            case _ => None
+          }
+          val physType = realign.map(r => GraftTable.toSparkType(r._1))
+            .getOrElse(f.dataType)
+          (f.name, StructField(ff.name, physType, nullable = true), realign)
+        }
       }
       (sid, physFields)
     }
     val columnar = resolved.forall { case (_, physFields) =>
-      parquet.supportBatch(spark, StructType(physFields.map(_._2)))
+      parquet.supportBatch(spark,
+        StructType(physFields.map(_._2).toArray)) &&
+        physFields.forall(_._3.isEmpty)
     }
     val groups = resolved.map { case (sid, physFields) =>
-      val physSchema = StructType(physFields.map(_._2))
+      val physSchema = StructType(physFields.map(_._2).toArray)
       val physIndex = physFields.map(_._1).zipWithIndex.toMap
+      val realignByName = physFields.collect {
+        case (n, _, Some(r)) => n -> r }.toMap
+      val realigns: Array[Option[(graft.model.IceType, graft.model.IceType)]] =
+        prunedSchema.fields.map(f => realignByName.get(f.name))
       val slots: Array[Int] = prunedSchema.fields.map { f =>
         if (f.name == GraftMetaColumns.File) GraftRead.FileSlot
         else if (f.name == GraftMetaColumns.Pos) GraftRead.PosSlot
         else physIndex.getOrElse(f.name, -1)
       }
       val identity = slots.length == physSchema.length &&
-        slots.zipWithIndex.forall { case (s, i) => s == i }
+        slots.zipWithIndex.forall { case (s, i) => s == i } &&
+        realigns.forall(_.isEmpty)
       // only push row-group filters whose columns kept their physical
       // name — parquet-level filtering is best-effort; Spark re-applies.
       // `_pos` disables parquet filtering entirely: row positions must
@@ -411,9 +431,42 @@ object GraftRead {
         println(s"GROUP sid=$sid phys=${physSchema.fieldNames.mkString(",")} " +
           s"slots=${slots.mkString(",")} identity=$identity columnar=$columnar")
       sid -> SchemaGroupReader(readFunc, slots, identity, columnar,
-        physSchema, prunedSchema)
+        physSchema, prunedSchema, realigns)
     }.toMap
     new GraftReaderFactory(groups)
+  }
+
+  /** Catalyst expression realigning an evolved nested struct from its
+    * write-time shape to the logical read shape: subfields match by
+    * FIELD ID (renames resolve), subfields the file predates null-fill,
+    * and a null struct stays null. The same id-based alignment the top
+    * level gets, pushed inside the row.
+    */
+  private[connector] def realignExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fileT: graft.model.IceType, readT: graft.model.IceType)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct,
+      GetStructField, If, IsNull, Literal}
+    import graft.model.TStruct
+    if (fileT == readT) e
+    else (fileT, readT) match {
+      case (TStruct(ffs), TStruct(rfs)) =>
+        val kids = rfs.flatMap { rf =>
+          val v = ffs.zipWithIndex.find(_._1.id == rf.id) match {
+            case Some((ff, idx)) => realignExpr(
+              GetStructField(e, idx, Some(ff.name)),
+              ff.fieldType, rf.fieldType)
+            case None => Literal(null, GraftTable.toSparkType(rf.fieldType))
+          }
+          Seq(Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString(rf.name),
+            org.apache.spark.sql.types.StringType), v)
+        }
+        If(IsNull(e), Literal(null, GraftTable.toSparkType(readT)),
+          CreateNamedStruct(kids))
+      case _ => e
+    }
   }
 
   /** Single-schema reader factory for files the engine itself wrote
@@ -435,7 +488,8 @@ object GraftRead {
           .OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
     new GraftReaderFactory(Map(0 -> SchemaGroupReader(readFunc,
-      schema.indices.toArray, identity = true, columnar, schema, schema)))
+      schema.indices.toArray, identity = true, columnar, schema, schema,
+      Array.fill(schema.length)(None))))
   }
 }
 
@@ -470,7 +524,9 @@ case class SchemaGroupReader(
     identity: Boolean,
     columnar: Boolean,
     physSchema: StructType,
-    logicalSchema: StructType) extends Serializable
+    logicalSchema: StructType,
+    realigns: Array[Option[(graft.model.IceType, graft.model.IceType)]])
+    extends Serializable
 
 class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
     extends PartitionReaderFactory {
@@ -511,14 +567,19 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
         // path as a constant; PosSlot reads a one-field meta row joined
         // to the right of the data row and stepped per row
         val nPhys = g.physSchema.length
-        val exprs = g.slots.zip(g.logicalSchema.fields).map {
-          case (GraftRead.FileSlot, f) => CatalystLiteral(
+        val exprs = g.slots.zip(g.logicalSchema.fields).zipWithIndex.map {
+          case ((GraftRead.FileSlot, f), _) => CatalystLiteral(
             org.apache.spark.unsafe.types.UTF8String.fromString(path),
             f.dataType)
-          case (GraftRead.PosSlot, _) => BoundReference(nPhys,
+          case ((GraftRead.PosSlot, _), _) => BoundReference(nPhys,
             org.apache.spark.sql.types.LongType, nullable = false)
-          case (-1, f) => CatalystLiteral(null, f.dataType)
-          case (i, f) => BoundReference(i, f.dataType, nullable = true)
+          case ((-1, f), _) => CatalystLiteral(null, f.dataType)
+          case ((i, f), k) => g.realigns(k) match {
+            case Some((ft, rt)) => GraftRead.realignExpr(
+              BoundReference(i, g.physSchema(i).dataType, nullable = true),
+              ft, rt)
+            case None => BoundReference(i, f.dataType, nullable = true)
+          }
         }
         val proj = UnsafeProjection.create(exprs.toIndexedSeq)
         if (g.slots.contains(GraftRead.PosSlot)) {

@@ -30,9 +30,12 @@ import scala.jdk.CollectionConverters._
   *
   * Offsets are COMMITTED sequence numbers (they survive snapshot
   * expiry). `changelog-from` = "begin" (default: full history) or a
-  * snapshot id; batch reads also honor `changelog-to`. Copy-on-write
-  * snapshots in a planned range fail loudly (the engine cannot express
-  * them as row-level changes) — stream MoR tables.
+  * snapshot id; batch reads also honor `changelog-to`. NET-CHANGES
+  * semantics: `replace` commits (compaction, re-cluster, manifest
+  * rewrite) are skipped — routine maintenance never breaks a CDC
+  * consumer. Copy-on-write deletes/overwrites in a planned range fail
+  * loudly (the engine cannot express them as row-level changes) —
+  * stream MoR tables.
   */
 object GraftChangelog {
   val OptionKey = "changelog"

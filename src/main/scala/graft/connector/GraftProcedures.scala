@@ -136,18 +136,35 @@ object GraftProcedures {
           ProcedureParameter.in("target_file_bytes", LongType)
             .defaultValue((64L << 20).toString).build(),
           // binpack (default): merge undersized files only;
-          // sort: FULL rewrite clustered on sort_by columns;
-          // zorder: full rewrite on a range-scaled 2-column interleave
+          // sort: rewrite clustered on sort_by columns;
+          // zorder: rewrite on a range-scaled 2-column interleave
           ProcedureParameter.in("strategy", StringType)
             .defaultValue("'binpack'").build(),
           ProcedureParameter.in("sort_by", StringType)
-            .defaultValue("''").build()),
+            .defaultValue("''").build(),
+          // sort/zorder: 0 = whole-table single-commit rewrite;
+          // >0 = INCREMENTAL per-file-group commits bounded by this many
+          // bytes, rebasing over concurrent traffic (the 100 TB shape)
+          ProcedureParameter.in("group_bytes", LongType)
+            .defaultValue("0").build()),
         StructType(Seq(StructField("snapshot_id", LongType),
           StructField("rewritten_files", LongType)))) {
         (t, args) =>
           import org.apache.spark.sql.functions.col
           val sortBy = args.getUTF8String(3).toString
             .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val groupBytes = args.getLong(4)
+          def recluster(sorts: Seq[org.apache.spark.sql.Column]): Seq[Any] =
+            if (groupBytes > 0L) {
+              val snaps = t.compactIncremental(sorts, groupBytes)
+              Seq(snaps.lastOption.map(_.snapshotId).getOrElse(
+                t.metadata.currentSnapshotId.getOrElse(-1L)),
+                snaps.map(_.summary.other.get("compaction-group-files")
+                  .map(_.toLong).getOrElse(0L)).sum)
+            } else {
+              val n = dataFileCount(t)
+              Seq(t.compact(sorts).snapshotId, n)
+            }
           args.getUTF8String(2).toString match {
             case "binpack" =>
               val snap = t.compactBinPack(args.getLong(1))
@@ -156,8 +173,7 @@ object GraftProcedures {
                   .map(_.toLong).getOrElse(0L))
             case "sort" =>
               require(sortBy.nonEmpty, "sort strategy needs sort_by")
-              val n = dataFileCount(t)
-              Seq(t.compact(sortBy.map(col)).snapshotId, n)
+              recluster(sortBy.map(col))
             case "zorder" =>
               require(sortBy.length == 2,
                 s"zorder strategy needs exactly 2 sort_by columns, " +
@@ -174,8 +190,7 @@ object GraftProcedures {
               val z = _root_.graft.functions.ZOrder.zorderScaled(
                 col(a), bound(a, isMin = true), bound(a, isMin = false),
                 col(b), bound(b, isMin = true), bound(b, isMin = false))
-              val n = dataFileCount(t)
-              Seq(t.compact(Seq(z)).snapshotId, n)
+              recluster(Seq(z))
             case other => throw new IllegalArgumentException(
               s"unknown compact strategy '$other' " +
                 "(binpack | sort | zorder)")

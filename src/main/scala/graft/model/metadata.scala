@@ -23,8 +23,11 @@ object Json {
 
 // ---------------------------------------------------------------- types ----
 
-/** Schema types: primitives + struct/list/map (schema.rs:16,163,219,230). */
-sealed trait IceType {
+/** Schema types: primitives + struct/list/map (schema.rs:16,163,219,230).
+  * Serializable: nested-evolution read alignment ships (fileType,
+  * readType) pairs to executors inside the connector's reader factory.
+  */
+sealed trait IceType extends Serializable {
   def toJson: JsonNode
 }
 
@@ -165,11 +168,49 @@ case class SchemaV2(schemaId: Int, identifierFieldIds: Option[Seq[Int]],
     fields.foreach(f => fs.add(f.toJson))
     o
   }
-  def fieldByName(n: String): Option[StructField] = fields.find(_.name == n)
-  def fieldById(id: Int): Option[StructField] = fields.find(_.id == id)
+  /** Field lookup by name. A plain name resolves at the top level; a
+    * DOTTED path ("a.b.c") descends through structs (and transparently
+    * through list elements) — nested fields are first-class schema
+    * fields (schema.rs:170-243 models the full tree).
+    */
+  def fieldByName(n: String): Option[StructField] = {
+    val top = fields.find(_.name == n)
+    if (top.isDefined || !n.contains('.')) top
+    else SchemaV2.resolvePath(fields, n.split('.').toList)
+  }
+
+  /** Field lookup by id, top-level OR nested — ids are unique across the
+    * whole tree, so any id addresses exactly one field.
+    */
+  def fieldById(id: Int): Option[StructField] = {
+    def walkType(t: IceType): Option[StructField] = t match {
+      case TStruct(nfs) => walk(nfs)
+      case TList(_, _, el) => walkType(el)
+      case TMap(_, k, _, _, v) => walkType(k).orElse(walkType(v))
+      case _ => None
+    }
+    def walk(fs: Seq[StructField]): Option[StructField] =
+      fs.find(_.id == id)
+        .orElse(fs.view.flatMap(f => walkType(f.fieldType)).headOption)
+    walk(fields)
+  }
 }
 
 object SchemaV2 {
+  /** Resolve a dotted path against struct fields; descends through
+    * structs and list-of-struct elements.
+    */
+  private[model] def resolvePath(fs: Seq[StructField],
+      parts: List[String]): Option[StructField] = parts match {
+    case Nil => None
+    case p :: Nil => fs.find(_.name == p)
+    case p :: rest => fs.find(_.name == p).flatMap(_.fieldType match {
+      case TStruct(nfs) => resolvePath(nfs, rest)
+      case TList(_, _, TStruct(nfs)) => resolvePath(nfs, rest)
+      case _ => None
+    })
+  }
+
   def fromJson(n: JsonNode): SchemaV2 = SchemaV2(
     n.path("schema-id").asInt,
     Option(n.get("identifier-field-ids"))

@@ -1158,10 +1158,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * in `(fromSnapshot, toSnapshot]` emits that commit's logical row
     * changes — appends as `insert` rows, merge-on-read deletes
     * (position AND equality) as `delete` rows WITH the full deleted-row
-    * content recovered from the referenced data files. Copy-on-write
-    * commits (CoW delete/overwrite/compaction) interleave physical
-    * rewrites with logical changes and are rejected loudly — the same
-    * restriction Iceberg's changelog scan imposes.
+    * content recovered from the referenced data files.
+    *
+    * NET-CHANGES across maintenance: `replace` commits (compaction,
+    * z-order/sort re-cluster, manifest rewrite) move bytes, not rows —
+    * they contribute NOTHING and are skipped, so a CDC consumer
+    * survives routine maintenance (Iceberg's net_changes contract).
+    * Each logical commit's changes are computed against ITS OWN
+    * snapshot's manifest refs, never the range end's — a later rewrite
+    * must not hide an earlier append's files. Copy-on-write deletes and
+    * overwrites still interleave physical and logical changes in one
+    * commit and are rejected loudly, as Iceberg's changelog scan does.
     *
     * Output = the table schema plus `_change_type` ('insert'|'delete'),
     * `_commit_snapshot_id`, `_commit_sequence`. Per-commit recovery
@@ -1190,20 +1197,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     require(fromSeq <= toSeq, "fromSnapshot must precede toSnapshot")
     val inRange = meta.snapshots.getOrElse(Seq.empty)
       .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
-    inRange.foreach { s =>
+      .sortBy(_.sequenceNumber)
+    // net-changes: replace commits move bytes, not rows — skip them
+    val logical = inRange.filterNot(_.summary.operation.contains("replace"))
+    logical.foreach { s =>
       val op = s.summary.operation.getOrElse("unknown")
       val cow = s.summary.other.get("rewritten-files").exists(_.toInt > 0) ||
         s.summary.other.get("dropped-files").exists(_.toInt > 0) ||
-        op == "overwrite" || op == "replace"
+        op == "overwrite"
       require(!cow && (op == "append" || op == "delete"),
         s"changelog cannot express snapshot ${s.snapshotId} ($op): " +
           "copy-on-write rewrites interleave physical and logical changes")
     }
     val schema = meta.currentSchema
     val sparkSchema = toSparkSchema(schema)
-    val bySeq = meta.snapshots.getOrElse(Seq.empty)
-      .map(s => s.sequenceNumber -> s.snapshotId).toMap
-    val refs = manifestsFor(meta, Some(toSnapshotId))
     val emptyOut = {
       val fields = sparkSchema.fields :+
         SparkField("_change_type", StringType) :+
@@ -1212,84 +1219,91 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(fields))
     }
-    def tag(df: DataFrame, tpe: String, seq: Long): DataFrame =
+    def tag(df: DataFrame, tpe: String, s: SnapshotV2): DataFrame =
       df.select(sparkSchema.fieldNames.map(col).toIndexedSeq: _*)
         .withColumn("_change_type", lit(tpe))
-        .withColumn("_commit_snapshot_id", lit(bySeq.getOrElse(seq, -1L)))
-        .withColumn("_commit_sequence", lit(seq))
+        .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+        .withColumn("_commit_sequence", lit(s.sequenceNumber))
 
-    val dataEntries = refs.filter(_.content == 0).flatMap(_.entries)
-      .filter(_.isData)
-    val allPosDeletePaths = deletePathsFor(meta, Some(toSnapshotId))
-    val allEqDeletes = eqDeletesFor(meta, Some(toSnapshotId))
+    // per-commit changes against the commit's OWN snapshot refs: a
+    // replace later in the range rewrites these files away, but the
+    // commit's own manifest list still names them
+    val parts: Seq[DataFrame] = logical.flatMap { s =>
+      val sq = s.sequenceNumber
+      val refs = manifestsFor(meta, Some(s.snapshotId))
+      val dataEntries = refs.filter(_.content == 0).flatMap(_.entries)
+        .filter(_.isData)
 
-    // inserts: the rows each in-range append committed, as written
-    val inserts = dataEntries
-      .filter(e => e.sequenceNumber > fromSeq && e.sequenceNumber <= toSeq)
-      .groupBy(_.sequenceNumber).toSeq.map { case (sq, es) =>
-        tag(readAlignedFilesFor(meta, es.map(e => (e.path, e.schemaId)),
-          schema), "insert", sq)
+      // inserts: the rows THIS append committed, as written
+      val inserts = dataEntries.filter(_.sequenceNumber == sq) match {
+        case Seq() => Seq.empty
+        case es => Seq(tag(readAlignedFilesFor(meta,
+          es.map(e => (e.path, e.schemaId)), schema), "insert", s))
       }
 
-    // position deletes: point-addressed (file, pos) → recover the rows
-    // by semi-joining the annotated read of ONLY the referenced files
-    val posDels = refs.filter(_.content == 1).flatMap(_.entries)
-      .filter(e => e.content == 1 &&
-        e.sequenceNumber > fromSeq && e.sequenceNumber <= toSeq)
-    val posDeleted = posDels.groupBy(_.sequenceNumber).toSeq.map {
-      case (sq, es) =>
-        val positions = spark.read.parquet(es.map(_.path): _*)
-          .select(col("file_path"), col("pos"))
-        val touched = positions.select("file_path").distinct()
-          .collect().map(r => canonPath(decodePath(r.getString(0)))).toSet
-        val files = dataEntries
-          .filter(e => touched.contains(canonPath(e.path)))
-          .map(e => (e.path, e.schemaId))
-        val annotated = readAlignedFilesFor(meta, files, schema,
-          withPos = true)
-        tag(annotated.join(
-            broadcast(positions.withColumnRenamed("file_path", PosPathCol)
-              .withColumnRenamed("pos", PosIdxCol)),
-            Seq(PosPathCol, PosIdxCol), "left_semi"),
-          "delete", sq)
-    }
-
-    // equality deletes: candidates are the rows LIVE just before the
-    // commit (earlier-sequence data, position deletes applied, earlier
-    // equality deletes applied) that match the commit's key tuples
-    val eqDeleted = allEqDeletes
-      .filter(e => e.sequenceNumber > fromSeq && e.sequenceNumber <= toSeq)
-      .groupBy(_.sequenceNumber).toSeq.map { case (sq, es) =>
-        val priorData = dataEntries.filter(_.sequenceNumber < sq)
-        val annotated = priorData.groupBy(_.sequenceNumber).toSeq.map {
-          case (dsq, des) =>
-            readAlignedFilesFor(meta, des.map(e => (e.path, e.schemaId)),
-              schema, withPos = true).withColumn(SeqCol, lit(dsq))
-        }.reduceOption(_ unionByName _)
-        annotated match {
-          case None => tag(emptyOut.drop(
-            "_change_type", "_commit_snapshot_id", "_commit_sequence"),
-            "delete", sq)
-          case Some(cand0) =>
-            val live = GraftTable.applyEqDeletesSeqCore(spark,
-              applyDeletes(cand0, allPosDeletePaths),
-              allEqDeletes.filter(_.sequenceNumber < sq))
-            val deleted = es.groupBy(_.eqColumns).toSeq.map {
-              case (cols, dels) =>
-                val keys = spark.read.parquet(dels.map(_.path): _*)
-                  .select(cols.map(col).toIndexedSeq: _*).distinct()
-                  .select(cols.map(c => col(c).as(s"__k_$c"))
-                    .toIndexedSeq: _*)
-                live.join(broadcast(keys),
-                  cols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
-                  "left_semi")
-            }.reduce(_ unionByName _)
-            tag(deleted, "delete", sq)
+      // position deletes: point-addressed (file, pos) → recover the rows
+      // by semi-joining the annotated read of ONLY the referenced files
+      val posDels = refs.filter(_.content == 1).flatMap(_.entries)
+        .filter(e => e.content == 1 && e.sequenceNumber == sq)
+      val posDeleted =
+        if (posDels.isEmpty) Seq.empty
+        else {
+          val positions = spark.read.parquet(posDels.map(_.path): _*)
+            .select(col("file_path"), col("pos"))
+          val touched = positions.select("file_path").distinct()
+            .collect().map(r => canonPath(decodePath(r.getString(0)))).toSet
+          val files = dataEntries
+            .filter(e => touched.contains(canonPath(e.path)))
+            .map(e => (e.path, e.schemaId))
+          val annotated = readAlignedFilesFor(meta, files, schema,
+            withPos = true)
+          Seq(tag(annotated.join(
+              broadcast(positions.withColumnRenamed("file_path", PosPathCol)
+                .withColumnRenamed("pos", PosIdxCol)),
+              Seq(PosPathCol, PosIdxCol), "left_semi"),
+            "delete", s))
         }
-      }
 
-    (inserts ++ posDeleted ++ eqDeleted)
-      .foldLeft(emptyOut)(_ unionByName _)
+      // equality deletes: candidates are the rows LIVE just before the
+      // commit (earlier-sequence data, position deletes applied, earlier
+      // equality deletes applied) that match the commit's key tuples
+      val eqDels = refs.filter(_.content == 2).flatMap(_.entries)
+        .filter(e => e.content == 2 && e.sequenceNumber == sq)
+      val eqDeleted =
+        if (eqDels.isEmpty) Seq.empty
+        else {
+          val priorData = dataEntries.filter(_.sequenceNumber < sq)
+          val annotated = priorData.groupBy(_.sequenceNumber).toSeq.map {
+            case (dsq, des) =>
+              readAlignedFilesFor(meta, des.map(e => (e.path, e.schemaId)),
+                schema, withPos = true).withColumn(SeqCol, lit(dsq))
+          }.reduceOption(_ unionByName _)
+          annotated match {
+            case None => Seq(tag(emptyOut.drop(
+              "_change_type", "_commit_snapshot_id", "_commit_sequence"),
+              "delete", s))
+            case Some(cand0) =>
+              val live = GraftTable.applyEqDeletesSeqCore(spark,
+                applyDeletes(cand0, deletePathsFor(meta, Some(s.snapshotId))),
+                eqDeletesFor(meta, Some(s.snapshotId))
+                  .filter(_.sequenceNumber < sq))
+              val deleted = eqDels.groupBy(_.eqColumns).toSeq.map {
+                case (cols, dels) =>
+                  val keys = spark.read.parquet(dels.map(_.path): _*)
+                    .select(cols.map(col).toIndexedSeq: _*).distinct()
+                    .select(cols.map(c => col(c).as(s"__k_$c"))
+                      .toIndexedSeq: _*)
+                  live.join(broadcast(keys),
+                    cols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+                    "left_semi")
+              }.reduce(_ unionByName _)
+              Seq(tag(deleted, "delete", s))
+          }
+        }
+
+      inserts ++ posDeleted ++ eqDeleted
+    }
+    parts.foldLeft(emptyOut)(_ unionByName _)
   }
 
   /** Structured-streaming source over an APPEND-ONLY table: the stream
@@ -2115,6 +2129,89 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       })
     })
 
+  /** Incremental re-cluster: rewrite the live data files as a SERIES of
+    * per-file-group `replace` commits, each bounded by `maxGroupBytes` —
+    * the 100 TB shape of sort/zorder compaction. The whole-table
+    * [[compact]] holds one commit open for the entire rewrite and
+    * conflicts with EVERY concurrent commit; here each group lands as it
+    * finishes and REBASES over concurrent traffic:
+    *   - concurrent APPENDS never conflict (their manifests are reused
+    *     verbatim by the manifest split);
+    *   - a concurrent rewrite/delete of a group's own files re-derives
+    *     that group against fresh metadata (retryingCommit), and a group
+    *     whose files are no longer live is skipped — the work moved;
+    *   - a concurrent MoR delete committed between a group's read and
+    *     its commit forces a re-derive (the rewrite would resurrect the
+    *     freshly deleted rows otherwise).
+    * Returns the committed replace snapshots (empty groups skipped).
+    */
+  def compactIncremental(sortWithin: Seq[Column] = Seq.empty,
+      maxGroupBytes: Long = 512L << 20): Seq[SnapshotV2] = {
+    val entries0 = manifestsFor(metadata, None).flatMap(_.entries)
+      .filter(_.isData)
+      .sortBy(e => (canonPartition(e.partition), e.path))
+    // greedy byte-bounded grouping (≥1 file per group)
+    val groups = entries0.foldLeft(List.empty[(Seq[DataFileEntry], Long)]) {
+      case (acc, e) =>
+        val sz = math.max(e.fileSize, 1L)
+        acc match {
+          case (g, bytes) :: t if bytes + sz <= maxGroupBytes =>
+            (g :+ e, bytes + sz) :: t
+          case _ => (Seq(e), sz) :: acc
+        }
+    }.reverse.map(_._1)
+    groups.flatMap { group =>
+      val paths = group.map(_.path).toSet
+      val skipped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val snap = retryingCommit(() => {
+        val meta = metadata
+        val seqAtRead = meta.lastSequenceNumber
+        val liveNow = manifestsFor(meta, None).flatMap(_.entries)
+          .filter(e => e.isData && paths.contains(e.path))
+        if (liveNow.isEmpty) {
+          // the group's files were already rewritten/deleted — the work
+          // moved out from under us; nothing left to re-cluster here
+          skipped.set(true)
+          meta.currentSnapshot.getOrElse(
+            throw new IllegalStateException("empty table mid-compact"))
+        } else {
+          val schema = meta.currentSchema
+          val rewritten = writeFiles(
+            readAppliedFor(meta, liveNow, schema), sortWithin)
+          val livePaths = liveNow.map(_.path).toSet
+          commitSnapshot("replace", { fresh =>
+            val hit = (e: DataFileEntry) => e.isData &&
+              paths.contains(e.path)
+            val hitCol = col("path").isin(paths.toSeq: _*)
+            val (reused, _, affected) = splitManifests(fresh, hitCol, hit)
+            val mine = affected.filter(hit)
+            if (mine.map(_.path).toSet != livePaths)
+              throw new CommitConflictException(
+                "group files changed during re-cluster")
+            // any delete committed after our read may address group rows
+            // the rewrite just resurrected — re-derive
+            val newDeletes = manifestsFor(fresh, None).filter(r =>
+              r.content != 0 &&
+                r.addedSequenceNumber.exists(_ > seqAtRead))
+            if (newDeletes.nonEmpty)
+              throw new CommitConflictException(
+                "deletes landed during re-cluster group rewrite")
+            val carried = affected.filterNot(hit)
+            // position deletes referencing the rewritten files are dead
+            val posDels = reused.filter(_.content == 1).flatMap(_.entries)
+            val (reusedRefs, newDels) =
+              if (posDels.isEmpty) (reused, Seq.empty)
+              else (reused.filterNot(_.content == 1),
+                rebuildPosDeletes(posDels, paths, schema.schemaId))
+            (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
+              Map("compaction-group-files" -> mine.size.toString))
+          })
+        }
+      })
+      if (skipped.get) None else Some(snap)
+    }
+  }
+
   // ---------------------------------------------------- schema evolution ----
 
   private def evolveSchema(f: SchemaV2 => SchemaV2,
@@ -2135,23 +2232,71 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
   }
 
-  /** Rename a column; field id is stable so existing files keep working. */
+  /** Rename a column; field id is stable so existing files keep working.
+    * `from` may be a dotted path into a struct ("info.status"); `to` is
+    * then the new LEAF name — evolution happens in place, inside the
+    * struct (reference schema.rs models nested fields as first-class).
+    */
   def renameColumn(from: String, to: String): Unit =
     evolveSchema { s =>
       require(s.fieldByName(from).isDefined, s"no column $from")
-      require(s.fieldByName(to).isEmpty, s"column $to already exists")
-      s.copy(fields = s.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f))
+      require(!to.contains('.'), "rename target is a leaf name")
+      val parts = from.split('.').toList
+      def ren(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
+        ps match {
+          case leaf :: Nil =>
+            require(!fs.exists(_.name == to), s"column $to already exists")
+            fs.map(f => if (f.name == leaf) f.copy(name = to) else f)
+          case p :: rest =>
+            val i = fs.indexWhere(_.name == p)
+            fs(i).fieldType match {
+              case TStruct(nfs) => fs.updated(i,
+                fs(i).copy(fieldType = TStruct(ren(nfs, rest))))
+              case other => throw new IllegalArgumentException(
+                s"$p is not a struct (got $other)")
+            }
+        }
+      s.copy(fields = ren(s.fields, parts))
     }
 
-  /** Add an optional column with a fresh field id; old files read null. */
+  /** Add an optional column with fresh field ids; old files read null.
+    * `dataType` may be nested (struct/list/map — every nested element
+    * gets its own id), and `name` may be a dotted path targeting a
+    * struct ("info.discount" adds `discount` INSIDE `info` — old files'
+    * structs surface null for it, by field-id alignment).
+    */
   def addColumn(name: String, dataType: DataType): Unit = {
-    val nextId = metadata.lastColumnId + 1
+    val base = metadata.lastColumnId
+    var nextId = base
+    def alloc(): Int = { nextId += 1; nextId }
+    def conv(dt: DataType): IceType = dt match {
+      case st: StructType => TStruct(st.fields.toSeq.map(f =>
+        StructField(alloc(), f.name, !f.nullable, conv(f.dataType))))
+      case ArrayType(et, cn) => TList(alloc(), !cn, conv(et))
+      case MapType(kt, vt, vn) => TMap(alloc(), conv(kt), alloc(), !vn, conv(vt))
+      case other => toIceType(other)
+    }
+    val parts = name.split('.').toList
+    val fieldId = alloc()
+    val iceType = conv(dataType)
     evolveSchema({ s =>
       require(s.fieldByName(name).isEmpty, s"column $name already exists")
-      s.copy(fields = s.fields :+
-        StructField(nextId, name, required = false, toIceType(dataType)))
-    }, bumpColumnId = 1)
+      def add(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
+        ps match {
+          case leaf :: Nil =>
+            fs :+ StructField(fieldId, leaf, required = false, iceType)
+          case p :: rest =>
+            val i = fs.indexWhere(_.name == p)
+            require(i >= 0, s"no struct $p on path $name")
+            fs(i).fieldType match {
+              case TStruct(nfs) => fs.updated(i,
+                fs(i).copy(fieldType = TStruct(add(nfs, rest))))
+              case other => throw new IllegalArgumentException(
+                s"$p is not a struct (got $other)")
+            }
+        }
+      s.copy(fields = add(s.fields, parts))
+    }, bumpColumnId = nextId - base)
   }
 
   /** Drop a column (metadata-only; data files retain the bytes). Columns
@@ -2853,8 +2998,9 @@ object GraftTable {
         .schema(toSparkSchema(fileSchema))
         .parquet(es.map(_._1): _*)
       val cols = readSchema.fields.map { f =>
-        fileSchema.fieldById(f.id) match {
-          case Some(ff) => col(ff.name).as(f.name)
+        fileSchema.fields.find(_.id == f.id) match {
+          case Some(ff) =>
+            alignColumn(col(ff.name), ff.fieldType, f.fieldType).as(f.name)
           case None => lit(null).cast(toSparkType(f.fieldType)).as(f.name)
         }
       } ++ (if (withPos) Seq(
@@ -2892,11 +3038,13 @@ object GraftTable {
     * Spark broadcasts them and the scan stays map-side.
     */
   private[table] def applyPosDeletesCore(spark: SparkSession, df: DataFrame,
-      deletePaths: Seq[String]): DataFrame = {
-    val d = spark.read.parquet(deletePaths: _*)
-      .select(col("file_path").as(PosPathCol), col("pos").as(PosIdxCol))
-    df.join(d, Seq(PosPathCol, PosIdxCol), "left_anti")
-  }
+      deletePaths: Seq[String]): DataFrame =
+    if (deletePaths.isEmpty) df
+    else {
+      val d = spark.read.parquet(deletePaths: _*)
+        .select(col("file_path").as(PosPathCol), col("pos").as(PosIdxCol))
+      df.join(d, Seq(PosPathCol, PosIdxCol), "left_anti")
+    }
 
   /** Anti-join equality deletes against a read carrying `SeqCol` (the
     * per-row data sequence number); see the instance doc on
@@ -3023,6 +3171,28 @@ object GraftTable {
     */
   private[table] def canonPath(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** Align a file column to the read-schema type INSIDE nested structs:
+    * subfields match by FIELD ID (rename-safe), subfields the file
+    * predates surface null — the same id-based alignment the top level
+    * gets, applied recursively. Identical types pass through untouched;
+    * a null struct stays null (not a struct of nulls).
+    */
+  private[table] def alignColumn(c: Column, fileT: IceType,
+      readT: IceType): Column =
+    if (fileT == readT) c
+    else (fileT, readT) match {
+      case (TStruct(ffs), TStruct(rfs)) =>
+        val rebuilt = struct(rfs.map { rf =>
+          ffs.find(_.id == rf.id) match {
+            case Some(ff) => alignColumn(c.getField(ff.name),
+              ff.fieldType, rf.fieldType).as(rf.name)
+            case None => lit(null).cast(toSparkType(rf.fieldType)).as(rf.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(toSparkType(readT))).otherwise(rebuilt)
+      case _ => c
+    }
 
   /** Whether a type contains `time` anywhere (write admission). */
   private[table] def containsTime(t: IceType): Boolean = t match {

@@ -657,6 +657,55 @@ object IcebergQueries {
       },
       None),
 
+    // Nested types end-to-end: struct/list/map columns write through the
+    // engine, the schema evolves INSIDE the struct (add + rename, by
+    // field id), and the table reads back through the PUBLIC DSv2
+    // connector — old files' structs realign by field id (the renamed
+    // subfield resolves, the added one null-fills) while new files carry
+    // the evolved shape natively. The oracle rebuilds the flattened
+    // result relationally from the raw parquet.
+    GraftQuery(
+      "ice_nested_struct",
+      (s, dir) => {
+        val orders = Tables.tbl(s, dir, "orders")
+        val oldRows = orders.filter(col("o_custkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            struct(col("o_custkey").as("custkey"),
+              col("o_orderstatus").as("status"),
+              col("o_totalprice").as("total")).as("info"),
+            array(col("o_orderkey") % 7, col("o_orderkey") % 13).as("tags"),
+            map(lit("pri"), col("o_orderpriority")).as("attrs"))
+        val t = GraftTable.create(s, loc("nested"), oldRows.schema)
+        t.append(oldRows)
+        t.addColumn("info.discount", org.apache.spark.sql.types.DoubleType)
+        t.renameColumn("info.status", "state")
+        val newRows = orders.filter(col("o_custkey") % 2 === 1)
+          .select(col("o_orderkey"),
+            struct(col("o_custkey").as("custkey"),
+              col("o_orderstatus").as("state"),
+              col("o_totalprice").as("total"),
+              (col("o_totalprice") * 0.5).as("discount")).as("info"),
+            array(col("o_orderkey") % 7, col("o_orderkey") % 13).as("tags"),
+            map(lit("pri"), col("o_orderpriority")).as("attrs"))
+        t.append(newRows)
+        s.read.format("graft").load(t.location)
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            col("info.custkey").as("custkey"),
+            col("info.state").as("state"),
+            r4(col("info.total")).as("total"),
+            r4(col("info.discount")).as("discount"),
+            element_at(col("tags"), 1).as("tag1"),
+            element_at(col("attrs"), "pri").as("pri"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey AS custkey,
+          o_orderstatus AS state, round(o_totalprice, 4) AS total,
+          CASE WHEN o_custkey % 2 = 1
+            THEN round(o_totalprice * 0.5, 4) END AS discount,
+          o_orderkey % 7 AS tag1, o_orderpriority AS pri
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""")),
+
     // ANALYZE: one distributed pass computes NDV sketches + exact
     // rollups into a stats sidecar referenced from metadata; the
     // connector reports them to Spark's CBO for join sizing. Exact

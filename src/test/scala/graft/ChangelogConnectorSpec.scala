@@ -112,6 +112,50 @@ class ChangelogConnectorSpec extends SparkSpec {
       s"survivor $r is not the final range"))
   }
 
+  test("changelog streams ACROSS a compaction commit: net-changes skips it") {
+    import spark.implicits._
+    val loc = tmp("graft-cdfc")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdfc-ck")
+      .toString
+    val sinkLoc = tmp("graft-cdfc-sink")
+    val t = buildHistory(loc) // appends(60+30) + MoR delete(9)
+    // routine maintenance mid-history: rewrites every file, changes no rows
+    t.compact()
+    // post-compaction logical commits keep flowing
+    t.append((91L to 95L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.deleteWhereEq(Seq(5L).toDF("id"))
+    val cdfSchema = graft.connector.GraftChangelog.schemaFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val sinkT = GraftTable.create(spark, sinkLoc, cdfSchema)
+    val q = sinkT.appendStream(spark.readStream.format("graft")
+      .option("changelog", "true").load(loc), ckpt)
+    q.awaitTermination(120000)
+    val rows = GraftTable.load(spark, sinkLoc).scan().collect()
+    // 95 inserts (pre-compaction appends recovered from their OWN
+    // snapshots' manifests) + 9 pos-deletes + 1 eq-delete; the replace
+    // commit itself contributes NOTHING
+    assert(rows.count(_.getAs[String]("_change_type") == "insert") == 95,
+      s"got ${rows.count(_.getAs[String]("_change_type") == "insert")}")
+    assert(rows.count(_.getAs[String]("_change_type") == "delete") == 10)
+    val replaceSeq = t.metadata.snapshots.get
+      .find(_.summary.operation.contains("replace")).get.sequenceNumber
+    assert(!rows.exists(_.getAs[Long]("_commit_sequence") == replaceSeq),
+      "replace commit leaked changelog rows")
+    // the batch surface agrees
+    val batch = spark.read.format("graft")
+      .option("changelog", "true").load(loc)
+    assert(batch.count() == rows.length.toLong)
+    // eq-delete AFTER compaction recovers content from compacted files
+    val eqDel = rows.filter(r =>
+      r.getAs[String]("_change_type") == "delete" &&
+        r.getAs[Long]("id") == 5L)
+    assert(eqDel.length == 1 && eqDel.head.getAs[String]("v") == "v5")
+  }
+
   test("CALL create_changelog_view: full history queryable as a view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-whcdf").toString
     spark.conf.set("spark.sql.catalog.gcdf", "graft.connector.GraftCatalog")

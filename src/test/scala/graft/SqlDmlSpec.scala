@@ -254,6 +254,53 @@ class SqlDmlSpec extends SparkSpec {
       s"CALL gdml.system.compact('db.$t', 1, 'shuffle', '')").collect() }
   }
 
+  test("incremental re-cluster: concurrent appends survive the multi-commit rewrite") {
+    import spark.implicits._
+    val t = freshTable("increc")
+    // several commits → several files per bucket, real group count
+    spark.sql(s"INSERT INTO gdml.db.$t SELECT id + 100, grp, qty FROM src_$t")
+    spark.sql(s"INSERT INTO gdml.db.$t SELECT id + 200, grp, qty FROM src_$t")
+    val g = GraftTable.load(spark, s"$wh/db/$t")
+    val filesBefore = g.liveEntries().count(_.isData)
+    assert(filesBefore >= 8)
+    // appends racing the re-cluster: each group commit must rebase over
+    // them (reused manifests), never conflict them away
+    val appender = new Thread(() => {
+      (0 until 3).foreach { k =>
+        g.append((1000L + k * 10 to 1009L + k * 10)
+          .map(i => (i, "new", i.toDouble)).toDF("id", "grp", "qty"))
+        Thread.sleep(30)
+      }
+    })
+    appender.start()
+    // group_bytes=1 → every file its own group → one commit per file
+    val snaps = g.compactIncremental(Seq(col("id")), maxGroupBytes = 1L)
+    appender.join(60000)
+    assert(snaps.size >= filesBefore / 2,
+      s"expected a multi-commit re-cluster, got ${snaps.size} commits")
+    snaps.foreach(s => assert(s.summary.operation.contains("replace")))
+    // every original row AND every concurrently appended row survived
+    val g2 = GraftTable.load(spark, s"$wh/db/$t")
+    assert(g2.scan().count() == 300 + 30)
+    assert(g2.scan().filter(col("grp") === "new").count() == 30)
+    assert(g2.scan().agg(sum(col("id"))).head().getLong(0) ==
+      (1L to 300L).sum + (1000L to 1029L).sum)
+    // the re-clustered files are internally sorted on id
+    g2.liveEntries().filter(e => e.isData)
+      .filter(e => snaps.map(_.snapshotId).contains(e.snapshotId))
+      .foreach { e =>
+        val ids = spark.read.parquet(e.path).select("id")
+          .collect().map(_.getLong(0))
+        assert(ids.toSeq == ids.sorted.toSeq, s"${e.path} unsorted")
+      }
+    // the CALL surface drives the same path
+    val r = spark.sql(
+      s"CALL gdml.system.compact('db.$t', ${64L << 20}, 'sort', 'id', 1)")
+      .head()
+    assert(r.getLong(1) >= 1L)
+    assert(GraftTable.load(spark, s"$wh/db/$t").scan().count() == 330)
+  }
+
   test("CALL set_sort_order: subsequent INSERTs cluster within files") {
     val t = freshTable("sortddl")
     val oid = spark.sql(
