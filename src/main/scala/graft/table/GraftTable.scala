@@ -499,12 +499,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def specForEntry(meta: TableMetadataV2,
       e: DataFileEntry): PartitionSpec =
-    e.specId.flatMap(id => meta.partitionSpecs.find(_.specId == id))
-      .orElse {
-        if (meta.partitionSpecs.size <= 1) Some(meta.defaultSpec)
-        else meta.partitionSpecs.find(
-          _.fields.map(_.name).toSet == e.partition.keySet)
-      }.getOrElse(PartitionSpec.unpartitioned)
+    GraftTable.specForEntryOf(meta.partitionSpecs, meta.defaultSpec, e)
 
   private def entryMayMatch(meta: TableMetadataV2, e: DataFileEntry,
       preds: Seq[Any], sparkSchema: StructType, schema: SchemaV2): Boolean =
@@ -2711,37 +2706,67 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // mislabeled partition tuples — fail loudly instead.
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
-    var i = 0
-    val listEntries = manifestsFor(meta, None).flatMap { r =>
-      r.entries.groupBy(e => (e.schemaId, specForEntry(meta, e).specId))
-        .toSeq.sortBy(_._1).map { case ((sid, specId), es) =>
-          val spec = meta.partitionSpecs.find(_.specId == specId)
-            .getOrElse(PartitionSpec.unpartitioned)
-          val specNames = spec.fields.map(_.name).toSet
-          es.filter(_.isData).foreach { e =>
-            require(e.partition.keySet == specNames,
-              s"data file ${e.path} has partition keys " +
-                s"${e.partition.keySet} but spec $specId defines " +
-                s"$specNames — written under an unregistered spec?")
-          }
-          val schema = meta.schemaById(sid).getOrElse(meta.currentSchema)
-          val p = dir.resolve(f"manifest-$i%05d.avro")
-          i += 1
-          val len = AvroManifest.writeManifest(p, es, schema, spec,
-            snap.snapshotId, r.content)
-          // spec field 515 = sequence the manifest was ADDED at (the ref's
-          // inherited sequence, else the newest entry — carried entries
-          // keep older sequences), 516 = min entry sequence
-          AvroManifest.ListEntry(p, len, r.content,
-            addedSequenceNumber = r.addedSequenceNumber
-              .getOrElse(es.map(_.sequenceNumber).max),
-            minSequenceNumber = es.map(_.sequenceNumber).min,
-            addedSnapshotId = snap.snapshotId,
-            fileCount = es.size.toLong,
-            rowCount = es.map(_.recordCount).sum,
-            specId = Some(spec.specId))
+    val refs = manifestsFor(meta, None)
+    val listEntries =
+      if (refs.map(_.entryCount).sum < distributedPlanningThreshold) {
+        var i = 0
+        refs.flatMap { r =>
+          r.entries.groupBy(e => (e.schemaId, specForEntry(meta, e).specId))
+            .toSeq.sortBy(_._1).map { case ((sid, specId), es) =>
+              val spec = meta.partitionSpecs.find(_.specId == specId)
+                .getOrElse(PartitionSpec.unpartitioned)
+              val specNames = spec.fields.map(_.name).toSet
+              es.filter(_.isData).foreach { e =>
+                require(e.partition.keySet == specNames,
+                  s"data file ${e.path} has partition keys " +
+                    s"${e.partition.keySet} but spec $specId defines " +
+                    s"$specNames — written under an unregistered spec?")
+              }
+              val schema = meta.schemaById(sid).getOrElse(meta.currentSchema)
+              val p = dir.resolve(f"manifest-$i%05d.avro")
+              i += 1
+              val len = AvroManifest.writeManifest(p, es, schema, spec,
+                snap.snapshotId, r.content)
+              // spec field 515 = sequence the manifest was ADDED at (the
+              // ref's inherited sequence, else the newest entry — carried
+              // entries keep older sequences), 516 = min entry sequence
+              AvroManifest.ListEntry(p, len, r.content,
+                addedSequenceNumber = r.addedSequenceNumber
+                  .getOrElse(es.map(_.sequenceNumber).max),
+                minSequenceNumber = es.map(_.sequenceNumber).min,
+                addedSnapshotId = snap.snapshotId,
+                fileCount = es.size.toLong,
+                rowCount = es.map(_.recordCount).sum,
+                specId = Some(spec.specId))
+            }
         }
-    }
+      } else {
+        // above the planning threshold the export fans out: one executor
+        // task per source manifest reads ITS entries, writes the Avro
+        // manifests, and returns O(1) list rows — exporting a
+        // million-file table is a Spark job, never a driver loop
+        val specs = meta.partitionSpecs
+        val defaultSpec = meta.defaultSpec
+        val schemas = meta.schemas
+        val currentSchema = meta.currentSchema
+        val snapId = snap.snapshotId
+        val dirStr = dir.toString
+        val indexed = refs.zipWithIndex
+        spark.sparkContext
+          .parallelize(indexed, math.max(1, math.min(indexed.size, 256)))
+          .flatMap { case (r, idx) =>
+            GraftTable.exportOneManifest(r, idx, dirStr, specs, defaultSpec,
+              schemas, currentSchema, snapId)
+          }
+          .collect().toSeq.sortBy(_._1)
+          .map { case (p, len, content, addedSeq, minSeq, nFiles, nRows,
+              specId) =>
+            AvroManifest.ListEntry(Paths.get(p), len, content,
+              addedSequenceNumber = addedSeq, minSequenceNumber = minSeq,
+              addedSnapshotId = snapId, fileCount = nFiles,
+              rowCount = nRows, specId = Some(specId))
+          }
+      }
     val listPath = dir.resolve(s"snap-${snap.snapshotId}.avro")
     AvroManifest.writeManifestList(listPath, listEntries,
       meta.defaultSpec.specId)
@@ -3193,6 +3218,50 @@ object GraftTable {
         when(c.isNull, lit(null).cast(toSparkType(readT))).otherwise(rebuilt)
       case _ => c
     }
+
+  /** The spec an entry's partition values were derived under — static so
+    * the distributed Avro export can resolve it on executors. See the
+    * instance [[GraftTable.specForEntry]] doc for the fallback rules.
+    */
+  private[table] def specForEntryOf(specs: Seq[PartitionSpec],
+      defaultSpec: PartitionSpec, e: DataFileEntry): PartitionSpec =
+    e.specId.flatMap(id => specs.find(_.specId == id))
+      .orElse {
+        if (specs.size <= 1) Some(defaultSpec)
+        else specs.find(_.fields.map(_.name).toSet == e.partition.keySet)
+      }.getOrElse(PartitionSpec.unpartitioned)
+
+  /** Export ONE source manifest's entries as Avro manifests (one per
+    * (schema, spec) group), returning serializable list-row surrogates.
+    * Runs on EXECUTORS — captures no table instance.
+    */
+  private[table] def exportOneManifest(r: ManifestRef, idx: Int,
+      dir: String, specs: Seq[PartitionSpec], defaultSpec: PartitionSpec,
+      schemas: Seq[SchemaV2], currentSchema: SchemaV2, snapshotId: Long)
+      : Seq[(String, Long, Int, Long, Long, Long, Long, Int)] =
+    r.entries.groupBy(e =>
+      (e.schemaId, specForEntryOf(specs, defaultSpec, e).specId))
+      .toSeq.sortBy(_._1).zipWithIndex.map {
+        case (((sid, specId), es), g) =>
+          val spec = specs.find(_.specId == specId)
+            .getOrElse(PartitionSpec.unpartitioned)
+          val specNames = spec.fields.map(_.name).toSet
+          es.filter(_.isData).foreach { e =>
+            require(e.partition.keySet == specNames,
+              s"data file ${e.path} has partition keys " +
+                s"${e.partition.keySet} but spec $specId defines " +
+                s"$specNames — written under an unregistered spec?")
+          }
+          val schema = schemas.find(_.schemaId == sid)
+            .getOrElse(currentSchema)
+          val p = Paths.get(dir, f"manifest-$idx%05d-$g%02d.avro")
+          val len = AvroManifest.writeManifest(p, es, schema, spec,
+            snapshotId, r.content)
+          (p.toString, len, r.content,
+            r.addedSequenceNumber.getOrElse(es.map(_.sequenceNumber).max),
+            es.map(_.sequenceNumber).min, es.size.toLong,
+            es.map(_.recordCount).sum, spec.specId)
+      }
 
   /** Whether a type contains `time` anywhere (write admission). */
   private[table] def containsTime(t: IceType): Boolean = t match {

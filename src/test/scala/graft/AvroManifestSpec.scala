@@ -193,6 +193,46 @@ class AvroManifestSpec extends SparkSpec {
     }
   }
 
+  test("distributed export (above planning threshold) reads back file-for-file") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(400)
+    val t = GraftTable.create(spark, tmp("avro-dist").toString + "/t",
+      src.schema,
+      partitionBy = Seq(("l_orderkey", TBucket(4), "key_bucket")))
+    t.append(src, repartitionByPartition = true)
+    t.append(src.limit(120))
+    t.deleteWhereMoR(col("l_linenumber") === 1) // delete manifest travels
+    spark.conf.set("spark.graft.distributedPlanningThreshold", "1")
+    val listPath =
+      try t.exportAvro(tmp("avro-dist-out").toString)
+      finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
+    val manifests = AvroManifest.readManifestList(listPath)
+    assert(manifests.nonEmpty)
+    val back = manifests.flatMap { case (p, len, _) =>
+      val path = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.size(path) == len)
+      AvroManifest.readManifest(path)
+    }
+    val live = t.liveEntries()
+    assert(back.map(_.path).sorted == live.map(_.path).sorted)
+    assert(back.map(_.recordCount).sum == live.map(_.recordCount).sum)
+    assert(back.count(_.content == 1) == live.count(_.content == 1),
+      "position-delete manifest lost in the distributed export")
+    val byPath = back.map(e => e.path -> e).toMap
+    live.foreach { e =>
+      val b = byPath(e.path)
+      // data entries roundtrip their partition tuple exactly; a
+      // partition-LESS delete entry exports under the table's spec with
+      // null partition values (same as the driver path), so only the
+      // defined values must survive
+      if (e.isData) assert(b.partition == e.partition)
+      else assert(b.partition.filter(_._2.isDefined) ==
+        e.partition.filter(_._2.isDefined))
+      assert(b.sequenceNumber == e.sequenceNumber)
+      assert(b.stats.get("l_orderkey") == e.stats.get("l_orderkey"))
+    }
+  }
+
   test("exportAvro: a live table's snapshot reads back file-for-file") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
       .limit(500)
