@@ -43,13 +43,22 @@ object Bench {
       spark.catalog.clearCache() // release per-query persisted subtrees
       (name, dt, ok)
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+    // 3-decimal timings keep the line compact (the driver records a
+    // bounded tail of stdout; a shorter line survives it intact)
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok) => s""""$k":$ok""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}"""
+    println(line)
+    // the full line also lands in the repo, so per-query timings survive
+    // any stdout-tail truncation and stay diffable across rounds
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_detail.json"), line + "\n")
+    catch { case _: Exception => () }
     spark.stop()
   }
 }
