@@ -101,4 +101,37 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.liveManifests().forall(_.content != 2),
       "equality manifests must be gone after conversion")
   }
+
+  test("incremental re-cluster never resurrects rows deleted mid-rewrite") {
+    import spark.implicits._
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("conc-rc").toString + "/t",
+      spark.range(0).select(col("id"),
+        col("id").cast("string").as("v")).schema)
+    // 8 files with disjoint id ranges
+    (0 until 8).foreach { k =>
+      t.append(spark.range(k * 100L, k * 100L + 100L)
+        .select(col("id"), col("id").cast("string").as("v")).coalesce(1))
+    }
+    // MoR deletes racing the group rewrites: if a delete lands between a
+    // group's read and its commit, the group MUST re-derive — otherwise
+    // its rewritten files would resurrect the just-deleted row
+    val deleted = (0 until 6).map(k => k * 100L + 7L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val deleter = pool.submit(new Runnable {
+        def run(): Unit = deleted.foreach { id =>
+          t.deleteWhereMoR(col("id") === id)
+          Thread.sleep(15)
+        }
+      })
+      val snaps = t.compactIncremental(Seq(col("id")), maxGroupBytes = 1L)
+      deleter.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      assert(snaps.nonEmpty)
+    } finally pool.shutdown()
+    assert(t.scan().count() == 800L - deleted.size)
+    assert(t.scan().filter(col("id").isin(deleted: _*)).count() == 0,
+      "deleted rows resurrected by the re-cluster")
+    assert(t.countRows() == 800L - deleted.size)
+  }
 }
