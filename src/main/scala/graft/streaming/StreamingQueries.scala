@@ -197,7 +197,29 @@ object StreamingQueries {
       (s, dir) =>
         sessionizeDir(s, stageEvents(s, dir), Int.MaxValue)
           .orderBy("user_id", "session_start"),
-      None),
+      // batch restatement of the streaming semantics: gap-split sessions
+      // per user (strictly-more-than-30-min gap starts a new one, times
+      // floored to whole seconds exactly as the state function does),
+      // emitted only once PROVABLY final — the end-of-stream watermark
+      // (max event-time ms − 2h, floored to seconds) has passed
+      // session_end + gap
+      Some("""WITH e AS (SELECT user_id,
+          (epoch_ms(ts) // 1000)::BIGINT AS t FROM events),
+        m AS (SELECT ((max(epoch_ms(ts)) - 7200000) // 1000)::BIGINT AS wm
+          FROM events),
+        s AS (SELECT user_id, t,
+          CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+               THEN 1 ELSE 0 END AS nf
+          FROM e),
+        g AS (SELECT user_id, t,
+          SUM(nf) OVER (PARTITION BY user_id ORDER BY t
+            ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        sess AS (SELECT user_id, min(t) AS session_start,
+          max(t) AS session_end, count(*) AS n_events
+          FROM g GROUP BY user_id, sid)
+        SELECT user_id, session_start, session_end, n_events
+        FROM sess, m WHERE session_end + 1800 < wm
+        ORDER BY user_id, session_start""")),
 
     // Streaming → DURABLE TABLE sink: append-mode windowed aggregation
     // (only watermark-finalized windows emit) committed to a GraftTable
