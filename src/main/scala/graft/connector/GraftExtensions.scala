@@ -4,7 +4,7 @@ import graft.table.{GraftTable, MergeDelete => GMergeDelete, MergeInsert => GMer
 import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -23,8 +23,12 @@ import org.apache.spark.sql.graft.Bridge
   *     WHEN NOT MATCHED THEN INSERT *
   * }}}
   *
-  * (`DELETE FROM` needs no extension — GraftSparkTable implements
-  * SupportsDeleteV2 natively.)
+  * (`DELETE FROM` needs no extension on copy-on-write tables —
+  * GraftSparkTable implements SupportsDeleteV2 natively. Tables declaring
+  * `write.delete.mode = merge-on-read` — the Iceberg property — have
+  * their SQL DELETEs claimed here instead and routed to the engine's
+  * MoR delete, which writes position-delete files, or deletion vectors
+  * when `write.delete.format = deletion-vectors`.)
   *
   * A resolution rule claims resolved UpdateTable / MergeIntoTable plans
   * over graft relations before Spark's row-level-operation rewrites (which
@@ -57,6 +61,18 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
       graftLocation(tbl).fold(u: LogicalPlan)(loc =>
         GraftUpdateCommand(loc,
           assignments.map(a => (attrName(a.key), a.value)), cond))
+    case d @ DeleteFromTable(tbl, cond) if d.resolved =>
+      // claim ONLY merge-on-read tables; copy-on-write DELETEs keep the
+      // native SupportsDeleteV2 path (metadata-only whole-file drops)
+      graftLocation(tbl).fold(d: LogicalPlan) { loc =>
+        val mor =
+          try GraftTable.load(org.apache.spark.sql.SparkSession.active, loc)
+            .metadata.properties
+            .exists(_.get(GraftTable.DeleteModeProp)
+              .contains("merge-on-read"))
+          catch { case _: Exception => false }
+        if (mor) GraftMorDeleteCommand(loc, cond) else d
+      }
     case m @ MergeIntoTable(tgt, src, mergeCond, matched, notMatched,
         notMatchedBySource, withSchemaEvolution) if m.resolved =>
       graftLocation(tgt).fold(m: LogicalPlan) { loc =>
@@ -88,6 +104,26 @@ case class GraftUpdateCommand(location: String,
     })
     t.updateWhere(condition.map(toCol).getOrElse(lit(true)),
       assignments.map { case (n, v) => n -> toCol(v) }.toMap)
+    Seq.empty
+  }
+}
+
+/** Eager merge-on-read `DELETE FROM` on a graft table declaring
+  * `write.delete.mode = merge-on-read`: delegates to the engine's
+  * `deleteWhereMoR` (position-delete files, or one merged deletion
+  * vector per affected file under `write.delete.format =
+  * deletion-vectors`) — frequent small SQL DELETEs cost O(deleted
+  * rows), never a file rewrite.
+  */
+case class GraftMorDeleteCommand(location: String,
+    condition: Expression) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(spark, location)
+    val cond = Bridge.column(condition.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+    t.deleteWhereMoR(cond)
     Seq.empty
   }
 }

@@ -544,13 +544,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
   }
 
-  /** Paths of live position-delete files — O(refs) metadata: delete
-    * entries live in their own manifests, so only those are read.
+  /** Live position-delete ENTRIES (parquet position files AND deletion
+    * vectors) — O(refs) metadata: delete entries live in their own
+    * manifests, so only those are read.
     */
-  private def deletePathsFor(meta: TableMetadataV2,
-      asOf: Option[Long]): Seq[String] =
+  private def posDeleteEntriesFor(meta: TableMetadataV2,
+      asOf: Option[Long]): Seq[DataFileEntry] =
     manifestsFor(meta, asOf).filter(_.content == 1)
-      .flatMap(_.entries).filter(_.content == 1).map(_.path)
+      .flatMap(_.entries).filter(_.content == 1)
 
   /** Live equality-delete entries (path + sequence number + key cols). */
   private def eqDeletesFor(meta: TableMetadataV2,
@@ -631,7 +632,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     SparkField("file-size", LongType),
     SparkField("equality-columns", ArrayType(StringType)),
     SparkField("spec-id", IntegerType),
-    SparkField(Blooms.sparkField.name, Blooms.sparkField.dataType)))
+    SparkField(Blooms.sparkField.name, Blooms.sparkField.dataType),
+    SparkField(Dv.sparkField.name, Dv.sparkField.dataType)))
 
   /** Distributed equivalent of `planFiles`: prune as a Spark filter over
     * the manifest DataFrame. Returns surviving file paths.
@@ -1243,8 +1245,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val posDeleted =
         if (posDels.isEmpty) Seq.empty
         else {
-          val positions = spark.read.parquet(posDels.map(_.path): _*)
+          // a DELETION VECTOR committed here is the file's MERGED delete
+          // set (it superseded the parent's DV) — this commit's own
+          // delta is its positions minus the parent snapshot's
+          val parentDvs = s.parentSnapshotId.toSeq
+            .flatMap(p => posDeleteEntriesFor(meta, Some(p)))
+            .filter(_.dv.isDefined)
+          val raw = GraftTable.posDeletePositionsCore(spark, posDels)
             .select(col("file_path"), col("pos"))
+          val positions =
+            if (parentDvs.isEmpty || !posDels.exists(_.dv.isDefined)) raw
+            else raw.join(
+              broadcast(GraftTable.posDeletePositionsCore(spark, parentDvs)
+                .select(col("file_path"), col("pos"))),
+              Seq("file_path", "pos"), "left_anti")
           val touched = positions.select("file_path").distinct()
             .collect().map(r => canonPath(decodePath(r.getString(0)))).toSet
           val files = dataEntries
@@ -1279,7 +1293,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               "delete", s))
             case Some(cand0) =>
               val live = GraftTable.applyEqDeletesSeqCore(spark,
-                applyDeletes(cand0, deletePathsFor(meta, Some(s.snapshotId))),
+                applyDeletes(cand0, posDeleteEntriesFor(meta, Some(s.snapshotId))),
                 eqDeletesFor(meta, Some(s.snapshotId))
                   .filter(_.sequenceNumber < sq))
               val deleted = eqDels.groupBy(_.eqColumns).toSeq.map {
@@ -1349,16 +1363,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       asOf: Option[Long], withFile: Boolean = false,
       withRowPos: Boolean = false): DataFrame =
     GraftTable.readDeletesAppliedCore(spark, meta, files, readSchema,
-      deletePathsFor(meta, asOf), eqDeletesFor(meta, asOf), withFile,
+      posDeleteEntriesFor(meta, asOf), eqDeletesFor(meta, asOf), withFile,
       withRowPos)
 
-  /** Anti-join position-delete files (columns file_path, pos) against a
-    * position-annotated read. Delete sets are small relative to data —
-    * Spark broadcasts them and the scan stays map-side.
+  /** Anti-join position deletes (parquet files of (file_path, pos) and
+    * decoded deletion vectors) against a position-annotated read. Delete
+    * sets are small relative to data — Spark broadcasts them and the
+    * scan stays map-side.
     */
   private def applyDeletes(df: DataFrame,
-      deletePaths: Seq[String]): DataFrame =
-    GraftTable.applyPosDeletesCore(spark, df, deletePaths)
+      posDels: Seq[DataFileEntry]): DataFrame =
+    GraftTable.applyPosDeletesCore(spark, df, posDels)
 
   private def readAlignedFilesFor(meta: TableMetadataV2,
       files: Seq[(String, Int)], readSchema: SchemaV2,
@@ -1484,7 +1499,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // double-record a row. So the whole derivation re-runs on conflict,
     // pinned to the snapshot observed at the start of each attempt;
     // abandoned delete files are swept by removeOrphanFiles.
-    retryingCommit(() => {
+    if (metadata.properties.exists(_.get(GraftTable.DeleteFormatProp)
+        .contains("deletion-vectors")))
+      deleteWhereDv(cond)
+    else retryingCommit(() => {
       val meta = metadata
       val schema = meta.currentSchema
       // pruned plan of possibly-affected files — DISTRIBUTED above the
@@ -1496,21 +1514,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         else {
           val writeId = java.util.UUID.randomUUID.toString.take(8)
           val delDir = s"$location/deletes/$writeId"
-          val dels = deletePathsFor(meta, None)
-          val minSeq = affected.map(_._3).min
-          val eqDels = eqDeletesFor(meta, None)
-            .filter(_.sequenceNumber > minSeq)
-          // positions derive from the FULLY applied read (prior position
-          // and equality deletes)
-          val ann0 = affected.groupBy(_._3).map { case (sq, es) =>
-            val ann = readAlignedFilesFor(meta,
-              es.map(e => (e._1, e._2)), schema, withPos = true)
-            (if (dels.isEmpty) ann else applyDeletes(ann, dels))
-              .withColumn(SeqCol, lit(sq))
-          }.reduce(_.unionByName(_))
-          val live = applyEqDeletesSeq(ann0, eqDels).drop(SeqCol)
-          live.filter(cond)
-            .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
+          morLivePositions(meta, cond, affected)
             .write.mode("errorifexists").parquet(delDir)
           val delSchema = StructType(Seq(SparkField("file_path", StringType),
             SparkField("pos", LongType)))
@@ -1529,6 +1533,100 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         (manifestsFor(fresh, None), PendingAdds(delEntries, Seq.empty),
           Map("position-delete-files" -> delEntries.size.toString,
             "deleted-rows" -> delEntries.map(_.recordCount).sum.toString))
+      })
+    })
+
+  /** Matching (file_path, pos) pairs of the LIVE rows of `affected` files
+    * — the fully-applied read (prior position and equality deletes), so a
+    * row is never recorded twice. Shared by both MoR delete forms.
+    */
+  private def morLivePositions(meta: TableMetadataV2, cond: Column,
+      affected: Seq[(String, Int, Long)]): DataFrame = {
+    val schema = meta.currentSchema
+    val dels = posDeleteEntriesFor(meta, None)
+    val minSeq = affected.map(_._3).min
+    val eqDels = eqDeletesFor(meta, None)
+      .filter(_.sequenceNumber > minSeq)
+    val ann0 = affected.groupBy(_._3).map { case (sq, es) =>
+      val ann = readAlignedFilesFor(meta,
+        es.map(e => (e._1, e._2)), schema, withPos = true)
+      (if (dels.isEmpty) ann else applyDeletes(ann, dels))
+        .withColumn(SeqCol, lit(sq))
+    }.reduce(_.unionByName(_))
+    val live = applyEqDeletesSeq(ann0, eqDels).drop(SeqCol)
+    live.filter(cond)
+      .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
+  }
+
+  /** Merge-on-read DELETE WHERE as DELETION VECTORS (the Iceberg-v3
+    * delete form): instead of appending (file_path, pos) parquet, commit
+    * ONE bitmap blob per affected data file. A new DV MERGES the file's
+    * previous DV (its positions are a superset) and the commit drops the
+    * superseded entry, so a file carries at most one DV no matter how
+    * many deletes its history holds — scans apply one blob per file
+    * instead of opening every delete file ever committed, the property
+    * that keeps long MoR histories readable at 100 TB. Record counts
+    * stay exact (old ∪ new positions are disjoint by construction:
+    * new positions come from the deletes-APPLIED read), so metadata-only
+    * counts keep working. Also reachable via the table property
+    * `write.delete.format = deletion-vectors` routing deleteWhereMoR.
+    */
+  def deleteWhereDv(cond: Column): SnapshotV2 =
+    retryingCommit(() => {
+      val meta = metadata
+      val schema = meta.currentSchema
+      val affected = plannedFilesFor(meta, Some(cond), None)
+      val (dvEntries, supersededCanon): (Seq[DataFileEntry], Set[String]) =
+        if (affected.isEmpty) (Seq.empty, Set.empty)
+        else {
+          val writeId = java.util.UUID.randomUUID.toString.take(8)
+          val dvDir = s"$location/deletes/dv-$writeId"
+          val newPos = morLivePositions(meta, cond, affected)
+          // files actually receiving deletes — bounded by |affected|
+          val touchedRaw = newPos.select("file_path").distinct()
+            .collect().map(_.getString(0)).toSet
+          val touchedCanon = touchedRaw.map(p => canonPath(decodePath(p)))
+          // the new DV supersedes those files' existing DVs: merge their
+          // positions in, drop their entries at commit
+          val oldDvs = posDeleteEntriesFor(meta, None).filter(_.dv.exists(
+            d => touchedCanon.contains(canonPath(decodePath(d.dataFile)))))
+          val mergedPos =
+            if (oldDvs.isEmpty) newPos
+            else newPos.unionByName(
+              GraftTable.posDeletePositionsCore(spark, oldDvs))
+          val written = Dv.writeAll(spark, mergedPos, dvDir)
+          (written.map(w => DataFileEntry(w.sidecar, w.cardinality,
+            PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
+            content = 1, dv = Some(Dv.DvRef(w.dataFile, w.off, w.len)))),
+            oldDvs.map(e => canonPath(decodePath(e.dv.get.dataFile))).toSet)
+        }
+      commitSnapshot("delete", fresh => {
+        if (fresh.currentSnapshotId != meta.currentSnapshotId)
+          throw new CommitConflictException(
+            s"table changed during deleteWhereDv at $location")
+        val all = manifestsFor(fresh, None)
+        if (supersededCanon.isEmpty)
+          (all, PendingAdds(dvEntries, Seq.empty),
+            Map("deletion-vectors" -> dvEntries.size.toString,
+              "deleted-rows" -> dvEntries.map(_.recordCount).sum.toString))
+        else {
+          // superseded DVs live inside content-1 manifests: rewrite those,
+          // carrying every entry EXCEPT the replaced vectors
+          val (delMfs, rest) = all.partition(_.content == 1)
+          val carried = delMfs.flatMap(_.entries).filterNot(e =>
+            e.dv.exists(d =>
+              supersededCanon.contains(canonPath(decodePath(d.dataFile)))))
+          (rest, PendingAdds(carried ++ dvEntries, Seq.empty),
+            Map("deletion-vectors" -> dvEntries.size.toString,
+              "superseded-vectors" -> supersededCanon.size.toString,
+              "deleted-rows" ->
+                (dvEntries.map(_.recordCount).sum -
+                  // merged rows were already counted by the superseded DV
+                  delMfs.flatMap(_.entries).filter(e => e.dv.exists(d =>
+                    supersededCanon.contains(
+                      canonPath(decodePath(d.dataFile)))))
+                    .map(_.recordCount).sum).toString))
+        }
       })
     })
 
@@ -1576,15 +1674,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def rebuildPosDeletes(oldDeletes: Seq[DataFileEntry],
       removedPaths: Set[String], schemaId: Int): Seq[DataFileEntry] = {
     if (oldDeletes.isEmpty) return Seq.empty
+    // deletion vectors reference exactly one data file, so the rebuild is
+    // METADATA-ONLY for them: a DV whose file is gone is dropped, every
+    // other DV is carried verbatim (concrete ids survive the re-add)
+    val (dvs, parqs) = oldDeletes.partition(_.dv.isDefined)
+    val dvKept = dvs.filterNot(e =>
+      removedPaths.contains(decodePath(e.dv.get.dataFile)))
+    if (parqs.isEmpty) return dvKept
     val writeId = java.util.UUID.randomUUID.toString.take(8)
     val delDir = s"$location/deletes/$writeId"
     val dead = udf((raw: String) => removedPaths.contains(decodePath(raw)))
-    spark.read.parquet(oldDeletes.map(_.path): _*)
+    spark.read.parquet(parqs.map(_.path): _*)
       .filter(!dead(col("file_path")))
       .write.mode("errorifexists").parquet(delDir)
     val delSchema = StructType(Seq(SparkField("file_path", StringType),
       SparkField("pos", LongType)))
-    spark.read.schema(delSchema).parquet(delDir)
+    dvKept ++ spark.read.schema(delSchema).parquet(delDir)
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(count(lit(1)).as("n")).collect().toSeq
       .map(r => DataFileEntry(decodePath(r.getAs[String]("__f")),
@@ -2006,7 +2111,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         else {
           val writeId = java.util.UUID.randomUUID.toString.take(8)
           val delDir = s"$location/deletes/$writeId"
-          val posDels = deletePathsFor(meta, None)
+          val posDels = posDeleteEntriesFor(meta, None)
           val base = files.groupBy(_._3).map { case (seq, fs) =>
             val ann = readAlignedFilesFor(meta,
               fs.map(f => (f._1, f._2)), schema, withPos = true)
@@ -2056,8 +2161,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     retryingCommit(() => {
       val meta = metadata
       val refs = manifestsFor(meta, None)
-      val posEntries = refs.filter(_.content == 1).flatMap(_.entries)
+      val allPos = refs.filter(_.content == 1).flatMap(_.entries)
         .filter(_.content == 1)
+      // deletion vectors are already one-per-data-file — nothing to
+      // consolidate; carry them and rewrite only the parquet form
+      val (dvEntries, posEntries) = allPos.partition(_.dv.isDefined)
       if (posEntries.size <= 1)
         meta.currentSnapshot.getOrElse(
           throw new IllegalStateException("empty table"))
@@ -2088,7 +2196,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             throw new CommitConflictException(
               s"table changed during rewritePositionDeletes at $location")
           (manifestsFor(fresh, None).filterNot(_.content == 1),
-            PendingAdds(newEntries, Seq.empty),
+            PendingAdds(dvEntries ++ newEntries, Seq.empty),
             Map("consolidated-delete-files" -> posEntries.size.toString))
         })
       }
@@ -2867,16 +2975,30 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * is O(deleted rows).
     */
   def positionDeletesDf: DataFrame = {
-    val paths = liveManifests().filter(_.content == 1)
-      .flatMap(_.entries).filter(_.content == 1).map(_.path)
+    val entries = liveManifests().filter(_.content == 1)
+      .flatMap(_.entries).filter(_.content == 1)
+    val (dvs, parqs) = entries.partition(_.dv.isDefined)
     val delSchema = StructType(Seq(SparkField("file_path", StringType),
       SparkField("pos", LongType)))
-    if (paths.isEmpty)
+    val parts = Seq(
+      if (parqs.isEmpty) None
+      else Some(spark.read.schema(delSchema).parquet(parqs.map(_.path): _*)
+        .withColumn("delete_file", col("_metadata.file_path"))),
+      if (dvs.isEmpty) None
+      else {
+        val withSidecar = Dv.positionsDf(spark,
+            dvs.map(e => (e.dv.get, e.path)))
+          .join(broadcast(spark.createDataFrame(
+            dvs.map(e => (e.dv.get.dataFile, e.path)))
+            .toDF("file_path", "delete_file")), Seq("file_path"))
+        Some(withSidecar.select(col("file_path"), col("pos"),
+          col("delete_file")))
+      }).flatten
+    if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(delSchema.fields :+
           SparkField("delete_file", StringType)))
-    else spark.read.schema(delSchema).parquet(paths: _*)
-      .withColumn("delete_file", col("_metadata.file_path"))
+    else parts.reduce(_.unionByName(_))
   }
 
   /** `.all_files` metadata table: every file any RETAINED snapshot
@@ -2975,6 +3097,19 @@ object GraftTable {
     */
   val MergeSourcePrefix = "__src_"
 
+  /** Table property routing deleteWhereMoR's output form: unset/"parquet"
+    * writes (file_path, pos) position-delete files, "deletion-vectors"
+    * writes one merged DV per affected data file (see deleteWhereDv).
+    */
+  val DeleteFormatProp = "write.delete.format"
+
+  /** Iceberg's delete-mode property: tables declaring "merge-on-read"
+    * get their SQL `DELETE FROM` routed to deleteWhereMoR by
+    * GraftSparkSessionExtensions instead of the CoW SupportsDeleteV2
+    * path.
+    */
+  val DeleteModeProp = "write.delete.mode"
+
   /** Sentinel for entries not yet bound to a committed snapshot. */
   private val PendingSnapshot = DataFileEntry.PendingSnapshot
 
@@ -3058,15 +3193,34 @@ object GraftTable {
   private lazy val decodePathUdf =
     udf((s: String) => decodePath(s))
 
-  /** Anti-join position-delete files (columns file_path, pos) against a
-    * position-annotated read. Delete sets are small relative to data —
-    * Spark broadcasts them and the scan stays map-side.
+  /** All deleted (file_path, pos) pairs of a position-delete entry set —
+    * parquet entries as a parquet scan, deletion vectors decoded on
+    * executors — in the raw `_metadata.file_path` form scans observe.
+    */
+  private[table] def posDeletePositionsCore(spark: SparkSession,
+      posDels: Seq[DataFileEntry]): DataFrame = {
+    val (dvs, parqs) = posDels.partition(_.dv.isDefined)
+    val parts = Seq(
+      if (parqs.isEmpty) None
+      else Some(spark.read.parquet(parqs.map(_.path).distinct: _*)
+        .select(col("file_path").cast(StringType),
+          col("pos").cast(LongType))),
+      if (dvs.isEmpty) None
+      else Some(Dv.positionsDf(spark,
+        dvs.map(e => (e.dv.get, e.path))))).flatten
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Anti-join position deletes (parquet (file_path, pos) files AND
+    * deletion vectors) against a position-annotated read. Delete sets
+    * are small relative to data — Spark broadcasts them and the scan
+    * stays map-side.
     */
   private[table] def applyPosDeletesCore(spark: SparkSession, df: DataFrame,
-      deletePaths: Seq[String]): DataFrame =
-    if (deletePaths.isEmpty) df
+      posDels: Seq[DataFileEntry]): DataFrame =
+    if (posDels.isEmpty) df
     else {
-      val d = spark.read.parquet(deletePaths: _*)
+      val d = posDeletePositionsCore(spark, posDels)
         .select(col("file_path").as(PosPathCol), col("pos").as(PosIdxCol))
       df.join(d, Seq(PosPathCol, PosIdxCol), "left_anti")
     }
@@ -3113,7 +3267,7 @@ object GraftTable {
     */
   private[table] def readDeletesAppliedCore(spark: SparkSession,
       meta: TableMetadataV2, files: Seq[(String, Int, Long)],
-      readSchema: SchemaV2, posDels: Seq[String],
+      readSchema: SchemaV2, posDels: Seq[DataFileEntry],
       eqDels0: Seq[DataFileEntry], withFile: Boolean = false,
       withRowPos: Boolean = false): DataFrame = {
     // a delete at or below EVERY planned file's sequence can never apply
@@ -3298,8 +3452,14 @@ object GraftTable {
     finally s.close()
   }
 
-  private[table] val isDataCandidate: Path => Boolean =
-    p => p.getFileName.toString.endsWith(".parquet")
+  private[table] val isDataCandidate: Path => Boolean = p => {
+    val n = p.getFileName.toString
+    n.endsWith(".parquet") ||
+      // deletion-vector sidecars live in the data plane (they are
+      // content=1 entry paths): abandoned ones must be sweepable
+      (n.endsWith(".gdv") && Option(p.getParent).exists(
+        _.getFileName.toString.startsWith("dv-")))
+  }
 
   private[table] val isMetaCandidate: Path => Boolean = p => {
     val n = p.getFileName.toString
@@ -3409,6 +3569,10 @@ object GraftTable {
             .map(_.toMap.map { case (k, c) =>
               k -> (c.getAs[Long]("off"), c.getAs[Long]("len"))
             }).getOrElse(Map.empty))
+      },
+      dv = opt("dv")(i => r.getStruct(i)).map { d =>
+        Dv.DvRef(d.getAs[String]("data-file"), d.getAs[Long]("off"),
+          d.getAs[Long]("len"))
       })
   }
 

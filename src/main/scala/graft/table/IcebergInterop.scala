@@ -33,6 +33,14 @@ object IcebergInterop {
     val meta = t.metadata
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("no snapshot to export"))
+    // deletion-vector blobs use graft's own encoding (Dv), not the spec's
+    // roaring serialization — exporting them would hand an external
+    // reader a byte range it would misparse. Refuse loudly; compaction
+    // (or a CoW rewrite) absorbs DVs and re-enables export.
+    require(!t.liveManifests(None).filter(_.content == 1)
+        .flatMap(_.entries).exists(_.dv.isDefined),
+      "cannot export a table holding deletion vectors (graft-encoded " +
+        "blobs are not Iceberg-roaring); run compact() to absorb them")
     val metaDir = Paths.get(dir, "metadata")
     Files.createDirectories(metaDir)
     val listPath = t.exportAvro(metaDir.toString)
@@ -90,7 +98,7 @@ object IcebergInterop {
       AvroManifest.readManifest(Paths.get(p))
     }
     val data = entries.filter(_.isData)
-    val posDels = entries.filter(_.content == 1).map(_.path)
+    val posDels = entries.filter(_.content == 1)
     val eqDels = entries.filter(_.content == 2)
     val schemaId = snap.schemaId.map(_.toInt).getOrElse(meta.currentSchemaId)
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)

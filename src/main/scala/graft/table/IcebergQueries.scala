@@ -388,6 +388,42 @@ object IcebergQueries {
       Some(s"""$flagAggSql FROM lineitem WHERE l_returnflag <> 'R'
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // DELETION VECTORS (Iceberg-v3 delete form): each MoR delete commits
+    // ONE bitmap blob per affected data file; a second delete on the same
+    // files MERGES into (and supersedes) the first file's vector, so a
+    // data file carries at most one DV however long the delete history —
+    // asserted here, along with zero data files rewritten and exact
+    // metadata-only counts (countRows touches no data under DVs).
+    GraftQuery(
+      "ice_delete_dv",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("delete_dv"), src.schema,
+          properties = Map(GraftTable.DeleteFormatProp -> "deletion-vectors"))
+        t.append(src)
+        val before = t.planFiles().map(_.path).toSet
+        // routed through deleteWhereMoR by the table property
+        t.deleteWhereMoR(col("l_returnflag") === "R")
+        // second, overlapping delete: DVs must merge per file
+        t.deleteWhereDv(col("l_quantity") < 3)
+        require(t.planFiles().map(_.path).toSet == before,
+          "DV delete must not rewrite or drop any data file")
+        val dvs = t.liveManifests(None).filter(_.content == 1)
+          .flatMap(_.entries).flatMap(_.dv.map(_.dataFile))
+        require(dvs.nonEmpty, "expected deletion-vector entries")
+        require(dvs.distinct.size == dvs.size,
+          "a data file must carry at most ONE deletion vector")
+        val expected = src.filter(col("l_returnflag") =!= "R" &&
+          col("l_quantity") >= 3).count()
+        require(t.countRows() == expected,
+          s"metadata-only count under DVs: got ${t.countRows()}, " +
+            s"want $expected")
+        flagAgg(t.scan())
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_returnflag <> 'R' AND l_quantity >= 3
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Merge-on-read EQUALITY delete: key tuples only — no data read at
     // delete time; rows re-appended afterwards survive (sequence-number
     // scoping, asserted here).

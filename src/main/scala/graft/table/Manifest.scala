@@ -67,7 +67,11 @@ case class DataFileEntry(
     specId: Option[Int] = None,
     // per-column bloom-filter sidecar ranges (point-lookup file skipping;
     // see Blooms) — absent on tables without graft.bloom.columns
-    bloom: Option[Blooms.BloomRef] = None) {
+    bloom: Option[Blooms.BloomRef] = None,
+    // deletion vector (content=1 only): this entry's `path` is a sidecar
+    // and `dv` names the referenced data file + blob byte range — the
+    // Iceberg-v3 one-DV-per-data-file delete form (see Dv)
+    dv: Option[Dv.DvRef] = None) {
 
   def isData: Boolean = content == 0
 
@@ -103,6 +107,12 @@ case class DataFileEntry(
         c.put("off", off)
         c.put("len", len)
       }
+    }
+    dv.foreach { d =>
+      val dn = o.putObject("dv")
+      dn.put("data-file", d.dataFile)
+      dn.put("off", d.off)
+      dn.put("len", d.len)
     }
     o
   }
@@ -143,6 +153,10 @@ object DataFileEntry {
           e.getKey -> (e.getValue.path("off").asLong,
             e.getValue.path("len").asLong)
         }.toMap)
+    },
+    Option(n.get("dv")).filterNot(_.isNull).map { d =>
+      Dv.DvRef(d.path("data-file").asText, d.path("off").asLong,
+        d.path("len").asLong)
     })
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {

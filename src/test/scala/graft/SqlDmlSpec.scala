@@ -32,6 +32,34 @@ class SqlDmlSpec extends SparkSpec {
     name
   }
 
+  test("DELETE FROM routes merge-on-read tables to MoR / deletion vectors") {
+    val t = freshTable("delmor")
+    val loc = s"$wh/db/$t"
+    spark.sql(s"ALTER TABLE gdml.db.$t SET TBLPROPERTIES (" +
+      "'write.delete.mode' = 'merge-on-read')")
+    val g = GraftTable.load(spark, loc)
+    val filesBefore = g.planFiles().map(_.path).toSet
+    spark.sql(s"DELETE FROM gdml.db.$t WHERE id <= 10")
+    assert(spark.table(s"gdml.db.$t").count() == 90)
+    val g1 = GraftTable.load(spark, loc)
+    assert(g1.planFiles().map(_.path).toSet == filesBefore,
+      "MoR SQL DELETE must not rewrite data files")
+    val dels1 = g1.liveManifests(None).filter(_.content == 1)
+      .flatMap(_.entries)
+    assert(dels1.nonEmpty && dels1.forall(_.dv.isEmpty),
+      "expected parquet position deletes")
+    // switch the format to deletion vectors: the same SQL now vectors
+    spark.sql(s"ALTER TABLE gdml.db.$t SET TBLPROPERTIES (" +
+      "'write.delete.format' = 'deletion-vectors')")
+    spark.sql(s"DELETE FROM gdml.db.$t WHERE id > 90")
+    assert(spark.table(s"gdml.db.$t").count() == 80)
+    val g2 = GraftTable.load(spark, loc)
+    assert(g2.liveManifests(None).filter(_.content == 1)
+      .flatMap(_.entries).exists(_.dv.isDefined),
+      "expected deletion-vector entries after the format switch")
+    assert(g2.planFiles().map(_.path).toSet == filesBefore)
+  }
+
   test("DELETE FROM deletes exactly the matching rows") {
     val t = freshTable("del")
     spark.sql(s"DELETE FROM gdml.db.$t WHERE qty <= 20 AND grp = 'odd'")
