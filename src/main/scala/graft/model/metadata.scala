@@ -555,7 +555,11 @@ case class TableMetadataV2(
     sortOrders: Seq[SortOrder] = Seq(SortOrder.unsorted),
     defaultSortOrderId: Long = 0L,
     refs: Option[Map[String, SnapshotRef]] = None,
-    statistics: Option[Seq[StatisticsFileRef]] = None) {
+    statistics: Option[Seq[StatisticsFileRef]] = None,
+    // row-lineage high-water mark (Iceberg v3 `next-row-id`): the first
+    // row id the NEXT append may assign; present only on tables with
+    // row lineage enabled
+    nextRowId: Option[Long] = None) {
 
   // validate the UUID eagerly, as the reference does via the Uuid type
   java.util.UUID.fromString(tableUuid)
@@ -610,6 +614,7 @@ case class TableMetadataV2(
     statistics.foreach { ss =>
       val a = o.putArray("statistics"); ss.foreach(s => a.add(s.toJson))
     }
+    nextRowId.foreach(o.put("next-row-id", _))
     o
   }
 
@@ -650,6 +655,7 @@ object TableMetadataV2 {
         r.properties.asScala.map(e =>
           e.getKey -> SnapshotRef.fromJson(e.getValue)).toMap),
       statistics = Option(n.get("statistics"))
-        .map(_.elements.asScala.toSeq.map(StatisticsFileRef.fromJson)))
+        .map(_.elements.asScala.toSeq.map(StatisticsFileRef.fromJson)),
+      nextRowId = Option(n.get("next-row-id")).map(_.asLong))
   }
 }

@@ -140,8 +140,34 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // shard manifests stay exactly where executors wrote them; only the
     // ref (with inherited ids) is created at commit time, so a conflict
     // retry re-refs the same shards without any rewrite
-    val shardRefs = adds.shards.map(s => ManifestRef(s.path, s.entryCount,
+    val shardRefs0 = adds.shards.map(s => ManifestRef(s.path, s.entryCount,
       s.recordCount, Some(snapId), Some(seq), content = s.content))
+    // row lineage: APPEND shards get first-row-id bases assigned
+    // cumulatively from the table's next-row-id — O(shards) driver work;
+    // entries resolve base + their shard-local offset at read time.
+    // Replace-op shards (compaction) carry materialized ids instead and
+    // are left unassigned on purpose.
+    val lineageOn = meta.properties
+      .exists(_.get(GraftTable.RowLineageProp).contains("true"))
+    val lineageAdds =
+      if (!lineageOn || op != "append") 0L
+      else shardRefs0.filter(_.content == 0).map(_.recordCount).sum
+    val shardRefs =
+      if (lineageAdds == 0L) shardRefs0
+      else {
+        val base = meta.nextRowId.getOrElse {
+          require(reused.filter(_.content == 0).map(_.recordCount).sum == 0L,
+            "row lineage must be enabled before the first append " +
+              "(existing rows have no ids)")
+          0L
+        }
+        var next = base
+        shardRefs0.map { r =>
+          if (r.content != 0) r
+          else { val b = next; next += r.recordCount
+            r.copy(firstRowId = Some(b)) }
+        }
+      }
     val mrefs = reused ++ entryRefs ++ shardRefs
     ManifestList.write(manifestListPath(snapId), mrefs)
     val now = System.currentTimeMillis
@@ -201,6 +227,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       properties =
         if (propsExtra.isEmpty) meta.properties
         else Some(meta.properties.getOrElse(Map.empty) ++ propsExtra),
+      nextRowId =
+        if (lineageAdds == 0L) meta.nextRowId
+        else Some(meta.nextRowId.getOrElse(0L) + lineageAdds),
       refs = Some(refs)), baseVersion + 1)
     catch {
       case e: CommitConflictException =>
@@ -280,6 +309,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // a silent cast would truncate values, no cast would write files the
     // schema-pinned reader rejects at scan time
     val inputTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // lineage-preserving rewrites hand their read's _row_id /
+    // _last_updated_sequence_number through into the rewritten files as
+    // physical columns (absent first-row-id marks them materialized)
+    val lineageCarry =
+      if (!lineageEnabled(meta)) Seq.empty
+      else Seq(GraftTable.RowIdCol, GraftTable.LastUpdCol)
+        .filter(df.columns.contains)
     var out = df.select(sparkSchema.fields.map { f =>
       inputTypes.get(f.name) match {
         case Some(in) if in == f.dataType => col(f.name)
@@ -290,7 +326,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             s"table type ${f.dataType}")
         case None => col(f.name) // missing column → natural analysis error
       }
-    }: _*)
+    } ++ lineageCarry.map(col): _*)
     spec.fields.foreach { pf =>
       val src = schema.fieldById(pf.sourceId)
         .getOrElse(throw new IllegalArgumentException(
@@ -428,9 +464,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val specLocal = spec
     val bloomColNames = bloomCols.map(_._1)
     val bloomDir = metaDir.resolve(s"blooms-$writeId").toString
+    // row lineage: each entry records its shard-local running record
+    // offset; the commit assigns one base per shard and readers inherit
+    // firstRowId = base + offset — O(shards) driver work, exact per-file
+    // ids (mirrors Iceberg v3 first-row-id inheritance)
+    val lineageOn = props.get(GraftTable.RowLineageProp).contains("true")
     val jsonLines = statsRows.mapPartitions { it =>
-      it.map(r => statsRowToEntryJson(r, fieldSpecs, schemaId, specLocal,
-        bloomColNames, bloomDir))
+      var runningRows = 0L
+      it.map { r =>
+        val off =
+          if (!lineageOn) None
+          else { val o = runningRows
+            runningRows += r.getAs[Long]("cnt"); Some(o) }
+        statsRowToEntryJson(r, fieldSpecs, schemaId, specLocal,
+          bloomColNames, bloomDir, rowIdOffset = off)
+      }
     }(org.apache.spark.sql.Encoders.STRING)
     val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
     Files.createDirectories(metaDir)
@@ -602,7 +650,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // share (snapshot, sequence), so group refs by the inherited pair
     // and substitute pending ids as column expressions — one unioned
     // scan, no per-entry driver work
-    refs.groupBy(r => (r.addedSnapshotId, r.addedSequenceNumber)).map {
+    val unioned = refs
+      .groupBy(r => (r.addedSnapshotId, r.addedSequenceNumber)).map {
       case ((Some(sid), Some(seq)), rs) =>
         val pending = col("snapshot-id") === DataFileEntry.PendingSnapshot
         spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
@@ -615,6 +664,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         spark.read.schema(manifestSchema).json(rs.map(_.path): _*)
           .withColumn(SrcManifestCol, col("_metadata.file_path"))
     }.reduce(_.unionByName(_))
+    // row-lineage first-row-id inheritance, distributed: a tiny
+    // (manifest → base id) map resolves per entry as base + row-id-offset
+    // — the same O(shards)-not-O(files) trick as snapshot inheritance
+    val bases = refs.flatMap(r =>
+      r.firstRowId.map(GraftTable.canonPath(r.path) -> _)).toMap
+    if (bases.isEmpty) unioned
+    else {
+      val lookup = udf((src: String) =>
+        bases.get(GraftTable.canonPath(decodePath(src))))
+      unioned.withColumn("first-row-id",
+        coalesce(col("first-row-id"),
+          lookup(col(SrcManifestCol)) + coalesce(col("row-id-offset"),
+            lit(0L))))
+    }
   }
 
   private val manifestSchema: StructType = StructType(Seq(
@@ -633,7 +696,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     SparkField("equality-columns", ArrayType(StringType)),
     SparkField("spec-id", IntegerType),
     SparkField(Blooms.sparkField.name, Blooms.sparkField.dataType),
-    SparkField(Dv.sparkField.name, Dv.sparkField.dataType)))
+    SparkField(Dv.sparkField.name, Dv.sparkField.dataType),
+    SparkField("first-row-id", LongType),
+    SparkField("row-id-offset", LongType)))
 
   /** Distributed equivalent of `planFiles`: prune as a Spark filter over
     * the manifest DataFrame. Returns surviving file paths.
@@ -1048,6 +1113,120 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     filter.map(df.filter).getOrElse(df)
   }
 
+  /** Row-lineage scan: the table columns plus `_row_id` (stable per-row
+    * identity assigned at append) and `_last_updated_sequence_number`.
+    * Freshly appended files serve both VIRTUALLY — `first-row-id + _pos`
+    * and the file's own data sequence, straight off the manifest (zero
+    * storage per row); files a lineage-preserving rewrite produced carry
+    * them as physical columns instead and are joined back by (file,
+    * position). Merge-on-read deletes apply as in `scan` — a surviving
+    * row keeps the id it was born with, which is what makes downstream
+    * incremental consumers (CDC mirrors, feature stores) able to track a
+    * row across arbitrarily many table rewrites. Planning is
+    * threshold-dispatched like every other read.
+    */
+  def scanWithLineage(filter: Option[Column] = None): DataFrame = {
+    val meta = metadata
+    require(meta.properties
+        .exists(_.get(GraftTable.RowLineageProp).contains("true")),
+      s"row lineage is not enabled on $location (set " +
+        s"${GraftTable.RowLineageProp}=true at create)")
+    val schema = meta.currentSchema
+    val refs = manifestsFor(meta, None)
+    val planned: Seq[(String, Int, Long, Option[Long])] =
+      if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
+        planFilesDistributedFor(meta, filter, None)
+          .select(col("path"), col("schema-id"), col("sequence-number"),
+            col("first-row-id"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      else planFilesFor(meta, filter, None)
+        .map(e => (e.path, e.schemaId, e.sequenceNumber, e.firstRowId))
+    val out = lineageReadFor(meta, planned, schema)
+    filter.map(out.filter).getOrElse(out)
+  }
+
+  /** The lineage-annotated read over an explicit plan: table columns +
+    * `_row_id` + `_last_updated_sequence_number`, deletes applied. Files
+    * with a first-row-id serve lineage virtually; files without one
+    * carry it as physical columns joined back by (file, position).
+    */
+  private def lineageReadFor(meta: TableMetadataV2,
+      planned: Seq[(String, Int, Long, Option[Long])],
+      schema: SchemaV2): DataFrame = {
+    val (virtuals, materialized) = planned.partition(_._4.isDefined)
+    def annotated(fs: Seq[(String, Int, Long, Option[Long])]): DataFrame =
+      readDeletesApplied(meta, fs.map(f => (f._1, f._2, f._3)), schema,
+        None, withFile = true, withRowPos = true)
+    val outCols = toSparkSchema(schema).fieldNames.toSeq ++
+      Seq(GraftTable.RowIdCol, GraftTable.LastUpdCol)
+    val parts = Seq(
+      if (virtuals.isEmpty) None
+      else {
+        val bases = virtuals.map(f =>
+          GraftTable.canonPath(f._1) -> (f._4.get, f._3)).toMap
+        val baseOf = udf((file: String) =>
+          bases.get(GraftTable.canonPath(file)).map(_._1))
+        val seqOf = udf((file: String) =>
+          bases.get(GraftTable.canonPath(file)).map(_._2))
+        Some(annotated(virtuals)
+          .withColumn(GraftTable.RowIdCol,
+            baseOf(col(GraftTable.FileCol)) + col(GraftTable.RowPosCol))
+          .withColumn(GraftTable.LastUpdCol, seqOf(col(GraftTable.FileCol)))
+          .select(outCols.map(col): _*))
+      },
+      if (materialized.isEmpty) None
+      else {
+        val seqs = materialized.map(f =>
+          GraftTable.canonPath(f._1) -> f._3).toMap
+        val seqOf = udf((file: String) => seqs.get(GraftTable.canonPath(file)))
+        val linSchema = StructType(Seq(
+          SparkField(GraftTable.RowIdCol, LongType),
+          SparkField(GraftTable.LastUpdCol, LongType)))
+        val lin = spark.read.schema(linSchema)
+          .parquet(materialized.map(_._1): _*)
+          .select(col("_metadata.file_path").as("__lin_file"),
+            col("_metadata.row_index").as("__lin_pos"),
+            col(GraftTable.RowIdCol).as("__lin_id"),
+            col(GraftTable.LastUpdCol).as("__lin_seq"))
+        val decode = udf((raw: String) => decodePath(raw))
+        Some(annotated(materialized)
+          .join(lin.withColumn("__lin_file", decode(col("__lin_file"))),
+            col(GraftTable.FileCol) === col("__lin_file") &&
+              col(GraftTable.RowPosCol) === col("__lin_pos"))
+          .withColumn(GraftTable.RowIdCol, col("__lin_id"))
+          // a null materialized sequence means "updated by this file's
+          // commit" — inherit the file's own sequence (v3 contract)
+          .withColumn(GraftTable.LastUpdCol,
+            coalesce(col("__lin_seq"), seqOf(col(GraftTable.FileCol))))
+          .select(outCols.map(col): _*))
+      }).flatten
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(toSparkSchema(schema).fields ++ Seq(
+          SparkField(GraftTable.RowIdCol, LongType),
+          SparkField(GraftTable.LastUpdCol, LongType)))))
+  }
+
+  /** True when this metadata declares row lineage. */
+  private def lineageEnabled(meta: TableMetadataV2): Boolean =
+    meta.properties.exists(_.get(GraftTable.RowLineageProp)
+      .contains("true"))
+
+  /** The deletes-applied read a REWRITE consumes: on lineage tables it
+    * additionally carries the materialized lineage columns, which
+    * writeFiles passes through into the rewritten files — rows keep
+    * their ids across arbitrarily many rewrites.
+    */
+  private def readAppliedForRewrite(meta: TableMetadataV2,
+      entries: Seq[DataFileEntry], schema: SchemaV2): DataFrame =
+    if (!lineageEnabled(meta))
+      readAppliedFor(meta, entries, schema)
+    else lineageReadFor(meta,
+      entries.map(e => (e.path, e.schemaId, e.sequenceNumber, e.firstRowId)),
+      schema)
+
   /** Pruned file plan as (path, schemaId, sequenceNumber) triples. Above
     * the threshold, pruning runs as a Spark filter over the manifest
     * dataset (executors parse + evaluate); only SURVIVING triples reach
@@ -1449,6 +1628,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       extraAdds: Option[PendingAdds],
       dropWholeFiles: Boolean = false): SnapshotV2 =
     commitSnapshot(op, { meta =>
+      // copy-on-write row mutations re-order surviving rows into new
+      // files and would sever their lineage; lineage tables take the
+      // merge-on-read path instead (deleteWhereMoR / deleteWhereDv),
+      // which never moves a surviving row
+      if (lineageEnabled(meta))
+        throw new UnsupportedOperationException(
+          "copy-on-write row mutations are not supported on row-lineage " +
+            "tables — use merge-on-read deletes (deleteWhereMoR / " +
+            "deleteWhereDv / deleteWhereEq); compaction preserves ids")
       val schema = meta.currentSchema
       val sparkSchema = toSparkSchema(schema)
       val (preds, complete) =
@@ -1742,6 +1930,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def overwritePartitions(df: DataFrame): SnapshotV2 = {
     require(metadata.defaultSpec.fields.nonEmpty,
       "overwritePartitions needs a partitioned table")
+    if (lineageEnabled(metadata))
+      throw new UnsupportedOperationException(
+        "partition overwrite replaces rows wholesale and is not " +
+          "supported on row-lineage tables")
     val adds = writeFiles(df)
     val touched: Set[Map[String, Option[String]]] = addedPartitions(adds)
     // the replaced-partition predicate in both planning forms: canonical
@@ -1825,6 +2017,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       notMatched: Seq[MergeInsert],
       notMatchedBySource: Seq[MergeAction] = Seq.empty): SnapshotV2 = {
     val meta = metadata
+    if (lineageEnabled(meta))
+      throw new UnsupportedOperationException(
+        "MERGE is a copy-on-write rewrite and is not supported on " +
+          "row-lineage tables — compose appends with merge-on-read " +
+          "deletes instead")
     val schema = meta.currentSchema
     val sparkSchema = toSparkSchema(schema)
     val srcPfx = GraftTable.MergeSourcePrefix
@@ -2017,10 +2214,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             .withColumn("__n", count(lit(1)).over(w))
             .filter(col("__n") >= 2)
             .select(col("path"), col("schema-id"), col("sequence-number"),
-              col("file-size"), col(SrcManifestCol))
+              col("file-size"), col(SrcManifestCol), col("first-row-id"))
             .collect().toSeq
           (rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
-              r.getLong(3))),
+              r.getLong(3),
+              if (r.isNullAt(5)) None else Some(r.getLong(5)))),
             rows.map(r => canonPath(decodePath(r.getString(4)))).toSet)
         } else {
           val loaded = refs.map(r => (r, r.entries))
@@ -2032,7 +2230,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
                 e.fileSize < targetFileBytes)
               if (u.size >= 2) u else Seq.empty
             }.toSeq
-          (under.map(e => (e.path, e.schemaId, e.sequenceNumber, e.fileSize)),
+          (under.map(e => (e.path, e.schemaId, e.sequenceNumber, e.fileSize,
+              e.firstRowId)),
             under.map(e => canonPath(srcByPath(e.path))).toSet)
         }
       if (small.isEmpty)
@@ -2044,8 +2243,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         // read keeps one split per input file and writes it straight back
         // out. Partitioned tables cluster on partition values (one file
         // per value); unpartitioned ones coalesce to ceil(bytes/target).
-        val applied = readDeletesApplied(meta,
-          small.map(s => (s._1, s._2, s._3)), schema, None)
+        val applied =
+          if (lineageEnabled(meta))
+            lineageReadFor(meta,
+              small.map(s => (s._1, s._2, s._3, s._5)), schema)
+          else readDeletesApplied(meta,
+            small.map(s => (s._1, s._2, s._3)), schema, None)
         val rewritten =
           if (meta.defaultSpec.fields.nonEmpty)
             writeFiles(applied, repartitionByPartition = true)
@@ -2214,8 +2417,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val meta = metadata
       val schema = meta.currentSchema
       // deletes-applied read; the replace commit reuses no manifests, so
-      // absorbed position-delete files drop out of the table here
-      val df = readAppliedFor(meta,
+      // absorbed position-delete files drop out of the table here. On
+      // lineage tables the read materializes _row_id columns into the
+      // rewrite, so compaction preserves row identity.
+      val df = readAppliedForRewrite(meta,
         manifestsFor(meta, None).flatMap(_.entries).filter(_.isData), schema)
       val partNames = meta.defaultSpec.fields.map(_.name)
       val rewritten =
@@ -2280,7 +2485,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         } else {
           val schema = meta.currentSchema
           val rewritten = writeFiles(
-            readAppliedFor(meta, liveNow, schema), sortWithin)
+            readAppliedForRewrite(meta, liveNow, schema), sortWithin)
           val livePaths = liveNow.map(_.path).toSet
           commitSnapshot("replace", { fresh =>
             val hit = (e: DataFileEntry) => e.isData &&
@@ -3110,6 +3315,24 @@ object GraftTable {
     */
   val DeleteModeProp = "write.delete.mode"
 
+  /** Table property enabling row lineage (Iceberg v3 semantics): every
+    * row gets a stable `_row_id`, assigned once at append and preserved
+    * across merge-on-read deletes and compaction.
+    */
+  val RowLineageProp = "graft.row-lineage"
+
+  /** `_row_id` lineage column name (Iceberg v3 reserved name). Virtual
+    * on freshly appended files (first-row-id + position); physical in
+    * files a lineage-preserving rewrite materialized.
+    */
+  val RowIdCol = "_row_id"
+
+  /** `_last_updated_sequence_number` lineage column name (Iceberg v3):
+    * the data sequence number that last wrote the row — the file's own
+    * sequence unless a rewrite materialized an older one.
+    */
+  val LastUpdCol = "_last_updated_sequence_number"
+
   /** Sentinel for entries not yet bound to a committed snapshot. */
   private val PendingSnapshot = DataFileEntry.PendingSnapshot
 
@@ -3498,7 +3721,7 @@ object GraftTable {
   private[table] def statsRowToEntryJson(r: Row,
       statFields: Seq[(String, DataType)], schemaId: Int,
       spec: PartitionSpec, bloomCols: Seq[String] = Seq.empty,
-      bloomDir: String = ""): String = {
+      bloomDir: String = "", rowIdOffset: Option[Long] = None): String = {
     val path = decodePath(r.getAs[String]("__path"))
     val stats = statFields.map { case (name, dt) =>
       name -> ColStats(
@@ -3530,7 +3753,7 @@ object GraftTable {
     val entry = DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
       0L, schemaId, parsePartition(path, spec), stats,
       fileSize = r.getAs[Long]("__size"), specId = Some(spec.specId),
-      bloom = bloomRef)
+      bloom = bloomRef, rowIdOffset = rowIdOffset)
     graft.model.Json.write(entry.toJson)
   }
 
@@ -3573,7 +3796,9 @@ object GraftTable {
       dv = opt("dv")(i => r.getStruct(i)).map { d =>
         Dv.DvRef(d.getAs[String]("data-file"), d.getAs[Long]("off"),
           d.getAs[Long]("len"))
-      })
+      },
+      firstRowId = opt("first-row-id")(r.getLong),
+      rowIdOffset = opt("row-id-offset")(r.getLong))
   }
 
   private def newSnapshotId(): Long =

@@ -41,6 +41,12 @@ object IcebergInterop {
         .flatMap(_.entries).exists(_.dv.isDefined),
       "cannot export a table holding deletion vectors (graft-encoded " +
         "blobs are not Iceberg-roaring); run compact() to absorb them")
+    // v2 Avro manifests carry no first-row-id: exporting a lineage table
+    // would silently sever every row's identity for the external reader
+    require(!meta.properties.exists(_.get(GraftTable.RowLineageProp)
+        .contains("true")),
+      "cannot export a row-lineage table through the v2 Avro layout — " +
+        "row ids would not survive; copy the data or disable lineage")
     val metaDir = Paths.get(dir, "metadata")
     Files.createDirectories(metaDir)
     val listPath = t.exportAvro(metaDir.toString)

@@ -424,6 +424,43 @@ object IcebergQueries {
         WHERE l_returnflag <> 'R' AND l_quantity >= 3
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // ROW LINEAGE (Iceberg v3): every row gets a stable `_row_id` at
+    // append (first-row-id inheritance — O(shards) commit work, ids
+    // derived as base + position at read); survivors keep their ids
+    // across a deletion-vector delete AND a full compaction (which
+    // materializes ids into the rewritten files) — both REQUIRED
+    // in-query, along with global id uniqueness.
+    GraftQuery(
+      "ice_row_lineage",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("rowlin"), src.schema,
+          properties = Map(GraftTable.RowLineageProp -> "true"))
+        t.append(src.filter(col("l_orderkey") % 2 === 0))
+        t.append(src.filter(col("l_orderkey") % 2 === 1))
+        // id stability check via (id, full-row-hash) pairs — the
+        // synthetic data does not enforce the TPC-H key, so identity is
+        // "this exact row kept this exact id". The pre plan pins the
+        // pre-delete file set, so evaluating it later stays valid.
+        val cols = src.columns.toSeq
+        def tagged(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("_row_id"), hash(cols.map(col): _*).as("__h"))
+        val pre = tagged(t.scanWithLineage())
+        t.deleteWhereDv(col("l_returnflag") === "R")
+        t.compact()
+        val post = t.scanWithLineage()
+        val n = post.count()
+        require(post.select("_row_id").distinct().count() == n,
+          "row ids must be globally unique")
+        val moved = tagged(post)
+          .join(pre, Seq("_row_id", "__h"), "left_anti").count()
+        require(moved == 0,
+          s"$moved rows changed _row_id across DV delete + compaction")
+        flagAgg(t.scan())
+      },
+      Some(s"""$flagAggSql FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Merge-on-read EQUALITY delete: key tuples only — no data read at
     // delete time; rows re-appended afterwards survive (sequence-number
     // scoping, asserted here).

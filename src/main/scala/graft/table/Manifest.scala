@@ -71,7 +71,17 @@ case class DataFileEntry(
     // deletion vector (content=1 only): this entry's `path` is a sidecar
     // and `dv` names the referenced data file + blob byte range — the
     // Iceberg-v3 one-DV-per-data-file delete form (see Dv)
-    dv: Option[Dv.DvRef] = None) {
+    dv: Option[Dv.DvRef] = None,
+    // row lineage (Iceberg v3): the id of this data file's FIRST row
+    // (row N of the file has id firstRowId + N). Concrete once resolved;
+    // executor-written shards instead carry `rowIdOffset` — the running
+    // record count of prior data entries in the same shard — and inherit
+    // `firstRowId = ref.firstRowId + rowIdOffset` at read time, so the
+    // commit assigns O(shards) bases, never per-file ids. A LINEAGE
+    // table's entry with NEITHER field marks a rewritten file whose ids
+    // are materialized as physical columns (see GraftTable.RowIdCol)
+    firstRowId: Option[Long] = None,
+    rowIdOffset: Option[Long] = None) {
 
   def isData: Boolean = content == 0
 
@@ -114,6 +124,8 @@ case class DataFileEntry(
       dn.put("off", d.off)
       dn.put("len", d.len)
     }
+    firstRowId.foreach(o.put("first-row-id", _))
+    rowIdOffset.foreach(o.put("row-id-offset", _))
     o
   }
 }
@@ -157,7 +169,9 @@ object DataFileEntry {
     Option(n.get("dv")).filterNot(_.isNull).map { d =>
       Dv.DvRef(d.path("data-file").asText, d.path("off").asLong,
         d.path("len").asLong)
-    })
+    },
+    Option(n.get("first-row-id")).filterNot(_.isNull).map(_.asLong),
+    Option(n.get("row-id-offset")).filterNot(_.isNull).map(_.asLong))
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
     val lines = entries.map(e => Json.write(e.toJson))
@@ -183,7 +197,10 @@ object DataFileEntry {
 case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     addedSnapshotId: Option[Long] = None,
     addedSequenceNumber: Option[Long] = None,
-    content: Int = 0) {
+    content: Int = 0,
+    // row lineage: id of the first row of this manifest's FIRST data
+    // entry; entries inherit firstRowId = this + their rowIdOffset
+    firstRowId: Option[Long] = None) {
   def toJson: ObjectNode = {
     val o = Json.obj
     o.put("path", path)
@@ -192,17 +209,25 @@ case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     addedSnapshotId.foreach(v => o.put("added-snapshot-id", v))
     addedSequenceNumber.foreach(v => o.put("added-sequence-number", v))
     if (content != 0) o.put("content", content)
+    firstRowId.foreach(v => o.put("first-row-id", v))
     o
   }
   def entries: Seq[DataFileEntry] = {
     ManifestRef.entriesReads.incrementAndGet()
     val raw = DataFileEntry.readManifest(java.nio.file.Paths.get(path))
-    (addedSnapshotId, addedSequenceNumber) match {
+    val stamped = (addedSnapshotId, addedSequenceNumber) match {
       case (Some(sid), Some(seq)) => raw.map(e =>
         if (e.snapshotId == DataFileEntry.PendingSnapshot)
           e.copy(snapshotId = sid, sequenceNumber = seq)
         else e)
       case _ => raw
+    }
+    firstRowId match {
+      case Some(base) => stamped.map(e =>
+        if (e.firstRowId.isEmpty && e.rowIdOffset.isDefined && e.isData)
+          e.copy(firstRowId = Some(base + e.rowIdOffset.get))
+        else e)
+      case None => stamped
     }
   }
 }
@@ -219,7 +244,8 @@ object ManifestRef {
     n.path("record-count").asLong,
     Option(n.get("added-snapshot-id")).filterNot(_.isNull).map(_.asLong),
     Option(n.get("added-sequence-number")).filterNot(_.isNull).map(_.asLong),
-    n.path("content").asInt(0))
+    n.path("content").asInt(0),
+    Option(n.get("first-row-id")).filterNot(_.isNull).map(_.asLong))
 }
 
 /** Per-snapshot manifest LIST: snapshots share unchanged manifest files,

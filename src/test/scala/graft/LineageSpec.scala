@@ -1,0 +1,158 @@
+package graft
+
+import graft.table.{GraftTable, IcebergInterop}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row lineage (Iceberg v3): stable `_row_id` per row assigned at append
+  * (first-row-id inheritance, O(shards) commit work), preserved across
+  * merge-on-read deletes and lineage-materializing compaction; CoW row
+  * mutations refuse. `_last_updated_sequence_number` tracks the writing
+  * commit.
+  */
+class LineageSpec extends SparkSpec {
+
+  private def freshLoc(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString + "/t"
+
+  private def lineitem: DataFrame =
+    Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+
+  private def lineageTable(name: String, src: DataFrame): GraftTable =
+    GraftTable.create(spark, freshLoc(name), src.schema,
+      properties = Map(GraftTable.RowLineageProp -> "true"))
+
+  test("append assigns dense unique row ids; second append continues") {
+    val src = lineitem.limit(3000)
+    val t = lineageTable("lin", src)
+    t.append(src.repartition(3))
+    val n = src.count()
+    val ids = t.scanWithLineage().select("_row_id")
+    assert(ids.distinct().count() == n)
+    assert(ids.agg(min("_row_id"), max("_row_id")).head() ==
+      org.apache.spark.sql.Row(0L, n - 1))
+    assert(t.metadata.nextRowId.contains(n))
+    // second append starts where the first ended — no overlap, dense
+    t.append(src.limit(100))
+    val ids2 = t.scanWithLineage().select("_row_id")
+    assert(ids2.distinct().count() == n + 100)
+    assert(ids2.agg(max("_row_id")).head().getLong(0) == n + 99)
+  }
+
+  test("_last_updated_sequence_number is the writing commit's sequence") {
+    val src = lineitem.limit(500)
+    val t = lineageTable("lin-seq", src)
+    val s1 = t.append(src.limit(200))
+    val s2 = t.append(src.limit(300))
+    val bySeq = t.scanWithLineage()
+      .groupBy("_last_updated_sequence_number").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySeq == Map(s1.sequenceNumber -> 200L,
+      s2.sequenceNumber -> 300L))
+  }
+
+  // identity = (id, full-row-hash): the synthetic data does not enforce
+  // the TPC-H key, so "this exact row kept this exact id" is the check
+  private def idHashes(df: DataFrame, cols: Seq[String]): Set[(Long, Int)] =
+    df.select(col("_row_id"), hash(cols.map(col): _*).as("__h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("row ids survive MoR and DV deletes (survivors keep their ids)") {
+    val src = lineitem.limit(2000)
+    val t = lineageTable("lin-del", src)
+    t.append(src)
+    val cols = src.columns.toSeq
+    val before = idHashes(t.scanWithLineage(), cols)
+    t.deleteWhereMoR(col("l_linenumber") === 1)
+    t.deleteWhereDv(col("l_linenumber") === 2)
+    val after = idHashes(t.scanWithLineage(), cols)
+    assert(after.nonEmpty)
+    assert(after.subsetOf(before), "survivors must keep their ids")
+  }
+
+  test("compaction materializes and preserves ids and sequences") {
+    val src = lineitem.limit(2000)
+    val t = lineageTable("lin-compact", src)
+    t.append(src.repartition(4))
+    t.deleteWhereDv(col("l_linenumber") === 3)
+    val cols = src.columns.toSeq
+    def snapshotIds(g: GraftTable): Set[(Long, Long, Int)] =
+      g.scanWithLineage()
+        .select(col("_row_id"), col("_last_updated_sequence_number"),
+          hash(cols.map(col): _*).as("__h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = snapshotIds(t)
+    t.compact()
+    // rewritten files carry materialized lineage (no first-row-id)
+    assert(t.liveEntries().filter(_.isData).forall(_.firstRowId.isEmpty))
+    val after = snapshotIds(t)
+    assert(after == before)
+    // a fresh append after compaction continues the id sequence uniquely
+    t.append(src.limit(50))
+    val all = t.scanWithLineage().select("_row_id")
+    assert(all.distinct().count() == all.count())
+  }
+
+  test("bin-pack compaction preserves ids on lineage tables") {
+    val src = lineitem.limit(1200)
+    val t = lineageTable("lin-binpack", src)
+    (0 until 3).foreach(i =>
+      t.append(src.filter(col("l_orderkey") % 3 === i)))
+    val cols = src.columns.toSeq
+    val before = idHashes(t.scanWithLineage(), cols)
+    t.compactBinPack()
+    val after = idHashes(t.scanWithLineage(), cols)
+    assert(after == before)
+  }
+
+  test("distributed planning path serves identical lineage") {
+    val src = lineitem.limit(1000)
+    val t = lineageTable("lin-dist", src)
+    t.append(src.repartition(2))
+    t.deleteWhereDv(col("l_linenumber") === 1)
+    val driver = t.scanWithLineage().select("l_orderkey", "l_linenumber",
+      "_row_id", "_last_updated_sequence_number").collect().toSet
+    spark.conf.set("spark.graft.distributedPlanningThreshold", "1")
+    try {
+      val dist = t.scanWithLineage().select("l_orderkey", "l_linenumber",
+        "_row_id", "_last_updated_sequence_number").collect().toSet
+      assert(dist == driver)
+    } finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
+  }
+
+  test("CoW mutations refuse on lineage tables; late enablement refuses") {
+    val src = lineitem.limit(300)
+    val t = lineageTable("lin-cow", src)
+    t.append(src)
+    intercept[UnsupportedOperationException] {
+      t.deleteWhere(col("l_linenumber") === 1) }
+    intercept[UnsupportedOperationException] {
+      t.updateWhere(col("l_linenumber") === 1,
+        Map("l_quantity" -> lit(0.0))) }
+    intercept[UnsupportedOperationException] {
+      t.mergeInto(src.limit(10), Seq("l_orderkey", "l_linenumber")) }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.exportTable(t,
+        java.nio.file.Files.createTempDirectory("lin-exp").toString) }
+    // enabling lineage AFTER rows exist must refuse the next append
+    val t2 = GraftTable.create(spark, freshLoc("lin-late"), src.schema)
+    t2.append(src)
+    t2.updateProperties(Map(GraftTable.RowLineageProp -> Some("true")))
+    intercept[IllegalArgumentException] { t2.append(src.limit(10)) }
+  }
+
+  test("scanWithLineage refuses on tables without the property") {
+    val src = lineitem.limit(10)
+    val t = GraftTable.create(spark, freshLoc("lin-off"), src.schema)
+    t.append(src)
+    intercept[IllegalArgumentException] { t.scanWithLineage() }
+  }
+
+  test("next-row-id round-trips through metadata JSON") {
+    val src = lineitem.limit(100)
+    val t = lineageTable("lin-json", src)
+    t.append(src)
+    val reloaded = GraftTable.load(spark, t.location)
+    assert(reloaded.metadata.nextRowId.contains(100L))
+  }
+}
