@@ -1155,51 +1155,52 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def lineageReadFor(meta: TableMetadataV2,
       planned: Seq[(String, Int, Long, Option[Long])],
       schema: SchemaV2): DataFrame = {
+    import spark.implicits._
     val (virtuals, materialized) = planned.partition(_._4.isDefined)
     def annotated(fs: Seq[(String, Int, Long, Option[Long])]): DataFrame =
       readDeletesApplied(meta, fs.map(f => (f._1, f._2, f._3)), schema,
         None, withFile = true, withRowPos = true)
     val outCols = toSparkSchema(schema).fieldNames.toSeq ++
       Seq(GraftTable.RowIdCol, GraftTable.LastUpdCol)
+    // per-file constants attach via BROADCAST joins on the decoded path
+    // (`_file` and entry paths both come from decodePath, so exact
+    // equality holds) — codegen'd hash joins, no per-row udf work
     val parts = Seq(
       if (virtuals.isEmpty) None
       else {
-        val bases = virtuals.map(f =>
-          GraftTable.canonPath(f._1) -> (f._4.get, f._3)).toMap
-        val baseOf = udf((file: String) =>
-          bases.get(GraftTable.canonPath(file)).map(_._1))
-        val seqOf = udf((file: String) =>
-          bases.get(GraftTable.canonPath(file)).map(_._2))
+        val baseDf = broadcast(virtuals.map(f => (f._1, f._4.get, f._3))
+          .toDF(GraftTable.FileCol, "__lin_base", "__lin_fseq"))
         Some(annotated(virtuals)
+          .join(baseDf, Seq(GraftTable.FileCol))
           .withColumn(GraftTable.RowIdCol,
-            baseOf(col(GraftTable.FileCol)) + col(GraftTable.RowPosCol))
-          .withColumn(GraftTable.LastUpdCol, seqOf(col(GraftTable.FileCol)))
+            col("__lin_base") + col(GraftTable.RowPosCol))
+          .withColumn(GraftTable.LastUpdCol, col("__lin_fseq"))
           .select(outCols.map(col): _*))
       },
       if (materialized.isEmpty) None
       else {
-        val seqs = materialized.map(f =>
-          GraftTable.canonPath(f._1) -> f._3).toMap
-        val seqOf = udf((file: String) => seqs.get(GraftTable.canonPath(file)))
+        val seqDf = broadcast(materialized.map(f => (f._1, f._3))
+          .toDF(GraftTable.FileCol, "__lin_fseq"))
         val linSchema = StructType(Seq(
           SparkField(GraftTable.RowIdCol, LongType),
           SparkField(GraftTable.LastUpdCol, LongType)))
+        val decode = udf((raw: String) => decodePath(raw))
         val lin = spark.read.schema(linSchema)
           .parquet(materialized.map(_._1): _*)
-          .select(col("_metadata.file_path").as("__lin_file"),
+          .select(decode(col("_metadata.file_path")).as("__lin_file"),
             col("_metadata.row_index").as("__lin_pos"),
             col(GraftTable.RowIdCol).as("__lin_id"),
             col(GraftTable.LastUpdCol).as("__lin_seq"))
-        val decode = udf((raw: String) => decodePath(raw))
         Some(annotated(materialized)
-          .join(lin.withColumn("__lin_file", decode(col("__lin_file"))),
+          .join(lin,
             col(GraftTable.FileCol) === col("__lin_file") &&
               col(GraftTable.RowPosCol) === col("__lin_pos"))
+          .join(seqDf, Seq(GraftTable.FileCol))
           .withColumn(GraftTable.RowIdCol, col("__lin_id"))
           // a null materialized sequence means "updated by this file's
           // commit" — inherit the file's own sequence (v3 contract)
           .withColumn(GraftTable.LastUpdCol,
-            coalesce(col("__lin_seq"), seqOf(col(GraftTable.FileCol))))
+            coalesce(col("__lin_seq"), col("__lin_fseq")))
           .select(outCols.map(col): _*))
       }).flatten
     parts.reduceOption(_.unionByName(_)).getOrElse(
@@ -1572,6 +1573,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * state a delete-then-append pair would expose.
     */
   def overwriteWhere(cond: Column, replacement: DataFrame): SnapshotV2 = {
+    if (lineageEnabled(metadata))
+      throw new UnsupportedOperationException(
+        "INSERT OVERWRITE is not supported on row-lineage tables — " +
+          "replacement rows cannot be assigned lineage ids inside a " +
+          "rewrite; DELETE then append instead")
     // replacement files are written ONCE; a conflict retry re-refs the
     // same shards (commitSnapshot design) while re-deriving the rewrite
     val adds = writeFiles(replacement)
@@ -1601,14 +1607,26 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     assignments.keys.foreach(k =>
       require(sparkSchema.fieldNames.contains(k),
         s"UPDATE assignment targets unknown column $k"))
-    retryingCommit(() => cowRewrite("overwrite", cond, df => df.select(
-      sparkSchema.fields.toIndexedSeq.map { f =>
+    retryingCommit(() => cowRewrite("overwrite", cond, { df =>
+      // lineage pass-through: an updated row keeps its _row_id and gets
+      // a NULL last-updated sequence — the materialized-file reader
+      // inherits the rewrite commit's own sequence for it (v3 contract);
+      // untouched carried rows keep their original sequence
+      val lineageSel =
+        if (!df.columns.contains(GraftTable.RowIdCol))
+          Seq.empty[Column]
+        else Seq(col(GraftTable.RowIdCol),
+          when(cond, lit(null).cast(LongType))
+            .otherwise(col(GraftTable.LastUpdCol))
+            .as(GraftTable.LastUpdCol))
+      df.select(sparkSchema.fields.toIndexedSeq.map { f =>
         assignments.get(f.name) match {
           case Some(v) =>
             when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*), None))
+      } ++ lineageSel: _*)
+    }, None))
   }
 
   /** Shared file-granular CoW mutation: untouched files survive as-is;
@@ -1628,15 +1646,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       extraAdds: Option[PendingAdds],
       dropWholeFiles: Boolean = false): SnapshotV2 =
     commitSnapshot(op, { meta =>
-      // copy-on-write row mutations re-order surviving rows into new
-      // files and would sever their lineage; lineage tables take the
-      // merge-on-read path instead (deleteWhereMoR / deleteWhereDv),
-      // which never moves a surviving row
-      if (lineageEnabled(meta))
+      // CoW DELETE and UPDATE preserve lineage: the rewrite's input is
+      // the lineage-annotated read and writeFiles materializes the ids
+      // into the rewritten files (updateWhere null-outs the sequence of
+      // updated rows so they inherit this commit's — the v3 contract).
+      // INSERT OVERWRITE introduces NEW rows inside a rewrite, where no
+      // fresh ids can be assigned — refused; append instead.
+      if (lineageEnabled(meta) && extraAdds.nonEmpty)
         throw new UnsupportedOperationException(
-          "copy-on-write row mutations are not supported on row-lineage " +
-            "tables — use merge-on-read deletes (deleteWhereMoR / " +
-            "deleteWhereDv / deleteWhereEq); compaction preserves ids")
+          "INSERT OVERWRITE is not supported on row-lineage tables — " +
+            "replacement rows cannot be assigned lineage ids inside a " +
+            "rewrite; DELETE then append instead")
       val schema = meta.currentSchema
       val sparkSchema = toSparkSchema(schema)
       val (preds, complete) =
@@ -1655,7 +1675,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         else (Seq.empty[DataFileEntry], maybe0)
       val rewritten =
         if (maybe.isEmpty) PendingAdds.empty
-        else writeFiles(rewrite(readAppliedFor(meta, maybe, schema)))
+        else writeFiles(rewrite(readAppliedForRewrite(meta, maybe, schema)))
       // position deletes referencing rewritten OR dropped files are now
       // dead — rebuild the delete set so metadata counts stay exact
       val gone = (maybe ++ dropped).map(_.path).toSet

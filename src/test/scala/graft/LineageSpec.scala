@@ -120,17 +120,54 @@ class LineageSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
   }
 
-  test("CoW mutations refuse on lineage tables; late enablement refuses") {
+  test("CoW DELETE preserves surviving ids; whole-file drops included") {
+    val src = lineitem.limit(2000)
+    val t = lineageTable("lin-cowdel", src)
+    t.append(src.repartition(4))
+    val cols = src.columns.toSeq
+    val before = idHashes(t.scanWithLineage(), cols)
+    t.deleteWhere(col("l_quantity") < 10)
+    val after = idHashes(t.scanWithLineage(), cols)
+    assert(after.nonEmpty && after.subsetOf(before))
+    assert(t.scan().count() ==
+      src.filter(col("l_quantity") >= 10).count())
+  }
+
+  test("UPDATE keeps _row_id; updated rows get the update commit's seq") {
+    val src = lineitem.limit(1000)
+    val t = lineageTable("lin-upd", src)
+    t.append(src)
+    val pre = t.scanWithLineage()
+      .select(col("_row_id"), col("l_linenumber"),
+        col("_last_updated_sequence_number").as("seq0"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val snap = t.updateWhere(col("l_linenumber") === 1,
+      Map("l_quantity" -> lit(999.0)))
+    val post = t.scanWithLineage()
+      .select(col("_row_id"), col("l_linenumber"), col("l_quantity"),
+        col("_last_updated_sequence_number"))
+      .collect()
+    assert(post.length == pre.size, "UPDATE must not change row count")
+    post.foreach { r =>
+      val (ln0, seq0) = pre(r.getLong(0)) // same _row_id must exist
+      assert(r.getInt(1) == ln0)
+      if (ln0 == 1) {
+        assert(r.getDouble(2) == 999.0)
+        assert(r.getLong(3) == snap.sequenceNumber,
+          "updated rows carry the UPDATE commit's sequence")
+      } else assert(r.getLong(3) == seq0,
+        "untouched rows keep their original sequence")
+    }
+  }
+
+  test("merge/overwrite refuse on lineage tables; late enablement refuses") {
     val src = lineitem.limit(300)
     val t = lineageTable("lin-cow", src)
     t.append(src)
     intercept[UnsupportedOperationException] {
-      t.deleteWhere(col("l_linenumber") === 1) }
-    intercept[UnsupportedOperationException] {
-      t.updateWhere(col("l_linenumber") === 1,
-        Map("l_quantity" -> lit(0.0))) }
-    intercept[UnsupportedOperationException] {
       t.mergeInto(src.limit(10), Seq("l_orderkey", "l_linenumber")) }
+    intercept[UnsupportedOperationException] {
+      t.overwriteWhere(col("l_linenumber") === 1, src.limit(5)) }
     intercept[IllegalArgumentException] {
       IcebergInterop.exportTable(t,
         java.nio.file.Files.createTempDirectory("lin-exp").toString) }
