@@ -108,7 +108,14 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (changelog) Array.empty else GraftMetaColumns.columns
+    if (changelog) Array.empty
+    else GraftMetaColumns.columns ++
+      // _row_id / _last_updated_sequence_number exist only where the
+      // table declares row lineage
+      (if (graft.metadata.properties.exists(
+          _.get(GraftTable.RowLineageProp).contains("true")))
+        GraftMetaColumns.lineageColumns
+      else Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn])
 
   private def spark: SparkSession = SparkSession.active
   private[connector] def graft: GraftTable = GraftTable.load(spark, location)
@@ -342,8 +349,26 @@ object GraftMetaColumns {
 
   val names: Set[String] = specs.map(_._1).toSet
 
-  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    specs.map { case (n, dt, c) =>
+  val RowId: String = graft.table.GraftTable.RowIdCol
+  val LastUpd: String = graft.table.GraftTable.LastUpdCol
+
+  /** Row-lineage virtual columns — advertised ONLY on tables that
+    * declare `graft.row-lineage=true` (served via scanWithLineage on
+    * the V1 bridge).
+    */
+  val lineageSpecs: Seq[(String, org.apache.spark.sql.types.DataType, String)] =
+    Seq(
+      (RowId, org.apache.spark.sql.types.LongType,
+        "stable row id assigned at append (row lineage)"),
+      (LastUpd, org.apache.spark.sql.types.LongType,
+        "data sequence number of the commit that last wrote the row"))
+
+  val lineageNames: Set[String] = lineageSpecs.map(_._1).toSet
+
+  private def toColumns(
+      ss: Seq[(String, org.apache.spark.sql.types.DataType, String)])
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    ss.map { case (n, dt, c) =>
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = n
         override def dataType(): org.apache.spark.sql.types.DataType = dt
@@ -351,6 +376,13 @@ object GraftMetaColumns {
         override def comment(): String = c
       }: org.apache.spark.sql.connector.catalog.MetadataColumn
     }.toArray
+
+  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    toColumns(specs)
+
+  val lineageColumns
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    toColumns(lineageSpecs)
 }
 
 class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
@@ -446,16 +478,19 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
         // requested metadata columns ride at the END of the read schema;
         // the reader factories emit them per file (path constant / row
         // position counter)
-        GraftMetaColumns.specs.collect {
+        (GraftMetaColumns.specs ++ GraftMetaColumns.lineageSpecs).collect {
           case (n, dt, _) if requiredNames.contains(n) =>
             org.apache.spark.sql.types.StructField(n, dt, nullable = false)
         })
     // delete-free snapshots (the dominant shape at scale: append-only
     // ingest) take the native columnar batch path; snapshots carrying
-    // position/equality deletes fall back to the V1 bridge, which runs
-    // the proven DataFrame delete-application logic unchanged
+    // position/equality deletes — and lineage-column reads — fall back
+    // to the V1 bridge, which runs the proven DataFrame logic unchanged
+    val wantsLineage =
+      requiredNames.exists(GraftMetaColumns.lineageNames.contains)
     val hasDeletes = graft.liveManifests(asOf).exists(_.content != 0)
-    if (hasDeletes) new GraftV1Scan(graft, prunedSchema, pushed, asOf, limits)
+    if (hasDeletes || wantsLineage)
+      new GraftV1Scan(graft, prunedSchema, pushed, asOf, limits)
     else new GraftBatchScan(graft, prunedSchema, pushed, asOf, limits)
   }
 }
@@ -656,8 +691,17 @@ class GraftV1Scan(protected val graft: GraftTable,
           prunedSchema.fieldNames.contains(GraftMetaColumns.File)
         val withPos =
           prunedSchema.fieldNames.contains(GraftMetaColumns.Pos)
-        val df = graft.scan(filterColumn, asOf, withFileColumn = withFile,
-          withPosColumn = withPos)
+        val wantsLineage = prunedSchema.fieldNames
+          .exists(GraftMetaColumns.lineageNames.contains)
+        val df =
+          if (wantsLineage) {
+            require(!withFile && !withPos, "lineage columns cannot yet " +
+              "combine with _file/_pos in one read")
+            require(asOf.isEmpty,
+              "lineage columns are not served on time-travel reads")
+            graft.scanWithLineage(filterColumn)
+          } else graft.scan(filterColumn, asOf, withFileColumn = withFile,
+            withPosColumn = withPos)
         val projected =
           if (prunedSchema.isEmpty) df.select()
           else df.select(prunedSchema.fieldNames.map(col).toIndexedSeq: _*)

@@ -1,0 +1,94 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-based fuzz over the deletion-vector + row-lineage surface:
+  * random interleavings of appends, MoR / DV / CoW deletes, updates and
+  * every maintenance rewrite, checked after each step against a driver-
+  * side model of (row id → row value). Pinned seeds — failures replay.
+  */
+class DvLineageFuzzSpec extends SparkSpec {
+
+  test("fuzz: mutation/maintenance interleavings preserve ids and rows") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val rnd = new scala.util.Random(0xd1ead00L + round)
+      val loc = java.nio.file.Files
+        .createTempDirectory(s"dvlinfuzz$round").toString + "/t"
+      val t = GraftTable.create(spark, loc, StructType(Seq(
+        StructField("k", LongType), StructField("grp", LongType),
+        StructField("v", LongType))),
+        properties = Map(GraftTable.RowLineageProp -> "true"))
+
+      // model: row id -> (k, grp, v); ids assigned densely per append
+      var model = Map.empty[Long, (Long, Long, Long)]
+      var nextK = 0L
+
+      def check(step: String): Unit = {
+        val got = t.scanWithLineage()
+          .select(col("_row_id"), col("k"), col("grp"), col("v"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3))).toMap
+        assert(got == model,
+          s"round $round after $step: engine=${got.size} rows, " +
+            s"model=${model.size}; diff=${
+              (got.toSet diff model.toSet).take(3)} / ${
+              (model.toSet diff got.toSet).take(3)}")
+        assert(t.countRows() == model.size.toLong,
+          s"round $round after $step: countRows")
+      }
+
+      (1 to 14).foreach { step =>
+        val op = if (model.isEmpty) 0 else rnd.nextInt(9)
+        op match {
+          case 0 | 1 => // append a batch (ids continue densely)
+            val n = 20 + rnd.nextInt(60)
+            val base = t.metadata.nextRowId.getOrElse(0L)
+            val rows = (0 until n).map { i =>
+              val k = nextK; nextK += 1
+              (k, k % 7, rnd.nextInt(1000).toLong)
+            }
+            // writeFiles may split rows across shards in any order; the
+            // id → row binding must be recovered from the engine itself,
+            // so bind by k (unique) after the commit
+            t.append(rows.toDF("k", "grp", "v").repartition(
+              1 + rnd.nextInt(3)))
+            val appended = t.scanWithLineage()
+              .filter(col("_row_id") >= base)
+              .select(col("_row_id"), col("k"), col("grp"), col("v"))
+              .collect()
+            assert(appended.length == n)
+            appended.foreach(r => model += r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3)))
+          case 2 => // DV delete by group
+            val g = rnd.nextInt(7).toLong
+            t.deleteWhereDv(col("grp") === g)
+            model = model.filterNot(_._2._2 == g)
+          case 3 => // parquet MoR delete by value band
+            val cut = rnd.nextInt(1000).toLong
+            t.deleteWhereMoR(col("v") < cut && col("grp") === 1L)
+            model = model.filterNot(e => e._2._3 < cut && e._2._2 == 1L)
+          case 4 => // CoW delete (id-preserving rewrite)
+            val cut = rnd.nextInt(1000).toLong
+            t.deleteWhere(col("v") >= cut && col("grp") === 2L)
+            model = model.filterNot(e => e._2._3 >= cut && e._2._2 == 2L)
+          case 5 => // UPDATE (ids survive, values change)
+            val g = rnd.nextInt(7).toLong
+            t.updateWhere(col("grp") === g, Map("v" -> lit(g)))
+            model = model.map { case (id, (k, grp, v)) =>
+              id -> (k, grp, if (grp == g) g else v) }
+          case 6 => t.compact()
+          case 7 => t.compactBinPack(targetFileBytes = 1L << 20)
+          case 8 =>
+            if (rnd.nextBoolean()) t.rewriteManifests(64L)
+            else { try t.rewritePositionDeletes(1000L)
+              catch { case _: IllegalStateException => () } } // empty table
+        }
+        check(s"step $step op $op")
+      }
+    }
+  }
+}

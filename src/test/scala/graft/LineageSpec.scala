@@ -185,6 +185,38 @@ class LineageSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.scanWithLineage() }
   }
 
+  test("SQL: _row_id metadata column through the DSv2 catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-lin-wh").toString
+    spark.conf.set("spark.sql.catalog.glin", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.glin.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS glin.db")
+    spark.sql("""CREATE TABLE glin.db.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('graft.row-lineage' = 'true')""")
+    import spark.implicits._
+    (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("lin_src")
+    spark.sql("INSERT INTO glin.db.t SELECT * FROM lin_src")
+    val rows = spark.sql(
+      "SELECT id, _row_id, _last_updated_sequence_number FROM glin.db.t")
+      .collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getLong(1)).toSet == (0L until 50L).toSet)
+    assert(rows.forall(_.getLong(2) == 1L))
+    // CoW SQL DELETE preserves surviving ids
+    val before = spark.sql("SELECT id, _row_id FROM glin.db.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("DELETE FROM glin.db.t WHERE id <= 10")
+    val after = spark.sql("SELECT id, _row_id FROM glin.db.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 40 && after.forall { case (k, v) => before(k) == v })
+    // a non-lineage table does not even expose the column
+    spark.sql("CREATE TABLE glin.db.plain (id BIGINT)")
+    spark.sql("INSERT INTO glin.db.plain VALUES (1)")
+    val err = intercept[Exception] {
+      spark.sql("SELECT _row_id FROM glin.db.plain").collect() }
+    assert(err.getMessage.contains("_row_id"))
+  }
+
   test("next-row-id round-trips through metadata JSON") {
     val src = lineitem.limit(100)
     val t = lineageTable("lin-json", src)
