@@ -142,16 +142,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // retry re-refs the same shards without any rewrite
     val shardRefs0 = adds.shards.map(s => ManifestRef(s.path, s.entryCount,
       s.recordCount, Some(snapId), Some(seq), content = s.content))
-    // row lineage: APPEND shards get first-row-id bases assigned
-    // cumulatively from the table's next-row-id — O(shards) driver work;
-    // entries resolve base + their shard-local offset at read time.
-    // Replace-op shards (compaction) carry materialized ids instead and
-    // are left unassigned on purpose.
+    // row lineage: FRESH data shards (appends, MERGE inserts) get
+    // first-row-id bases assigned cumulatively from the table's
+    // next-row-id — O(shards) driver work; entries resolve base + their
+    // shard-local offset at read time. Rewrite shards (compaction, CoW,
+    // MERGE's target side) carry materialized ids and stay unassigned.
     val lineageOn = meta.properties
       .exists(_.get(GraftTable.RowLineageProp).contains("true"))
+    def fresh(s: ShardRef): Boolean = s.content == 0 && s.lineageFresh
     val lineageAdds =
-      if (!lineageOn || op != "append") 0L
-      else shardRefs0.filter(_.content == 0).map(_.recordCount).sum
+      if (!lineageOn) 0L
+      else adds.shards.filter(fresh).map(_.recordCount).sum
     val shardRefs =
       if (lineageAdds == 0L) shardRefs0
       else {
@@ -162,8 +163,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           0L
         }
         var next = base
-        shardRefs0.map { r =>
-          if (r.content != 0) r
+        adds.shards.zip(shardRefs0).map { case (s, r) =>
+          if (!fresh(s)) r
           else { val b = next; next += r.recordCount
             r.copy(firstRowId = Some(b)) }
         }
@@ -259,7 +260,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       summaryExtra: Map[String, String], sortWithin: Seq[Column] = Seq.empty,
       repartitionByPartition: Boolean = false,
       propsExtra: Map[String, String] = Map.empty): SnapshotV2 = {
-    val adds = writeFiles(df, sortWithin, repartitionByPartition)
+    val adds = writeFiles(df, sortWithin, repartitionByPartition,
+      lineageFresh = true)
     retryingCommit(() => commitSnapshot("append",
       meta => (manifestsFor(meta, None), adds, summaryExtra), propsExtra))
   }
@@ -285,7 +287,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * manifests written by executors — no per-file rows on the driver).
     */
   private def writeFiles(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
-      repartitionByPartition: Boolean = false): PendingAdds = {
+      repartitionByPartition: Boolean = false,
+      lineageFresh: Boolean = false): PendingAdds = {
     val meta = metadata
     val spec = meta.defaultSpec
     val schema = meta.currentSchema
@@ -417,7 +420,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     if (!wrote) PendingAdds.empty
     else PendingAdds(Seq.empty,
       writeStatsShards(writeDir, schema, sparkSchema, spec, writeId,
-        meta.properties.getOrElse(Map.empty)))
+        meta.properties.getOrElse(Map.empty))
+        .map(_.copy(lineageFresh = lineageFresh)))
   }
 
   /** One distributed pass over the freshly written files: per-file row
@@ -1210,6 +1214,46 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           SparkField(GraftTable.LastUpdCol, LongType)))))
   }
 
+  /** Attach `_row_id` to a read carrying `_file` and `_pos`, given the
+    * entries it was planned from: entries with a first-row-id serve
+    * virtually (base + position); materialized entries join their
+    * physical ids back by (file, position).
+    */
+  private def attachRowId(df: DataFrame,
+      entries: Seq[DataFileEntry]): DataFrame = {
+    import spark.implicits._
+    val (virt, mat) = entries.partition(_.firstRowId.isDefined)
+    val parts = Seq(
+      if (virt.isEmpty) None
+      else Some {
+        val baseDf = broadcast(virt.map(e => (e.path, e.firstRowId.get))
+          .toDF(GraftTable.FileCol, "__lin_base"))
+        df.join(baseDf, Seq(GraftTable.FileCol))
+          .withColumn(GraftTable.RowIdCol,
+            col("__lin_base") + col(GraftTable.RowPosCol))
+          .drop("__lin_base")
+      },
+      if (mat.isEmpty) None
+      else Some {
+        val decode = udf((raw: String) => GraftTable.decodePath(raw))
+        val lin = spark.read
+          .schema(StructType(Seq(SparkField(GraftTable.RowIdCol, LongType))))
+          .parquet(mat.map(_.path): _*)
+          .select(decode(col("_metadata.file_path")).as("__lin_file"),
+            col("_metadata.row_index").as("__lin_pos"),
+            col(GraftTable.RowIdCol).as("__lin_id"))
+        val matSet = broadcast(mat.map(e => Tuple1(e.path))
+          .toDF(GraftTable.FileCol))
+        df.join(matSet, Seq(GraftTable.FileCol))
+          .join(lin, col(GraftTable.FileCol) === col("__lin_file") &&
+            col(GraftTable.RowPosCol) === col("__lin_pos"))
+          .withColumn(GraftTable.RowIdCol, col("__lin_id"))
+          .drop("__lin_file", "__lin_pos", "__lin_id")
+      }).flatten
+    parts.reduceOption(_ unionByName _).getOrElse(
+      df.withColumn(GraftTable.RowIdCol, lit(null).cast(LongType)))
+  }
+
   /** True when this metadata declares row lineage. */
   private def lineageEnabled(meta: TableMetadataV2): Boolean =
     meta.properties.exists(_.get(GraftTable.RowLineageProp)
@@ -1388,19 +1432,36 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
     val schema = meta.currentSchema
     val sparkSchema = toSparkSchema(schema)
+    // lineage tables additionally emit each change row's stable _row_id
+    // — CDC consumers track a row across its whole life, not just match
+    // it by content
+    val lineage = lineageEnabled(meta)
+    val outFields = sparkSchema.fieldNames.toSeq ++
+      (if (lineage) Seq(GraftTable.RowIdCol) else Seq.empty)
     val emptyOut = {
-      val fields = sparkSchema.fields :+
-        SparkField("_change_type", StringType) :+
-        SparkField("_commit_snapshot_id", LongType) :+
-        SparkField("_commit_sequence", LongType)
+      val fields = sparkSchema.fields ++
+        (if (lineage) Seq(SparkField(GraftTable.RowIdCol, LongType))
+        else Seq.empty) ++ Seq(
+        SparkField("_change_type", StringType),
+        SparkField("_commit_snapshot_id", LongType),
+        SparkField("_commit_sequence", LongType))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(fields))
     }
     def tag(df: DataFrame, tpe: String, s: SnapshotV2): DataFrame =
-      df.select(sparkSchema.fieldNames.map(col).toIndexedSeq: _*)
+      df.select(outFields.map(col).toIndexedSeq: _*)
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
         .withColumn("_commit_sequence", lit(s.sequenceNumber))
+    // lineage read of commit-scoped files: FileCol/RowPosCol annotations
+    // feed attachRowId, which serves virtual ids (base + position) and
+    // joins materialized ones back from the rewritten files
+    def alignedFor(es: Seq[DataFileEntry], withPos: Boolean): DataFrame = {
+      val df = GraftTable.readAlignedFilesCore(spark, meta,
+        es.map(e => (e.path, e.schemaId)), schema, withPos = withPos,
+        withFile = lineage, withRowPos = lineage)
+      if (lineage) attachRowId(df, es) else df
+    }
 
     // per-commit changes against the commit's OWN snapshot refs: a
     // replace later in the range rewrites these files away, but the
@@ -1414,8 +1475,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       // inserts: the rows THIS append committed, as written
       val inserts = dataEntries.filter(_.sequenceNumber == sq) match {
         case Seq() => Seq.empty
-        case es => Seq(tag(readAlignedFilesFor(meta,
-          es.map(e => (e.path, e.schemaId)), schema), "insert", s))
+        case es => Seq(tag(alignedFor(es, withPos = false), "insert", s))
       }
 
       // position deletes: point-addressed (file, pos) → recover the rows
@@ -1443,9 +1503,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             .collect().map(r => canonPath(decodePath(r.getString(0)))).toSet
           val files = dataEntries
             .filter(e => touched.contains(canonPath(e.path)))
-            .map(e => (e.path, e.schemaId))
-          val annotated = readAlignedFilesFor(meta, files, schema,
-            withPos = true)
+          val annotated = alignedFor(files, withPos = true)
           Seq(tag(annotated.join(
               broadcast(positions.withColumnRenamed("file_path", PosPathCol)
                 .withColumnRenamed("pos", PosIdxCol)),
@@ -1464,8 +1522,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           val priorData = dataEntries.filter(_.sequenceNumber < sq)
           val annotated = priorData.groupBy(_.sequenceNumber).toSeq.map {
             case (dsq, des) =>
-              readAlignedFilesFor(meta, des.map(e => (e.path, e.schemaId)),
-                schema, withPos = true).withColumn(SeqCol, lit(dsq))
+              alignedFor(des, withPos = true).withColumn(SeqCol, lit(dsq))
           }.reduceOption(_ unionByName _)
           annotated match {
             case None => Seq(tag(emptyOut.drop(
@@ -2037,11 +2094,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       notMatched: Seq[MergeInsert],
       notMatchedBySource: Seq[MergeAction] = Seq.empty): SnapshotV2 = {
     val meta = metadata
-    if (lineageEnabled(meta))
-      throw new UnsupportedOperationException(
-        "MERGE is a copy-on-write rewrite and is not supported on " +
-          "row-lineage tables — compose appends with merge-on-read " +
-          "deletes instead")
+    val lineage = lineageEnabled(meta)
     val schema = meta.currentSchema
     val sparkSchema = toSparkSchema(schema)
     val srcPfx = GraftTable.MergeSourcePrefix
@@ -2081,8 +2134,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       splitManifests(meta, hitCol, hit)
     val (affected, carried) = affectedEntries.partition(hit)
     // explicit presence markers: testing a KEY for null would
-    // misclassify null-keyed rows on either side
-    val target = readAppliedFor(meta, affected, schema)
+    // misclassify null-keyed rows on either side. On lineage tables the
+    // target read carries _row_id/_last_updated so the rewrite preserves
+    // row identity.
+    val target = readAppliedForRewrite(meta, affected, schema)
       .withColumn("__tgt_present", lit(1))
     val src = source.select(source.columns.toIndexedSeq.map(n =>
       col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
@@ -2126,8 +2181,34 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           lit(null).cast(f.dataType)))
         .cast(f.dataType).as(f.name)
     }
-    val merged = joined.filter(keep).select(outCols: _*)
-    val rewritten = writeFiles(merged)
+    val rewritten =
+      if (!lineage) writeFiles(joined.filter(keep).select(outCols: _*))
+      else {
+        // split by origin: TARGET-derived rows rewrite with their ids
+        // materialized (updated rows null their last-updated sequence,
+        // inheriting this commit's — the v3 contract); SOURCE-ONLY
+        // inserts write as FRESH shards and get new ids at commit
+        def updatedChain(actions: Seq[MergeAction]): Column =
+          actions.foldRight(lit(false)) { (a, els) =>
+            when(condOf(a), lit(a.isInstanceOf[MergeUpdate])).otherwise(els)
+          }
+        val wasUpdated =
+          when(isMatched, updatedChain(matched))
+            .when(isTgtOnly, updatedChain(notMatchedBySource))
+            .otherwise(lit(false))
+        val lineageOut = Seq(
+          col(GraftTable.RowIdCol),
+          when(wasUpdated, lit(null).cast(LongType))
+            .otherwise(col(GraftTable.LastUpdCol))
+            .as(GraftTable.LastUpdCol))
+        val tgtPart = joined.filter(keep && col("__tgt_present").isNotNull)
+          .select(outCols ++ lineageOut: _*)
+        val insPart = joined.filter(keep && col("__tgt_present").isNull)
+          .select(outCols: _*)
+        val a = writeFiles(tgtPart)
+        val b = writeFiles(insPart, lineageFresh = true)
+        PendingAdds(a.entries ++ b.entries, a.shards ++ b.shards)
+      }
     commitSnapshot("overwrite", { freshMeta =>
       // the rewrite was derived from `meta`; if the manifest set moved
       // underneath us the merge must be re-run, not silently committed
@@ -2826,7 +2907,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def appendToBranch(branch: String, df: DataFrame,
       sortWithin: Seq[Column] = Seq.empty,
       repartitionByPartition: Boolean = false): SnapshotV2 = {
-    val adds = writeFiles(df, sortWithin, repartitionByPartition)
+    val adds = writeFiles(df, sortWithin, repartitionByPartition,
+      lineageFresh = true)
     retryingCommit(() => commitSnapshot("append", fresh => {
       val head = fresh.refs.flatMap(_.get(branch)).getOrElse(
         throw new IllegalArgumentException(s"no branch $branch")).snapshotId
@@ -3553,7 +3635,10 @@ object GraftTable {
     * the rollup counts the manifest list records.
     */
   case class ShardRef(path: String, entryCount: Long, recordCount: Long,
-      content: Int = 0)
+      content: Int = 0,
+      // row lineage: fresh rows (appends, MERGE inserts) get first-row-id
+      // bases assigned at commit; rewrites carry materialized ids instead
+      lineageFresh: Boolean = false)
 
   /** What a mutation hands to commitSnapshot: carried-over driver-side
     * entries (from existing manifests) plus executor-written shard

@@ -42,7 +42,7 @@ class DvLineageFuzzSpec extends SparkSpec {
       }
 
       (1 to 14).foreach { step =>
-        val op = if (model.isEmpty) 0 else rnd.nextInt(9)
+        val op = if (model.isEmpty) 0 else rnd.nextInt(10)
         op match {
           case 0 | 1 => // append a batch (ids continue densely)
             val n = 20 + rnd.nextInt(60)
@@ -86,6 +86,29 @@ class DvLineageFuzzSpec extends SparkSpec {
             if (rnd.nextBoolean()) t.rewriteManifests(64L)
             else { try t.rewritePositionDeletes(1000L)
               catch { case _: IllegalStateException => () } } // empty table
+          case 9 => // MERGE upsert: updates keep ids, inserts get fresh
+            val existing = rnd.shuffle(model.values.map(_._1).toSeq)
+              .take(5 + rnd.nextInt(10))
+            val newKeys = (0 until 5).map { _ => val k = nextK; nextK += 1; k }
+            val srcRows = (existing ++ newKeys).map(k =>
+              (k, k % 7, 5000L + rnd.nextInt(1000)))
+            t.mergeInto(srcRows.toDF("k", "grp", "v"), Seq("k"))
+            val byK = srcRows.map(r => r._1 -> r).toMap
+            // updates: same id, source values
+            model = model.map { case (id, (k, grp, v)) =>
+              byK.get(k) match {
+                case Some((_, g2, v2)) => id -> (k, g2, v2)
+                case None => id -> (k, grp, v)
+              }
+            }
+            // inserts: bind engine-assigned ids by (unique) key
+            val inserted = t.scanWithLineage()
+              .filter(col("k").isin(newKeys: _*))
+              .select(col("_row_id"), col("k"), col("grp"), col("v"))
+              .collect()
+            assert(inserted.length == newKeys.size)
+            inserted.foreach(r => model += r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3)))
         }
         check(s"step $step op $op")
       }

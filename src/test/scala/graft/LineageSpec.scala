@@ -160,12 +160,45 @@ class LineageSpec extends SparkSpec {
     }
   }
 
-  test("merge/overwrite refuse on lineage tables; late enablement refuses") {
+  test("MERGE upsert: updated rows keep ids, inserts get fresh ones") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, freshLoc("lin-merge"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))),
+      properties = Map(GraftTable.RowLineageProp -> "true"))
+    t.append((1L to 100L).map(i => (i, i)).toDF("id", "v"))
+    val pre = t.scanWithLineage().select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // upsert: ids 51..150 — 50 updates, 50 inserts
+    val snap = t.mergeInto((51L to 150L).map(i => (i, i * 10))
+      .toDF("id", "v"), Seq("id"))
+    val post = t.scanWithLineage()
+      .select(col("id"), col("v"), col("_row_id"),
+        col("_last_updated_sequence_number"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(post.length == 150)
+    assert(post.map(_._3).distinct.length == 150, "ids must stay unique")
+    post.foreach { case (id, v, rowId, seq) =>
+      if (id <= 50) { // untouched: same id, same value, original seq
+        assert(rowId == pre(id) && v == id && seq == 1L)
+      } else if (id <= 100) { // updated: SAME id, new value, merge seq
+        assert(rowId == pre(id), s"updated row $id changed _row_id")
+        assert(v == id * 10 && seq == snap.sequenceNumber)
+      } else { // inserted: fresh id past the original range, merge seq
+        assert(rowId >= 100L, s"insert $id got a recycled id $rowId")
+        assert(v == id * 10 && seq == snap.sequenceNumber)
+      }
+    }
+  }
+
+  test("overwrite refuses on lineage tables; late enablement refuses") {
     val src = lineitem.limit(300)
     val t = lineageTable("lin-cow", src)
     t.append(src)
-    intercept[UnsupportedOperationException] {
-      t.mergeInto(src.limit(10), Seq("l_orderkey", "l_linenumber")) }
     intercept[UnsupportedOperationException] {
       t.overwriteWhere(col("l_linenumber") === 1, src.limit(5)) }
     intercept[IllegalArgumentException] {
@@ -215,6 +248,40 @@ class LineageSpec extends SparkSpec {
     val err = intercept[Exception] {
       spark.sql("SELECT _row_id FROM glin.db.plain").collect() }
     assert(err.getMessage.contains("_row_id"))
+  }
+
+  test("changelog emits _row_id: inserts, DV deletes, post-compact deletes") {
+    val src = lineitem.limit(1000)
+    val t = lineageTable("lin-cdc", src)
+    val s0 = t.append(src.limit(600)).snapshotId
+    // pin every row's id while all files are still virtual
+    val cols = src.columns.toSeq
+    def idsOf(df: DataFrame): Set[(Long, Int)] =
+      df.select(col("_row_id"), hash(cols.map(col): _*).as("__h"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val all0 = idsOf(t.scanWithLineage())
+    val s1 = t.deleteWhereDv(col("l_linenumber") === 1).snapshotId
+    val deleted1 = all0 diff idsOf(t.scanWithLineage())
+    val s2 = t.append(src.filter(col("l_linenumber") === 7).limit(50))
+      .snapshotId
+    val ch = t.changes(s0, s2)
+    assert(ch.columns.contains("_row_id"))
+    val chDel = idsOf(ch.filter(col("_change_type") === "delete"))
+    assert(chDel == deleted1,
+      "delete change rows must carry the ids the rows died with")
+    val chIns = idsOf(ch.filter(col("_change_type") === "insert"))
+    assert(chIns == (idsOf(t.scanWithLineage()) diff
+      (all0 diff deleted1)), "insert change rows carry the appended ids")
+    // a delete AFTER compaction addresses MATERIALIZED files — the
+    // changelog must recover ids from the physical columns
+    t.compact()
+    val s3 = t.metadata.currentSnapshotId.get
+    val pre = idsOf(t.scanWithLineage())
+    val s4 = t.deleteWhereDv(col("l_linenumber") === 2).snapshotId
+    val deleted2 = pre diff idsOf(t.scanWithLineage())
+    assert(deleted2.nonEmpty)
+    val ch2 = t.changes(s3, s4)
+    assert(idsOf(ch2.filter(col("_change_type") === "delete")) == deleted2)
   }
 
   test("next-row-id round-trips through metadata JSON") {
