@@ -448,14 +448,19 @@ object IcebergQueries {
         val pre = tagged(t.scanWithLineage())
         t.deleteWhereDv(col("l_returnflag") === "R")
         t.compact()
-        val post = t.scanWithLineage()
-        val n = post.count()
-        require(post.select("_row_id").distinct().count() == n,
-          "row ids must be globally unique")
-        val moved = tagged(post)
-          .join(pre, Seq("_row_id", "__h"), "left_anti").count()
-        require(moved == 0,
-          s"$moved rows changed _row_id across DV delete + compaction")
+        // one materialization serves both invariants (the lineage read
+        // joins physical id columns — don't recompute it per check)
+        val post = tagged(t.scanWithLineage()).persist()
+        try {
+          val a = post.agg(count(lit(1)),
+            countDistinct(col("_row_id"))).head()
+          require(a.getLong(0) == a.getLong(1),
+            "row ids must be globally unique")
+          val moved = post
+            .join(pre, Seq("_row_id", "__h"), "left_anti").count()
+          require(moved == 0,
+            s"$moved rows changed _row_id across DV delete + compaction")
+        } finally post.unpersist()
         flagAgg(t.scan())
       },
       Some(s"""$flagAggSql FROM lineitem WHERE l_returnflag <> 'R'
