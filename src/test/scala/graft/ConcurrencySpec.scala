@@ -134,4 +134,36 @@ class ConcurrencySpec extends SparkSpec {
       "deleted rows resurrected by the re-cluster")
     assert(t.countRows() == 800L - deleted.size)
   }
+
+  test("racing deletion-vector deletes serialize: merged DVs stay exact") {
+    import spark.implicits._
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("conc-dv").toString + "/t",
+      (1L to 1000L).map(i => (i, i % 10)).toDF("id", "grp").schema)
+    t.append((1L to 1000L).map(i => (i, i % 10)).toDF("id", "grp")
+      .repartition(4))
+    // 4 writers DV-delete disjoint groups concurrently; every delete
+    // touches EVERY data file (grp is spread across all of them), so
+    // each commit must merge the racing winners' vectors via
+    // conflict-rebase — a lost update would resurrect a group
+    val groups = Seq(1L, 3L, 5L, 7L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
+    try {
+      val fs = groups.map { g =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.deleteWhereDv(col("grp") === g).snapshotId
+        })
+      }
+      fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val expected = (1L to 1000L).count(i => !groups.contains(i % 10))
+    assert(t.scan().count() == expected)
+    assert(t.countRows() == expected, "merged DV cardinalities must stay " +
+      "exact under racing deletes")
+    assert(t.scan().filter(col("grp").isin(groups: _*)).count() == 0)
+    // supersession held: at most ONE deletion vector per data file
+    val dvFiles = t.liveManifests(None).filter(_.content == 1)
+      .flatMap(_.entries).flatMap(_.dv.map(_.dataFile))
+    assert(dvFiles.nonEmpty && dvFiles.distinct.size == dvFiles.size)
+  }
 }
