@@ -65,12 +65,14 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
       // claim ONLY merge-on-read tables; copy-on-write DELETEs keep the
       // native SupportsDeleteV2 path (metadata-only whole-file drops)
       graftLocation(tbl).fold(d: LogicalPlan) { loc =>
-        val mor =
-          try GraftTable.load(org.apache.spark.sql.SparkSession.active, loc)
-            .metadata.properties
-            .exists(_.get(GraftTable.DeleteModeProp)
-              .contains("merge-on-read"))
-          catch { case _: Exception => false }
+        // graftLocation already proved this IS a graft table — a
+        // metadata-load failure here is real (corruption, races) and
+        // must propagate, not silently reroute a merge-on-read table's
+        // DELETE to the copy-on-write path
+        val mor = GraftTable.load(org.apache.spark.sql.SparkSession.active,
+            loc).metadata.properties
+          .exists(_.get(GraftTable.DeleteModeProp)
+            .contains("merge-on-read"))
         if (mor) GraftMorDeleteCommand(loc, cond) else d
       }
     case m @ MergeIntoTable(tgt, src, mergeCond, matched, notMatched,

@@ -77,9 +77,17 @@ object Dv {
       var x = 0L; var shift = 0; var b = 0
       do {
         require(p < bytes.length, "truncated DV blob")
+        // bound BEFORE use: Long << masks shift mod 64, so an unbounded
+        // corrupt varint would silently wrap into a plausible position
+        require(shift < 64, "DV varint overflows 64 bits")
         b = bytes(p) & 0xff; p += 1
         x |= (b & 0x7fL) << shift; shift += 7
       } while ((b & 0x80) != 0)
+      // deltas are strictly positive by construction (encode requires
+      // strictly increasing positions) — a zero/negative decode is
+      // corruption, not data
+      require(if (i == 0) x >= 0 else x > 0,
+        s"DV delta must be ${if (i == 0) ">= 0" else "> 0"}: $x")
       prev = if (i == 0) x else prev + x
       out(i) = prev
       i += 1

@@ -1135,6 +1135,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .exists(_.get(GraftTable.RowLineageProp).contains("true")),
       s"row lineage is not enabled on $location (set " +
         s"${GraftTable.RowLineageProp}=true at create)")
+    requireLineageReadable(meta)
     val schema = meta.currentSchema
     val refs = manifestsFor(meta, None)
     val planned: Seq[(String, Int, Long, Option[Long])] =
@@ -1153,28 +1154,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   /** The lineage-annotated read over an explicit plan: table columns +
     * `_row_id` + `_last_updated_sequence_number`, deletes applied. Files
-    * with a first-row-id serve lineage virtually; files without one
-    * carry it as physical columns joined back by (file, position).
+    * with a first-row-id serve lineage virtually (base + position off a
+    * broadcast of the plan); files a lineage-preserving rewrite produced
+    * carry BOTH columns physically and project them straight off the
+    * parquet scan — no join-back, so a fully-compacted table's lineage
+    * read is a single map-side scan.
     */
   private def lineageReadFor(meta: TableMetadataV2,
       planned: Seq[(String, Int, Long, Option[Long])],
       schema: SchemaV2): DataFrame = {
     import spark.implicits._
     val (virtuals, materialized) = planned.partition(_._4.isDefined)
-    def annotated(fs: Seq[(String, Int, Long, Option[Long])]): DataFrame =
-      readDeletesApplied(meta, fs.map(f => (f._1, f._2, f._3)), schema,
-        None, withFile = true, withRowPos = true)
     val outCols = toSparkSchema(schema).fieldNames.toSeq ++
       Seq(GraftTable.RowIdCol, GraftTable.LastUpdCol)
-    // per-file constants attach via BROADCAST joins on the decoded path
-    // (`_file` and entry paths both come from decodePath, so exact
-    // equality holds) — codegen'd hash joins, no per-row udf work
     val parts = Seq(
       if (virtuals.isEmpty) None
       else {
+        // per-file constants attach via a BROADCAST join on the decoded
+        // path (`_file` and entry paths both come from decodePath, so
+        // exact equality holds) — a codegen'd hash join
         val baseDf = broadcast(virtuals.map(f => (f._1, f._4.get, f._3))
           .toDF(GraftTable.FileCol, "__lin_base", "__lin_fseq"))
-        Some(annotated(virtuals)
+        Some(readDeletesApplied(meta, virtuals.map(f => (f._1, f._2, f._3)),
+            schema, None, withFile = true, withRowPos = true)
           .join(baseDf, Seq(GraftTable.FileCol))
           .withColumn(GraftTable.RowIdCol,
             col("__lin_base") + col(GraftTable.RowPosCol))
@@ -1182,30 +1184,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .select(outCols.map(col): _*))
       },
       if (materialized.isEmpty) None
-      else {
-        val seqDf = broadcast(materialized.map(f => (f._1, f._3))
-          .toDF(GraftTable.FileCol, "__lin_fseq"))
-        val linSchema = StructType(Seq(
-          SparkField(GraftTable.RowIdCol, LongType),
-          SparkField(GraftTable.LastUpdCol, LongType)))
-        val decode = udf((raw: String) => decodePath(raw))
-        val lin = spark.read.schema(linSchema)
-          .parquet(materialized.map(_._1): _*)
-          .select(decode(col("_metadata.file_path")).as("__lin_file"),
-            col("_metadata.row_index").as("__lin_pos"),
-            col(GraftTable.RowIdCol).as("__lin_id"),
-            col(GraftTable.LastUpdCol).as("__lin_seq"))
-        Some(annotated(materialized)
-          .join(lin,
-            col(GraftTable.FileCol) === col("__lin_file") &&
-              col(GraftTable.RowPosCol) === col("__lin_pos"))
-          .join(seqDf, Seq(GraftTable.FileCol))
-          .withColumn(GraftTable.RowIdCol, col("__lin_id"))
-          // a null materialized sequence means "updated by this file's
-          // commit" — inherit the file's own sequence (v3 contract)
-          .withColumn(GraftTable.LastUpdCol,
-            coalesce(col("__lin_seq"), col("__lin_fseq")))
-          .select(outCols.map(col): _*))
+      else Some {
+        // group by data sequence so the per-file "null last-updated
+        // means this file's own commit" fallback (v3 contract) is a
+        // LITERAL per group — no per-file join at all
+        materialized.groupBy(_._3).map { case (seq, fs) =>
+          readDeletesApplied(meta, fs.map(f => (f._1, f._2, f._3)),
+              schema, None, withLineage = true)
+            .withColumn(GraftTable.LastUpdCol,
+              coalesce(col(GraftTable.LastUpdCol), lit(seq)))
+        }.reduce(_.unionByName(_)).select(outCols.map(col): _*)
       }).flatten
     parts.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -1214,13 +1202,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           SparkField(GraftTable.LastUpdCol, LongType)))))
   }
 
-  /** Attach `_row_id` to a read carrying `_file` and `_pos`, given the
-    * entries it was planned from: entries with a first-row-id serve
-    * virtually (base + position); materialized entries join their
-    * physical ids back by (file, position).
+  /** Schema-aligned read of entries with `_row_id` attached: entries
+    * with a first-row-id serve ids virtually (base + position via a
+    * broadcast of the plan); materialized entries project their
+    * physical `_row_id` column straight off the parquet scan.
     */
-  private def attachRowId(df: DataFrame,
-      entries: Seq[DataFileEntry]): DataFrame = {
+  private def alignedWithRowId(meta: TableMetadataV2,
+      entries: Seq[DataFileEntry], schema: SchemaV2,
+      withPos: Boolean): DataFrame = {
     import spark.implicits._
     val (virt, mat) = entries.partition(_.firstRowId.isDefined)
     val parts = Seq(
@@ -1228,36 +1217,45 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       else Some {
         val baseDf = broadcast(virt.map(e => (e.path, e.firstRowId.get))
           .toDF(GraftTable.FileCol, "__lin_base"))
-        df.join(baseDf, Seq(GraftTable.FileCol))
+        GraftTable.readAlignedFilesCore(spark, meta,
+            virt.map(e => (e.path, e.schemaId)), schema,
+            withPos = withPos, withFile = true, withRowPos = true)
+          .join(baseDf, Seq(GraftTable.FileCol))
           .withColumn(GraftTable.RowIdCol,
             col("__lin_base") + col(GraftTable.RowPosCol))
-          .drop("__lin_base")
+          .drop("__lin_base", GraftTable.FileCol, GraftTable.RowPosCol)
       },
       if (mat.isEmpty) None
       else Some {
-        val decode = udf((raw: String) => GraftTable.decodePath(raw))
-        val lin = spark.read
-          .schema(StructType(Seq(SparkField(GraftTable.RowIdCol, LongType))))
-          .parquet(mat.map(_.path): _*)
-          .select(decode(col("_metadata.file_path")).as("__lin_file"),
-            col("_metadata.row_index").as("__lin_pos"),
-            col(GraftTable.RowIdCol).as("__lin_id"))
-        val matSet = broadcast(mat.map(e => Tuple1(e.path))
-          .toDF(GraftTable.FileCol))
-        df.join(matSet, Seq(GraftTable.FileCol))
-          .join(lin, col(GraftTable.FileCol) === col("__lin_file") &&
-            col(GraftTable.RowPosCol) === col("__lin_pos"))
-          .withColumn(GraftTable.RowIdCol, col("__lin_id"))
-          .drop("__lin_file", "__lin_pos", "__lin_id")
+        GraftTable.readAlignedFilesCore(spark, meta,
+            mat.map(e => (e.path, e.schemaId)), schema,
+            withPos = withPos, withLineage = true)
+          .drop(GraftTable.LastUpdCol)
       }).flatten
     parts.reduceOption(_ unionByName _).getOrElse(
-      df.withColumn(GraftTable.RowIdCol, lit(null).cast(LongType)))
+      GraftTable.readAlignedFilesCore(spark, meta, Seq.empty, schema,
+          withPos = withPos)
+        .withColumn(GraftTable.RowIdCol, lit(null).cast(LongType)))
   }
 
   /** True when this metadata declares row lineage. */
   private def lineageEnabled(meta: TableMetadataV2): Boolean =
     meta.properties.exists(_.get(GraftTable.RowLineageProp)
       .contains("true"))
+
+  /** Reject a lineage read over rows that never got ids: lineage enabled
+    * on an already-populated table (no next-row-id yet data exists)
+    * would silently serve NULL ids — and a compaction would then
+    * MATERIALIZE those nulls. Fail loudly instead.
+    */
+  private def requireLineageReadable(meta: TableMetadataV2): Unit = {
+    val hasRows = meta.currentSnapshot.exists(
+      _.summary.other.get("total-records").exists(_.toLong > 0L))
+    require(meta.nextRowId.isDefined || !hasRows,
+      s"row lineage was enabled on $location AFTER rows were written — " +
+        "pre-existing rows have no ids; recreate the table with " +
+        s"${GraftTable.RowLineageProp}=true before the first append")
+  }
 
   /** The deletes-applied read a REWRITE consumes: on lineage tables it
     * additionally carries the materialized lineage columns, which
@@ -1268,9 +1266,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       entries: Seq[DataFileEntry], schema: SchemaV2): DataFrame =
     if (!lineageEnabled(meta))
       readAppliedFor(meta, entries, schema)
-    else lineageReadFor(meta,
-      entries.map(e => (e.path, e.schemaId, e.sequenceNumber, e.firstRowId)),
-      schema)
+    else {
+      requireLineageReadable(meta)
+      lineageReadFor(meta,
+        entries.map(e =>
+          (e.path, e.schemaId, e.sequenceNumber, e.firstRowId)),
+        schema)
+    }
 
   /** Pruned file plan as (path, schemaId, sequenceNumber) triples. Above
     * the threshold, pruning runs as a Spark filter over the manifest
@@ -1453,15 +1455,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
         .withColumn("_commit_sequence", lit(s.sequenceNumber))
-    // lineage read of commit-scoped files: FileCol/RowPosCol annotations
-    // feed attachRowId, which serves virtual ids (base + position) and
-    // joins materialized ones back from the rewritten files
-    def alignedFor(es: Seq[DataFileEntry], withPos: Boolean): DataFrame = {
-      val df = GraftTable.readAlignedFilesCore(spark, meta,
-        es.map(e => (e.path, e.schemaId)), schema, withPos = withPos,
-        withFile = lineage, withRowPos = lineage)
-      if (lineage) attachRowId(df, es) else df
-    }
+    // lineage read of commit-scoped files: virtual ids from a broadcast
+    // of the plan, materialized ids projected off the scan itself
+    def alignedFor(es: Seq[DataFileEntry], withPos: Boolean): DataFrame =
+      if (lineage) alignedWithRowId(meta, es, schema, withPos)
+      else GraftTable.readAlignedFilesCore(spark, meta,
+        es.map(e => (e.path, e.schemaId)), schema, withPos = withPos)
 
     // per-commit changes against the commit's OWN snapshot refs: a
     // replace later in the range rewrites these files away, but the
@@ -1487,17 +1486,28 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         else {
           // a DELETION VECTOR committed here is the file's MERGED delete
           // set (it superseded the parent's DV) — this commit's own
-          // delta is its positions minus the parent snapshot's
-          val parentDvs = s.parentSnapshotId.toSeq
-            .flatMap(p => posDeleteEntriesFor(meta, Some(p)))
-            .filter(_.dv.isDefined)
+          // delta is its positions minus the parent snapshot's. Only
+          // parent DVs over THIS commit's referenced data files can
+          // subtract (O(delta files), not O(table's deleted rows)), and
+          // an expired parent degrades to the merged set rather than
+          // failing the whole changelog read.
+          val myDvFiles = posDels.flatMap(_.dv).map(_.dataFile).toSet
+          val parentDvs =
+            if (myDvFiles.isEmpty) Seq.empty
+            else s.parentSnapshotId.toSeq.flatMap { p =>
+              if (meta.snapshotById(p).isEmpty) Seq.empty // expired
+              else posDeleteEntriesFor(meta, Some(p))
+                .filter(_.dv.exists(d => myDvFiles.contains(d.dataFile)))
+            }
           val raw = GraftTable.posDeletePositionsCore(spark, posDels)
             .select(col("file_path"), col("pos"))
+          // no broadcast hint: a long-lived file's DV is unbounded, and
+          // AQE broadcasts small position sets on its own
           val positions =
-            if (parentDvs.isEmpty || !posDels.exists(_.dv.isDefined)) raw
+            if (parentDvs.isEmpty) raw
             else raw.join(
-              broadcast(GraftTable.posDeletePositionsCore(spark, parentDvs)
-                .select(col("file_path"), col("pos"))),
+              GraftTable.posDeletePositionsCore(spark, parentDvs)
+                .select(col("file_path"), col("pos")),
               Seq("file_path", "pos"), "left_anti")
           val touched = positions.select("file_path").distinct()
             .collect().map(r => canonPath(decodePath(r.getString(0)))).toSet
@@ -1598,10 +1608,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private def readDeletesApplied(meta: TableMetadataV2,
       files: Seq[(String, Int, Long)], readSchema: SchemaV2,
       asOf: Option[Long], withFile: Boolean = false,
-      withRowPos: Boolean = false): DataFrame =
+      withRowPos: Boolean = false,
+      withLineage: Boolean = false): DataFrame =
     GraftTable.readDeletesAppliedCore(spark, meta, files, readSchema,
       posDeleteEntriesFor(meta, asOf), eqDeletesFor(meta, asOf), withFile,
-      withRowPos)
+      withRowPos, withLineage)
 
   /** Anti-join position deletes (parquet files of (file_path, pos) and
     * decoded deletion vectors) against a position-annotated read. Delete
@@ -1630,14 +1641,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * state a delete-then-append pair would expose.
     */
   def overwriteWhere(cond: Column, replacement: DataFrame): SnapshotV2 = {
-    if (lineageEnabled(metadata))
-      throw new UnsupportedOperationException(
-        "INSERT OVERWRITE is not supported on row-lineage tables — " +
-          "replacement rows cannot be assigned lineage ids inside a " +
-          "rewrite; DELETE then append instead")
     // replacement files are written ONCE; a conflict retry re-refs the
-    // same shards (commitSnapshot design) while re-deriving the rewrite
-    val adds = writeFiles(replacement)
+    // same shards (commitSnapshot design) while re-deriving the rewrite.
+    // On lineage tables the replacement shards are FRESH: commit assigns
+    // them new first-row-id bases (v3 — overwrite rows get new ids),
+    // while survivor rows of partially-matching files keep theirs via
+    // the lineage-annotated rewrite read.
+    val adds = writeFiles(replacement, lineageFresh = lineageEnabled(metadata))
     retryingCommit(() => deleteAndAdd(cond, Some(adds)))
   }
 
@@ -1707,13 +1717,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       // the lineage-annotated read and writeFiles materializes the ids
       // into the rewritten files (updateWhere null-outs the sequence of
       // updated rows so they inherit this commit's — the v3 contract).
-      // INSERT OVERWRITE introduces NEW rows inside a rewrite, where no
-      // fresh ids can be assigned — refused; append instead.
-      if (lineageEnabled(meta) && extraAdds.nonEmpty)
-        throw new UnsupportedOperationException(
-          "INSERT OVERWRITE is not supported on row-lineage tables — " +
-            "replacement rows cannot be assigned lineage ids inside a " +
-            "rewrite; DELETE then append instead")
+      // INSERT OVERWRITE's replacement shards arrive via extraAdds
+      // marked lineageFresh — commit assigns them new id bases.
       val schema = meta.currentSchema
       val sparkSchema = toSparkSchema(schema)
       val (preds, complete) =
@@ -2717,6 +2722,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   def updateProperties(changes: Map[String, Option[String]]): Unit = {
     val (baseVersion, meta) = metadataWithVersion
+    // lineage cannot be turned on after rows exist: they have no ids,
+    // and every lineage read/rewrite from then on would be meaningless
+    if (changes.get(GraftTable.RowLineageProp).exists(_.contains("true")) &&
+        !lineageEnabled(meta) &&
+        meta.currentSnapshot.exists(
+          _.summary.other.get("total-records").exists(_.toLong > 0L)))
+      throw new IllegalArgumentException(
+        s"cannot enable ${GraftTable.RowLineageProp} on $location: the " +
+          "table already holds rows, which have no lineage ids")
     val cur = meta.properties.getOrElse(Map.empty)
     val next = changes.foldLeft(cur) {
       case (m, (k, Some(v))) => m + (k -> v)
@@ -3466,21 +3480,30 @@ object GraftTable {
   private[table] def readAlignedFilesCore(spark: SparkSession,
       meta: TableMetadataV2, files: Seq[(String, Int)],
       readSchema: SchemaV2, withPos: Boolean = false,
-      withFile: Boolean = false, withRowPos: Boolean = false): DataFrame = {
+      withFile: Boolean = false, withRowPos: Boolean = false,
+      withLineage: Boolean = false): DataFrame = {
     val targetSpark0 = toSparkSchema(readSchema)
     val targetSpark = StructType(targetSpark0.fields ++
       (if (withPos) Seq(SparkField(PosPathCol, StringType),
         SparkField(PosIdxCol, LongType)) else Seq.empty) ++
       (if (withFile) Seq(SparkField(FileCol, StringType)) else Seq.empty) ++
-      (if (withRowPos) Seq(SparkField(RowPosCol, LongType)) else Seq.empty))
+      (if (withRowPos) Seq(SparkField(RowPosCol, LongType)) else Seq.empty) ++
+      (if (withLineage) Seq(SparkField(RowIdCol, LongType),
+        SparkField(LastUpdCol, LongType)) else Seq.empty))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], targetSpark)
     val groups = files.groupBy(_._2)
     groups.map { case (sid, es) =>
       val fileSchema = meta.schemaById(sid).getOrElse(readSchema)
+      val readFields = toSparkSchema(fileSchema).fields ++
+        // lineage-materialized files carry these as ordinary physical
+        // columns (outside the id-tracked table schema); naming them in
+        // the read schema projects them straight off the parquet scan
+        (if (withLineage) Seq(SparkField(RowIdCol, LongType),
+          SparkField(LastUpdCol, LongType)) else Seq.empty)
       val df = spark.read
-        .schema(toSparkSchema(fileSchema))
+        .schema(StructType(readFields))
         .parquet(es.map(_._1): _*)
       val cols = readSchema.fields.map { f =>
         fileSchema.fields.find(_.id == f.id) match {
@@ -3496,11 +3519,13 @@ object GraftTable {
         (if (withFile) Seq(
           // user-facing virtual column: the DECODED on-disk path, same
           // form the manifest stores (and the native DSv2 path emits)
-          decodePathUdf(col("_metadata.file_path")).as(FileCol))
+          decodePathCol(col("_metadata.file_path")).as(FileCol))
         else Seq.empty) ++
         // original in-file position (file-absolute even under parquet
         // row-group skipping — Spark's reader tracks it)
         (if (withRowPos) Seq(col("_metadata.row_index").as(RowPosCol))
+        else Seq.empty) ++
+        (if (withLineage) Seq(col(RowIdCol), col(LastUpdCol))
         else Seq.empty)
       df.select(cols: _*)
     }.reduce(_.union(_))
@@ -3515,8 +3540,17 @@ object GraftTable {
     */
   val RowPosCol = "_pos"
 
-  private lazy val decodePathUdf =
-    udf((s: String) => decodePath(s))
+  /** Codegen'd per-row path decode: a StaticInvoke expression compiles
+    * to a direct static call inside WholeStageCodegen, unlike a Scala
+    * UDF which would break fusion for the whole stage it appears in.
+    */
+  private[table] def decodePathCol(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        PathCodec.getClass, StringType, "decode",
+        Seq(org.apache.spark.sql.graft.Bridge.expression(c)),
+        inputTypes = Seq(StringType), propagateNull = true,
+        returnNullable = false))
 
   /** All deleted (file_path, pos) pairs of a position-delete entry set —
     * parquet entries as a parquet scan, deletion vectors decoded on
@@ -3594,16 +3628,19 @@ object GraftTable {
       meta: TableMetadataV2, files: Seq[(String, Int, Long)],
       readSchema: SchemaV2, posDels: Seq[DataFileEntry],
       eqDels0: Seq[DataFileEntry], withFile: Boolean = false,
-      withRowPos: Boolean = false): DataFrame = {
+      withRowPos: Boolean = false,
+      withLineage: Boolean = false): DataFrame = {
     // a delete at or below EVERY planned file's sequence can never apply
     val minSeq = files.map(_._3).minOption.getOrElse(Long.MaxValue)
     val eqDels = eqDels0.filter(_.sequenceNumber > minSeq)
     def posApplied(fs: Seq[(String, Int)]): DataFrame =
       if (posDels.isEmpty) readAlignedFilesCore(spark, meta, fs, readSchema,
-        withFile = withFile, withRowPos = withRowPos)
+        withFile = withFile, withRowPos = withRowPos,
+        withLineage = withLineage)
       else applyPosDeletesCore(spark,
         readAlignedFilesCore(spark, meta, fs, readSchema, withPos = true,
-          withFile = withFile, withRowPos = withRowPos),
+          withFile = withFile, withRowPos = withRowPos,
+          withLineage = withLineage),
         posDels).drop(PosPathCol, PosIdxCol)
     if (eqDels.isEmpty || files.isEmpty)
       posApplied(files.map(f => (f._1, f._2)))
@@ -4057,4 +4094,15 @@ object GraftTable {
         case _ => transforms.truncateInt(w, c)
       }
     }
+}
+
+/** Static holder for the path decode StaticInvoke target: a top-level
+  * object gets a static forwarder, which generated code calls directly.
+  */
+object PathCodec {
+  def decode(raw: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    if (raw == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      GraftTable.decodePath(raw.toString))
 }

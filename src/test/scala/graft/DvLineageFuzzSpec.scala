@@ -42,7 +42,7 @@ class DvLineageFuzzSpec extends SparkSpec {
       }
 
       (1 to 14).foreach { step =>
-        val op = if (model.isEmpty) 0 else rnd.nextInt(10)
+        val op = if (model.isEmpty) 0 else rnd.nextInt(11)
         op match {
           case 0 | 1 => // append a batch (ids continue densely)
             val n = 20 + rnd.nextInt(60)
@@ -108,6 +108,26 @@ class DvLineageFuzzSpec extends SparkSpec {
               .collect()
             assert(inserted.length == newKeys.size)
             inserted.foreach(r => model += r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3)))
+          case 10 => // INSERT OVERWRITE: replaced rows get FRESH ids,
+            // survivors (same file, cond false) keep theirs
+            val g = rnd.nextInt(7).toLong
+            val n = 5 + rnd.nextInt(10)
+            val base = t.metadata.nextRowId.getOrElse(0L)
+            val rows = (0 until n).map { _ =>
+              val k = nextK; nextK += 1
+              (k, g, 9000L + rnd.nextInt(1000))
+            }
+            t.overwriteWhere(col("grp") === g,
+              rows.toDF("k", "grp", "v"))
+            model = model.filterNot(_._2._2 == g)
+            val added = t.scanWithLineage()
+              .filter(col("_row_id") >= base)
+              .select(col("_row_id"), col("k"), col("grp"), col("v"))
+              .collect()
+            assert(added.length == n,
+              s"overwrite should add $n fresh-id rows, got ${added.length}")
+            added.foreach(r => model += r.getLong(0) ->
               (r.getLong(1), r.getLong(2), r.getLong(3)))
         }
         check(s"step $step op $op")

@@ -195,20 +195,57 @@ class LineageSpec extends SparkSpec {
     }
   }
 
-  test("overwrite refuses on lineage tables; late enablement refuses") {
+  test("INSERT OVERWRITE: replaced rows get FRESH ids, survivors keep theirs") {
+    // sf0.001 lineitem holds duplicate (orderkey, linenumber) pairs —
+    // dedup so the key → id binding below is well-defined
+    val src = lineitem.dropDuplicates("l_orderkey", "l_linenumber")
+      .limit(600)
+    val t = lineageTable("lin-ow", src)
+    t.append(src)
+    val before = t.scanWithLineage()
+      .select("l_orderkey", "l_linenumber", "_row_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nextBefore = t.metadata.nextRowId.get
+    val repl = src.filter(col("l_linenumber") === 1).limit(50)
+      .withColumn("l_quantity", lit(-99.0))
+    t.overwriteWhere(col("l_linenumber") === 1, repl)
+    val after = t.scanWithLineage().cache()
+    // v3: overwrite's NEW rows get ids from the table's next-row-id on
+    val fresh = after.filter(col("l_quantity") === -99.0).select("_row_id")
+    assert(fresh.count() == 50)
+    assert(fresh.agg(min("_row_id")).head().getLong(0) >= nextBefore)
+    // survivor rows (untouched by the overwrite) keep the id they had
+    val survivors = after.filter(col("l_quantity") =!= -99.0)
+      .select("l_orderkey", "l_linenumber", "_row_id").collect()
+    assert(survivors.nonEmpty)
+    survivors.foreach { r =>
+      assert(before((r.getLong(0), r.getInt(1))) == r.getLong(2),
+        s"survivor (${r.getLong(0)},${r.getInt(1)}) changed id") }
+    // global uniqueness holds across the overwrite
+    assert(after.select("_row_id").distinct().count() == after.count())
+    after.unpersist()
+  }
+
+  test("export refuses on lineage tables; late enablement refuses") {
     val src = lineitem.limit(300)
     val t = lineageTable("lin-cow", src)
     t.append(src)
-    intercept[UnsupportedOperationException] {
-      t.overwriteWhere(col("l_linenumber") === 1, src.limit(5)) }
     intercept[IllegalArgumentException] {
       IcebergInterop.exportTable(t,
         java.nio.file.Files.createTempDirectory("lin-exp").toString) }
-    // enabling lineage AFTER rows exist must refuse the next append
+    // enabling lineage AFTER rows exist refuses OUTRIGHT — pre-existing
+    // rows have no ids, so accepting the property would serve NULL
+    // lineage (and compaction would then materialize the nulls)
     val t2 = GraftTable.create(spark, freshLoc("lin-late"), src.schema)
     t2.append(src)
-    t2.updateProperties(Map(GraftTable.RowLineageProp -> Some("true")))
-    intercept[IllegalArgumentException] { t2.append(src.limit(10)) }
+    intercept[IllegalArgumentException] {
+      t2.updateProperties(Map(GraftTable.RowLineageProp -> Some("true"))) }
+    // an empty table may still enable it late
+    val t3 = GraftTable.create(spark, freshLoc("lin-late-empty"), src.schema)
+    t3.updateProperties(Map(GraftTable.RowLineageProp -> Some("true")))
+    t3.append(src.limit(10))
+    assert(t3.scanWithLineage().select(GraftTable.RowIdCol)
+      .distinct().count() == 10)
   }
 
   test("scanWithLineage refuses on tables without the property") {

@@ -143,4 +143,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "scoring pass should not join")
     assert(!p.contains("HashAggregate"), "scoring pass should not aggregate")
   }
+
+  test("post-compaction lineage scan: projected off the scan, NO join") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(2000)
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("planspec-lin").toString + "/t",
+      src.schema,
+      properties = Map(GraftTable.RowLineageProp -> "true"))
+    t.append(src)
+    t.append(src.limit(100))
+    t.compact()
+    // every file now carries _row_id physically — lineage must come off
+    // the parquet projection, not a (file, position) join-back
+    val p = plan(t.scanWithLineage())
+    assert(!p.contains("Join"),
+      s"fully-compacted lineage scan should be join-free:\n$p")
+    assert(t.scanWithLineage().select("_row_id").distinct().count() == 2100)
+  }
+
+  test("_file-bearing scans decode paths without a Scala UDF") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(1000)
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("planspec-fc").toString + "/t",
+      src.schema)
+    t.append(src)
+    t.deleteWhereMoR(col("l_quantity") < 3) // exercises the MoR read too
+    // StaticInvoke compiles to a direct static call inside
+    // WholeStageCodegen; a Scala UDF would break fusion for the stage
+    val df = t.scan(withFileColumn = true)
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+      s"_file scan contains a Scala UDF:\n$p")
+    // `*(n)` prefixes mark WholeStageCodegen spans in the simple form
+    assert(p.contains("*("), "no codegen span in _file scan")
+  }
 }
