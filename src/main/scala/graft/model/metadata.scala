@@ -578,7 +578,9 @@ case class TableMetadataV2(
 
   def toJson: ObjectNode = {
     val o = Json.obj
-    o.put("format-version", 2)
+    // v3 is declared only when a v3 feature (row lineage) is actually
+    // in the metadata — v2 readers keep working on v2-shaped tables
+    o.put("format-version", if (nextRowId.isDefined) 3 else 2)
     o.put("table-uuid", tableUuid)
     o.put("location", location)
     o.put("last-sequence-number", lastSequenceNumber)
@@ -625,7 +627,7 @@ object TableMetadataV2 {
   def fromJsonString(s: String): TableMetadataV2 = fromJson(Json.parse(s))
 
   def fromJson(n: JsonNode): TableMetadataV2 = {
-    require(n.path("format-version").asInt == 2,
+    require(Set(2, 3).contains(n.path("format-version").asInt),
       s"unsupported format-version: ${n.path("format-version")}")
     TableMetadataV2(
       tableUuid = n.path("table-uuid").asText,

@@ -109,7 +109,15 @@ object AvroManifest {
              "default":null},
             {"name":"equality_ids","field-id":135,"type":["null",
               {"type":"array","items":"int","element-id":136}],
-             "default":null}
+             "default":null},
+            {"name":"first_row_id","type":["null","long"],
+             "default":null,"field-id":142},
+            {"name":"referenced_data_file","type":["null","string"],
+             "default":null,"field-id":143},
+            {"name":"content_offset","type":["null","long"],
+             "default":null,"field-id":144},
+            {"name":"content_size_in_bytes","type":["null","long"],
+             "default":null,"field-id":145}
           ]}}
       ]}"""
     new ASchema.Parser().parse(json)
@@ -230,7 +238,9 @@ object AvroManifest {
     // travels separately in 'partition-spec-id' (pyiceberg parses it so).
     writer.setMeta("partition-spec", Json.write(spec.toJson.path("fields")))
     writer.setMeta("partition-spec-id", spec.specId.toString)
-    writer.setMeta("format-version", "2")
+    writer.setMeta("format-version",
+      if (entries.exists(e => e.dv.isDefined || e.firstRowId.isDefined)) "3"
+      else "2")
     writer.setMeta("content", if (content == 0) "data" else "deletes")
     writer.create(aschema, path.toFile)
     try entries.foreach { e =>
@@ -253,7 +263,19 @@ object AvroManifest {
       val df = new GenericData.Record(dfSchema)
       df.put("content", e.content)
       df.put("file_path", e.path)
-      df.put("file_format", "PARQUET")
+      // a DV entry's path names a Puffin sidecar, not a parquet file
+      df.put("file_format", if (e.dv.isDefined) "PUFFIN" else "PARQUET")
+      // v3 fields: row-lineage base ids and deletion-vector blob ranges.
+      // referenced_data_file exports in the DECODED on-disk form — the
+      // same form data-file `file_path`s use, so external readers
+      // correlate them directly (internally DvRef holds the raw
+      // `_metadata.file_path` URI form; readManifest re-encodes).
+      e.firstRowId.foreach(v => df.put("first_row_id", v))
+      e.dv.foreach { d =>
+        df.put("referenced_data_file", GraftTable.decodePath(d.dataFile))
+        df.put("content_offset", d.off)
+        df.put("content_size_in_bytes", d.len)
+      }
       df.put("partition", part)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.fileSize)
@@ -343,6 +365,13 @@ object AvroManifest {
             .flatMap(id => byId.get(id.asInstanceOf[Int]).map(_._1))
           case _ => Seq.empty[String]
         }
+        // v3 optionals absent from pre-v3 files read back as null
+        val dv = Option(df.get("referenced_data_file")).map(rdf =>
+          Dv.DvRef(GraftTable.encodePath(str(rdf)),
+            df.get("content_offset").asInstanceOf[Long],
+            df.get("content_size_in_bytes").asInstanceOf[Long]))
+        val firstRowId =
+          Option(df.get("first_row_id")).map(_.asInstanceOf[Long])
         DataFileEntry(
           str(df.get("file_path")),
           df.get("record_count").asInstanceOf[Long],
@@ -354,7 +383,9 @@ object AvroManifest {
           df.get("content").asInstanceOf[Int],
           df.get("file_size_in_bytes").asInstanceOf[Long],
           eqIds,
-          specId = Some(specId))
+          specId = Some(specId),
+          dv = dv,
+          firstRowId = firstRowId)
       }.toSeq
     } finally reader.close()
   }

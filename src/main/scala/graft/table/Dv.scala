@@ -18,17 +18,15 @@ import java.nio.file.{Files, Paths}
   * whose `path` names the sidecar and whose `dv` struct carries the
   * referenced data file and the blob's byte range; `record-count` is the
   * DV's cardinality, so metadata-only counts keep subtracting exactly.
-  * The blob encoding here is graft's own (sorted delta-varint, below)
-  * rather than the spec's roaring "portable" serialization — the honest
-  * seam, documented at the export surface: layouts holding DVs refuse
-  * `exportTable` until a maintenance pass rewrites them (compaction
-  * absorbs them), exactly so no external reader ever sees a
-  * graft-encoded blob it would misparse.
   *
-  * Blob layout: magic "GDV1" | cardinality (8-byte big-endian) |
-  * positions as unsigned LEB128 varints — first absolute, then strictly
-  * positive deltas. Positions are row ordinals in the referenced file
-  * (the same `_pos` the parquet position-delete form records).
+  * Blob encoding IS the spec's `deletion-vector-v1` form: combined
+  * length of magic+vector (4 bytes big-endian) | magic D1 D3 39 64 |
+  * the vector as a PORTABLE 64-bit roaring bitmap ([[Roaring]]) |
+  * CRC-32 of magic+vector (4 bytes big-endian). Sidecars are Puffin
+  * files ([[Puffin]]), so an exported layout can reference the blobs
+  * byte-for-byte and any spec-compliant v3 reader parses them.
+  * Positions are row ordinals in the referenced file (the same `_pos`
+  * the parquet position-delete form records).
   *
   * Unlike bloom sidecars (advisory — unreadable means "keep the file"),
   * a DV is CORRECTNESS-bearing: decode failures throw rather than
@@ -42,57 +40,50 @@ object Dv {
     */
   case class DvRef(dataFile: String, off: Long, len: Long)
 
-  private val Magic = Array[Byte]('G', 'D', 'V', '1')
+  /** The spec's deletion-vector blob magic (bytes, in file order). */
+  private val Magic = Array(0xd1, 0xd3, 0x39, 0x64).map(_.toByte)
+
+  /** Puffin blob type name for deletion vectors (Iceberg v3). */
+  val BlobType = "deletion-vector-v1"
+
+  private def crc32(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes, off, len)
+    c.getValue.toInt
+  }
 
   def encode(sorted: Array[Long]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(16 + sorted.length * 2)
-    out.write(Magic)
-    val card = java.nio.ByteBuffer.allocate(8).putLong(sorted.length.toLong)
-    out.write(card.array())
-    var prev = -1L
-    var i = 0
+    var i = 1
     while (i < sorted.length) {
-      val v = sorted(i)
-      require(v > prev, s"DV positions must be strictly increasing: $v after $prev")
-      // unsigned LEB128: first value absolute, then strictly positive deltas
-      var x = if (i == 0) v else v - prev
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt)
-      prev = v
+      require(sorted(i) > sorted(i - 1),
+        s"DV positions must be strictly increasing: ${sorted(i)}")
       i += 1
     }
-    out.toByteArray
+    require(sorted.isEmpty || sorted(0) >= 0, "DV positions must be >= 0")
+    val vec = Roaring.serialize(sorted)
+    val buf = java.nio.ByteBuffer.allocate(4 + 4 + vec.length + 4)
+    buf.putInt(4 + vec.length) // big-endian combined magic+vector length
+    buf.put(Magic)
+    buf.put(vec)
+    val crcBody = buf.array()
+    buf.putInt(crc32(crcBody, 4, 4 + vec.length))
+    buf.array()
   }
 
   def decode(bytes: Array[Byte]): Array[Long] = {
-    require(bytes.length >= 12 && bytes(0) == 'G' && bytes(1) == 'D' &&
-      bytes(2) == 'V' && bytes(3) == '1', "bad DV blob magic")
-    val card = java.nio.ByteBuffer.wrap(bytes, 4, 8).getLong
-    require(card >= 0 && card <= Int.MaxValue, s"bad DV cardinality $card")
-    val out = new Array[Long](card.toInt)
-    var p = 12
-    var prev = 0L
-    var i = 0
-    while (i < card) {
-      var x = 0L; var shift = 0; var b = 0
-      do {
-        require(p < bytes.length, "truncated DV blob")
-        // bound BEFORE use: Long << masks shift mod 64, so an unbounded
-        // corrupt varint would silently wrap into a plausible position
-        require(shift < 64, "DV varint overflows 64 bits")
-        b = bytes(p) & 0xff; p += 1
-        x |= (b & 0x7fL) << shift; shift += 7
-      } while ((b & 0x80) != 0)
-      // deltas are strictly positive by construction (encode requires
-      // strictly increasing positions) — a zero/negative decode is
-      // corruption, not data
-      require(if (i == 0) x >= 0 else x > 0,
-        s"DV delta must be ${if (i == 0) ">= 0" else "> 0"}: $x")
-      prev = if (i == 0) x else prev + x
-      out(i) = prev
-      i += 1
-    }
-    require(p == bytes.length, "trailing bytes after DV blob")
+    require(bytes.length >= 12, "DV blob too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val len = buf.getInt
+    require(len == bytes.length - 8,
+      s"DV blob length field $len != ${bytes.length - 8}")
+    require(bytes(4) == Magic(0) && bytes(5) == Magic(1) &&
+      bytes(6) == Magic(2) && bytes(7) == Magic(3), "bad DV blob magic")
+    val storedCrc = java.nio.ByteBuffer
+      .wrap(bytes, bytes.length - 4, 4).getInt
+    require(storedCrc == crc32(bytes, 4, bytes.length - 8),
+      "DV blob CRC mismatch")
+    val out = Roaring.deserialize(bytes, 8, bytes.length - 12)
+    require(out.isEmpty || out(0) >= 0, "negative DV position")
     out
   }
 
@@ -133,19 +124,19 @@ object Dv {
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val sidecar = s"$dir/part-${java.util.UUID.randomUUID}.gdv"
-          val out = new java.io.BufferedOutputStream(
-            Files.newOutputStream(Paths.get(sidecar)))
-          var off = 0L
+          // one spec-layout Puffin sidecar per partition, one
+          // deletion-vector-v1 blob per referenced data file
+          val sidecar = s"$dir/part-${java.util.UUID.randomUUID}.puffin"
+          val w = new Puffin.Writer(Paths.get(sidecar))
           val acc = scala.collection.mutable.ArrayBuffer.empty[DvWritten]
           var curFile: String = null
           val curPos = scala.collection.mutable.ArrayBuffer.empty[Long]
           def flush(): Unit = if (curFile != null) {
-            val blob = encode(curPos.toArray)
-            out.write(blob)
-            acc += DvWritten(curFile, sidecar, off, blob.length.toLong,
+            val blob = w.add(BlobType, encode(curPos.toArray), Map(
+              "referenced-data-file" -> curFile,
+              "cardinality" -> curPos.length.toString))
+            acc += DvWritten(curFile, sidecar, blob.offset, blob.length,
               curPos.length.toLong)
-            off += blob.length
             curPos.clear()
           }
           try {
@@ -155,7 +146,7 @@ object Dv {
               curPos += r.getLong(1)
             }
             flush()
-          } finally out.close()
+          } finally w.close()
           acc.iterator
         }
       }.collect().toSeq

@@ -1162,45 +1162,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private def lineageReadFor(meta: TableMetadataV2,
       planned: Seq[(String, Int, Long, Option[Long])],
-      schema: SchemaV2): DataFrame = {
-    import spark.implicits._
-    val (virtuals, materialized) = planned.partition(_._4.isDefined)
-    val outCols = toSparkSchema(schema).fieldNames.toSeq ++
-      Seq(GraftTable.RowIdCol, GraftTable.LastUpdCol)
-    val parts = Seq(
-      if (virtuals.isEmpty) None
-      else {
-        // per-file constants attach via a BROADCAST join on the decoded
-        // path (`_file` and entry paths both come from decodePath, so
-        // exact equality holds) — a codegen'd hash join
-        val baseDf = broadcast(virtuals.map(f => (f._1, f._4.get, f._3))
-          .toDF(GraftTable.FileCol, "__lin_base", "__lin_fseq"))
-        Some(readDeletesApplied(meta, virtuals.map(f => (f._1, f._2, f._3)),
-            schema, None, withFile = true, withRowPos = true)
-          .join(baseDf, Seq(GraftTable.FileCol))
-          .withColumn(GraftTable.RowIdCol,
-            col("__lin_base") + col(GraftTable.RowPosCol))
-          .withColumn(GraftTable.LastUpdCol, col("__lin_fseq"))
-          .select(outCols.map(col): _*))
-      },
-      if (materialized.isEmpty) None
-      else Some {
-        // group by data sequence so the per-file "null last-updated
-        // means this file's own commit" fallback (v3 contract) is a
-        // LITERAL per group — no per-file join at all
-        materialized.groupBy(_._3).map { case (seq, fs) =>
-          readDeletesApplied(meta, fs.map(f => (f._1, f._2, f._3)),
-              schema, None, withLineage = true)
-            .withColumn(GraftTable.LastUpdCol,
-              coalesce(col(GraftTable.LastUpdCol), lit(seq)))
-        }.reduce(_.unionByName(_)).select(outCols.map(col): _*)
-      }).flatten
-    parts.reduceOption(_.unionByName(_)).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(toSparkSchema(schema).fields ++ Seq(
-          SparkField(GraftTable.RowIdCol, LongType),
-          SparkField(GraftTable.LastUpdCol, LongType)))))
-  }
+      schema: SchemaV2): DataFrame =
+    GraftTable.lineageReadCore(spark, meta, planned, schema,
+      posDeleteEntriesFor(meta, None), eqDeletesFor(meta, None))
 
   /** Schema-aligned read of entries with `_row_id` attached: entries
     * with a first-row-id serve ids virtually (base + position via a
@@ -3652,6 +3616,61 @@ object GraftTable {
     }
   }
 
+  /** The lineage-annotated read over an explicit plan of (path,
+    * schemaId, sequenceNumber, firstRowId): table columns + `_row_id` +
+    * `_last_updated_sequence_number`, deletes applied. Files with a
+    * first-row-id serve lineage VIRTUALLY (base + position via a
+    * broadcast of the plan); files a lineage-preserving rewrite
+    * produced carry both columns physically and project them straight
+    * off the parquet scan — so a fully-compacted table's lineage read
+    * is a single join-free map-side scan. Shared by native scans and
+    * the external-layout (Iceberg interop) read, so id semantics cannot
+    * drift between the two paths.
+    */
+  private[table] def lineageReadCore(spark: SparkSession,
+      meta: TableMetadataV2,
+      planned: Seq[(String, Int, Long, Option[Long])], schema: SchemaV2,
+      posDels: Seq[DataFileEntry],
+      eqDels: Seq[DataFileEntry]): DataFrame = {
+    import spark.implicits._
+    val (virtuals, materialized) = planned.partition(_._4.isDefined)
+    val outCols = toSparkSchema(schema).fieldNames.toSeq ++
+      Seq(RowIdCol, LastUpdCol)
+    val parts = Seq(
+      if (virtuals.isEmpty) None
+      else {
+        // per-file constants attach via a BROADCAST join on the decoded
+        // path (`_file` and entry paths both come from decodePath, so
+        // exact equality holds) — a codegen'd hash join
+        val baseDf = broadcast(virtuals.map(f => (f._1, f._4.get, f._3))
+          .toDF(FileCol, "__lin_base", "__lin_fseq"))
+        Some(readDeletesAppliedCore(spark, meta,
+            virtuals.map(f => (f._1, f._2, f._3)), schema, posDels,
+            eqDels, withFile = true, withRowPos = true)
+          .join(baseDf, Seq(FileCol))
+          .withColumn(RowIdCol, col("__lin_base") + col(RowPosCol))
+          .withColumn(LastUpdCol, col("__lin_fseq"))
+          .select(outCols.map(col): _*))
+      },
+      if (materialized.isEmpty) None
+      else Some {
+        // group by data sequence so the per-file "null last-updated
+        // means this file's own commit" fallback (v3 contract) is a
+        // LITERAL per group — no per-file join at all
+        materialized.groupBy(_._3).map { case (seq, fs) =>
+          readDeletesAppliedCore(spark, meta,
+              fs.map(f => (f._1, f._2, f._3)), schema, posDels, eqDels,
+              withLineage = true)
+            .withColumn(LastUpdCol, coalesce(col(LastUpdCol), lit(seq)))
+        }.reduce(_.unionByName(_)).select(outCols.map(col): _*)
+      }).flatten
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(toSparkSchema(schema).fields ++ Seq(
+          SparkField(RowIdCol, LongType),
+          SparkField(LastUpdCol, LongType)))))
+  }
+
   /** Canonical string form of a partition tuple (sorted key order;
     * \u0001 marks null). The driver-side and column-side forms MUST
     * agree — distributed mutation planning compares one to the other.
@@ -3822,7 +3841,7 @@ object GraftTable {
     n.endsWith(".parquet") ||
       // deletion-vector sidecars live in the data plane (they are
       // content=1 entry paths): abandoned ones must be sweepable
-      (n.endsWith(".gdv") && Option(p.getParent).exists(
+      (n.endsWith(".puffin") && Option(p.getParent).exists(
         _.getFileName.toString.startsWith("dv-")))
   }
 
@@ -3838,6 +3857,16 @@ object GraftTable {
   private[table] def decodePath(raw: String): String =
     try new java.net.URI(raw).getPath
     catch { case _: Exception => raw.stripPrefix("file:") }
+
+  /** Inverse of [[decodePath]] for local-FS paths: the qualified raw URI
+    * form Spark's `_metadata.file_path` serves (`file:` scheme, percent-
+    * encoded path). Used when importing spec-form decoded paths (e.g. a
+    * manifest's `referenced_data_file`) into the raw-form join domain.
+    * Paths already carrying a scheme pass through unchanged.
+    */
+  private[table] def encodePath(decoded: String): String =
+    if (decoded.contains(":/")) decoded
+    else new java.net.URI("file", null, decoded, null).toString
 
   /** Parse `name=value` partition dirs out of a written file path. */
   private[table] def parsePartition(path: String,

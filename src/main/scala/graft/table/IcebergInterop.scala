@@ -33,20 +33,13 @@ object IcebergInterop {
     val meta = t.metadata
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("no snapshot to export"))
-    // deletion-vector blobs use graft's own encoding (Dv), not the spec's
-    // roaring serialization — exporting them would hand an external
-    // reader a byte range it would misparse. Refuse loudly; compaction
-    // (or a CoW rewrite) absorbs DVs and re-enables export.
-    require(!t.liveManifests(None).filter(_.content == 1)
-        .flatMap(_.entries).exists(_.dv.isDefined),
-      "cannot export a table holding deletion vectors (graft-encoded " +
-        "blobs are not Iceberg-roaring); run compact() to absorb them")
-    // v2 Avro manifests carry no first-row-id: exporting a lineage table
-    // would silently sever every row's identity for the external reader
-    require(!meta.properties.exists(_.get(GraftTable.RowLineageProp)
-        .contains("true")),
-      "cannot export a row-lineage table through the v2 Avro layout — " +
-        "row ids would not survive; copy the data or disable lineage")
+    // Deletion vectors and row lineage travel through the v3 form:
+    // DV sidecars are spec-layout Puffin files holding spec-encoded
+    // (portable-roaring) blobs, referenced like data files at their
+    // absolute paths with `referenced_data_file`/`content_offset`/
+    // `content_size_in_bytes` in the Avro manifests; lineage exports
+    // per-entry `first_row_id` plus the table's `next-row-id`, with
+    // format-version 3 declared in the metadata JSON.
     val metaDir = Paths.get(dir, "metadata")
     Files.createDirectories(metaDir)
     val listPath = t.exportAvro(metaDir.toString)
@@ -111,5 +104,32 @@ object IcebergInterop {
     GraftTable.readDeletesAppliedCore(spark, meta,
       data.map(e => (e.path, e.schemaId, e.sequenceNumber)),
       readSchema, posDels, eqDels)
+  }
+
+  /** Read an exported ROW-LINEAGE table through the external format
+    * only: the v3 metadata's `next-row-id` proves lineage, per-entry
+    * `first_row_id` serves virtual ids, and rewrite-materialized files
+    * project their physical `_row_id`/`_last_updated_sequence_number`
+    * columns — the same [[GraftTable.lineageReadCore]] native scans
+    * use, over entries recovered purely from the Avro manifests.
+    */
+  def readTableWithLineage(spark: SparkSession, dir: String): DataFrame = {
+    val meta = TableMetadataV2.fromJsonString(
+      Files.readString(currentMetadataPath(dir)))
+    require(meta.nextRowId.isDefined,
+      s"layout at $dir carries no next-row-id — not a lineage table")
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in $dir"))
+    val manifests = AvroManifest.readManifestList(Paths.get(snap.manifestList))
+    val entries = manifests.flatMap { case (p, _, _) =>
+      AvroManifest.readManifest(Paths.get(p))
+    }
+    val schemaId = snap.schemaId.map(_.toInt).getOrElse(meta.currentSchemaId)
+    val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
+    GraftTable.lineageReadCore(spark, meta,
+      entries.filter(_.isData).map(e =>
+        (e.path, e.schemaId, e.sequenceNumber, e.firstRowId)),
+      readSchema,
+      entries.filter(_.content == 1), entries.filter(_.content == 2))
   }
 }

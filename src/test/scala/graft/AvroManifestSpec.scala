@@ -54,6 +54,32 @@ class AvroManifestSpec extends SparkSpec {
     assert(fid(ls.getField("content")) == 517)
   }
 
+  test("v3 fields carry spec ids 142-145; DV + first_row_id roundtrip") {
+    val schema = SchemaV2(0, None, None, Seq(
+      StructField(1, "id", required = true, TLong)))
+    val spec = PartitionSpec.unpartitioned
+    val s = AvroManifest.entrySchema(spec, schema)
+    def fid(f: org.apache.avro.Schema.Field): Int =
+      f.getObjectProp("field-id").asInstanceOf[Number].intValue
+    val df = s.getField("data_file").schema()
+    assert(fid(df.getField("first_row_id")) == 142)
+    assert(fid(df.getField("referenced_data_file")) == 143)
+    assert(fid(df.getField("content_offset")) == 144)
+    assert(fid(df.getField("content_size_in_bytes")) == 145)
+    // a lineage data entry and a deletion-vector entry round-trip; the
+    // referenced data file exports decoded and re-encodes to the raw
+    // URI join form on read
+    val eData = DataFileEntry("/data/a.parquet", 100L, 42L, 7L, 0,
+      Map.empty, Map.empty, firstRowId = Some(12345L))
+    val eDv = DataFileEntry("/deletes/s.puffin", 3L, 42L, 7L, 0,
+      Map.empty, Map.empty, content = 1, fileSize = 99L,
+      dv = Some(graft.table.Dv.DvRef("file:/data/a.parquet", 4L, 42L)))
+    val p = tmp("avro-v3").resolve("m.avro")
+    AvroManifest.writeManifest(p, Seq(eData, eDv), schema, spec, 42L, 0)
+    assert(AvroManifest.readManifest(p) ==
+      Seq(eData, eDv).map(_.copy(specId = Some(spec.specId))))
+  }
+
   test("entries roundtrip through spec-shaped Avro with typed bounds") {
     val schema = SchemaV2(3, None, None, Seq(
       StructField(1, "i", required = true, TInt),

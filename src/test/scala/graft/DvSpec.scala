@@ -128,23 +128,25 @@ class DvSpec extends SparkSpec {
     assert(danglers.isEmpty, s"DVs referencing dead files: $danglers")
   }
 
-  test("compact() absorbs DVs; export refuses before, succeeds after") {
+  test("export carries live DVs in spec form; external read applies them") {
     val src = lineitem.limit(2000)
     val t = GraftTable.create(spark, freshLoc("dv-compact"), src.schema)
     t.append(src)
     t.deleteWhereDv(col("l_linenumber") === 3)
-    val ex = intercept[IllegalArgumentException] {
-      IcebergInterop.exportTable(t,
-        java.nio.file.Files.createTempDirectory("dv-exp").toString)
-    }
-    assert(ex.getMessage.contains("deletion vectors"))
-    t.compact()
-    assert(t.liveManifests(None).forall(_.content == 0))
     val expected = src.filter(col("l_linenumber") =!= 3).count()
-    assert(t.scan().count() == expected)
-    val dir = java.nio.file.Files.createTempDirectory("dv-exp2").toString
+    // un-compacted: the export references the Puffin sidecars directly
+    // (referenced_data_file/content_offset/content_size_in_bytes) and
+    // the external-format read decodes + applies them
+    val dir = java.nio.file.Files.createTempDirectory("dv-exp").toString
     IcebergInterop.exportTable(t, dir)
     assert(IcebergInterop.readTable(spark, dir).count() == expected)
+    // compaction absorbs the DVs; the absorbed layout exports too
+    t.compact()
+    assert(t.liveManifests(None).forall(_.content == 0))
+    assert(t.scan().count() == expected)
+    val dir2 = java.nio.file.Files.createTempDirectory("dv-exp2").toString
+    IcebergInterop.exportTable(t, dir2)
+    assert(IcebergInterop.readTable(spark, dir2).count() == expected)
   }
 
   test("rewriteManifests carries DVs losslessly through the dataset") {
@@ -187,12 +189,12 @@ class DvSpec extends SparkSpec {
     // plant an abandoned sidecar (a conflict-aborted attempt's leftover)
     val dead = java.nio.file.Paths.get(loc, "deletes", "dv-dead")
     java.nio.file.Files.createDirectories(dead)
-    val deadFile = dead.resolve("part-x.gdv")
+    val deadFile = dead.resolve("part-x.puffin")
     java.nio.file.Files.write(deadFile, Dv.encode(Array(1L, 2L)))
     java.nio.file.Files.setLastModifiedTime(deadFile,
       java.nio.file.attribute.FileTime.fromMillis(1000L))
     val removed = t.removeOrphanFiles(olderThanMillis = 0L)
-    assert(removed.exists(_.endsWith("part-x.gdv")),
+    assert(removed.exists(_.endsWith("part-x.puffin")),
       s"abandoned DV sidecar not swept: $removed")
     val expected = src.filter(col("l_linenumber") =!= 1).count()
     assert(t.scan().count() == expected) // live sidecar survived
@@ -232,7 +234,7 @@ class DvSpec extends SparkSpec {
     val pd = t.positionDeletesDf
     val deleted = src.filter(col("l_linenumber").isin(1, 2)).count()
     assert(pd.count() == deleted)
-    assert(pd.filter(col("delete_file").endsWith(".gdv")).count() ==
+    assert(pd.filter(col("delete_file").endsWith(".puffin")).count() ==
       src.filter(col("l_linenumber") === 2).count())
   }
 }

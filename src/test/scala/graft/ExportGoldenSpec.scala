@@ -35,6 +35,10 @@ class ExportGoldenSpec extends SparkSpec {
       partitionBy = Seq(("id", TBucket(2), "id_bucket")))
     t.append(df.coalesce(1), repartitionByPartition = true)
     t.deleteWhereMoR(col("id") === 13L)
+    // a LIVE deletion vector travels through the export: pins the v3
+    // referenced_data_file/content_offset/content_size_in_bytes fields
+    // and (via content_size) the spec roaring blob encoding itself
+    t.deleteWhereDv(col("id") === 21L)
     val out = java.nio.file.Files
       .createTempDirectory("golden-out").toString
     IcebergInterop.exportTable(t, out)
@@ -46,8 +50,12 @@ class ExportGoldenSpec extends SparkSpec {
     * partition values, counts, and typed bounds stay.
     */
   private def canon(s: String): String = s
-    .replaceAll(""""file_path":\s*"[^"]*/([^/"]+\.parquet)"""",
+    .replaceAll(""""file_path":\s*"[^"]*/([^/"]+\.(parquet|puffin))"""",
       "\"file_path\": \"<path>/$1\"")
+    .replaceAll(""""referenced_data_file":\s*"[^"]*/([^/"]+\.parquet)"""",
+      "\"referenced_data_file\": \"<path>/$1\"")
+    .replaceAll("""/deletes/dv-[0-9a-f]{8}/""", "/deletes/dv-<write-id>/")
+    .replaceAll("""part-[0-9a-f-]{36}\.puffin""", "part-<uuid>.puffin")
     .replaceAll(""""manifest_path":\s*"[^"]*/([^/"]+\.avro)"""",
       "\"manifest_path\": \"<path>/$1\"")
     .replaceAll(""""manifest-list"\s*:\s*"[^"]*"""",
@@ -148,5 +156,17 @@ class ExportGoldenSpec extends SparkSpec {
       goldenDir.resolve("manifest-entries.jsonl"))
     assert(entries.contains("\"content\": 1"),
       "position-delete entry missing from golden export")
+    // the v3 deletion-vector surface travels: spec field names present
+    // in the schema with the published ids, and a live DV entry carries
+    // its referenced file + blob range + Puffin sidecar path
+    Seq("first_row_id", "referenced_data_file", "content_offset",
+      "content_size_in_bytes").foreach(k =>
+      assert(mSchema.contains(k), s"manifest schema missing v3 field $k"))
+    Seq("\"field-id\" : 142", "\"field-id\" : 143", "\"field-id\" : 144",
+      "\"field-id\" : 145").foreach(k =>
+      assert(mSchema.contains(k), s"manifest schema missing $k"))
+    assert(entries.contains(".puffin") &&
+      entries.contains("\"content_offset\": 4"),
+      "DV entry (Puffin sidecar, blob at offset 4) missing from export")
   }
 }

@@ -226,13 +226,43 @@ class LineageSpec extends SparkSpec {
     after.unpersist()
   }
 
-  test("export refuses on lineage tables; late enablement refuses") {
-    val src = lineitem.limit(300)
-    val t = lineageTable("lin-cow", src)
+  test("export carries lineage: external read returns identical ids") {
+    val src = lineitem.limit(400)
+    val t = lineageTable("lin-exp", src)
     t.append(src)
+    t.deleteWhereDv(col("l_linenumber") === 2) // DV + lineage together
+    t.compact()                      // materialized-lineage files...
+    t.append(src.limit(50))          // ...plus fresh virtual ones
+    val dir = java.nio.file.Files
+      .createTempDirectory("lin-layout").toString
+    IcebergInterop.exportTable(t, dir)
+    // v3 metadata declares itself and carries the id high-water mark
+    val metaJson = java.nio.file.Files.readString(
+      IcebergInterop.currentMetadataPath(dir))
+    assert(metaJson.contains("\"format-version\":3") &&
+      metaJson.contains("\"next-row-id\""))
+    def rows(df: DataFrame) = df
+      .select("_row_id", "_last_updated_sequence_number", "l_orderkey",
+        "l_linenumber")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val external = rows(IcebergInterop.readTableWithLineage(spark, dir))
+    assert(external == rows(t.scanWithLineage()),
+      "external-layout lineage read drifted from the native scan")
+    // a non-lineage layout refuses the lineage read loudly
+    val plain = GraftTable.create(spark, freshLoc("lin-exp-off"),
+      src.schema)
+    plain.append(src.limit(10))
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("plain-layout").toString
+    IcebergInterop.exportTable(plain, plainDir)
     intercept[IllegalArgumentException] {
-      IcebergInterop.exportTable(t,
-        java.nio.file.Files.createTempDirectory("lin-exp").toString) }
+      IcebergInterop.readTableWithLineage(spark, plainDir) }
+  }
+
+  test("late enablement refuses") {
+    val src = lineitem.limit(300)
     // enabling lineage AFTER rows exist refuses OUTRIGHT — pre-existing
     // rows have no ids, so accepting the property would serve NULL
     // lineage (and compaction would then materialize the nulls)
