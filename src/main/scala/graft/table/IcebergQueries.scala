@@ -603,7 +603,16 @@ object IcebergQueries {
           .select("sequence_number", "operation", "total_records")
           .orderBy("sequence_number")
       },
-      None),
+      // the snapshot log is fully determined by the two appends: the
+      // oracle recomputes each commit's running total from the source
+      Some("""SELECT CAST(1 AS BIGINT) AS sequence_number,
+            'append' AS operation,
+            (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+              AS total_records
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'append',
+            (SELECT COUNT(*) FROM orders)
+          ORDER BY sequence_number""")),
 
     // `.partitions` metadata table: per-partition file/record counts as
     // a DISTRIBUTED aggregate over the manifest dataset (the shape that
@@ -647,7 +656,16 @@ object IcebergQueries {
           ("main", "branch", t.scanRef("main").count()))
           .toDF("ref", "kind", "n_rows").orderBy("ref")
       },
-      None),
+      // each ref pins a known snapshot: dev → evens-only, v1 and main →
+      // both appends; the oracle recomputes those row sets from source
+      Some("""SELECT 'dev' AS ref, 'branch' AS kind,
+            (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+              AS n_rows
+          UNION ALL
+          SELECT 'main', 'branch', (SELECT COUNT(*) FROM orders)
+          UNION ALL
+          SELECT 'v1', 'tag', (SELECT COUNT(*) FROM orders)
+          ORDER BY ref""")),
 
     // Iceberg-spec Avro manifest export: the snapshot's file inventory
     // round-trips through spec-shaped manifest_entry/manifest_file Avro

@@ -133,7 +133,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("multimodal features are deterministic and complete") {
-    val out = Registry.byName("m_multimodal_meta").fn(spark, dir).collect()
+    import org.apache.spark.sql.functions.{col, round}
+    val out = graft.operators.Multimodal.multimodalFeatures(spark, dir)
+      .select(col("doc_id"), col("detected_format"), col("width"),
+        col("n_bytes"), round(col("byte_entropy"), 4).as("byte_entropy"))
+      .collect()
     val nDocs = Tables.tbl(spark, dir, "documents").count()
     assert(out.length == nDocs)
     assert(out.forall(_.getAs[Long]("n_bytes") > 0))

@@ -41,8 +41,9 @@ class TextOpsSpec extends SparkSpec {
       .fn(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getAs[Double]("rel_err") < 0.1,
-        s"${r.getAs[String]("source")}: rel_err ${r.getAs[Double]("rel_err")}")
+      assert(r.getAs[Boolean]("hll_within_5pct"),
+        s"${r.getAs[String]("source")}: HLL estimate outside 5% of " +
+          s"exact ${r.getAs[Long]("exact_docs")}")
     }
   }
 
