@@ -43,16 +43,50 @@ object Bench {
       spark.catalog.clearCache() // release per-query persisted subtrees
       (name, dt, ok)
     }
+    // per-query regression gate against the previous committed run:
+    // environmental drift on a shared machine is near-UNIFORM across
+    // queries, so the median slowdown estimates it; a query whose
+    // slowdown exceeds 1.5x the median is a PLAN regression, not noise —
+    // measured, not guessed.
+    val prevPath = java.nio.file.Paths.get("/root/repo/bench_detail.json")
+    val prev: Map[String, Double] =
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(prevPath))
+        // only a same-scale-factor run is a baseline — a cross-sf
+        // comparison would flag every fixed-overhead query
+        if (Option(n.get("sf")).map(_.asText()).contains(sfDir)) {
+          val out = scala.collection.mutable.Map.empty[String, Double]
+          Option(n.get("queries")).foreach(_.fields().forEachRemaining(e =>
+            out += e.getKey -> e.getValue.asDouble()))
+          out.toMap
+        } else Map.empty
+      } catch { case _: Exception => Map.empty }
+    val ratios = results.collect { case (k, v, true)
+      if prev.get(k).exists(_ > 0.05) => k -> v / prev(k) }
+    // sub-second queries flicker 2x run-to-run on a shared machine —
+    // only flag regressions where at least one side exceeds a second
+    def overFloor(k: String): Boolean =
+      results.exists(r => r._1 == k && r._2 >= 1.0) || prev(k) >= 1.0
+    val drift =
+      if (ratios.isEmpty) 1.0
+      else ratios.map(_._2).sorted.apply(ratios.size / 2)
+    val regressions = ratios
+      .filter { case (k, r) => r / drift > 1.5 && overFloor(k) }
+      .sortBy(-_._2)
+
     // 3-decimal timings keep the line compact (the driver records a
     // bounded tail of stdout; a shorter line survives it intact)
     val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok) => s""""$k":$ok""" }
       .mkString("{", ",", "}")
+    val regs = regressions.map { case (k, r) => f""""$k":$r%.2f""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(!_._3)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"sf":"$sfDir"}"""
     println(line)
     // the full line also lands in the repo, so per-query timings survive
     // any stdout-tail truncation and stay diffable across rounds
