@@ -623,6 +623,27 @@ object Similarity {
     corpus.select(col(idCol), col(vecCol)).unionByName(twins)
   }
 
+  /** DuckDB form of a planted twin's cosine against its base: the twin
+    * adds 0.05f to dimension 0 IN FLOAT (matching `withPlantedTwins`),
+    * then both sides compute cosine in double — the same float→double
+    * ladder the Spark `cosine` column walks, so rounded values match.
+    */
+  private val twinSimSql =
+    """ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      list_prepend(CAST(CAST(embedding[1] + 0.05::REAL AS REAL) AS DOUBLE),
+                   CAST(embedding[2:] AS DOUBLE[]))), 4)"""
+
+  /** Oracle for the ANN family on the planted-twin corpus: every query
+    * (the first ten twin bases) must report its twin as the top-1
+    * neighbor with the exact twin cosine — any bucketing/quantization
+    * loss of a near-identical pair goes red.
+    */
+  private val twinTop1Oracle: String =
+    s"""SELECT vec_id AS q_id, vec_id + 1000000000 AS neighbor_id,
+        $twinSimSql AS sim
+      FROM embeddings WHERE vec_id < 70 AND vec_id % 7 = 0
+      ORDER BY q_id"""
+
   def queries: Seq[GraftQuery] = Seq(
     // Brute-force exact top-k: query set = vec_id < 10, k = 5.
     GraftQuery(
@@ -659,41 +680,47 @@ object Similarity {
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     // Bucketed ANN: 8 tables × 12 planes (4096 buckets/table), capped
-    // groups; queries probe one bucket per table. Rows-only (approximate
-    // by construction); SimilaritySpec checks recall ≥0.8 on planted
-    // near-dups and the cap under adversarial skew.
+    // groups; queries probe one bucket per table. Demonstrated on the
+    // planted-twin corpus (the uniform corpus has NO neighbor
+    // structure, making natural recall meaningless): each query's
+    // top-1 must be its twin — a deterministic, oracle-checkable
+    // result that goes red the moment bucketing loses a near-identical
+    // pair. Full top-k recall stays pinned by SimilaritySpec.
     GraftQuery(
       "d_ann_lsh",
       (s, dir) => {
-        val corpus = emb(s, dir)
-        val q = corpus.filter(col("vec_id") < 10)
+        val corpus = withPlantedTwins(emb(s, dir), "vec_id", "embedding",
+          every = 7)
+        val q = corpus
+          .filter(col("vec_id") < 70 && col("vec_id") % 7 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val ann = annTopK(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
+        annTopK(corpus, q, "vec_id", "embedding", "q_id", "q_vec",
           k = 3, tables = 8, planes = 12, dims = 64, cap = 1024)
-        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
-          k = 3)
-          .orderBy("q_id", "rank")
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), col("sim"))
+          .orderBy("q_id")
       },
-      None),
+      Some(twinTop1Oracle)),
 
     // IVF ANN: k-means coarse quantizer, cells ≈ √N with a per-cell cap
     // and nprobe scaled to the cell count — per-query work ≈ nprobe×√N.
-    // Rows-only (approximate); the recall column audits each query
-    // against the exact top-k, and SimilaritySpec pins planted-twin
-    // recall and the cap under a clustered corpus.
+    // Planted-twin corpus, top-1-is-the-twin oracle (see d_ann_lsh);
+    // SimilaritySpec pins full recall and the cap on a clustered corpus.
     GraftQuery(
       "d_ann_ivf",
       (s, dir) => {
-        val corpus = emb(s, dir)
-        val q = corpus.filter(col("vec_id") < 10)
+        val corpus = withPlantedTwins(emb(s, dir), "vec_id", "embedding",
+          every = 7)
+        val q = corpus
+          .filter(col("vec_id") < 70 && col("vec_id") % 7 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val ann = annTopKIvf(corpus, q, "vec_id", "embedding", "q_id",
+        annTopKIvf(corpus, q, "vec_id", "embedding", "q_id",
           "q_vec", k = 3)
-        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
-          k = 3)
-          .orderBy("q_id", "rank")
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), col("sim"))
+          .orderBy("q_id")
       },
-      None),
+      Some(twinTop1Oracle)),
 
     // PQ ANN: 8 subspaces × 16 centroids — the memory-bounded layer of
     // the ANN stack (codes are 8 small ints/vector vs 256 float bytes);
@@ -705,16 +732,18 @@ object Similarity {
     GraftQuery(
       "d_ann_pq",
       (s, dir) => {
-        val corpus = emb(s, dir)
-        val q = corpus.filter(col("vec_id") < 10)
+        val corpus = withPlantedTwins(emb(s, dir), "vec_id", "embedding",
+          every = 7)
+        val q = corpus
+          .filter(col("vec_id") < 70 && col("vec_id") % 7 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val ann = annTopKPq(corpus, q, "vec_id", "embedding", "q_id",
+        annTopKPq(corpus, q, "vec_id", "embedding", "q_id",
           "q_vec", k = 3)
-        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
-          k = 3)
-          .orderBy("q_id", "rank")
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), col("sim"))
+          .orderBy("q_id")
       },
-      None),
+      Some(twinTop1Oracle)),
 
     // IVFADC: PQ codes scanned only within each query's nprobe probed
     // IVF cells — per-query ADC work ≈ nprobe·√N instead of N, with the
@@ -724,16 +753,18 @@ object Similarity {
     GraftQuery(
       "d_ann_ivfpq",
       (s, dir) => {
-        val corpus = emb(s, dir)
-        val q = corpus.filter(col("vec_id") < 10)
+        val corpus = withPlantedTwins(emb(s, dir), "vec_id", "embedding",
+          every = 7)
+        val q = corpus
+          .filter(col("vec_id") < 70 && col("vec_id") % 7 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val ann = annTopKIvfPq(corpus, q, "vec_id", "embedding", "q_id",
+        annTopKIvfPq(corpus, q, "vec_id", "embedding", "q_id",
           "q_vec", k = 3, nprobe = 8)
-        withRecall(ann, corpus, q, "vec_id", "embedding", "q_id", "q_vec",
-          k = 3)
-          .orderBy("q_id", "rank")
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), col("sim"))
+          .orderBy("q_id")
       },
-      None),
+      Some(twinTop1Oracle)),
 
     // Embedding-cosine near-dup pairs at a REAL dedup threshold (0.95).
     // The uniform test corpus has no natural near-dups (max pairwise
@@ -749,7 +780,12 @@ object Similarity {
           tables = 8, planes = 12, dims = 64, cap = 1024)
           .orderBy("id_a", "id_b")
       },
-      None),
+      // the pair set is fully determined: only (base, twin) pairs clear
+      // τ=0.95 (natural max pairwise cosine ≈ 0.5), and the twin cosine
+      // recomputes exactly in SQL — a hash-checked near-dup pair list
+      Some(s"""SELECT vec_id AS id_a, vec_id + 1000000000 AS id_b,
+          $twinSimSql AS sim
+        FROM embeddings WHERE vec_id % 7 = 0 ORDER BY id_a, id_b""")),
 
     // Distributed spherical k-means over the embedding corpus — the
     // clustering step a training pipeline uses for semantic sharding,

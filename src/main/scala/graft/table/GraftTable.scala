@@ -133,8 +133,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         val mf = metaDir.resolve(s"manifest-$snapId$sfx.jsonl")
         Files.createDirectories(metaDir)
         DataFileEntry.writeManifest(mf, stamped)
+        // the ADDED stamp must ride on the REF too: concurrent rewrites
+        // detect "a delete landed after my read" from ref-level
+        // added-sequence alone — a None here made a racing re-cluster
+        // blind to a just-committed MoR delete (resurrection bug)
         Seq(ManifestRef(mf.toString, stamped.size.toLong,
-          stamped.map(_.recordCount).sum, content = ct))
+          stamped.map(_.recordCount).sum, Some(snapId), Some(seq),
+          content = ct))
       }
     }
     // shard manifests stay exactly where executors wrote them; only the

@@ -166,4 +166,45 @@ class ConcurrencySpec extends SparkSpec {
       .flatMap(_.entries).flatMap(_.dv.map(_.dataFile))
     assert(dvFiles.nonEmpty && dvFiles.distinct.size == dvFiles.size)
   }
+
+  test("lineage OVERWRITE racing appends: ids stay unique and dense") {
+    import spark.implicits._
+    def df(r: Range, g: Long) = r.map(i => (i.toLong, g)).toDF("id", "grp")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("conc-lin").toString + "/t",
+      df(1 to 1, 0L).schema,
+      properties = Map(GraftTable.RowLineageProp -> "true"))
+    t.append(df(1 to 300, 1L).union(df(301 to 600, 2L)).repartition(3))
+    // an INSERT OVERWRITE of grp=1 races three appends: every commit's
+    // retry must re-derive its id base from the winner's next-row-id —
+    // a stale base would mint duplicate _row_ids
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val appends = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 3).foreach(k =>
+          t.append(df(1000 * k to 1000 * k + 99, 9L)))
+      })
+      val ow = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          t.overwriteWhere(col("grp") === 1L, df(601 to 650, 1L))
+            .snapshotId
+      })
+      appends.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      ow.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val lin = t.scanWithLineage().cache()
+    val n = 300 /*grp2*/ + 50 /*replacement*/ + 300 /*appends*/
+    assert(lin.count() == n)
+    assert(lin.select("_row_id").distinct().count() == n,
+      "racing overwrite/append minted duplicate row ids")
+    // the id space is dense: high-water mark equals ids ever assigned
+    // (600 initial + 50 overwrite + 300 appends)
+    assert(t.metadata.nextRowId.contains(950L))
+    assert(lin.agg(max("_row_id")).head().getLong(0) == 949L)
+    // grp=1 originals are gone; replacement rows carry FRESH ids (>=600)
+    assert(lin.filter(col("grp") === 1L).count() == 50)
+    assert(lin.filter(col("grp") === 1L)
+      .agg(min("_row_id")).head().getLong(0) >= 600L)
+    lin.unpersist()
+  }
 }

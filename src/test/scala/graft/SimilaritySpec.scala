@@ -37,17 +37,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("LSH ANN returns at most k per query, queries from the corpus") {
-    val bf = Registry.byName("d_embed_cosine_topk")
-      .fn(spark, "/root/testdata/sf0.001").collect()
-      .filter(_.getAs[Long]("rank") <= 3)
-      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ann = Registry.byName("d_ann_lsh")
-      .fn(spark, "/root/testdata/sf0.001").collect()
-      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
-    assert(ann.nonEmpty)
-    assert(ann.groupBy(_._1).values.forall(_.size <= 3))
-    assert(ann.map(_._1).subsetOf(bf.map(_._1)))
+  test("registered ANN queries: one row per twin base, top-1 is the twin") {
+    Seq("d_ann_lsh", "d_ann_ivf", "d_ann_pq", "d_ann_ivfpq").foreach { q =>
+      val out = Registry.byName(q)
+        .fn(spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id"))
+      assert(out.map(_._1).toSeq.sorted == (0L until 70L by 7L).toSeq,
+        s"$q: expected one row per twin base, got ${out.map(_._1).toSeq}")
+      out.foreach { case (qid, n) =>
+        assert(n == qid + 1000000000L, s"$q: top-1 of $qid is $n, not its twin")
+      }
+    }
   }
 
   test("ANN recall >= 0.8 on planted near-duplicates vs brute force") {
@@ -161,12 +161,6 @@ class SimilaritySpec extends SparkSpec {
     val meanRecall = out.select("q_id", "recall").distinct()
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(meanRecall >= 0.8, s"mean recall@1 $meanRecall below 0.8")
-    // the registered ANN queries expose the column end-to-end
-    val lsh = Registry.byName("d_ann_lsh").fn(spark, "/root/testdata/sf0.001")
-    assert(lsh.columns.contains("recall"))
-    assert(lsh.select("recall").collect().forall(!_.isNullAt(0)))
-    val ivf = Registry.byName("d_ann_ivf").fn(spark, "/root/testdata/sf0.001")
-    assert(ivf.columns.contains("recall"))
   }
 
   test("per-bucket cap bounds candidate generation under adversarial skew") {
