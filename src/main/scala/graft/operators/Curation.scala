@@ -209,7 +209,31 @@ object Curation {
               .as("fill"))
           .orderBy("bucket", "pack_id")
       },
-      None),
+      // packing is DETERMINISTIC (each bucket lives in one partition,
+      // rows sorted by doc_id, greedy fold) — the oracle replays the
+      // same fold row-by-row with a recursive CTE
+      Some(s"""WITH RECURSIVE base AS (
+          SELECT CAST(doc_id % $PackBuckets AS INTEGER) AS bucket, doc_id,
+            ${TextOps.wsTokensSql} AS nt,
+            ROW_NUMBER() OVER (PARTITION BY doc_id % $PackBuckets
+              ORDER BY doc_id) AS rn
+          FROM documents),
+        state(bucket, rn, pack, used, nt) AS (
+          SELECT bucket, rn, CAST(0 AS BIGINT), nt, nt
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.bucket, b.rn,
+            CASE WHEN s.used + b.nt > $PackBudget AND s.used > 0
+              THEN s.pack + 1 ELSE s.pack END,
+            CASE WHEN s.used + b.nt > $PackBudget AND s.used > 0
+              THEN b.nt ELSE s.used + b.nt END,
+            b.nt
+          FROM state s
+          JOIN base b ON b.bucket = s.bucket AND b.rn = s.rn + 1)
+        SELECT bucket, pack AS pack_id, COUNT(*) AS n_docs,
+          SUM(nt) AS n_tokens,
+          ROUND(CAST(SUM(nt) AS DOUBLE) / $PackBudget.0, 4) AS fill
+        FROM state GROUP BY bucket, pack ORDER BY bucket, pack_id""")),
 
     // The END-TO-END curation funnel: language gate → quality gate →
     // repetition gate → exact dedup → eval decontamination, reported as

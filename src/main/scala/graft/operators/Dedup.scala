@@ -244,7 +244,32 @@ object Dedup {
       (s, dir) =>
         minhashPairs(docs(s, dir), "doc_id", "text")
           .orderBy("doc_a", "doc_b"),
-      None),
+      // the oracle computes the EXACT answer with no banding at all:
+      // every pair sharing any 3-gram shingle, scored by exact string
+      // Jaccard at the same τ. Equality certifies both the hash-domain
+      // Jaccard (string jac up to ~2^-64 collisions) AND full banding
+      // recall — the corpus' near-dups sit at jac ≥ 0.9, where a
+      // 16×4-band miss has probability (1-J⁴)¹⁶ ≈ 4e-8
+      Some(s"""WITH toks AS (SELECT doc_id,
+            string_split(${TextOps.normTextSql}, ' ') AS t
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN list_distinct(
+              list_transform(range(1, len(t) - 1),
+                i -> array_to_string(t[i:i+2], ' ')))
+            ELSE [array_to_string(t, ' ')] END AS sh FROM toks),
+        inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        scored AS (SELECT c.doc_a, c.doc_b,
+            ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+                  AS DOUBLE), 4) AS jac
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.5
+        ORDER BY doc_a, doc_b""")),
 
     // Near-dup CLUSTER resolution: the step after pair generation in a
     // real curation pipeline — pairs → connected components → one keeper
@@ -261,7 +286,35 @@ object Dedup {
           .agg(count(lit(1)).as("n_members"))
           .orderBy("cluster_id")
       },
-      None),
+      // exact pairs (see d_dedup_minhash) + transitive closure via a
+      // recursive CTE: per-component min-id labels and sizes must match
+      // the distributed label propagation exactly
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id,
+            string_split(${TextOps.normTextSql}, ' ') AS t
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN list_distinct(
+              list_transform(range(1, len(t) - 1),
+                i -> array_to_string(t[i:i+2], ' ')))
+            ELSE [array_to_string(t, ' ')] END AS sh FROM toks),
+        inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+                  AS DOUBLE), 4) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS id, LEAST(a, MIN(b)) AS label
+          FROM reach GROUP BY a)
+        SELECT label AS cluster_id, COUNT(*) AS n_members
+        FROM labels GROUP BY label ORDER BY cluster_id""")),
 
     // SimHash near-dup: 64-bit signature, 4×16-bit chunk banding (any pair
     // with hamming distance ≤ 3 shares at least one chunk), verified by

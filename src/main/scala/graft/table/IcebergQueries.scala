@@ -190,7 +190,12 @@ object IcebergQueries {
           ("sort-orders", parsed.sortOrders.size.toLong))
           .toDF("item", "n").orderBy("item")
       },
-      None),
+      // the fixture is a committed constant — its structural counts are
+      // literals (the roundtrip identity itself is require()d in-query)
+      Some("""SELECT * FROM (VALUES
+          ('fields', CAST(3 AS BIGINT)), ('partition-specs', 1),
+          ('refs', 2), ('schemas', 1), ('snapshots', 2),
+          ('sort-orders', 2)) AS t(item, n) ORDER BY item""")),
 
     // Create + append + read back.
     GraftQuery(
@@ -749,9 +754,21 @@ object IcebergQueries {
           meta.snapshots.get.size == 2,
           "expected pinned + current snapshots kept")
         import s.implicits._
-        orphans.sorted.toDF("orphan_path")
+        // oracle-facing invariants (orphan PATHS are machine-specific):
+        // the surviving data is intact, exactly {pinned, current}
+        // snapshots remain, the pinned ref still reads, files were
+        // physically swept
+        Seq((t.scan().count(), t.scanRef("pinned-rc").count(),
+          meta.snapshots.get.size.toLong, orphans.nonEmpty))
+          .toDF("rows_after", "rows_at_pinned", "snapshots_kept",
+            "orphans_removed")
       },
-      None),
+      Some("""SELECT COUNT(*) AS rows_after,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+            AS rows_at_pinned,
+          CAST(2 AS BIGINT) AS snapshots_kept,
+          TRUE AS orphans_removed
+        FROM orders""")),
 
     // Nested types end-to-end: struct/list/map columns write through the
     // engine, the schema evolves INSIDE the struct (add + rename, by
