@@ -518,19 +518,56 @@ object MetadataLog {
   * per-column NDV sketches + rollups; metadata carries only the pointer.
   */
 case class StatisticsFileRef(snapshotId: Long, path: String,
-    fileSizeBytes: Long) {
+    fileSizeBytes: Long, fileFooterSizeBytes: Option[Long] = None,
+    blobMetadata: Option[Seq[BlobMetaRef]] = None) {
   def toJson: ObjectNode = {
     val o = Json.obj
     o.put("snapshot-id", snapshotId)
     o.put("statistics-path", path)
     o.put("file-size-in-bytes", fileSizeBytes)
+    fileFooterSizeBytes.foreach(o.put("file-footer-size-in-bytes", _))
+    blobMetadata.foreach { bs =>
+      val a = o.putArray("blob-metadata"); bs.foreach(b => a.add(b.toJson))
+    }
     o
   }
 }
 object StatisticsFileRef {
   def fromJson(n: JsonNode): StatisticsFileRef = StatisticsFileRef(
     n.path("snapshot-id").asLong, n.path("statistics-path").asText,
-    n.path("file-size-in-bytes").asLong)
+    n.path("file-size-in-bytes").asLong,
+    Option(n.get("file-footer-size-in-bytes")).map(_.asLong),
+    Option(n.get("blob-metadata")).map(_.elements.asScala.toSeq
+      .map(BlobMetaRef.fromJson)))
+}
+
+/** Spec blob-metadata entry inside a `statistics` file reference. */
+case class BlobMetaRef(blobType: String, snapshotId: Long,
+    sequenceNumber: Long, fields: Seq[Int],
+    properties: Map[String, String]) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    o.put("type", blobType)
+    o.put("snapshot-id", snapshotId)
+    o.put("sequence-number", sequenceNumber)
+    val a = o.putArray("fields"); fields.foreach(a.add)
+    if (properties.nonEmpty) {
+      val p = o.putObject("properties")
+      properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    }
+    o
+  }
+}
+object BlobMetaRef {
+  def fromJson(n: JsonNode): BlobMetaRef = BlobMetaRef(
+    n.path("type").asText,
+    n.path("snapshot-id").asLong,
+    n.path("sequence-number").asLong,
+    Option(n.get("fields")).map(_.elements.asScala.toSeq.map(_.asInt))
+      .getOrElse(Seq.empty),
+    Option(n.get("properties")).map(p => p.fields.asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty))
 }
 
 // ------------------------------------------------------- table metadata ----

@@ -2764,9 +2764,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val exprs = Stats.aggExprs(targets)
     val row = df.agg(exprs.head, exprs.tail: _*).head()
     val entries = Stats.entriesFromRow(row, targets)
-    val (path, size) = Stats.writeFile(Paths.get(location, "stats"), sid,
-      row.getAs[Long]("cnt"), entries)
-    val ref = graft.model.StatisticsFileRef(sid, path, size)
+    val seq = meta0.snapshotById(sid).map(_.sequenceNumber).getOrElse(0L)
+    val fieldIds = meta0.currentSchema.fields.map(f => f.name -> f.id).toMap
+    val ref = Stats.writeFile(Paths.get(location, "stats"), sid, seq,
+      row.getAs[Long]("cnt"), entries, fieldIds)
     // metadata-only commit; re-derive against fresh state on conflict
     var attempts = 0
     while (true) {

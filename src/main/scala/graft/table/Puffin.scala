@@ -208,7 +208,11 @@ object Puffin {
       b
     }
 
-    def close(): Unit = {
+    /** Write the footer; returns its byte length (the spec's
+      * `file-footer-size-in-bytes`: magic + payload + size + flags +
+      * magic).
+      */
+    def close(): Long = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = m.createObjectNode()
       val arr = root.putArray("blobs")
@@ -233,6 +237,7 @@ object Puffin {
       out.write(tail.array())
       out.write(Magic)
       out.close()
+      4L + json.length + 8L + 4L
     }
   }
 

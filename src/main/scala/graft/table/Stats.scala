@@ -68,9 +68,9 @@ object Stats {
     case _ => true
   }
 
-  /** hll_sketch_agg input column: int/long/string update the sketch
-    * natively; every other type goes through its round-trippable string
-    * rendering (injective, so NDV is preserved).
+  /** Sketch input column: int/long/string update the sketch natively;
+    * every other type goes through its round-trippable string rendering
+    * (injective, so NDV is preserved).
     */
   private def ndvInput(c: Column, dt: DataType): Column = dt match {
     case IntegerType | LongType | StringType => c
@@ -79,13 +79,16 @@ object Stats {
   }
 
   /** The single-pass aggregate: one sketch + nulls + min/max (+ string
-    * lengths) per column, plus the total row count.
+    * lengths) per column, plus the total row count. NDV sketches are
+    * THETA (the Puffin-spec standard blob family), via graft's native
+    * TypedImperativeAggregate.
     */
   def aggExprs(targets: Seq[StructField]): Seq[Column] =
     count(lit(1)).as("cnt") +: targets.flatMap { f =>
       val c = col(s"`${f.name}`")
       Seq(
-        hll_sketch_agg(ndvInput(c, f.dataType)).as(s"hll::${f.name}"),
+        graft.functions.ThetaSketchAgg.agg(ndvInput(c, f.dataType))
+          .as(s"hll::${f.name}"),
         count(c).as(s"nonnull::${f.name}"),
         min(c).as(s"min::${f.name}"),
         max(c).as(s"max::${f.name}")) ++
@@ -104,8 +107,8 @@ object Stats {
     val cnt = row.getAs[Long]("cnt")
     targets.map { f =>
       val sketch = Option(row.getAs[Array[Byte]](s"hll::${f.name}"))
-      val ndv = sketch.map(b => Math.round(
-        org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate))
+      val ndv = sketch
+        .map(graft.functions.ThetaSketchAgg.estimate)
         .getOrElse(0L)
       val nulls = cnt - row.getAs[Long](s"nonnull::${f.name}")
       def bound(k: String): Option[String] =
@@ -122,29 +125,81 @@ object Stats {
     }
   }
 
-  /** Write one stats file: {"snapshot-id": …, "row-count": …,
-    * "columns": [...]}. Returns (path, size).
+  /** Puffin blob type for the per-column NDV sketches: the PUBLIC
+    * Iceberg-standard theta family — external cost models read these.
     */
-  def writeFile(dir: Path, snapshotId: Long, rowCount: Long,
-      entries: Seq[ColumnStatsEntry]): (String, Long) = {
+  val ThetaBlobType = "apache-datasketches-theta-v1"
+
+  /** Graft's rollups blob (row count + per-column min/max/null/length
+    * stats as JSON): an extra blob spec readers simply skip.
+    */
+  val RollupsBlobType = "graft-rollups-v1"
+
+  /** Write one statistics file as a REAL Puffin container: one
+    * spec-standard theta blob per sketched column (blob properties
+    * carry the spec's `ndv` plus the column name) and one rollups blob.
+    * Returns the spec-shaped metadata reference (path, sizes, footer
+    * size, per-blob metadata).
+    */
+  def writeFile(dir: Path, snapshotId: Long, sequenceNumber: Long,
+      rowCount: Long, entries: Seq[ColumnStatsEntry],
+      fieldIds: Map[String, Int]): graft.model.StatisticsFileRef = {
     Files.createDirectories(dir)
+    val p = dir.resolve(
+      s"$snapshotId-${java.util.UUID.randomUUID}.stats.puffin")
+    val w = new Puffin.Writer(p)
+    val blobs = scala.collection.mutable.ArrayBuffer
+      .empty[graft.model.BlobMetaRef]
+    entries.foreach { e =>
+      e.sketch.foreach { bytes =>
+        w.add(ThetaBlobType, bytes,
+          Map("ndv" -> e.ndv.toString, "graft.column" -> e.name),
+          snapshotId, sequenceNumber)
+        blobs += graft.model.BlobMetaRef(ThetaBlobType, snapshotId,
+          sequenceNumber, fieldIds.get(e.name).toSeq,
+          Map("ndv" -> e.ndv.toString))
+      }
+    }
     val o = Json.obj
     o.put("snapshot-id", snapshotId)
     o.put("row-count", rowCount)
     val a = o.putArray("columns")
-    entries.foreach(e => a.add(e.toJson))
-    val p = dir.resolve(
-      s"$snapshotId-${java.util.UUID.randomUUID}.stats.json")
-    val bytes = Json.write(o).getBytes("UTF-8")
-    Files.write(p, bytes)
-    (p.toString, bytes.length.toLong)
+    entries.foreach(e => a.add(e.copy(sketch = None).toJson))
+    w.add(RollupsBlobType, Json.write(o).getBytes("UTF-8"), Map.empty,
+      snapshotId, sequenceNumber)
+    blobs += graft.model.BlobMetaRef(RollupsBlobType, snapshotId,
+      sequenceNumber, Seq.empty, Map.empty)
+    val footerBytes = w.close()
+    graft.model.StatisticsFileRef(snapshotId, p.toString,
+      Files.size(p), Some(footerBytes), Some(blobs.toSeq))
   }
 
-  /** Read a stats file back: (row-count, entries). */
+  /** Read a statistics file back: (row-count, entries) — rollups from
+    * the graft blob, sketch bytes re-attached from their theta blobs
+    * (matched by the `graft.column` property).
+    */
   def readFile(path: String): (Long, Seq[ColumnStatsEntry]) = {
-    val n = Json.parse(
-      new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
-    (n.path("row-count").asLong,
-      n.path("columns").elements.asScala.toSeq.map(ColumnStatsEntry.fromJson))
+    val p = Paths.get(path)
+    val footer = Puffin.readFooter(p)
+    def blobBytes(b: Puffin.Blob): Array[Byte] = {
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(b.length.toInt)
+        ch.position(b.offset)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        require(!buf.hasRemaining, s"short read of stats blob in $path")
+        buf.array()
+      } finally ch.close()
+    }
+    val roll = footer.find(_.tpe == RollupsBlobType).getOrElse(
+      throw new IllegalStateException(s"no rollups blob in $path"))
+    val n = Json.parse(new String(blobBytes(roll), "UTF-8"))
+    val sketches = footer.filter(_.tpe == ThetaBlobType)
+      .flatMap(b => b.properties.get("graft.column").map(_ -> blobBytes(b)))
+      .toMap
+    val entries = n.path("columns").elements.asScala.toSeq
+      .map(ColumnStatsEntry.fromJson)
+      .map(e => e.copy(sketch = sketches.get(e.name)))
+    (n.path("row-count").asLong, entries)
   }
 }

@@ -52,6 +52,48 @@ class StatsSpec extends SparkSpec {
     assert(t.metadata.statistics.exists(_.exists(_.path == ref.path)))
   }
 
+  test("stats file is a spec Puffin: theta blobs + blob-metadata in JSON") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    val t = build(tmp(), 2000)
+    val ref = t.analyze(Seq("id", "grp"))
+    // metadata carries the spec fields
+    assert(ref.fileFooterSizeBytes.exists(_ > 0L))
+    val blobs = ref.blobMetadata.get
+    assert(blobs.count(_.blobType == Stats.ThetaBlobType) == 2)
+    assert(blobs.filter(_.blobType == Stats.ThetaBlobType)
+      .forall(b => b.fields.nonEmpty && b.properties.contains("ndv")))
+    // the file itself is a readable Puffin container whose theta blobs
+    // parse with the PLAIN datasketches library (no graft code) and
+    // estimate the right cardinalities
+    val footer = graft.table.Puffin.readFooter(
+      java.nio.file.Paths.get(ref.path))
+    val thetas = footer.filter(_.tpe == Stats.ThetaBlobType)
+    assert(thetas.size == 2)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ref.path))
+    val byCol = thetas.map(b => b.properties("graft.column") ->
+      java.util.Arrays.copyOfRange(bytes, b.offset.toInt,
+        (b.offset + b.length).toInt)).toMap
+    val grpEst = Sketches.wrapCompactSketch(Memory.wrap(byCol("grp")))
+      .getEstimate
+    assert(math.round(grpEst) == 97L)
+    val idEst = Sketches.wrapCompactSketch(Memory.wrap(byCol("id")))
+      .getEstimate
+    assert(math.abs(idEst - 2000.0) / 2000.0 < 0.02)
+    // mergeability: two sketches UNION like the spec intends
+    val u = SetOperation.builder().buildUnion()
+    u.union(Memory.wrap(byCol("grp")))
+    u.union(Memory.wrap(byCol("id")))
+    assert(u.getResult.getEstimate >= idEst) // superset cardinality
+    // the JSON metadata round-trips the spec fields
+    val meta2 = graft.model.TableMetadataV2.fromJsonString(
+      t.metadata.toJsonString)
+    assert(meta2.statistics.get.head.blobMetadata.get
+      .exists(b => b.blobType == Stats.ThetaBlobType &&
+        b.properties.contains("ndv")))
+  }
+
   test("stats resolve from nearest ancestor after appends; refresh replaces") {
     import spark.implicits._
     val loc = tmp()
