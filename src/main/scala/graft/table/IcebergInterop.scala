@@ -106,6 +106,63 @@ object IcebergInterop {
       readSchema, posDels, eqDels)
   }
 
+  /** ADOPT an external Iceberg layout as a LIVE native table: the
+    * current snapshot's Avro manifests convert to native JSONL
+    * manifests (metadata-only — data, delete, and DV files are
+    * referenced at their absolute paths, never copied), and a fresh
+    * native version chain starts at the adopted snapshot. Every
+    * subsequent operation — scans, mutations, maintenance, ANALYZE,
+    * even re-export — runs natively: the in-place migration path for
+    * an existing Iceberg table. History before the adopted snapshot
+    * does not travel (its manifest lists live only in the source
+    * layout); lineage state (`next-row-id`, per-entry first-row-ids)
+    * and table properties carry over, so a lineage table keeps minting
+    * correct ids after adoption.
+    */
+  def adoptTable(spark: SparkSession, layoutDir: String,
+      targetLocation: String): GraftTable = {
+    val extMeta = TableMetadataV2.fromJsonString(
+      Files.readString(currentMetadataPath(layoutDir)))
+    val snap = extMeta.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot to adopt in $layoutDir"))
+    val metaDir = Paths.get(targetLocation, "metadata")
+    require(!Files.exists(metaDir.resolve("v1.metadata.json")),
+      s"table already exists at $targetLocation")
+    Files.createDirectories(metaDir)
+    val manifests = AvroManifest.readManifestList(Paths.get(snap.manifestList))
+    val allEntries = manifests.flatMap { case (p, _, _) =>
+      AvroManifest.readManifest(Paths.get(p))
+    }
+    // native convention: one manifest per content kind (data /
+    // position-deletes / equality-deletes)
+    val refs = allEntries.groupBy(_.content).toSeq.sortBy(_._1)
+      .map { case (ct, es) =>
+        val sfx = ct match {
+          case 0 => ""; case 1 => "-deletes"; case _ => "-eq-deletes" }
+        val mf = metaDir.resolve(s"manifest-${snap.snapshotId}$sfx.jsonl")
+        DataFileEntry.writeManifest(mf, es)
+        ManifestRef(mf.toString, es.size.toLong,
+          es.map(_.recordCount).sum, Some(snap.snapshotId),
+          Some(snap.sequenceNumber), content = ct)
+      }
+    val listPath = metaDir.resolve(
+      s"snap-${snap.snapshotId}.manifest-list.json")
+    ManifestList.write(listPath, refs)
+    val now = System.currentTimeMillis
+    val adopted = extMeta.copy(
+      location = targetLocation,
+      snapshots = Some(Seq(snap.copy(manifestList = listPath.toString))),
+      snapshotLog = Some(Seq(SnapshotLog(snap.snapshotId, now))),
+      metadataLog = None,
+      lastUpdatedMs = now,
+      refs = Some(Map("main" -> SnapshotRef(snap.snapshotId,
+        BranchRetention(1, Long.MaxValue, Long.MaxValue)))))
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      adopted.toJsonString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    GraftTable.load(spark, targetLocation)
+  }
+
   /** Read an exported ROW-LINEAGE table through the external format
     * only: the v3 metadata's `next-row-id` proves lineage, per-entry
     * `first_row_id` serves virtual ids, and rewrite-materialized files

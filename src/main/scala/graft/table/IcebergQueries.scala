@@ -695,11 +695,13 @@ object IcebergQueries {
         CAST(COUNT(*) AS BIGINT) AS total_records FROM orders""")),
 
     // Full Iceberg-layout interop roundtrip: export metadata.json + Avro
-    // manifest list/manifests, then read the table back through the
-    // EXTERNAL format only (no native JSONL manifests touched). The
-    // table carries position deletes, equality deletes AND a younger
-    // re-insert, so merge-on-read semantics — including sequence-scoped
-    // equality application — must survive the layout roundtrip.
+    // manifest list/manifests, read the table back through the EXTERNAL
+    // format only, AND adopt the layout as a live native table (the
+    // in-place migration path) — both reads must agree with the oracle.
+    // The table carries position deletes, equality deletes AND a
+    // younger re-insert, so merge-on-read semantics — including
+    // sequence-scoped equality application — must survive the layout
+    // roundtrip in both directions.
     GraftQuery(
       "ice_import_external",
       (s, dir) => {
@@ -717,7 +719,16 @@ object IcebergQueries {
           repartitionByPartition = true)
         val layout = loc("extimp-layout")
         IcebergInterop.exportTable(t, layout)
-        flagAgg(IcebergInterop.readTable(s, layout))
+        val adopted = IcebergInterop.adoptTable(s, layout,
+          loc("extimp-adopted"))
+        val viaExternal = flagAgg(IcebergInterop.readTable(s, layout))
+        val viaAdopted = flagAgg(adopted.scan())
+        // both paths must agree EXACTLY — surface any divergence as a
+        // zero-row diff the oracle row-count check catches
+        require(viaExternal.exceptAll(viaAdopted).isEmpty &&
+          viaAdopted.exceptAll(viaExternal).isEmpty,
+          "adopted-table read diverged from the external-format read")
+        viaAdopted
       },
       Some(s"""$flagAggSql FROM (
           SELECT * FROM lineitem

@@ -78,4 +78,54 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.readTable(spark, layout, asOf = Some(12345L))
     }
   }
+
+  test("adopt: an exported layout becomes a LIVE native table") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(1500)
+    val t = GraftTable.create(spark, tmp("adopt-src").toString + "/t",
+      src.schema,
+      properties = Map(GraftTable.RowLineageProp -> "true"))
+    t.append(src)
+    t.deleteWhereMoR(col("l_linenumber") === 1) // parquet positions
+    t.deleteWhereDv(col("l_linenumber") === 2)  // deletion vector
+    val expected = src
+      .filter(col("l_linenumber") =!= 1 && col("l_linenumber") =!= 2)
+      .count()
+    val layout = tmp("adopt-layout").toString
+    IcebergInterop.exportTable(t, layout)
+
+    // adopt at a NEW location: scans serve through native manifests
+    // (deletes and DV blobs referenced in place), lineage ids identical
+    val adopted = IcebergInterop.adoptTable(spark, layout,
+      tmp("adopt-dst").toString + "/t")
+    assert(adopted.scan().count() == expected)
+    def ids(x: GraftTable) = x.scanWithLineage()
+      .select("_row_id", "l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ids(adopted) == ids(t), "adopted lineage ids drifted")
+    // double-adoption refuses
+    intercept[IllegalArgumentException] {
+      IcebergInterop.adoptTable(spark, layout, adopted.location) }
+
+    // the adopted table is fully LIVE: mutations + maintenance run
+    // natively and lineage keeps minting from the adopted next-row-id
+    val nextBefore = adopted.metadata.nextRowId.get
+    adopted.deleteWhereDv(col("l_linenumber") === 3)
+    adopted.append(src.limit(100))
+    val expected2 = expected -
+      src.filter(col("l_linenumber") === 3 &&
+        col("l_linenumber") =!= 1 && col("l_linenumber") =!= 2).count() +
+      100
+    assert(adopted.scan().count() == expected2)
+    val lin = adopted.scanWithLineage()
+    assert(lin.select("_row_id").distinct().count() == expected2)
+    assert(lin.agg(max("_row_id")).head().getLong(0) ==
+      nextBefore + 100 - 1)
+    adopted.compact()
+    assert(adopted.scan().count() == expected2)
+    // and the adopted table re-exports
+    val layout2 = tmp("adopt-layout2").toString
+    IcebergInterop.exportTable(adopted, layout2)
+    assert(IcebergInterop.readTable(spark, layout2).count() == expected2)
+  }
 }
