@@ -593,6 +593,9 @@ case class TableMetadataV2(
     defaultSortOrderId: Long = 0L,
     refs: Option[Map[String, SnapshotRef]] = None,
     statistics: Option[Seq[StatisticsFileRef]] = None,
+    // spec `partition-statistics` list: per-partition rollup files
+    // (same {snapshot-id, statistics-path, file-size-in-bytes} shape)
+    partitionStatistics: Option[Seq[StatisticsFileRef]] = None,
     // row-lineage high-water mark (Iceberg v3 `next-row-id`): the first
     // row id the NEXT append may assign; present only on tables with
     // row lineage enabled
@@ -653,6 +656,10 @@ case class TableMetadataV2(
     statistics.foreach { ss =>
       val a = o.putArray("statistics"); ss.foreach(s => a.add(s.toJson))
     }
+    partitionStatistics.foreach { ss =>
+      val a = o.putArray("partition-statistics")
+      ss.foreach(s => a.add(s.toJson))
+    }
     nextRowId.foreach(o.put("next-row-id", _))
     o
   }
@@ -694,6 +701,8 @@ object TableMetadataV2 {
         r.properties.asScala.map(e =>
           e.getKey -> SnapshotRef.fromJson(e.getValue)).toMap),
       statistics = Option(n.get("statistics"))
+        .map(_.elements.asScala.toSeq.map(StatisticsFileRef.fromJson)),
+      partitionStatistics = Option(n.get("partition-statistics"))
         .map(_.elements.asScala.toSeq.map(StatisticsFileRef.fromJson)),
       nextRowId = Option(n.get("next-row-id")).map(_.asLong))
   }

@@ -2787,6 +2787,91 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     ref
   }
 
+  /** Write a PARTITION STATISTICS file for the current snapshot (the
+    * public Iceberg v3 `partition-statistics` artifact): one row per
+    * partition with the spec's field names — a typed unified partition
+    * tuple, spec_id, data record/file counts, total data size, and the
+    * last-updating snapshot — computed as ONE distributed aggregate
+    * over the manifest dataset (at 100 TB the manifest is big data;
+    * no driver loop) and registered in table metadata. Positional/
+    * equality delete attribution per partition is left null (optional
+    * in the spec): graft's delete files are not partition-scoped.
+    */
+  def writePartitionStats(): graft.model.StatisticsFileRef = {
+    val meta = metadata
+    val sid = meta.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $location"))
+    val schema = meta.currentSchema
+    // unified tuple: every partition field of every spec, typed like
+    // the manifest export types them (int-valued transforms → int,
+    // long/time sources → long, date identity → date, else string)
+    val pfields = meta.partitionSpecs.flatMap(_.fields)
+      .groupBy(_.name).toSeq.sortBy(_._1).map(_._2.head)
+    val tupleCols = pfields.map { pf =>
+      val v = col("partition")(pf.name)
+      (pf.transform match {
+        case TBucket(_) | TYear | TMonth | TDay | THour => v.cast("int")
+        case TVoid => v
+        case TIdentity | TTruncate(_) =>
+          schema.fieldById(pf.sourceId).map(_.fieldType) match {
+            case Some(TInt) => v.cast("int")
+            case Some(TLong) | Some(TTime) => v.cast("long")
+            case Some(TDate) => to_date(v)
+            case _ => v
+          }
+      }).as(pf.name)
+    }
+    val rows = manifestDf(None)
+      .filter(coalesce(col("content"), lit(0)) === 0)
+      .select(
+        (if (tupleCols.isEmpty) struct(lit(0).as("unpartitioned"))
+        else struct(tupleCols: _*)).as("partition"),
+        coalesce(col("spec-id"), lit(0)).as("spec_id"),
+        col("record-count").as("rc"),
+        coalesce(col("file-size"), lit(0L)).as("fs"),
+        col("snapshot-id").as("snap"))
+      .groupBy("partition", "spec_id")
+      .agg(
+        sum("rc").as("data_record_count"),
+        count(lit(1)).cast("int").as("data_file_count"),
+        sum("fs").as("total_data_file_size_in_bytes"),
+        max("snap").as("last_updated_snapshot_id"))
+      .orderBy("partition")
+    val dir = Paths.get(location, "stats")
+    Files.createDirectories(dir)
+    val tmpDir = dir.resolve(
+      s"partition-stats-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    rows.coalesce(1).write.parquet(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no stats parquet written"))
+    val target = dir.resolve(
+      s"partition-stats-$sid-${java.util.UUID.randomUUID.toString.take(8)}" +
+        ".parquet")
+    Files.move(part, target)
+    // sweep the temp dir (success markers etc.)
+    Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
+      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    val ref = graft.model.StatisticsFileRef(sid, target.toString,
+      Files.size(target))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, m) = metadataWithVersion
+      val kept = m.partitionStatistics.getOrElse(Seq.empty)
+        .filterNot(_.snapshotId == sid)
+      try {
+        writeMetadataAt(m.copy(partitionStatistics = Some(kept :+ ref),
+          lastUpdatedMs = System.currentTimeMillis), v + 1)
+        return ref
+      } catch {
+        case _: CommitConflictException if attempts < 20 =>
+          Thread.sleep(5L * attempts + scala.util.Random.nextInt(25))
+      }
+    }
+    ref
+  }
+
   /** Column statistics for a read of `asOf` (default: current snapshot):
     * the stats file computed AT that snapshot, or at its nearest
     * ANCESTOR (appends since ANALYZE leave estimates useful; non-lineal
@@ -3027,6 +3112,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // (an ancestor-walk from any retained snapshot can never reach them)
     val (retainedStats, expiredStats) = meta.statistics.getOrElse(Seq.empty)
       .partition(s => keep.contains(s.snapshotId))
+    val (retainedPStats, expiredPStats) = meta.partitionStatistics
+      .getOrElse(Seq.empty).partition(s => keep.contains(s.snapshotId))
     // commit the metadata FIRST: if the commit conflicts, nothing has
     // been deleted and current metadata still references intact files
     writeMetadataAt(meta.copy(
@@ -3035,10 +3122,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .filter(l => keep.contains(l.snapshotId))),
       refs = if (refs.isEmpty) None else Some(refs),
       statistics = if (retainedStats.isEmpty) None else Some(retainedStats),
+      partitionStatistics =
+        if (retainedPStats.isEmpty) None else Some(retainedPStats),
       lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
     deleteDistributed(orphans ++ orphanBlooms)
     orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    expiredStats.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+    (expiredStats ++ expiredPStats).foreach(s =>
+      Files.deleteIfExists(Paths.get(s.path)))
     expired.foreach(s => Files.deleteIfExists(Paths.get(s.manifestList)))
     orphans
   }

@@ -632,10 +632,24 @@ object IcebergQueries {
         val t = GraftTable.create(s, loc("partsmeta"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
         t.append(src, repartitionByPartition = true)
-        t.partitionsDf
-          .select(col("partition"), col("file_count"),
-            col("record_count"))
+        // the `.partitions` metadata table AND the spec
+        // partition-statistics FILE must agree — the query serves off
+        // the durable artifact (plain parquet, spec field names), and
+        // the live metadata table is required to match it exactly
+        val ref = t.writePartitionStats()
+        val fromFile = s.read.parquet(ref.path)
+          .select(
+            concat(lit("ship_month="),
+              col("partition.ship_month")).as("partition"),
+            col("data_file_count").cast("long").as("file_count"),
+            col("data_record_count").as("record_count"))
           .orderBy("partition")
+        val live = t.partitionsDf
+          .select(col("partition"), col("file_count"), col("record_count"))
+          .orderBy("partition")
+        require(fromFile.collect().toSeq == live.collect().toSeq,
+          "partition-statistics file diverged from .partitions")
+        fromFile
       },
       Some("""SELECT 'ship_month='
           || CAST((EXTRACT(YEAR FROM l_shipdate) - 1970) * 12

@@ -128,4 +128,34 @@ class IcebergInteropSpec extends SparkSpec {
     IcebergInterop.exportTable(adopted, layout2)
     assert(IcebergInterop.readTable(spark, layout2).count() == expected2)
   }
+
+  test("adopt: partitioned + schema-evolved layout keeps pruning working") {
+    import graft.model.TMonth
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(2000)
+    val t = GraftTable.create(spark, tmp("adoptp-src").toString + "/t",
+      src.schema, partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+    t.append(src.limit(1000), repartitionByPartition = true)
+    t.addColumn("extra_note", org.apache.spark.sql.types.StringType)
+    t.append(src.limit(500).withColumn("extra_note", lit("x")),
+      repartitionByPartition = true)
+    val layout = tmp("adoptp-layout").toString
+    IcebergInterop.exportTable(t, layout)
+    val adopted = IcebergInterop.adoptTable(spark, layout,
+      tmp("adoptp-dst").toString + "/t")
+    // rows identical through adoption, old files null-fill the new col
+    assert(adopted.scan().count() == 1500)
+    assert(adopted.scan().filter(col("extra_note").isNull).count() == 1000)
+    // hidden-partition pruning still plans from the adopted manifests:
+    // a one-month filter reads fewer files than the table holds
+    val total = adopted.planFiles().size
+    val cut = java.sql.Date.valueOf("1995-01-01")
+    val pruned = adopted.planFiles(Some(col("l_shipdate") < lit(cut)))
+    assert(pruned.size < total,
+      s"pruning dead after adoption: ${pruned.size} of $total files")
+    val expectedF = adopted.scan().filter(col("l_shipdate") < lit(cut))
+      .count()
+    assert(adopted.scan(Some(col("l_shipdate") < lit(cut))).count()
+      == expectedF)
+  }
 }

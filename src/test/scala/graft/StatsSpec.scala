@@ -94,6 +94,46 @@ class StatsSpec extends SparkSpec {
         b.properties.contains("ndv")))
   }
 
+  test("partition statistics file: spec fields, counts match, expiry sweeps") {
+    import spark.implicits._
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(2000)
+    val t = GraftTable.create(spark, tmp(), src.schema,
+      partitionBy = Seq(("l_shipdate", graft.model.TMonth, "ship_month")))
+    t.append(src, repartitionByPartition = true)
+    val ref = t.writePartitionStats()
+    assert(t.metadata.partitionStatistics.exists(_.exists(
+      _.path == ref.path)))
+    // the file is plain parquet with the spec's column names; the
+    // unified tuple is typed (month transform → int)
+    val df = spark.read.parquet(ref.path)
+    assert(df.columns.toSet == Set("partition", "spec_id",
+      "data_record_count", "data_file_count",
+      "total_data_file_size_in_bytes", "last_updated_snapshot_id"))
+    assert(df.schema("partition").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("ship_month")
+      .dataType == org.apache.spark.sql.types.IntegerType)
+    // per-partition record counts match the source grouping exactly
+    val got = df.select(col("partition.ship_month"),
+        col("data_record_count"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = src.groupBy(
+        ((year(col("l_shipdate")) - 1970) * 12 +
+          month(col("l_shipdate")) - 1).as("m"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(df.agg(sum("data_file_count")).head().getLong(0) ==
+      t.planFiles().size.toLong)
+    // a new snapshot + re-analyze replaces; expiry sweeps the old file
+    t.append(src.limit(100), repartitionByPartition = true)
+    val ref2 = t.writePartitionStats()
+    t.expireSnapshots(keepLast = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ref.path)),
+      "expired partition-stats file not swept")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ref2.path)))
+    assert(t.metadata.partitionStatistics.get.map(_.path) == Seq(ref2.path))
+  }
+
   test("stats resolve from nearest ancestor after appends; refresh replaces") {
     import spark.implicits._
     val loc = tmp()
