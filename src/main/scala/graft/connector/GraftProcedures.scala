@@ -32,7 +32,7 @@ object GraftProcedures {
     "fast_forward", "rewrite_manifests", "analyze_table",
     "create_changelog_view", "set_sort_order", "evolve_partition_spec",
     "rollback_to_timestamp", "rewrite_position_deletes",
-    "convert_equality_deletes")
+    "convert_equality_deletes", "compute_partition_stats")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -267,6 +267,18 @@ object GraftProcedures {
           val ref = t.analyze(cols)
           val n = graft.table.Stats.readFile(ref.path)._2.size.toLong
           Seq(ref.snapshotId, n, UTF8String.fromString(ref.path))
+      })
+      // the spec partition-statistics artifact: per-partition rollups
+      // in a plain-parquet file registered in table metadata
+      case "compute_partition_stats" => Some(p("compute_partition_stats",
+        Seq(table),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("stats_path", StringType),
+          StructField("file_size_bytes", LongType)))) {
+        (t, _) =>
+          val ref = t.writePartitionStats()
+          Seq(ref.snapshotId, UTF8String.fromString(ref.path),
+            ref.fileSizeBytes)
       })
       // row-level CDC as a queryable temp view:
       //   CALL g.system.create_changelog_view('db.t', 'changes_v')

@@ -416,7 +416,10 @@ object Summary {
 /** snapshot.rs:46 SnapshotV2. */
 case class SnapshotV2(snapshotId: Long, parentSnapshotId: Option[Long],
     sequenceNumber: Long, timestampMs: Long, manifestList: String,
-    summary: Summary, schemaId: Option[Long]) {
+    summary: Summary, schemaId: Option[Long],
+    // Iceberg v3 row lineage: the first row id this snapshot assigned
+    // (present only on commits that minted fresh ids)
+    firstRowId: Option[Long] = None) {
   def toJson: ObjectNode = {
     val o = Json.obj
     o.put("snapshot-id", snapshotId)
@@ -426,6 +429,7 @@ case class SnapshotV2(snapshotId: Long, parentSnapshotId: Option[Long],
     o.put("manifest-list", manifestList)
     o.set[ObjectNode]("summary", summary.toJson)
     schemaId.foreach(o.put("schema-id", _))
+    firstRowId.foreach(o.put("first-row-id", _))
     o
   }
 }
@@ -438,7 +442,8 @@ object SnapshotV2 {
     n.path("timestamp-ms").asLong,
     n.path("manifest-list").asText,
     Summary.fromJson(n.path("summary")),
-    Option(n.get("schema-id")).map(_.asLong))
+    Option(n.get("schema-id")).map(_.asLong),
+    Option(n.get("first-row-id")).map(_.asLong))
 }
 
 /** snapshot.rs:82 Retention: branch (with snapshot retention knobs) or tag. */

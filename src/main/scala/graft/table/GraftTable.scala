@@ -158,16 +158,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val lineageAdds =
       if (!lineageOn) 0L
       else adds.shards.filter(fresh).map(_.recordCount).sum
+    val lineageBase: Option[Long] =
+      if (lineageAdds == 0L) None
+      else Some(meta.nextRowId.getOrElse {
+        require(reused.filter(_.content == 0).map(_.recordCount).sum == 0L,
+          "row lineage must be enabled before the first append " +
+            "(existing rows have no ids)")
+        0L
+      })
     val shardRefs =
       if (lineageAdds == 0L) shardRefs0
       else {
-        val base = meta.nextRowId.getOrElse {
-          require(reused.filter(_.content == 0).map(_.recordCount).sum == 0L,
-            "row lineage must be enabled before the first append " +
-              "(existing rows have no ids)")
-          0L
-        }
-        var next = base
+        var next = lineageBase.get
         adds.shards.zip(shardRefs0).map { case (s, r) =>
           if (!fresh(s)) r
           else { val b = next; next += r.recordCount
@@ -215,7 +217,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           "total-delete-records" ->
             mrefs.filter(_.content != 0).map(_.recordCount).sum.toString)
         else Map.empty)),
-      Some(meta.currentSchemaId.toLong))
+      Some(meta.currentSchemaId.toLong),
+      // v3: the first row id this commit assigned (lineage commits only)
+      firstRowId = lineageBase)
     val target = toBranch.getOrElse("main")
     val refs = meta.refs.getOrElse(Map.empty) +
       (target -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))

@@ -351,6 +351,23 @@ class LineageSpec extends SparkSpec {
     assert(idsOf(ch2.filter(col("_change_type") === "delete")) == deleted2)
   }
 
+  test("snapshots record their first-row-id (v3); non-minting commits omit it") {
+    val src = lineitem.limit(120)
+    val t = lineageTable("lin-fri", src)
+    t.append(src.limit(100))
+    t.append(src.limit(20))
+    t.deleteWhereDv(col("l_linenumber") === 1) // assigns no ids
+    val snaps = t.metadata.snapshots.get.sortBy(_.sequenceNumber)
+    assert(snaps(0).firstRowId.contains(0L))
+    assert(snaps(1).firstRowId.contains(100L))
+    assert(snaps(2).firstRowId.isEmpty)
+    // the field survives the JSON round-trip
+    val rt = graft.model.TableMetadataV2
+      .fromJsonString(t.metadata.toJsonString)
+    assert(rt.snapshots.get.sortBy(_.sequenceNumber).apply(1)
+      .firstRowId.contains(100L))
+  }
+
   test("next-row-id round-trips through metadata JSON") {
     val src = lineitem.limit(100)
     val t = lineageTable("lin-json", src)

@@ -210,6 +210,24 @@ class StatsSpec extends SparkSpec {
     assert(attr("id").min.contains(1L) && attr("id").max.contains(5000L))
   }
 
+  test("CALL compute_partition_stats registers the spec artifact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-whps").toString
+    spark.conf.set("spark.sql.catalog.gps", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gps.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gps.db")
+    spark.sql("CREATE TABLE gps.db.t (id BIGINT, grp BIGINT)")
+    spark.sql("INSERT INTO gps.db.t SELECT id, id % 3 FROM range(300)")
+    val out = spark.sql(
+      "CALL gps.system.compute_partition_stats('db.t')").collect()
+    assert(out.length == 1)
+    val path = out.head.getString(1)
+    assert(out.head.getLong(2) > 0L)
+    val df = spark.read.parquet(path)
+    assert(df.agg(sum("data_record_count")).head().getLong(0) == 300L)
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    assert(t.metadata.partitionStatistics.exists(_.exists(_.path == path)))
+  }
+
   test("CALL analyze_table through the catalog; CBO join estimate uses NDV") {
     val wh = java.nio.file.Files.createTempDirectory("graft-whstats").toString
     spark.conf.set("spark.sql.catalog.gst", "graft.connector.GraftCatalog")
