@@ -130,20 +130,46 @@ object IcebergInterop {
       s"table already exists at $targetLocation")
     Files.createDirectories(metaDir)
     val manifests = AvroManifest.readManifestList(Paths.get(snap.manifestList))
-    val allEntries = manifests.flatMap { case (p, _, _) =>
-      AvroManifest.readManifest(Paths.get(p))
-    }
-    // native convention: one manifest per content kind (data /
-    // position-deletes / equality-deletes)
-    val refs = allEntries.groupBy(_.content).toSeq.sortBy(_._1)
-      .map { case (ct, es) =>
-        val sfx = ct match {
-          case 0 => ""; case 1 => "-deletes"; case _ => "-eq-deletes" }
-        val mf = metaDir.resolve(s"manifest-${snap.snapshotId}$sfx.jsonl")
-        DataFileEntry.writeManifest(mf, es)
-        ManifestRef(mf.toString, es.size.toLong,
-          es.map(_.recordCount).sum, Some(snap.snapshotId),
-          Some(snap.sequenceNumber), content = ct)
+    def sfxOf(ct: Int) = ct match {
+      case 0 => ""; case 1 => "-deletes"; case _ => "-eq-deletes" }
+    // native convention: manifests are split per content kind (data /
+    // position-deletes / equality-deletes). Adoption of a big table is
+    // a Spark job — one task per source Avro manifest converts it to a
+    // native JSONL manifest on an executor and returns O(1) ref rows;
+    // a million-file table never funnels its entries through the driver.
+    val refs: Seq[ManifestRef] =
+      if (manifests.size <= 1) {
+        val allEntries = manifests.flatMap { case (p, _, _) =>
+          AvroManifest.readManifest(Paths.get(p))
+        }
+        allEntries.groupBy(_.content).toSeq.sortBy(_._1)
+          .map { case (ct, es) =>
+            val mf = metaDir.resolve(
+              s"manifest-${snap.snapshotId}${sfxOf(ct)}.jsonl")
+            DataFileEntry.writeManifest(mf, es)
+            ManifestRef(mf.toString, es.size.toLong,
+              es.map(_.recordCount).sum, Some(snap.snapshotId),
+              Some(snap.sequenceNumber), content = ct)
+          }
+      } else {
+        val metaDirStr = metaDir.toString
+        val snapId = snap.snapshotId
+        spark.sparkContext
+          .parallelize(manifests.zipWithIndex,
+            math.max(1, math.min(manifests.size, 256)))
+          .flatMap { case ((p, _, _), idx) =>
+            val es = AvroManifest.readManifest(Paths.get(p))
+            es.groupBy(_.content).toSeq.map { case (ct, g) =>
+              val mf = Paths.get(metaDirStr,
+                f"manifest-adopt-$snapId-$idx%05d${sfxOf(ct)}.jsonl")
+              DataFileEntry.writeManifest(mf, g)
+              (mf.toString, g.size.toLong, g.map(_.recordCount).sum, ct)
+            }
+          }.collect().toSeq.sortBy(_._1)
+          .map { case (mf, n, rc, ct) =>
+            ManifestRef(mf, n, rc, Some(snap.snapshotId),
+              Some(snap.sequenceNumber), content = ct)
+          }
       }
     val listPath = metaDir.resolve(
       s"snap-${snap.snapshotId}.manifest-list.json")
