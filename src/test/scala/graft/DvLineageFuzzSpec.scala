@@ -132,6 +132,24 @@ class DvLineageFuzzSpec extends SparkSpec {
         }
         check(s"step $step op $op")
       }
+
+      // end-of-round interop invariant: the table survives a FULL
+      // export → adopt round-trip with identical rows and lineage ids
+      // (DV blobs, materialized and virtual lineage, whatever state
+      // the random walk left behind)
+      val layout = java.nio.file.Files
+        .createTempDirectory(s"dvlinfuzz-layout$round").toString
+      graft.table.IcebergInterop.exportTable(t, layout)
+      val adopted = graft.table.IcebergInterop.adoptTable(spark, layout,
+        java.nio.file.Files
+          .createTempDirectory(s"dvlinfuzz-adopt$round").toString + "/t")
+      val adoptedRows = adopted.scanWithLineage()
+        .select(col("_row_id"), col("k"), col("grp"), col("v"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3))).toMap
+      assert(adoptedRows == model,
+        s"round $round: adopted table diverged from the model")
     }
   }
 }

@@ -180,4 +180,52 @@ class PlanSpec extends SparkSpec {
     // `*(n)` prefixes mark WholeStageCodegen spans in the simple form
     assert(p.contains("*("), "no codegen span in _file scan")
   }
+
+  test("ANALYZE pass: ONE ObjectHashAggregate pair, map-side partials") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("planspec-th").toString + "/t",
+      src.schema)
+    t.append(src)
+    val exprs = graft.table.Stats.aggExprs(
+      t.scan().schema.fields.filter(f =>
+        graft.table.Stats.eligible(f.dataType)).toSeq)
+    val df = t.scan().agg(exprs.head, exprs.tail: _*)
+    df.collect()
+    // the AQE plan string repeats nodes under "== Initial Plan ==" —
+    // audit the FINAL plan section only
+    val p = plan(df).split("== Initial Plan ==").head
+    // the theta TypedImperativeAggregate partial-merges on the map side:
+    // exactly one partial/final ObjectHashAggregate pair, one exchange
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      s"stats agg should be one partial/final pair:\n$p")
+    assert(p.contains("partial_theta_sketch_agg"),
+      "theta sketches must partial-aggregate map-side")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      "stats agg should shuffle exactly once")
+  }
+
+  test("adopted table: filters prune files through the adopted manifests") {
+    import graft.model.TMonth
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("planspec-ad").toString + "/t",
+      src.schema, partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+    t.append(src, repartitionByPartition = true)
+    val layout = java.nio.file.Files
+      .createTempDirectory("planspec-ad-layout").toString
+    graft.table.IcebergInterop.exportTable(t, layout)
+    val adopted = graft.table.IcebergInterop.adoptTable(spark, layout,
+      java.nio.file.Files
+        .createTempDirectory("planspec-ad-dst").toString + "/t")
+    val cut = java.sql.Date.valueOf("1994-01-01")
+    val filter = col("l_shipdate") < lit(cut)
+    val pruned = adopted.planFiles(Some(filter)).size
+    val total = adopted.planFiles().size
+    assert(pruned < total,
+      s"hidden partitioning dead after adoption ($pruned of $total)")
+    // and the pruned read is still exact
+    assert(adopted.scan(Some(filter)).count() ==
+      src.filter(filter).count())
+  }
 }
