@@ -128,7 +128,13 @@ object IceType {
 
 /** A named, id'd struct field (schema.rs:176 StructField). */
 case class StructField(id: Int, name: String, required: Boolean,
-    fieldType: IceType, doc: Option[String] = None) {
+    fieldType: IceType, doc: Option[String] = None,
+    // Iceberg v3 column defaults, in the spec's JSON single-value
+    // string rendering: `initial-default` backfills rows written
+    // BEFORE the column existed (reads of old files project it instead
+    // of null); `write-default` applies to new rows omitting the column
+    initialDefault: Option[String] = None,
+    writeDefault: Option[String] = None) {
   def toJson: JsonNode = {
     val o = Json.obj
     o.put("id", id)
@@ -136,6 +142,8 @@ case class StructField(id: Int, name: String, required: Boolean,
     o.put("required", required)
     o.set[ObjectNode]("type", fieldType.toJson)
     doc.foreach(o.put("doc", _))
+    initialDefault.foreach(o.put("initial-default", _))
+    writeDefault.foreach(o.put("write-default", _))
     o
   }
 }
@@ -147,7 +155,9 @@ object StructField {
     StructField(
       n.path("id").asInt, n.path("name").asText,
       n.path("required").asBoolean, IceType.fromJson(t),
-      Option(n.get("doc")).map(_.asText))
+      Option(n.get("doc")).map(_.asText),
+      Option(n.get("initial-default")).map(_.asText),
+      Option(n.get("write-default")).map(_.asText))
   }
 }
 

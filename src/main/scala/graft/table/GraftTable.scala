@@ -336,7 +336,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         case Some(in) => throw new IllegalArgumentException(
           s"column ${f.name}: input type $in does not safely widen to " +
             s"table type ${f.dataType}")
-        case None => col(f.name) // missing column → natural analysis error
+        case None =>
+          // v3 write-default: an input omitting the column writes the
+          // declared default; without one the analysis error surfaces
+          schema.fields.find(_.name == f.name)
+            .flatMap(ice => ice.writeDefault.map(d =>
+              GraftTable.defaultLiteral(Some(d), ice.fieldType).as(f.name)))
+            .getOrElse(col(f.name))
       }
     } ++ lineageCarry.map(col): _*)
     spec.fields.foreach { pf =>
@@ -2652,7 +2658,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * struct ("info.discount" adds `discount` INSIDE `info` — old files'
     * structs surface null for it, by field-id alignment).
     */
-  def addColumn(name: String, dataType: DataType): Unit = {
+  def addColumn(name: String, dataType: DataType): Unit =
+    addColumn(name, dataType, None, None)
+
+  /** Add a column WITH v3 defaults: `initialDefault` (spec
+    * `initial-default`) is what rows written before this evolution read
+    * back — the metadata-only answer to "backfill this column" at any
+    * table size; `writeDefault` fills future writes that omit the
+    * column. Values use the spec's string rendering for the column
+    * type; defaults are limited to primitive columns.
+    */
+  def addColumn(name: String, dataType: DataType,
+      initialDefault: Option[String],
+      writeDefault: Option[String]): Unit = {
+    if (initialDefault.isDefined || writeDefault.isDefined)
+      require(dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }, s"column $name: defaults are limited to primitive columns")
     val base = metadata.lastColumnId
     var nextId = base
     def alloc(): Int = { nextId += 1; nextId }
@@ -2671,7 +2694,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       def add(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
         ps match {
           case leaf :: Nil =>
-            fs :+ StructField(fieldId, leaf, required = false, iceType)
+            fs :+ StructField(fieldId, leaf, required = false, iceType,
+              initialDefault = initialDefault,
+              writeDefault = writeDefault)
           case p :: rest =>
             val i = fs.indexWhere(_.name == p)
             require(i >= 0, s"no struct $p on path $name")
@@ -3573,7 +3598,10 @@ object GraftTable {
         fileSchema.fields.find(_.id == f.id) match {
           case Some(ff) =>
             alignColumn(col(ff.name), ff.fieldType, f.fieldType).as(f.name)
-          case None => lit(null).cast(toSparkType(f.fieldType)).as(f.name)
+          case None =>
+            // v3 initial-default: rows written before the column existed
+            // read the declared default instead of null
+            defaultLiteral(f.initialDefault, f.fieldType).as(f.name)
         }
       } ++ (if (withPos) Seq(
         // raw (undecoded) file path: both sides of the delete anti-join
@@ -3594,6 +3622,16 @@ object GraftTable {
       df.select(cols: _*)
     }.reduce(_.union(_))
   }
+
+  /** Typed literal for a spec single-value default (string rendering);
+    * None → typed null. Spark's string cast covers every primitive the
+    * default surface admits (int/long/float/double/decimal/boolean/
+    * string/date/timestamp).
+    */
+  private[table] def defaultLiteral(v: Option[String],
+      t: IceType): Column =
+    v.map(s => lit(s).cast(toSparkType(t)))
+      .getOrElse(lit(null).cast(toSparkType(t)))
 
   /** `_file` metadata-column name (Iceberg-parity virtual column). */
   val FileCol = "_file"

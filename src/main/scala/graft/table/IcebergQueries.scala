@@ -553,16 +553,21 @@ object IcebergQueries {
         t.append(v1.filter(col("p_partkey") % 2 === 0))
         t.renameColumn("p_name", "part_name")
         t.addColumn("p_size", IntegerType)
+        // v3 defaults: rows written BEFORE the column existed read the
+        // initial-default (metadata-only backfill at any table size)
+        t.addColumn("grade", org.apache.spark.sql.types.StringType,
+          initialDefault = Some("ungraded"), writeDefault = Some("new"))
         t.append(part.filter(col("p_partkey") % 2 === 1)
           .select(col("p_partkey"), col("p_name").as("part_name"),
             col("p_retailprice"), col("p_size")))
         t.scan().orderBy("p_partkey")
       },
       Some("""SELECT p_partkey, p_name AS part_name, p_retailprice,
-          CAST(NULL AS INTEGER) AS p_size
+          CAST(NULL AS INTEGER) AS p_size, 'ungraded' AS grade
         FROM part WHERE p_partkey % 2 = 0
         UNION ALL
-        SELECT p_partkey, p_name AS part_name, p_retailprice, p_size
+        SELECT p_partkey, p_name AS part_name, p_retailprice, p_size,
+          'new' AS grade
         FROM part WHERE p_partkey % 2 = 1
         ORDER BY p_partkey""")),
 

@@ -312,6 +312,53 @@ class TableSpec extends SparkSpec {
     assert(nm("p_name") == nm("part_name"))
   }
 
+  test("v3 column defaults: initial-default backfills, write-default fills") {
+    import spark.implicits._
+    val part = Tables.tbl(spark, "/root/testdata/sf0.001", "part")
+    val v1 = part.select("p_partkey", "p_name")
+    val t = GraftTable.create(spark, freshLoc("defaults"), v1.schema)
+    t.append(v1.limit(10))
+    // add with BOTH defaults: pre-existing rows read the initial
+    // default (metadata-only backfill); future writes omitting the
+    // column get the write default
+    t.addColumn("tier", org.apache.spark.sql.types.StringType,
+      initialDefault = Some("legacy"), writeDefault = Some("standard"))
+    t.addColumn("score", org.apache.spark.sql.types.LongType,
+      initialDefault = Some("42"), writeDefault = None)
+    val old = t.scan()
+    assert(old.filter(col("tier") === "legacy").count() == 10)
+    assert(old.filter(col("score") === 42L).count() == 10)
+    // an append omitting ONLY tier: the write-default fills it (score
+    // is provided explicitly — it has no write default)
+    t.append(v1.limit(5).withColumn("score", lit(5L)))
+    val both = t.scan()
+    assert(both.count() == 15)
+    assert(both.filter(col("tier") === "standard").count() == 5)
+    assert(both.filter(col("tier") === "legacy").count() == 10)
+    intercept[Exception] {
+      // score has no write-default: omitting it stays an error
+      t.append(v1.limit(1))
+    }
+    // explicit values always win over write-defaults
+    t.append(v1.limit(3).withColumn("tier", lit("gold"))
+      .withColumn("score", lit(7L)))
+    assert(t.scan().filter(col("tier") === "gold" && col("score") === 7L)
+      .count() == 3)
+    // defaults survive the JSON round-trip AND the Avro export's schema
+    val rt = graft.model.TableMetadataV2
+      .fromJsonString(t.metadata.toJsonString)
+    val f = rt.currentSchema.fieldByName("tier").get
+    assert(f.initialDefault.contains("legacy") &&
+      f.writeDefault.contains("standard"))
+    // external-format read projects the initial default for old files
+    val layout = java.nio.file.Files
+      .createTempDirectory("defaults-layout").toString
+    graft.table.IcebergInterop.exportTable(t, layout)
+    val ext = graft.table.IcebergInterop.readTable(spark, layout)
+    assert(ext.filter(col("tier") === "legacy").count() == 10)
+    assert(ext.filter(col("score") === 42L).count() == 10)
+  }
+
   test("delete is copy-on-write: untouched files survive by path") {
     val src = lineitem
     val t = GraftTable.create(spark, freshLoc("del"), src.schema,
