@@ -384,10 +384,30 @@ object GraftRead {
       }
       (sid, physFields)
     }
-    val columnar = resolved.forall { case (_, physFields) =>
-      parquet.supportBatch(spark,
-        StructType(physFields.map(_._2).toArray)) &&
-        physFields.forall(_._3.isEmpty)
+    // v3 initial-defaults for columns a file group predates, in
+    // Catalyst internal form — the same string→typed cast the native
+    // read path applies, so both serve identical values
+    val defaults: Array[Any] = prunedSchema.fields.map { f =>
+      readIce.fieldByName(f.name).flatMap(_.initialDefault).map { s =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          CatalystLiteral(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType),
+          f.dataType, Some("UTC")).eval(null)
+      }.orNull
+    }
+    // a group missing a defaulted column projects a CONSTANT — served
+    // on the row path (scan-wide batch decision, like realigns)
+    val hasMissingDefault = resolved.exists { case (_, physFields) =>
+      val have = physFields.map(_._1).toSet
+      prunedSchema.fields.zipWithIndex.exists { case (f, k) =>
+        !have.contains(f.name) && defaults(k) != null }
+    }
+    val columnar = !hasMissingDefault && resolved.forall {
+      case (_, physFields) =>
+        parquet.supportBatch(spark,
+          StructType(physFields.map(_._2).toArray)) &&
+          physFields.forall(_._3.isEmpty)
     }
     val groups = resolved.map { case (sid, physFields) =>
       val physSchema = StructType(physFields.map(_._2).toArray)
@@ -431,7 +451,7 @@ object GraftRead {
         println(s"GROUP sid=$sid phys=${physSchema.fieldNames.mkString(",")} " +
           s"slots=${slots.mkString(",")} identity=$identity columnar=$columnar")
       sid -> SchemaGroupReader(readFunc, slots, identity, columnar,
-        physSchema, prunedSchema, realigns)
+        physSchema, prunedSchema, realigns, defaults)
     }.toMap
     new GraftReaderFactory(groups)
   }
@@ -489,7 +509,8 @@ object GraftRead {
       hadoopConf = spark.sessionState.newHadoopConf())
     new GraftReaderFactory(Map(0 -> SchemaGroupReader(readFunc,
       schema.indices.toArray, identity = true, columnar, schema, schema,
-      Array.fill(schema.length)(None))))
+      Array.fill(schema.length)(None),
+      Array.fill[Any](schema.length)(null))))
   }
 }
 
@@ -525,7 +546,9 @@ case class SchemaGroupReader(
     columnar: Boolean,
     physSchema: StructType,
     logicalSchema: StructType,
-    realigns: Array[Option[(graft.model.IceType, graft.model.IceType)]])
+    realigns: Array[Option[(graft.model.IceType, graft.model.IceType)]],
+    // Catalyst-internal initial-default per logical column (null = none)
+    defaults: Array[Any])
     extends Serializable
 
 class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
@@ -573,7 +596,7 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
             f.dataType)
           case ((GraftRead.PosSlot, _), _) => BoundReference(nPhys,
             org.apache.spark.sql.types.LongType, nullable = false)
-          case ((-1, f), _) => CatalystLiteral(null, f.dataType)
+          case ((-1, f), k) => CatalystLiteral(g.defaults(k), f.dataType)
           case ((i, f), k) => g.realigns(k) match {
             case Some((ft, rt)) => GraftRead.realignExpr(
               BoundReference(i, g.physSchema(i).dataType, nullable = true),

@@ -160,6 +160,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  // the analyzer rejects DEFAULT clauses unless the catalog declares it
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     // existence check FIRST: a missing table must surface Spark's
@@ -170,7 +176,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "nested ADD COLUMN is not supported")
-        t.addColumn(add.fieldNames.head, add.dataType)
+        // ALTER TABLE ... ADD COLUMN x T DEFAULT v: Spark's semantics
+        // make the default apply to existing rows AND future inserts
+        // omitting the column — exactly the v3 initial-default +
+        // write-default pair. Render via a Catalyst cast-to-string so
+        // the stored form round-trips through GraftTable's own parser.
+        val dflt = Option(add.defaultValue()).flatMap { dv =>
+          val l = dv.getValue
+          Option(org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              l.value, l.dataType),
+            org.apache.spark.sql.types.StringType,
+            Some("UTC")).eval(null)).map(_.toString)
+        }
+        t.addColumn(add.fieldNames.head, add.dataType, dflt, dflt)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           "nested RENAME COLUMN is not supported")

@@ -165,6 +165,35 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
     if (changelog) GraftChangelog.schemaFor(base) else base
   }
 
+  /** v2 column surface WITH write-defaults: the analyzer fills an
+    * INSERT that omits a defaulted column from here (schema() alone
+    * would null-fill it).
+    */
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column}
+    val meta = graft.metadata
+    val iceSchema = meta.currentSchema
+    schema().fields.map { f =>
+      iceSchema.fieldByName(f.name).flatMap(_.writeDefault) match {
+        case Some(d) if !changelog =>
+          val lit = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(d),
+              org.apache.spark.sql.types.StringType),
+            f.dataType, Some("UTC")).eval(null)
+          val sql = org.apache.spark.sql.catalyst.expressions
+            .Literal(lit, f.dataType).sql
+          V2Column.create(f.name, f.dataType, f.nullable, null,
+            new org.apache.spark.sql.connector.catalog.ColumnDefaultValue(
+              sql, org.apache.spark.sql.graft.Bridge
+                .literalValue(lit, f.dataType)),
+            null)
+        case _ => V2Column.create(f.name, f.dataType, f.nullable)
+      }
+    }
+  }
+
   override def partitioning(): Array[SparkTransform] =
     graft.metadata.defaultSpec.fields.flatMap { pf =>
       graft.metadata.currentSchema.fieldById(pf.sourceId).map { src =>

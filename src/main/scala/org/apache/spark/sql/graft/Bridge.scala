@@ -31,6 +31,14 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Connector literal from a Catalyst-internal value (`LiteralValue`
+    * is `private[sql]` in Spark 4) — used to report column defaults
+    * through the v2 Column API.
+    */
+  def literalValue(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[Any] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(v, dt)
+
   /** Register a SQL function on a LIVE session (extensions normally apply
     * only at session build time; this installs into the session's
     * function registry directly).

@@ -161,6 +161,31 @@ class SqlDmlSpec extends SparkSpec {
       col("part") =!= "3").count())
   }
 
+  test("ALTER TABLE ADD COLUMN ... DEFAULT backfills and fills inserts") {
+    val t = freshTable("defaults")
+    spark.sql(
+      s"ALTER TABLE gdml.db.$t ADD COLUMN tier STRING DEFAULT 'standard'")
+    // existing rows read the default (metadata-only backfill)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM gdml.db.$t WHERE tier = 'standard'")
+      .head().getLong(0) == 100L)
+    // an INSERT omitting the column gets the default; explicit wins
+    spark.sql(s"INSERT INTO gdml.db.$t (id, grp, qty) VALUES " +
+      "(101, 'odd', 101.0)")
+    spark.sql(s"INSERT INTO gdml.db.$t VALUES " +
+      "(102, 'even', 102.0, 'gold')")
+    val byTier = spark.sql(
+      s"SELECT tier, COUNT(*) n FROM gdml.db.$t GROUP BY tier")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTier == Map("standard" -> 101L, "gold" -> 1L))
+    // typed default on a numeric column
+    spark.sql(
+      s"ALTER TABLE gdml.db.$t ADD COLUMN score INT DEFAULT 7")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM gdml.db.$t WHERE score = 7")
+      .head().getLong(0) == 102L)
+  }
+
   test("SQL time travel and TRUNCATE through the catalog") {
     val t = freshTable("tt")
     val loc = s"$wh/db/$t"
