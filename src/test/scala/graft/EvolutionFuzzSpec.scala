@@ -25,6 +25,7 @@ class EvolutionFuzzSpec extends SparkSpec {
       // model state: current column names and, per append, which columns
       // existed when those rows were written
       var cols = Vector("id", "a")
+      var defaults = Map.empty[String, String] // initial-defaults
       var nextRowId = 0L
       // (rowIds, columns-present-at-write)
       var appended = Vector.empty[(Seq[Long], Set[String])]
@@ -52,12 +53,19 @@ class EvolutionFuzzSpec extends SparkSpec {
             appended = appended.map { case (ids, present) =>
               (ids, if (present.contains(from)) present - from + to else present)
             }
+            // a renamed column keeps its declared default
+            defaults = defaults.map { case (k, v) =>
+              (if (k == from) to else k) -> v }
             cols = cols.updated(idx, to)
-          case _ if nAdds < 3 => // add a fresh optional column
+          case _ if nAdds < 3 => // add a fresh optional column —
+            // sometimes with a v3 initial-default (old rows read it)
             nAdds += 1
             val name = s"c$step"
-            t.addColumn(name, StringType)
+            val dflt =
+              if (rnd.nextBoolean()) Some(s"dflt-$step") else None
+            t.addColumn(name, StringType, dflt, None)
             cols :+= name
+            dflt.foreach(d => defaults += name -> d)
           case _ => ()
         }
       }
@@ -90,9 +98,13 @@ class EvolutionFuzzSpec extends SparkSpec {
               // time (some prefix), so it must be non-null
               assert(v.isDefined,
                 s"round $round: row $id lost value for $c (present=$present)")
-            else
-              assert(v.isEmpty,
+            else defaults.get(c) match {
+              case Some(d) => assert(v.contains(d),
+                s"round $round: row $id should read default '$d' " +
+                  s"for $c, got $v")
+              case None => assert(v.isEmpty,
                 s"round $round: row $id has ghost value for $c")
+            }
           }
         }
       }
