@@ -184,6 +184,15 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT COUNT(*) FROM gdml.db.$t WHERE score = 7")
       .head().getLong(0) == 102L)
+    // metadata MIN/MAX pushdown stays CORRECT under defaults: old files
+    // carry no stats for score, so they land in the boundary-scan set,
+    // which projects the default — the engine-wide extreme includes it
+    spark.sql(s"INSERT INTO gdml.db.$t VALUES " +
+      "(103, 'odd', 103.0, 'x', 100)")
+    val mm = spark.sql(
+      s"SELECT MIN(score), MAX(score) FROM gdml.db.$t").head()
+    assert(mm.getInt(0) == 7 && mm.getInt(1) == 100,
+      s"defaulted MIN/MAX wrong: $mm")
   }
 
   test("SQL time travel and TRUNCATE through the catalog") {
