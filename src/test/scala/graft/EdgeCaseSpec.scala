@@ -10,6 +10,34 @@ class EdgeCaseSpec extends SparkSpec {
   private def freshLoc(name: String): String =
     java.nio.file.Files.createTempDirectory(s"edge-$name").toString + "/t"
 
+  test("defaults interact soundly with eq-deletes, CoW, and compaction") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, freshLoc("dflt-mor"),
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").schema)
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.addColumn("tier", org.apache.spark.sql.types.StringType,
+      initialDefault = Some("legacy"), writeDefault = None)
+    t.append((11L to 15L).map(i => (i, s"v$i", "fresh"))
+      .toDF("id", "v", "tier"))
+    // an equality delete keyed on the DEFAULTED column must remove the
+    // old rows — their key value exists only via the default projection
+    t.deleteWhereEq(Seq("legacy").toDF("tier"))
+    assert(t.scan().count() == 5)
+    assert(t.scan().filter(col("tier") === "legacy").count() == 0)
+    // CoW delete filtered on the default works the same way
+    val t2 = GraftTable.create(spark, freshLoc("dflt-cow"),
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").schema)
+    t2.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t2.addColumn("tier", org.apache.spark.sql.types.StringType,
+      initialDefault = Some("legacy"), writeDefault = None)
+    t2.deleteWhere(col("tier") === "legacy" && col("id") > 5L)
+    assert(t2.scan().count() == 5)
+    // compaction MATERIALIZES the default physically; reads unchanged
+    t2.compact()
+    assert(t2.scan().filter(col("tier") === "legacy").count() == 5)
+    assert(t2.scan().count() == 5)
+  }
+
   test("NaN/Infinity stats do not break filtered scans") {
     import spark.implicits._
     val df = Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
