@@ -1610,9 +1610,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   // ------------------------------------------------------- mutation ops ----
 
   /** Copy-on-write DELETE WHERE: untouched files survive as-is; files that
-    * may contain matching rows are rewritten without them.
+    * may contain matching rows are rewritten without them. Rebases and
+    * retries on version-claim conflicts like every other mutation (the
+    * rewrite re-derives against fresh metadata per attempt).
     */
-  def deleteWhere(cond: Column): SnapshotV2 = deleteAndAdd(cond, None)
+  def deleteWhere(cond: Column): SnapshotV2 =
+    retryingCommit(() => deleteAndAdd(cond, None))
 
   /** Atomic INSERT OVERWRITE: ONE commit removes the rows matching `cond`
     * (file-granular CoW, like deleteWhere) and adds `replacement`'s rows.
@@ -1991,11 +1994,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def overwritePartitions(df: DataFrame): SnapshotV2 = {
     require(metadata.defaultSpec.fields.nonEmpty,
       "overwritePartitions needs a partitioned table")
-    if (lineageEnabled(metadata))
-      throw new UnsupportedOperationException(
-        "partition overwrite replaces rows wholesale and is not " +
-          "supported on row-lineage tables")
-    val adds = writeFiles(df)
+    // lineage: replacement rows are FRESH (new ids at commit — the v3
+    // overwrite contract); untouched partitions carry their ids as-is
+    val adds = writeFiles(df, lineageFresh = lineageEnabled(metadata))
     val touched: Set[Map[String, Option[String]]] = addedPartitions(adds)
     // the replaced-partition predicate in both planning forms: canonical
     // partition strings compare against the (small) touched set
@@ -2003,7 +2004,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val hitCol =
       if (touchedKeys.isEmpty) lit(false)
       else canonPartitionCol.isin(touchedKeys.toSeq: _*)
-    commitSnapshot("overwrite", { meta =>
+    // replacement files are written ONCE; a conflict retry re-refs the
+    // same shards while re-deriving the replaced set against fresh state
+    retryingCommit(() => commitSnapshot("overwrite", { meta =>
       val (reused, _, affected) =
         splitManifests(meta, hitCol, e => touched.contains(e.partition))
       val (dropped, carried) =
@@ -2017,7 +2020,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             meta.currentSchema.schemaId))
       (reusedRefs, PendingAdds(carried ++ newDels, adds.shards),
         Map("replaced-partitions" -> touched.size.toString))
-    })
+    }))
   }
 
   /** DISTINCT partition tuples of freshly written shards — a tiny

@@ -226,6 +226,34 @@ class LineageSpec extends SparkSpec {
     after.unpersist()
   }
 
+  test("partition overwrite: replaced partitions mint ids, others keep") {
+    import spark.implicits._
+    def df(r: Range, g: Long) =
+      r.map(i => (i.toLong, g, s"v$i")).toDF("id", "grp", "v")
+    val base = df(1 to 100, 1L).union(df(101 to 200, 2L))
+    val t = GraftTable.create(spark, freshLoc("lin-pow"), base.schema,
+      partitionBy = Seq(("grp", graft.model.TIdentity, "grp_p")),
+      properties = Map(GraftTable.RowLineageProp -> "true"))
+    t.append(base, repartitionByPartition = true)
+    val before = t.scanWithLineage().select("id", "_row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nextBefore = t.metadata.nextRowId.get
+    t.overwritePartitions(df(1001 to 1050, 1L)) // replaces grp=1 only
+    val after = t.scanWithLineage()
+      .select("id", "grp", "_row_id").collect()
+    assert(after.length == 150)
+    // untouched partition keeps every id; replacement rows are fresh
+    after.foreach { r =>
+      if (r.getLong(1) == 2L)
+        assert(r.getLong(2) == before(r.getLong(0)),
+          s"grp=2 row ${r.getLong(0)} changed id")
+      else assert(r.getLong(2) >= nextBefore,
+        s"replacement row ${r.getLong(0)} did not mint a fresh id")
+    }
+    assert(after.map(_.getLong(2)).distinct.length == 150)
+    assert(t.metadata.nextRowId.contains(nextBefore + 50))
+  }
+
   test("export carries lineage: external read returns identical ids") {
     val src = lineitem.limit(400)
     val t = lineageTable("lin-exp", src)
