@@ -292,6 +292,26 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Metadata-only commit with rebase-and-retry: each attempt re-reads
+    * fresh state and re-applies `change` (validations included), so DDL
+    * and ref operations succeed under concurrent writers — a busy
+    * streaming table commits continuously and would otherwise make
+    * every ALTER spuriously fail on the version claim.
+    */
+  private def retryingMetadata(
+      change: TableMetadataV2 => TableMetadataV2): Unit = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, meta) = metadataWithVersion
+      try { writeMetadataAt(change(meta), v + 1); return }
+      catch {
+        case _: CommitConflictException if attempts < 20 =>
+          Thread.sleep(5L * attempts + scala.util.Random.nextInt(25))
+      }
+    }
+  }
+
   /** Write df's files under a fresh writeId; return pending adds (shard
     * manifests written by executors — no per-file rows on the driver).
     */
@@ -906,18 +926,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   /** Roll the table back to an earlier snapshot (metadata-only: the
     * snapshot becomes current again; later snapshots stay until expiry).
     */
-  def rollbackTo(snapshotId: Long): Unit = {
-    val (v, meta) = metadataWithVersion
+  def rollbackTo(snapshotId: Long): Unit = retryingMetadata { meta =>
     require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
     val now = System.currentTimeMillis
-    writeMetadataAt(meta.copy(
+    meta.copy(
       currentSnapshotId = Some(snapshotId),
       snapshotLog = Some(meta.snapshotLog.getOrElse(Seq.empty) :+
         SnapshotLog(snapshotId, now)),
       refs = Some(meta.refs.getOrElse(Map.empty) + ("main" ->
         SnapshotRef(snapshotId,
           BranchRetention(1, Long.MaxValue, Long.MaxValue)))),
-      lastUpdatedMs = now), v + 1)
+      lastUpdatedMs = now)
   }
 
   /** Delete data files under the table location that no snapshot
@@ -2611,8 +2630,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   // ---------------------------------------------------- schema evolution ----
 
   private def evolveSchema(f: SchemaV2 => SchemaV2,
-      bumpColumnId: Int = 0): Unit = {
-    val (baseVersion, meta) = metadataWithVersion
+      bumpColumnId: Int = 0): Unit = retryingMetadata { meta =>
     val cur = meta.currentSchema
     val next = f(cur).copy(schemaId = cur.schemaId + 1)
     // name-mapping: every historical name of a field id keeps resolving
@@ -2621,11 +2639,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         NameMapping(Some(id), fs.map(_.name).distinct)
       }.toSeq.sortBy(_.fieldId)
     val mapped = next.copy(nameMapping = Some(NameMappings(names)))
-    writeMetadataAt(meta.copy(
+    meta.copy(
       schemas = meta.schemas :+ mapped,
       currentSchemaId = mapped.schemaId,
       lastColumnId = meta.lastColumnId + bumpColumnId,
-      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
+      lastUpdatedMs = System.currentTimeMillis)
   }
 
   /** Rename a column; field id is stable so existing files keep working.
@@ -2721,26 +2739,26 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   /** Metadata-only property update: set the given keys, remove the keys
     * mapped to None. Atomic via the same version-claim as every commit.
     */
-  def updateProperties(changes: Map[String, Option[String]]): Unit = {
-    val (baseVersion, meta) = metadataWithVersion
-    // lineage cannot be turned on after rows exist: they have no ids,
-    // and every lineage read/rewrite from then on would be meaningless
-    if (changes.get(GraftTable.RowLineageProp).exists(_.contains("true")) &&
-        !lineageEnabled(meta) &&
-        meta.currentSnapshot.exists(
-          _.summary.other.get("total-records").exists(_.toLong > 0L)))
-      throw new IllegalArgumentException(
-        s"cannot enable ${GraftTable.RowLineageProp} on $location: the " +
-          "table already holds rows, which have no lineage ids")
-    val cur = meta.properties.getOrElse(Map.empty)
-    val next = changes.foldLeft(cur) {
-      case (m, (k, Some(v))) => m + (k -> v)
-      case (m, (k, None)) => m - k
+  def updateProperties(changes: Map[String, Option[String]]): Unit =
+    retryingMetadata { meta =>
+      // lineage cannot be turned on after rows exist: they have no ids,
+      // and every lineage read/rewrite from then on would be meaningless
+      if (changes.get(GraftTable.RowLineageProp)
+          .exists(_.contains("true")) && !lineageEnabled(meta) &&
+          meta.currentSnapshot.exists(
+            _.summary.other.get("total-records").exists(_.toLong > 0L)))
+        throw new IllegalArgumentException(
+          s"cannot enable ${GraftTable.RowLineageProp} on $location: the " +
+            "table already holds rows, which have no lineage ids")
+      val cur = meta.properties.getOrElse(Map.empty)
+      val next = changes.foldLeft(cur) {
+        case (m, (k, Some(v))) => m + (k -> v)
+        case (m, (k, None)) => m - k
+      }
+      meta.copy(
+        properties = if (next.isEmpty) None else Some(next),
+        lastUpdatedMs = System.currentTimeMillis)
     }
-    writeMetadataAt(meta.copy(
-      properties = if (next.isEmpty) None else Some(next),
-      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
-  }
 
   /** Replace the default write sort order (metadata-only). Subsequent
     * writes cluster rows within files on the new order — tightening
@@ -2749,8 +2767,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * fields reset to unsorted. Mirrors sort.rs:36-52 SortOrder
     * evolution: orders are append-only, the default id moves.
     */
-  def replaceSortOrder(fields: Seq[(String, Transform)]): Unit = {
-    val (baseVersion, meta) = metadataWithVersion
+  def replaceSortOrder(fields: Seq[(String, Transform)]): Unit =
+      retryingMetadata { meta =>
     val schema = meta.currentSchema
     val order =
       if (fields.isEmpty) SortOrder.unsorted
@@ -2763,12 +2781,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             throw new IllegalArgumentException(s"no column $src"))
           SortField(f.id, t, SortAsc, NullsFirst)
         })
-    writeMetadataAt(meta.copy(
+    meta.copy(
       sortOrders =
         if (order.orderId == 0) meta.sortOrders
         else meta.sortOrders :+ order,
       defaultSortOrderId = order.orderId.toLong,
-      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
+      lastUpdatedMs = System.currentTimeMillis)
   }
 
   /** ANALYZE: compute per-column NDV sketches + exact rollups in ONE
@@ -2952,8 +2970,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * instead of re-registered.
     */
   def evolvePartitionSpec(
-      partitionBy: Seq[(String, Transform, String)]): Unit = {
-    val (v, meta) = metadataWithVersion
+      partitionBy: Seq[(String, Transform, String)]): Unit =
+      retryingMetadata { meta =>
     val schema = meta.currentSchema
     partitionBy.foreach { case (_, _, name) =>
       require(schema.fieldByName(name).isEmpty,
@@ -2976,29 +2994,27 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           meta.partitionSpecs.map(_.specId).max + 1, fields)
         (s, meta.partitionSpecs :+ s, nextFieldId)
     }
-    writeMetadataAt(meta.copy(
+    meta.copy(
       partitionSpecs = specs,
       defaultSpecId = spec.specId,
       lastPartitionId = lastPid,
-      lastUpdatedMs = System.currentTimeMillis), v + 1)
+      lastUpdatedMs = System.currentTimeMillis)
   }
 
   // ------------------------------------------------------- refs/expiry ----
 
   def createBranch(name: String, snapshotId: Long,
       retention: BranchRetention =
-        BranchRetention(1, Long.MaxValue, Long.MaxValue)): Unit = {
-    val (v, meta) = metadataWithVersion
-    writeMetadataAt(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
-      (name -> SnapshotRef(snapshotId, retention)))), v + 1)
-  }
+        BranchRetention(1, Long.MaxValue, Long.MaxValue)): Unit =
+    retryingMetadata(meta =>
+      meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
+        (name -> SnapshotRef(snapshotId, retention)))))
 
   def createTag(name: String, snapshotId: Long,
-      maxRefAgeMs: Long = Long.MaxValue): Unit = {
-    val (v, meta) = metadataWithVersion
-    writeMetadataAt(meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
-      (name -> SnapshotRef(snapshotId, TagRetention(maxRefAgeMs))))), v + 1)
-  }
+      maxRefAgeMs: Long = Long.MaxValue): Unit =
+    retryingMetadata(meta =>
+      meta.copy(refs = Some(meta.refs.getOrElse(Map.empty) +
+        (name -> SnapshotRef(snapshotId, TagRetention(maxRefAgeMs))))))
 
   /** Append onto a BRANCH (write-audit-publish): the commit parents off
     * the branch head and moves only the branch ref — main readers never

@@ -167,6 +167,47 @@ class ConcurrencySpec extends SparkSpec {
     assert(dvFiles.nonEmpty && dvFiles.distinct.size == dvFiles.size)
   }
 
+  test("DDL racing appends: schema/property/ref changes all land") {
+    import spark.implicits._
+    val src = (1L to 200L).map(i => (i, i % 7)).toDF("id", "grp")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("conc-ddl").toString + "/t",
+      src.schema)
+    val s0 = t.append(src)
+    // a busy writer commits continuously; every metadata-only op must
+    // rebase-and-retry instead of surfacing a spurious version conflict
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val appends = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 6).foreach(_ => t.append(src.limit(20)))
+      })
+      val ddl = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          // additive changes only: renaming a column the racing appends
+          // still provide is a schema-compat error by design, not a
+          // commit race. The write-default keeps old-shape appends valid.
+          t.addColumn("note", org.apache.spark.sql.types.StringType,
+            initialDefault = None, writeDefault = Some("n/a"))
+          t.updateProperties(Map("owner" -> Some("race")))
+          t.createTag("v-race", s0.snapshotId)
+          t.replaceSortOrder(Seq(("id", graft.model.TIdentity)))
+        }
+      })
+      appends.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      ddl.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    // the rename lands cleanly once the writers drain
+    t.renameColumn("grp", "grp2")
+    val meta = t.metadata
+    assert(meta.currentSchema.fieldByName("note").isDefined)
+    assert(meta.currentSchema.fieldByName("grp2").isDefined)
+    assert(meta.properties.exists(_.get("owner").contains("race")))
+    assert(meta.refs.exists(_.contains("v-race")))
+    assert(meta.defaultSortOrderId != 0L)
+    assert(t.scan().count() == 200L + 6 * 20)
+    assert(t.scanRef("v-race").count() == 200L)
+  }
+
   test("lineage OVERWRITE racing appends: ids stay unique and dense") {
     import spark.implicits._
     def df(r: Range, g: Long) = r.map(i => (i.toLong, g)).toDF("id", "grp")
