@@ -3092,6 +3092,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   def expireSnapshots(keepLast: Int,
       olderThanMs: Option[Long] = None): Seq[String] = {
+    // the WHOLE derivation re-runs per attempt from a fresh metadata
+    // read; files are only deleted after a successful commit, so a
+    // conflicted attempt leaves everything intact — maintenance keeps
+    // working while ingestion commits continuously
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return expireOnce(keepLast, olderThanMs)
+      catch {
+        case _: CommitConflictException if attempts < 20 =>
+          Thread.sleep(5L * attempts + scala.util.Random.nextInt(25))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def expireOnce(keepLast: Int,
+      olderThanMs: Option[Long]): Seq[String] = {
     val (baseVersion, meta) = metadataWithVersion
     val all = meta.snapshots.getOrElse(Seq.empty).sortBy(_.sequenceNumber)
     val now = System.currentTimeMillis
