@@ -33,37 +33,39 @@ fail = 0
 for name, sql in sorted(oracles.items()):
     if only and name not in only: continue
     try:
-        mine = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        mrows, mcols = mine.fetchall(), [d[0] for d in mine.description]
-        oc = con.execute(sql)
-        orows, ocols = oc.fetchall(), [d[0] for d in oc.description]
+        mdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        odf = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: error {e}"); fail += 1; continue
+    mcols, ocols = list(mdf.columns), list(odf.columns)
     if sorted(mcols) != sorted(ocols):
         print(f"FAIL {name}: cols {sorted(mcols)} vs {sorted(ocols)}"); fail += 1; continue
-    # The driver's hash is type-sensitive (e.g. DuckDB SUM(BIGINT)->HUGEINT
-    # lands as object/float through pandas); mirror that by comparing the
-    # DuckDB-reported column types, not just the values' str() forms.
-    mtypes = {d[0]: str(d[1]) for d in mine.description}
-    otypes = {d[0]: str(d[1]) for d in oc.description}
+    # The driver's hash is PANDAS-dtype-sensitive (e.g. DuckDB
+    # SUM(BIGINT)->HUGEINT lands as float64/object through .df() while the
+    # Spark parquet side is int64); DuckDB's description types are too
+    # coarse to see that ('NUMBER'=='NUMBER'), so compare the .df() dtypes
+    # exactly as the driver's hash will see them.
+    mtypes = {c: str(mdf[c].dtype) for c in mcols}
+    otypes = {c: str(odf[c].dtype) for c in ocols}
     tbad = [(c, mtypes[c], otypes[c]) for c in sorted(mcols)
             if mtypes[c] != otypes[c]]
     if tbad:
         print(f"FAIL {name}: dtypes {tbad}"); fail += 1; continue
-    if len(mrows) != len(orows):
-        print(f"FAIL {name}: rows {len(mrows)} vs {len(orows)}"); fail += 1; continue
-    mi = [mcols.index(c) for c in sorted(mcols)]
-    oi = [ocols.index(c) for c in sorted(ocols)]
+    if len(mdf) != len(odf):
+        print(f"FAIL {name}: rows {len(mdf)} vs {len(odf)}"); fail += 1; continue
+    scols = sorted(mcols)
+    mrows = mdf[scols].itertuples(index=False, name=None)
+    orows = odf[scols].itertuples(index=False, name=None)
     bad = None
     for r, (mr, orow) in enumerate(zip(mrows, orows)):
-        mv = [norm(mr[i]) for i in mi]
-        ov = [norm(orow[i]) for i in oi]
+        mv = [norm(v) for v in mr]
+        ov = [norm(v) for v in orow]
         if mv != ov:
             bad = (r, mv, ov); break
     if bad:
         print(f"FAIL {name}: row {bad[0]}: {bad[1]} vs {bad[2]}"); fail += 1
     else:
-        print(f"ok   {name}: {len(mrows)} rows")
+        print(f"ok   {name}: {len(mdf)} rows")
 print(f"{'ALL GREEN' if fail == 0 else str(fail) + ' FAILURES'} "
       f"({len([n for n in oracles if not only or n in only])} checked)")
 sys.exit(1 if fail else 0)

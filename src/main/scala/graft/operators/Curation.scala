@@ -231,7 +231,7 @@ object Curation {
           FROM state s
           JOIN base b ON b.bucket = s.bucket AND b.rn = s.rn + 1)
         SELECT bucket, pack AS pack_id, COUNT(*) AS n_docs,
-          SUM(nt) AS n_tokens,
+          CAST(SUM(nt) AS BIGINT) AS n_tokens,
           ROUND(CAST(SUM(nt) AS DOUBLE) / $PackBudget.0, 4) AS fill
         FROM state GROUP BY bucket, pack ORDER BY bucket, pack_id""")),
 
