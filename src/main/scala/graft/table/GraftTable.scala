@@ -2629,10 +2629,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   // ---------------------------------------------------- schema evolution ----
 
-  private def evolveSchema(f: SchemaV2 => SchemaV2,
-      bumpColumnId: Int = 0): Unit = retryingMetadata { meta =>
+  private def evolveSchema(f: SchemaV2 => SchemaV2): Unit =
+    evolveSchemaAlloc((s, last) => (f(s), last))
+
+  /** Schema evolution with field-id allocation REBASED per attempt: the
+    * change function receives the FRESH metadata's lastColumnId on every
+    * retry and returns the new schema plus the new lastColumnId. Ids must
+    * derive from that argument — precomputing them outside the closure
+    * would re-apply stale ids after a version-claim conflict, letting two
+    * concurrent addColumn calls commit two columns sharing one field id
+    * (field-id-based file alignment then silently reads the wrong
+    * column's data).
+    */
+  private def evolveSchemaAlloc(
+      f: (SchemaV2, Int) => (SchemaV2, Int)): Unit = retryingMetadata { meta =>
     val cur = meta.currentSchema
-    val next = f(cur).copy(schemaId = cur.schemaId + 1)
+    val (changed, newLastColumnId) = f(cur, meta.lastColumnId)
+    require(newLastColumnId >= meta.lastColumnId,
+      "schema evolution may not shrink lastColumnId")
+    val next = changed.copy(schemaId = cur.schemaId + 1)
     // name-mapping: every historical name of a field id keeps resolving
     val names = (meta.schemas :+ next).flatMap(_.fields)
       .groupBy(_.id).map { case (id, fs) =>
@@ -2642,7 +2657,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     meta.copy(
       schemas = meta.schemas :+ mapped,
       currentSchemaId = mapped.schemaId,
-      lastColumnId = meta.lastColumnId + bumpColumnId,
+      lastColumnId = newLastColumnId,
       lastUpdatedMs = System.currentTimeMillis)
   }
 
@@ -2697,21 +2712,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         case _: StructType | _: ArrayType | _: MapType => false
         case _ => true
       }, s"column $name: defaults are limited to primitive columns")
-    val base = metadata.lastColumnId
-    var nextId = base
-    def alloc(): Int = { nextId += 1; nextId }
-    def conv(dt: DataType): IceType = dt match {
-      case st: StructType => TStruct(st.fields.toSeq.map(f =>
-        StructField(alloc(), f.name, !f.nullable, conv(f.dataType))))
-      case ArrayType(et, cn) => TList(alloc(), !cn, conv(et))
-      case MapType(kt, vt, vn) => TMap(alloc(), conv(kt), alloc(), !vn, conv(vt))
-      case other => toIceType(other)
-    }
     val parts = name.split('.').toList
-    val fieldId = alloc()
-    val iceType = conv(dataType)
-    evolveSchema({ s =>
+    // id allocation lives INSIDE the change function: on a version-claim
+    // conflict the retry rebases onto fresh metadata, and ids must be
+    // re-derived from ITS lastColumnId — a concurrent addColumn may have
+    // consumed the ones this attempt computed
+    evolveSchemaAlloc { (s, lastColumnId) =>
       require(s.fieldByName(name).isEmpty, s"column $name already exists")
+      var nextId = lastColumnId
+      def alloc(): Int = { nextId += 1; nextId }
+      def conv(dt: DataType): IceType = dt match {
+        case st: StructType => TStruct(st.fields.toSeq.map(f =>
+          StructField(alloc(), f.name, !f.nullable, conv(f.dataType))))
+        case ArrayType(et, cn) => TList(alloc(), !cn, conv(et))
+        case MapType(kt, vt, vn) =>
+          TMap(alloc(), conv(kt), alloc(), !vn, conv(vt))
+        case other => toIceType(other)
+      }
+      val fieldId = alloc()
+      val iceType = conv(dataType)
       def add(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
         ps match {
           case leaf :: Nil =>
@@ -2728,8 +2747,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
                 s"$p is not a struct (got $other)")
             }
         }
-      s.copy(fields = add(s.fields, parts))
-    }, bumpColumnId = nextId - base)
+      (s.copy(fields = add(s.fields, parts)), nextId)
+    }
   }
 
   /** Drop a column (metadata-only; data files retain the bytes). Columns

@@ -248,4 +248,48 @@ class ConcurrencySpec extends SparkSpec {
       .agg(min("_row_id")).head().getLong(0) >= 600L)
     lin.unpersist()
   }
+
+  test("racing addColumn calls never share a field id") {
+    import graft.model._
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("conc-addcol").toString + "/t",
+      new StructType().add("id", LongType, nullable = false))
+    // nested types make the stale-snapshot bug loud: each call allocates
+    // SEVERAL ids, so a retry that re-applies precomputed ids overlaps a
+    // whole id RANGE with the winner's, not just one id
+    val cols: Seq[(String, DataType)] = Seq(
+      "a" -> IntegerType,
+      "b" -> new StructType().add("x", LongType).add("y", StringType),
+      "c" -> ArrayType(DoubleType),
+      "d" -> MapType(StringType, LongType),
+      "e" -> new StructType().add("p", ArrayType(IntegerType)),
+      "f" -> StringType)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(cols.size)
+    try {
+      val fs = cols.map { case (n, dt) =>
+        pool.submit(new Runnable { def run(): Unit = t.addColumn(n, dt) })
+      }
+      fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val meta = t.metadata
+    val schema = meta.currentSchema
+    // every requested column landed
+    cols.foreach { case (n, _) =>
+      assert(schema.fieldByName(n).isDefined, s"column $n missing") }
+    // collect EVERY id in the tree (struct members, list elements, map
+    // key/value) — the bug class is two evolutions sharing any of them
+    def idsOf(tp: IceType): Seq[Int] = tp match {
+      case TStruct(nfs) => nfs.flatMap(f => f.id +: idsOf(f.fieldType))
+      case TList(id, _, el) => id +: idsOf(el)
+      case TMap(kid, k, vid, _, v) =>
+        Seq(kid, vid) ++ idsOf(k) ++ idsOf(v)
+      case _ => Seq.empty
+    }
+    val all = schema.fields.flatMap(f => f.id +: idsOf(f.fieldType))
+    assert(all.distinct.size == all.size,
+      s"duplicate field ids minted under concurrency: ${all.sorted}")
+    assert(meta.lastColumnId == all.max,
+      "lastColumnId must be the id high-water mark")
+  }
 }
