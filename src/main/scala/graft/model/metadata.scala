@@ -142,10 +142,26 @@ case class StructField(id: Int, name: String, required: Boolean,
     o.put("required", required)
     o.set[ObjectNode]("type", fieldType.toJson)
     doc.foreach(o.put("doc", _))
-    initialDefault.foreach(o.put("initial-default", _))
-    writeDefault.foreach(o.put("write-default", _))
+    initialDefault.foreach(putDefault(o, "initial-default", _))
+    writeDefault.foreach(putDefault(o, "write-default", _))
     o
   }
+
+  /** Spec "JSON single-value serialization": numeric and boolean defaults
+    * are native JSON values (int default 5 is the JSON number 5, not the
+    * string "5"); decimal, date/time/timestamp, string, uuid and binary
+    * keep the spec's string rendering. Emitting everything as strings
+    * made exported v3 metadata unparseable by spec-compliant readers.
+    */
+  private def putDefault(o: ObjectNode, key: String, v: String): Unit =
+    fieldType match {
+      case TInt => o.put(key, v.toInt)
+      case TLong => o.put(key, v.toLong)
+      case TFloat => o.put(key, v.toFloat)
+      case TDouble => o.put(key, v.toDouble)
+      case TBoolean => o.put(key, v.toBoolean)
+      case _ => o.put(key, v)
+    }
 }
 
 object StructField {
@@ -614,7 +630,12 @@ case class TableMetadataV2(
     // row-lineage high-water mark (Iceberg v3 `next-row-id`): the first
     // row id the NEXT append may assign; present only on tables with
     // row lineage enabled
-    nextRowId: Option[Long] = None) {
+    nextRowId: Option[Long] = None,
+    // sticky format floor: bumped to 3 the first time a v3-only feature
+    // lands that is NOT visible from the metadata JSON itself (deletion
+    // vectors live in manifests); format versions never decrease, so the
+    // parsed value is carried forward on every rewrite
+    formatVersion: Int = 2) {
 
   // validate the UUID eagerly, as the reference does via the Uuid type
   java.util.UUID.fromString(tableUuid)
@@ -631,11 +652,33 @@ case class TableMetadataV2(
   def currentSnapshot: Option[SnapshotV2] =
     currentSnapshotId.flatMap(snapshotById)
 
+  /** True when any schema field (recursively) carries a v3 column
+    * default — defaults require format-version 3.
+    */
+  private def anyDefaults: Boolean = {
+    def walk(fs: Seq[StructField]): Boolean = fs.exists { f =>
+      f.initialDefault.isDefined || f.writeDefault.isDefined ||
+        (f.fieldType match {
+          case TStruct(nfs) => walk(nfs)
+          case TList(_, _, TStruct(nfs)) => walk(nfs)
+          case _ => false
+        })
+    }
+    schemas.exists(s => walk(s.fields))
+  }
+
+  /** The format version this metadata MUST declare: 3 when any v3-only
+    * feature is present (row lineage, column defaults, or the sticky
+    * DV floor), else 2 so plain v2 readers keep working. Declaring 2
+    * while manifests carry v3 fields is a spec-invalid layout external
+    * readers reject.
+    */
+  def effectiveFormatVersion: Int =
+    if (formatVersion >= 3 || nextRowId.isDefined || anyDefaults) 3 else 2
+
   def toJson: ObjectNode = {
     val o = Json.obj
-    // v3 is declared only when a v3 feature (row lineage) is actually
-    // in the metadata — v2 readers keep working on v2-shaped tables
-    o.put("format-version", if (nextRowId.isDefined) 3 else 2)
+    o.put("format-version", effectiveFormatVersion)
     o.put("table-uuid", tableUuid)
     o.put("location", location)
     o.put("last-sequence-number", lastSequenceNumber)
@@ -719,6 +762,10 @@ object TableMetadataV2 {
         .map(_.elements.asScala.toSeq.map(StatisticsFileRef.fromJson)),
       partitionStatistics = Option(n.get("partition-statistics"))
         .map(_.elements.asScala.toSeq.map(StatisticsFileRef.fromJson)),
-      nextRowId = Option(n.get("next-row-id")).map(_.asLong))
+      nextRowId = Option(n.get("next-row-id")).map(_.asLong),
+      // the declared version is a floor that never decreases — a table
+      // once written as v3 stays v3 even if its lineage/default markers
+      // are later absent from this particular JSON
+      formatVersion = math.max(2, n.path("format-version").asInt))
   }
 }

@@ -240,6 +240,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       nextRowId =
         if (lineageAdds == 0L) meta.nextRowId
         else Some(meta.nextRowId.getOrElse(0L) + lineageAdds),
+      // deletion vectors are a v3-only manifest feature invisible from
+      // the metadata JSON itself: committing one permanently raises the
+      // declared format floor so metadata and manifests agree (a v2
+      // metadata over v3 manifests is a layout external readers reject)
+      formatVersion =
+        if (adds.entries.exists(_.dv.isDefined)) 3 else meta.formatVersion,
       refs = Some(refs)), baseVersion + 1)
     catch {
       case e: CommitConflictException =>
@@ -710,12 +716,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       r.firstRowId.map(GraftTable.canonPath(r.path) -> _)).toMap
     if (bases.isEmpty) unioned
     else {
-      val lookup = udf((src: String) =>
-        bases.get(GraftTable.canonPath(decodePath(src))))
-      unioned.withColumn("first-row-id",
-        coalesce(col("first-row-id"),
-          lookup(col(SrcManifestCol)) + coalesce(col("row-id-offset"),
-            lit(0L))))
+      // broadcast join against the tiny (manifest → base) table instead
+      // of a closure-captured-Map UDF: nothing serializes per task and
+      // the stage stays inside WholeStageCodegen (the join key is a
+      // StaticInvoke decode+canon, not a ScalaUDF)
+      val basesDf = spark.createDataFrame(bases.toSeq)
+        .toDF("__src_canon", "__lineage_base")
+      unioned
+        .join(broadcast(basesDf),
+          GraftTable.decodeCanonCol(col(SrcManifestCol)) ===
+            col("__src_canon"), "left")
+        .withColumn("first-row-id",
+          coalesce(col("first-row-id"),
+            col("__lineage_base") + coalesce(col("row-id-offset"),
+              lit(0L))))
+        .drop("__src_canon", "__lineage_base")
     }
   }
 
@@ -1871,7 +1886,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             content = 1, dv = Some(Dv.DvRef(w.dataFile, w.off, w.len)))),
             oldDvs.map(e => canonPath(decodePath(e.dv.get.dataFile))).toSet)
         }
-      commitSnapshot("delete", fresh => {
+      val snap = commitSnapshot("delete", fresh => {
         if (fresh.currentSnapshotId != meta.currentSnapshotId)
           throw new CommitConflictException(
             s"table changed during deleteWhereDv at $location")
@@ -1899,6 +1914,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
                     .map(_.recordCount).sum).toString))
         }
       })
+      // the sidecars were written executor-side BEFORE the commit
+      // existed, so their Puffin footers carry -1 ids; now that the
+      // commit assigned them, stamp the real snapshot-id/sequence-number
+      // (footer-only atomic rewrite, O(new sidecars) — blob offsets are
+      // untouched, so the just-committed manifest byte-ranges stay valid)
+      dvEntries.map(_.path).distinct.foreach(s =>
+        Puffin.restamp(java.nio.file.Paths.get(s), snap.snapshotId,
+          snap.sequenceNumber))
+      snap
     })
 
   /** Merge-on-read EQUALITY delete: drop every CURRENT row whose key
@@ -1954,9 +1978,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     if (parqs.isEmpty) return dvKept
     val writeId = java.util.UUID.randomUUID.toString.take(8)
     val delDir = s"$location/deletes/$writeId"
-    val dead = udf((raw: String) => removedPaths.contains(decodePath(raw)))
+    // broadcast anti-join against the tiny removed-paths table instead
+    // of a closure-captured-Set UDF (which serialized per task and
+    // blocked codegen for the whole rebuild stage)
+    val deadDf = spark.createDataFrame(removedPaths.toSeq.map(Tuple1(_)))
+      .toDF("__dead_path")
     spark.read.parquet(parqs.map(_.path): _*)
-      .filter(!dead(col("file_path")))
+      .join(broadcast(deadDf),
+        GraftTable.decodePathCol(col("file_path")) === col("__dead_path"),
+        "left_anti")
       .write.mode("errorifexists").parquet(delDir)
     val delSchema = StructType(Seq(SparkField("file_path", StringType),
       SparkField("pos", LongType)))
@@ -3710,6 +3740,15 @@ object GraftTable {
         inputTypes = Seq(StringType), propagateNull = true,
         returnNullable = false))
 
+  /** Codegen'd decode + canonicalize (see [[PathCodec.decodeCanon]]). */
+  private[table] def decodeCanonCol(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        PathCodec.getClass, StringType, "decodeCanon",
+        Seq(org.apache.spark.sql.graft.Bridge.expression(c)),
+        inputTypes = Seq(StringType), propagateNull = true,
+        returnNullable = false))
+
   /** All deleted (file_path, pos) pairs of a position-delete entry set —
     * parquet entries as a parquet scan, deletion vectors decoded on
     * executors — in the raw `_metadata.file_path` form scans observe.
@@ -4328,4 +4367,14 @@ object PathCodec {
     if (raw == null) null
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       GraftTable.decodePath(raw.toString))
+
+  /** decode + canonicalize in one static call — the manifest-identity
+    * form driver-side maps are keyed by, usable as a broadcast-join key
+    * inside WholeStageCodegen.
+    */
+  def decodeCanon(raw: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    if (raw == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      GraftTable.canonPath(GraftTable.decodePath(raw.toString)))
 }

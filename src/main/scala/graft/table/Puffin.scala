@@ -184,7 +184,11 @@ object Puffin {
 
   case class Blob(tpe: String, offset: Long, length: Long,
       snapshotId: Long, sequenceNumber: Long,
-      properties: Map[String, String])
+      properties: Map[String, String],
+      // spec `fields`: ids of the columns the blob was computed from —
+      // readers discovering stats via the footer (not table-metadata
+      // blob refs) attribute sketches to columns through this
+      fields: Seq[Int] = Seq.empty)
 
   /** Streaming writer: blobs append in call order; `close` writes the
     * footer. Offsets are absolute file positions (the first blob starts
@@ -199,9 +203,10 @@ object Puffin {
 
     def add(tpe: String, bytes: Array[Byte],
         properties: Map[String, String],
-        snapshotId: Long = -1L, sequenceNumber: Long = -1L): Blob = {
+        snapshotId: Long = -1L, sequenceNumber: Long = -1L,
+        fields: Seq[Int] = Seq.empty): Blob = {
       val b = Blob(tpe, pos, bytes.length.toLong, snapshotId,
-        sequenceNumber, properties)
+        sequenceNumber, properties, fields)
       out.write(bytes)
       pos += bytes.length
       blobs += b
@@ -213,32 +218,75 @@ object Puffin {
       * magic).
       */
     def close(): Long = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = m.createObjectNode()
-      val arr = root.putArray("blobs")
-      blobs.foreach { b =>
-        val o = arr.addObject()
-        o.put("type", b.tpe)
-        o.putArray("fields")
-        o.put("snapshot-id", b.snapshotId)
-        o.put("sequence-number", b.sequenceNumber)
-        o.put("offset", b.offset)
-        o.put("length", b.length)
-        val p = o.putObject("properties")
-        b.properties.foreach { case (k, v) => p.put(k, v) }
-      }
-      root.putObject("properties").put("created-by", "graft")
-      val json = m.writeValueAsBytes(root)
-      out.write(Magic)
-      out.write(json)
-      val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      tail.putInt(json.length)
-      tail.putInt(0) // flags: footer payload not compressed
-      out.write(tail.array())
-      out.write(Magic)
+      val n = writeFooter(out, blobs.toSeq)
       out.close()
-      4L + json.length + 8L + 4L
+      n
     }
+  }
+
+  /** Emit the footer (magic + JSON payload + size/flags + magic) for the
+    * given blob list; returns the footer byte length. Shared by the
+    * streaming Writer and the post-commit `restamp` rewrite so both
+    * construct byte-identical footers.
+    */
+  private def writeFooter(out: java.io.OutputStream,
+      blobs: Seq[Blob]): Long = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val arr = root.putArray("blobs")
+    blobs.foreach { b =>
+      val o = arr.addObject()
+      o.put("type", b.tpe)
+      val fa = o.putArray("fields")
+      b.fields.foreach(fa.add)
+      o.put("snapshot-id", b.snapshotId)
+      o.put("sequence-number", b.sequenceNumber)
+      o.put("offset", b.offset)
+      o.put("length", b.length)
+      val p = o.putObject("properties")
+      b.properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    root.putObject("properties").put("created-by", "graft")
+    val json = m.writeValueAsBytes(root)
+    out.write(Magic)
+    out.write(json)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(json.length)
+    tail.putInt(0) // flags: footer payload not compressed
+    out.write(tail.array())
+    out.write(Magic)
+    4L + json.length + 8L + 4L
+  }
+
+  /** Rewrite a Puffin file's footer (atomic sibling-replace), stamping
+    * every blob's snapshot-id/sequence-number with the ids a commit
+    * assigned. Executor-written sidecars carry -1s (ids don't exist yet
+    * at write time); the spec marks the fields informational, but an
+    * external tool listing blobs should see the real ids. Blob bytes and
+    * offsets are untouched, so manifest content_offset /
+    * content_size_in_bytes references into the file stay valid.
+    */
+  def restamp(path: java.nio.file.Path, snapshotId: Long,
+      sequenceNumber: Long): Unit = {
+    val blobs = readFooter(path)
+    if (blobs.forall(b =>
+        b.snapshotId == snapshotId && b.sequenceNumber == sequenceNumber))
+      return
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val payloadSize = ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    val blobEnd = bytes.length - 12 - payloadSize - 4
+    val tmp = path.resolveSibling(path.getFileName.toString + ".restamp")
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp))
+    try {
+      out.write(bytes, 0, blobEnd)
+      writeFooter(out, blobs.map(_.copy(snapshotId = snapshotId,
+        sequenceNumber = sequenceNumber)))
+    } finally out.close()
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Parse a Puffin file's footer into its blob list. */
@@ -263,11 +311,13 @@ object Puffin {
       val props = scala.collection.mutable.Map.empty[String, String]
       Option(b.get("properties")).foreach(_.fields().forEachRemaining(e =>
         props += e.getKey -> e.getValue.asText()))
+      val fids = scala.collection.mutable.ArrayBuffer.empty[Int]
+      Option(b.get("fields")).foreach(_.forEach(f => fids += f.asInt()))
       out += Blob(b.get("type").asText(), b.get("offset").asLong(),
         b.get("length").asLong(),
         Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),
         Option(b.get("sequence-number")).map(_.asLong()).getOrElse(-1L),
-        props.toMap)
+        props.toMap, fids.toSeq)
     }
     out.toSeq
   }

@@ -154,7 +154,8 @@ object Stats {
       e.sketch.foreach { bytes =>
         w.add(ThetaBlobType, bytes,
           Map("ndv" -> e.ndv.toString, "graft.column" -> e.name),
-          snapshotId, sequenceNumber)
+          snapshotId, sequenceNumber,
+          fields = fieldIds.get(e.name).toSeq)
         blobs += graft.model.BlobMetaRef(ThetaBlobType, snapshotId,
           sequenceNumber, fieldIds.get(e.name).toSeq,
           Map("ndv" -> e.ndv.toString))
@@ -180,6 +181,24 @@ object Stats {
     */
   def readFile(path: String): (Long, Seq[ColumnStatsEntry]) = {
     val p = Paths.get(path)
+    // statistics refs registered before the Puffin conversion point at
+    // plain-JSON .stats.json sidecars; those tables' columnStats must
+    // keep working after upgrade, so branch on the actual file magic
+    val head = {
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(4)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        buf.array()
+      } finally ch.close()
+    }
+    if (!head.sameElements(Puffin.Magic)) {
+      val n = Json.parse(
+        new String(Files.readAllBytes(p), "UTF-8"))
+      return (n.path("row-count").asLong,
+        n.path("columns").elements.asScala.toSeq
+          .map(ColumnStatsEntry.fromJson))
+    }
     val footer = Puffin.readFooter(p)
     def blobBytes(b: Puffin.Blob): Array[Byte] = {
       val ch = java.nio.channels.FileChannel.open(p)

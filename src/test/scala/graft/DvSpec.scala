@@ -92,6 +92,53 @@ class DvSpec extends SparkSpec {
       "property must route the MoR delete to deletion vectors")
   }
 
+  test("DV sidecar Puffin footers carry the real commit ids, not -1s") {
+    val src = lineitem.limit(800)
+    val t = GraftTable.create(spark, freshLoc("dv-stamp"), src.schema)
+    t.append(src)
+    val snap1 = t.deleteWhereDv(col("l_linenumber") === 1)
+    def sidecars = t.liveManifests(None).filter(_.content == 1)
+      .flatMap(_.entries).filter(_.dv.isDefined).map(_.path).distinct
+    sidecars.foreach { s =>
+      val blobs = graft.table.Puffin.readFooter(java.nio.file.Paths.get(s))
+      assert(blobs.nonEmpty)
+      blobs.foreach { b =>
+        assert(b.snapshotId == snap1.snapshotId,
+          s"footer snapshot-id ${b.snapshotId} != ${snap1.snapshotId}")
+        assert(b.sequenceNumber == snap1.sequenceNumber)
+      }
+    }
+    // the stamped file still reads exactly (blob offsets untouched)
+    val expected = src.filter(col("l_linenumber") =!= 1).count()
+    assert(t.scan().count() == expected)
+    // a superseding delete writes fresh sidecars stamped with ITS ids
+    val snap2 = t.deleteWhereDv(col("l_linenumber") === 2)
+    sidecars.foreach { s =>
+      graft.table.Puffin.readFooter(java.nio.file.Paths.get(s)).foreach {
+        b => assert(b.snapshotId == snap2.snapshotId) }
+    }
+    assert(t.scan().count() ==
+      src.filter(col("l_linenumber") =!= 1 &&
+        col("l_linenumber") =!= 2).count())
+  }
+
+  test("a DV commit permanently raises the declared format-version to 3") {
+    val src = lineitem.limit(300)
+    val t = GraftTable.create(spark, freshLoc("dv-fv"), src.schema)
+    t.append(src)
+    assert(t.metadata.toJsonString.contains("\"format-version\":2"),
+      "plain v2 table must not over-declare")
+    t.deleteWhereDv(col("l_linenumber") === 1)
+    assert(t.metadata.toJsonString.contains("\"format-version\":3"),
+      "DVs are v3-only manifest features; metadata must agree")
+    // sticky: even after compaction rewrites the DVs away, the table
+    // stays v3 (format versions never decrease)
+    t.compact()
+    assert(t.liveManifests(None).flatMap(_.entries).forall(_.dv.isEmpty))
+    assert(t.metadata.toJsonString.contains("\"format-version\":3"),
+      "format floor must not decay when DVs are compacted away")
+  }
+
   test("DV positions survive re-appended rows (only old files vectored)") {
     val src = lineitem.limit(1000)
     val t = GraftTable.create(spark, freshLoc("dv-app"), src.schema)

@@ -130,12 +130,15 @@ class ExportGoldenSpec extends SparkSpec {
     }
   }
 
-  test("golden fixtures carry the spec-required v2 surface") {
+  test("golden fixtures carry the spec-required table surface") {
     // independent of the live export: validate the COMMITTED fixtures
-    // themselves, so a bad regeneration cannot silently weaken the pin
+    // themselves, so a bad regeneration cannot silently weaken the pin.
+    // The golden table carries deletion vectors (a v3-only manifest
+    // feature), so its metadata MUST declare format-version 3 — a v2
+    // declaration over v3 manifests is a spec-invalid layout
     val meta = java.nio.file.Files.readString(
       goldenDir.resolve("metadata.json"))
-    Seq("\"format-version\":2", "\"table-uuid\"", "\"schemas\"",
+    Seq("\"format-version\":3", "\"table-uuid\"", "\"schemas\"",
       "\"partition-specs\"", "\"current-snapshot-id\"", "\"snapshots\"",
       "\"sort-orders\"", "\"last-column-id\"", "\"last-sequence-number\"")
       .foreach(k => assert(meta.contains(k), s"metadata.json missing $k"))

@@ -121,4 +121,54 @@ class MetadataSpec extends AnyFunSuite {
     assert(s.summary.other == Map("added-files" -> "7"))
     intercept[IllegalArgumentException](Summary(Some("bogus")))
   }
+
+  test("v3 defaults serialize as JSON single-values, parse both forms") {
+    // spec: an int default 5 is the JSON number 5 (not the string "5");
+    // booleans are JSON literals; strings/dates keep the string form
+    def fld(id: Int, n: String, t: IceType, d: String) =
+      StructField(id, n, required = false, t, initialDefault = Some(d),
+        writeDefault = Some(d))
+    val s = SchemaV2(0, None, None, Seq(
+      fld(1, "i", TInt, "5"), fld(2, "l", TLong, "9000000000"),
+      fld(3, "f", TFloat, "1.5"), fld(4, "d", TDouble, "2.25"),
+      fld(5, "b", TBoolean, "true"), fld(6, "s", TString, "hi"),
+      fld(7, "dt", TDate, "2024-01-02")))
+    val json = Json.write(s.toJson)
+    assert(json.contains(""""initial-default":5"""), json)
+    assert(json.contains(""""initial-default":9000000000"""))
+    assert(json.contains(""""initial-default":1.5"""))
+    assert(json.contains(""""initial-default":2.25"""))
+    assert(json.contains(""""initial-default":true"""))
+    assert(json.contains(""""initial-default":"hi""""))
+    assert(json.contains(""""initial-default":"2024-01-02""""))
+    // roundtrip: native JSON values parse back to the string rendering
+    val back = SchemaV2.fromJson(Json.parse(json))
+    assert(back.fields.map(_.initialDefault) == s.fields.map(_.initialDefault))
+    // legacy string-rendered numerics (what graft wrote before) still parse
+    val legacy = SchemaV2.fromJson(Json.parse(
+      """{"schema-id":0,"type":"struct","fields":[
+         {"id":1,"name":"i","required":false,"type":"int",
+          "initial-default":"5"}]}"""))
+    assert(legacy.fields.head.initialDefault == Some("5"))
+  }
+
+  test("format-version 3 declared whenever any v3 feature is present") {
+    val base = TableMetadataV2.fromJsonString(MetadataFixtures.full)
+    assert(base.effectiveFormatVersion == 2)
+    // row lineage → v3
+    assert(base.copy(nextRowId = Some(10L)).effectiveFormatVersion == 3)
+    // a column default anywhere in any schema → v3
+    val s = base.currentSchema
+    val withDef = s.copy(fields = s.fields.map(f =>
+      if (f.name == "payload") f.copy(writeDefault = Some("x")) else f))
+    assert(base.copy(schemas = base.schemas.map(x =>
+        if (x.schemaId == s.schemaId) withDef else x))
+      .effectiveFormatVersion == 3)
+    // the sticky DV floor: a parsed v3 declaration never decays to 2,
+    // even with no lineage/default markers in this particular JSON
+    val v3Json = base.copy(formatVersion = 3).toJsonString
+    assert(v3Json.contains("\"format-version\":3"))
+    val reparsed = TableMetadataV2.fromJsonString(v3Json)
+    assert(reparsed.effectiveFormatVersion == 3)
+  }
 }

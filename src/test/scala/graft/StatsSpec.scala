@@ -70,6 +70,16 @@ class StatsSpec extends SparkSpec {
       java.nio.file.Paths.get(ref.path))
     val thetas = footer.filter(_.tpe == Stats.ThetaBlobType)
     assert(thetas.size == 2)
+    // the FOOTER's own blob metadata attributes each sketch to its
+    // column field id — readers discovering stats from the file alone
+    // (not via table-metadata blob refs) need this
+    val schemaIds = t.metadata.currentSchema.fields.map(f => f.name -> f.id)
+      .toMap
+    thetas.foreach { b =>
+      assert(b.fields == Seq(schemaIds(b.properties("graft.column"))),
+        s"theta blob for ${b.properties("graft.column")} must carry its " +
+          s"field id in footer `fields`, got ${b.fields}")
+    }
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(ref.path))
     val byCol = thetas.map(b => b.properties("graft.column") ->
@@ -92,6 +102,23 @@ class StatsSpec extends SparkSpec {
     assert(meta2.statistics.get.head.blobMetadata.get
       .exists(b => b.blobType == Stats.ThetaBlobType &&
         b.properties.contains("ndv")))
+  }
+
+  test("legacy .stats.json sidecars still read after the Puffin upgrade") {
+    // a table analyzed BEFORE the Puffin conversion carries a statistics
+    // ref to a plain-JSON file; readFile must branch on the actual magic
+    // instead of throwing "not a Puffin file"
+    val dir = java.nio.file.Files.createTempDirectory("legacy-stats")
+    val legacy =
+      """{"snapshot-id": 7, "row-count": 123, "columns": [
+         {"name": "id", "ndv": 120, "null-count": 0,
+          "min": "1", "max": "123"}]}"""
+    val p = dir.resolve("7-abc.stats.json")
+    java.nio.file.Files.writeString(p, legacy)
+    val (rows, entries) = Stats.readFile(p.toString)
+    assert(rows == 123L)
+    assert(entries.map(_.name) == Seq("id"))
+    assert(entries.head.ndv == 120L && entries.head.max == Some("123"))
   }
 
   test("partition statistics file: spec fields, counts match, expiry sweeps") {
