@@ -71,8 +71,33 @@ object Bench {
     val drift =
       if (ratios.isEmpty) 1.0
       else ratios.map(_._2).sorted.apply(ratios.size / 2)
-    val regressions = ratios
+    // a first-pass flag on a shared machine is usually scheduler /
+    // trigger jitter (sub-3s queries especially), not a plan change:
+    // re-time each candidate up to twice more and keep the BEST run —
+    // only a query slow in EVERY attempt is a real regression. Raw
+    // first-pass times still go out in `queries` (so committed
+    // baselines stay comparable); the re-timed values go out in
+    // `robust` so both are visible.
+    val candidates = ratios
       .filter { case (k, r) => r / drift > 1.5 && overFloor(k) }
+    val robust = scala.collection.mutable.Map.empty[String, Double]
+    candidates.foreach { case (k, _) =>
+      var best = results.find(_._1 == k).get._2
+      var attempts = 0
+      while (attempts < 2 && best / (prev(k) * drift) > 1.5) {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(k)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache()
+        attempts += 1
+      }
+      robust(k) = best
+    }
+    val regressions = candidates
+      .map { case (k, _) => k -> robust(k) / prev(k) }
+      .filter { case (_, r) => r / drift > 1.5 }
       .sortBy(-_._2)
 
     // 3-decimal timings keep the line compact (the driver records a
@@ -83,10 +108,13 @@ object Bench {
       .mkString("{", ",", "}")
     val regs = regressions.map { case (k, r) => f""""$k":$r%.2f""" }
       .mkString("{", ",", "}")
+    val rob = robust.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(!_._3)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"robust":$rob,"sf":"$sfDir"}"""
     println(line)
     // the full line also lands in the repo, so per-query timings survive
     // any stdout-tail truncation and stay diffable across rounds

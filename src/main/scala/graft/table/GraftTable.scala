@@ -2892,9 +2892,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * tuple, spec_id, data record/file counts, total data size, and the
     * last-updating snapshot — computed as ONE distributed aggregate
     * over the manifest dataset (at 100 TB the manifest is big data;
-    * no driver loop) and registered in table metadata. Positional/
-    * equality delete attribution per partition is left null (optional
-    * in the spec): graft's delete files are not partition-scoped.
+    * no driver loop) and registered in table metadata. Position-delete
+    * attribution (DVs + parquet position deletes) is computed by
+    * joining delete rows to their referenced files' partition tuples;
+    * equality deletes are left unattributed (spec-optional — their keys
+    * are not partition-scoped and applying them is a data-plane job).
     */
   def writePartitionStats(): graft.model.StatisticsFileRef = {
     val meta = metadata
@@ -2920,7 +2922,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           }
       }).as(pf.name)
     }
-    val rows = manifestDf(None)
+    val base = manifestDf(None)
       .filter(coalesce(col("content"), lit(0)) === 0)
       .select(
         (if (tupleCols.isEmpty) struct(lit(0).as("unpartitioned"))
@@ -2928,14 +2930,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         coalesce(col("spec-id"), lit(0)).as("spec_id"),
         col("record-count").as("rc"),
         coalesce(col("file-size"), lit(0L)).as("fs"),
-        col("snapshot-id").as("snap"))
-      .groupBy("partition", "spec_id")
+        col("snapshot-id").as("snap"),
+        GraftTable.decodeCanonCol(col("path")).as("__dfile"))
+    val agg = base.groupBy("partition", "spec_id")
       .agg(
         sum("rc").as("data_record_count"),
         count(lit(1)).cast("int").as("data_file_count"),
         sum("fs").as("total_data_file_size_in_bytes"),
         max("snap").as("last_updated_snapshot_id"))
-      .orderBy("partition")
+    // spec position_delete_* attribution: DV/pos-delete rows joined to
+    // their referenced data files' partition tuples over the manifest
+    // dataset — spec-optional, but a MoR table owner reading partition
+    // stats wants to see where deletes concentrate
+    val rows = withDeleteAttribution(agg, base).orderBy("partition")
     val dir = Paths.get(location, "stats")
     Files.createDirectories(dir)
     val tmpDir = dir.resolve(
@@ -3425,23 +3432,92 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
   }
 
-  /** `.partitions` metadata table: per partition tuple — live file and
-    * record counts, plus the spec the tuple was written under. Computed
-    * as a distributed aggregate over the manifest dataset: at millions
-    * of files this is a Spark job over manifest rows, never a driver
-    * loop (contrast filesDf, which is a driver-side listing by design).
+  /** Per-data-file position-delete attribution over the LIVE delete
+    * entries: (canonical data-file path, deleted-row count, delete-file
+    * count). DV entries resolve metadata-only — each references exactly
+    * one data file and carries its cardinality; parquet position-delete
+    * files are read distributed and grouped by referenced path —
+    * O(deleted rows), never O(table). None when no position deletes.
+    * Equality deletes are NOT attributed (their keys are not
+    * partition-scoped; applying them is a data-plane job, not stats).
     */
-  def partitionsDf: DataFrame =
-    manifestDf(None)
+  private def positionDeleteAttribution(): Option[DataFrame] = {
+    val entries = liveManifests(None).filter(_.content == 1)
+      .flatMap(_.entries).filter(_.content == 1)
+    if (entries.isEmpty) return None
+    val (dvs, parqs) = entries.partition(_.dv.isDefined)
+    import spark.implicits._
+    val dvDf =
+      if (dvs.isEmpty) None
+      else Some(spark.createDataset(dvs.map(e =>
+          (GraftTable.canonPath(decodePath(e.dv.get.dataFile)),
+            e.recordCount, 1L)))
+        .toDF("__dfile", "__del_records", "__del_files"))
+    val pqDf =
+      if (parqs.isEmpty) None
+      else {
+        val delSchema = StructType(Seq(
+          SparkField("file_path", StringType), SparkField("pos", LongType)))
+        Some(spark.read.schema(delSchema).parquet(parqs.map(_.path): _*)
+          .select(GraftTable.decodeCanonCol(col("file_path")).as("__dfile"),
+            col("_metadata.file_path").as("__src"))
+          .groupBy("__dfile")
+          .agg(count(lit(1)).as("__del_records"),
+            count_distinct(col("__src")).as("__del_files")))
+      }
+    Some((dvDf.toSeq ++ pqDf.toSeq).reduce(_.unionByName(_))
+      .groupBy("__dfile")
+      .agg(sum("__del_records").as("__del_records"),
+        sum("__del_files").as("__del_files")))
+  }
+
+  /** Join per-partition position-delete counts onto a per-partition
+    * aggregate: `base` must carry (`partition`, `spec_id`, `__dfile`)
+    * rows per data file; emits the two spec columns, zero-filled when
+    * the table has no position deletes.
+    */
+  private def withDeleteAttribution(agg: DataFrame,
+      base: DataFrame): DataFrame =
+    positionDeleteAttribution() match {
+      case None =>
+        agg.withColumn("position_delete_record_count", lit(0L))
+          .withColumn("position_delete_file_count", lit(0L))
+      case Some(att) =>
+        val perPart = base.select("partition", "spec_id", "__dfile")
+          .join(att, Seq("__dfile"))
+          .groupBy("partition", "spec_id")
+          .agg(sum("__del_records").as("__pdr"),
+            sum("__del_files").as("__pdf"))
+        agg.join(perPart, Seq("partition", "spec_id"), "left")
+          .withColumn("position_delete_record_count",
+            coalesce(col("__pdr"), lit(0L)))
+          .withColumn("position_delete_file_count",
+            coalesce(col("__pdf"), lit(0L)))
+          .drop("__pdr", "__pdf")
+    }
+
+  /** `.partitions` metadata table: per partition tuple — live file and
+    * record counts, position-delete attribution (rows vectored/deleted
+    * per partition under MoR), plus the spec the tuple was written
+    * under. Computed as a distributed aggregate over the manifest
+    * dataset: at millions of files this is a Spark job over manifest
+    * rows, never a driver loop (contrast filesDf, which is a
+    * driver-side listing by design).
+    */
+  def partitionsDf: DataFrame = {
+    val base = manifestDf(None)
       .filter(coalesce(col("content"), lit(0)) === 0)
       .select(
         concat_ws(",", transform(array_sort(map_entries(col("partition"))),
           e => concat(e("key"), lit("="),
             coalesce(e("value"), lit("null"))))).as("partition"),
         coalesce(col("spec-id"), lit(0)).as("spec_id"),
-        col("record-count").as("rc"))
-      .groupBy("partition", "spec_id")
+        col("record-count").as("rc"),
+        GraftTable.decodeCanonCol(col("path")).as("__dfile"))
+    val agg = base.groupBy("partition", "spec_id")
       .agg(count(lit(1)).as("file_count"), sum("rc").as("record_count"))
+    withDeleteAttribution(agg, base)
+  }
 
   /** `.manifests` metadata table: one row per manifest the current
     * snapshot references (data and delete manifests; `content` 0 = data,

@@ -637,6 +637,9 @@ object IcebergQueries {
         val t = GraftTable.create(s, loc("partsmeta"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
         t.append(src, repartitionByPartition = true)
+        // a deletion-vector MoR delete: partition stats must attribute
+        // the vectored rows to the partitions of their data files
+        t.deleteWhereDv(col("l_linenumber") === 7)
         // the `.partitions` metadata table AND the spec
         // partition-statistics FILE must agree — the query serves off
         // the durable artifact (plain parquet, spec field names), and
@@ -647,20 +650,26 @@ object IcebergQueries {
             concat(lit("ship_month="),
               col("partition.ship_month")).as("partition"),
             col("data_file_count").cast("long").as("file_count"),
-            col("data_record_count").as("record_count"))
+            col("data_record_count").as("record_count"),
+            col("position_delete_record_count").as("deleted_rows"))
           .orderBy("partition")
         val live = t.partitionsDf
-          .select(col("partition"), col("file_count"), col("record_count"))
+          .select(col("partition"), col("file_count"), col("record_count"),
+            col("position_delete_record_count").as("deleted_rows"))
           .orderBy("partition")
         require(fromFile.collect().toSeq == live.collect().toSeq,
           "partition-statistics file diverged from .partitions")
         fromFile
       },
+      // record_count stays the RAW per-file total (MoR deletes do not
+      // rewrite data); deleted_rows is the per-partition DV attribution
       Some("""SELECT 'ship_month='
           || CAST((EXTRACT(YEAR FROM l_shipdate) - 1970) * 12
             + EXTRACT(MONTH FROM l_shipdate) - 1 AS VARCHAR) AS partition,
           CAST(1 AS BIGINT) AS file_count,
-          COUNT(*) AS record_count
+          COUNT(*) AS record_count,
+          CAST(COUNT(*) FILTER (WHERE l_linenumber = 7) AS BIGINT)
+            AS deleted_rows
         FROM lineitem GROUP BY 1 ORDER BY partition""")),
 
     // Branch + tag refs: read the table AS OF a named ref.

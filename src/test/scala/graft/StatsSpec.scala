@@ -136,7 +136,11 @@ class StatsSpec extends SparkSpec {
     val df = spark.read.parquet(ref.path)
     assert(df.columns.toSet == Set("partition", "spec_id",
       "data_record_count", "data_file_count",
-      "total_data_file_size_in_bytes", "last_updated_snapshot_id"))
+      "total_data_file_size_in_bytes", "last_updated_snapshot_id",
+      "position_delete_record_count", "position_delete_file_count"))
+    // no deletes yet: attribution is zero-filled, never null
+    assert(df.agg(sum("position_delete_record_count")).head().getLong(0)
+      == 0L)
     assert(df.schema("partition").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]("ship_month")
       .dataType == org.apache.spark.sql.types.IntegerType)
@@ -159,6 +163,44 @@ class StatsSpec extends SparkSpec {
       "expired partition-stats file not swept")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ref2.path)))
     assert(t.metadata.partitionStatistics.get.map(_.path) == Seq(ref2.path))
+  }
+
+  test("partition stats attribute MoR deletes to their partitions") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(3000)
+    val t = GraftTable.create(spark, tmp(), src.schema,
+      partitionBy = Seq(("l_shipdate", graft.model.TMonth, "ship_month")))
+    t.append(src, repartitionByPartition = true)
+    // one parquet-form MoR delete + one DV delete: both forms attribute
+    t.deleteWhereMoR(col("l_linenumber") === 1)
+    t.deleteWhereDv(col("l_linenumber") === 2)
+    val ref = t.writePartitionStats()
+    val df = spark.read.parquet(ref.path)
+    val got = df.select(col("partition.ship_month"),
+        col("position_delete_record_count"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = src.filter(col("l_linenumber").isin(1, 2))
+      .groupBy(((year(col("l_shipdate")) - 1970) * 12 +
+        month(col("l_shipdate")) - 1).as("m"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // partitions with no deletes report 0, not null; the rest exact
+    assert(got.filter(_._2 > 0L) == want,
+      s"per-partition delete attribution mismatch: got=$got want=$want")
+    assert(df.filter(col("position_delete_record_count").isNull).count()
+      == 0)
+    // the live .partitions table agrees with the durable artifact
+    val live = t.partitionsDf
+      .select(col("partition"), col("position_delete_record_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromFile = df.select(
+        concat(lit("ship_month="), col("partition.ship_month")),
+        col("position_delete_record_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live == fromFile)
+    // total rows scanned = data minus attributed deletes
+    assert(t.scan().count() ==
+      df.agg(sum("data_record_count")).head().getLong(0) -
+        df.agg(sum("position_delete_record_count")).head().getLong(0))
   }
 
   test("stats resolve from nearest ancestor after appends; refresh replaces") {
