@@ -10,15 +10,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   * order) a u32 LE high-32-bit key followed by a standard 32-bit
   * roaring bitmap stream.
   *
-  * Writes emit array/bitmap containers only (cookie 12347, offsets
-  * always present); reads additionally accept run containers (cookie
-  * 12346) so externally-written vectors import. All validation throws —
-  * deletion vectors are correctness-bearing.
+  * Writes emit array/bitmap containers only (the RoaringFormatSpec
+  * SERIAL_COOKIE_NO_RUNCONTAINER form, cookie 12346, offsets always
+  * present); reads additionally accept run containers (packed cookie
+  * 12347 + run bitmap) so externally-written vectors import. All
+  * validation throws — deletion vectors are correctness-bearing.
   */
 object Roaring {
 
-  private val NoRunCookie = 12347
-  private val RunCookie = 12346
+  private val NoRunCookie = 12346
+  private val RunCookie = 12347
   private val ArrayMax = 4096
   private val NoOffsetThreshold = 4
 

@@ -28,12 +28,12 @@ class RoaringSpec extends AnyFunSuite {
 
   test("run-container streams (external writers) deserialize") {
     // hand-build: one bucket (key 0), one RUN container holding
-    // [10..14] and [100..100] -> cookie 12346 form
+    // [10..14] and [100..100] -> packed SERIAL_COOKIE 12347 form
     val buf = java.nio.ByteBuffer.allocate(64)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.putLong(1L)                      // one high-32 bucket
     buf.putInt(0)                        // bucket key 0
-    buf.putInt(12346 | (0 << 16))        // run cookie, 1 container
+    buf.putInt(12347 | (0 << 16))        // run cookie, 1 container
     buf.put(1.toByte)                    // run-flag bitset: container 0 runs
     buf.putShort(0.toShort)              // container key
     buf.putShort(5.toShort)              // cardinality - 1 = 5 (6 values)
