@@ -79,16 +79,26 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** 64-bit SimHash from an array of 64-bit token hashes: bit i is set iff
-    * a majority of token hashes have bit i set (unit weights).
+  /** SimHash from an array of token hashes: bit i is set iff a majority
+    * of token hashes have bit i set (unit weights). `bits` defaults to
+    * 64; d_dedup_simhash uses 60 md5-derived bits so the signature is
+    * recomputable in ANSI SQL (the oracle replays it bit-for-bit).
     */
-  def simhash(hashes: Column): Column =
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
+  def simhash(hashes: Column, bits: Int = 64): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
       (acc, i) => acc + when(
         size(filter(hashes, h =>
           call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L))
           * 2 > size(hashes),
         call_function("shiftleft", lit(1L), i)).otherwise(0L))
+
+  /** A 60-bit token hash BOTH engines can compute exactly: the first 15
+    * hex chars of md5(token) as an integer. 60 bits keep every shift
+    * inside a signed 64-bit long on both sides (DuckDB BIGINT overflow
+    * is an error, so bit 63 is off-limits there).
+    */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** MinHash+LSH near-dup pairs (doc_a < doc_b, jac): 16 bands × 4 rows
     * by default; candidates from a band-hash equi-join, Jaccard-verified
@@ -316,23 +326,28 @@ object Dedup {
         SELECT label AS cluster_id, COUNT(*) AS n_members
         FROM labels GROUP BY label ORDER BY cluster_id""")),
 
-    // SimHash near-dup: 64-bit signature, 4×16-bit chunk banding (any pair
-    // with hamming distance ≤ 3 shares at least one chunk), verified by
-    // popcount of xor.
+    // SimHash near-dup: 60-bit signature from md5-derived token hashes,
+    // 4×15-bit chunk banding (any pair with hamming distance ≤ 3 leaves
+    // at least one chunk untouched), verified by popcount of xor. The
+    // hash is md5-based (not xxhash64) PRECISELY so the oracle can
+    // replay the signature bit-for-bit in SQL: equality against the
+    // all-pairs hamming join below certifies FULL banding recall on
+    // this corpus, not just determinism — the banded equi-join stays
+    // the engine's scale path (never all-pairs).
     GraftQuery(
       "d_dedup_simhash",
       (s, dir) => {
         val sigs = docs(s, dir)
           .select(col("doc_id"),
             transform(split(TextOps.normText(col("text")), " "),
-              t => xxhash64(t)).as("hs"))
-          .select(col("doc_id"), simhash(col("hs")).as("sim"))
+              t => md5Hash60(t)).as("hs"))
+          .select(col("doc_id"), simhash(col("hs"), bits = 60).as("sim"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val chunked = sigs.select(
           col("doc_id"), col("sim"),
           posexplode(transform(sequence(lit(0), lit(3)),
-            c => call_function("shiftright", col("sim"), c * 16)
-              .bitwiseAND(lit(0xFFFFL))))
+            c => call_function("shiftright", col("sim"), c * 15)
+              .bitwiseAND(lit(0x7FFFL))))
             .as(Seq("chunk_id", "chunk_val")))
         val a = chunked.select(col("doc_id").as("doc_a"),
           col("sim").as("sim_a"), col("chunk_id"), col("chunk_val"))
@@ -349,7 +364,30 @@ object Dedup {
             .orderBy("doc_a", "doc_b"),
           sigs)
       },
-      None),
+      // EXACT replay: the same md5-bit signatures, then ALL-PAIRS
+      // hamming (the oracle may brute-force; the engine may not) —
+      // any pair the banding loses goes red
+      Some(s"""WITH toks AS (SELECT doc_id,
+            unnest(string_split(${TextOps.normTextSql}, ' ')) AS t
+          FROM documents),
+        th AS (SELECT doc_id,
+            list_sum(list_transform(range(1, 16), i ->
+              CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+                AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - i)))))
+              AS h
+          FROM toks),
+        bits AS (SELECT doc_id, b,
+            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, range(0, 60) r(b) GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+              ELSE CAST(0 AS BIGINT) END) AS sim
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        ORDER BY doc_a, doc_b""")),
 
     // n-gram Jaccard similarity join: inverted index on shingles with a
     // document-frequency cap (hot shingles contribute no candidates — they

@@ -290,20 +290,43 @@ object Similarity {
     * driver memory is the model (K×D doubles), executor work is linear
     * per pass, and the iteration count is fixed.
     *
-    * Deterministic: centroids initialize from the k vectors with the
-    * lowest xxhash64(id) (a seedless spread over the corpus), ties broken
-    * by id; iteration order is fixed.
+    * Deterministic: a bounded sample (the max(4k, 64) vectors with the
+    * lowest xxhash64(id), ties by id) seeds a greedy FARTHEST-POINT
+    * init — start from the sample head, then repeatedly add the sample
+    * vector whose max cosine to the chosen set is smallest (ties by
+    * sample order). On well-separated clusters this picks one seed per
+    * cluster, where a plain hash-order pick routinely lands two seeds
+    * in one cluster and splits it; driver cost is O(sample × k × D).
     */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5): Array[Array[Double]] = {
     val s = corpus.sparkSession
     import s.implicits._
-    var cents = corpus
+    val sample = corpus
       .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(4 * k, 64))
       .as[(Long, Array[Float])].collect()
       .map(r => normalizeVec(r._2.map(_.toDouble)))
-    require(cents.length == k, s"corpus smaller than k=$k")
+    require(sample.length >= k, s"corpus smaller than k=$k")
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    val maxDot = Array.fill(sample.length)(Double.MinValue)
+    while (chosen.size < k) {
+      var best = -1
+      var bestVal = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        val last = chosen.last
+        var dot = 0.0
+        var d = 0
+        while (d < last.length) { dot += sample(i)(d) * last(d); d += 1 }
+        if (dot > maxDot(i)) maxDot(i) = dot
+        if (maxDot(i) < bestVal - 1e-12) { bestVal = maxDot(i); best = i }
+        i += 1
+      }
+      chosen += sample(best)
+    }
+    var cents = chosen.toArray
     for (_ <- 1 to iters) {
       val bc = s.sparkContext.broadcast(cents)
       val sums = corpus.select(col(idCol).cast("long"), col(vecCol))
@@ -787,25 +810,66 @@ object Similarity {
           $twinSimSql AS sim
         FROM embeddings WHERE vec_id % 7 = 0 ORDER BY id_a, id_b""")),
 
-    // Distributed spherical k-means over the embedding corpus — the
-    // clustering step a training pipeline uses for semantic sharding,
-    // diversity sampling and curriculum mixes. k scales with the corpus
-    // (≈√N); every stage is map-only or a K×D-sized aggregate, so the
-    // same plan runs at 100 TB. Output: per-cluster membership counts
-    // and mean cosine cohesion (no SQL oracle — pinned by SimilaritySpec
-    // on planted clusters instead).
+    // Distributed spherical k-means — the clustering step a training
+    // pipeline uses for semantic sharding, diversity sampling and
+    // curriculum mixes. Every stage is map-only or a K×D-sized
+    // aggregate, so the same plan runs at 100 TB. Demonstrated on a
+    // PLANTED-cluster corpus (the raw embeddings are uniform random —
+    // clustering them is engine noise, the same reasoning that moved
+    // the ANN family to planted twins): 8 orthogonal prototypes with
+    // deterministic per-id noise, derived from the table's vec_ids so
+    // the oracle replays group sizes. The output is per-GROUP recovery
+    // — size, purity (majority-cluster fraction) and how many groups
+    // share that cluster — all exactly 1.0/1 when k-means reassembles
+    // the generating partition, which the oracle pins. Raw-corpus
+    // cohesion behavior stays covered by SimilaritySpec.
     GraftQuery(
       "d_kmeans_embed",
       (s, dir) => {
-        val corpus = emb(s, dir)
-        val k = math.max(8, math.sqrt(corpus.count().toDouble).toInt / 2)
-        val cents = kmeansFit(corpus, "vec_id", "embedding", k, iters = 5)
-        kmeansAssign(corpus, "vec_id", "embedding", cents)
-          .groupBy("cluster")
-          .agg(count(lit(1)).as("n_members"),
-            round(avg(col("sim")), 4).as("avg_cohesion"))
-          .orderBy("cluster")
+        val g = 8
+        val dims = 16
+        // proto[c][d] = 1 at d = 2c, else 0; noise in [-0.06, 0.06]
+        // from (id, d) — well-separated tight clusters, fully
+        // deterministic from vec_id
+        val vec = transform(sequence(lit(0), lit(dims - 1)), d => {
+          val proto = when(d === (col("vec_id") % g).cast("int") * 2,
+            lit(1.0f)).otherwise(lit(0.0f))
+          val noise = (((col("vec_id") * 31 + d * 7) % 13).cast("float")
+            - lit(6.0f)) / lit(100.0f)
+          proto + noise
+        })
+        val corpus = emb(s, dir).filter(col("vec_id") < 400)
+          .select(col("vec_id"), vec.cast("array<float>").as("embedding"))
+        val cents = kmeansFit(corpus, "vec_id", "embedding", g, iters = 5)
+        val assigned = kmeansAssign(corpus, "vec_id", "embedding", cents)
+          .withColumn("group_id", col("id") % g)
+        val counts = assigned.groupBy("group_id", "cluster")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("group_id")
+          .orderBy(col("n").desc, col("cluster"))
+        val majority = counts
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("group_id"), col("cluster").as("maj_cluster"),
+            col("n").as("maj_n"))
+        val sizes = assigned.groupBy("group_id")
+          .agg(count(lit(1)).as("n_members"))
+        val shared = majority.groupBy("maj_cluster")
+          .agg(count(lit(1)).as("groups_in_cluster"))
+        sizes.join(majority, "group_id").join(shared, "maj_cluster")
+          .select(col("group_id"), col("n_members"),
+            round(col("maj_n").cast("double") /
+              col("n_members").cast("double"), 4).as("purity"),
+            col("groups_in_cluster"))
+          .orderBy("group_id")
       },
-      None)
+      // perfect recovery is the DETERMINED answer on this separation:
+      // every group one pure cluster (purity 1.0), no two groups merged
+      // (groups_in_cluster 1), sizes straight from the generation rule
+      Some("""SELECT CAST(vec_id % 8 AS BIGINT) AS group_id,
+          COUNT(*) AS n_members,
+          CAST(1.0 AS DOUBLE) AS purity,
+          CAST(1 AS BIGINT) AS groups_in_cluster
+        FROM embeddings WHERE vec_id < 400
+        GROUP BY 1 ORDER BY group_id"""))
   )
 }
