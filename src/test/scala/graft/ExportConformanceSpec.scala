@@ -168,6 +168,27 @@ class ExportConformanceSpec extends SparkSpec {
       RequiredDataFileFields.diff(
           dfSchema.getFields.asScala.map(_.name).toSet)
         .foreach(n => err(s"data_file missing required field $n"))
+      // partition struct: field ids must match the table's partition
+      // spec (metadata partition-specs assign them, 1000+)
+      val specFieldIds = meta.path("partition-specs").elements.asScala
+        .flatMap(_.path("fields").elements.asScala)
+        .map(f => f.path("name").asText -> f.path("field-id").asInt)
+        .toMap
+      val partSchema = unwrap(dfSchema.getField("partition").schema())
+      partSchema.getFields.asScala.foreach { f =>
+        specFieldIds.get(f.name) match {
+          case Some(want) => if (!fieldId(f).contains(want))
+            err(s"partition field ${f.name}: ${fieldId(f)} != spec $want")
+          case None => err(s"partition field ${f.name} not in any spec")
+        }
+      }
+      // table columns by field id, for bound decoding (primitives only)
+      val colsById = meta.path("schemas").elements.asScala
+        .flatMap(_.path("fields").elements.asScala)
+        .filter(_.path("type").isTextual)
+        .map(f => f.path("id").asInt ->
+          (f.path("name").asText, f.path("type").asText))
+        .toMap
       // entry rows
       rows.foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -184,6 +205,8 @@ class ExportConformanceSpec extends SparkSpec {
           val card = df.get("record_count").asInstanceOf[Long]
           errs ++= validateDvBlob(df.get("file_path").toString, off, len,
             card)
+        } else {
+          errs ++= validateBounds(df, colsById)
         }
       }
     }
@@ -193,6 +216,76 @@ class ExportConformanceSpec extends SparkSpec {
 
     // ---- Puffin sidecars referenced by DV entries ----
     errs ++= validatePuffinFooters(outDir, snapIds)
+    errs.toSeq
+  }
+
+  /** Validate a data entry's lower/upper bounds: decode the raw bytes
+    * per the spec's single-value BINARY serialization (Appendix D —
+    * long/double little-endian, string UTF-8; transcribed here, not
+    * imported) and compare against the TRUE per-file min/max recomputed
+    * by reading the referenced parquet with plain Spark — a third-party
+    * reader, not graft's stats pipeline. Numeric bounds must be exact;
+    * string bounds may be truncated, so lower ≤ min and upper ≥ max.
+    */
+  private def validateBounds(df: org.apache.avro.generic.GenericRecord,
+      colsById: Map[Int, (String, String)]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val path = df.get("file_path").toString
+    def boundMap(field: String): Map[Int, Array[Byte]] =
+      Option(df.get(field)).toSeq.flatMap {
+        _.asInstanceOf[java.util.List[_]].asScala.map { kv =>
+          val r = kv.asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+          val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+          r.get("key").asInstanceOf[Int] -> bytes
+        }
+      }.toMap
+    val lows = boundMap("lower_bounds")
+    val ups = boundMap("upper_bounds")
+    if (lows.isEmpty) return Seq(s"$path: no lower bounds recorded")
+    val actual = spark.read.parquet(path)
+    (lows.keySet ++ ups.keySet).foreach { id =>
+      colsById.get(id) match {
+        case None => errs += s"$path: bound for unknown field id $id"
+        case Some((name, tpe)) =>
+          val row = actual.agg(min(col(name)), max(col(name))).head()
+          def le(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          tpe match {
+            case "long" =>
+              lows.get(id).foreach { b =>
+                if (le(b).getLong != row.getLong(0))
+                  errs += s"$path.$name: lower ${le(b).getLong} != " +
+                    s"true min ${row.getLong(0)}" }
+              ups.get(id).foreach { b =>
+                if (le(b).getLong != row.getLong(1))
+                  errs += s"$path.$name: upper != true max" }
+            case "double" =>
+              lows.get(id).foreach { b =>
+                if (le(b).getDouble != row.getDouble(0))
+                  errs += s"$path.$name: lower != true min" }
+              ups.get(id).foreach { b =>
+                if (le(b).getDouble != row.getDouble(1))
+                  errs += s"$path.$name: upper != true max" }
+            case "int" =>
+              lows.get(id).foreach { b =>
+                if (le(b).getInt != row.getInt(0))
+                  errs += s"$path.$name: lower != true min" }
+              ups.get(id).foreach { b =>
+                if (le(b).getInt != row.getInt(1))
+                  errs += s"$path.$name: upper != true max" }
+            case "string" =>
+              lows.get(id).foreach { b =>
+                if (new String(b, "UTF-8") > row.getString(0))
+                  errs += s"$path.$name: lower above true min" }
+              ups.get(id).foreach { b =>
+                if (new String(b, "UTF-8") < row.getString(1))
+                  errs += s"$path.$name: upper below true max" }
+            case _ => // other types not present in the fixture table
+          }
+      }
+    }
     errs.toSeq
   }
 
@@ -457,6 +550,63 @@ class ExportConformanceSpec extends SparkSpec {
       assert(validate(out).exists(_.contains("CRC")),
         "walker must reject a DV failing its CRC")
     }
+  }
+
+  test("mutation: a corrupted column bound is caught") {
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter,
+      GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val t = buildTable()
+    val out = export(t)
+    val metaDir = java.nio.file.Paths.get(out, "metadata")
+    val manifests = java.nio.file.Files.list(metaDir).iterator.asScala
+      .filter(_.getFileName.toString.matches("manifest-\\d+\\.avro"))
+      .toSeq
+    // rewrite one manifest with a flipped byte inside a data entry's
+    // id lower bound (plain Avro read/modify/write — same schema)
+    var mutated = false
+    manifests.foreach { mp =>
+      if (!mutated) {
+        val r = new DataFileReader[GenericRecord](mp.toFile,
+          new GenericDatumReader[GenericRecord]())
+        val (schema, recs) =
+          try (r.getSchema, r.iterator.asScala.toVector) finally r.close()
+        var hitHere = false
+        val changed = recs.map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          if (!hitHere && df.get("referenced_data_file") == null &&
+              df.get("lower_bounds") != null) {
+            val lb = df.get("lower_bounds")
+              .asInstanceOf[java.util.List[GenericRecord]]
+            if (!lb.isEmpty) {
+              val kv = lb.get(0)
+              val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+              val bytes = new Array[Byte](bb.remaining())
+              bb.duplicate().get(bytes)
+              bytes(0) = (bytes(0) ^ 0x7f).toByte
+              kv.put("value", java.nio.ByteBuffer.wrap(bytes))
+              hitHere = true
+            }
+          }
+          e
+        }
+        if (hitHere) {
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          val tmp = mp.resolveSibling(mp.getFileName.toString + ".mut")
+          w.create(schema, tmp.toFile)
+          try changed.foreach(w.append) finally w.close()
+          java.nio.file.Files.move(tmp, mp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          mutated = true
+        }
+      }
+    }
+    assert(mutated, "no data entry with bounds found to perturb")
+    assert(validate(out).exists(e =>
+        e.contains("lower") || e.contains("upper")),
+      "walker must flag a bound that contradicts the file data")
   }
 
   test("mutation: an unstamped (-1) sidecar footer snapshot-id is caught") {
