@@ -43,7 +43,15 @@ object IcebergInterop {
     val metaDir = Paths.get(dir, "metadata")
     Files.createDirectories(metaDir)
     val listPath = t.exportAvro(metaDir.toString)
+    // backstop for tables whose DVs were committed before the sticky
+    // format floor existed: if any live manifest carries a DV entry,
+    // the exported metadata MUST declare v3 regardless of the parsed
+    // floor — v2 metadata over v3 manifests is spec-invalid
+    val liveDvs = t.liveManifests(None).exists(m =>
+      m.content == 1 && m.entries.exists(_.dv.isDefined))
     val extMeta = meta.copy(
+      formatVersion =
+        if (liveDvs) math.max(meta.formatVersion, 3) else meta.formatVersion,
       location = dir,
       snapshots = Some(Seq(snap.copy(manifestList = listPath.toString))),
       snapshotLog = Some(Seq(SnapshotLog(snap.snapshotId, snap.timestampMs))),
