@@ -86,10 +86,13 @@ object Bench {
       var attempts = 0
       while (attempts < 2 && best / (prev(k) * drift) > 1.5) {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(k)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // a FAILED attempt must not count: its fast-error elapsed time
+        // would masquerade as a healthy re-run and dismiss the flag
+        val ok =
+          try { SparkEntry.queries(k)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        if (ok) best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache()
         attempts += 1
       }

@@ -656,14 +656,15 @@ case class TableMetadataV2(
     * default — defaults require format-version 3.
     */
   private def anyDefaults: Boolean = {
-    def walk(fs: Seq[StructField]): Boolean = fs.exists { f =>
-      f.initialDefault.isDefined || f.writeDefault.isDefined ||
-        (f.fieldType match {
-          case TStruct(nfs) => walk(nfs)
-          case TList(_, _, TStruct(nfs)) => walk(nfs)
-          case _ => false
-        })
+    def walkType(t: IceType): Boolean = t match {
+      case TStruct(nfs) => walk(nfs)
+      case TList(_, _, el) => walkType(el)
+      case TMap(_, k, _, _, v) => walkType(k) || walkType(v)
+      case _ => false
     }
+    def walk(fs: Seq[StructField]): Boolean = fs.exists(f =>
+      f.initialDefault.isDefined || f.writeDefault.isDefined ||
+        walkType(f.fieldType))
     schemas.exists(s => walk(s.fields))
   }
 

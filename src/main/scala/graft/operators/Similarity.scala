@@ -310,6 +310,12 @@ object Similarity {
       .map(r => normalizeVec(r._2.map(_.toDouble)))
     require(sample.length >= k, s"corpus smaller than k=$k")
     val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    // explicit used-mask: a chosen vector must never be re-picked. The
+    // self-dot usually excludes it (cosine 1.0), but an all-zero vector
+    // (failed/padded embedding row) has self-dot 0 and would otherwise
+    // be re-chosen every iteration, collapsing the centroid set.
+    val used = Array.fill(sample.length)(false)
+    used(0) = true
     val maxDot = Array.fill(sample.length)(Double.MinValue)
     while (chosen.size < k) {
       var best = -1
@@ -321,9 +327,12 @@ object Similarity {
         var d = 0
         while (d < last.length) { dot += sample(i)(d) * last(d); d += 1 }
         if (dot > maxDot(i)) maxDot(i) = dot
-        if (maxDot(i) < bestVal - 1e-12) { bestVal = maxDot(i); best = i }
+        if (!used(i) && maxDot(i) < bestVal - 1e-12) {
+          bestVal = maxDot(i); best = i
+        }
         i += 1
       }
+      used(best) = true
       chosen += sample(best)
     }
     var cents = chosen.toArray

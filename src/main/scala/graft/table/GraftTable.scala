@@ -2737,11 +2737,31 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def addColumn(name: String, dataType: DataType,
       initialDefault: Option[String],
       writeDefault: Option[String]): Unit = {
-    if (initialDefault.isDefined || writeDefault.isDefined)
+    if (initialDefault.isDefined || writeDefault.isDefined) {
       require(dataType match {
         case _: StructType | _: ArrayType | _: MapType => false
         case _ => true
       }, s"column $name: defaults are limited to primitive columns")
+      // validate the rendering NOW: an unparseable default would
+      // otherwise surface as a bare NumberFormatException from inside
+      // metadata serialization, with no hint which column caused it
+      (initialDefault.toSeq ++ writeDefault.toSeq).foreach { v =>
+        val ok =
+          try {
+            dataType match {
+              case IntegerType => v.toInt; case LongType => v.toLong
+              case FloatType => v.toFloat; case DoubleType => v.toDouble
+              case BooleanType => v.toBoolean
+              case DateType => java.time.LocalDate.parse(v)
+              case _ => ()
+            }
+            true
+          } catch { case _: RuntimeException | _: java.time.DateTimeException =>
+            false }
+        require(ok,
+          s"column $name: default '$v' does not parse as $dataType")
+      }
+    }
     val parts = name.split('.').toList
     // id allocation lives INSIDE the change function: on a version-claim
     // conflict the retry rebases onto fresh metadata, and ids must be
@@ -3442,39 +3462,41 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * partition-scoped; applying them is a data-plane job, not stats).
     */
   private def positionDeleteAttribution(): Option[DataFrame] = {
-    val entries = liveManifests(None).filter(_.content == 1)
-      .flatMap(_.entries).filter(_.content == 1)
-    if (entries.isEmpty) return None
-    val (dvs, parqs) = entries.partition(_.dv.isDefined)
-    import spark.implicits._
-    val dvDf =
-      if (dvs.isEmpty) None
-      else Some(spark.createDataset(dvs.map(e =>
-          (GraftTable.canonPath(decodePath(e.dv.get.dataFile)),
-            e.recordCount, 1L)))
-        .toDF("__dfile", "__del_records", "__del_files"))
+    val delRefs = liveManifests(None).filter(_.content == 1)
+    if (delRefs.isEmpty) return None
+    // entries stay on executors: the manifest DATASET carries the DV
+    // refs, and only the parquet delete-file PATHS (O(delete files))
+    // reach the driver to seed the distributed read
+    val mdf = manifestDfForRefs(delRefs).filter(col("content") === 1)
+    val dvDf = mdf.filter(col("dv").isNotNull)
+      .select(
+        GraftTable.decodeCanonCol(col("dv")("data-file")).as("__dfile"),
+        GraftTable.decodeCanonCol(col("path")).as("__delfile"),
+        col("record-count").as("__n"))
+    val parqPaths = mdf.filter(col("dv").isNull)
+      .select("path").distinct().collect().map(_.getString(0))
     val pqDf =
-      if (parqs.isEmpty) None
+      if (parqPaths.isEmpty) None
       else {
         val delSchema = StructType(Seq(
           SparkField("file_path", StringType), SparkField("pos", LongType)))
-        Some(spark.read.schema(delSchema).parquet(parqs.map(_.path): _*)
+        Some(spark.read.schema(delSchema).parquet(parqPaths.toSeq: _*)
           .select(GraftTable.decodeCanonCol(col("file_path")).as("__dfile"),
-            col("_metadata.file_path").as("__src"))
-          .groupBy("__dfile")
-          .agg(count(lit(1)).as("__del_records"),
-            count_distinct(col("__src")).as("__del_files")))
+            GraftTable.decodeCanonCol(col("_metadata.file_path"))
+              .as("__delfile"))
+          .groupBy("__dfile", "__delfile")
+          .agg(count(lit(1)).as("__n")))
       }
-    Some((dvDf.toSeq ++ pqDf.toSeq).reduce(_.unionByName(_))
-      .groupBy("__dfile")
-      .agg(sum("__del_records").as("__del_records"),
-        sum("__del_files").as("__del_files")))
+    Some((Seq(dvDf) ++ pqDf.toSeq).reduce(_.unionByName(_)))
   }
 
   /** Join per-partition position-delete counts onto a per-partition
     * aggregate: `base` must carry (`partition`, `spec_id`, `__dfile`)
     * rows per data file; emits the two spec columns, zero-filled when
-    * the table has no position deletes.
+    * the table has no position deletes. The attribution rows are
+    * (data file, delete file, rows) so the per-partition file count is
+    * a DISTINCT count — one delete file covering several data files of
+    * a partition counts once for it.
     */
   private def withDeleteAttribution(agg: DataFrame,
       base: DataFrame): DataFrame =
@@ -3486,8 +3508,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         val perPart = base.select("partition", "spec_id", "__dfile")
           .join(att, Seq("__dfile"))
           .groupBy("partition", "spec_id")
-          .agg(sum("__del_records").as("__pdr"),
-            sum("__del_files").as("__pdf"))
+          .agg(sum("__n").as("__pdr"),
+            count_distinct(col("__delfile")).as("__pdf"))
         agg.join(perPart, Seq("partition", "spec_id"), "left")
           .withColumn("position_delete_record_count",
             coalesce(col("__pdr"), lit(0L)))

@@ -87,8 +87,30 @@ object Roaring {
     buf.array()
   }
 
-  /** Deserialize the portable 64-bit layout back to sorted longs. */
-  def deserialize(bytes: Array[Byte], off: Int, len: Int): Array[Long] = {
+  /** Deserialize the portable 64-bit layout back to sorted longs.
+    *
+    * Falls back to the pre-fix LEGACY cookie semantics (graft initially
+    * had the two RoaringFormatSpec cookies swapped — it wrote 12347 as
+    * the plain no-run form) when the spec parse fails: the DV blob's
+    * CRC has already proven the bytes intact by the time this runs, so
+    * a spec-parse failure on an old sidecar means the legacy encoding,
+    * and refusing it would brick every table written before the fix.
+    */
+  def deserialize(bytes: Array[Byte], off: Int, len: Int): Array[Long] =
+    try deserializeWith(bytes, off, len, legacy = false)
+    catch {
+      // a failed parse surfaces as a validation require (IAE) or as a
+      // buffer under/overflow when the misread structure walks off the
+      // stream — both mean "not spec form", so try legacy
+      case e @ (_: IllegalArgumentException |
+                _: java.nio.BufferUnderflowException) =>
+        try deserializeWith(bytes, off, len, legacy = true)
+        catch { case _: IllegalArgumentException |
+                     _: java.nio.BufferUnderflowException => throw e }
+    }
+
+  private def deserializeWith(bytes: Array[Byte], off: Int, len: Int,
+      legacy: Boolean): Array[Long] = {
     val buf = ByteBuffer.wrap(bytes, off, len).order(ByteOrder.LITTLE_ENDIAN)
     val nBuckets = buf.getLong
     require(nBuckets >= 0 && nBuckets <= Int.MaxValue,
@@ -100,7 +122,7 @@ object Roaring {
       val key = buf.getInt.toLong & 0xffffffffL
       require(key > prevKey, s"roaring64 keys out of order: $key")
       prevKey = key
-      deserialize32(buf).foreach(low =>
+      deserialize32(buf, legacy).foreach(low =>
         out += (key << 32) | (low.toLong & 0xffffffffL))
       b += 1
     }
@@ -109,18 +131,21 @@ object Roaring {
   }
 
   /** One 32-bit roaring stream, advancing `buf` past it. Returns sorted
-    * (unsigned) ints.
+    * (unsigned) ints. `legacy` swaps the cookie constants back to the
+    * pre-fix assignment.
     */
-  private def deserialize32(buf: ByteBuffer): Array[Int] = {
+  private def deserialize32(buf: ByteBuffer, legacy: Boolean): Array[Int] = {
+    val runC = if (legacy) NoRunCookie else RunCookie
+    val noRunC = if (legacy) RunCookie else NoRunCookie
     val cookie = buf.getInt
     val (n, runFlags) =
-      if ((cookie & 0xffff) == RunCookie) {
+      if ((cookie & 0xffff) == runC) {
         val count = (cookie >>> 16) + 1
         val flags = new Array[Byte]((count + 7) / 8)
         buf.get(flags)
         (count, Some(flags))
       } else {
-        require(cookie == NoRunCookie, s"bad roaring cookie $cookie")
+        require(cookie == noRunC, s"bad roaring cookie $cookie")
         (buf.getInt, None)
       }
     require(n >= 0 && n <= 65536, s"bad roaring container count $n")
@@ -269,11 +294,11 @@ object Puffin {
     */
   def restamp(path: java.nio.file.Path, snapshotId: Long,
       sequenceNumber: Long): Unit = {
-    val blobs = readFooter(path)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val blobs = readFooterBytes(bytes, path.toString)
     if (blobs.forall(b =>
         b.snapshotId == snapshotId && b.sequenceNumber == sequenceNumber))
       return
-    val bytes = java.nio.file.Files.readAllBytes(path)
     val payloadSize = ByteBuffer.wrap(bytes, bytes.length - 12, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt
     val blobEnd = bytes.length - 12 - payloadSize - 4
@@ -291,8 +316,13 @@ object Puffin {
   }
 
   /** Parse a Puffin file's footer into its blob list. */
-  def readFooter(path: java.nio.file.Path): Seq[Blob] = {
-    val bytes = java.nio.file.Files.readAllBytes(path)
+  def readFooter(path: java.nio.file.Path): Seq[Blob] =
+    readFooterBytes(java.nio.file.Files.readAllBytes(path), path.toString)
+
+  /** Footer parse over already-loaded bytes (restamp reads the file
+    * once and reuses the array for both the parse and the rewrite).
+    */
+  def readFooterBytes(bytes: Array[Byte], path: String): Seq[Blob] = {
     require(bytes.length >= 20 &&
       bytes.take(4).sameElements(Magic) &&
       bytes.takeRight(4).sameElements(Magic), s"not a Puffin file: $path")

@@ -119,4 +119,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(topIds.distinct.size == topIds.size)
     assert(ice.fieldByName("z").get.id > 4) // beyond nested x/y ids
   }
+
+  test("addColumn rejects unparseable defaults at the API boundary") {
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark, freshLoc("baddef"),
+      StructType(Seq(StructField("id", LongType))))
+    // an unparseable default must fail HERE with the column name, not
+    // as a bare NumberFormatException from inside metadata JSON writing
+    Seq(
+      ("i", IntegerType: DataType, "abc"),
+      ("l", LongType: DataType, "12x"),
+      ("d", DoubleType: DataType, "not-a-double"),
+      ("dt", DateType: DataType, "2024-13-99")).foreach {
+      case (n, dt, bad) =>
+        val e = intercept[IllegalArgumentException] {
+          t.addColumn(n, dt, Some(bad), None) }
+        assert(e.getMessage.contains(n) && e.getMessage.contains(bad),
+          s"error must name column and value: ${e.getMessage}")
+    }
+    // valid defaults still land, including the boolean literal
+    t.addColumn("ok", IntegerType, Some("5"), Some("7"))
+    t.addColumn("flag", BooleanType, Some("true"), None)
+    val s = t.metadata.currentSchema
+    assert(s.fieldByName("ok").get.initialDefault == Some("5"))
+    assert(s.fieldByName("flag").get.initialDefault == Some("true"))
+  }
 }

@@ -170,5 +170,24 @@ class MetadataSpec extends AnyFunSuite {
     assert(v3Json.contains("\"format-version\":3"))
     val reparsed = TableMetadataV2.fromJsonString(v3Json)
     assert(reparsed.effectiveFormatVersion == 3)
+    // defaults hide in every nested position externally-authored
+    // metadata can put them: map values and doubly-nested lists
+    val inMap = StructField(10, "m", required = false,
+      TMap(11, TString, 12, valueRequired = false,
+        TStruct(Seq(StructField(13, "x", required = false, TInt,
+          writeDefault = Some("1"))))))
+    val inListList = StructField(20, "ll", required = false,
+      TList(21, elementRequired = false, TList(22,
+        elementRequired = false,
+        TStruct(Seq(StructField(23, "y", required = false, TInt,
+          initialDefault = Some("2")))))))
+    Seq(inMap, inListList).foreach { f =>
+      val s2 = base.currentSchema.copy(fields =
+        base.currentSchema.fields :+ f)
+      assert(base.copy(schemas = base.schemas.map(x =>
+          if (x.schemaId == s2.schemaId) s2 else x))
+        .effectiveFormatVersion == 3,
+        s"default nested under ${f.name} must force v3")
+    }
   }
 }

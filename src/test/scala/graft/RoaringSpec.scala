@@ -46,6 +46,30 @@ class RoaringSpec extends AnyFunSuite {
       .sameElements(Array(10L, 11L, 12L, 13L, 14L, 100L)))
   }
 
+  test("legacy swapped-cookie vectors (pre-fix sidecars) still decode") {
+    // graft initially wrote the RoaringFormatSpec cookies swapped:
+    // plain u32 12347 + u32 count as the no-run form. Hand-build that
+    // legacy layout; the reader must fall back and decode it exactly.
+    val vals = Array(3, 9, 4097)
+    val buf = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(1L)                       // one high-32 bucket
+    buf.putInt(0)                         // bucket key 0
+    buf.putInt(12347)                     // LEGACY no-run cookie
+    buf.putInt(1)                         // one container
+    buf.putShort(0.toShort)               // container key
+    buf.putShort((vals.length - 1).toShort)
+    buf.putInt(4 + 4 + 4 + 4)             // offset header
+    vals.foreach(v => buf.putShort(v.toShort))
+    val bytes = java.util.Arrays.copyOf(buf.array(), buf.position())
+    assert(Roaring.deserialize(bytes, 0, bytes.length)
+      .sameElements(vals.map(_.toLong)))
+    // and a spec-form stream with the SAME values still parses as spec
+    val spec = Roaring.serialize(vals.map(_.toLong))
+    assert(Roaring.deserialize(spec, 0, spec.length)
+      .sameElements(vals.map(_.toLong)))
+  }
+
   test("DV blob rejects CRC and length-field corruption") {
     val blob = Dv.encode(Array(3L, 9L, 4097L))
     // flip one payload byte: CRC must catch it

@@ -223,6 +223,24 @@ class SimilaritySpec extends SparkSpec {
     assert(byGroup.flatten.distinct.size == 4, s"merged groups: $byGroup")
   }
 
+  test("k-means init never duplicates a centroid on zero vectors") {
+    import spark.implicits._
+    // one all-zero embedding (failed/padded row): its self-dot is 0,
+    // so without an explicit used-mask the farthest-point init would
+    // re-pick it every iteration and collapse the centroid set
+    val dims = 8
+    val data = (0L until 30L).map { id =>
+      if (id == 5L) (id, Array.fill(dims)(0.0f))
+      else (id, Array.tabulate(dims)(d =>
+        (((id * 17 + d * 3) % 11).toFloat - 5f) / 10f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding", 6, iters = 2)
+    assert(cents.length == 6)
+    assert(cents.map(_.toSeq).distinct.length == 6,
+      "duplicate centroids chosen by init")
+  }
+
   test("k-means is deterministic and improves cohesion over init") {
     val emb = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val c1 = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, iters = 4)

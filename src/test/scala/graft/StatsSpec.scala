@@ -201,6 +201,33 @@ class StatsSpec extends SparkSpec {
     assert(t.scan().count() ==
       df.agg(sum("data_record_count")).head().getLong(0) -
         df.agg(sum("position_delete_record_count")).head().getLong(0))
+    // file-count semantics: DISTINCT delete files per partition — a
+    // delete file covering several data files of one partition counts
+    // once. Recomputed independently from the raw delete entries.
+    val partOfData = t.planFiles()
+      .map(e => e.path -> e.partition("ship_month").get.toInt).toMap
+    def dec(raw: String): String =
+      try new java.net.URI(raw).getPath
+      catch { case _: Exception => raw.stripPrefix("file:") }
+    val delEntries = t.liveManifests(None).filter(_.content == 1)
+      .flatMap(_.entries)
+    val pairs = delEntries.flatMap { e =>
+      e.dv match {
+        case Some(d) => Seq(e.path -> partOfData(dec(d.dataFile)))
+        case None =>
+          spark.read.parquet(e.path).select("file_path").distinct()
+            .collect().map(r => e.path -> partOfData(dec(r.getString(0))))
+            .toSeq
+      }
+    }.distinct
+    val wantFiles = pairs.groupBy(_._2)
+      .map { case (m, ps) => m -> ps.map(_._1).distinct.size.toLong }
+    val gotFiles = df.select(col("partition.ship_month"),
+        col("position_delete_file_count"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0L)
+    assert(gotFiles == wantFiles,
+      s"delete-FILE attribution mismatch: got=$gotFiles want=$wantFiles")
   }
 
   test("stats resolve from nearest ancestor after appends; refresh replaces") {
