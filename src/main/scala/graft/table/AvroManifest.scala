@@ -263,8 +263,12 @@ object AvroManifest {
       val df = new GenericData.Record(dfSchema)
       df.put("content", e.content)
       df.put("file_path", e.path)
-      // a DV entry's path names a Puffin sidecar, not a parquet file
-      df.put("file_format", if (e.dv.isDefined) "PUFFIN" else "PARQUET")
+      // a DV entry's path names a Puffin sidecar, not a data file;
+      // data entries export their actual format (adopted tables may
+      // reference orc files alongside graft-written parquet)
+      df.put("file_format",
+        if (e.dv.isDefined) "PUFFIN"
+        else e.format.toUpperCase(java.util.Locale.ROOT))
       // v3 fields: row-lineage base ids and deletion-vector blob ranges.
       // referenced_data_file exports in the DECODED on-disk form — the
       // same form data-file `file_path`s use, so external readers
@@ -385,7 +389,14 @@ object AvroManifest {
           eqIds,
           specId = Some(specId),
           dv = dv,
-          firstRowId = firstRowId)
+          firstRowId = firstRowId,
+          // spec file_format: PARQUET/ORC/AVRO (PUFFIN marks DV
+          // sidecars, whose `format` is irrelevant — keep parquet)
+          format = str(df.get("file_format"))
+            .toLowerCase(java.util.Locale.ROOT) match {
+            case "puffin" => DataFileEntry.Parquet
+            case f => f
+          })
       }.toSeq
     } finally reader.close()
   }

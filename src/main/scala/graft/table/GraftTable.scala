@@ -752,7 +752,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     SparkField(Blooms.sparkField.name, Blooms.sparkField.dataType),
     SparkField(Dv.sparkField.name, Dv.sparkField.dataType),
     SparkField("first-row-id", LongType),
-    SparkField("row-id-offset", LongType)))
+    SparkField("row-id-offset", LongType),
+    SparkField("format", StringType)))
 
   /** Distributed equivalent of `planFiles`: prune as a Spark filter over
     * the manifest DataFrame. Returns surviving file paths.
@@ -1161,8 +1162,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val planned = plannedFilesFor(meta, filter, asOf)
-    val df = readDeletesApplied(meta, planned, readSchema, asOf,
-      withFile = withFileColumn, withRowPos = withPosColumn)
+    val df = readDeletesApplied(meta,
+      planned.map(p => (p._1, p._2, p._3)), readSchema, asOf,
+      withFile = withFileColumn, withRowPos = withPosColumn,
+      formatOf = planned.collect {
+        case (p, _, _, f) if f != DataFileEntry.Parquet => p -> f
+      }.toMap)
     filter.map(df.filter).getOrElse(df)
   }
 
@@ -1294,15 +1299,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * loop over it is the bottleneck. Shared by scans AND mutations.
     */
   private def plannedFilesFor(meta: TableMetadataV2, filter: Option[Column],
-      asOf: Option[Long]): Seq[(String, Int, Long)] = {
+      asOf: Option[Long]): Seq[(String, Int, Long, String)] = {
     val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
     if (totalEntries >= distributedPlanningThreshold)
       planFilesDistributedFor(meta, filter, asOf)
-        .select(col("path"), col("schema-id"), col("sequence-number"))
+        .select(col("path"), col("schema-id"), col("sequence-number"),
+          coalesce(col("format"), lit(DataFileEntry.Parquet)))
         .collect().toSeq
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getString(3)))
     else planFilesFor(meta, filter, asOf)
-      .map(e => (e.path, e.schemaId, e.sequenceNumber))
+      .map(e => (e.path, e.schemaId, e.sequenceNumber, e.format))
   }
 
   /** Pruned file plan for the DSv2 connector: (path, schemaId,
@@ -1374,20 +1381,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // planning threshold (sequence-number is a manifest column) — an
     // incremental consumer of a huge table plans O(added), not O(table)
     val refs = manifestsFor(meta, Some(toSnapshot))
-    val planned: Seq[(String, Int, Long)] =
+    val planned: Seq[(String, Int, Long, String)] =
       if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
         manifestDfFor(meta, Some(toSnapshot))
           .filter(coalesce(col("content"), lit(0)) === 0 &&
             col("sequence-number") > fromSeq)
-          .select(col("path"), col("schema-id"), col("sequence-number"))
+          .select(col("path"), col("schema-id"), col("sequence-number"),
+            coalesce(col("format"), lit(DataFileEntry.Parquet)))
           .collect().toSeq
-          .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+            r.getString(3)))
       else refs.flatMap(_.entries)
         .filter(e => e.isData && e.sequenceNumber > fromSeq)
-        .map(e => (e.path, e.schemaId, e.sequenceNumber))
+        .map(e => (e.path, e.schemaId, e.sequenceNumber, e.format))
     // rows added in range but MoR-deleted by toSnapshot are not in the
     // current state of the range — apply its delete files
-    readDeletesApplied(meta, planned, meta.currentSchema, Some(toSnapshot))
+    readDeletesApplied(meta, planned.map(p => (p._1, p._2, p._3)),
+      meta.currentSchema, Some(toSnapshot),
+      formatOf = planned.collect {
+        case (p, _, _, f) if f != DataFileEntry.Parquet => p -> f }.toMap)
   }
 
   /** Row-level changelog between two snapshots (CDC): for every commit
@@ -1611,7 +1623,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       asOf: Option[Long] = None): DataFrame =
     readDeletesApplied(meta,
       entries.map(e => (e.path, e.schemaId, e.sequenceNumber)),
-      readSchema, asOf)
+      readSchema, asOf, formatOf = GraftTable.fmtOf(entries))
 
   /** The deletes-applied read: position deletes anti-join on (file,
     * pos); equality deletes anti-join once per key-column-set with the
@@ -1622,10 +1634,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       files: Seq[(String, Int, Long)], readSchema: SchemaV2,
       asOf: Option[Long], withFile: Boolean = false,
       withRowPos: Boolean = false,
-      withLineage: Boolean = false): DataFrame =
+      withLineage: Boolean = false,
+      formatOf: Map[String, String] = Map.empty): DataFrame =
     GraftTable.readDeletesAppliedCore(spark, meta, files, readSchema,
       posDeleteEntriesFor(meta, asOf), eqDeletesFor(meta, asOf), withFile,
-      withRowPos, withLineage)
+      withRowPos, withLineage, formatOf)
 
   /** Anti-join position deletes (parquet files of (file_path, pos) and
     * decoded deletion vectors) against a position-annotated read. Delete
@@ -1638,8 +1651,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   private def readAlignedFilesFor(meta: TableMetadataV2,
       files: Seq[(String, Int)], readSchema: SchemaV2,
-      withPos: Boolean = false): DataFrame =
-    GraftTable.readAlignedFilesCore(spark, meta, files, readSchema, withPos)
+      withPos: Boolean = false,
+      formatOf: Map[String, String] = Map.empty): DataFrame =
+    GraftTable.readAlignedFilesCore(spark, meta, files, readSchema, withPos,
+      formatOf = formatOf)
 
   // ------------------------------------------------------- mutation ops ----
 
@@ -1827,15 +1842,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * row is never recorded twice. Shared by both MoR delete forms.
     */
   private def morLivePositions(meta: TableMetadataV2, cond: Column,
-      affected: Seq[(String, Int, Long)]): DataFrame = {
+      affected: Seq[(String, Int, Long, String)]): DataFrame = {
     val schema = meta.currentSchema
+    // MoR positions are parquet row indexes; a non-parquet file cannot
+    // receive them — the withPos read below refuses via formatOf
+    val fmts = affected.collect {
+      case (p, _, _, f) if f != DataFileEntry.Parquet => p -> f }.toMap
     val dels = posDeleteEntriesFor(meta, None)
     val minSeq = affected.map(_._3).min
     val eqDels = eqDeletesFor(meta, None)
       .filter(_.sequenceNumber > minSeq)
     val ann0 = affected.groupBy(_._3).map { case (sq, es) =>
       val ann = readAlignedFilesFor(meta,
-        es.map(e => (e._1, e._2)), schema, withPos = true)
+        es.map(e => (e._1, e._2)), schema, withPos = true,
+        formatOf = fmts)
       (if (dels.isEmpty) ann else applyDeletes(ann, dels))
         .withColumn(SeqCol, lit(sq))
     }.reduce(_.unionByName(_))
@@ -2351,11 +2371,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             .withColumn("__n", count(lit(1)).over(w))
             .filter(col("__n") >= 2)
             .select(col("path"), col("schema-id"), col("sequence-number"),
-              col("file-size"), col(SrcManifestCol), col("first-row-id"))
+              col("file-size"), col(SrcManifestCol), col("first-row-id"),
+              coalesce(col("format"), lit(DataFileEntry.Parquet)))
             .collect().toSeq
           (rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
               r.getLong(3),
-              if (r.isNullAt(5)) None else Some(r.getLong(5)))),
+              if (r.isNullAt(5)) None else Some(r.getLong(5)),
+              r.getString(6))),
             rows.map(r => canonPath(decodePath(r.getString(4)))).toSet)
         } else {
           val loaded = refs.map(r => (r, r.entries))
@@ -2368,7 +2390,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               if (u.size >= 2) u else Seq.empty
             }.toSeq
           (under.map(e => (e.path, e.schemaId, e.sequenceNumber, e.fileSize,
-              e.firstRowId)),
+              e.firstRowId, e.format)),
             under.map(e => canonPath(srcByPath(e.path))).toSet)
         }
       if (small.isEmpty)
@@ -2385,7 +2407,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             lineageReadFor(meta,
               small.map(s => (s._1, s._2, s._3, s._5)), schema)
           else readDeletesApplied(meta,
-            small.map(s => (s._1, s._2, s._3)), schema, None)
+            small.map(s => (s._1, s._2, s._3)), schema, None,
+            formatOf = small.collect {
+              case t if t._6 != DataFileEntry.Parquet => t._1 -> t._6
+            }.toMap)
         val rewritten =
           if (meta.defaultSpec.fields.nonEmpty)
             writeFiles(applied, repartitionByPartition = true)
@@ -3754,7 +3779,8 @@ object GraftTable {
       meta: TableMetadataV2, files: Seq[(String, Int)],
       readSchema: SchemaV2, withPos: Boolean = false,
       withFile: Boolean = false, withRowPos: Boolean = false,
-      withLineage: Boolean = false): DataFrame = {
+      withLineage: Boolean = false,
+      formatOf: Map[String, String] = Map.empty): DataFrame = {
     val targetSpark0 = toSparkSchema(readSchema)
     val targetSpark = StructType(targetSpark0.fields ++
       (if (withPos) Seq(SparkField(PosPathCol, StringType),
@@ -3766,8 +3792,23 @@ object GraftTable {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], targetSpark)
-    val groups = files.groupBy(_._2)
-    groups.map { case (sid, es) =>
+    // group by (schema, format): adopted external tables may reference
+    // orc data files alongside parquet — each group reads through its
+    // own datasource instead of silently parsing everything as parquet
+    val groups = files.groupBy(f =>
+      (f._2, formatOf.getOrElse(f._1, DataFileEntry.Parquet)))
+    groups.map { case ((sid, fmt), es) =>
+      if (fmt != DataFileEntry.Parquet) {
+        require(fmt == DataFileEntry.Orc,
+          s"unsupported data-file format '$fmt' (${es.head._1}): this " +
+            "build reads parquet and orc (no avro datasource available)")
+        // ORC lacks _metadata.row_index in this Spark, so every
+        // position-addressed read (MoR position deletes, _pos, lineage)
+        // is parquet-only — refuse loudly rather than mis-position rows
+        require(!withPos && !withRowPos && !withLineage,
+          s"position-addressed reads (MoR position deletes, _pos, row " +
+            s"lineage) require parquet data files; ${es.head._1} is $fmt")
+      }
       val fileSchema = meta.schemaById(sid).getOrElse(readSchema)
       val readFields = toSparkSchema(fileSchema).fields ++
         // lineage-materialized files carry these as ordinary physical
@@ -3777,7 +3818,8 @@ object GraftTable {
           SparkField(LastUpdCol, LongType)) else Seq.empty)
       val df = spark.read
         .schema(StructType(readFields))
-        .parquet(es.map(_._1): _*)
+        .format(fmt)
+        .load(es.map(_._1): _*)
       val cols = readSchema.fields.map { f =>
         fileSchema.fields.find(_.id == f.id) match {
           case Some(ff) =>
@@ -3924,19 +3966,60 @@ object GraftTable {
       readSchema: SchemaV2, posDels: Seq[DataFileEntry],
       eqDels0: Seq[DataFileEntry], withFile: Boolean = false,
       withRowPos: Boolean = false,
-      withLineage: Boolean = false): DataFrame = {
+      withLineage: Boolean = false,
+      formatOf: Map[String, String] = Map.empty): DataFrame = {
     // a delete at or below EVERY planned file's sequence can never apply
     val minSeq = files.map(_._3).minOption.getOrElse(Long.MaxValue)
     val eqDels = eqDels0.filter(_.sequenceNumber > minSeq)
-    def posApplied(fs: Seq[(String, Int)]): DataFrame =
-      if (posDels.isEmpty) readAlignedFilesCore(spark, meta, fs, readSchema,
+    def posApplied(fs: Seq[(String, Int)]): DataFrame = if (fs.isEmpty)
+      readAlignedFilesCore(spark, meta, Seq.empty, readSchema,
         withFile = withFile, withRowPos = withRowPos,
         withLineage = withLineage)
-      else applyPosDeletesCore(spark,
-        readAlignedFilesCore(spark, meta, fs, readSchema, withPos = true,
-          withFile = withFile, withRowPos = withRowPos,
-          withLineage = withLineage),
-        posDels).drop(PosPathCol, PosIdxCol)
+    else {
+      // non-parquet files cannot take the position-annotated branch
+      // (no _metadata.row_index) — they read plain, which is correct
+      // ONLY while no position delete targets them; verify that and
+      // refuse loudly otherwise rather than resurrect deleted rows
+      val (nonPq, pq) = fs.partition(f =>
+        formatOf.getOrElse(f._1, DataFileEntry.Parquet) !=
+          DataFileEntry.Parquet)
+      val parts = Seq(
+        if (pq.isEmpty) None
+        else if (posDels.isEmpty)
+          Some(readAlignedFilesCore(spark, meta, pq, readSchema,
+            withFile = withFile, withRowPos = withRowPos,
+            withLineage = withLineage, formatOf = formatOf))
+        else Some(applyPosDeletesCore(spark,
+          readAlignedFilesCore(spark, meta, pq, readSchema, withPos = true,
+            withFile = withFile, withRowPos = withRowPos,
+            withLineage = withLineage, formatOf = formatOf),
+          posDels).drop(PosPathCol, PosIdxCol)),
+        if (nonPq.isEmpty) None
+        else {
+          if (posDels.nonEmpty) {
+            val canon = nonPq.map(f => canonPath(decodePath(f._1))).toSet
+            val dvHit = posDels.exists(_.dv.exists(d =>
+              canon.contains(canonPath(decodePath(d.dataFile)))))
+            val parqs = posDels.filter(_.dv.isEmpty)
+            lazy val pqHit = parqs.nonEmpty && {
+              val delSchema = StructType(Seq(
+                SparkField("file_path", StringType),
+                SparkField("pos", LongType)))
+              spark.read.schema(delSchema).parquet(parqs.map(_.path): _*)
+                .select("file_path").distinct().collect()
+                .exists(r => canon.contains(canonPath(decodePath(
+                  r.getString(0)))))
+            }
+            require(!dvHit && !pqHit,
+              "position deletes reference non-parquet data files — " +
+                "unsupported (no _metadata.row_index outside parquet)")
+          }
+          Some(readAlignedFilesCore(spark, meta, nonPq, readSchema,
+            withFile = withFile, withRowPos = withRowPos,
+            withLineage = withLineage, formatOf = formatOf))
+        }).flatten
+      parts.reduce(_.unionByName(_))
+    }
     if (eqDels.isEmpty || files.isEmpty)
       posApplied(files.map(f => (f._1, f._2)))
     else {
@@ -4264,6 +4347,13 @@ object GraftTable {
     * refs). Runs on EXECUTORS during manifest consolidation — the driver
     * never materializes entry lists.
     */
+  /** (path → format) for the non-parquet entries only — empty for pure
+    * native tables, so the common case carries no per-file driver map.
+    */
+  private[table] def fmtOf(entries: Seq[DataFileEntry]): Map[String, String] =
+    entries.filter(_.format != DataFileEntry.Parquet)
+      .map(e => e.path -> e.format).toMap
+
   private[table] def manifestRowToEntry(r: Row): DataFileEntry = {
     def opt[T](name: String)(get: Int => T): Option[T] = {
       val i = r.fieldIndex(name)
@@ -4300,7 +4390,8 @@ object GraftTable {
           d.getAs[Long]("len"))
       },
       firstRowId = opt("first-row-id")(r.getLong),
-      rowIdOffset = opt("row-id-offset")(r.getLong))
+      rowIdOffset = opt("row-id-offset")(r.getLong),
+      format = opt("format")(r.getString).getOrElse(DataFileEntry.Parquet))
   }
 
   private def newSnapshotId(): Long =

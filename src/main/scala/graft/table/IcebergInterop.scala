@@ -111,7 +111,8 @@ object IcebergInterop {
     val readSchema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     GraftTable.readDeletesAppliedCore(spark, meta,
       data.map(e => (e.path, e.schemaId, e.sequenceNumber)),
-      readSchema, posDels, eqDels)
+      readSchema, posDels, eqDels,
+      formatOf = GraftTable.fmtOf(data))
   }
 
   /** ADOPT an external Iceberg layout as a LIVE native table: the

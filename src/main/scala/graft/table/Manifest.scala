@@ -81,7 +81,12 @@ case class DataFileEntry(
     // table's entry with NEITHER field marks a rewritten file whose ids
     // are materialized as physical columns (see GraftTable.RowIdCol)
     firstRowId: Option[Long] = None,
-    rowIdOffset: Option[Long] = None) {
+    rowIdOffset: Option[Long] = None,
+    // data-file format (spec `file_format`, lowercase): graft writes
+    // parquet only, but ADOPTED external tables may reference orc (or
+    // avro) data files — scans must branch the reader instead of
+    // silently parsing every file as parquet
+    format: String = DataFileEntry.Parquet) {
 
   def isData: Boolean = content == 0
 
@@ -126,6 +131,7 @@ case class DataFileEntry(
     }
     firstRowId.foreach(o.put("first-row-id", _))
     rowIdOffset.foreach(o.put("row-id-offset", _))
+    if (format != DataFileEntry.Parquet) o.put("format", format)
     o
   }
 }
@@ -141,6 +147,11 @@ object DataFileEntry {
     * rewrites or materializes per-file rows.
     */
   val PendingSnapshot = -1L
+
+  /** Canonical lowercase data-file format names (spec `file_format`). */
+  val Parquet = "parquet"
+  val Orc = "orc"
+  val Avro = "avro"
 
   def fromJson(n: JsonNode): DataFileEntry = DataFileEntry(
     n.path("path").asText,
@@ -171,7 +182,8 @@ object DataFileEntry {
         d.path("len").asLong)
     },
     Option(n.get("first-row-id")).filterNot(_.isNull).map(_.asLong),
-    Option(n.get("row-id-offset")).filterNot(_.isNull).map(_.asLong))
+    Option(n.get("row-id-offset")).filterNot(_.isNull).map(_.asLong),
+    Option(n.get("format")).map(_.asText).getOrElse(Parquet))
 
   def writeManifest(file: java.nio.file.Path, entries: Seq[DataFileEntry]): Unit = {
     val lines = entries.map(e => Json.write(e.toJson))
