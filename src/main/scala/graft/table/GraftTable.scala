@@ -1332,9 +1332,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           col("sequence-number") <= to)
       }
       ranged.select(col("path"), col("schema-id"), col("sequence-number"),
-          coalesce(col("file-size"), lit(0L)), col("partition"))
+          coalesce(col("file-size"), lit(0L)), col("partition"),
+          coalesce(col("format"), lit(DataFileEntry.Parquet)))
         .collect().toSeq
         .map { r =>
+          requireConnectorParquet(r.getString(0), r.getString(5))
           val part =
             if (r.isNullAt(4)) Map.empty[String, Option[String]]
             else r.getMap[String, String](4).toMap
@@ -1347,11 +1349,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val ranged = seqRange.fold(es) { case (from, to) =>
         es.filter(e => e.sequenceNumber > from && e.sequenceNumber <= to)
       }
-      ranged.map(e =>
+      ranged.map { e =>
+        requireConnectorParquet(e.path, e.format)
         ConnectorFile(e.path, e.schemaId, e.sequenceNumber, e.fileSize,
-          e.partition))
+          e.partition)
+      }
     }
   }
+
+  /** The DSv2 scan drives Spark's vectorized PARQUET reader directly;
+    * a non-parquet file (adopted ORC) must refuse up front — feeding it
+    * to the parquet reader would throw deep inside an executor task
+    * (or worse). The native scan() handles mixed-format tables.
+    */
+  private def requireConnectorParquet(path: String, fmt: String): Unit =
+    require(fmt == DataFileEntry.Parquet,
+      s"the DSv2/SQL read path reads parquet only; $path is $fmt — " +
+        "read mixed-format adopted tables via GraftTable.scan() or " +
+        "compact() them to parquet first")
 
   /** Conf-visible planning threshold (the connector's statistics path
     * must honor the same dispatch as planning).

@@ -126,6 +126,27 @@ class OrcInteropSpec extends SparkSpec {
     assert(t.scan().count() == 200L)
   }
 
+  test("DSv2 refuses ORC files up front; compaction migrates to parquet") {
+    val (dir, _) = buildOrcLayout(300)
+    val t = IcebergInterop.adoptTable(spark, dir, tmp("adopted5") + "/t")
+    // COUNT(*) stays metadata-only (no file ever opens) — that path is
+    // format-agnostic by design and must keep working
+    assert(spark.read.format("graft").load(t.location).count() == 300L)
+    // a real row read through the vectorized DSv2 reader is
+    // parquet-only: refuse at PLANNING with a message naming the
+    // migration path, never inside a task
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(t.location)
+        .agg(sum("id")).head() }
+    assert(e.getMessage.contains("parquet") &&
+      e.getMessage.contains("compact"), e.getMessage)
+    // compact() rewrites everything to parquet — DSv2 works after
+    t.compact()
+    val viaDsv2 = spark.read.format("graft").load(t.location)
+    assert(viaDsv2.count() == 300L)
+    assert(viaDsv2.agg(sum("id")).head().getLong(0) == (1L to 300L).sum)
+  }
+
   test("avro data files refuse with a clear no-datasource message") {
     val (dir, _) = buildOrcLayout(50)
     // rewrite the adopted manifest to claim an avro file
