@@ -3911,6 +3911,12 @@ object GraftTable {
   private[table] def posDeletePositionsCore(spark: SparkSession,
       posDels: Seq[DataFileEntry]): DataFrame = {
     val (dvs, parqs) = posDels.partition(_.dv.isDefined)
+    // deletes are correctness-bearing: an external layout declaring a
+    // non-parquet position-delete FILE must refuse, not misread it
+    parqs.find(_.format != DataFileEntry.Parquet).foreach(e =>
+      throw new IllegalArgumentException(
+        s"position-delete file ${e.path} is ${e.format}; this build " +
+          "reads parquet position deletes only"))
     val parts = Seq(
       if (parqs.isEmpty) None
       else Some(spark.read.parquet(parqs.map(_.path).distinct: _*)

@@ -160,6 +160,25 @@ class OrcInteropSpec extends SparkSpec {
       s"must name the unsupported format: ${e.getMessage}")
   }
 
+  test("non-parquet position-DELETE files refuse (correctness-bearing)") {
+    // forge a delete manifest claiming an ORC position-delete file —
+    // an external layout may declare one; misreading it as parquet
+    // would silently resurrect or drop rows
+    import spark.implicits._
+    val df = (1L to 80L).map(i => (i, s"n${i % 7}", i * 2.5))
+      .toDF("id", "name", "score")
+    val t = GraftTable.create(spark, tmp("posdel") + "/t", df.schema)
+    t.append(df)
+    t.deleteWhereMoR(col("id") <= 5L)
+    val delMf = t.liveManifests(None).find(_.content == 1).get
+    DataFileEntry.writeManifest(
+      java.nio.file.Paths.get(delMf.path),
+      delMf.entries.map(_.copy(format = DataFileEntry.Orc)))
+    val e = intercept[IllegalArgumentException] { t.scan().count() }
+    assert(e.getMessage.contains("position-delete") &&
+      e.getMessage.contains("orc"), e.getMessage)
+  }
+
   test("exported manifests carry the true file_format per entry") {
     val (dir, _) = buildOrcLayout(100)
     val t = IcebergInterop.adoptTable(spark, dir, tmp("adopted4") + "/t")
