@@ -3814,12 +3814,13 @@ object GraftTable {
       (f._2, formatOf.getOrElse(f._1, DataFileEntry.Parquet)))
     groups.map { case ((sid, fmt), es) =>
       if (fmt != DataFileEntry.Parquet) {
-        require(fmt == DataFileEntry.Orc,
+        require(fmt == DataFileEntry.Orc || fmt == DataFileEntry.Avro,
           s"unsupported data-file format '$fmt' (${es.head._1}): this " +
-            "build reads parquet and orc (no avro datasource available)")
-        // ORC lacks _metadata.row_index in this Spark, so every
-        // position-addressed read (MoR position deletes, _pos, lineage)
-        // is parquet-only — refuse loudly rather than mis-position rows
+            "build reads parquet, orc, and avro data files")
+        // ORC lacks _metadata.row_index in this Spark and the avro
+        // decode is positionless, so every position-addressed read
+        // (MoR position deletes, _pos, lineage) is parquet-only —
+        // refuse loudly rather than mis-position rows
         require(!withPos && !withRowPos && !withLineage,
           s"position-addressed reads (MoR position deletes, _pos, row " +
             s"lineage) require parquet data files; ${es.head._1} is $fmt")
@@ -3831,10 +3832,17 @@ object GraftTable {
         // the read schema projects them straight off the parquet scan
         (if (withLineage) Seq(SparkField(RowIdCol, LongType),
           SparkField(LastUpdCol, LongType)) else Seq.empty)
-      val df = spark.read
-        .schema(StructType(readFields))
-        .format(fmt)
-        .load(es.map(_._1): _*)
+      val df =
+        if (fmt == DataFileEntry.Avro)
+          // no avro DataFrame datasource in this build: plain-Avro
+          // decode, one task per file, `_file` synthesized (the
+          // manifest path IS the decoded on-disk form)
+          AvroDataRead.read(spark, es.map(_._1), fileSchema,
+            withFile = withFile)
+        else spark.read
+          .schema(StructType(readFields))
+          .format(fmt)
+          .load(es.map(_._1): _*)
       val cols = readSchema.fields.map { f =>
         fileSchema.fields.find(_.id == f.id) match {
           case Some(ff) =>
@@ -3851,8 +3859,10 @@ object GraftTable {
         col("_metadata.row_index").as(PosIdxCol)) else Seq.empty) ++
         (if (withFile) Seq(
           // user-facing virtual column: the DECODED on-disk path, same
-          // form the manifest stores (and the native DSv2 path emits)
-          decodePathCol(col("_metadata.file_path")).as(FileCol))
+          // form the manifest stores (and the native DSv2 path emits);
+          // the avro decode already carries it as a literal per file
+          (if (fmt == DataFileEntry.Avro) col(FileCol)
+          else decodePathCol(col("_metadata.file_path"))).as(FileCol))
         else Seq.empty) ++
         // original in-file position (file-absolute even under parquet
         // row-group skipping — Spark's reader tracks it)

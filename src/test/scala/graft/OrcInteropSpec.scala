@@ -147,16 +147,17 @@ class OrcInteropSpec extends SparkSpec {
     assert(viaDsv2.agg(sum("id")).head().getLong(0) == (1L to 300L).sum)
   }
 
-  test("avro data files refuse with a clear no-datasource message") {
+  test("unknown data-file formats refuse with a clear message") {
     val (dir, _) = buildOrcLayout(50)
-    // rewrite the adopted manifest to claim an avro file
+    // rewrite the adopted manifest to claim a format this build has no
+    // reader for (avro now reads via AvroDataRead — see AvroInteropSpec)
     val t = IcebergInterop.adoptTable(spark, dir, tmp("adopted3") + "/t")
     val mf = t.liveManifests(None).head
-    val entries = mf.entries.map(_.copy(format = DataFileEntry.Avro))
+    val entries = mf.entries.map(_.copy(format = "feather"))
     DataFileEntry.writeManifest(
       java.nio.file.Paths.get(mf.path), entries)
     val e = intercept[IllegalArgumentException] { t.scan().count() }
-    assert(e.getMessage.contains("avro"),
+    assert(e.getMessage.contains("feather"),
       s"must name the unsupported format: ${e.getMessage}")
   }
 
