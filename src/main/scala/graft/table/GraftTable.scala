@@ -2987,22 +2987,28 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .select(
         (if (tupleCols.isEmpty) struct(lit(0).as("unpartitioned"))
         else struct(tupleCols: _*)).as("partition"),
+        GraftTable.renderPartitionCol(col("partition")).as("__pstr"),
         coalesce(col("spec-id"), lit(0)).as("spec_id"),
         col("record-count").as("rc"),
         coalesce(col("file-size"), lit(0L)).as("fs"),
         col("snapshot-id").as("snap"),
         GraftTable.decodeCanonCol(col("path")).as("__dfile"))
-    val agg = base.groupBy("partition", "spec_id")
+    // __pstr rides along as the attribution join key (the typed tuple
+    // and the rendered string are 1:1 — both derive from the same map)
+    val agg = base.groupBy("partition", "spec_id", "__pstr")
       .agg(
         sum("rc").as("data_record_count"),
         count(lit(1)).cast("int").as("data_file_count"),
         sum("fs").as("total_data_file_size_in_bytes"),
         max("snap").as("last_updated_snapshot_id"))
-    // spec position_delete_* attribution: DV/pos-delete rows joined to
-    // their referenced data files' partition tuples over the manifest
-    // dataset — spec-optional, but a MoR table owner reading partition
-    // stats wants to see where deletes concentrate
-    val rows = withDeleteAttribution(agg, base).orderBy("partition")
+    // spec position_delete_* / equality_delete_* attribution: pos-delete
+    // rows joined to their referenced data files' partition tuples over
+    // the manifest dataset; eq-delete rows attributed by applying the
+    // spec transforms to their key values — spec-optional, but a MoR
+    // table owner reading partition stats wants to see where deletes
+    // concentrate
+    val rows = withDeleteAttribution(agg, base)
+      .drop("__pstr").orderBy("partition")
     val dir = Paths.get(location, "stats")
     Files.createDirectories(dir)
     val tmpDir = dir.resolve(
@@ -3530,33 +3536,131 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     Some((Seq(dvDf) ++ pqDf.toSeq).reduce(_.unionByName(_)))
   }
 
-  /** Join per-partition position-delete counts onto a per-partition
-    * aggregate: `base` must carry (`partition`, `spec_id`, `__dfile`)
-    * rows per data file; emits the two spec columns, zero-filled when
-    * the table has no position deletes. The attribution rows are
-    * (data file, delete file, rows) so the per-partition file count is
-    * a DISTINCT count — one delete file covering several data files of
-    * a partition counts once for it.
+  /** Per-partition EQUALITY-delete attribution. Exact whenever every
+    * source column of a spec is among a delete file's equality key
+    * columns: each delete ROW's partition tuple is then recomputed by
+    * applying the spec's transforms to its key values — O(delete rows),
+    * distributed, no data files touched. A (spec, delete-file) pair the
+    * keys cannot cover yields NULL (unknown) for that spec's partitions:
+    * graft's equality deletes are table-wide, so an uncovered tuple
+    * genuinely cannot be attributed without applying the delete to data
+    * (a data-plane job, not stats). Sequence scoping is intentionally
+    * ignored — the spec counts delete RECORDS per partition, not the
+    * rows they ultimately strike (matching Iceberg, where the counted
+    * tuple is the delete file's own manifest partition).
+    *
+    * Returns (attribution rows keyed (__pstr, spec_id) with __eqr row
+    * and __eqf distinct-file counts; uncoverable spec ids; whether any
+    * equality deletes exist at all).
+    */
+  private def equalityDeleteAttribution()
+      : (Option[DataFrame], Set[Int], Boolean) = {
+    val meta = metadata
+    val eqEntries = liveManifests(None).filter(_.content == 2)
+      .flatMap(_.entries)
+    if (eqEntries.isEmpty) return (None, Set.empty, false)
+    val schema = meta.currentSchema
+    val sparkSchema = GraftTable.toSparkSchema(schema)
+    val bySig = eqEntries.groupBy(_.eqColumns)
+    val uncov = Set.newBuilder[Int]
+    val parts = meta.partitionSpecs.flatMap { spec =>
+      // (partition field, source column name, source Spark type) — None
+      // when a source column no longer exists in the current schema
+      val srcs = spec.fields.foldLeft(
+        Option(Seq.empty[(PartitionField, String, DataType)])) {
+        case (acc, pf) => for {
+          a <- acc
+          f <- schema.fieldById(pf.sourceId)
+        } yield a :+ ((pf, f.name, sparkSchema(f.name).dataType))
+      }
+      bySig.toSeq.flatMap { case (sig, entries) =>
+        srcs match {
+          case Some(ss) if ss.forall(s => sig.contains(s._2)) =>
+            val keyDf = spark.read
+              .parquet(entries.map(_.path).distinct: _*)
+            // the same string rendering the manifest partition values
+            // carry (hive-dir decoded = cast-to-string for every
+            // transform output type), so the join key matches exactly
+            val tuple =
+              if (ss.isEmpty) map()
+              else map(ss.flatMap { case (pf, srcName, dt) =>
+                Seq(lit(pf.name), GraftTable
+                  .transformColumn(pf.transform, col(srcName), dt)
+                  .cast("string"))
+              }: _*)
+            Some(keyDf.select(
+              GraftTable.renderPartitionCol(tuple).as("__pstr"),
+              GraftTable.decodeCanonCol(col("_metadata.file_path"))
+                .as("__eqfile"))
+              .withColumn("spec_id", lit(spec.specId)))
+          case _ =>
+            uncov += spec.specId
+            None
+        }
+      }
+    }
+    if (parts.isEmpty) return (None, uncov.result(), true)
+    val att = parts.reduce(_.unionByName(_))
+      .groupBy("__pstr", "spec_id")
+      .agg(count(lit(1)).as("__eqr"),
+        count_distinct(col("__eqfile")).as("__eqf"))
+    (Some(att), uncov.result(), true)
+  }
+
+  /** Join per-partition delete attribution onto a per-partition
+    * aggregate: `agg` and `base` must carry (`__pstr`, `spec_id`) —
+    * the rendered partition string — and `base` additionally `__dfile`
+    * per data file; emits the four spec columns, zero-filled when the
+    * table has no deletes of that form. Position-delete attribution
+    * rows are (data file, delete file, rows) so the per-partition file
+    * count is a DISTINCT count — one delete file covering several data
+    * files of a partition counts once for it. Equality columns are
+    * exact for specs the delete keys cover and NULL for specs they
+    * cannot (see equalityDeleteAttribution).
     */
   private def withDeleteAttribution(agg: DataFrame,
-      base: DataFrame): DataFrame =
-    positionDeleteAttribution() match {
+      base: DataFrame): DataFrame = {
+    val withPos = positionDeleteAttribution() match {
       case None =>
         agg.withColumn("position_delete_record_count", lit(0L))
           .withColumn("position_delete_file_count", lit(0L))
       case Some(att) =>
-        val perPart = base.select("partition", "spec_id", "__dfile")
+        val perPart = base.select("__pstr", "spec_id", "__dfile")
           .join(att, Seq("__dfile"))
-          .groupBy("partition", "spec_id")
+          .groupBy("__pstr", "spec_id")
           .agg(sum("__n").as("__pdr"),
             count_distinct(col("__delfile")).as("__pdf"))
-        agg.join(perPart, Seq("partition", "spec_id"), "left")
+        agg.join(perPart, Seq("__pstr", "spec_id"), "left")
           .withColumn("position_delete_record_count",
             coalesce(col("__pdr"), lit(0L)))
           .withColumn("position_delete_file_count",
             coalesce(col("__pdf"), lit(0L)))
           .drop("__pdr", "__pdf")
     }
+    val (eqAtt, uncovSpecs, anyEq) = equalityDeleteAttribution()
+    if (!anyEq)
+      withPos.withColumn("equality_delete_record_count", lit(0L))
+        .withColumn("equality_delete_file_count", lit(0L))
+    else {
+      val joined = eqAtt match {
+        case Some(att) => withPos.join(att, Seq("__pstr", "spec_id"), "left")
+        case None => withPos
+          .withColumn("__eqr", lit(null).cast(LongType))
+          .withColumn("__eqf", lit(null).cast(LongType))
+      }
+      val unknown =
+        if (uncovSpecs.isEmpty) lit(false)
+        else col("spec_id").isin(uncovSpecs.toSeq: _*)
+      joined
+        .withColumn("equality_delete_record_count",
+          when(unknown, lit(null).cast(LongType))
+            .otherwise(coalesce(col("__eqr"), lit(0L))))
+        .withColumn("equality_delete_file_count",
+          when(unknown, lit(null).cast(LongType))
+            .otherwise(coalesce(col("__eqf"), lit(0L))))
+        .drop("__eqr", "__eqf")
+    }
+  }
 
   /** `.partitions` metadata table: per partition tuple — live file and
     * record counts, position-delete attribution (rows vectored/deleted
@@ -3570,15 +3674,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val base = manifestDf(None)
       .filter(coalesce(col("content"), lit(0)) === 0)
       .select(
-        concat_ws(",", transform(array_sort(map_entries(col("partition"))),
-          e => concat(e("key"), lit("="),
-            coalesce(e("value"), lit("null"))))).as("partition"),
+        GraftTable.renderPartitionCol(col("partition")).as("__pstr"),
         coalesce(col("spec-id"), lit(0)).as("spec_id"),
         col("record-count").as("rc"),
         GraftTable.decodeCanonCol(col("path")).as("__dfile"))
-    val agg = base.groupBy("partition", "spec_id")
+    val agg = base.groupBy("__pstr", "spec_id")
       .agg(count(lit(1)).as("file_count"), sum("rc").as("record_count"))
-    withDeleteAttribution(agg, base)
+    withDeleteAttribution(agg, base).withColumnRenamed("__pstr", "partition")
   }
 
   /** `.manifests` metadata table: one row per manifest the current
@@ -3904,6 +4006,16 @@ object GraftTable {
         Seq(org.apache.spark.sql.graft.Bridge.expression(c)),
         inputTypes = Seq(StringType), propagateNull = true,
         returnNullable = false))
+
+  /** Canonical rendered form of a partition MAP column: `k=v` pairs
+    * sorted by key, comma-joined, null values as the literal "null".
+    * The one rendering `.partitions`, the partition-statistics writer,
+    * and delete attribution all share — the strings must join exactly.
+    */
+  private[table] def renderPartitionCol(m: Column): Column =
+    concat_ws(",", transform(array_sort(map_entries(m)),
+      e => concat(e("key"), lit("="),
+        coalesce(e("value"), lit("null")))))
 
   /** Codegen'd decode + canonicalize (see [[PathCodec.decodeCanon]]). */
   private[table] def decodeCanonCol(c: Column): Column =

@@ -640,6 +640,11 @@ object IcebergQueries {
         // a deletion-vector MoR delete: partition stats must attribute
         // the vectored rows to the partitions of their data files
         t.deleteWhereDv(col("l_linenumber") === 7)
+        // an equality delete whose keys INCLUDE the partition source
+        // column: each delete row's partition is recomputed by applying
+        // the spec transform to its key values — exact attribution
+        t.deleteWhereEq(src.filter(col("l_linenumber") === 6)
+          .select("l_orderkey", "l_linenumber", "l_shipdate"))
         // the `.partitions` metadata table AND the spec
         // partition-statistics FILE must agree — the query serves off
         // the durable artifact (plain parquet, spec field names), and
@@ -651,11 +656,13 @@ object IcebergQueries {
               col("partition.ship_month")).as("partition"),
             col("data_file_count").cast("long").as("file_count"),
             col("data_record_count").as("record_count"),
-            col("position_delete_record_count").as("deleted_rows"))
+            col("position_delete_record_count").as("deleted_rows"),
+            col("equality_delete_record_count").as("eq_deleted_rows"))
           .orderBy("partition")
         val live = t.partitionsDf
           .select(col("partition"), col("file_count"), col("record_count"),
-            col("position_delete_record_count").as("deleted_rows"))
+            col("position_delete_record_count").as("deleted_rows"),
+            col("equality_delete_record_count").as("eq_deleted_rows"))
           .orderBy("partition")
         require(fromFile.collect().toSeq == live.collect().toSeq,
           "partition-statistics file diverged from .partitions")
@@ -669,7 +676,10 @@ object IcebergQueries {
           CAST(1 AS BIGINT) AS file_count,
           COUNT(*) AS record_count,
           CAST(COUNT(*) FILTER (WHERE l_linenumber = 7) AS BIGINT)
-            AS deleted_rows
+            AS deleted_rows,
+          CAST(COUNT(DISTINCT (l_orderkey, l_linenumber, l_shipdate))
+            FILTER (WHERE l_linenumber = 6) AS BIGINT)
+            AS eq_deleted_rows
         FROM lineitem GROUP BY 1 ORDER BY partition""")),
 
     // Branch + tag refs: read the table AS OF a named ref.

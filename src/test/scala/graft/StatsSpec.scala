@@ -137,9 +137,14 @@ class StatsSpec extends SparkSpec {
     assert(df.columns.toSet == Set("partition", "spec_id",
       "data_record_count", "data_file_count",
       "total_data_file_size_in_bytes", "last_updated_snapshot_id",
-      "position_delete_record_count", "position_delete_file_count"))
+      "position_delete_record_count", "position_delete_file_count",
+      "equality_delete_record_count", "equality_delete_file_count"))
     // no deletes yet: attribution is zero-filled, never null
     assert(df.agg(sum("position_delete_record_count")).head().getLong(0)
+      == 0L)
+    assert(df.agg(sum("equality_delete_record_count")).head().getLong(0)
+      == 0L)
+    assert(df.filter(col("equality_delete_file_count").isNull).count()
       == 0L)
     assert(df.schema("partition").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]("ship_month")
@@ -228,6 +233,58 @@ class StatsSpec extends SparkSpec {
       .filter(_._2 > 0L)
     assert(gotFiles == wantFiles,
       s"delete-FILE attribution mismatch: got=$gotFiles want=$wantFiles")
+  }
+
+  test("partition stats attribute equality deletes when keys cover the spec") {
+    val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .limit(3000)
+    val t = GraftTable.create(spark, tmp(), src.schema,
+      partitionBy = Seq(("l_shipdate", graft.model.TMonth, "ship_month")))
+    t.append(src, repartitionByPartition = true)
+    // keys INCLUDE the partition source column → every delete row's
+    // partition tuple is recomputable from the key values alone
+    t.deleteWhereEq(src.filter(col("l_linenumber") === 3)
+      .select("l_orderkey", "l_linenumber", "l_shipdate"))
+    val ref = t.writePartitionStats()
+    val df = spark.read.parquet(ref.path)
+    val got = df.select(col("partition.ship_month"),
+        col("equality_delete_record_count"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = src.filter(col("l_linenumber") === 3)
+      .groupBy(((year(col("l_shipdate")) - 1970) * 12 +
+        month(col("l_shipdate")) - 1).as("m"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 > 0L) == want,
+      s"eq-delete attribution mismatch: got=$got want=$want")
+    // coverable spec: zero-filled, never null; ONE delete file per
+    // partition it touches
+    assert(df.filter(col("equality_delete_record_count").isNull).count()
+      == 0L)
+    assert(df.filter(col("equality_delete_record_count") > 0L)
+      .filter(col("equality_delete_file_count") =!= 1L).count() == 0L)
+    // the live .partitions table agrees with the durable artifact
+    val live = t.partitionsDf
+      .select(col("partition"), col("equality_delete_record_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromFile = df.select(
+        concat(lit("ship_month="), col("partition.ship_month")),
+        col("equality_delete_record_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live == fromFile)
+    // an UNCOVERED delete (keys lack the partition source) flips the
+    // spec's partitions to NULL — unknown, not a fake zero
+    t.deleteWhereEq(src.filter(col("l_linenumber") === 4)
+      .select("l_orderkey", "l_linenumber"))
+    val ref2 = t.writePartitionStats()
+    val df2 = spark.read.parquet(ref2.path)
+    assert(df2.filter(col("equality_delete_record_count").isNotNull)
+      .count() == 0L,
+      "uncoverable eq delete must yield NULL attribution, not a guess")
+    assert(df2.filter(col("equality_delete_file_count").isNotNull)
+      .count() == 0L)
+    // the scan itself still applies BOTH deletes exactly
+    assert(t.scan().count() ==
+      src.filter(!col("l_linenumber").isin(3, 4)).count())
   }
 
   test("stats resolve from nearest ancestor after appends; refresh replaces") {
