@@ -56,12 +56,24 @@ object AvroDataRead {
     val rdd = spark.sparkContext
       .parallelize(paths, paths.size)
       .mapPartitions { it =>
+        // close the in-flight reader even when the task stops early
+        // (limit, take, failure) — exhaustion is not guaranteed
+        var open: DataFileReader[GenericRecord] = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (open != null) open.close()
+          })
         it.flatMap { path =>
           val reader = new DataFileReader[GenericRecord](
             new java.io.File(path), new GenericDatumReader[GenericRecord]())
+          open = reader
           val conv = structConverter(reader.getSchema, targets)
           val base = new Iterator[Row] {
-            def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+            def hasNext: Boolean = {
+              val h = reader.hasNext
+              if (!h) { reader.close(); if (open eq reader) open = null }
+              h
+            }
             def next(): Row = conv(reader.next())
           }
           if (withFile) base.map(r => Row.fromSeq(r.toSeq :+ path)) else base
