@@ -64,8 +64,11 @@ object AvroDataRead {
             if (open != null) open.close()
           })
         it.flatMap { path =>
+          // manifest paths from genuinely external layouts may be URI
+          // form (file:///…) — decode like every other read path does
+          val local = GraftTable.decodePath(path)
           val reader = new DataFileReader[GenericRecord](
-            new java.io.File(path), new GenericDatumReader[GenericRecord]())
+            new java.io.File(local), new GenericDatumReader[GenericRecord]())
           open = reader
           val conv = structConverter(reader.getSchema, targets)
           val base = new Iterator[Row] {
@@ -76,34 +79,47 @@ object AvroDataRead {
             }
             def next(): Row = conv(reader.next())
           }
-          if (withFile) base.map(r => Row.fromSeq(r.toSeq :+ path)) else base
+          if (withFile) base.map(r => Row.fromSeq(r.toSeq :+ local)) else base
         }
       }
     spark.createDataFrame(rdd, outSchema)
   }
 
   /** GenericRecord → external-typed Row for `targets`, resolving writer
-    * fields by field-id property, then name; unmatched targets → null.
+    * fields by field-id property; unmatched targets → null. The
+    * name fallback applies ONLY when the writer record carries no
+    * field-id properties at all (a non-Iceberg Avro file) — an
+    * id-tracked writer that misses an id must resolve to null, never
+    * to a same-named column whose id differs (a dropped-and-readded
+    * column would otherwise silently serve the deleted column's data).
     */
   private def structConverter(writer: ASchema,
       targets: Seq[StructField]): GenericRecord => Row = {
     require(writer.getType == ASchema.Type.RECORD,
       s"avro data file root must be a record, got ${writer.getType}")
-    val slots: Array[Option[(Int, Any => Any)]] = targets.map { t =>
-      val byId = writer.getFields.iterator()
-      var found: ASchema.Field = null
-      while (found == null && byId.hasNext) {
-        val f = byId.next()
-        val prop = f.getObjectProp("field-id")
-        if (prop != null && prop.toString == t.id.toString) found = f
-      }
-      if (found == null) found = writer.getField(t.name)
-      Option(found).map(f => (f.pos(), valueConverter(f.schema(), t.fieldType)))
+    val writerFields = scala.jdk.CollectionConverters
+      .ListHasAsScala(writer.getFields).asScala.toSeq
+    val idTracked = writerFields.exists(_.getObjectProp("field-id") != null)
+    val slots: Array[(Int, Any => Any)] = targets.map { t =>
+      val found =
+        if (idTracked) writerFields.find(f =>
+          Option(f.getObjectProp("field-id"))
+            .exists(_.toString == t.id.toString)).orNull
+        else writer.getField(t.name)
+      Option(found)
+        .map(f => (f.pos(), valueConverter(f.schema(), t.fieldType)))
+        .getOrElse((-1, identity[Any] _))
     }.toArray
-    rec => Row.fromSeq(slots.toIndexedSeq.map {
-      case Some((pos, conv)) => conv(rec.get(pos))
-      case None => null
-    })
+    rec => {
+      val vals = new Array[Any](slots.length)
+      var i = 0
+      while (i < slots.length) {
+        val (pos, conv) = slots(i)
+        vals(i) = if (pos < 0) null else conv(rec.get(pos))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+    }
   }
 
   /** Unwrap `[null, T]` unions to the non-null branch. */

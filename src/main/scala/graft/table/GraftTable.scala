@@ -2955,8 +2955,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * no driver loop) and registered in table metadata. Position-delete
     * attribution (DVs + parquet position deletes) is computed by
     * joining delete rows to their referenced files' partition tuples;
-    * equality deletes are left unattributed (spec-optional — their keys
-    * are not partition-scoped and applying them is a data-plane job).
+    * equality-delete attribution is exact when the delete keys cover
+    * the spec's source columns (transforms applied to the key values)
+    * and NULL otherwise (see equalityDeleteAttribution).
     */
   def writePartitionStats(): graft.model.StatisticsFileRef = {
     val meta = metadata
@@ -2987,15 +2988,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .select(
         (if (tupleCols.isEmpty) struct(lit(0).as("unpartitioned"))
         else struct(tupleCols: _*)).as("partition"),
-        GraftTable.renderPartitionCol(col("partition")).as("__pstr"),
+        GraftTable.partitionKeyCol(col("partition")).as("__pkey"),
         coalesce(col("spec-id"), lit(0)).as("spec_id"),
         col("record-count").as("rc"),
         coalesce(col("file-size"), lit(0L)).as("fs"),
         col("snapshot-id").as("snap"),
         GraftTable.decodeCanonCol(col("path")).as("__dfile"))
-    // __pstr rides along as the attribution join key (the typed tuple
-    // and the rendered string are 1:1 — both derive from the same map)
-    val agg = base.groupBy("partition", "spec_id", "__pstr")
+    // __pkey rides along as the attribution join key (the typed tuple
+    // and the injective JSON form are 1:1 — both derive from the map)
+    val agg = base.groupBy("partition", "spec_id", "__pkey")
       .agg(
         sum("rc").as("data_record_count"),
         count(lit(1)).cast("int").as("data_file_count"),
@@ -3008,7 +3009,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // table owner reading partition stats wants to see where deletes
     // concentrate
     val rows = withDeleteAttribution(agg, base)
-      .drop("__pstr").orderBy("partition")
+      .drop("__pkey").orderBy("partition")
     val dir = Paths.get(location, "stats")
     Files.createDirectories(dir)
     val tmpDir = dir.resolve(
@@ -3562,6 +3563,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val schema = meta.currentSchema
     val sparkSchema = GraftTable.toSparkSchema(schema)
     val bySig = eqEntries.groupBy(_.eqColumns)
+    // one read per key-column signature, shared across specs; delete
+    // files must be parquet (feeding an adopted avro/orc delete file
+    // to the parquet reader would die inside a task, or misparse)
+    val keyDfBySig =
+      scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    def keyDfFor(sig: Seq[String],
+        entries: Seq[DataFileEntry]): DataFrame =
+      keyDfBySig.getOrElseUpdate(sig, {
+        entries.find(_.format != DataFileEntry.Parquet).foreach(e =>
+          throw new IllegalArgumentException(
+            s"equality-delete file ${e.path} is ${e.format}; this " +
+              "build reads parquet equality deletes only"))
+        spark.read.parquet(entries.map(_.path).distinct: _*)
+      })
     val uncov = Set.newBuilder[Int]
     val parts = meta.partitionSpecs.flatMap { spec =>
       // (partition field, source column name, source Spark type) — None
@@ -3576,11 +3591,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       bySig.toSeq.flatMap { case (sig, entries) =>
         srcs match {
           case Some(ss) if ss.forall(s => sig.contains(s._2)) =>
-            val keyDf = spark.read
-              .parquet(entries.map(_.path).distinct: _*)
-            // the same string rendering the manifest partition values
-            // carry (hive-dir decoded = cast-to-string for every
-            // transform output type), so the join key matches exactly
+            val keyDf = keyDfFor(sig, entries)
+            // cast-to-string matches the hive-dir-decoded manifest
+            // values for every transform output type; the injective
+            // JSON form is the join key (see partitionKeyCol)
             val tuple =
               if (ss.isEmpty) map()
               else map(ss.flatMap { case (pf, srcName, dt) =>
@@ -3589,7 +3603,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
                   .cast("string"))
               }: _*)
             Some(keyDf.select(
-              GraftTable.renderPartitionCol(tuple).as("__pstr"),
+              GraftTable.partitionKeyCol(tuple).as("__pkey"),
               GraftTable.decodeCanonCol(col("_metadata.file_path"))
                 .as("__eqfile"))
               .withColumn("spec_id", lit(spec.specId)))
@@ -3601,22 +3615,23 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
     if (parts.isEmpty) return (None, uncov.result(), true)
     val att = parts.reduce(_.unionByName(_))
-      .groupBy("__pstr", "spec_id")
+      .groupBy("__pkey", "spec_id")
       .agg(count(lit(1)).as("__eqr"),
         count_distinct(col("__eqfile")).as("__eqf"))
     (Some(att), uncov.result(), true)
   }
 
   /** Join per-partition delete attribution onto a per-partition
-    * aggregate: `agg` and `base` must carry (`__pstr`, `spec_id`) —
-    * the rendered partition string — and `base` additionally `__dfile`
-    * per data file; emits the four spec columns, zero-filled when the
-    * table has no deletes of that form. Position-delete attribution
-    * rows are (data file, delete file, rows) so the per-partition file
-    * count is a DISTINCT count — one delete file covering several data
-    * files of a partition counts once for it. Equality columns are
-    * exact for specs the delete keys cover and NULL for specs they
-    * cannot (see equalityDeleteAttribution).
+    * aggregate: `agg` and `base` must carry (`__pkey`, `spec_id`) —
+    * the INJECTIVE partition join key (see partitionKeyCol) — and
+    * `base` additionally `__dfile` per data file; emits the four spec
+    * columns, zero-filled when the table has no deletes of that form.
+    * Position-delete attribution rows are (data file, delete file,
+    * rows) so the per-partition file count is a DISTINCT count — one
+    * delete file covering several data files of a partition counts
+    * once for it. Equality columns are exact for specs the delete keys
+    * cover and NULL for specs they cannot (see
+    * equalityDeleteAttribution).
     */
   private def withDeleteAttribution(agg: DataFrame,
       base: DataFrame): DataFrame = {
@@ -3625,12 +3640,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         agg.withColumn("position_delete_record_count", lit(0L))
           .withColumn("position_delete_file_count", lit(0L))
       case Some(att) =>
-        val perPart = base.select("__pstr", "spec_id", "__dfile")
+        val perPart = base.select("__pkey", "spec_id", "__dfile")
           .join(att, Seq("__dfile"))
-          .groupBy("__pstr", "spec_id")
+          .groupBy("__pkey", "spec_id")
           .agg(sum("__n").as("__pdr"),
             count_distinct(col("__delfile")).as("__pdf"))
-        agg.join(perPart, Seq("__pstr", "spec_id"), "left")
+        agg.join(perPart, Seq("__pkey", "spec_id"), "left")
           .withColumn("position_delete_record_count",
             coalesce(col("__pdr"), lit(0L)))
           .withColumn("position_delete_file_count",
@@ -3643,7 +3658,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .withColumn("equality_delete_file_count", lit(0L))
     else {
       val joined = eqAtt match {
-        case Some(att) => withPos.join(att, Seq("__pstr", "spec_id"), "left")
+        case Some(att) => withPos.join(att, Seq("__pkey", "spec_id"), "left")
         case None => withPos
           .withColumn("__eqr", lit(null).cast(LongType))
           .withColumn("__eqf", lit(null).cast(LongType))
@@ -3674,13 +3689,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val base = manifestDf(None)
       .filter(coalesce(col("content"), lit(0)) === 0)
       .select(
+        GraftTable.partitionKeyCol(col("partition")).as("__pkey"),
         GraftTable.renderPartitionCol(col("partition")).as("__pstr"),
         coalesce(col("spec-id"), lit(0)).as("spec_id"),
         col("record-count").as("rc"),
         GraftTable.decodeCanonCol(col("path")).as("__dfile"))
-    val agg = base.groupBy("__pstr", "spec_id")
+    val agg = base.groupBy("__pkey", "__pstr", "spec_id")
       .agg(count(lit(1)).as("file_count"), sum("rc").as("record_count"))
-    withDeleteAttribution(agg, base).withColumnRenamed("__pstr", "partition")
+    withDeleteAttribution(agg, base).drop("__pkey")
+      .withColumnRenamed("__pstr", "partition")
   }
 
   /** `.manifests` metadata table: one row per manifest the current
@@ -3935,12 +3952,17 @@ object GraftTable {
         (if (withLineage) Seq(SparkField(RowIdCol, LongType),
           SparkField(LastUpdCol, LongType)) else Seq.empty)
       val df =
-        if (fmt == DataFileEntry.Avro)
+        if (fmt == DataFileEntry.Avro) {
           // no avro DataFrame datasource in this build: plain-Avro
-          // decode, one task per file, `_file` synthesized (the
-          // manifest path IS the decoded on-disk form)
-          AvroDataRead.read(spark, es.map(_._1), fileSchema,
+          // decode, one task per file, `_file` synthesized. Prune to
+          // the projected columns FIRST — the decode is row-by-row,
+          // so a wide fileSchema would convert every column per row
+          val wanted = readSchema.fields.map(_.id).toSet
+          AvroDataRead.read(spark, es.map(_._1),
+            fileSchema.copy(fields =
+              fileSchema.fields.filter(f => wanted.contains(f.id))),
             withFile = withFile)
+        }
         else spark.read
           .schema(StructType(readFields))
           .format(fmt)
@@ -4017,6 +4039,16 @@ object GraftTable {
       e => concat(e("key"), lit("="),
         coalesce(e("value"), lit("null")))))
 
+  /** INJECTIVE join form of a partition MAP column: sorted-key JSON.
+    * The display rendering above is not injective (a literal "null"
+    * value collides with NULL; a value containing ",k=" collides with
+    * a neighboring entry) — joining attribution on it could double-
+    * count deletes across colliding tuples. JSON escaping keeps
+    * distinct tuples distinct; attribution joins on THIS form only.
+    */
+  private[table] def partitionKeyCol(m: Column): Column =
+    to_json(map_from_entries(array_sort(map_entries(m))))
+
   /** Codegen'd decode + canonicalize (see [[PathCodec.decodeCanon]]). */
   private[table] def decodeCanonCol(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -4087,7 +4119,13 @@ object GraftTable {
     }.reduce(_.unionByName(_))
 
   private def eqKeySets(spark: SparkSession, cols: Seq[String],
-      ds: Seq[DataFileEntry]): DataFrame =
+      ds: Seq[DataFileEntry]): DataFrame = {
+    // deletes are correctness-bearing: an external layout declaring a
+    // non-parquet equality-delete FILE must refuse, not misread it
+    ds.find(_.format != DataFileEntry.Parquet).foreach(e =>
+      throw new IllegalArgumentException(
+        s"equality-delete file ${e.path} is ${e.format}; this build " +
+          "reads parquet equality deletes only"))
     ds.groupBy(_.sequenceNumber).map { case (dseq, dfs) =>
       spark.read.parquet(dfs.map(_.path).distinct: _*)
         .select(cols.map(c => col(c).as(s"__gfeq_$c")): _*)
@@ -4095,6 +4133,7 @@ object GraftTable {
     }.reduce(_.unionByName(_))
       .groupBy(cols.map(c => col(s"__gfeq_$c")): _*)
       .agg(max(col("__gfeq_seq")).as("__gfeq_seq"))
+  }
 
   private def eqMatchCond(cols: Seq[String]): Column =
     cols.map(c => col(c) <=> col(s"__gfeq_$c"))

@@ -141,6 +141,51 @@ class AvroInteropSpec extends SparkSpec {
     assert(df.filter(col("added_later").isNull).count() == 40L)
   }
 
+  test("id-tracked writer: same NAME with a different id reads null") {
+    // table history: 'tag' (id 2) dropped, a NEW 'tag' (id 9) added.
+    // The old file's same-named column must NOT serve the deleted
+    // column's data — id-tracked files resolve by id only
+    val writer = new ASchema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":["null","long"],"field-id":1},
+        |{"name":"tag","type":["null","string"],"field-id":2}]}"""
+        .stripMargin)
+    val dir = tmp("readded")
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    java.nio.file.Files.createDirectories(dataDir)
+    val f = dataDir.resolve("part-0.avro")
+    writeAvro(f, writer, (1 to 25).map { i =>
+      val r = new GenericData.Record(writer)
+      r.put("id", i.toLong); r.put("tag", s"OLD$i"); r
+    })
+    val schema = SchemaV2(0, None, None, Seq(
+      StructField(1, "id", required = false, TLong),
+      StructField(9, "tag", required = false, TString)))
+    layoutFor(dir, schema, Seq(f -> 25L))
+    val df = IcebergInterop.readTable(spark, dir)
+    assert(df.filter(col("tag").isNotNull).count() == 0L,
+      "stale same-named column leaked through the id-tracked resolve")
+    assert(df.agg(sum("id")).head().getLong(0) == (1L to 25L).sum)
+  }
+
+  test("URI-form manifest paths (file://) read; _file is the decoded path") {
+    val dir = buildAvroLayout(60)
+    // rewrite the manifest to carry file:// URI paths, the form
+    // external java/Spark writers store
+    val t = IcebergInterop.adoptTable(spark, dir, tmp("uriform") + "/t")
+    val mf = t.liveManifests(None).head
+    DataFileEntry.writeManifest(
+      java.nio.file.Paths.get(mf.path),
+      mf.entries.map(e => e.copy(path =
+        new java.net.URI("file", null, e.path, null).toString)))
+    assert(t.scan().count() == 60L)
+    assert(t.scan().agg(sum("id")).head().getLong(0) == (1L to 60L).sum)
+    val files = t.scan(withFileColumn = true)
+      .select(GraftTable.FileCol).distinct().collect().map(_.getString(0))
+    assert(files.forall(p => p.startsWith("/") && p.endsWith(".avro")),
+      s"_file must be the decoded on-disk form: ${files.toSeq}")
+  }
+
   test("rich types decode per the spec avro appendix") {
     val writer = new ASchema.Parser().parse(
       """{"type":"record","name":"r","fields":[

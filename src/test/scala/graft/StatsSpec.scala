@@ -287,6 +287,33 @@ class StatsSpec extends SparkSpec {
       src.filter(!col("l_linenumber").isin(3, 4)).count())
   }
 
+  test("partition display-string collisions do not double-count attribution") {
+    import spark.implicits._
+    // a literal "null" string value and an actual NULL render the SAME
+    // display string ("kp=null") but are distinct partition tuples —
+    // attribution must join on the injective key, not the display form
+    val df = Seq((1L, "null"), (2L, "null"), (3L, null), (4L, null),
+      (5L, null)).toDF("id", "k")
+    val t = GraftTable.create(spark, tmp(), df.schema,
+      partitionBy = Seq(("k", graft.model.TIdentity, "kp")))
+    t.append(df, repartitionByPartition = true)
+    t.deleteWhereDv(col("id") === 1L) // hits the literal-"null" tuple
+    val parts = t.partitionsDf.select("partition", "record_count",
+      "position_delete_record_count").collect()
+    assert(parts.count(_.getString(0) == "kp=null") == 2,
+      s"colliding tuples must stay distinct rows: ${parts.toSeq}")
+    // the delete attributes ONCE, to the right tuple (double-counting
+    // via the display string would yield total 2)
+    assert(parts.map(_.getLong(2)).sum == 1L, parts.toSeq)
+    assert(parts.map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    // the durable artifact agrees
+    val ref = t.writePartitionStats()
+    val file = spark.read.parquet(ref.path)
+    assert(file.agg(sum("position_delete_record_count")).head().getLong(0)
+      == 1L)
+    assert(file.count() == 2L)
+  }
+
   test("stats resolve from nearest ancestor after appends; refresh replaces") {
     import spark.implicits._
     val loc = tmp()
