@@ -47,9 +47,10 @@ object IcebergInterop {
     // format floor existed: if any live manifest carries a DV entry,
     // the exported metadata MUST declare v3 regardless of the parsed
     // floor — v2 metadata over v3 manifests is spec-invalid
-    val liveDvs = t.liveManifests(None).exists(m =>
+    val liveMs = t.liveManifests(None)
+    val liveDvs = liveMs.exists(m =>
       m.content == 1 && m.entries.exists(_.dv.isDefined))
-    val extMeta = meta.copy(
+    val extMeta0 = meta.copy(
       formatVersion =
         if (liveDvs) math.max(meta.formatVersion, 3) else meta.formatVersion,
       location = dir,
@@ -58,6 +59,17 @@ object IcebergInterop {
       metadataLog = None,
       refs = meta.refs.map(_.filter(_._2.snapshotId == snap.snapshotId))
         .filter(_.nonEmpty))
+    // Iceberg v3 REQUIRES `next-row-id` in the metadata document. A
+    // table forced to v3 by DVs or column defaults (row lineage never
+    // enabled) stamps the high-water mark its entries imply — 0 when no
+    // row ids were ever assigned, which is spec-valid: files with null
+    // `first_row_id` serve null row ids (the v2→v3 upgrade state).
+    val extMeta =
+      if (extMeta0.effectiveFormatVersion >= 3 && extMeta0.nextRowId.isEmpty) {
+        val hwm = liveMs.filter(_.content == 0).flatMap(_.entries)
+          .flatMap(e => e.firstRowId.map(_ + e.recordCount))
+        extMeta0.copy(nextRowId = Some(if (hwm.isEmpty) 0L else hwm.max))
+      } else extMeta0
     val p = metaDir.resolve("v1.metadata.json")
     Files.writeString(p, Json.write(extMeta.toJson))
     Files.writeString(metaDir.resolve("version-hint.text"), "1")

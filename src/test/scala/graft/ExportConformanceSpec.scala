@@ -104,6 +104,7 @@ class ExportConformanceSpec extends SparkSpec {
     if (fv != 2 && fv != 3) err(s"format-version $fv not in {2,3}")
     val snapIds = meta.path("snapshots").elements.asScala
       .map(_.path("snapshot-id").asLong).toSet
+    errs ++= validateMetadataDoc(meta)
 
     // ---- manifest list ----
     val listPath = java.nio.file.Paths.get(meta.path("snapshots")
@@ -216,6 +217,167 @@ class ExportConformanceSpec extends SparkSpec {
 
     // ---- Puffin sidecars referenced by DV entries ----
     errs ++= validatePuffinFooters(outDir, snapIds)
+    errs.toSeq
+  }
+
+  /** Validate the metadata.json DOCUMENT itself against the table-spec
+    * "Table Metadata Fields" section — cross-references (current ids
+    * must resolve), v3 requirements (`next-row-id`), id high-water
+    * marks, snapshot/snapshot-log/metadata-log shapes, ref shapes, and
+    * the JSON single-value rendering of v3 column defaults. Constants
+    * and rules are transcribed from the public spec; parsing is plain
+    * Jackson, sharing nothing with graft's metadata serializer.
+    */
+  private def validateMetadataDoc(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def err(s: String): Unit = errs += s
+    val fv = meta.path("format-version").asInt
+
+    // ---- v3-required keys (spec: next-row-id is required in v3) ----
+    if (fv >= 3 && !meta.has("next-row-id"))
+      err("v3 metadata missing required next-row-id")
+
+    // ---- cross-references: current ids must resolve ----
+    val schemaIds = meta.path("schemas").elements.asScala
+      .map(_.path("schema-id").asInt).toSet
+    if (!schemaIds.contains(meta.path("current-schema-id").asInt))
+      err(s"current-schema-id ${meta.path("current-schema-id").asInt} " +
+        "not among schemas")
+    val specIds = meta.path("partition-specs").elements.asScala
+      .map(_.path("spec-id").asInt).toSet
+    if (!specIds.contains(meta.path("default-spec-id").asInt))
+      err("default-spec-id not among partition-specs")
+    val orderIds = meta.path("sort-orders").elements.asScala
+      .map(_.path("order-id").asInt).toSet
+    if (!orderIds.contains(meta.path("default-sort-order-id").asInt))
+      err("default-sort-order-id not among sort-orders")
+
+    // ---- id high-water marks ----
+    // last-column-id >= every field id across every schema (recursive:
+    // struct fields, list element-id, map key-id/value-id)
+    def maxFieldId(n: com.fasterxml.jackson.databind.JsonNode): Int = {
+      var mx = -1
+      def walkType(t: com.fasterxml.jackson.databind.JsonNode): Unit =
+        if (t.isObject) t.path("type").asText match {
+          case "struct" => t.path("fields").elements.asScala.foreach(walkField)
+          case "list" =>
+            mx = math.max(mx, t.path("element-id").asInt)
+            walkType(t.path("element"))
+          case "map" =>
+            mx = math.max(mx, math.max(t.path("key-id").asInt,
+              t.path("value-id").asInt))
+            walkType(t.path("key")); walkType(t.path("value"))
+          case _ =>
+        }
+      def walkField(f: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        mx = math.max(mx, f.path("id").asInt)
+        walkType(f.path("type"))
+      }
+      n.path("fields").elements.asScala.foreach(walkField)
+      mx
+    }
+    val maxCol = meta.path("schemas").elements.asScala
+      .map(maxFieldId).foldLeft(-1)(math.max)
+    if (meta.path("last-column-id").asInt < maxCol)
+      err(s"last-column-id ${meta.path("last-column-id").asInt} below " +
+        s"max schema field id $maxCol")
+    // partition field ids start at 1000; last-partition-id covers them
+    val partFieldIds = meta.path("partition-specs").elements.asScala
+      .flatMap(_.path("fields").elements.asScala)
+      .map(_.path("field-id").asInt).toSeq
+    partFieldIds.filter(_ < 1000)
+      .foreach(id => err(s"partition field-id $id below spec floor 1000"))
+    if (partFieldIds.nonEmpty &&
+        meta.path("last-partition-id").asInt < partFieldIds.max)
+      err("last-partition-id below max partition field-id")
+
+    // ---- snapshots: required keys, sequence-number ceiling ----
+    val lastSeq = meta.path("last-sequence-number").asLong
+    val snapIds = meta.path("snapshots").elements.asScala
+      .map(_.path("snapshot-id").asLong).toSet
+    meta.path("snapshots").elements.asScala.foreach { s =>
+      Seq("snapshot-id", "sequence-number", "timestamp-ms",
+        "manifest-list", "summary")
+        .foreach(k => if (!s.has(k))
+          err(s"snapshot missing required $k"))
+      if (!s.path("summary").has("operation"))
+        err("snapshot summary missing operation")
+      if (s.path("sequence-number").asLong > lastSeq)
+        err(s"snapshot sequence-number ${s.path("sequence-number").asLong}" +
+          s" above last-sequence-number $lastSeq")
+    }
+    if (meta.has("current-snapshot-id") &&
+        !snapIds.contains(meta.path("current-snapshot-id").asLong))
+      err("current-snapshot-id not among snapshots")
+
+    // ---- snapshot-log / metadata-log shapes ----
+    var prevTs = Long.MinValue
+    meta.path("snapshot-log").elements.asScala.foreach { l =>
+      if (!l.has("snapshot-id") || !l.has("timestamp-ms"))
+        err("snapshot-log entry missing snapshot-id/timestamp-ms")
+      else {
+        if (!snapIds.contains(l.path("snapshot-id").asLong))
+          err(s"snapshot-log references unknown snapshot " +
+            s"${l.path("snapshot-id").asLong}")
+        val ts = l.path("timestamp-ms").asLong
+        if (ts < prevTs) err("snapshot-log timestamps not monotonic")
+        prevTs = ts
+      }
+    }
+    meta.path("metadata-log").elements.asScala.foreach { l =>
+      if (!l.has("metadata-file") || !l.has("timestamp-ms"))
+        err("metadata-log entry missing metadata-file/timestamp-ms")
+    }
+
+    // ---- refs: shape + main must track current-snapshot-id ----
+    meta.path("refs").properties.asScala.foreach { e =>
+      val (name, r) = (e.getKey, e.getValue)
+      val t = r.path("type").asText
+      if (t != "branch" && t != "tag") err(s"ref $name: bad type '$t'")
+      if (!snapIds.contains(r.path("snapshot-id").asLong))
+        err(s"ref $name references unknown snapshot")
+      if (name == "main" && meta.has("current-snapshot-id") &&
+          r.path("snapshot-id").asLong !=
+            meta.path("current-snapshot-id").asLong)
+        err("main ref does not match current-snapshot-id")
+    }
+
+    // ---- v3 column defaults: JSON single-value rendering ----
+    // (spec Appendix D: int/long/float/double -> JSON number, boolean
+    // -> JSON bool, string/date/time/timestamp/uuid/decimal/binary ->
+    // JSON string; never an object or array)
+    def checkDefaults(f: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val tpe = f.path("type")
+      Seq("initial-default", "write-default").foreach { k =>
+        if (f.has(k)) {
+          if (fv < 3) err(s"column default $k present under v$fv")
+          val v = f.path(k)
+          if (v.isObject || v.isArray)
+            err(s"default $k of ${f.path("name").asText} is not a " +
+              "single-value rendering")
+          else if (tpe.isTextual) tpe.asText match {
+            case "int" | "long" | "float" | "double" =>
+              if (!v.isNumber)
+                err(s"default $k of ${f.path("name").asText}: " +
+                  s"${tpe.asText} default must be a JSON number")
+            case "boolean" =>
+              if (!v.isBoolean)
+                err(s"default $k of ${f.path("name").asText}: " +
+                  "boolean default must be a JSON boolean")
+            case _ =>
+              if (!v.isTextual)
+                err(s"default $k of ${f.path("name").asText}: " +
+                  s"${tpe.asText} default must be a JSON string")
+          }
+        }
+      }
+      if (tpe.isObject && tpe.path("type").asText == "struct")
+        tpe.path("fields").elements.asScala.foreach(checkDefaults)
+    }
+    meta.path("schemas").elements.asScala
+      .flatMap(_.path("fields").elements.asScala).foreach(checkDefaults)
     errs.toSeq
   }
 
@@ -629,5 +791,85 @@ class ExportConformanceSpec extends SparkSpec {
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     assert(validate(out).exists(_.contains("snapshot-id")),
       "walker must flag an unstamped/unknown footer snapshot id")
+  }
+
+  // ----- metadata.json document-layer checks (round 14) -----
+
+  test("a v3 export with column defaults passes the metadata-doc walk") {
+    import org.apache.spark.sql.types.IntegerType
+    import scala.jdk.CollectionConverters._
+    val t = buildTable()
+    t.addColumn("bonus", IntegerType, Some("7"), Some("9"))
+    val out = export(t)
+    val errs = validate(out)
+    assert(errs.isEmpty, s"violations:\n${errs.mkString("\n")}")
+    // and the doc really is v3 with a stamped next-row-id + native
+    // JSON-number defaults — read raw, not through graft's parser
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = m.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")))
+    assert(doc.path("format-version").asInt == 3)
+    assert(doc.has("next-row-id"))
+    val bonus = doc.path("schemas").elements().asScala
+      .flatMap(_.path("fields").elements().asScala)
+      .find(_.path("name").asText == "bonus").get
+    assert(bonus.path("initial-default").isNumber)
+  }
+
+  test("mutation: current-schema-id pointing at no schema is caught") {
+    val t = buildTable()
+    val out = export(t)
+    val p = java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")
+    val s = java.nio.file.Files.readString(p)
+    assert(s.matches("(?s).*\"current-schema-id\":\\d+.*"))
+    java.nio.file.Files.writeString(p,
+      s.replaceAll("\"current-schema-id\":\\d+",
+        "\"current-schema-id\":424242"))
+    assert(validate(out).exists(_.contains("current-schema-id")),
+      "walker must reject a dangling current-schema-id")
+  }
+
+  test("mutation: dropping next-row-id from a v3 doc is caught") {
+    val t = buildTable()
+    val out = export(t)
+    val p = java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")
+    val s = java.nio.file.Files.readString(p)
+    assert(s.contains("\"next-row-id\""), "fixture must carry next-row-id")
+    java.nio.file.Files.writeString(p,
+      s.replaceAll(",\"next-row-id\":\\d+", ""))
+    assert(validate(out).exists(_.contains("next-row-id")),
+      "walker must reject v3 metadata without next-row-id")
+  }
+
+  test("mutation: a snapshot-log entry for an unknown snapshot is caught") {
+    val t = buildTable()
+    val out = export(t)
+    val p = java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")
+    val s = java.nio.file.Files.readString(p)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val snapId = m.readTree(s).path("snapshot-log").elements().next()
+      .path("snapshot-id").asLong
+    // perturb ONLY the log entry (leave snapshots + refs intact):
+    // the log object is {"snapshot-id":N,"timestamp-ms":M}
+    val want = s"""{"snapshot-id":$snapId,"timestamp-ms""""
+    assert(s.contains(want), "snapshot-log entry not found")
+    java.nio.file.Files.writeString(p,
+      s.replace(want, s"""{"snapshot-id":${snapId + 1},"timestamp-ms""""))
+    assert(validate(out).exists(_.contains("snapshot-log")),
+      "walker must reject a snapshot-log entry naming an unknown snapshot")
+  }
+
+  test("mutation: a string-rendered numeric default is caught") {
+    import org.apache.spark.sql.types.IntegerType
+    val t = buildTable()
+    t.addColumn("bonus", IntegerType, Some("7"), None)
+    val out = export(t)
+    val p = java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")
+    val s = java.nio.file.Files.readString(p)
+    assert(s.contains("\"initial-default\":7"), "numeric default not found")
+    java.nio.file.Files.writeString(p,
+      s.replace("\"initial-default\":7", "\"initial-default\":\"7\""))
+    assert(validate(out).exists(_.contains("JSON number")),
+      "walker must reject a string-rendered int default")
   }
 }
