@@ -53,9 +53,23 @@ object AvroDataRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], outSchema)
     val targets = fileSchema.fields
+    // ship the session's Hadoop conf to the tasks as plain entries
+    // (Configuration itself is not serializable), so the decode opens
+    // through the same FileSystem layer as the parquet/ORC paths — a
+    // layout on object storage reads exactly like file://
+    val confArr: Array[(String, String)] = {
+      val c = spark.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
+    val bConf = spark.sparkContext.broadcast(confArr)
     val rdd = spark.sparkContext
       .parallelize(paths, paths.size)
       .mapPartitions { it =>
+        val hconf = new org.apache.hadoop.conf.Configuration(false)
+        bConf.value.foreach { case (k, v) => hconf.set(k, v) }
         // close the in-flight reader even when the task stops early
         // (limit, take, failure) — exhaustion is not guaranteed
         var open: DataFileReader[GenericRecord] = null
@@ -68,7 +82,8 @@ object AvroDataRead {
           // form (file:///…) — decode like every other read path does
           val local = GraftTable.decodePath(path)
           val reader = new DataFileReader[GenericRecord](
-            new java.io.File(local), new GenericDatumReader[GenericRecord]())
+            new org.apache.avro.mapred.FsInput(hadoopPath(path), hconf),
+            new GenericDatumReader[GenericRecord]())
           open = reader
           val conv = structConverter(reader.getSchema, targets)
           val base = new Iterator[Row] {
@@ -84,6 +99,18 @@ object AvroDataRead {
       }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Manifest `file_path` → Hadoop Path: URI-form paths (file:///…,
+    * s3a://…) keep their scheme and percent-decode through java.net.URI
+    * (Hadoop's Path(URI) takes decoded components); scheme-less paths
+    * resolve against the default FileSystem.
+    */
+  private def hadoopPath(raw: String): org.apache.hadoop.fs.Path =
+    try {
+      val u = new java.net.URI(raw)
+      if (u.getScheme != null) new org.apache.hadoop.fs.Path(u)
+      else new org.apache.hadoop.fs.Path(raw)
+    } catch { case _: Exception => new org.apache.hadoop.fs.Path(raw) }
 
   /** GenericRecord → external-typed Row for `targets`, resolving writer
     * fields by field-id property; unmatched targets → null. The
