@@ -149,19 +149,25 @@ object Blooms {
   /** The same test as a predicate over the manifest DataFrame (columns:
     * `bloom: struct<path, cols: map<string, struct<off, len>>>`) — the
     * distributed planning path. Each executor row reads only its own
-    * bloom byte range; rows without a bloom pass. The reads happen on
-    * executors (a deliberate UDF: this is manifest planning, O(files)
-    * rows, not the data hot path).
+    * bloom byte range; rows without a bloom pass. The probe is a
+    * [[BloomProbe.mayMatch]] StaticInvoke (hashes ship as an array
+    * literal), so the manifest-planning stage stays inside
+    * WholeStageCodegen instead of breaking fusion on a ScalaUDF.
     */
   def mayMatchColumn(bPreds: Seq[BloomPred]): Column =
     bPreds.map { p =>
-      val hashes = p.anyOf // serializable closure capture
-      val test = udf((path: String, off: Long, len: Long) =>
-        readBloom(path, off, len)
-          .forall(b => hashes.exists(b.mightContainLong)))
       val range = col("bloom")("cols")(p.col)
+      val test = org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BloomProbe.getClass, BooleanType, "mayMatch",
+          Seq(col("bloom")("path"), range("off"), range("len"),
+            lit(p.anyOf.toArray))
+            .map(org.apache.spark.sql.graft.Bridge.expression),
+          inputTypes =
+            Seq(StringType, LongType, LongType, ArrayType(LongType)),
+          propagateNull = true, returnNullable = false))
       when(col("bloom").isNull || range.isNull, lit(true))
-        .otherwise(test(col("bloom")("path"), range("off"), range("len")))
+        .otherwise(test)
     }.foldLeft(lit(true))(_ && _)
 
   /** Spark SQL schema of the manifest `bloom` column. */
@@ -170,4 +176,22 @@ object Blooms {
     StructField("cols", MapType(StringType, StructType(Seq(
       StructField("off", LongType),
       StructField("len", LongType))))))))
+}
+
+/** Static holder for the bloom-probe StaticInvoke target: a top-level
+  * object gets a static forwarder that generated code calls directly
+  * (the same pattern as GraftTable's PathCodec).
+  */
+object BloomProbe {
+  /** Does the sidecar bloom at (path, off, len) admit ANY of `hashes`?
+    * Unreadable/missing bloom → true (keep — conservative, exactly like
+    * [[Blooms.entryMayMatch]]).
+    */
+  def mayMatch(path: org.apache.spark.unsafe.types.UTF8String,
+      off: Long, len: Long,
+      hashes: org.apache.spark.sql.catalyst.util.ArrayData): Boolean =
+    Blooms.readBloom(path.toString, off, len).forall { b =>
+      (0 until hashes.numElements())
+        .exists(i => b.mightContainLong(hashes.getLong(i)))
+    }
 }

@@ -111,7 +111,7 @@ class BloomSpec extends SparkSpec {
       (0L until 8000L).count(_ % 7 == 3))
   }
 
-  test("distributed planning path prunes identically via the bloom UDF") {
+  test("distributed planning path prunes identically via the bloom probe") {
     val t = buildTable(tmp(), Map(Blooms.ColumnsProp -> "id",
       Blooms.ItemsProp -> "2000"))
     val ids = Seq(99L, 5050L, 6301L)
@@ -123,6 +123,14 @@ class BloomSpec extends SparkSpec {
         t.planFilesDistributed(Some(col("id") === id))
           .collect().map(_.getString(0)).toSet)
       assert(driverKept == distKept)
+      // the bloom probe is a StaticInvoke, not a ScalaUDF: the
+      // manifest-planning stage must stay inside WholeStageCodegen
+      val pdf = t.planFilesDistributed(Some(col("id") === 99L))
+      pdf.collect() // finalize AQE so codegen spans are visible
+      val p = pdf.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+        s"bloom planning stage contains a Scala UDF:\n$p")
+      assert(p.contains("*("), s"no codegen span in bloom planning:\n$p")
       // scan through the distributed planner also loses nothing
       ids.foreach(id =>
         assert(t.scan(Some(col("id") === id)).count() == 1))
