@@ -28,7 +28,16 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset run (comma-separated keys or key prefixes via
+    // SPARK_GRAFT_BENCH_KEYS, e.g. "q,d_dedup") — used for cross-scale
+    // headline comparisons where the full write/read integration demos
+    // would only measure table construction
+    val keyFilter: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      keyFilter.forall(_.exists(k => name == k || name.startsWith(k)))
+    val results = SparkEntry.queries.toSeq.filter(q => selected(q._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         // noop sink executes the FULL plan (count() would let Catalyst
@@ -120,9 +129,14 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"robust":$rob,"sf":"$sfDir"}"""
     println(line)
     // the full line also lands in the repo, so per-query timings survive
-    // any stdout-tail truncation and stay diffable across rounds
+    // any stdout-tail truncation and stay diffable across rounds. Subset
+    // runs default to a separate file so they never displace the driver's
+    // full-run regression baseline.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (keyFilter.isEmpty) "/root/repo/bench_detail.json"
+      else "/root/repo/bench_subset.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_detail.json"), line + "\n")
+      java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Exception => () }
     spark.stop()
   }

@@ -2,51 +2,80 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Physical-plan audit: for each headline query, dump the formatted plan
-  * and flag the properties that matter at 100 TB — filters pushed to the
-  * parquet scan, column-pruned read schemas, broadcast joins on dims, no
-  * unintended cartesian products, wide WholeStageCodegen coverage.
+/** Plan-shape audit across scale factors: executes each headline query at
+  * the given sf dir and records a fingerprint of the FINAL (post-AQE)
+  * physical plan — join strategies, exchanges, aggregate kinds, top-k
+  * operators, codegen spans. Diffing two runs (sf0.1 vs sf1) catches the
+  * scale failures timing alone hides: a broadcast join silently flipping
+  * to a sort-merge, a TakeOrdered degrading to a global sort, an extra
+  * shuffle appearing.
   *
-  * Usage: runMain graft.PlanAudit [sfDir] [query ...]
+  * Plans are fingerprinted AFTER execution so AQE's runtime re-planning is
+  * what gets audited, not the static guess.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir] [outJson]
   */
 object PlanAudit {
+  /** Operators whose counts define a plan's scale-relevant shape. */
+  val Ops: Seq[String] = Seq(
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+    "Exchange hashpartitioning", "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "TakeOrderedAndProject", "GlobalLimit",
+    "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+    "Window", "Generate", "Expand", "BroadcastExchange")
+
+  /** §2.1 relational + §2.4 dedup/ANN headline set (prefix match). */
+  val Headline: Seq[String] = Seq(
+    "q", // all 25 relational queries
+    "d_dedup_exact", "d_dedup_minhash", "d_dedup_cluster", "d_dedup_simhash",
+    "d_dedup_substring", "d_dedup_embed", "d_ngram_jaccard",
+    "d_embed_cosine_topk", "d_ann_lsh", "d_ann_ivf", "d_ann_pq",
+    "d_ann_ivfpq", "d_kmeans_embed")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val only = args.drop(1).toSet
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outPath = args.lift(1).getOrElse("plan_audit.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions",
+        "graft.connector.GraftSparkSessionExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("WARN")
 
-    val audit = Seq(
-      "q01_pricing_summary", "q02_filter_project", "q03_join_agg",
-      "q04_broadcast_join", "q05_multi_join", "q06_semi_join",
-      "q09_window_rank", "q16_topk_per_group", "q21_json_extract",
-      "q22_cross_join", "d_dedup_exact", "d_dedup_minhash",
-      "d_embed_cosine_topk", "d_ann_lsh", "d_lang_id", "t_bucket")
-      .filter(q => only.isEmpty || only.contains(q))
-
-    audit.foreach { name =>
-      val df = Registry.byName(name).fn(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
-      val pushed = "PushedFilters: \\[[^\\]\\n]+".r
-        .findAllIn(plan).toSeq.filterNot(_.contains("[]"))
-      val scans = "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq
-      val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
-      val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
-      val bnl = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-      val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size
-      println(s"== $name")
-      println(s"   pushedFilters=${pushed.size} broadcastHJ=$broadcasts " +
-        s"sortMergeJoin=$smj cartesian=$cart bcastNL=$bnl codegenSpans=$codegen")
-      pushed.take(3).foreach(p => println(s"   $p"))
-      scans.take(4).foreach(s => println(s"   ${s.take(150)}"))
-      if (sys.env.contains("PLAN_FULL")) println(plan)
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => Headline.exists(h => k == h || k.startsWith(h)))
+    val rows = keys.flatMap { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save() // finalize AQE
+        // AQE plan strings repeat nodes under "== Initial Plan ==" —
+        // fingerprint the final section only
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val counts = Ops.map(op => op ->
+          (p.split(java.util.regex.Pattern.quote(op), -1).length - 1))
+          .filter(_._2 > 0)
+        val codegen = p.linesIterator.count(_.contains("WholeStageCodegen"))
+        spark.catalog.clearCache()
+        val fields = (counts :+ ("WholeStageCodegen" -> codegen))
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        Some(s""""$name":{$fields}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[planaudit] $name FAILED: ${e.getMessage}")
+          Some(s""""$name":{"FAILED":1}""")
+      }
     }
+    val json = s"""{"sf":"$sfDir","plans":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    println(s"[planaudit] wrote ${rows.size} fingerprints to $outPath")
     spark.stop()
   }
 }
