@@ -165,12 +165,14 @@ class GraftBatchScan(protected val graft: GraftTable,
           // undecodable partition value → fall back to unkeyed splits
           plannedKeyGroups = -1
           GraftRead.binPack(spark,
-            files.map(f => (f.path, f.schemaId, f.fileSize)), splitOk)
+            files.map(f => (f.path, f.schemaId, f.fileSize, f.format)),
+            splitOk)
         }
       case _ =>
         plannedKeyGroups = -1
         GraftRead.binPack(spark,
-          files.map(f => (f.path, f.schemaId, f.fileSize)), splitOk)
+          files.map(f => (f.path, f.schemaId, f.fileSize, f.format)),
+          splitOk)
     }
     plannedCache = out
     out
@@ -188,9 +190,10 @@ class GraftBatchScan(protected val graft: GraftTable,
       .flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).flatMap(meta.schemaById)
       .getOrElse(meta.currentSchema)
-    val sids = planInputPartitions()
-      .map(_.asInstanceOf[GraftSplit].schemaId).distinct
-    GraftRead.factoryFor(spark, meta, readIce, prunedSchema, pushed, sids)
+    val keys = planInputPartitions()
+      .map(p => { val g = p.asInstanceOf[GraftSplit]
+        (g.schemaId, g.format) }).distinct
+    GraftRead.factoryFor(spark, meta, readIce, prunedSchema, pushed, keys)
   }
 
   // Scan equality enables exchange reuse and is required for runtime
@@ -239,7 +242,8 @@ object GraftRead {
     * are counted per FILE from zero, so those scans must read whole
     * files.
     */
-  def binPack(spark: SparkSession, files: Seq[(String, Int, Long)],
+  def binPack(spark: SparkSession,
+      files: Seq[(String, Int, Long, String)],
       splitLargeFiles: Boolean = true): Array[InputPartition] = {
     val target = math.max(1L << 20,
       spark.sessionState.conf.filesMaxPartitionBytes)
@@ -250,10 +254,13 @@ object GraftRead {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(hadoop).getFileStatus(p).getLen
       }
-    files.groupBy(_._2).toSeq.flatMap { case (sid, es) =>
+    // one (schema, format) group per split: the reader recipe differs
+    // by both. Both parquet and orc range-split by bytes (readers
+    // process the row groups / stripes whose start falls in range).
+    files.groupBy(f => (f._2, f._4)).toSeq.flatMap { case ((sid, fmt), es) =>
       val ranges = es.flatMap(e =>
         splitRanges(e._1, sizeOf(e._1, e._3), target, splitLargeFiles))
-      packBins(ranges, target).map(b => GraftInputPartition(sid, b))
+      packBins(ranges, target).map(b => GraftInputPartition(sid, b, fmt))
     }.toArray
   }
 
@@ -315,12 +322,14 @@ object GraftRead {
         case (vOpt, (_, dt)) =>
           vOpt.map(decodePartitionValue(_, dt)).orNull
       }.toArray
-      fs.groupBy(_.schemaId).toSeq.flatMap { case (sid, es) =>
-        // ranges of one file share its partition tuple, so splitting
-        // preserves the one-key-per-split SPJ contract
-        val ranges = es.flatMap(e => splitRanges(e.path,
-          sizeOf(e.path, e.fileSize), target, splitLargeFiles))
-        packBins(ranges, target).map(b => GraftKeyedPartition(sid, b, keyVals))
+      fs.groupBy(f => (f.schemaId, f.format)).toSeq.flatMap {
+        case ((sid, fmt), es) =>
+          // ranges of one file share its partition tuple, so splitting
+          // preserves the one-key-per-split SPJ contract
+          val ranges = es.flatMap(e => splitRanges(e.path,
+            sizeOf(e.path, e.fileSize), target, splitLargeFiles))
+          packBins(ranges, target).map(b =>
+            GraftKeyedPartition(sid, b, keyVals, fmt))
       }
     }
     (splits.toArray, grouped.size)
@@ -344,22 +353,33 @@ object GraftRead {
     v
   }
 
-  /** Reader factory covering the given write-time schema ids: each group
-    * reads files under their physical column names (resolved BY FIELD ID
-    * against the logical read schema) through Spark's vectorized parquet
-    * reader, then aligns to the logical schema.
+  /** Reader factory covering the given (write-time schema id, data-file
+    * format) groups: each group reads files under their physical column
+    * names (resolved BY FIELD ID against the logical read schema)
+    * through Spark's vectorized parquet or orc reader, then aligns to
+    * the logical schema.
     */
   def factoryFor(spark: SparkSession,
       meta: graft.model.TableMetadataV2, readIce: graft.model.SchemaV2,
       prunedSchema: StructType, pushed: Array[Filter],
-      sids: Seq[Int]): GraftReaderFactory = {
-    val parquet = new ParquetFileFormat
+      groupKeys: Seq[(Int, String)]): GraftReaderFactory = {
+    val formats: Map[String, org.apache.spark.sql.execution.datasources
+        .FileFormat] = Map(
+      graft.table.DataFileEntry.Parquet -> new ParquetFileFormat,
+      graft.table.DataFileEntry.Orc -> new org.apache.spark.sql.execution
+        .datasources.orc.OrcFileFormat)
+    // `_pos` needs file-absolute row positions counted by the reader;
+    // that contract is only validated for the parquet path (the engine
+    // scan refuses position-addressed orc reads for the same reason)
+    require(!prunedSchema.fieldNames.contains(GraftMetaColumns.Pos) ||
+      groupKeys.forall(_._2 == graft.table.DataFileEntry.Parquet),
+      "position-addressed DSv2 reads (_pos) require parquet data files")
     // resolve every group's physical schema FIRST: Spark's
     // DataSourceV2ScanExecBase forbids mixing row-based and columnar
     // input partitions in one scan, so the batch decision is a single
     // scan-wide AND over all schema groups — an evolved table whose
     // groups differ in batch support falls back to rows uniformly
-    val resolved = sids.map { sid =>
+    val resolved = groupKeys.map { case (sid, fmt) =>
       val fileSchema = meta.schemaById(sid).getOrElse(readIce)
       // physical read schema: the pruned logical columns that exist in
       // this file group, under their WRITE-TIME names. Nested struct
@@ -382,7 +402,7 @@ object GraftRead {
           (f.name, StructField(ff.name, physType, nullable = true), realign)
         }
       }
-      (sid, physFields)
+      (sid, fmt, physFields)
     }
     // v3 initial-defaults for columns a file group predates, in
     // Catalyst internal form — the same string→typed cast the native
@@ -398,18 +418,18 @@ object GraftRead {
     }
     // a group missing a defaulted column projects a CONSTANT — served
     // on the row path (scan-wide batch decision, like realigns)
-    val hasMissingDefault = resolved.exists { case (_, physFields) =>
+    val hasMissingDefault = resolved.exists { case (_, _, physFields) =>
       val have = physFields.map(_._1).toSet
       prunedSchema.fields.zipWithIndex.exists { case (f, k) =>
         !have.contains(f.name) && defaults(k) != null }
     }
     val columnar = !hasMissingDefault && resolved.forall {
-      case (_, physFields) =>
-        parquet.supportBatch(spark,
+      case (_, fmt, physFields) =>
+        formats(fmt).supportBatch(spark,
           StructType(physFields.map(_._2).toArray)) &&
           physFields.forall(_._3.isEmpty)
     }
-    val groups = resolved.map { case (sid, physFields) =>
+    val groups = resolved.map { case (sid, fmt, physFields) =>
       val physSchema = StructType(physFields.map(_._2).toArray)
       val physIndex = physFields.map(_._1).zipWithIndex.toMap
       val realignByName = physFields.collect {
@@ -433,7 +453,7 @@ object GraftRead {
         if (slots.contains(GraftRead.PosSlot)) Array.empty[Filter]
         else pushed.filter(
           _.references.forall(r => physNames.contains(r)))
-      val readFunc = parquet.buildReaderWithPartitionValues(
+      val readFunc = formats(fmt).buildReaderWithPartitionValues(
         sparkSession = spark,
         dataSchema = physSchema,
         partitionSchema = StructType(Nil),
@@ -448,9 +468,10 @@ object GraftRead {
         // them (local mode hands broadcasts back unserialized)
         hadoopConf = spark.sessionState.newHadoopConf())
       if (sys.props.contains("graft.debug.scan"))
-        println(s"GROUP sid=$sid phys=${physSchema.fieldNames.mkString(",")} " +
+        println(s"GROUP sid=$sid fmt=$fmt " +
+          s"phys=${physSchema.fieldNames.mkString(",")} " +
           s"slots=${slots.mkString(",")} identity=$identity columnar=$columnar")
-      sid -> SchemaGroupReader(readFunc, slots, identity, columnar,
+      (sid, fmt) -> SchemaGroupReader(readFunc, slots, identity, columnar,
         physSchema, prunedSchema, realigns, defaults)
     }.toMap
     new GraftReaderFactory(groups)
@@ -507,7 +528,8 @@ object GraftRead {
         org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
-    new GraftReaderFactory(Map(0 -> SchemaGroupReader(readFunc,
+    new GraftReaderFactory(Map(
+      (0, graft.table.DataFileEntry.Parquet) -> SchemaGroupReader(readFunc,
       schema.indices.toArray, identity = true, columnar, schema, schema,
       Array.fill(schema.length)(None),
       Array.fill[Any](schema.length)(null))))
@@ -520,16 +542,22 @@ object GraftRead {
 sealed trait GraftSplit extends InputPartition {
   def schemaId: Int
   def files: Array[(String, Long, Long)]
+  /** Data-file format of every file in this split (splits never mix
+    * formats — the reader recipe is per (schema, format) group).
+    */
+  def format: String
 }
 
 case class GraftInputPartition(schemaId: Int,
-    files: Array[(String, Long, Long)]) extends GraftSplit
+    files: Array[(String, Long, Long)],
+    format: String = graft.table.DataFileEntry.Parquet) extends GraftSplit
 
 /** A split whose rows all share one partition tuple — the unit of
   * key-grouped (storage-partitioned) execution.
   */
 case class GraftKeyedPartition(schemaId: Int,
-    files: Array[(String, Long, Long)], keyVals: Array[Any]) extends GraftSplit
+    files: Array[(String, Long, Long)], keyVals: Array[Any],
+    format: String = graft.table.DataFileEntry.Parquet) extends GraftSplit
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
@@ -551,11 +579,14 @@ case class SchemaGroupReader(
     defaults: Array[Any])
     extends Serializable
 
-class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
+class GraftReaderFactory(groups: Map[(Int, String), SchemaGroupReader])
     extends PartitionReaderFactory {
 
+  private def groupOf(p: GraftSplit): SchemaGroupReader =
+    groups((p.schemaId, p.format))
+
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    groups(partition.asInstanceOf[GraftSplit].schemaId).columnar
+    groupOf(partition.asInstanceOf[GraftSplit]).columnar
 
   private def rawIterator(p: GraftSplit): Iterator[AnyRef] =
     perFileIterator(p).flatMap(_._2)
@@ -565,7 +596,7 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
     */
   private def perFileIterator(p: GraftSplit)
       : Iterator[(String, Iterator[AnyRef])] = {
-    val g = groups(p.schemaId)
+    val g = groupOf(p)
     p.files.iterator.map { case (path, start, len) =>
       path -> g.readFunc(PartitionedFile(InternalRow.empty,
         SparkPath.fromPathString(path), start, len))
@@ -576,7 +607,7 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftSplit]
-    val g = groups(p.schemaId)
+    val g = groupOf(p)
     // the parquet reader may yield ColumnarBatch even on the row path
     // (vectorized reader); flatten defensively
     def rowsOf(raw: Iterator[AnyRef]): Iterator[InternalRow] = raw.flatMap {
@@ -624,7 +655,7 @@ class GraftReaderFactory(groups: Map[Int, SchemaGroupReader])
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftSplit]
-    val g = groups(p.schemaId)
+    val g = groupOf(p)
     val aligned: Iterator[ColumnarBatch] =
       if (g.identity) rawIterator(p).map(_.asInstanceOf[ColumnarBatch])
       else perFileIterator(p).flatMap { case (path, raw) =>

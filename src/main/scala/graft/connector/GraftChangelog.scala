@@ -144,7 +144,8 @@ class GraftChangelogScan(graft: GraftTable, outSchema: StructType,
     val to = toSnapshot.orElse(graft.metadata.currentSnapshotId)
       .getOrElse(return Array.empty)
     val files = GraftChangelog.stage(spark, graft, "batch", startSeq, to)
-    GraftRead.binPack(spark, files.map(f => (f._1, 0, f._2)))
+    GraftRead.binPack(spark,
+      files.map(f => (f._1, 0, f._2, _root_.graft.table.DataFileEntry.Parquet)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -216,7 +217,8 @@ class GraftChangelogStream(graft: GraftTable, outSchema: StructType,
       .find(_.sequenceNumber == to).getOrElse(throw new IllegalStateException(
         s"no snapshot at sequence $to (expired mid-plan?)")).snapshotId
     val files = GraftChangelog.stage(spark, graft, key, from, toSnap)
-    GraftRead.binPack(spark, files.map(f => (f._1, 0, f._2)))
+    GraftRead.binPack(spark,
+      files.map(f => (f._1, 0, f._2, _root_.graft.table.DataFileEntry.Parquet)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -239,18 +239,31 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     // table plans O(batch), never materializing the full entry list
     val files = graft
       .plannedConnectorFiles(filterColumn, None, Some((from, to)))
-      .map(f => (f.path, f.schemaId, f.fileSize))
-    GraftRead.binPack(spark, files,
-      splitLargeFiles =
-        !prunedSchema.fieldNames.contains(GraftMetaColumns.Pos))
+      .map(f => (f.path, f.schemaId, f.fileSize, f.format))
+    val posRead = prunedSchema.fieldNames.contains(GraftMetaColumns.Pos)
+    if (posRead) files.find(
+        _._4 != _root_.graft.table.DataFileEntry.Parquet).foreach(f =>
+      throw new IllegalArgumentException(
+        s"position-addressed streaming reads (_pos) require parquet " +
+          s"data files; ${f._1} is ${f._4}"))
+    GraftRead.binPack(spark, files, splitLargeFiles = !posRead)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val meta = graft.metadata
-    // cover every schema the table has ever written under — a factory is
-    // built once per batch and must read any planned file group
+    // cover every (schema, format) group the table has ever written
+    // under — a factory is built once per batch and must read any
+    // planned file group. Position-addressed streams stay parquet-only
+    // (the _pos contract is validated for the parquet reader alone), so
+    // orc keys are added only for plain reads.
+    val fmts =
+      if (prunedSchema.fieldNames.contains(GraftMetaColumns.Pos))
+        Seq(_root_.graft.table.DataFileEntry.Parquet)
+      else Seq(_root_.graft.table.DataFileEntry.Parquet,
+        _root_.graft.table.DataFileEntry.Orc)
     GraftRead.factoryFor(spark, meta, meta.currentSchema, prunedSchema,
-      pushed, meta.schemas.map(_.schemaId))
+      pushed, for (sid <- meta.schemas.map(_.schemaId); f <- fmts)
+        yield (sid, f))
   }
 
   override def commit(end: Offset): Unit = ()

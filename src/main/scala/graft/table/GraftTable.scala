@@ -1336,13 +1336,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           coalesce(col("format"), lit(DataFileEntry.Parquet)))
         .collect().toSeq
         .map { r =>
-          requireConnectorParquet(r.getString(0), r.getString(5))
+          requireConnectorFormat(r.getString(0), r.getString(5))
           val part =
             if (r.isNullAt(4)) Map.empty[String, Option[String]]
             else r.getMap[String, String](4).toMap
               .map { case (k, v) => k -> Option(v) }
           ConnectorFile(r.getString(0), r.getInt(1), r.getLong(2),
-            r.getLong(3), part)
+            r.getLong(3), part, r.getString(5))
         }
     } else {
       val es = planFilesFor(meta, filter, asOf)
@@ -1350,9 +1350,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         es.filter(e => e.sequenceNumber > from && e.sequenceNumber <= to)
       }
       ranged.map { e =>
-        requireConnectorParquet(e.path, e.format)
+        requireConnectorFormat(e.path, e.format)
         ConnectorFile(e.path, e.schemaId, e.sequenceNumber, e.fileSize,
-          e.partition)
+          e.partition, e.format)
       }
     }
   }
@@ -1362,11 +1362,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * to the parquet reader would throw deep inside an executor task
     * (or worse). The native scan() handles mixed-format tables.
     */
-  private def requireConnectorParquet(path: String, fmt: String): Unit =
-    require(fmt == DataFileEntry.Parquet,
-      s"the DSv2/SQL read path reads parquet only; $path is $fmt — " +
-        "read mixed-format adopted tables via GraftTable.scan() or " +
-        "compact() them to parquet first")
+  /** The DSv2/SQL read path delegates parquet AND orc to Spark's
+    * vectorized file formats; avro has no FileFormat in this build, so
+    * adopted avro still refuses to the engine scan (which decodes it).
+    */
+  private def requireConnectorFormat(path: String, fmt: String): Unit =
+    require(fmt == DataFileEntry.Parquet || fmt == DataFileEntry.Orc,
+      s"the DSv2/SQL read path reads parquet and orc only; $path is " +
+        s"$fmt — read avro-bearing adopted tables via GraftTable.scan() " +
+        "or compact() them to parquet first")
 
   /** Conf-visible planning threshold (the connector's statistics path
     * must honor the same dispatch as planning).
@@ -3818,7 +3822,8 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
   */
 case class ConnectorFile(path: String, schemaId: Int,
     sequenceNumber: Long, fileSize: Long,
-    partition: Map[String, Option[String]])
+    partition: Map[String, Option[String]],
+    format: String = DataFileEntry.Parquet)
 
 /** One WHEN clause of a generalized MERGE (`GraftTable.mergeApply`):
   * within a clause list, the first action whose condition evaluates TRUE

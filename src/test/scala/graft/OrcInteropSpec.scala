@@ -126,25 +126,37 @@ class OrcInteropSpec extends SparkSpec {
     assert(t.scan().count() == 200L)
   }
 
-  test("DSv2 refuses ORC files up front; compaction migrates to parquet") {
+  test("DSv2 delegates adopted ORC scans to Spark's vectorized reader") {
     val (dir, _) = buildOrcLayout(300)
     val t = IcebergInterop.adoptTable(spark, dir, tmp("adopted5") + "/t")
-    // COUNT(*) stays metadata-only (no file ever opens) — that path is
-    // format-agnostic by design and must keep working
+    // COUNT(*) stays metadata-only (no file ever opens)
     assert(spark.read.format("graft").load(t.location).count() == 300L)
-    // a real row read through the vectorized DSv2 reader is
-    // parquet-only: refuse at PLANNING with a message naming the
-    // migration path, never inside a task
+    // plain row reads now go through Spark's vectorized ORC FileFormat
+    // inside the same DSv2 scan — values correct, plan COLUMNAR
+    val df = spark.read.format("graft").load(t.location)
+    val agg = df.agg(sum("id"))
+    // collect() (not head(), which re-plans under a limit) so THIS
+    // queryExecution runs and AQE finalizes the inspected plan
+    assert(agg.collect().head.getLong(0) == (1L to 300L).sum)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"adopted-orc DSv2 scan should plan columnar:\n$plan")
+    assert(df.filter(col("name") === "n3").count() ==
+      (1 to 300).count(_ % 7 == 3))
+    // mixed formats: a native parquet append lands next to the orc
+    // files and ONE DSv2 scan reads both (schema, format) groups
+    import spark.implicits._
+    t.append((301L to 320L).map(i => (i, s"n${i % 7}", i * 2.5))
+      .toDF("id", "name", "score"))
+    val mixed = spark.read.format("graft").load(t.location)
+    assert(mixed.count() == 320L)
+    assert(mixed.agg(sum("id")).head().getLong(0) == (1L to 320L).sum)
+    // position-addressed DSv2 reads stay parquet-only: refuse on the
+    // driver with a message naming the requirement, never inside a task
     val e = intercept[Exception] {
       spark.read.format("graft").load(t.location)
-        .agg(sum("id")).head() }
-    assert(e.getMessage.contains("parquet") &&
-      e.getMessage.contains("compact"), e.getMessage)
-    // compact() rewrites everything to parquet — DSv2 works after
-    t.compact()
-    val viaDsv2 = spark.read.format("graft").load(t.location)
-    assert(viaDsv2.count() == 300L)
-    assert(viaDsv2.agg(sum("id")).head().getLong(0) == (1L to 300L).sum)
+        .select(col("id"), col("_pos")).collect() }
+    assert(e.getMessage.contains("parquet"), e.getMessage)
   }
 
   test("unknown data-file formats refuse with a clear message") {
