@@ -32,7 +32,8 @@ object GraftProcedures {
     "fast_forward", "rewrite_manifests", "analyze_table",
     "create_changelog_view", "set_sort_order", "evolve_partition_spec",
     "rollback_to_timestamp", "rewrite_position_deletes",
-    "convert_equality_deletes", "compute_partition_stats")
+    "convert_equality_deletes", "compute_partition_stats",
+    "compute_delete_attribution")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -280,6 +281,21 @@ object GraftProcedures {
           Seq(ref.snapshotId, UTF8String.fromString(ref.path),
             ref.fileSizeBytes)
       })
+      // data-plane maintenance: apply uncovered-spec equality deletes
+      // to data ONCE, cache exact per-partition counts, and rewrite the
+      // partition-statistics artifact with them — `.partitions` serves
+      // exact (non-NULL) counts until the next commit invalidates it
+      case "compute_delete_attribution" =>
+        Some(p("compute_delete_attribution",
+          Seq(table),
+          StructType(Seq(StructField("snapshot_id", LongType),
+            StructField("stats_path", StringType),
+            StructField("file_size_bytes", LongType)))) {
+          (t, _) =>
+            val ref = t.computeDeleteAttribution()
+            Seq(ref.snapshotId, UTF8String.fromString(ref.path),
+              ref.fileSizeBytes)
+        })
       // row-level CDC as a queryable temp view:
       //   CALL g.system.create_changelog_view('db.t', 'changes_v')
       // from/to default to the full history up to the current snapshot

@@ -3625,6 +3625,140 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     (Some(att), uncov.result(), true)
   }
 
+  /** The exact-attribution cache written by [[computeDeleteAttribution]]
+    * — (__pkey, spec_id, __xeqr, __xeqf) — but ONLY if it was computed
+    * at the CURRENT snapshot; any commit since invalidates it (the
+    * stale registration stays in properties, harmlessly ignored, until
+    * the next CALL overwrites it).
+    */
+  private def exactEqAttributionSidecar(): Option[DataFrame] = {
+    val meta = metadata
+    val props = meta.properties.getOrElse(Map.empty)
+    for {
+      s <- props.get(GraftTable.EqAttributionSnapProp)
+      p <- props.get(GraftTable.EqAttributionPathProp)
+      cur <- meta.currentSnapshotId
+      if s.toLong == cur && Files.exists(Paths.get(p))
+    } yield spark.read.parquet(p)
+      .select(col("__pkey"), col("spec_id"),
+        col("__xeqr"), col("__xeqf"))
+  }
+
+  /** Compute EXACT equality-delete attribution for specs the delete
+    * keys do not cover, by applying the deletes to data once (the
+    * data-plane answer the NULL-means-unknown metadata path cannot
+    * give): a delete RECORD attributes to a partition iff at least one
+    * row of that partition's data files matches it under the scan's own
+    * rule — null-safe key equality, delete sequence STRICTLY above the
+    * row's. Record count is delete records (a record matching rows in
+    * two partitions counts toward both); file count is distinct delete
+    * files. Signatures that DO cover the spec stay key-mapped (same
+    * numbers as the covered-spec path), so the two sum without double
+    * counting — a delete file has exactly one signature.
+    *
+    * The result is cached as a sidecar parquet under `stats/` and
+    * registered in table properties keyed by the current snapshot;
+    * `.partitions` and the partition-statistics writer serve exact
+    * counts from it until the next commit invalidates it. Returns the
+    * partition-statistics file written AFTER registration, which
+    * therefore carries the exact counts.
+    */
+  def computeDeleteAttribution(): graft.model.StatisticsFileRef = {
+    val meta = metadata
+    val sid = meta.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $location"))
+    val (attOpt, uncovSpecs, _) = equalityDeleteAttribution()
+    if (uncovSpecs.nonEmpty) {
+      import spark.implicits._
+      val schema = meta.currentSchema
+      val eqEntries = liveManifests(None).filter(_.content == 2)
+        .flatMap(_.entries)
+      val bySig = eqEntries.groupBy(_.eqColumns)
+      def covers(spec: PartitionSpec, sig: Seq[String]): Boolean =
+        spec.fields.forall(pf =>
+          schema.fieldById(pf.sourceId).exists(f => sig.contains(f.name)))
+      val specsById = meta.partitionSpecs.map(s => s.specId -> s).toMap
+      // (signature, uncovered specs it fails to cover) — only these
+      // pairs need the data pass; covering signatures reuse the
+      // key-mapped rows already in attOpt
+      val uncovPairs = bySig.keys.toSeq.map(sig =>
+        sig -> uncovSpecs.filter(id =>
+          specsById.get(id).exists(sp => !covers(sp, sig))))
+        .filter(_._2.nonEmpty)
+      // data files of uncovered specs — a maintenance CALL, so the
+      // driver-side entry list (O(files), same plane as filesDf) is the
+      // honest cost; the matching itself is fully distributed
+      val dataEntries = liveManifests(None).filter(_.content == 0)
+        .flatMap(_.entries)
+        .filter(e => uncovSpecs.contains(e.specId.getOrElse(0)))
+      val fileMeta = broadcast(dataEntries.map(e => (e.path,
+          e.partition.map { case (k, v) => k -> v.orNull },
+          e.specId.getOrElse(0), e.sequenceNumber))
+        .toDF(GraftTable.FileCol, "__pmap", "spec_id", "__dseq"))
+      val neededCols = uncovPairs.flatMap(_._1).distinct
+      val readSchema = schema.copy(fields =
+        schema.fields.filter(f => neededCols.contains(f.name)))
+      val aligned = GraftTable.readAlignedFilesCore(spark, meta,
+          dataEntries.map(e => (e.path, e.schemaId)), readSchema,
+          withFile = true,
+          formatOf = dataEntries.map(e => e.path -> e.format).toMap)
+        .join(fileMeta, Seq(GraftTable.FileCol))
+        .withColumn("__pkey", GraftTable.partitionKeyCol(col("__pmap")))
+      val matchedParts = uncovPairs.map { case (sig, specs) =>
+        val dels = bySig(sig)
+        dels.find(_.format != DataFileEntry.Parquet).foreach(e =>
+          throw new IllegalArgumentException(
+            s"equality-delete file ${e.path} is ${e.format}; this " +
+              "build reads parquet equality deletes only"))
+        // one row per delete RECORD (duplicate keys count separately,
+        // like the key-mapped count(1)), with its file and sequence
+        val recs = dels.groupBy(_.sequenceNumber).map { case (dseq, ds) =>
+          spark.read.parquet(ds.map(_.path).distinct: _*)
+            .select(sig.map(c => col(c).as(s"__gfeq_$c")) ++ Seq(
+              GraftTable.decodeCanonCol(col("_metadata.file_path"))
+                .as("__eqfile"),
+              lit(dseq).as("__delseq")): _*)
+        }.reduce(_.unionByName(_))
+        // existence witness per (key tuple, partition): the EARLIEST
+        // data sequence — "some row below the delete's sequence" is
+        // exactly min(data seq) < delete seq
+        val cand = aligned
+          .filter(col("spec_id").isin(specs.toSeq: _*))
+          .groupBy(sig.map(col) ++ Seq(col("__pkey"), col("spec_id")): _*)
+          .agg(min(col("__dseq")).as("__minseq"))
+        val cond = sig.map(c => col(c) <=> col(s"__gfeq_$c"))
+          .reduce(_ && _) && col("__delseq") > col("__minseq")
+        recs.join(cand, cond)
+          .groupBy("__pkey", "spec_id")
+          .agg(count(lit(1)).as("__eqr"),
+            count_distinct(col("__eqfile")).as("__eqf"))
+      }
+      val coveredParts = attOpt.map(_.filter(
+        col("spec_id").isin(uncovSpecs.toSeq: _*))).toSeq
+      val exact = (matchedParts ++ coveredParts)
+        .reduce(_.unionByName(_))
+        .groupBy("__pkey", "spec_id")
+        .agg(sum("__eqr").as("__xeqr"), sum("__eqf").as("__xeqf"))
+      val dir = Paths.get(location, "stats")
+      Files.createDirectories(dir)
+      val rand = java.util.UUID.randomUUID.toString.take(8)
+      val tmpDir = dir.resolve(s"eq-attribution-tmp-$rand")
+      exact.coalesce(1).write.parquet(tmpDir.toString)
+      val part = Files.list(tmpDir).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          "no attribution parquet written"))
+      val target = dir.resolve(s"eq-attribution-$sid-$rand.parquet")
+      Files.move(part, target)
+      Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      updateProperties(Map(
+        GraftTable.EqAttributionSnapProp -> Some(sid.toString),
+        GraftTable.EqAttributionPathProp -> Some(target.toString)))
+    }
+    writePartitionStats()
+  }
+
   /** Join per-partition delete attribution onto a per-partition
     * aggregate: `agg` and `base` must carry (`__pkey`, `spec_id`) —
     * the INJECTIVE partition join key (see partitionKeyCol) — and
@@ -3670,14 +3804,27 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val unknown =
         if (uncovSpecs.isEmpty) lit(false)
         else col("spec_id").isin(uncovSpecs.toSeq: _*)
-      joined
+      // exact attribution cache (computeDeleteAttribution): valid only
+      // while its snapshot id matches — a commit reverts to NULL
+      val sidecar = exactEqAttributionSidecar()
+      val withExact = sidecar match {
+        case Some(x) =>
+          joined.join(x, Seq("__pkey", "spec_id"), "left")
+        case None => joined
+          .withColumn("__xeqr", lit(null).cast(LongType))
+          .withColumn("__xeqf", lit(null).cast(LongType))
+      }
+      def eqCol(exact: String, mapped: String): Column =
+        when(unknown,
+          if (sidecar.isDefined) coalesce(col(exact), lit(0L))
+          else lit(null).cast(LongType))
+          .otherwise(coalesce(col(mapped), lit(0L)))
+      withExact
         .withColumn("equality_delete_record_count",
-          when(unknown, lit(null).cast(LongType))
-            .otherwise(coalesce(col("__eqr"), lit(0L))))
+          eqCol("__xeqr", "__eqr"))
         .withColumn("equality_delete_file_count",
-          when(unknown, lit(null).cast(LongType))
-            .otherwise(coalesce(col("__eqf"), lit(0L))))
-        .drop("__eqr", "__eqf")
+          eqCol("__xeqf", "__eqf"))
+        .drop("__eqr", "__eqf", "__xeqr", "__xeqf")
     }
   }
 
@@ -3873,6 +4020,16 @@ object GraftTable {
     * across merge-on-read deletes and compaction.
     */
   val RowLineageProp = "graft.row-lineage"
+
+  /** Properties registering the exact equality-delete attribution
+    * sidecar written by [[GraftTable.computeDeleteAttribution]]: the
+    * snapshot it was computed at and the sidecar parquet path. Served
+    * by `.partitions` / partition statistics ONLY while the snapshot id
+    * still matches — any commit invalidates the cache back to the
+    * NULL-means-unknown answer.
+    */
+  val EqAttributionSnapProp = "graft.eq-attribution.snapshot-id"
+  val EqAttributionPathProp = "graft.eq-attribution.path"
 
   /** `_row_id` lineage column name (Iceberg v3 reserved name). Virtual
     * on freshly appended files (first-row-id + position); physical in

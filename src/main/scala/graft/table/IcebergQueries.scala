@@ -645,11 +645,22 @@ object IcebergQueries {
         // the spec transform to its key values — exact attribution
         t.deleteWhereEq(src.filter(col("l_linenumber") === 6)
           .select("l_orderkey", "l_linenumber", "l_shipdate"))
-        // the `.partitions` metadata table AND the spec
+        // an equality delete whose keys do NOT cover the partition
+        // source: the metadata-only answer is NULL (unknown) — required
+        // below — until the attribution CALL applies it to data once
+        t.deleteWhereEq(src.filter(col("l_linenumber") === 5)
+          .select("l_orderkey", "l_linenumber"))
+        require(t.partitionsDf.select("equality_delete_record_count")
+          .collect().forall(_.isNullAt(0)),
+          "uncovered spec must answer NULL before the attribution CALL")
+        // the CALL: exact per-partition counts from one data pass —
+        // covered-signature records stay key-mapped, uncovered ones
+        // attribute to every partition holding a matching older row.
+        // The `.partitions` metadata table AND the spec
         // partition-statistics FILE must agree — the query serves off
         // the durable artifact (plain parquet, spec field names), and
         // the live metadata table is required to match it exactly
-        val ref = t.writePartitionStats()
+        val ref = t.computeDeleteAttribution()
         val fromFile = s.read.parquet(ref.path)
           .select(
             concat(lit("ship_month="),
@@ -677,8 +688,11 @@ object IcebergQueries {
           COUNT(*) AS record_count,
           CAST(COUNT(*) FILTER (WHERE l_linenumber = 7) AS BIGINT)
             AS deleted_rows,
-          CAST(COUNT(DISTINCT (l_orderkey, l_linenumber, l_shipdate))
-            FILTER (WHERE l_linenumber = 6) AS BIGINT)
+          CAST(COUNT(DISTINCT l_orderkey || '|' || l_linenumber
+              || '|' || l_shipdate)
+            FILTER (WHERE l_linenumber = 6)
+          + COUNT(DISTINCT l_orderkey || '|' || l_linenumber)
+            FILTER (WHERE l_linenumber = 5) AS BIGINT)
             AS eq_deleted_rows
         FROM lineitem GROUP BY 1 ORDER BY partition""")),
 

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * A true second-engine read is IMPOSSIBLE in this container: pyiceberg
   * is not installed and DuckDB's iceberg extension downloads at INSTALL
   * time — both need network, and this environment has zero egress
-  * (verified: `INSTALL iceberg` fails with ERROR Connection). The next
+  * (verified: `INSTALL iceberg` fails with ERROR Connection; re-probed
+  * round 14, same result, and ~/.duckdb/extensions is empty). The next
   * best evidence is committed golden fixtures: the export of a FIXED
   * table is canonicalized (volatile ids/paths/timestamps masked) and
   * compared byte-for-byte against files checked into
