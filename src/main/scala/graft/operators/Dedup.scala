@@ -145,12 +145,29 @@ object Dedup {
     * returning split clusters would corrupt downstream dedup decisions;
     * callers with genuinely deep chains raise `maxIter`). Returns
     * (id, label) with label = min id of the component.
+    *
+    * SKEW: a power-law graph (hubs — the shape of link graphs and
+    * coincidence-keyed dedup at web scale) concentrates one join key's
+    * rows per hub in the per-round neighbor-min join; a hub with 100M
+    * edges is one 100M-row reducer bucket no matter how many shuffle
+    * partitions exist, and AQE's skew split only divides PARTITIONS,
+    * not a single key's hash bucket in the build-side lookup. A
+    * one-time degree probe (one cheap aggregate over the edge set)
+    * routes the join through [[Skew.saltedJoin]] when the hottest
+    * degree exceeds `saltAbove` — each hot key's rows split across
+    * `salts` reducers at the cost of replicating the (id, label) table
+    * `salts`×, the right trade only under real skew, hence the probe.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15,
+      saltAbove: Long = 4000000L, salts: Int = 8): DataFrame = {
     val e0 = edges.toDF("a", "b")
     val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degree probe: the max multiplicity of the join key decides the
+    // per-round join strategy ONCE (degrees never change across rounds)
+    val degRow = sym.groupBy("b").count().agg(max("count")).head()
+    val skewed = !degRow.isNullAt(0) && degRow.getLong(0) > saltAbove
     // each round TRUNCATES lineage (localCheckpoint): without it the
     // logical plan nests one join-tree per round, making round i cost
     // O(i) analysis and deep iteration counts blow up the driver — the
@@ -162,7 +179,11 @@ object Dedup {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val nbrMin = sym.join(labels.withColumnRenamed("id", "b"), "b")
+      val lbl = labels.withColumnRenamed("id", "b")
+      val joined =
+        if (skewed) Skew.saltedJoin(sym, lbl, Seq("b"), salts)
+        else sym.join(lbl, "b")
+      val nbrMin = joined
         .groupBy(col("a").as("id")).agg(min("label").as("nbr"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
@@ -325,6 +346,34 @@ object Dedup {
           FROM reach GROUP BY a)
         SELECT label AS cluster_id, COUNT(*) AS n_members
         FROM labels GROUP BY label ORDER BY cluster_id""")),
+
+    // Connected components under POWER-LAW skew: a planted hub graph
+    // (every doc links to hub doc_id % 4) gives four join keys carrying
+    // N/4 edges each — one reducer bucket per hub regardless of shuffle
+    // partitions, the failure shape AQE's partition-split cannot fix.
+    // The low threshold trips the degree probe, routing every round's
+    // neighbor-min join through Skew.saltedJoin; the oracle pins the
+    // exact star components, so equality certifies the salted join
+    // preserves label-propagation semantics bit-for-bit.
+    GraftQuery(
+      "d_dedup_cluster_skew",
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id")
+        val edges = d.filter(col("doc_id") % 4 =!= col("doc_id"))
+          .select(col("doc_id").as("a"), (col("doc_id") % 4).as("b"))
+        connectedComponents(edges, saltAbove = 64L)
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("cluster_id")
+      },
+      // star components are closed-form: hub r collects every doc with
+      // doc_id % 4 = r (the hub node itself included, +1), label = r
+      Some("""SELECT CAST(doc_id % 4 AS BIGINT) AS cluster_id,
+          CAST(COUNT(*) FILTER (WHERE doc_id != doc_id % 4) + 1
+            AS BIGINT) AS n_members
+        FROM documents GROUP BY 1
+        HAVING COUNT(*) FILTER (WHERE doc_id != doc_id % 4) > 0
+        ORDER BY cluster_id""")),
 
     // SimHash near-dup: 60-bit signature from md5-derived token hashes,
     // 4×15-bit chunk banding (any pair with hamming distance ≤ 3 leaves

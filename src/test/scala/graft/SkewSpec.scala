@@ -22,6 +22,26 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("connectedComponents: salted path equals unsalted on a hub graph") {
+    import spark.implicits._
+    // power-law shape: two hubs of degree ~2500, plus a chain hanging
+    // off each hub (exercises multi-round propagation under salting)
+    val spokes = spark.range(10, 5000)
+      .select(col("id").as("a"), (col("id") % 2).as("b"))
+    val chain = Seq((0L, 5000L), (5000L, 5001L), (5001L, 5002L),
+      (1L, 6000L), (6000L, 6001L)).toDF("a", "b")
+    val edges = spokes.unionByName(chain)
+    def labelsOf(saltAbove: Long) =
+      graft.operators.Dedup.connectedComponents(edges,
+          saltAbove = saltAbove)
+        .orderBy("id").collect().toSeq
+    val unsalted = labelsOf(Long.MaxValue) // probe never trips
+    val salted = labelsOf(100L)            // hub degree 2500 trips it
+    assert(salted == unsalted)
+    // both resolve to exactly two components labeled by their min ids
+    assert(salted.map(_.getLong(1)).distinct.sorted == Seq(0L, 1L))
+  }
+
   test("saltedAgg matches direct aggregation for collect-style aggs") {
     import spark.implicits._
     val df = spark.range(1000)
