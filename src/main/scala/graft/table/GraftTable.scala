@@ -3691,10 +3691,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val dataEntries = liveManifests(None).filter(_.content == 0)
         .flatMap(_.entries)
         .filter(e => uncovSpecs.contains(e.specId.getOrElse(0)))
-      val fileMeta = broadcast(dataEntries.map(e => (e.path,
+      // a sized LocalRelation: Spark broadcasts it while it is small
+      // and falls back to a shuffle join at millions of files — do NOT
+      // force a broadcast that grows with the table
+      val fileMeta = dataEntries.map(e => (e.path,
           e.partition.map { case (k, v) => k -> v.orNull },
           e.specId.getOrElse(0), e.sequenceNumber))
-        .toDF(GraftTable.FileCol, "__pmap", "spec_id", "__dseq"))
+        .toDF(GraftTable.FileCol, "__pmap", "spec_id", "__dseq")
       val neededCols = uncovPairs.flatMap(_._1).distinct
       val readSchema = schema.copy(fields =
         schema.fields.filter(f => neededCols.contains(f.name)))
@@ -3752,9 +3755,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       Files.move(part, target)
       Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
         .iterator.asScala.foreach(Files.deleteIfExists(_))
+      val prev = meta.properties.getOrElse(Map.empty)
+        .get(GraftTable.EqAttributionPathProp)
       updateProperties(Map(
         GraftTable.EqAttributionSnapProp -> Some(sid.toString),
         GraftTable.EqAttributionPathProp -> Some(target.toString)))
+      // sweep the superseded sidecar AFTER the registration commits
+      // (same order as expire: a failed commit deletes nothing)
+      prev.filter(_ != target.toString)
+        .foreach(p => Files.deleteIfExists(Paths.get(p)))
     }
     writePartitionStats()
   }
