@@ -53,15 +53,35 @@ object PlanAudit {
     val rows = keys.flatMap { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save() // finalize AQE
+        // execute THIS queryExecution so ITS AdaptiveSparkPlanExec
+        // finalizes — a noop write would plan and run a SEPARATE
+        // QueryExecution, leaving df's plan the static pre-AQE guess
+        // (exactly the plan this audit must not fingerprint). toRdd
+        // keeps rows distributed; count() moves no data to the driver.
+        df.queryExecution.toRdd.count()
         // AQE plan strings repeat nodes under "== Initial Plan ==" —
         // fingerprint the final section only
         val p = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==").head
-        val counts = Ops.map(op => op ->
-          (p.split(java.util.regex.Pattern.quote(op), -1).length - 1))
-          .filter(_._2 > 0)
-        val codegen = p.linesIterator.count(_.contains("WholeStageCodegen"))
+        val counts = Ops.map { op =>
+          // word-start boundary: "ObjectHashAggregate" must not also
+          // count as "HashAggregate"
+          val m = java.util.regex.Pattern
+            .compile("(?<![A-Za-z])" + java.util.regex.Pattern.quote(op))
+            .matcher(p)
+          var n = 0
+          while (m.find()) n += 1
+          op -> n
+        }.filter(_._2 > 0)
+        // the adaptive tree marks codegen stages as "*(n)" prefixes, not
+        // the literal node name — count DISTINCT stage ids
+        val codegen = {
+          val m = java.util.regex.Pattern.compile("\\*\\((\\d+)\\)")
+            .matcher(p)
+          val ids = scala.collection.mutable.Set.empty[String]
+          while (m.find()) ids += m.group(1)
+          ids.size
+        }
         spark.catalog.clearCache()
         val fields = (counts :+ ("WholeStageCodegen" -> codegen))
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")

@@ -188,6 +188,23 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   // the trigger started, so concurrent appends don't keep the run alive
   @volatile private var availableNowCap: Option[Long] = None
 
+  // DELEGATED data-file formats present at stream start (parquet is
+  // always included — the only format the engine writes, so appends
+  // during the stream never add a format; adopted avro routes through
+  // the engine scan, not this factory). One small distributed distinct
+  // over the manifest dataset, once per stream.
+  private lazy val streamFormats: Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val present = graft.manifestDf(None)
+      .filter(coalesce(col("content"), lit(0)) === 0)
+      .select(coalesce(col("format"),
+        lit(_root_.graft.table.DataFileEntry.Parquet)).as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    (_root_.graft.table.DataFileEntry.Parquet +: present).distinct
+      .filter(f => f == _root_.graft.table.DataFileEntry.Parquet ||
+        f == _root_.graft.table.DataFileEntry.Orc)
+  }
+
   private def filterColumn =
     pushed.flatMap(FilterColumns.toColumn).reduceOption(_ && _)
 
@@ -254,13 +271,16 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     // cover every (schema, format) group the table has ever written
     // under — a factory is built once per batch and must read any
     // planned file group. Position-addressed streams stay parquet-only
-    // (the _pos contract is validated for the parquet reader alone), so
-    // orc keys are added only for plain reads.
+    // (the _pos contract is validated for the parquet reader alone);
+    // plain reads add only the DELEGATED formats actually present, so a
+    // pure-parquet stream's scan-wide columnar decision is never ANDed
+    // with OrcFileFormat.supportBatch through a phantom group (mid-
+    // stream adoption of a new format refuses clearly at read time —
+    // restart the stream to pick it up)
     val fmts =
       if (prunedSchema.fieldNames.contains(GraftMetaColumns.Pos))
         Seq(_root_.graft.table.DataFileEntry.Parquet)
-      else Seq(_root_.graft.table.DataFileEntry.Parquet,
-        _root_.graft.table.DataFileEntry.Orc)
+      else streamFormats
     GraftRead.factoryFor(spark, meta, meta.currentSchema, prunedSchema,
       pushed, for (sid <- meta.schemas.map(_.schemaId); f <- fmts)
         yield (sid, f))

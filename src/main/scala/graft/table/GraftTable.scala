@@ -3014,21 +3014,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // concentrate
     val rows = withDeleteAttribution(agg, base)
       .drop("__pkey").orderBy("partition")
-    val dir = Paths.get(location, "stats")
-    Files.createDirectories(dir)
-    val tmpDir = dir.resolve(
-      s"partition-stats-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    rows.coalesce(1).write.parquet(tmpDir.toString)
-    val part = Files.list(tmpDir).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no stats parquet written"))
-    val target = dir.resolve(
-      s"partition-stats-$sid-${java.util.UUID.randomUUID.toString.take(8)}" +
-        ".parquet")
-    Files.move(part, target)
-    // sweep the temp dir (success markers etc.)
-    Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
-      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    val target = writeSingleParquet(rows,
+      Paths.get(location, "stats"), s"partition-stats-$sid")
     val ref = graft.model.StatisticsFileRef(sid, target.toString,
       Files.size(target))
     var attempts = 0
@@ -3625,11 +3612,53 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     (Some(att), uncov.result(), true)
   }
 
+  /** Materialize `df` as ONE parquet file `<prefix>-<rand>.parquet`
+    * under `dir`: coalesce(1)-write into a temp dir, move the part file
+    * into place, sweep the temp dir (success markers etc.). Both stats
+    * artifacts (partition statistics, exact attribution sidecar) share
+    * this dance so fixes land once.
+    */
+  private def writeSingleParquet(df: DataFrame, dir: Path,
+      prefix: String): Path = {
+    Files.createDirectories(dir)
+    val rand = java.util.UUID.randomUUID.toString.take(8)
+    val tmpDir = dir.resolve(s"$prefix-tmp-$rand")
+    df.coalesce(1).write.parquet(tmpDir.toString)
+    val part = {
+      val ls = Files.list(tmpDir)
+      try ls.iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet written under $tmpDir"))
+      finally ls.close()
+    }
+    val target = dir.resolve(s"$prefix-$rand.parquet")
+    Files.move(part, target)
+    val walk = Files.walk(tmpDir)
+    // sorted() materializes the listing first, so deleting while
+    // iterating is safe; reverse order empties directories before them
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    target
+  }
+
+  /** Validity key of the exact-attribution cache: the snapshot id plus
+    * everything coverage depends on that can change WITHOUT a snapshot —
+    * schema evolution (a rename flips a spec between covered and
+    * uncovered; metadata-only, bumps currentSchemaId) and partition-spec
+    * evolution (metadata-only, changes the spec set).
+    */
+  private def eqAttributionFingerprint(meta: TableMetadataV2): String =
+    s"${meta.currentSnapshotId.getOrElse(-1L)}:${meta.currentSchemaId}:" +
+      meta.partitionSpecs.map(_.specId).sorted.mkString("-")
+
   /** The exact-attribution cache written by [[computeDeleteAttribution]]
     * — (__pkey, spec_id, __xeqr, __xeqf) — but ONLY if it was computed
-    * at the CURRENT snapshot; any commit since invalidates it (the
-    * stale registration stays in properties, harmlessly ignored, until
-    * the next CALL overwrites it).
+    * at the CURRENT (snapshot, schema, spec-set) state; any commit or
+    * metadata-only evolution since invalidates it (the stale
+    * registration stays in properties, harmlessly ignored, until the
+    * next CALL overwrites it).
     */
   private def exactEqAttributionSidecar(): Option[DataFrame] = {
     val meta = metadata
@@ -3637,8 +3666,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     for {
       s <- props.get(GraftTable.EqAttributionSnapProp)
       p <- props.get(GraftTable.EqAttributionPathProp)
-      cur <- meta.currentSnapshotId
-      if s.toLong == cur && Files.exists(Paths.get(p))
+      if s == eqAttributionFingerprint(meta) && Files.exists(Paths.get(p))
     } yield spark.read.parquet(p)
       .select(col("__pkey"), col("spec_id"),
         col("__xeqr"), col("__xeqf"))
@@ -3693,19 +3721,32 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .filter(e => uncovSpecs.contains(e.specId.getOrElse(0)))
       // a sized LocalRelation: Spark broadcasts it while it is small
       // and falls back to a shuffle join at millions of files — do NOT
-      // force a broadcast that grows with the table
-      val fileMeta = dataEntries.map(e => (e.path,
+      // force a broadcast that grows with the table. Keyed by the
+      // decoded CANONICAL path (like __dfile/__eqfile everywhere else):
+      // adopted layouts may store URI-form or non-normalized paths that
+      // the raw string would silently fail to match, yielding exact-0s
+      val fileMeta = dataEntries.map(e => (
+          GraftTable.canonPath(GraftTable.decodePath(e.path)),
           e.partition.map { case (k, v) => k -> v.orNull },
           e.specId.getOrElse(0), e.sequenceNumber))
-        .toDF(GraftTable.FileCol, "__pmap", "spec_id", "__dseq")
+        .toDF("__dfkey", "__pmap", "spec_id", "__dseq")
       val neededCols = uncovPairs.flatMap(_._1).distinct
+      val missing = neededCols.filterNot(c =>
+        schema.fields.exists(_.name == c))
+      require(missing.isEmpty,
+        s"equality-delete key column(s) ${missing.mkString(", ")} no " +
+          "longer exist in the current schema (renamed or dropped); " +
+          "exact attribution cannot match them against data")
       val readSchema = schema.copy(fields =
         schema.fields.filter(f => neededCols.contains(f.name)))
       val aligned = GraftTable.readAlignedFilesCore(spark, meta,
           dataEntries.map(e => (e.path, e.schemaId)), readSchema,
           withFile = true,
           formatOf = dataEntries.map(e => e.path -> e.format).toMap)
-        .join(fileMeta, Seq(GraftTable.FileCol))
+        .withColumn("__dfkey",
+          GraftTable.decodeCanonCol(col(GraftTable.FileCol)))
+        .drop(GraftTable.FileCol)
+        .join(fileMeta, Seq("__dfkey"))
         .withColumn("__pkey", GraftTable.partitionKeyCol(col("__pmap")))
       val matchedParts = uncovPairs.map { case (sig, specs) =>
         val dels = bySig(sig)
@@ -3742,23 +3783,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .reduce(_.unionByName(_))
         .groupBy("__pkey", "spec_id")
         .agg(sum("__eqr").as("__xeqr"), sum("__eqf").as("__xeqf"))
-      val dir = Paths.get(location, "stats")
-      Files.createDirectories(dir)
-      val rand = java.util.UUID.randomUUID.toString.take(8)
-      val tmpDir = dir.resolve(s"eq-attribution-tmp-$rand")
-      exact.coalesce(1).write.parquet(tmpDir.toString)
-      val part = Files.list(tmpDir).iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(
-          "no attribution parquet written"))
-      val target = dir.resolve(s"eq-attribution-$sid-$rand.parquet")
-      Files.move(part, target)
-      Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
-        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      val target = writeSingleParquet(exact,
+        Paths.get(location, "stats"), s"eq-attribution-$sid")
       val prev = meta.properties.getOrElse(Map.empty)
         .get(GraftTable.EqAttributionPathProp)
       updateProperties(Map(
-        GraftTable.EqAttributionSnapProp -> Some(sid.toString),
+        GraftTable.EqAttributionSnapProp ->
+          Some(eqAttributionFingerprint(meta)),
         GraftTable.EqAttributionPathProp -> Some(target.toString)))
       // sweep the superseded sidecar AFTER the registration commits
       // (same order as expire: a failed commit deletes nothing)
@@ -4032,12 +4063,13 @@ object GraftTable {
 
   /** Properties registering the exact equality-delete attribution
     * sidecar written by [[GraftTable.computeDeleteAttribution]]: the
-    * snapshot it was computed at and the sidecar parquet path. Served
-    * by `.partitions` / partition statistics ONLY while the snapshot id
-    * still matches — any commit invalidates the cache back to the
-    * NULL-means-unknown answer.
+    * (snapshot, schema, spec-set) fingerprint it was computed at and
+    * the sidecar parquet path. Served by `.partitions` / partition
+    * statistics ONLY while the fingerprint still matches — any commit,
+    * schema evolution, or spec evolution invalidates the cache back to
+    * the NULL-means-unknown answer.
     */
-  val EqAttributionSnapProp = "graft.eq-attribution.snapshot-id"
+  val EqAttributionSnapProp = "graft.eq-attribution.state"
   val EqAttributionPathProp = "graft.eq-attribution.path"
 
   /** `_row_id` lineage column name (Iceberg v3 reserved name). Virtual

@@ -69,10 +69,14 @@ object GenScale {
     val documents = Tables.tbl(spark, src, "documents")
     val embeddings = Tables.tbl(spark, src, "embeddings")
 
+    // one aggregate per keyed domain (stride() is a full-table max job)
     val sOrder = stride(orders, "o_orderkey")
     val sCust = stride(customer, "c_custkey")
     val sSupp = stride(supplier, "s_suppkey")
     val sPart = stride(part, "p_partkey")
+    val sEvent = stride(events, "event_id")
+    val sUser = stride(events, "user_id")
+    val sDoc = stride(documents, "doc_id")
 
     write(replicate(lineitem,
       "l_orderkey" -> sOrder, "l_partkey" -> sPart, "l_suppkey" -> sSupp),
@@ -87,15 +91,13 @@ object GenScale {
     write(Tables.tbl(spark, src, "region"), "region")
 
     write(replicate(events,
-      "event_id" -> stride(events, "event_id"),
-      "user_id" -> stride(events, "user_id")), "events")
+      "event_id" -> sEvent, "user_id" -> sUser), "events")
 
     // replicas are NEAR-duplicates (suffix-perturbed), not exact copies;
     // n_chars tracks the perturbed text
-    val docs = replicate(documents, "doc_id" -> stride(documents, "doc_id"))
+    val docs = replicate(documents, "doc_id" -> sDoc)
       // the replica index is recoverable from the shifted key
-      .withColumn("__r", (col("doc_id") / stride(documents, "doc_id"))
-        .cast("long"))
+      .withColumn("__r", (col("doc_id") / sDoc).cast("long"))
       .withColumn("text",
         when(col("__r") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" replica "), col("__r"))))

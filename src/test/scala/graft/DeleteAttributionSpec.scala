@@ -81,6 +81,23 @@ class DeleteAttributionSpec extends SparkSpec {
     assert(again("cat_p=c") == ((0L, 0L)), s"newer rows survive: $again")
   }
 
+  test("metadata-only schema evolution invalidates the cache too") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("cat", "k", "v")
+    val t = GraftTable.create(spark, tmp("evolve"), df.schema,
+      partitionBy = Seq(("cat", TIdentity, "cat_p")))
+    t.append(df, repartitionByPartition = true)
+    t.deleteWhereEq(Seq(1L).toDF("k"))
+    t.computeDeleteAttribution()
+    assert(eqCounts(t.partitionsDf)("cat_p=a") == ((1L, 1L)))
+    // a RENAME is metadata-only (no new snapshot) but can flip a spec
+    // between covered and uncovered — the cache must not survive it
+    t.renameColumn("v", "w")
+    val stale = eqCounts(t.partitionsDf)
+    assert(stale("cat_p=a") == ((null, null)),
+      s"schema evolution must expire the cache: $stale")
+  }
+
   test("null-safe keys; covered signatures stay key-mapped and sum") {
     import spark.implicits._
     val df = Seq(("a", Some(1L), 1.0), ("a", None, 2.0), ("b", None, 3.0))
