@@ -454,7 +454,61 @@ object StreamingQueries {
           SELECT 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
           FROM orders
         ) ORDER BY change_type"""))
+  ,
+
+    // Stream-STREAM join: purchase attribution — each purchase pairs
+    // with the same user's views in the preceding 24 hours. Two
+    // independently watermarked streams; the time-range join condition
+    // lets Spark derive state retention on BOTH sides (a view is held
+    // only until the purchase-side watermark passes view_ts + 24h), so
+    // join state is bounded by the attribution window however long the
+    // streams run — the 100 TB/forever shape. Inner join in append mode
+    // emits each qualifying pair exactly once into a durable GraftTable.
+    GraftQuery(
+      "s_stream_join",
+      (s, dir) => streamJoinDir(s, stageEvents(s, dir), Int.MaxValue),
+      Some("""SELECT v.user_id, v.event_id AS view_id,
+          p.event_id AS purchase_id,
+          CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+            AS lag_sec
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+        ORDER BY 1, 2, 3"""))
   )
+
+  /** Stream-stream attribution join over a directory of event parquet
+    * files, `maxFiles` per micro-batch — the same pair set must emerge
+    * whether the feed arrives in one batch or many (StreamingSpec feeds
+    * both). Both sides read the directory as independent streams with
+    * their own watermarks; state eviction follows the 24h range bound.
+    */
+  def streamJoinDir(s: SparkSession, srcDir: String,
+      maxFiles: Int): DataFrame = {
+    def side(evType: String, prefix: String): DataFrame =
+      graft.Tables.normalizeTs(
+        s.readStream.schema(fileSchema(s, srcDir))
+          .option("maxFilesPerTrigger", maxFiles.toString)
+          .parquet(srcDir))
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(s"${prefix}_user_id"),
+          col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val views = side("view", "view")
+    val purchases = side("purchase", "purchase")
+    val pairs = views.join(purchases,
+      col("view_user_id") === col("purchase_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("view_user_id").as("user_id"),
+        col("view_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")
+          .as("lag_sec"))
+    runToGraftTable(s, pairs)
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
 }
 
 /** Session summary emitted per closed session. */

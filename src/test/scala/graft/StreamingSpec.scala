@@ -102,6 +102,41 @@ class StreamingSpec extends SparkSpec {
     assert(multi == single,
       s"multi-batch diverged: only-multi=${(multi -- single).take(5)} " +
         s"only-single=${(single -- multi).take(5)}")
+
+    // Stream-stream join over the SAME ordered thirds: the attribution
+    // pair set must be identical whether the feed arrives in one
+    // micro-batch or three — view-side state survives across batches
+    // until the purchase-side watermark passes view_ts + 24h, so a
+    // purchase in batch 3 still finds its batch-1 views.
+    def pairTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val jMulti = pairTuples(graft.streaming.StreamingQueries
+      .streamJoinDir(spark, staging.toString, maxFiles = 1).collect())
+    val jSingle = pairTuples(graft.streaming.StreamingQueries
+      .streamJoinDir(spark, staging.toString, maxFiles = 3).collect())
+    assert(jMulti.nonEmpty)
+    assert(jMulti == jSingle,
+      s"stream-join diverged: only-multi=${(jMulti -- jSingle).take(5)} " +
+        s"only-single=${(jSingle -- jMulti).take(5)}")
+    // and the streaming answer equals the batch join restatement
+    val batch = {
+      val e = Tables.tbl(spark, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      pairTuples(v.join(p, col("user_id") === col("pu") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) " +
+            "div 1000000").as("lag_sec"))
+        .collect())
+    }
+    assert(jSingle == batch, "streaming pairs differ from the batch join")
   }
 
   test("s_stream_merge_upsert converges to batch last-event-per-user") {
