@@ -518,7 +518,14 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     val wantsLineage =
       requiredNames.exists(GraftMetaColumns.lineageNames.contains)
     val hasDeletes = graft.liveManifests(asOf).exists(_.content != 0)
-    if (hasDeletes || wantsLineage)
+    // adopted-avro tables also bridge: avro has no vectorized FileFormat
+    // in this build, and the engine scan decodes it. The flag is a table
+    // property stamped at adoption (the only way avro files enter) and
+    // cleared by a full compact() — an O(1) check, never a manifest load.
+    val hasAvro = graft.metadata.properties
+      .exists(_.get(_root_.graft.table.GraftTable.HasAvroProp)
+        .contains("true"))
+    if (hasDeletes || wantsLineage || hasAvro)
       new GraftV1Scan(graft, prunedSchema, pushed, asOf, limits)
     else new GraftBatchScan(graft, prunedSchema, pushed, asOf, limits)
   }

@@ -2593,8 +2593,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * min/max stats tighten accordingly. Conflicts rebase: the rewrite
     * re-derives against fresh state like compactBinPack.
     */
-  def compact(sortWithin: Seq[Column] = Seq.empty): SnapshotV2 =
-    retryingCommit(() => {
+  def compact(sortWithin: Seq[Column] = Seq.empty): SnapshotV2 = {
+    val snap = retryingCommit(() => {
       val meta = metadata
       val schema = meta.currentSchema
       // deletes-applied read; the replace commit reuses no manifests, so
@@ -2617,6 +2617,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         (Seq.empty, rewritten, Map.empty)
       })
     })
+    // the full rewrite replaced every live data file with parquet — an
+    // adopted-avro table is avro-free now, so restore the vectorized
+    // DSv2 path (bin-pack/incremental rewrites may leave avro files and
+    // keep the flag)
+    if (metadata.properties.exists(
+        _.get(GraftTable.HasAvroProp).contains("true")))
+      updateProperties(Map(GraftTable.HasAvroProp -> None))
+    snap
+  }
 
   /** Incremental re-cluster: rewrite the live data files as a SERIES of
     * per-file-group `replace` commits, each bounded by `maxGroupBytes` —
@@ -4071,6 +4080,16 @@ object GraftTable {
     */
   val EqAttributionSnapProp = "graft.eq-attribution.state"
   val EqAttributionPathProp = "graft.eq-attribution.path"
+
+  /** Set by adoption when the external layout carries AVRO data files —
+    * the one format Spark has no vectorized FileFormat for in this
+    * build. While set, the DSv2 connector routes scans through the V1
+    * bridge (the engine scan decodes avro); a full [[GraftTable.compact]]
+    * rewrites every live data file to parquet and clears it, restoring
+    * the columnar path. Conservative by design: avro files only ever
+    * ENTER via adoption, so the flag never under-reports.
+    */
+  val HasAvroProp = "graft.scan.has-avro"
 
   /** `_row_id` lineage column name (Iceberg v3 reserved name). Virtual
     * on freshly appended files (first-row-id + position); physical in

@@ -158,11 +158,18 @@ object IcebergInterop {
     // a Spark job — one task per source Avro manifest converts it to a
     // native JSONL manifest on an executor and returns O(1) ref rows;
     // a million-file table never funnels its entries through the driver.
+    // avro data files need the engine scan (no vectorized FileFormat);
+    // record their presence so the DSv2 connector routes through the V1
+    // bridge instead of refusing — detected per converted manifest, no
+    // extra pass
+    var hasAvro = false
     val refs: Seq[ManifestRef] =
       if (manifests.size <= 1) {
         val allEntries = manifests.flatMap { case (p, _, _) =>
           AvroManifest.readManifest(Paths.get(p))
         }
+        hasAvro = allEntries.exists(e =>
+          e.isData && e.format == DataFileEntry.Avro)
         allEntries.groupBy(_.content).toSeq.sortBy(_._1)
           .map { case (ct, es) =>
             val mf = metaDir.resolve(
@@ -175,7 +182,7 @@ object IcebergInterop {
       } else {
         val metaDirStr = metaDir.toString
         val snapId = snap.snapshotId
-        spark.sparkContext
+        val converted = spark.sparkContext
           .parallelize(manifests.zipWithIndex,
             math.max(1, math.min(manifests.size, 256)))
           .flatMap { case ((p, _, _), idx) =>
@@ -184,13 +191,15 @@ object IcebergInterop {
               val mf = Paths.get(metaDirStr,
                 f"manifest-adopt-$snapId-$idx%05d${sfxOf(ct)}.jsonl")
               DataFileEntry.writeManifest(mf, g)
-              (mf.toString, g.size.toLong, g.map(_.recordCount).sum, ct)
+              (mf.toString, g.size.toLong, g.map(_.recordCount).sum, ct,
+                g.exists(e => e.isData && e.format == DataFileEntry.Avro))
             }
           }.collect().toSeq.sortBy(_._1)
-          .map { case (mf, n, rc, ct) =>
-            ManifestRef(mf, n, rc, Some(snap.snapshotId),
-              Some(snap.sequenceNumber), content = ct)
-          }
+        hasAvro = converted.exists(_._5)
+        converted.map { case (mf, n, rc, ct, _) =>
+          ManifestRef(mf, n, rc, Some(snap.snapshotId),
+            Some(snap.sequenceNumber), content = ct)
+        }
       }
     val listPath = metaDir.resolve(
       s"snap-${snap.snapshotId}.manifest-list.json")
@@ -202,6 +211,10 @@ object IcebergInterop {
       snapshotLog = Some(Seq(SnapshotLog(snap.snapshotId, now))),
       metadataLog = None,
       lastUpdatedMs = now,
+      properties =
+        if (!hasAvro) extMeta.properties
+        else Some(extMeta.properties.getOrElse(Map.empty) +
+          (GraftTable.HasAvroProp -> "true")),
       refs = Some(Map("main" -> SnapshotRef(snap.snapshotId,
         BranchRetention(1, Long.MaxValue, Long.MaxValue)))))
     Files.write(metaDir.resolve("v1.metadata.json"),

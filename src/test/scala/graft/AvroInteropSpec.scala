@@ -300,13 +300,17 @@ class AvroInteropSpec extends SparkSpec {
     val dir = buildAvroLayout(400)
     val t = IcebergInterop.adoptTable(spark, dir, tmp("adopted") + "/t")
     assert(t.scan().count() == 400L)
-    // the VECTORIZED DSv2 row read refuses avro at planning (it drives
-    // Spark's parquet reader directly); metadata COUNT(*) still works
+    // adoption stamped the avro flag, so the DSv2 read routes through
+    // the V1 bridge (the engine scan decodes avro) instead of refusing;
+    // metadata COUNT(*) stays format-agnostic
+    assert(t.metadata.properties
+      .exists(_.get(GraftTable.HasAvroProp).contains("true")))
     assert(spark.read.format("graft").load(t.location).count() == 400L)
-    val e = intercept[Exception] {
-      spark.read.format("graft").load(t.location).agg(sum("id")).head() }
-    assert(e.getMessage.contains("parquet") &&
-      e.getMessage.contains("compact"), e.getMessage)
+    val dsv2Pre = spark.read.format("graft").load(t.location)
+    assert(dsv2Pre.agg(sum("id")).head().getLong(0) == (1L to 400L).sum)
+    assert(dsv2Pre.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }.nonEmpty, "adopted-avro DSv2 read should plan through the V1 bridge")
     // mixed formats: a native parquet append lands next to avro files
     import spark.implicits._
     t.append((401L to 450L).map(i => (i, s"n${i % 7}", i * 2.5))
@@ -326,12 +330,20 @@ class AvroInteropSpec extends SparkSpec {
     assert(t.scan().count() == 439L)
     assert(t.scan().agg(min("id")).head().getLong(0) == 11L)
     assert(t.countRows() == 439L)
-    // compact() migrates everything to parquet → vectorized DSv2 path
+    // compact() migrates everything to parquet, clears the avro flag →
+    // the vectorized DSv2 path returns (columnar batch scan, no bridge)
     t.compact()
+    assert(!GraftTable.load(spark, t.location).metadata.properties
+      .exists(_.contains(GraftTable.HasAvroProp)))
     val viaDsv2 = spark.read.format("graft").load(t.location)
     assert(viaDsv2.count() == 439L)
     assert(viaDsv2.agg(sum("id")).head().getLong(0) ==
       (11L to 450L).sum - 408L)
+    val q = viaDsv2.filter(col("id") > 100L).select("id", "score")
+    q.collect()
+    assert(q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.nonEmpty, "post-compact DSv2 read should plan the columnar batch scan")
   }
 
   test("position-addressed ops on AVRO files refuse loudly") {
