@@ -319,6 +319,8 @@ class GraftMetaTable(location: String, kind: String)
       case "position_deletes" => t.positionDeletesDf
       case "all_files" => t.allFilesDf
       case "all_manifests" => t.allManifestsDf
+      case "entries" => t.entriesDf
+      case "all_entries" => t.allEntriesDf
     }
   }
 
@@ -353,7 +355,7 @@ object GraftMetaTable {
   val Kinds: Set[String] =
     Set("snapshots", "history", "files", "partitions", "refs",
       "manifests", "metadata_log_entries", "position_deletes",
-      "all_files", "all_manifests")
+      "all_files", "all_manifests", "entries", "all_entries")
 }
 
 /** Collects Catalyst's pushed filters and required columns. Filters are

@@ -3912,6 +3912,53 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         "added_snapshot_id", "added_sequence_number")
   }
 
+  /** `.entries` metadata table: one row per LIVE manifest entry of the
+    * current snapshot — data AND delete entries (content 0/1/2), with
+    * the manifest that carries each. `status` follows the spec's
+    * live-entry semantics: 1 (ADDED) when the entry landed in the
+    * current snapshot, 0 (EXISTING) otherwise; DELETED entries never
+    * appear in a live manifest. Same threshold dispatch as `.files` —
+    * above it the view is a projection over the distributed manifest
+    * dataset, never a driver entry loop.
+    */
+  def entriesDf: DataFrame = entriesDfFor(liveManifests(None))
+
+  /** `.all_entries`: entries of every manifest any retained snapshot
+    * references (deduplicated), status relative to the current snapshot.
+    */
+  def allEntriesDf: DataFrame = entriesDfFor(allRefs).distinct()
+
+  private def entriesDfFor(refs: Seq[ManifestRef]): DataFrame = {
+    val curSnap = metadata.currentSnapshotId.getOrElse(-1L)
+    if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
+      manifestDfForRefs(refs).select(
+        when(col("snapshot-id") === curSnap, lit(1)).otherwise(lit(0))
+          .as("status"),
+        col("snapshot-id").as("snapshot_id"),
+        col("sequence-number").as("sequence_number"),
+        GraftTable.decodeCanonCol(col(SrcManifestCol))
+          .as("manifest_path"),
+        coalesce(col("content"), lit(0)).as("content"),
+        col("path").as("file_path"),
+        col("record-count").as("record_count"),
+        col("schema-id").as("schema_id"),
+        concat_ws(",", transform(array_sort(map_entries(col("partition"))),
+          e => concat(e("key"), lit("="),
+            coalesce(e("value"), lit("null"))))).as("partition"))
+    else {
+      import spark.implicits._
+      refs.flatMap(r => r.entries.map(e =>
+        (if (e.snapshotId == curSnap) 1 else 0, e.snapshotId,
+          e.sequenceNumber, GraftTable.canonPath(r.path), e.content,
+          e.path, e.recordCount, e.schemaId,
+          e.partition.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=${v.getOrElse("null")}" }
+            .mkString(","))))
+        .toDF("status", "snapshot_id", "sequence_number", "manifest_path",
+          "content", "file_path", "record_count", "schema_id", "partition")
+    }
+  }
+
   /** `.metadata_log_entries` metadata table: every metadata.json version
     * this table has ever committed, oldest first.
     */

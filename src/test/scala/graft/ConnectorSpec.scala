@@ -319,6 +319,25 @@ class ConnectorSpec extends SparkSpec {
       .head().getLong(0) >
       spark.sql("SELECT COUNT(*) FROM gmeta.db.t.manifests")
         .head().getLong(0))
+    // entries: one row per live manifest entry, reconciling with .files;
+    // rows of the CoW-delete commit are ADDED (status 1), the untouched
+    // survivors EXISTING (status 0)
+    val ents = spark.sql(
+      """SELECT status, snapshot_id, manifest_path, file_path, content
+        |FROM gmeta.db.t.entries""".stripMargin).collect()
+    assert(ents.map(_.getString(3)).toSet == liveAfter)
+    assert(ents.forall(_.getInt(4) == 0)) // CoW: no delete entries
+    val head = graft.table.GraftTable.load(spark, s"$wh/db/t")
+      .metadata.currentSnapshotId.get
+    assert(ents.forall(r => (r.getInt(0) == 1) == (r.getLong(1) == head)),
+      "status must be ADDED exactly for current-snapshot entries")
+    assert(ents.exists(_.getInt(0) == 1), "the delete commit added entries")
+    assert(ents.map(_.getString(2)).distinct.forall(_.nonEmpty))
+    // all_entries covers the rewritten-away originals too
+    val allEnts = spark.sql(
+      "SELECT DISTINCT file_path FROM gmeta.db.t.all_entries")
+      .collect().map(_.getString(0)).toSet
+    assert(allAfter.subsetOf(allEnts))
   }
 
   test("SQL CTAS creates and fills a graft table") {

@@ -77,16 +77,25 @@ class MaintenancePlanningSpec extends SparkSpec {
     // driver-side reference content (threshold high → driver path)
     val filesRef = t.filesDf.collect().map(_.toSeq).toSet
     val allRef = t.allFilesDf.collect().map(_.toSeq).toSet
+    val entriesRef = t.entriesDf.collect().map(_.toSeq).toSet
+    val allEntriesRef = t.allEntriesDf.collect().map(_.toSeq).toSet
+    assert(entriesRef.nonEmpty && allEntriesRef.size > entriesRef.size)
     withThreshold(1) {
       var files: Set[Seq[Any]] = Set.empty
       var all: Set[Seq[Any]] = Set.empty
+      var ents: Set[Seq[Any]] = Set.empty
+      var allEnts: Set[Seq[Any]] = Set.empty
       val n = readCount {
         files = t.filesDf.collect().map(_.toSeq).toSet
         all = t.allFilesDf.collect().map(_.toSeq).toSet
+        ents = t.entriesDf.collect().map(_.toSeq).toSet
+        allEnts = t.allEntriesDf.collect().map(_.toSeq).toSet
       }
       assert(n == 0, s"metadata tables materialized $n manifests driver-side")
       assert(files == filesRef)
       assert(all == allRef)
+      assert(ents == entriesRef)
+      assert(allEnts == allEntriesRef)
     }
   }
 
