@@ -475,8 +475,68 @@ object StreamingQueries {
           ON v.user_id = p.user_id
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    // Stream-stream LEFT OUTER join: views with no purchase in their
+    // 24h window emit null-extended — but only once the purchase-side
+    // watermark proves no match can still arrive (view_ts + 24h passes
+    // the watermark). The oracle replays Spark's exact watermark
+    // arithmetic: wm = (min(max view ts, max purchase ts) floored to
+    // ms − 1h) in micros — multipleWatermarkPolicy=min across the two
+    // sides. Unmatched views inside the horizon are correctly WITHHELD
+    // (the stream could still match them); matched pairs emit as in the
+    // inner join.
+    GraftQuery(
+      "s_stream_outer_join",
+      (s, dir) => streamOuterJoinDir(s, stageEvents(s, dir), Int.MaxValue),
+      Some("""WITH v AS (SELECT user_id, event_id AS vid, ts AS vts
+          FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS pid, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT (least(
+            (SELECT epoch_us(max(vts)) // 1000 FROM v),
+            (SELECT epoch_us(max(pts)) // 1000 FROM p)) - 3600000) * 1000
+          AS wm_us)
+        SELECT v.user_id, v.vid AS view_id, p.pid AS purchase_id
+        FROM v JOIN p ON v.user_id = p.user_id
+          AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 24 HOUR
+        UNION ALL
+        SELECT v.user_id, v.vid, NULL
+        FROM v, wm
+        WHERE NOT EXISTS (SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
+            AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 24 HOUR)
+          AND epoch_us(v.vts) + 86400000000 < wm.wm_us
+        ORDER BY 1, 2, 3 NULLS FIRST"""))
   )
+
+  /** Left-outer variant of [[streamJoinDir]]: emits (user_id, view_id,
+    * purchase_id-or-null); the null-extended rows come from watermark
+    * state eviction, so only PROVABLY unmatched views emit.
+    */
+  def streamOuterJoinDir(s: SparkSession, srcDir: String,
+      maxFiles: Int): DataFrame = {
+    def side(evType: String, prefix: String): DataFrame =
+      graft.Tables.normalizeTs(
+        s.readStream.schema(fileSchema(s, srcDir))
+          .option("maxFilesPerTrigger", maxFiles.toString)
+          .parquet(srcDir))
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(s"${prefix}_user_id"),
+          col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("view", "view").join(side("purchase", "purchase"),
+      col("view_user_id") === col("purchase_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+      "left_outer")
+      .select(col("view_user_id").as("user_id"),
+        col("view_id"), col("purchase_id"))
+    runToGraftTable(s, joined)
+      .orderBy(col("user_id"), col("view_id"),
+        col("purchase_id").asc_nulls_first)
+  }
 
   /** Stream-stream attribution join over a directory of event parquet
     * files, `maxFiles` per micro-batch — the same pair set must emerge

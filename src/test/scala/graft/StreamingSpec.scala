@@ -137,6 +137,25 @@ class StreamingSpec extends SparkSpec {
         .collect())
     }
     assert(jSingle == batch, "streaming pairs differ from the batch join")
+
+    // LEFT OUTER variant: same 1-vs-3-batch equality. The final
+    // watermark is identical either way (same max event times per
+    // side), so the finalized-unmatched set is too; intermediate
+    // evictions must emit the same rows, just earlier.
+    def outerTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val oMulti = outerTuples(graft.streaming.StreamingQueries
+      .streamOuterJoinDir(spark, staging.toString, maxFiles = 1).collect())
+    val oSingle = outerTuples(graft.streaming.StreamingQueries
+      .streamOuterJoinDir(spark, staging.toString, maxFiles = 3).collect())
+    assert(oMulti.exists(_._3 == -1L), "no null-extended rows emitted")
+    assert(oMulti == oSingle,
+      s"outer stream-join diverged: only-multi=${(oMulti -- oSingle).take(5)}" +
+        s" only-single=${(oSingle -- oMulti).take(5)}")
+    // matched subset agrees with the inner join
+    assert(oSingle.filter(_._3 != -1L) == jSingle
+      .map(t => (t._1, t._2, t._3)), "outer matched rows != inner join")
   }
 
   test("s_stream_merge_upsert converges to batch last-event-per-user") {
