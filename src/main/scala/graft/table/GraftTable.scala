@@ -2617,14 +2617,34 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         (Seq.empty, rewritten, Map.empty)
       })
     })
-    // the full rewrite replaced every live data file with parquet — an
-    // adopted-avro table is avro-free now, so restore the vectorized
-    // DSv2 path (bin-pack/incremental rewrites may leave avro files and
-    // keep the flag)
-    if (metadata.properties.exists(
-        _.get(GraftTable.HasAvroProp).contains("true")))
-      updateProperties(Map(GraftTable.HasAvroProp -> None))
+    // the full rewrite replaced every live data file with parquet — once
+    // no RETAINED snapshot references avro either (time travel must keep
+    // bridging until then), restore the vectorized DSv2 path
+    clearAvroFlagIfMigrated()
     snap
+  }
+
+  /** Drop [[GraftTable.HasAvroProp]] when NO retained snapshot
+    * references an avro data file anymore — after a full compact() has
+    * replaced the live set AND expiry has dropped the pre-migration
+    * snapshots (a time-travel read of those must keep routing through
+    * the bridge). Checked only on flagged tables, with the usual
+    * threshold dispatch; called from compact() and snapshot expiry.
+    */
+  private def clearAvroFlagIfMigrated(): Unit = {
+    if (!metadata.properties.exists(
+        _.get(GraftTable.HasAvroProp).contains("true"))) return
+    val refs = allRefs
+    val stillAvro =
+      if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
+        !manifestDfForRefs(refs)
+          .filter(coalesce(col("content"), lit(0)) === 0 &&
+            col("format") === DataFileEntry.Avro)
+          .isEmpty
+      else refs.exists(_.entries.exists(e =>
+        e.isData && e.format == DataFileEntry.Avro))
+    if (!stillAvro)
+      updateProperties(Map(GraftTable.HasAvroProp -> None))
   }
 
   /** Incremental re-cluster: rewrite the live data files as a SERIES of
@@ -3222,8 +3242,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     var attempts = 0
     while (true) {
       attempts += 1
-      try return expireOnce(keepLast, olderThanMs)
-      catch {
+      try {
+        val removed = expireOnce(keepLast, olderThanMs)
+        // expiry may have dropped the last avro-bearing snapshots of a
+        // compacted adopted table — restore the vectorized path then
+        clearAvroFlagIfMigrated()
+        return removed
+      } catch {
         case _: CommitConflictException if attempts < 20 =>
           Thread.sleep(5L * attempts + scala.util.Random.nextInt(25))
       }

@@ -330,11 +330,22 @@ class AvroInteropSpec extends SparkSpec {
     assert(t.scan().count() == 439L)
     assert(t.scan().agg(min("id")).head().getLong(0) == 11L)
     assert(t.countRows() == 439L)
-    // compact() migrates everything to parquet, clears the avro flag →
-    // the vectorized DSv2 path returns (columnar batch scan, no bridge)
+    // compact() migrates the LIVE set to parquet, but retained snapshots
+    // still reference avro — the flag stays and time travel keeps
+    // bridging; once expiry drops them the vectorized path returns
+    val preCompactSnap = t.metadata.currentSnapshotId.get
     t.compact()
+    assert(GraftTable.load(spark, t.location).metadata.properties
+      .exists(_.get(GraftTable.HasAvroProp).contains("true")),
+      "flag must survive compact while avro history is retained")
+    // time travel into the avro history still reads (via the bridge)
+    assert(spark.read.format("graft")
+      .option("snapshot-id", preCompactSnap.toString)
+      .load(t.location).count() == 439L)
+    t.expireSnapshots(keepLast = 1)
     assert(!GraftTable.load(spark, t.location).metadata.properties
-      .exists(_.contains(GraftTable.HasAvroProp)))
+      .exists(_.contains(GraftTable.HasAvroProp)),
+      "flag must clear once no retained snapshot references avro")
     val viaDsv2 = spark.read.format("graft").load(t.location)
     assert(viaDsv2.count() == 439L)
     assert(viaDsv2.agg(sum("id")).head().getLong(0) ==
@@ -343,7 +354,7 @@ class AvroInteropSpec extends SparkSpec {
     q.collect()
     assert(q.queryExecution.executedPlan.collectFirst {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
-    }.nonEmpty, "post-compact DSv2 read should plan the columnar batch scan")
+    }.nonEmpty, "post-migration DSv2 read should plan the columnar scan")
   }
 
   test("position-addressed ops on AVRO files refuse loudly") {
