@@ -180,7 +180,8 @@ class GraftBatchScan(protected val graft: GraftTable,
 
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
-    new GraftMicroBatchStream(graft, prunedSchema, pushed, limits)
+    new GraftMicroBatchStream(graft, prunedSchema, pushed, limits,
+      checkpointLocation)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val meta = graft.metadata

@@ -712,7 +712,8 @@ class GraftV1Scan(protected val graft: GraftTable,
   // generic UnsupportedOperationException
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(graft, prunedSchema, pushed, limits)
+    new GraftMicroBatchStream(graft, prunedSchema, pushed, limits,
+      checkpointLocation)
 
   override def description(): String =
     s"graft ${graft.location} pushed=[${pushed.mkString(", ")}]"

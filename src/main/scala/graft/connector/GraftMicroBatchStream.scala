@@ -177,9 +177,18 @@ private[connector] object SnapshotAdmission {
   * Histories containing deletes/overwrites/compactions are rejected at
   * offset time — rewritten files would double-count rows (the same
   * contract as Iceberg's streaming read and GraftTable.readStream).
+  *
+  * Adopted-AVRO data files (no FileFormat to delegate to) are STAGED:
+  * each planned range's avro rows are materialized once by a
+  * distributed engine read into a parquet staging dir under the table
+  * (same exactly-once-replay machinery as the changelog stream —
+  * deterministic per (stream, range), cleaned on checkpoint commit,
+  * heartbeat-guarded against the orphan sweep) and served as ordinary
+  * parquet splits alongside the delegated files.
   */
 class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
-    pushed: Array[Filter], limits: StreamLimits = StreamLimits.none)
+    pushed: Array[Filter], limits: StreamLimits = StreamLimits.none,
+    checkpointLocation: String = "")
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -190,9 +199,9 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
 
   // DELEGATED data-file formats present at stream start (parquet is
   // always included — the only format the engine writes, so appends
-  // during the stream never add a format; adopted avro routes through
-  // the engine scan, not this factory). One small distributed distinct
-  // over the manifest dataset, once per stream.
+  // during the stream never add a format; adopted avro is STAGED as
+  // parquet at planning, so it never needs a factory). One small
+  // distributed distinct over the manifest dataset, once per stream.
   private lazy val streamFormats: Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val present = graft.manifestDf(None)
@@ -208,6 +217,46 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   private def filterColumn =
     pushed.flatMap(FilterColumns.toColumn).reduceOption(_ && _)
 
+  // avro staging key: per-stream via the checkpoint (concurrent streams
+  // over one table stage independently), "av-" keeps it disjoint from
+  // changelog keys under the shared _changelog root
+  private lazy val stagingKey: String =
+    "av-" + GraftChangelog.streamKey(checkpointLocation)
+
+  private def hasAvroFlag: Boolean = graft.metadata.properties
+    .exists(_.get(GraftTable.HasAvroProp).contains("true"))
+
+  /** Materialize a range's avro rows once as parquet splits (aligned to
+    * the current schema by the engine read); replays of the same range
+    * reuse the staged files — the restarted-micro-batch path.
+    */
+  private def stageAvro(from: Long, to: Long,
+      avro: Seq[(String, Int, Long, String)])
+      : Seq[(String, Int, Long, String)] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val dir = GraftChangelog.stagingRoot(graft, stagingKey)
+      .resolve(s"$from-$to")
+    // the staged columns' schema id is recorded NEXT TO the files: a
+    // replay after a schema evolution must read them under the id they
+    // were aligned to, not the current one. A crash between the write
+    // and the marker restages (deterministic, so same bytes).
+    val marker = dir.resolve("_schema_id")
+    if (!(Files.exists(dir.resolve("_SUCCESS")) && Files.exists(marker))) {
+      val (df, stagedSid) = graft.readFilesAligned(
+        avro.map(f => (f._1, f._2)), avro.map(f => f._1 -> f._4).toMap)
+      df.write.mode("overwrite").parquet(dir.toString)
+      Files.writeString(marker, stagedSid.toString)
+    }
+    val sid = Files.readString(marker).trim.toInt
+    val ls = Files.list(dir)
+    try ls.iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => (p.toString, sid, Files.size(p),
+        _root_.graft.table.DataFileEntry.Parquet)).toList.sortBy(_._1)
+    finally ls.close()
+  }
+
   private def requireAppendOnly(): Unit = {
     val nonAppend = graft.metadata.snapshots.getOrElse(Seq.empty)
       .flatMap(_.summary.operation).filterNot(_ == "append").distinct
@@ -222,13 +271,16 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
 
   override def initialOffset(): Offset = GraftSeqOffset(0L)
 
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = {
+    if (hasAvroFlag) GraftChangelog.touchHeartbeat(graft, stagingKey)
     GraftSeqOffset(availableNowCap.fold(committedSeq)(
       cap => math.min(cap, committedSeq)))
+  }
 
   override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    if (hasAvroFlag) GraftChangelog.touchHeartbeat(graft, stagingKey)
     val from = start.asInstanceOf[GraftSeqOffset].seq
     val cap = availableNowCap.fold(committedSeq)(
       c => math.min(c, committedSeq))
@@ -255,7 +307,8 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     // (possibly distributed) manifest filter — a micro-batch over a huge
     // table plans O(batch), never materializing the full entry list
     val files = graft
-      .plannedConnectorFiles(filterColumn, None, Some((from, to)))
+      .plannedConnectorFiles(filterColumn, None, Some((from, to)),
+        allowAvro = true)
       .map(f => (f.path, f.schemaId, f.fileSize, f.format))
     val posRead = prunedSchema.fieldNames.contains(GraftMetaColumns.Pos)
     if (posRead) files.find(
@@ -263,7 +316,12 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
       throw new IllegalArgumentException(
         s"position-addressed streaming reads (_pos) require parquet " +
           s"data files; ${f._1} is ${f._4}"))
-    GraftRead.binPack(spark, files, splitLargeFiles = !posRead)
+    val (avroFiles, delegated) = files.partition(
+      _._4 == _root_.graft.table.DataFileEntry.Avro)
+    val staged =
+      if (avroFiles.isEmpty) Seq.empty else stageAvro(from, to, avroFiles)
+    GraftRead.binPack(spark, delegated ++ staged,
+      splitLargeFiles = !posRead)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -286,7 +344,12 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
         yield (sid, f))
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    // staged avro ranges fully covered by the committed offset can never
+    // be replayed — drop them (no-op when nothing was staged)
+    if (checkpointLocation.nonEmpty)
+      GraftChangelog.cleanupThrough(graft, stagingKey,
+        end.asInstanceOf[GraftSeqOffset].seq)
 
   override def stop(): Unit = ()
 }

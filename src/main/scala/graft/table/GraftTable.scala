@@ -1322,7 +1322,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   private[graft] def plannedConnectorFiles(filter: Option[Column],
       asOf: Option[Long] = None,
-      seqRange: Option[(Long, Long)] = None): Seq[ConnectorFile] = {
+      seqRange: Option[(Long, Long)] = None,
+      allowAvro: Boolean = false): Seq[ConnectorFile] = {
     val meta = metadata
     val totalEntries = manifestsFor(meta, asOf).map(_.entryCount).sum
     if (totalEntries >= distributedPlanningThreshold) {
@@ -1336,7 +1337,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           coalesce(col("format"), lit(DataFileEntry.Parquet)))
         .collect().toSeq
         .map { r =>
-          requireConnectorFormat(r.getString(0), r.getString(5))
+          requireConnectorFormat(r.getString(0), r.getString(5), allowAvro)
           val part =
             if (r.isNullAt(4)) Map.empty[String, Option[String]]
             else r.getMap[String, String](4).toMap
@@ -1350,7 +1351,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         es.filter(e => e.sequenceNumber > from && e.sequenceNumber <= to)
       }
       ranged.map { e =>
-        requireConnectorFormat(e.path, e.format)
+        requireConnectorFormat(e.path, e.format, allowAvro)
         ConnectorFile(e.path, e.schemaId, e.sequenceNumber, e.fileSize,
           e.partition, e.format)
       }
@@ -1364,13 +1365,30 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     */
   /** The DSv2/SQL read path delegates parquet AND orc to Spark's
     * vectorized file formats; avro has no FileFormat in this build, so
-    * adopted avro still refuses to the engine scan (which decodes it).
+    * batch reads of avro-bearing tables bridge to the engine scan
+    * (which decodes it) and micro-batch streams opt in via `allowAvro`
+    * (they stage avro ranges as parquet).
     */
-  private def requireConnectorFormat(path: String, fmt: String): Unit =
-    require(fmt == DataFileEntry.Parquet || fmt == DataFileEntry.Orc,
+  private def requireConnectorFormat(path: String, fmt: String,
+      allowAvro: Boolean = false): Unit =
+    require(fmt == DataFileEntry.Parquet || fmt == DataFileEntry.Orc ||
+      (allowAvro && fmt == DataFileEntry.Avro),
       s"the DSv2/SQL read path reads parquet and orc only; $path is " +
         s"$fmt — read avro-bearing adopted tables via GraftTable.scan() " +
         "or compact() them to parquet first")
+
+  /** Aligned, deletes-free read of SPECIFIC data files into the current
+    * schema — the micro-batch staging path for formats the streaming
+    * reader factory cannot decode (avro). Streaming sources validate
+    * append-only history before planning, so no delete application is
+    * needed here.
+    */
+  private[graft] def readFilesAligned(files: Seq[(String, Int)],
+      formatOf: Map[String, String]): (DataFrame, Int) = {
+    val meta = metadata
+    (readAlignedFilesCore(spark, meta, files, meta.currentSchema,
+      formatOf = formatOf), meta.currentSchema.schemaId)
+  }
 
   /** Conf-visible planning threshold (the connector's statistics path
     * must honor the same dispatch as planning).
