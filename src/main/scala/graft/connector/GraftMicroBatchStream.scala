@@ -223,32 +223,50 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   private lazy val stagingKey: String =
     "av-" + GraftChangelog.streamKey(checkpointLocation)
 
-  private def hasAvroFlag: Boolean = graft.metadata.properties
+  // read ONCE at stream start, not per poll: the flag is stamped at
+  // adoption (before any stream exists) and clearing it mid-stream
+  // requires a compact(), which ends the stream via the append-only
+  // gate anyway — so a construction-time read is equally correct and
+  // keeps avro-free tables' hot polling path free of extra metadata
+  // loads
+  private lazy val avroFlagAtStart: Boolean = graft.metadata.properties
     .exists(_.get(GraftTable.HasAvroProp).contains("true"))
 
   /** Materialize a range's avro rows once as parquet splits (aligned to
     * the current schema by the engine read); replays of the same range
-    * reuse the staged files — the restarted-micro-batch path.
+    * reuse the staged files — the restarted-micro-batch path. The
+    * staged content is FILTER-INDEPENDENT (the caller plans the avro
+    * set unfiltered), so a checkpointed restart with changed pushed
+    * filters replays safely — Spark re-evaluates filters above the
+    * scan; only file-level pruning is forgone for the avro legacy set.
     */
   private def stageAvro(from: Long, to: Long,
       avro: Seq[(String, Int, Long, String)])
       : Seq[(String, Int, Long, String)] = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val dir = GraftChangelog.stagingRoot(graft, stagingKey)
       .resolve(s"$from-$to")
     // the staged columns' schema id is recorded NEXT TO the files: a
     // replay after a schema evolution must read them under the id they
-    // were aligned to, not the current one. A crash between the write
-    // and the marker restages (deterministic, so same bytes).
+    // were aligned to, not the current one. The marker lands by ATOMIC
+    // move — a crash at any point leaves either no marker or a complete
+    // one, and a missing/corrupt marker restages (deterministic bytes)
     val marker = dir.resolve("_schema_id")
-    if (!(Files.exists(dir.resolve("_SUCCESS")) && Files.exists(marker))) {
+    def readMarker: Option[Int] =
+      if (!Files.exists(marker)) None
+      else Files.readString(marker).trim.toIntOption
+    if (!Files.exists(dir.resolve("_SUCCESS")) || readMarker.isEmpty) {
       val (df, stagedSid) = graft.readFilesAligned(
         avro.map(f => (f._1, f._2)), avro.map(f => f._1 -> f._4).toMap)
       df.write.mode("overwrite").parquet(dir.toString)
-      Files.writeString(marker, stagedSid.toString)
+      val tmp = dir.resolve("_schema_id.tmp")
+      Files.writeString(tmp, stagedSid.toString)
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
-    val sid = Files.readString(marker).trim.toInt
+    val sid = readMarker.getOrElse(throw new IllegalStateException(
+      s"unreadable staging marker $marker"))
     val ls = Files.list(dir)
     try ls.iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -272,7 +290,7 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   override def initialOffset(): Offset = GraftSeqOffset(0L)
 
   override def latestOffset(): Offset = {
-    if (hasAvroFlag) GraftChangelog.touchHeartbeat(graft, stagingKey)
+    if (avroFlagAtStart) GraftChangelog.touchHeartbeat(graft, stagingKey)
     GraftSeqOffset(availableNowCap.fold(committedSeq)(
       cap => math.min(cap, committedSeq)))
   }
@@ -280,7 +298,7 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    if (hasAvroFlag) GraftChangelog.touchHeartbeat(graft, stagingKey)
+    if (avroFlagAtStart) GraftChangelog.touchHeartbeat(graft, stagingKey)
     val from = start.asInstanceOf[GraftSeqOffset].seq
     val cap = availableNowCap.fold(committedSeq)(
       c => math.min(c, committedSeq))
@@ -316,10 +334,32 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
       throw new IllegalArgumentException(
         s"position-addressed streaming reads (_pos) require parquet " +
           s"data files; ${f._1} is ${f._4}"))
-    val (avroFiles, delegated) = files.partition(
+    val delegated = files.filterNot(
       _._4 == _root_.graft.table.DataFileEntry.Avro)
+    // the avro set is planned UNFILTERED: staged content must depend on
+    // the range alone, never on this run's pushed filters — a restarted
+    // checkpoint may carry different filters and would silently reuse a
+    // filter-pruned staging otherwise. Extra planning pass only on
+    // avro-flagged tables; Spark's residual filter handles the rows.
+    // with the flag unset the delegated set must cover everything — an
+    // avro file surfacing anyway (hand-edited properties) fails loudly
+    // rather than silently dropping its rows from the batch
+    if (!avroFlagAtStart) files.find(
+        _._4 == _root_.graft.table.DataFileEntry.Avro).foreach(f =>
+      throw new IllegalStateException(
+        s"avro data file ${f._1} planned but ${GraftTable.HasAvroProp} " +
+          "is not set on the table — re-set the property"))
     val staged =
-      if (avroFiles.isEmpty) Seq.empty else stageAvro(from, to, avroFiles)
+      if (!avroFlagAtStart) Seq.empty
+      else {
+        val avroAll = graft
+          .plannedConnectorFiles(None, None, Some((from, to)),
+            allowAvro = true)
+          .collect { case f
+            if f.format == _root_.graft.table.DataFileEntry.Avro =>
+              (f.path, f.schemaId, f.fileSize, f.format) }
+        if (avroAll.isEmpty) Seq.empty else stageAvro(from, to, avroAll)
+      }
     GraftRead.binPack(spark, delegated ++ staged,
       splitLargeFiles = !posRead)
   }

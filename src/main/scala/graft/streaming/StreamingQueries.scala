@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{GraftQuery, Help, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -516,27 +516,40 @@ object StreamingQueries {
     */
   def streamOuterJoinDir(s: SparkSession, srcDir: String,
       maxFiles: Int): DataFrame = {
-    def side(evType: String, prefix: String): DataFrame =
-      graft.Tables.normalizeTs(
-        s.readStream.schema(fileSchema(s, srcDir))
-          .option("maxFilesPerTrigger", maxFiles.toString)
-          .parquet(srcDir))
-        .filter(col("event_type") === evType)
-        .select(col("user_id").as(s"${prefix}_user_id"),
-          col("event_id").as(s"${prefix}_id"),
-          col("ts").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-    val joined = side("view", "view").join(side("purchase", "purchase"),
-      col("view_user_id") === col("purchase_user_id") &&
-        col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
-      "left_outer")
+    val joined = joinSide(s, srcDir, maxFiles, "view", "view")
+      .join(joinSide(s, srcDir, maxFiles, "purchase", "purchase"),
+        attributionCond, "left_outer")
       .select(col("view_user_id").as("user_id"),
         col("view_id"), col("purchase_id"))
     runToGraftTable(s, joined)
       .orderBy(col("user_id"), col("view_id"),
         col("purchase_id").asc_nulls_first)
   }
+
+  /** One side of the attribution join: a watermarked stream of one
+    * event type with prefixed columns. Shared by the inner and outer
+    * variants so the watermark delay / range bound / source options can
+    * never desynchronize between them.
+    */
+  private def joinSide(s: SparkSession, srcDir: String, maxFiles: Int,
+      evType: String, prefix: String): DataFrame =
+    graft.Tables.normalizeTs(
+      s.readStream.schema(fileSchema(s, srcDir))
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(srcDir))
+      .filter(col("event_type") === evType)
+      .select(col("user_id").as(s"${prefix}_user_id"),
+        col("event_id").as(s"${prefix}_id"),
+        col("ts").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
+  /** The shared attribution join condition: same user, purchase within
+    * 24 hours AFTER the view.
+    */
+  private def attributionCond: Column =
+    col("view_user_id") === col("purchase_user_id") &&
+      col("purchase_ts") >= col("view_ts") &&
+      col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS")
 
   /** Stream-stream attribution join over a directory of event parquet
     * files, `maxFiles` per micro-batch — the same pair set must emerge
@@ -546,22 +559,9 @@ object StreamingQueries {
     */
   def streamJoinDir(s: SparkSession, srcDir: String,
       maxFiles: Int): DataFrame = {
-    def side(evType: String, prefix: String): DataFrame =
-      graft.Tables.normalizeTs(
-        s.readStream.schema(fileSchema(s, srcDir))
-          .option("maxFilesPerTrigger", maxFiles.toString)
-          .parquet(srcDir))
-        .filter(col("event_type") === evType)
-        .select(col("user_id").as(s"${prefix}_user_id"),
-          col("event_id").as(s"${prefix}_id"),
-          col("ts").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-    val views = side("view", "view")
-    val purchases = side("purchase", "purchase")
-    val pairs = views.join(purchases,
-      col("view_user_id") === col("purchase_user_id") &&
-        col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+    val pairs = joinSide(s, srcDir, maxFiles, "view", "view")
+      .join(joinSide(s, srcDir, maxFiles, "purchase", "purchase"),
+        attributionCond)
       .select(col("view_user_id").as("user_id"),
         col("view_id"), col("purchase_id"),
         expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")

@@ -2662,7 +2662,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       else refs.exists(_.entries.exists(e =>
         e.isData && e.format == DataFileEntry.Avro))
     if (!stillAvro)
-      updateProperties(Map(GraftTable.HasAvroProp -> None))
+      // a sustained conflict must not fail the maintenance op that
+      // called us — leaving the flag set is conservative-correct (the
+      // bridge reads everything; the next maintenance call retries)
+      try updateProperties(Map(GraftTable.HasAvroProp -> None))
+      catch { case _: CommitConflictException => () }
   }
 
   /** Incremental re-cluster: rewrite the live data files as a SERIES of
@@ -3263,7 +3267,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       try {
         val removed = expireOnce(keepLast, olderThanMs)
         // expiry may have dropped the last avro-bearing snapshots of a
-        // compacted adopted table — restore the vectorized path then
+        // compacted adopted table — restore the vectorized path. OUTSIDE
+        // the retry semantics: a conflict here must neither re-run a
+        // SUCCEEDED expiry (discarding its removed-paths result) nor
+        // fail it — the clear is an optimization, retried at the next
+        // maintenance call
         clearAvroFlagIfMigrated()
         return removed
       } catch {
