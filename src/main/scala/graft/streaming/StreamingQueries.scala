@@ -29,17 +29,41 @@ object StreamingQueries {
     s.read.parquet(path).schema
   }
 
-  /** The streaming file source wants a DIRECTORY; stage a symlink to the
-    * single events.parquet file (read-only testdata stays untouched).
+  /** The streaming file source wants a DIRECTORY of data files; stage
+    * symlinks to the events table (read-only testdata stays untouched).
+    * The source may be a single events.parquet FILE (driver testdata) or
+    * a parquet DIRECTORY of part files (GenScale output) — symlink the
+    * leaf files either way.
     */
   private def stageEvents(s: SparkSession, dir: String): String = {
-    val staging = java.nio.file.Paths.get(
+    import java.nio.file.{Files, Paths}
+    val staging = Paths.get(
       s"/root/repo/target/stream-src/${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(staging)
-    val link = staging.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // re-staged FRESH each call: a stale link set from an earlier run
+    // (or an earlier single-file layout of the same source dir) must not
+    // double the feed
+    if (Files.isDirectory(staging)) {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(staging)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    Files.createDirectories(staging)
+    val src = Paths.get(s"$dir/events.parquet")
+    val leaves =
+      if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(src)
+        try ls.iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toList.sortBy(_.getFileName.toString)
+        finally ls.close()
+      } else List(src)
+    leaves.zipWithIndex.foreach { case (p, i) =>
+      val link = staging.resolve(f"events-$i%05d.parquet")
+      if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+    }
     staging.toString
   }
 
