@@ -176,21 +176,20 @@ object GraftProcedures {
               require(sortBy.nonEmpty, "sort strategy needs sort_by")
               recluster(sortBy.map(col))
             case "zorder" =>
-              require(sortBy.length == 2,
-                s"zorder strategy needs exactly 2 sort_by columns, " +
+              require(sortBy.length >= 2,
+                s"zorder strategy needs at least 2 sort_by columns, " +
                   s"got $sortBy")
-              val Seq(a, b) = sortBy
               // range-scale each dimension from the table's own stat
-              // bounds so both contribute bits at the same significance
+              // bounds so all contribute bits at the same significance
               def bound(c: String, isMin: Boolean): Long =
                 t.columnExtreme(c, isMin) match {
                   case Some(v: Number) => v.longValue
                   case other => throw new IllegalArgumentException(
                     s"zorder column $c has no numeric bounds: $other")
                 }
-              val z = _root_.graft.functions.ZOrder.zorderScaled(
-                col(a), bound(a, isMin = true), bound(a, isMin = false),
-                col(b), bound(b, isMin = true), bound(b, isMin = false))
+              val z = _root_.graft.functions.ZOrder.zorderScaledN(
+                sortBy.map(c =>
+                  (col(c), bound(c, isMin = true), bound(c, isMin = false))))
               recluster(Seq(z))
             case other => throw new IllegalArgumentException(
               s"unknown compact strategy '$other' " +

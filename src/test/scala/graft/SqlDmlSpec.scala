@@ -311,6 +311,26 @@ class SqlDmlSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(zs.zip(zs.drop(1)).forall { case (a, b) => a <= b },
       "file rows do not follow z-order")
+    // THREE-column z-order through the same CALL (N-ary interleave)
+    spark.sql("DROP TABLE IF EXISTS gdml.db.zcube")
+    spark.sql("CREATE TABLE gdml.db.zcube (x BIGINT, y BIGINT, w BIGINT)")
+    spark.sql("INSERT INTO gdml.db.zcube " +
+      "SELECT pmod(hash(id), 16), pmod(hash(id * 7), 16), " +
+      "pmod(hash(id * 13), 16) FROM range(256) AS r(id)")
+    val z3 = spark.sql(
+      s"CALL gdml.system.compact('db.zcube', ${64L << 20}, 'zorder', " +
+        "'x,y,w')").head()
+    assert(z3.getLong(1) >= 1)
+    val z3Paths = spark.sql("SELECT file_path FROM gdml.db.zcube.files")
+      .collect().map(_.getString(0))
+    assert(z3Paths.length == 1, s"expected one rewritten file: $z3Paths")
+    val z3s = spark.read.parquet(z3Paths.head)
+      .select(hex(graft.functions.ZOrder.zorderScaledN(Seq(
+        (col("x"), 0L, 15L), (col("y"), 0L, 15L), (col("w"), 0L, 15L))))
+        .as("z"))
+      .collect().map(_.getString(0))
+    assert(z3s.zip(z3s.drop(1)).forall { case (a, b) => a <= b },
+      "file rows do not follow 3-dim z-order")
     // the strategy knob rejects nonsense loudly
     intercept[Exception] { spark.sql(
       s"CALL gdml.system.compact('db.$t', 1, 'shuffle', '')").collect() }
