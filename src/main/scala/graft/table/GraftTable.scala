@@ -139,14 +139,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         // blind to a just-committed MoR delete (resurrection bug)
         Seq(ManifestRef(mf.toString, stamped.size.toLong,
           stamped.map(_.recordCount).sum, Some(snapId), Some(seq),
-          content = ct))
+          content = ct,
+          // manifest-level pruning: record the distinct partition tuples
+          // (data manifests only — deletes are never filter-pruned)
+          partitionSummary =
+            if (ct == 0) ManifestRef.summarize(stamped) else None))
       }
     }
     // shard manifests stay exactly where executors wrote them; only the
     // ref (with inherited ids) is created at commit time, so a conflict
     // retry re-refs the same shards without any rewrite
     val shardRefs0 = adds.shards.map(s => ManifestRef(s.path, s.entryCount,
-      s.recordCount, Some(snapId), Some(seq), content = s.content))
+      s.recordCount, Some(snapId), Some(seq), content = s.content,
+      partitionSummary = if (s.content == 0) s.partitions else None))
     // row lineage: FRESH data shards (appends, MERGE inserts) get
     // first-row-id bases assigned cumulatively from the table's
     // next-row-id — O(shards) driver work; entries resolve base + their
@@ -548,11 +553,36 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val counts = spark.read.schema(manifestSchema)
       .json(shards.map(_.toString): _*)
       .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(count(lit(1)).as("n"), sum(col("record-count")).as("rc"))
+      .agg(count(lit(1)).as("n"), sum(col("record-count")).as("rc"),
+        // distinct (spec, partition) tuples for the manifest summary —
+        // sliced to cap+1 so an over-cap shard transfers O(cap), and the
+        // driver sees >cap and drops the summary (always-read)
+        slice(
+          collect_set(to_json(struct(col("spec-id").as("s"),
+            col("partition").as("p")))),
+          1, ManifestRef.SummaryCap + 1).as("pts"))
       .collect()
     counts.toSeq.map { r =>
+      val pts = r.getAs[scala.collection.Seq[String]]("pts")
+      val summary =
+        if (pts.size > ManifestRef.SummaryCap) None
+        else {
+          val tuples = pts.toSeq.map { s =>
+            val n = graft.model.Json.parse(s)
+            PartitionTuple(
+              Option(n.get("s")).filterNot(_.isNull).map(_.asInt),
+              Option(n.get("p")).filterNot(_.isNull).map { pn =>
+                import scala.jdk.CollectionConverters._
+                pn.fields.asScala.map(e => e.getKey ->
+                  (if (e.getValue.isNull) None
+                  else Some(e.getValue.asText))).toMap
+              }.getOrElse(Map.empty))
+          }
+          if (tuples.isEmpty || tuples.forall(_.partition.isEmpty)) None
+          else Some(tuples.distinct)
+        }
       ShardRef(decodePath(r.getAs[String]("__f")),
-        r.getAs[Long]("n"), r.getAs[Long]("rc"))
+        r.getAs[Long]("n"), r.getAs[Long]("rc"), partitions = summary)
     }
   }
 
@@ -620,20 +650,41 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     statsPart && Blooms.mayMatchColumn(Blooms.bloomPreds(preds, sparkSchema))
   }
 
+  /** Manifest-LEVEL pruning: a data manifest whose partition summary
+    * proves no entry can match the predicates is skipped WHOLE — its
+    * entries are never read. Evaluation reuses the entry-level
+    * `Pruning.mayMatch` on a synthetic stats-less entry per tuple, so
+    * the summary check can never be less conservative than the
+    * per-entry check that would follow. No summary (legacy list, over
+    * cap, unpartitioned) always keeps the manifest.
+    */
+  private def refMayMatch(meta: TableMetadataV2, r: ManifestRef,
+      preds: Seq[Any], sparkSchema: StructType,
+      schema: SchemaV2): Boolean =
+    r.content != 0 || (r.partitionSummary match {
+      case None => true
+      case Some(tuples) => tuples.exists { t =>
+        val synthetic = DataFileEntry("", 0L, 0L, 0L, schema.schemaId,
+          t.partition, Map.empty, specId = t.specId)
+        Pruning.mayMatch(synthetic, preds, sparkSchema,
+          specForEntry(meta, synthetic), schema)
+      }
+    })
+
   private def planFilesFor(meta: TableMetadataV2, filter: Option[Column],
       asOf: Option[Long]): Seq[DataFileEntry] = {
-    val entries = manifestsFor(meta, asOf).flatMap(_.entries)
+    val refs = manifestsFor(meta, asOf)
     val schemaId = asOf.flatMap(id => meta.snapshotById(id).flatMap(_.schemaId))
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val sparkSchema = toSparkSchema(schema)
-    val dataEntries = entries.filter(_.isData)
     filter match {
-      case None => dataEntries
+      case None => refs.flatMap(_.entries).filter(_.isData)
       case Some(f) =>
         val preds = Pruning.extract(spark, f, sparkSchema)
-        dataEntries.filter(e =>
-          entryMayMatch(meta, e, preds, sparkSchema, schema))
+        refs.filter(r => refMayMatch(meta, r, preds, sparkSchema, schema))
+          .flatMap(_.entries).filter(_.isData)
+          .filter(e => entryMayMatch(meta, e, preds, sparkSchema, schema))
     }
   }
 
@@ -769,13 +820,20 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .map(_.toInt).getOrElse(meta.currentSchemaId)
     val schema = meta.schemaById(schemaId).getOrElse(meta.currentSchema)
     val sparkSchema = toSparkSchema(schema)
-    val mdf = manifestDfFor(meta, asOf)
-      .filter(coalesce(col("content"), lit(0)) === 0)
     filter match {
-      case None => mdf
+      case None =>
+        manifestDfFor(meta, asOf)
+          .filter(coalesce(col("content"), lit(0)) === 0)
       case Some(f) =>
         val preds = Pruning.extract(spark, f, sparkSchema)
-        mdf.filter(mayMatchColumnFor(meta, preds, sparkSchema, schema))
+        // manifest-level pruning FIRST — O(manifests) driver-side over
+        // list rollups, so the distributed entry scan unions only the
+        // may-matching manifests instead of every one
+        val refs = manifestsFor(meta, asOf)
+          .filter(r => refMayMatch(meta, r, preds, sparkSchema, schema))
+        manifestDfForRefs(refs)
+          .filter(coalesce(col("content"), lit(0)) === 0)
+          .filter(mayMatchColumnFor(meta, preds, sparkSchema, schema))
     }
   }
 
@@ -4610,7 +4668,11 @@ object GraftTable {
       content: Int = 0,
       // row lineage: fresh rows (appends, MERGE inserts) get first-row-id
       // bases assigned at commit; rewrites carry materialized ids instead
-      lineageFresh: Boolean = false)
+      lineageFresh: Boolean = false,
+      // distinct partition tuples of the shard's entries (≤ SummaryCap,
+      // computed in the same distributed rollup) — feeds the manifest
+      // list's partition summaries for manifest-level pruning
+      partitions: Option[Seq[PartitionTuple]] = None)
 
   /** What a mutation hands to commitSnapshot: carried-over driver-side
     * entries (from existing manifests) plus executor-written shard

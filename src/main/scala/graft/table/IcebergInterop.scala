@@ -177,7 +177,9 @@ object IcebergInterop {
             DataFileEntry.writeManifest(mf, es)
             ManifestRef(mf.toString, es.size.toLong,
               es.map(_.recordCount).sum, Some(snap.snapshotId),
-              Some(snap.sequenceNumber), content = ct)
+              Some(snap.sequenceNumber), content = ct,
+              partitionSummary =
+                if (ct == 0) ManifestRef.summarize(es) else None)
           }
       } else {
         val metaDirStr = metaDir.toString
@@ -192,13 +194,15 @@ object IcebergInterop {
                 f"manifest-adopt-$snapId-$idx%05d${sfxOf(ct)}.jsonl")
               DataFileEntry.writeManifest(mf, g)
               (mf.toString, g.size.toLong, g.map(_.recordCount).sum, ct,
-                g.exists(e => e.isData && e.format == DataFileEntry.Avro))
+                g.exists(e => e.isData && e.format == DataFileEntry.Avro),
+                if (ct == 0) ManifestRef.summarize(g) else None)
             }
           }.collect().toSeq.sortBy(_._1)
         hasAvro = converted.exists(_._5)
-        converted.map { case (mf, n, rc, ct, _) =>
+        converted.map { case (mf, n, rc, ct, _, summary) =>
           ManifestRef(mf, n, rc, Some(snap.snapshotId),
-            Some(snap.sequenceNumber), content = ct)
+            Some(snap.sequenceNumber), content = ct,
+            partitionSummary = summary)
         }
       }
     val listPath = metaDir.resolve(

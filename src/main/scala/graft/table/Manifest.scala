@@ -206,13 +206,27 @@ object DataFileEntry {
   * `PendingSnapshot` per entry, and readers substitute the ref-level
   * values — commit metadata stays O(1) per manifest, never O(files).
   */
+/** One distinct (spec, partition tuple) a manifest's entries cover —
+  * the manifest-list-level analogue of Iceberg's partition summaries.
+  * Planning skips a whole manifest when NO tuple may-matches the
+  * filter, so partition-aligned queries on a 10k-manifest table plan
+  * O(matching manifests) instead of reading every manifest's entries.
+  */
+case class PartitionTuple(specId: Option[Int],
+    partition: Map[String, Option[String]])
+
 case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     addedSnapshotId: Option[Long] = None,
     addedSequenceNumber: Option[Long] = None,
     content: Int = 0,
     // row lineage: id of the first row of this manifest's FIRST data
     // entry; entries inherit firstRowId = this + their rowIdOffset
-    firstRowId: Option[Long] = None) {
+    firstRowId: Option[Long] = None,
+    // DISTINCT partition tuples of this manifest's entries, capped at
+    // [[ManifestRef.SummaryCap]] — None (unknown / too many / legacy
+    // list) always keeps the manifest. MUST cover every entry when
+    // present: planning may SKIP the whole manifest on its strength.
+    partitionSummary: Option[Seq[PartitionTuple]] = None) {
   def toJson: ObjectNode = {
     val o = Json.obj
     o.put("path", path)
@@ -222,6 +236,18 @@ case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     addedSequenceNumber.foreach(v => o.put("added-sequence-number", v))
     if (content != 0) o.put("content", content)
     firstRowId.foreach(v => o.put("first-row-id", v))
+    partitionSummary.foreach { ts =>
+      val a = o.putArray("partition-summary")
+      ts.foreach { t =>
+        val to = a.addObject()
+        t.specId.foreach(v => to.put("spec-id", v))
+        val po = to.putObject("partition")
+        t.partition.toSeq.sortBy(_._1).foreach {
+          case (k, Some(v)) => po.put(k, v)
+          case (k, None) => po.putNull(k)
+        }
+      }
+    }
     o
   }
   def entries: Seq[DataFileEntry] = {
@@ -250,6 +276,28 @@ object ManifestRef {
     */
   private[graft] val entriesReads = new java.util.concurrent.atomic.AtomicLong
 
+  /** Above this many distinct tuples a manifest carries no summary
+    * (always read) — bounds manifest-list size and keeps the evaluation
+    * O(small); a well-clustered manifest covers far fewer partitions.
+    */
+  val SummaryCap = 16
+
+  /** Distinct (spec, partition) tuples of `entries`, or None when over
+    * the cap or when the tuples carry no information (all empty —
+    * unpartitioned table).
+    */
+  def summarize(entries: Seq[DataFileEntry]): Option[Seq[PartitionTuple]] = {
+    val ts = scala.collection.mutable.LinkedHashSet.empty[PartitionTuple]
+    val it = entries.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      ts += PartitionTuple(e.specId, e.partition)
+      if (ts.size > SummaryCap) return None
+    }
+    if (ts.isEmpty || ts.forall(_.partition.isEmpty)) None
+    else Some(ts.toSeq)
+  }
+
   def fromJson(n: JsonNode): ManifestRef = ManifestRef(
     n.path("path").asText,
     n.path("entry-count").asLong,
@@ -257,7 +305,16 @@ object ManifestRef {
     Option(n.get("added-snapshot-id")).filterNot(_.isNull).map(_.asLong),
     Option(n.get("added-sequence-number")).filterNot(_.isNull).map(_.asLong),
     n.path("content").asInt(0),
-    Option(n.get("first-row-id")).filterNot(_.isNull).map(_.asLong))
+    Option(n.get("first-row-id")).filterNot(_.isNull).map(_.asLong),
+    Option(n.get("partition-summary")).map(_.elements.asScala.toSeq.map {
+      tn =>
+        PartitionTuple(
+          Option(tn.get("spec-id")).filterNot(_.isNull).map(_.asInt),
+          Option(tn.get("partition")).map(_.fields.asScala.toSeq.map {
+            e => e.getKey ->
+              (if (e.getValue.isNull) None else Some(e.getValue.asText))
+          }.toMap).getOrElse(Map.empty))
+    }))
 }
 
 /** Per-snapshot manifest LIST: snapshots share unchanged manifest files,

@@ -65,6 +65,36 @@ class PruningFuzzSpec extends SparkSpec {
         s"distributed plan pruned more than driver plan on: $f")
     }
 
+  test("partition summaries skip WHOLE manifests from planning") {
+    import spark.implicits._
+    import graft.table.ManifestRef
+    val df = (0 until 400).map(i => (i.toLong, (i % 8).toLong, s"v$i"))
+      .toDF("id", "grp", "v")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("msum").toString + "/t",
+      df.schema, partitionBy = Seq(("grp", TIdentity, "grp_p")))
+    // one commit per partition → each manifest summarizes ONE tuple
+    (0L until 8L).foreach(g => t.append(df.filter(col("grp") === g)))
+    val before = ManifestRef.entriesReads.get
+    val planned = t.planFiles(Some(col("grp") === 3L))
+    val loads = ManifestRef.entriesReads.get - before
+    assert(planned.nonEmpty &&
+      planned.forall(_.partition.get("grp_p").flatten.contains("3")))
+    // 8 data manifests exist; the summary must keep planning from
+    // loading (nearly) all of them — exactly 1 here
+    assert(loads <= 2, s"manifest summaries did not skip: $loads loads")
+    // the unfiltered plan still covers every partition
+    assert(t.planFiles(None).map(_.partition.get("grp_p").flatten)
+      .flatten.toSet.size == 8)
+    // and the filtered SCAN stays exact (the real correctness bar)
+    assert(t.scan(Some(col("grp") === 3L)).count() ==
+      df.filter(col("grp") === 3L).count())
+    // summaries survive the manifest-list round-trip
+    val withSummary = t.liveManifests(None)
+      .filter(r => r.content == 0 && r.partitionSummary.isDefined)
+    assert(withSummary.size == 8, s"summaries missing: $withSummary")
+  }
+
   test("fuzz: month-partitioned table (partition + stats pruning)") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
     val t = GraftTable.create(spark,
