@@ -71,6 +71,23 @@ object ZOrderOps {
     out
   }
 
+  /** Integral coercion shared by both z-order expressions. Doubles and
+    * floats TRUNCATE toward zero — exactly the semantics of the
+    * generated code's Java `(long)` cast, so interpreted and codegen
+    * evaluation can never disagree (the scaled inputs are long/long
+    * divisions, which Spark types as double).
+    */
+  def toLongVal(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case d: Double => d.toLong
+    case f: Float => f.toLong
+    case other => throw new IllegalArgumentException(
+      s"zorder needs numeric inputs, got $other")
+  }
+
   /** Unsigned lexicographic comparison (test/audit helper). */
   def compareZ(x: Array[Byte], y: Array[Byte]): Int = {
     var i = 0
@@ -90,17 +107,8 @@ case class ZOrderLong(left: Expression, right: Expression)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "zorder"
 
-  private def toLongVal(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case s: Short => s.toLong
-    case b: Byte => b.toLong
-    case other => throw new IllegalArgumentException(
-      s"zorder needs integral inputs, got $other")
-  }
-
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    ZOrderOps.interleave(toLongVal(a), toLongVal(b))
+    ZOrderOps.interleave(ZOrderOps.toLongVal(a), ZOrderOps.toLongVal(b))
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = ZOrderOps.getClass.getName.stripSuffix("$")
@@ -123,22 +131,13 @@ case class ZOrderN(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "zorder_n"
 
-  private def toLongVal(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case s: Short => s.toLong
-    case b: Byte => b.toLong
-    case other => throw new IllegalArgumentException(
-      s"zorder needs integral inputs, got $other")
-  }
-
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val arr = new Array[Long](children.size)
     var i = 0
     while (i < children.size) {
       val v = children(i).eval(input)
       if (v == null) return null
-      arr(i) = toLongVal(v)
+      arr(i) = ZOrderOps.toLongVal(v)
       i += 1
     }
     ZOrderOps.interleaveN(arr)

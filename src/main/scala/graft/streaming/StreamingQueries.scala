@@ -60,9 +60,11 @@ object StreamingQueries {
           .toList.sortBy(_.getFileName.toString)
         finally ls.close()
       } else List(src)
+    require(leaves.nonEmpty,
+      s"no parquet leaves under $src — nothing to stage (an empty feed " +
+        "would silently pass every streaming query on zero rows)")
     leaves.zipWithIndex.foreach { case (p, i) =>
-      val link = staging.resolve(f"events-$i%05d.parquet")
-      if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+      Files.createSymbolicLink(staging.resolve(f"events-$i%05d.parquet"), p)
     }
     staging.toString
   }

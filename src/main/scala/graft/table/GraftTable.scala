@@ -663,6 +663,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       schema: SchemaV2): Boolean =
     r.content != 0 || (r.partitionSummary match {
       case None => true
+      // an EMPTY tuple list carries no information (a correct writer
+      // never emits one for a non-empty manifest) — keep, never skip
+      case Some(tuples) if tuples.isEmpty => true
       case Some(tuples) => tuples.exists { t =>
         val synthetic = DataFileEntry("", 0L, 0L, 0L, schema.schemaId,
           t.partition, Map.empty, specId = t.specId)
@@ -832,6 +835,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         val refs = manifestsFor(meta, asOf)
           .filter(r => refMayMatch(meta, r, preds, sparkSchema, schema))
         manifestDfForRefs(refs)
+          .drop(SrcManifestCol) // schema parity with the unfiltered branch
           .filter(coalesce(col("content"), lit(0)) === 0)
           .filter(mayMatchColumnFor(meta, preds, sparkSchema, schema))
     }

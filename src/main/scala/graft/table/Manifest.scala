@@ -306,7 +306,8 @@ object ManifestRef {
     Option(n.get("added-sequence-number")).filterNot(_.isNull).map(_.asLong),
     n.path("content").asInt(0),
     Option(n.get("first-row-id")).filterNot(_.isNull).map(_.asLong),
-    Option(n.get("partition-summary")).map(_.elements.asScala.toSeq.map {
+    Option(n.get("partition-summary")).filterNot(_.isNull)
+      .map(_.elements.asScala.toSeq.map {
       tn =>
         PartitionTuple(
           Option(tn.get("spec-id")).filterNot(_.isNull).map(_.asInt),
