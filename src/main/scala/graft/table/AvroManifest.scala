@@ -138,7 +138,17 @@ object AvroManifest {
       {"name":"deleted_files_count","type":"int","field-id":506},
       {"name":"added_rows_count","type":"long","field-id":512},
       {"name":"existing_rows_count","type":"long","field-id":513},
-      {"name":"deleted_rows_count","type":"long","field-id":514}
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","type":["null",{"type":"array","items":{
+        "type":"record","name":"r508","fields":[
+          {"name":"contains_null","type":"boolean","field-id":509},
+          {"name":"contains_nan","type":["null","boolean"],
+            "default":null,"field-id":518},
+          {"name":"lower_bound","type":["null","bytes"],
+            "default":null,"field-id":510},
+          {"name":"upper_bound","type":["null","bytes"],
+            "default":null,"field-id":511}
+        ]},"element-id":508}],"default":null,"field-id":507}
     ]}""")
 
   // ----------------------------------------------- single-value encoding ----
@@ -409,7 +419,72 @@ object AvroManifest {
   case class ListEntry(path: Path, length: Long, content: Int,
       addedSequenceNumber: Long, minSequenceNumber: Long,
       addedSnapshotId: Long, fileCount: Long, rowCount: Long,
-      specId: Option[Int] = None)
+      specId: Option[Int] = None,
+      partitions: Option[Seq[FieldSummary]] = None)
+
+  /** Spec manifest-list `field_summary` (fields 509/518/510/511): one
+    * per partition field of the manifest's spec, in spec-field order.
+    * Bounds use the transform RESULT type's single-value encoding and
+    * are OMITTED (spec-legal nulls) whenever a value fails to
+    * parse/encode — never mis-encoded.
+    */
+  case class FieldSummary(containsNull: Boolean,
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
+  /** Compute field 507 for one exported manifest's entries.
+    *
+    * None — omit the field entirely, which spec readers treat as "no
+    * information, keep the manifest" — whenever a FAITHFUL summary is
+    * impossible: unpartitioned spec, entries that don't carry the
+    * spec's tuple (delete sidecars record no partition values), or a
+    * field whose present values can't be encoded. This matters for
+    * correctness on the READER side: null bounds mean "no non-null
+    * values" to Iceberg's manifest evaluator, so a lazy
+    * contains_null+null-bounds summary would let a spec-compliant
+    * reader wrongly PRUNE the manifest.
+    */
+  private[table] def partitionSummaries(es: Seq[DataFileEntry],
+      spec: PartitionSpec, schema: SchemaV2): Option[Seq[FieldSummary]] = {
+    if (spec.fields.isEmpty || es.isEmpty) return None
+    if (!es.forall(e => spec.fields.forall(pf =>
+        e.partition.contains(pf.name)))) return None
+    val out: Seq[Option[FieldSummary]] = spec.fields.map { pf =>
+      val raw = es.map(_.partition(pf.name))
+      val containsNull = raw.exists(_.isEmpty)
+      val present = raw.flatten
+      if (present.isEmpty)
+        // truly all-null for this field (e.g. void transform) — the
+        // spec-exact rendering IS null bounds
+        Some(FieldSummary(containsNull, None, None))
+      else {
+        val resultType: Option[IceType] = pf.transform match {
+          case TIdentity | TTruncate(_) =>
+            schema.fieldById(pf.sourceId).map(_.fieldType)
+          case TYear | TMonth | TDay | THour | TBucket(_) => Some(TInt)
+          case _ => None
+        }
+        resultType.flatMap { t =>
+          try {
+            val sdt = GraftTable.toSparkType(t)
+            // partition strings may carry Spark's rendering — normalize
+            // to the manifest encoding before comparing/encoding (same
+            // as the identity-partition pruning path)
+            val norm = present.map(v =>
+              Pruning.normalize(v, sdt).getOrElse(v))
+            val lo = norm.reduceLeft((a, b) =>
+              if (Pruning.compare(a, b, sdt) <= 0) a else b)
+            val hi = norm.reduceLeft((a, b) =>
+              if (Pruning.compare(a, b, sdt) >= 0) a else b)
+            for (lb <- encodeBound(lo, t); ub <- encodeBound(hi, t))
+              yield FieldSummary(containsNull, Some(lb), Some(ub))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }
+    // one unencodable field poisons the whole summary — a partial
+    // rendering would read as "no non-null values" for that field
+    if (out.exists(_.isEmpty)) None else Some(out.flatten)
+  }
 
   def writeManifestList(path: Path, manifests: Seq[ListEntry],
       specId: Int): Unit = {
@@ -417,6 +492,9 @@ object AvroManifest {
       new GenericDatumWriter[GenericRecord](listSchema))
     writer.setMeta("format-version", "2")
     writer.create(listSchema, path.toFile)
+    val partsSchema = listSchema.getField("partitions").schema
+      .getTypes.get(1) // the non-null union branch (array)
+    val summarySchema = partsSchema.getElementType
     try manifests.foreach { m =>
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", m.path.toString)
@@ -432,6 +510,18 @@ object AvroManifest {
       r.put("added_rows_count", m.rowCount)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
+      m.partitions.foreach { fs =>
+        val arr = new GenericData.Array[GenericRecord](fs.size, partsSchema)
+        fs.foreach { f =>
+          val fr = new GenericData.Record(summarySchema)
+          fr.put("contains_null", f.containsNull)
+          fr.put("contains_nan", null)
+          f.lower.foreach(b => fr.put("lower_bound", ByteBuffer.wrap(b)))
+          f.upper.foreach(b => fr.put("upper_bound", ByteBuffer.wrap(b)))
+          arr.add(fr)
+        }
+        r.put("partitions", arr)
+      }
       writer.append(r)
     } finally writer.close()
   }

@@ -3528,7 +3528,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
                 addedSnapshotId = snap.snapshotId,
                 fileCount = es.size.toLong,
                 rowCount = es.map(_.recordCount).sum,
-                specId = Some(spec.specId))
+                specId = Some(spec.specId),
+                partitions =
+                  AvroManifest.partitionSummaries(es, spec, schema))
             }
         }
       } else {
@@ -3551,11 +3553,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           }
           .collect().toSeq.sortBy(_._1)
           .map { case (p, len, content, addedSeq, minSeq, nFiles, nRows,
-              specId) =>
+              specId, summaries) =>
             AvroManifest.ListEntry(Paths.get(p), len, content,
               addedSequenceNumber = addedSeq, minSequenceNumber = minSeq,
               addedSnapshotId = snapId, fileCount = nFiles,
-              rowCount = nRows, specId = Some(specId))
+              rowCount = nRows, specId = Some(specId),
+              partitions = summaries)
           }
       }
     val listPath = dir.resolve(s"snap-${snap.snapshotId}.avro")
@@ -4758,7 +4761,8 @@ object GraftTable {
   private[table] def exportOneManifest(r: ManifestRef, idx: Int,
       dir: String, specs: Seq[PartitionSpec], defaultSpec: PartitionSpec,
       schemas: Seq[SchemaV2], currentSchema: SchemaV2, snapshotId: Long)
-      : Seq[(String, Long, Int, Long, Long, Long, Long, Int)] =
+      : Seq[(String, Long, Int, Long, Long, Long, Long, Int,
+        Option[Seq[AvroManifest.FieldSummary]])] =
     r.entries.groupBy(e =>
       (e.schemaId, specForEntryOf(specs, defaultSpec, e).specId))
       .toSeq.sortBy(_._1).zipWithIndex.map {
@@ -4780,7 +4784,8 @@ object GraftTable {
           (p.toString, len, r.content,
             r.addedSequenceNumber.getOrElse(es.map(_.sequenceNumber).max),
             es.map(_.sequenceNumber).min, es.size.toLong,
-            es.map(_.recordCount).sum, spec.specId)
+            es.map(_.recordCount).sum, spec.specId,
+            AvroManifest.partitionSummaries(es, spec, schema))
       }
 
   /** Whether a type contains `time` anywhere (write admission). */

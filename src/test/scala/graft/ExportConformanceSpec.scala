@@ -136,6 +136,88 @@ class ExportConformanceSpec extends SparkSpec {
         err("manifest-list added_snapshot_id not a table snapshot")
     }
 
+    // ---- manifest-list partition summaries (field 507) ----
+    // For every summarized manifest, recompute contains_null and the
+    // per-field min/max from the manifest's OWN typed partition records
+    // (read with plain Avro, decoded with plain ByteBuffers — nothing
+    // shared with the writer) and require the declared bounds attained.
+    def decodeSummaryBound(bb: java.nio.ByteBuffer, like: Any): Option[Any] = {
+      val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+      def le = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      like match {
+        case _: java.lang.Integer => Some(le.getInt)
+        case _: java.lang.Long => Some(le.getLong)
+        case _: java.lang.Float => Some(le.getFloat)
+        case _: java.lang.Double => Some(le.getDouble)
+        case _: org.apache.avro.util.Utf8 | _: String =>
+          Some(new String(bytes, "UTF-8"))
+        case _ => None
+      }
+    }
+    def cmpVals(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+      case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+      case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+      case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+      case _ => a.toString.compareTo(b.toString)
+    }
+    listRows.foreach { r =>
+      val parts = r.get("partitions")
+      if (parts != null) {
+        val summaries = parts.asInstanceOf[java.util.List[GenericRecord]]
+          .asScala.toSeq
+        val mp = r.get("manifest_path").toString
+        val mr2 = open(java.nio.file.Paths.get(mp))
+        val entries2 = try mr2.iterator.asScala.toVector finally mr2.close()
+        val partRecords = entries2.map(_.get("data_file")
+          .asInstanceOf[GenericRecord].get("partition")
+          .asInstanceOf[GenericRecord])
+        if (partRecords.isEmpty)
+          err(s"summary present on empty manifest $mp")
+        else {
+          val pf = partRecords.head.getSchema.getFields.asScala.toSeq
+          if (summaries.size != pf.size)
+            err(s"summary has ${summaries.size} fields, spec has " +
+              s"${pf.size} in $mp")
+          else summaries.zip(pf).foreach { case (s, f) =>
+            val vals = partRecords.map(_.get(f.name))
+            val cn = s.get("contains_null").asInstanceOf[Boolean]
+            if (cn != vals.contains(null))
+              err(s"contains_null wrong for ${f.name} in $mp")
+            val nonNull = vals.filter(_ != null)
+            val lb = Option(s.get("lower_bound")
+              .asInstanceOf[java.nio.ByteBuffer])
+            val ub = Option(s.get("upper_bound")
+              .asInstanceOf[java.nio.ByteBuffer])
+            if (nonNull.isEmpty) {
+              if (lb.nonEmpty || ub.nonEmpty)
+                err(s"bounds on all-null field ${f.name} in $mp")
+            } else (lb, ub) match {
+              case (Some(l), Some(u)) =>
+                (decodeSummaryBound(l, nonNull.head),
+                  decodeSummaryBound(u, nonNull.head)) match {
+                  case (Some(lo), Some(hi)) =>
+                    val mn = nonNull.reduceLeft((a, b) =>
+                      if (cmpVals(a, b) <= 0) a else b)
+                    val mx = nonNull.reduceLeft((a, b) =>
+                      if (cmpVals(a, b) >= 0) a else b)
+                    if (cmpVals(lo, mn) != 0)
+                      err(s"summary lower $lo != actual min $mn for " +
+                        s"${f.name} in $mp")
+                    if (cmpVals(hi, mx) != 0)
+                      err(s"summary upper $hi != actual max $mx for " +
+                        s"${f.name} in $mp")
+                  case _ => // un-decodable type: no independent check
+                }
+              case _ =>
+                err(s"missing bounds for non-null field ${f.name} in $mp")
+            }
+          }
+        }
+      }
+    }
+
     // ---- manifests ----
     var sawDv = false
     listRows.map(_.get("manifest_path").toString).foreach { mp =>
@@ -769,6 +851,47 @@ class ExportConformanceSpec extends SparkSpec {
     assert(validate(out).exists(e =>
         e.contains("lower") || e.contains("upper")),
       "walker must flag a bound that contradicts the file data")
+  }
+
+  test("mutation: a corrupted manifest-list partition-summary bound is caught") {
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter,
+      GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val t = buildTable()
+    val out = export(t)
+    val metaDir = java.nio.file.Paths.get(out, "metadata")
+    val listPath = java.nio.file.Files.list(metaDir).iterator.asScala
+      .find(_.getFileName.toString.matches("snap-\\d+\\.avro")).get
+    val r = new DataFileReader[GenericRecord](listPath.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val (schema, rows) =
+      try (r.getSchema, r.iterator.asScala.toVector) finally r.close()
+    var mutated = false
+    rows.foreach { row =>
+      val parts = row.get("partitions")
+      if (!mutated && parts != null) {
+        val ss = parts.asInstanceOf[java.util.List[GenericRecord]].asScala
+        ss.find(_.get("lower_bound") != null).foreach { s =>
+          val bb = s.get("lower_bound").asInstanceOf[java.nio.ByteBuffer]
+          val bytes = new Array[Byte](bb.remaining())
+          bb.duplicate().get(bytes)
+          bytes(0) = (bytes(0) ^ 0x7f).toByte
+          s.put("lower_bound", java.nio.ByteBuffer.wrap(bytes))
+          mutated = true
+        }
+      }
+    }
+    assert(mutated, "no summarized manifest with bounds found to perturb")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    val tmp = listPath.resolveSibling(listPath.getFileName.toString + ".mut")
+    w.create(schema, tmp.toFile)
+    try rows.foreach(w.append) finally w.close()
+    java.nio.file.Files.move(tmp, listPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(validate(out).exists(e => e.contains("summary lower")),
+      "walker must flag a summary bound that contradicts the entries")
   }
 
   test("mutation: an unstamped (-1) sidecar footer snapshot-id is caught") {
