@@ -877,13 +877,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         // the metadata shortcut is only sound if EVERY conjunct of the
         // filter translated — otherwise mustMatch would certify files
         // against a weaker predicate and silently overcount
+        // manifest-level prune first — same summary skip as planning
+        // (sound for counting: a skipped manifest provably holds no
+        // matching rows, contributing neither certain nor boundary files)
+        val countRefs = refs.filter(r =>
+          refMayMatch(meta, r, preds, sparkSchema, schema))
         val (fullCount, partial): (Long, Seq[(String, Int)]) =
-          if (refs.map(_.entryCount).sum >= distributedPlanningThreshold) {
+          if (countRefs.map(_.entryCount).sum >=
+              distributedPlanningThreshold) {
             // manifest dataset path: may/must evaluate on executors; the
             // driver sees one aggregate row plus the boundary file list.
             // Cached so the JSON parse + predicate evaluation run ONCE
             // for the two consuming jobs.
-            val mdf = manifestDfFor(meta, asOf)
+            val mdf = manifestDfForRefs(countRefs).drop(SrcManifestCol)
               .filter(coalesce(col("content"), lit(0)) === 0)
               .filter(mayMatchColumnFor(meta, preds, sparkSchema, schema))
               .withColumn("__must",
@@ -902,7 +908,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               (certain, boundary)
             } finally mdf.unpersist()
           } else {
-            val entries = refs.flatMap(_.entries).filter(_.isData)
+            val entries = countRefs.flatMap(_.entries).filter(_.isData)
             val may = entries.filter(e =>
               entryMayMatch(meta, e, preds, sparkSchema, schema))
             val (full, part) =
