@@ -524,9 +524,7 @@ class GraftScanBuilder(graft: GraftTable, tableSchema: StructType,
     // in this build, and the engine scan decodes it. The flag is a table
     // property stamped at adoption (the only way avro files enter) and
     // cleared by a full compact() — an O(1) check, never a manifest load.
-    val hasAvro = graft.metadata.properties
-      .exists(_.get(_root_.graft.table.GraftTable.HasAvroProp)
-        .contains("true"))
+    val hasAvro = graft.hasAvroFlag
     if (hasDeletes || wantsLineage || hasAvro)
       new GraftV1Scan(graft, prunedSchema, pushed, asOf, limits)
     else new GraftBatchScan(graft, prunedSchema, pushed, asOf, limits)

@@ -229,8 +229,7 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   // gate anyway — so a construction-time read is equally correct and
   // keeps avro-free tables' hot polling path free of extra metadata
   // loads
-  private lazy val avroFlagAtStart: Boolean = graft.metadata.properties
-    .exists(_.get(GraftTable.HasAvroProp).contains("true"))
+  private lazy val avroFlagAtStart: Boolean = graft.hasAvroFlag
 
   /** Materialize a range's avro rows once as parquet splits (aligned to
     * the current schema by the engine read); replays of the same range
@@ -352,13 +351,27 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     val staged =
       if (!avroFlagAtStart) Seq.empty
       else {
-        val avroAll = graft
-          .plannedConnectorFiles(None, None, Some((from, to)),
-            allowAvro = true)
-          .collect { case f
-            if f.format == _root_.graft.table.DataFileEntry.Avro =>
-              (f.path, f.schemaId, f.fileSize, f.format) }
-        if (avroAll.isEmpty) Seq.empty else stageAvro(from, to, avroAll)
+        // with no pushed filters the first planning pass already IS the
+        // unfiltered one — don't run it twice per batch
+        val avroAll =
+          if (filterColumn.isEmpty)
+            files.filter(_._4 == _root_.graft.table.DataFileEntry.Avro)
+          else graft
+            .plannedConnectorFiles(None, None, Some((from, to)),
+              allowAvro = true)
+            .collect { case f
+              if f.format == _root_.graft.table.DataFileEntry.Avro =>
+                (f.path, f.schemaId, f.fileSize, f.format) }
+        if (avroAll.isEmpty) Seq.empty
+        else {
+          // staging is checkpoint-scoped: the same emptiness condition
+          // that gates cleanup must gate the write, or a keyless stream
+          // would leak ranges under one shared degenerate key
+          require(checkpointLocation.nonEmpty,
+            "streaming an avro-bearing table requires a checkpointed " +
+              "stream (staging is keyed by the checkpoint)")
+          stageAvro(from, to, avroAll)
+        }
       }
     GraftRead.binPack(spark, delegated ++ staged,
       splitLargeFiles = !posRead)

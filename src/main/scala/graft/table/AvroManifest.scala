@@ -471,12 +471,20 @@ object AvroManifest {
             // as the identity-partition pruning path)
             val norm = present.map(v =>
               Pruning.normalize(v, sdt).getOrElse(v))
-            val lo = norm.reduceLeft((a, b) =>
-              if (Pruning.compare(a, b, sdt) <= 0) a else b)
-            val hi = norm.reduceLeft((a, b) =>
-              if (Pruning.compare(a, b, sdt) >= 0) a else b)
-            for (lb <- encodeBound(lo, t); ub <- encodeBound(hi, t))
-              yield FieldSummary(containsNull, Some(lb), Some(ub))
+            // the spec forbids NaN in bounds (readers' comparisons
+            // against NaN are vacuously false → wrong pruning) — a NaN
+            // partition value poisons the summary instead
+            val hasNaN = (t == TFloat || t == TDouble) &&
+              norm.exists(v => v.toDouble.isNaN)
+            if (hasNaN) None
+            else {
+              val lo = norm.reduceLeft((a, b) =>
+                if (Pruning.compare(a, b, sdt) <= 0) a else b)
+              val hi = norm.reduceLeft((a, b) =>
+                if (Pruning.compare(a, b, sdt) >= 0) a else b)
+              for (lb <- encodeBound(lo, t); ub <- encodeBound(hi, t))
+                yield FieldSummary(containsNull, Some(lb), Some(ub))
+            }
           } catch { case scala.util.control.NonFatal(_) => None }
         }
       }

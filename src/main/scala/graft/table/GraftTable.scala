@@ -2717,25 +2717,34 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * the bridge). Checked only on flagged tables, with the usual
     * threshold dispatch; called from compact() and snapshot expiry.
     */
-  private def clearAvroFlagIfMigrated(): Unit = {
-    if (!metadata.properties.exists(
-        _.get(GraftTable.HasAvroProp).contains("true"))) return
-    val refs = allRefs
-    val stillAvro =
-      if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
-        !manifestDfForRefs(refs)
-          .filter(coalesce(col("content"), lit(0)) === 0 &&
-            col("format") === DataFileEntry.Avro)
-          .isEmpty
-      else refs.exists(_.entries.exists(e =>
-        e.isData && e.format == DataFileEntry.Avro))
-    if (!stillAvro)
-      // a sustained conflict must not fail the maintenance op that
-      // called us — leaving the flag set is conservative-correct (the
-      // bridge reads everything; the next maintenance call retries)
-      try updateProperties(Map(GraftTable.HasAvroProp -> None))
-      catch { case _: CommitConflictException => () }
-  }
+  /** True when the table property marks adopted-avro data files. The
+    * ONE probe shared by the scan-builder bridge decision, the stream's
+    * staging decision, and the maintenance clear — they must never
+    * desynchronize.
+    */
+  private[graft] def hasAvroFlag: Boolean = metadata.properties
+    .exists(_.get(GraftTable.HasAvroProp).contains("true"))
+
+  private def clearAvroFlagIfMigrated(): Unit =
+    // NOTHING may escape: this is a pure optimization running after a
+    // maintenance op has already COMMITTED — a probe/clear failure must
+    // neither fail nor re-run the succeeded op. Leaving the flag set is
+    // conservative-correct (the bridge reads everything; the next
+    // maintenance call retries).
+    try {
+      if (!hasAvroFlag) return
+      val refs = allRefs
+      val stillAvro =
+        if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
+          !manifestDfForRefs(refs)
+            .filter(coalesce(col("content"), lit(0)) === 0 &&
+              col("format") === DataFileEntry.Avro)
+            .isEmpty
+        else refs.exists(_.entries.exists(e =>
+          e.isData && e.format == DataFileEntry.Avro))
+      if (!stillAvro)
+        updateProperties(Map(GraftTable.HasAvroProp -> None))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Incremental re-cluster: rewrite the live data files as a SERIES of
     * per-file-group `replace` commits, each bounded by `maxGroupBytes` —
@@ -4043,15 +4052,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * above it the view is a projection over the distributed manifest
     * dataset, never a driver entry loop.
     */
-  def entriesDf: DataFrame = entriesDfFor(liveManifests(None))
+  def entriesDf: DataFrame = {
+    // ONE metadata read pins both the manifest set and the snapshot the
+    // `status` column is computed against — a commit landing between
+    // two independent loads would mislabel the listed entries
+    val meta = metadata
+    entriesDfFor(manifestsFor(meta, None), meta)
+  }
 
   /** `.all_entries`: entries of every manifest any retained snapshot
     * references (deduplicated), status relative to the current snapshot.
     */
-  def allEntriesDf: DataFrame = entriesDfFor(allRefs).distinct()
+  def allEntriesDf: DataFrame = {
+    val meta = metadata
+    entriesDfFor(allRefsOf(meta), meta).distinct()
+  }
 
-  private def entriesDfFor(refs: Seq[ManifestRef]): DataFrame = {
-    val curSnap = metadata.currentSnapshotId.getOrElse(-1L)
+  private def entriesDfFor(refs: Seq[ManifestRef],
+      meta: TableMetadataV2): DataFrame = {
+    val curSnap = meta.currentSnapshotId.getOrElse(-1L)
     if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
       manifestDfForRefs(refs).select(
         when(col("snapshot-id") === curSnap, lit(1)).otherwise(lit(0))
@@ -4162,8 +4181,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         "added_snapshot_id", "added_sequence_number")
   }
 
-  private def allRefs: Seq[ManifestRef] =
-    metadata.snapshots.getOrElse(Seq.empty)
+  private def allRefs: Seq[ManifestRef] = allRefsOf(metadata)
+
+  private def allRefsOf(meta: TableMetadataV2): Seq[ManifestRef] =
+    meta.snapshots.getOrElse(Seq.empty)
       .flatMap(s => ManifestList.read(Paths.get(s.manifestList)))
       .distinct
 
