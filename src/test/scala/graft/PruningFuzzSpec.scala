@@ -95,6 +95,40 @@ class PruningFuzzSpec extends SparkSpec {
     assert(withSummary.size == 8, s"summaries missing: $withSummary")
   }
 
+  test("partition summaries stay sound across SPEC EVOLUTION") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong, (i % 8).toLong, s"v$i"))
+      .toDF("id", "grp", "v")
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("msev").toString + "/t",
+      df.schema, partitionBy = Seq(("grp", TIdentity, "grp_p")))
+    (0L until 4L).foreach(g => t.append(df.filter(col("grp") === g)))
+    // evolve: new commits partition by bucket(id); OLD manifests keep
+    // summarizing under their write-time spec (tuples carry spec ids)
+    t.evolvePartitionSpec(Seq(("id", TBucket(4), "id_b")))
+    (4L until 8L).foreach(g => t.append(df.filter(col("grp") === g)))
+    // a grp filter: old-spec manifests prune by their identity tuples;
+    // new-spec manifests (bucket on id — grp not derivable) must be
+    // KEPT, and the scan stays exact on the mixed-spec table
+    val expected = df.filter(col("grp") === 2L).count()
+    assert(t.scan(Some(col("grp") === 2L)).count() == expected)
+    assert(t.scan(Some(col("grp") === 6L)).count() ==
+      df.filter(col("grp") === 6L).count())
+    val planned = t.planFiles(Some(col("grp") === 2L)).map(_.path).toSet
+    // every row of grp=2 lives in a planned file (soundness); and the
+    // old-spec manifests for other grps were skipped (effectiveness):
+    // plan must NOT include old-spec files whose tuple says another grp
+    val old2 = t.planFiles(None).filter(e =>
+      e.partition.get("grp_p").flatten.exists(_ != "2") &&
+        e.partition.contains("grp_p"))
+    assert(old2.forall(e => !planned.contains(e.path)),
+      "old-spec files of other partitions must prune out")
+    // distributed planning agrees
+    spark.conf.set("spark.graft.distributedPlanningThreshold", "0")
+    try assert(t.scan(Some(col("grp") === 2L)).count() == expected)
+    finally spark.conf.unset("spark.graft.distributedPlanningThreshold")
+  }
+
   test("fuzz: month-partitioned table (partition + stats pruning)") {
     val src = Tables.tbl(spark, "/root/testdata/sf0.001", "lineitem")
     val t = GraftTable.create(spark,
