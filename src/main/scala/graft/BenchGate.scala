@@ -1,0 +1,65 @@
+package graft
+
+/** The bench regression gate as pure functions, so a spec can plant a
+  * slowdown and prove the gate fires (round-14 verdict: the old gate
+  * compared only against the builder's LAST COMMITTED run, so a slowdown
+  * committed at round close silently became the next round's baseline —
+  * s_window_agg and s_stream_table_sink drifted ~1.6× that way).
+  *
+  * The fix: each key's baseline is the BEST of (last committed,
+  * best-ever-recorded) at the same scale factor. Best-ever is maintained
+  * by [[Bench]] in bench_best.json as the element-wise minimum across
+  * runs, so an intra-round slowdown keeps being flagged until it is
+  * actually fixed (or the best file is deliberately reset with a
+  * justification).
+  */
+object BenchGate {
+
+  /** Per-key baseline: min of the last committed time and the best-ever
+    * time; keys present in either map get a baseline.
+    */
+  def baseline(prev: Map[String, Double],
+      best: Map[String, Double]): Map[String, Double] =
+    (prev.keySet ++ best.keySet).iterator.map { k =>
+      k -> math.min(prev.getOrElse(k, Double.MaxValue),
+        best.getOrElse(k, Double.MaxValue))
+    }.toMap
+
+  /** Environmental drift on a shared machine is near-uniform across
+    * queries, so the median slowdown vs baseline estimates it; a query
+    * whose slowdown exceeds 1.5× the median is a PLAN regression, not
+    * noise.
+    */
+  def drift(ratios: Seq[Double]): Double =
+    if (ratios.isEmpty) 1.0 else ratios.sorted.apply(ratios.size / 2)
+
+  /** Keys whose slowdown vs baseline exceeds 1.5× the median drift.
+    * Sub-second queries flicker 2× run-to-run on a shared machine, so a
+    * flag requires at least one side of the comparison over a second;
+    * baselines under 50 ms are too noisy to ratio at all.
+    */
+  def candidates(results: Seq[(String, Double, Boolean)],
+      base: Map[String, Double]): (Double, Seq[(String, Double)]) = {
+    val ratios = results.collect { case (k, v, true)
+      if base.get(k).exists(_ > 0.05) => k -> v / base(k) }
+    val d = drift(ratios.map(_._2))
+    def overFloor(k: String): Boolean =
+      results.exists(r => r._1 == k && r._2 >= 1.0) || base(k) >= 1.0
+    (d, ratios.filter { case (k, r) => r / d > 1.5 && overFloor(k) })
+  }
+
+  /** Next best-ever map: element-wise min of the previous best and this
+    * run's successful times (robust re-times preferred — a scheduler
+    * hiccup must not inflate the floor, and only an ok run may lower it).
+    */
+  def nextBest(best: Map[String, Double],
+      results: Seq[(String, Double, Boolean)],
+      robust: Map[String, Double]): Map[String, Double] = {
+    val now = results.collect { case (k, v, true) =>
+      k -> math.min(v, robust.getOrElse(k, v)) }.toMap
+    (best.keySet ++ now.keySet).iterator.map { k =>
+      k -> math.min(best.getOrElse(k, Double.MaxValue),
+        now.getOrElse(k, Double.MaxValue))
+    }.toMap
+  }
+}

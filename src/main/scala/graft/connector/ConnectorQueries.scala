@@ -25,24 +25,8 @@ object ConnectorQueries {
   private def warehouseLoc(name: String): String =
     warehouseCache.computeIfAbsent(name, _ => loc(name))
 
-  private def loc(name: String): String = {
-    val root = java.nio.file.Paths.get("/root/repo/target/graft-conn")
-    if (java.nio.file.Files.isDirectory(root)) {
-      import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(root)
-      val dirs =
-        try ls.iterator.asScala
-          .filter(_.getFileName.toString.startsWith(s"$name-")).toSeq
-        finally ls.close()
-      dirs.foreach { d =>
-        val w = java.nio.file.Files.walk(d)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally w.close()
-      }
-    }
-    s"/root/repo/target/graft-conn/$name-${java.util.UUID.randomUUID.toString.take(8)}"
-  }
+  private def loc(name: String): String =
+    graft.Staging.freshDir("graft-conn", name)
 
   private def flagAgg(df: DataFrame): DataFrame =
     df.groupBy("l_returnflag")

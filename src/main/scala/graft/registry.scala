@@ -79,6 +79,50 @@ object Tables {
   }
 }
 
+/** Root for transient artifacts that query code builds at run time
+  * (staged stream feeds, demo warehouses, demo tables). Derived from the
+  * JVM temp dir — query code must carry no checkout-absolute paths, so
+  * the library behaves the same from any deployment. Overridable via
+  * GRAFT_STAGING_DIR / -Dgraft.staging.dir for harnesses that want the
+  * artifacts somewhere inspectable.
+  */
+object Staging {
+  lazy val root: java.nio.file.Path = {
+    val base = sys.env.get("GRAFT_STAGING_DIR")
+      .orElse(sys.props.get("graft.staging.dir"))
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val p = java.nio.file.Paths.get(base, "graft-staging")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** A fresh unique directory under `root/group`, reclaiming any prior
+    * runs' directories for the same (group, name) first — bench/verify
+    * reruns must not accumulate dead table trees.
+    */
+  def freshDir(group: String, name: String): String = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val g = root.resolve(group)
+    if (Files.isDirectory(g)) {
+      val ls = Files.list(g)
+      val dirs =
+        try ls.iterator.asScala
+          .filter(_.getFileName.toString.startsWith(s"$name-")).toSeq
+        finally ls.close()
+      dirs.foreach { d =>
+        val w = Files.walk(d)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+    }
+    Files.createDirectories(g)
+    g.resolve(
+      s"$name-${java.util.UUID.randomUUID.toString.take(8)}").toString
+  }
+}
+
 /** Oracle-stability helpers (see GraftQuery conventions). */
 object Help {
   /** Exact decimal type used on BOTH sides before summing doubles, so the

@@ -1209,10 +1209,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val highWater = (meta.properties.flatMap(_.get(key)).map(_.toLong).toSeq
       ++ meta.snapshots.getOrElse(Seq.empty)
         .flatMap(_.summary.other.get(key)).map(_.toLong)).maxOption
-    if (!highWater.exists(_ >= batchId) && !batch.isEmpty) {
-      appendWithSummary(batch, Map(key -> batchId.toString),
-        propsExtra = Map(key -> batchId.toString))
-      ()
+    if (!highWater.exists(_ >= batchId)) {
+      // write FIRST, commit only if files materialized: a separate
+      // batch.isEmpty probe would re-execute the batch plan as an extra
+      // job per micro-batch. Skipping the commit for an empty batch is
+      // safe — on restart the batch replays, writes nothing again, and
+      // the high-water mark only ever records batches that added data.
+      val adds = writeFiles(batch, lineageFresh = true)
+      if (adds.shards.nonEmpty || adds.entries.nonEmpty) {
+        val extra = Map(key -> batchId.toString)
+        retryingCommit(() => commitSnapshot("append",
+          meta2 => (manifestsFor(meta2, None), adds, extra), extra))
+        ()
+      }
     }
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 /** §2.2 Iceberg table-format queries. Each builds a real GraftTable under
-  * target/graft-tbl (fresh location per run), exercises one table-format
+  * the Staging root (fresh location per run), exercises one table-format
   * capability end-to-end (write → commit → metadata-pruned scan), and
   * returns a totally-ordered result the DuckDB oracle reproduces straight
   * from the source parquet.
@@ -15,25 +15,9 @@ import org.apache.spark.sql.types.IntegerType
 object IcebergQueries {
   import Help._
 
-  private def loc(name: String): String = {
+  private def loc(name: String): String =
     // reclaim prior runs' tables for this query (bench/verify reruns)
-    val root = java.nio.file.Paths.get("/root/repo/target/graft-tbl")
-    if (java.nio.file.Files.isDirectory(root)) {
-      import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(root)
-      val dirs =
-        try ls.iterator.asScala
-          .filter(_.getFileName.toString.startsWith(s"$name-")).toSeq
-        finally ls.close()
-      dirs.foreach { d =>
-        val w = java.nio.file.Files.walk(d)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally w.close()
-      }
-    }
-    s"/root/repo/target/graft-tbl/$name-${java.util.UUID.randomUUID.toString.take(8)}"
-  }
+    graft.Staging.freshDir("graft-tbl", name)
 
   private def li(s: SparkSession, dir: String): DataFrame =
     Tables.tbl(s, dir, "lineitem")

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate, exercised with planted slowdowns — in
+  * particular the round-14 blindspot: a slowdown that made it into the
+  * last committed run must STILL be flagged, because the baseline also
+  * remembers the best-ever time.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private def run(times: (String, Double)*): Seq[(String, Double, Boolean)] =
+    times.map { case (k, v) => (k, v, true) }
+
+  test("planted slowdown in the current run is flagged") {
+    val prev = Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.5)
+    val base = BenchGate.baseline(prev, Map.empty)
+    val (drift, flagged) =
+      BenchGate.candidates(run("a" -> 2.1, "b" -> 3.1, "c" -> 4.5), base)
+    assert(math.abs(drift - 1.05) < 0.05)
+    assert(flagged.map(_._1) == Seq("c"))
+  }
+
+  test("blindspot closed: slowdown baked into last-committed still flags") {
+    // round-14 scenario: c slowed 3x and was committed; the next run
+    // matches the committed (slow) time. Against prev alone the ratio is
+    // 1.0 — invisible. Best-ever remembers the fast run, so it flags.
+    val prevWithBakedSlowdown = Map("a" -> 2.0, "b" -> 3.0, "c" -> 4.5)
+    val bestEver = Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.5)
+    val current = run("a" -> 2.0, "b" -> 3.0, "c" -> 4.5)
+
+    val (_, withoutBest) = BenchGate.candidates(current,
+      BenchGate.baseline(prevWithBakedSlowdown, Map.empty))
+    assert(withoutBest.isEmpty, "old gate misses the baked-in slowdown")
+
+    val (_, withBest) = BenchGate.candidates(current,
+      BenchGate.baseline(prevWithBakedSlowdown, bestEver))
+    assert(withBest.map(_._1) == Seq("c"), "ratcheted gate flags it")
+  }
+
+  test("uniform environmental drift is not flagged") {
+    val base = BenchGate.baseline(Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.5),
+      Map.empty)
+    val (drift, flagged) =
+      BenchGate.candidates(run("a" -> 2.6, "b" -> 3.9, "c" -> 1.95), base)
+    assert(math.abs(drift - 1.3) < 1e-9)
+    assert(flagged.isEmpty)
+  }
+
+  test("sub-second flicker is below the flag floor") {
+    val base = BenchGate.baseline(
+      Map("a" -> 0.2, "b" -> 3.0, "c" -> 2.0), Map.empty)
+    // a doubled 0.2s query stays unflagged; both sides under a second
+    val (_, flagged) =
+      BenchGate.candidates(run("a" -> 0.45, "b" -> 3.0, "c" -> 2.0), base)
+    assert(flagged.isEmpty)
+  }
+
+  test("failed queries never participate") {
+    val base = BenchGate.baseline(Map("a" -> 2.0, "b" -> 2.0), Map.empty)
+    val results = Seq(("a", 9.0, false), ("b", 2.0, true))
+    val (_, flagged) = BenchGate.candidates(results, base)
+    assert(flagged.isEmpty)
+  }
+
+  test("nextBest folds in only ok runs, preferring robust re-times") {
+    val best = Map("a" -> 2.0, "b" -> 3.0)
+    val results = Seq(("a", 1.5, true), ("b", 9.0, false), ("c", 4.0, true))
+    val nb = BenchGate.nextBest(best, results, Map("c" -> 3.2))
+    assert(nb == Map("a" -> 1.5, "b" -> 3.0, "c" -> 3.2))
+  }
+
+  test("baseline takes the min of committed and best-ever per key") {
+    val b = BenchGate.baseline(Map("a" -> 2.0, "b" -> 1.0),
+      Map("a" -> 1.5, "c" -> 5.0))
+    assert(b == Map("a" -> 1.5, "b" -> 1.0, "c" -> 5.0))
+  }
+}
