@@ -158,6 +158,100 @@ class StreamingSpec extends SparkSpec {
       .map(t => (t._1, t._2, t._3)), "outer matched rows != inner join")
   }
 
+  test("batch-boundary invariance under random time-ordered feeds (5 seeds)") {
+    // Property form of the 1-vs-3-batch equality tests (round-14 verdict
+    // #7): the SAME output must emerge however the feed is chopped into
+    // time-ordered micro-batches, because state (open sessions, join
+    // sides) survives across batch boundaries until the watermark
+    // retires it. Each pinned seed picks a random batch count k ∈ [2,6]
+    // and k−1 random cut timestamps; the feed is staged as k ascending-
+    // range files with ascending mtimes (one file per micro-batch) and
+    // every stateful operator must reproduce the single-batch reference.
+    import java.nio.file.Files
+    val raw = Tables.tbl(spark, dir, "events")
+      .withColumn("tsm", unix_micros(col("ts")))
+    val tsVals = raw.select("tsm").distinct().orderBy("tsm")
+      .collect().map(_.getLong(0))
+
+    def writeRange(df: org.apache.spark.sql.DataFrame,
+        staging: java.nio.file.Path, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("fuzz-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = staging.resolve(f"$i%03d.parquet")
+          Files.move(p, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+          moved = true
+        }
+      }
+      assert(moved, s"no parquet written for range $i")
+    }
+
+    def stage(cuts: Seq[Long]): String = {
+      val staging = Files.createTempDirectory("fuzz-feed")
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      bounds.sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          writeRange(
+            raw.filter(col("tsm") >= lo && col("tsm") < hi).drop("tsm"),
+            staging, i)
+        case _ => ()
+      }
+      staging.toString
+    }
+
+    def pairTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def outerTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    // reference: the whole feed as ONE file = one micro-batch
+    val refDir = stage(Seq.empty)
+    val refSess = sessionTuples(graft.streaming.StreamingQueries
+      .sessionizeDir(spark, refDir, maxFiles = 1).collect())
+    val refJoin = pairTuples(graft.streaming.StreamingQueries
+      .streamJoinDir(spark, refDir, maxFiles = 1).collect())
+    val refOuter = outerTuples(graft.streaming.StreamingQueries
+      .streamOuterJoinDir(spark, refDir, maxFiles = 1).collect())
+    assert(refSess.nonEmpty && refJoin.nonEmpty)
+    assert(refOuter.exists(_._3 == -1L), "reference has no unmatched views")
+
+    for (seed <- Seq(11, 23, 37, 41, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(5)
+      // cuts exclude the minimum so every range is non-empty; distinct
+      // timestamps (asserted by the generator data: 1000/1000 unique)
+      // mean no tie ever straddles a file boundary
+      val cuts = rnd.shuffle(tsVals.toList.drop(1)).take(k - 1).sorted
+      val feed = stage(cuts)
+      val sess = sessionTuples(graft.streaming.StreamingQueries
+        .sessionizeDir(spark, feed, maxFiles = 1).collect())
+      assert(sess == refSess,
+        s"sessionize diverged at seed=$seed k=$k: " +
+          s"only-fuzz=${(sess -- refSess).take(3)} " +
+          s"only-ref=${(refSess -- sess).take(3)}")
+      val join = pairTuples(graft.streaming.StreamingQueries
+        .streamJoinDir(spark, feed, maxFiles = 1).collect())
+      assert(join == refJoin,
+        s"stream-join diverged at seed=$seed k=$k: " +
+          s"only-fuzz=${(join -- refJoin).take(3)} " +
+          s"only-ref=${(refJoin -- join).take(3)}")
+      val outer = outerTuples(graft.streaming.StreamingQueries
+        .streamOuterJoinDir(spark, feed, maxFiles = 1).collect())
+      assert(outer == refOuter,
+        s"outer join diverged at seed=$seed k=$k: " +
+          s"only-fuzz=${(outer -- refOuter).take(3)} " +
+          s"only-ref=${(refOuter -- outer).take(3)}")
+    }
+  }
+
   test("s_stream_merge_upsert converges to batch last-event-per-user") {
     import org.apache.spark.sql.expressions.Window
     val streamed = Registry.byName("s_stream_merge_upsert").fn(spark, dir)
