@@ -24,15 +24,24 @@ object PlanAudit {
     "Exchange SinglePartition",
     "TakeOrderedAndProject", "GlobalLimit",
     "HashAggregate", "ObjectHashAggregate", "SortAggregate",
-    "Window", "Generate", "Expand", "BroadcastExchange")
+    "Window", "Generate", "Expand", "BroadcastExchange",
+    // connector scan surface: DSv2 scans surface as BatchScan; a bare
+    // metadata-answered COUNT(*) collapses to a LocalTableScan
+    "BatchScan", "LocalTableScan")
 
-  /** §2.1 relational + §2.4 dedup/ANN headline set (prefix match). */
+  /** §2.1 relational + §2.4 dedup/ANN headline set (prefix match), plus
+    * the §2.2 connector scan surface (round-14 verdict #5): the DSv2
+    * pruned scan, the storage-partitioned join, and the metadata-only
+    * count — their shapes were previously pinned only in specs at tiny
+    * scale.
+    */
   val Headline: Seq[String] = Seq(
     "q", // all 25 relational queries
     "d_dedup_exact", "d_dedup_minhash", "d_dedup_cluster", "d_dedup_simhash",
     "d_dedup_substring", "d_dedup_embed", "d_ngram_jaccard",
     "d_embed_cosine_topk", "d_ann_lsh", "d_ann_ivf", "d_ann_pq",
-    "d_ann_ivfpq", "d_kmeans_embed")
+    "d_ann_ivfpq", "d_kmeans_embed",
+    "ice_dsv2_scan", "ice_spj_join", "ice_sql_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -61,8 +70,15 @@ object PlanAudit {
         df.queryExecution.toRdd.count()
         // AQE plan strings repeat nodes under "== Initial Plan ==" —
         // fingerprint the final section only
-        val p = df.queryExecution.executedPlan.toString
+        val p0 = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==").head
+        // ice_spj_join returns a LOCAL frame (it must run under pinned
+        // confs inside the query); fingerprint the executed join plan
+        // it stashed — the plan its zero-shuffle require just verified
+        val p =
+          if (name == "ice_spj_join")
+            Option(connector.ConnectorQueries.lastSpjPlan.get).getOrElse(p0)
+          else p0
         val counts = Ops.map { op =>
           // word-start boundary: "ObjectHashAggregate" must not also
           // count as "HashAggregate"

@@ -28,6 +28,15 @@ object ConnectorQueries {
   private def loc(name: String): String =
     graft.Staging.freshDir("graft-conn", name)
 
+  /** Executed physical plan of the LAST ice_spj_join run. The query
+    * materializes under pinned confs (broadcast off, AQE off, v2
+    * bucketing on) and hands callers a local frame, so the
+    * audit-relevant join plan — the one the zero-shuffle require just
+    * verified — is exposed here for PlanAudit to fingerprint.
+    */
+  private[graft] val lastSpjPlan =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   private def flagAgg(df: DataFrame): DataFrame =
     df.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), r4(dsum(col("l_quantity"))).as("sum_qty"))
@@ -135,6 +144,7 @@ object ConnectorQueries {
             s"storage-partitioned join planned ${shuffles.size} hash shuffles")
           // materialize under the pinned confs; callers see a local frame
           val rows = joined.collect().toSeq
+          lastSpjPlan.set(joined.queryExecution.executedPlan.toString)
           s.createDataFrame(
             new java.util.ArrayList(scala.jdk.CollectionConverters
               .SeqHasAsJava(rows).asJava), joined.schema)
