@@ -27,6 +27,26 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${e.getMessage}") }
+    // ... and one UNTIMED micro-batch: the streaming machinery (state
+    // store providers, streaming codegen, checkpoint IO) otherwise cold-
+    // starts inside whichever s_* key runs first (~8s of its first pass
+    // was engine warmup, not the pipeline)
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit, window}
+      val tmp = java.nio.file.Files.createTempDirectory("bench-warm")
+      spark.range(8).selectExpr("timestamp_micros(id * 1000000) as ts")
+        .coalesce(1).write.parquet(s"$tmp/in")
+      val q = spark.readStream
+        .schema("ts timestamp").parquet(s"$tmp/in")
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 second")).agg(count(lit(1)))
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream warmup FAILED: ${e.getMessage}") }
 
     // optional subset run (comma-separated keys or key prefixes via
     // SPARK_GRAFT_BENCH_KEYS, e.g. "q,d_dedup") — used for cross-scale

@@ -12,6 +12,13 @@ package graft
   * runs, so an intra-round slowdown keeps being flagged until it is
   * actually fixed (or the best file is deliberately reset with a
   * justification).
+  *
+  * Floor-reset policy: the floor is per-key per-WORKLOAD. A commit that
+  * intentionally makes a key do more work (e.g. round 14 adding the
+  * attribution CALL inside ice_partitions_meta) must reset that key's
+  * bench_best.json entry to the new workload's time in the same commit,
+  * stating why — otherwise the gate correctly keeps flagging the key
+  * against a floor that no longer measures the same computation.
   */
 object BenchGate {
 

@@ -82,7 +82,7 @@ object StreamingQueries {
     * a parquet DIRECTORY of part files (GenScale output) — symlink the
     * leaf files either way.
     */
-  private def stageEvents(s: SparkSession, dir: String): String = {
+  private[graft] def stageEvents(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val staging = graft.Staging.root.resolve(
       s"stream-src/${Integer.toHexString(dir.hashCode)}")
