@@ -519,21 +519,69 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // firstRowId = base + offset — O(shards) driver work, exact per-file
     // ids (mirrors Iceberg v3 first-row-id inheritance)
     val lineageOn = props.get(GraftTable.RowLineageProp).contains("true")
-    val jsonLines = statsRows.mapPartitions { it =>
-      var runningRows = 0L
-      it.map { r =>
-        val off =
-          if (!lineageOn) None
-          else { val o = runningRows
-            runningRows += r.getAs[Long]("cnt"); Some(o) }
-        statsRowToEntryJson(r, fieldSpecs, schemaId, specLocal,
-          bloomColNames, bloomDir, rowIdOffset = off)
-      }
-    }(org.apache.spark.sql.Encoders.STRING)
     val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
-    Files.createDirectories(metaDir)
-    jsonLines.write.mode("errorifexists").text(shardDir.toString)
-    collectShardRefs(shardDir)
+    Files.createDirectories(shardDir)
+    val shardDirStr = shardDir.toString
+    val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val cap = ManifestRef.SummaryCap
+    // each TASK writes its own shard file (attempt-unique name; a failed
+    // or speculative attempt's file is orphaned and referenced by
+    // nothing) and returns ONE rollup line — entry count, record count,
+    // distinct partition tuples. The previous shape wrote shards through
+    // the DataFrame text writer and then launched a SECOND Spark job
+    // that re-parsed every shard line just to compute these rollups;
+    // that read-back job is gone, and the driver still sees only
+    // O(shards) rows. Commits are the hot path of a streaming sink
+    // (one per micro-batch), so a whole job per commit matters.
+    val rollups = statsRows.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var runningRows = 0L
+        var n = 0L
+        var rc = 0L
+        val tuples =
+          scala.collection.mutable.LinkedHashSet.empty[PartitionTuple]
+        val p = new org.apache.hadoop.fs.Path(shardDirStr,
+          s"shard-${java.util.UUID.randomUUID.toString.take(12)}.jsonl")
+        val fs = p.getFileSystem(serConf.value)
+        val out = fs.create(p, false)
+        try it.foreach { r =>
+          val off =
+            if (!lineageOn) None
+            else { val o = runningRows
+              runningRows += r.getAs[Long]("cnt"); Some(o) }
+          val entry = GraftTable.statsRowToEntry(r, fieldSpecs, schemaId,
+            specLocal, bloomColNames, bloomDir, rowIdOffset = off)
+          out.write(
+            (graft.model.Json.write(entry.toJson) + "\n").getBytes("UTF-8"))
+          n += 1
+          rc += entry.recordCount
+          if (tuples.size <= cap)
+            tuples += PartitionTuple(entry.specId, entry.partition)
+        } finally out.close()
+        val o = graft.model.Json.obj
+        o.put("path", p.toString)
+        o.put("n", n)
+        o.put("rc", rc)
+        // over-cap or information-free tuple sets carry no summary
+        // (None = the manifest is always read) — same rule as before
+        if (tuples.size <= cap && tuples.nonEmpty &&
+            tuples.exists(_.partition.nonEmpty)) {
+          val a = o.putArray("pts")
+          tuples.foreach(t => a.add(t.toJson))
+        }
+        Iterator(graft.model.Json.write(o))
+      }
+    }(org.apache.spark.sql.Encoders.STRING).collect()
+    rollups.toSeq.map { line =>
+      val o = graft.model.Json.parse(line)
+      val summary = Option(o.get("pts")).map { a =>
+        import scala.jdk.CollectionConverters._
+        a.elements.asScala.toSeq.map(PartitionTuple.fromJson)
+      }
+      ShardRef(o.path("path").asText, o.path("n").asLong,
+        o.path("rc").asLong, partitions = summary)
+    }
   }
 
   /** Rollup refs for executor-written JSONL shard files under `shardDir`:
@@ -4912,10 +4960,11 @@ object GraftTable {
     * EXECUTORS (static: captures nothing), so manifests are written where
     * the stats are computed.
     */
-  private[table] def statsRowToEntryJson(r: Row,
+  private[table] def statsRowToEntry(r: Row,
       statFields: Seq[(String, DataType)], schemaId: Int,
       spec: PartitionSpec, bloomCols: Seq[String] = Seq.empty,
-      bloomDir: String = "", rowIdOffset: Option[Long] = None): String = {
+      bloomDir: String = "", rowIdOffset: Option[Long] = None)
+      : DataFileEntry = {
     val path = decodePath(r.getAs[String]("__path"))
     val stats = statFields.map { case (name, dt) =>
       name -> ColStats(
@@ -4944,11 +4993,10 @@ object GraftTable {
         Some(Blooms.BloomRef(f.toString, cols.result().toMap))
       }
     }
-    val entry = DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
+    DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
       0L, schemaId, parsePartition(path, spec), stats,
       fileSize = r.getAs[Long]("__size"), specId = Some(spec.specId),
       bloom = bloomRef, rowIdOffset = rowIdOffset)
-    graft.model.Json.write(entry.toJson)
   }
 
   /** Inverse of the manifest-dataset read: one manifest DF row back to a

@@ -213,7 +213,47 @@ object DataFileEntry {
   * O(matching manifests) instead of reading every manifest's entries.
   */
 case class PartitionTuple(specId: Option[Int],
-    partition: Map[String, Option[String]])
+    partition: Map[String, Option[String]]) {
+  def toJson: ObjectNode = {
+    val o = Json.obj
+    specId.foreach(o.put("spec-id", _))
+    val po = o.putObject("partition")
+    partition.toSeq.sortBy(_._1).foreach {
+      case (k, Some(v)) => po.put(k, v)
+      case (k, None) => po.putNull(k)
+    }
+    o
+  }
+}
+
+object PartitionTuple {
+  def fromJson(tn: JsonNode): PartitionTuple = PartitionTuple(
+    Option(tn.get("spec-id")).filterNot(_.isNull).map(_.asInt),
+    Option(tn.get("partition")).map(_.fields.asScala.toSeq.map { e =>
+      e.getKey ->
+        (if (e.getValue.isNull) None else Some(e.getValue.asText))
+    }.toMap).getOrElse(Map.empty))
+}
+
+/** Minimal serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is private[spark]) — Writable round-trip,
+  * so executor tasks can open the table's FileSystem when they write
+  * manifest shards.
+  */
+private[table] class SerConf(
+    @transient private var c: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = c
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    c.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    c = new org.apache.hadoop.conf.Configuration(false)
+    c.readFields(in)
+  }
+}
 
 case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     addedSnapshotId: Option[Long] = None,
@@ -238,15 +278,7 @@ case class ManifestRef(path: String, entryCount: Long, recordCount: Long,
     firstRowId.foreach(v => o.put("first-row-id", v))
     partitionSummary.foreach { ts =>
       val a = o.putArray("partition-summary")
-      ts.foreach { t =>
-        val to = a.addObject()
-        t.specId.foreach(v => to.put("spec-id", v))
-        val po = to.putObject("partition")
-        t.partition.toSeq.sortBy(_._1).foreach {
-          case (k, Some(v)) => po.put(k, v)
-          case (k, None) => po.putNull(k)
-        }
-      }
+      ts.foreach(t => a.add(t.toJson))
     }
     o
   }
@@ -307,15 +339,7 @@ object ManifestRef {
     n.path("content").asInt(0),
     Option(n.get("first-row-id")).filterNot(_.isNull).map(_.asLong),
     Option(n.get("partition-summary")).filterNot(_.isNull)
-      .map(_.elements.asScala.toSeq.map {
-      tn =>
-        PartitionTuple(
-          Option(tn.get("spec-id")).filterNot(_.isNull).map(_.asInt),
-          Option(tn.get("partition")).map(_.fields.asScala.toSeq.map {
-            e => e.getKey ->
-              (if (e.getValue.isNull) None else Some(e.getValue.asText))
-          }.toMap).getOrElse(Map.empty))
-    }))
+      .map(_.elements.asScala.toSeq.map(PartitionTuple.fromJson)))
 }
 
 /** Per-snapshot manifest LIST: snapshots share unchanged manifest files,
