@@ -522,6 +522,15 @@ class TableSpec extends SparkSpec {
     assert(t.metadata.snapshots.get.size == 1)
     t.commitStreamBatch(src, 1L, "s1") // genuinely new batch appends
     assert(t.scan().count() == 200)
+    // an EMPTY batch commits nothing — no empty snapshot, and because
+    // its id is not recorded, a later replay that DOES carry rows still
+    // lands (round-15: the commit decision moved after the file write,
+    // dropping the per-batch isEmpty job)
+    t.commitStreamBatch(src.limit(0), 2L, "s1")
+    assert(t.metadata.snapshots.get.size == 2)
+    t.commitStreamBatch(src, 2L, "s1")
+    assert(t.scan().count() == 300)
+    assert(t.metadata.snapshots.get.size == 3)
   }
 
   test("equality deletes match NULL keys null-safely") {
