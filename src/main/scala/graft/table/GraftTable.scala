@@ -323,12 +323,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Iceberg data files REQUIRE int64-micros timestamps; Spark still
+    * defaults TimestampType to the non-standard INT96 (stats-less and
+    * unreadable by spec-conforming readers), so every graft parquet
+    * write pins TIMESTAMP_MICROS on the WRITING session — df.write reads
+    * the conf from the dataframe's own session, which under foreachBatch
+    * is the micro-batch clone, not the table's.
+    */
+  private def pinParquetTs(df: DataFrame): Unit =
+    df.sparkSession.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   /** Write df's files under a fresh writeId; return pending adds (shard
     * manifests written by executors — no per-file rows on the driver).
     */
   private def writeFiles(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
       repartitionByPartition: Boolean = false,
       lineageFresh: Boolean = false): PendingAdds = {
+    pinParquetTs(df)
     val meta = metadata
     val spec = meta.defaultSpec
     val schema = meta.currentSchema
@@ -470,17 +482,107 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .map(_.copy(lineageFresh = lineageFresh)))
   }
 
-  /** One distributed pass over the freshly written files: per-file row
-    * count + min/max/null-count for every primitive column, serialized to
-    * manifest-entry JSONL by the EXECUTORS (one shard per task) — the
-    * driver sees only O(shards) rollup rows, never per-file stats. At
-    * 100 TB (10⁵–10⁶ files × wide schemas) this keeps commit memory flat.
-    * Entries carry PendingSnapshot and inherit ids from their ManifestRef
-    * at commit time.
+  /** Stats shards for the freshly written files under `writeDir`:
+    * manifest-entry JSONL written by EXECUTORS (one shard per task), the
+    * driver sees only O(shards) rollup rows. Two paths:
+    *
+    *   - FOOTER path (default): per-column min/max/null-count merged
+    *     across row groups straight off each file's parquet footer — an
+    *     O(files) metadata pass. The previous shape re-read 100% of the
+    *     data a write had just produced; at 100 TB that second scan IS
+    *     the commit cost.
+    *   - SCAN path: the original distributed aggregate over the data —
+    *     required when bloom sidecars are configured (blooms genuinely
+    *     need the values), and forced by spark.graft.footerStats=false
+    *     (the equivalence spec uses this to prove the two paths emit
+    *     identical stats).
+    *
+    * Entries carry PendingSnapshot and inherit ids from their
+    * ManifestRef at commit time.
     */
   private def writeStatsShards(writeDir: String, schema: SchemaV2,
       sparkSchema: StructType, spec: PartitionSpec,
       writeId: String, props: Map[String, String]): Seq[ShardRef] = {
+    val bloomCols = Blooms.bloomColumns(props, sparkSchema)
+    if (bloomCols.isEmpty && spark.conf
+        .getOption("spark.graft.footerStats").forall(_.toBoolean))
+      footerStatsShards(writeDir, schema, sparkSchema, spec, writeId, props)
+    else
+      scanStatsShards(writeDir, schema, sparkSchema, spec, writeId, props,
+        bloomCols)
+  }
+
+  /** FOOTER stats path: one tiny task per file slice reads footers only.
+    * See [[GraftTable.footerEntry]] for the soundness contract (columns
+    * with absent/unknown footer stats are omitted — never pruned, never
+    * certified).
+    */
+  private def footerStatsShards(writeDir: String, schema: SchemaV2,
+      sparkSchema: StructType, spec: PartitionSpec,
+      writeId: String, props: Map[String, String]): Seq[ShardRef] = {
+    val fieldSpecs: Seq[(String, DataType)] = statPaths(sparkSchema)
+    val schemaId = schema.schemaId
+    val specLocal = spec
+    val lineageOn = props.get(GraftTable.RowLineageProp).contains("true")
+    val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
+    Files.createDirectories(shardDir)
+    val shardDirStr = shardDir.toString
+    val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    // freshly written leaves (recursive — partitioned writes nest), in
+    // DECODED on-disk form (the manifest path domain). O(files) listing,
+    // the same order of work as the write's own job commit.
+    val paths: Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(
+        java.net.URI.create(GraftTable.encodePath(writeDir)))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          buf += f.getPath.toUri.getPath
+      }
+      buf.result().sorted
+    }
+    if (paths.isEmpty) return Seq.empty
+    // shard sizing: ~64 footers per task, capped at the cluster's
+    // parallelism — a small append makes ONE shard (manifest-list
+    // density: one ref per commit, matching the scan path's AQE-coalesced
+    // shape), a million-file write still fans wide
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      math.ceil(paths.size / 64.0).toInt))
+    val rollups = spark.createDataset(paths)(
+      org.apache.spark.sql.Encoders.STRING)
+      .repartition(parts)
+      .mapPartitions { it =>
+        var runningRows = 0L
+        val entries = it.map { pstr =>
+          val e0 = GraftTable.footerEntry(pstr, serConf.value, fieldSpecs,
+            schemaId, specLocal)
+          if (!lineageOn) e0
+          else { val o = runningRows
+            runningRows += e0.recordCount
+            e0.copy(rowIdOffset = Some(o)) }
+          // a 0-row parquet part (Spark writes one for some empty plans)
+          // is dead weight: no rows to plan, and the scan-based pass
+          // never saw it either (no rows → no stats row) — an all-empty
+          // write must yield NO entries, or empty stream batches would
+          // commit phantom snapshots
+        }.filter(_.recordCount > 0L)
+        GraftTable.shardRollup(entries, shardDirStr, serConf.value)
+      }(org.apache.spark.sql.Encoders.STRING).collect()
+    GraftTable.parseRollups(rollups.toSeq)
+  }
+
+  /** SCAN stats path: one distributed aggregate over the written data —
+    * per-file row count + min/max/null-count for every primitive column
+    * (and bloom sidecars, which ride the same pass at zero extra scans).
+    */
+  private def scanStatsShards(writeDir: String, schema: SchemaV2,
+      sparkSchema: StructType, spec: PartitionSpec,
+      writeId: String, props: Map[String, String],
+      bloomCols: Seq[(String, DataType)]): Seq[ShardRef] = {
     // leaf primitive paths, including DOTTED struct fields ("a.b.c") —
     // struct filters prune exactly like top-level ones
     val fieldSpecs: Seq[(String, DataType)] = statPaths(sparkSchema)
@@ -488,7 +590,6 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // opt-in per-file bloom filters ride the SAME aggregate pass (zero
     // extra scans) — Spark's codegen'd BloomFilterAggregate over the
     // canonical xxhash64 (see Blooms for the hash contract)
-    val bloomCols = Blooms.bloomColumns(props, sparkSchema)
     val (bloomItems, bloomBits) = Blooms.sizing(props)
     val bloomAggs = bloomCols.map { case (name, dt) =>
       org.apache.spark.sql.graft.Bridge.column(
@@ -523,65 +624,26 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     Files.createDirectories(shardDir)
     val shardDirStr = shardDir.toString
     val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
-    val cap = ManifestRef.SummaryCap
-    // each TASK writes its own shard file (attempt-unique name; a failed
-    // or speculative attempt's file is orphaned and referenced by
-    // nothing) and returns ONE rollup line — entry count, record count,
-    // distinct partition tuples. The previous shape wrote shards through
+    // each TASK writes its own shard file and returns ONE rollup line
+    // (GraftTable.shardRollup). The previous shape wrote shards through
     // the DataFrame text writer and then launched a SECOND Spark job
     // that re-parsed every shard line just to compute these rollups;
     // that read-back job is gone, and the driver still sees only
     // O(shards) rows. Commits are the hot path of a streaming sink
     // (one per micro-batch), so a whole job per commit matters.
     val rollups = statsRows.mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        var runningRows = 0L
-        var n = 0L
-        var rc = 0L
-        val tuples =
-          scala.collection.mutable.LinkedHashSet.empty[PartitionTuple]
-        val p = new org.apache.hadoop.fs.Path(shardDirStr,
-          s"shard-${java.util.UUID.randomUUID.toString.take(12)}.jsonl")
-        val fs = p.getFileSystem(serConf.value)
-        val out = fs.create(p, false)
-        try it.foreach { r =>
-          val off =
-            if (!lineageOn) None
-            else { val o = runningRows
-              runningRows += r.getAs[Long]("cnt"); Some(o) }
-          val entry = GraftTable.statsRowToEntry(r, fieldSpecs, schemaId,
-            specLocal, bloomColNames, bloomDir, rowIdOffset = off)
-          out.write(
-            (graft.model.Json.write(entry.toJson) + "\n").getBytes("UTF-8"))
-          n += 1
-          rc += entry.recordCount
-          if (tuples.size <= cap)
-            tuples += PartitionTuple(entry.specId, entry.partition)
-        } finally out.close()
-        val o = graft.model.Json.obj
-        o.put("path", p.toString)
-        o.put("n", n)
-        o.put("rc", rc)
-        // over-cap or information-free tuple sets carry no summary
-        // (None = the manifest is always read) — same rule as before
-        if (tuples.size <= cap && tuples.nonEmpty &&
-            tuples.exists(_.partition.nonEmpty)) {
-          val a = o.putArray("pts")
-          tuples.foreach(t => a.add(t.toJson))
-        }
-        Iterator(graft.model.Json.write(o))
+      var runningRows = 0L
+      val entries = it.map { r =>
+        val off =
+          if (!lineageOn) None
+          else { val o = runningRows
+            runningRows += r.getAs[Long]("cnt"); Some(o) }
+        GraftTable.statsRowToEntry(r, fieldSpecs, schemaId,
+          specLocal, bloomColNames, bloomDir, rowIdOffset = off)
       }
+      GraftTable.shardRollup(entries, shardDirStr, serConf.value)
     }(org.apache.spark.sql.Encoders.STRING).collect()
-    rollups.toSeq.map { line =>
-      val o = graft.model.Json.parse(line)
-      val summary = Option(o.get("pts")).map { a =>
-        import scala.jdk.CollectionConverters._
-        a.elements.asScala.toSeq.map(PartitionTuple.fromJson)
-      }
-      ShardRef(o.path("path").asText, o.path("n").asLong,
-        o.path("rc").asLong, partitions = summary)
-    }
+    GraftTable.parseRollups(rollups.toSeq)
   }
 
   /** Rollup refs for executor-written JSONL shard files under `shardDir`:
@@ -2124,6 +2186,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       s"equality-delete column $c is not a table column"))
     val writeId = java.util.UUID.randomUUID.toString.take(8)
     val delDir = s"$location/deletes/$writeId"
+    pinParquetTs(keys) // eq-delete keys may carry timestamp columns
     keys.distinct().write.mode("errorifexists").parquet(delDir)
     val counts = spark.read.schema(keys.schema).parquet(delDir)
       .groupBy(col("_metadata.file_path").as("__f"))
@@ -3820,6 +3883,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     Files.createDirectories(dir)
     val rand = java.util.UUID.randomUUID.toString.take(8)
     val tmpDir = dir.resolve(s"$prefix-tmp-$rand")
+    pinParquetTs(df)
     df.coalesce(1).write.parquet(tmpDir.toString)
     val part = {
       val ls = Files.list(tmpDir)
@@ -4960,6 +5024,145 @@ object GraftTable {
     * EXECUTORS (static: captures nothing), so manifests are written where
     * the stats are computed.
     */
+  /** Write one manifest shard holding this task's entries (attempt-
+    * unique name; a failed or speculative attempt's file is orphaned and
+    * referenced by nothing) and emit its single rollup line — entry
+    * count, record count, distinct partition tuples. Static: captures
+    * nothing, runs on EXECUTORS; the driver only ever parses the rollup
+    * lines (see [[parseRollups]]).
+    */
+  private[table] def shardRollup(entries: Iterator[DataFileEntry],
+      shardDirStr: String,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[String] = {
+    if (!entries.hasNext) return Iterator.empty
+    var n = 0L
+    var rc = 0L
+    val cap = ManifestRef.SummaryCap
+    val tuples = scala.collection.mutable.LinkedHashSet.empty[PartitionTuple]
+    val p = new org.apache.hadoop.fs.Path(shardDirStr,
+      s"shard-${java.util.UUID.randomUUID.toString.take(12)}.jsonl")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, false)
+    try entries.foreach { e =>
+      out.write((graft.model.Json.write(e.toJson) + "\n").getBytes("UTF-8"))
+      n += 1
+      rc += e.recordCount
+      if (tuples.size <= cap) tuples += PartitionTuple(e.specId, e.partition)
+    } finally out.close()
+    val o = graft.model.Json.obj
+    o.put("path", p.toString)
+    o.put("n", n)
+    o.put("rc", rc)
+    // over-cap or information-free tuple sets carry no summary (None =
+    // the manifest is always read)
+    if (tuples.size <= cap && tuples.nonEmpty &&
+        tuples.exists(_.partition.nonEmpty)) {
+      val a = o.putArray("pts")
+      tuples.foreach(t => a.add(t.toJson))
+    }
+    Iterator(graft.model.Json.write(o))
+  }
+
+  /** Driver-side inverse of [[shardRollup]]'s emitted lines. */
+  private[table] def parseRollups(lines: Seq[String]): Seq[ShardRef] =
+    lines.map { line =>
+      val o = graft.model.Json.parse(line)
+      val summary = Option(o.get("pts")).map { a =>
+        import scala.jdk.CollectionConverters._
+        a.elements.asScala.toSeq.map(PartitionTuple.fromJson)
+      }
+      ShardRef(o.path("path").asText, o.path("n").asLong,
+        o.path("rc").asLong, partitions = summary)
+    }
+
+  /** Manifest entry for a freshly written parquet file built from its
+    * FOOTER alone: per-column min/max/null-count merged across row
+    * groups, plus row count and file size — O(footer bytes) per file
+    * instead of re-scanning the data. Values convert to the exact same
+    * normalized string encoding the scan-based pass produces (both call
+    * Pruning.normalize; FooterStatsSpec pins byte equality), so the two
+    * paths are interchangeable. SOUNDNESS RULES: a column whose footer
+    * carries NO statistics at all, or an inexact null count, is OMITTED
+    * from the stats map (missing stats are never pruned on and never
+    * certify a count); a column whose BOUNDS are suppressed (huge
+    * binaries, NaN-containing doubles) but whose null count is exact
+    * keeps (None, None, nulls) — boundless stats never prune a range
+    * filter while IS [NOT] NULL pruning stays exact. Worst case is a
+    * file read that exact stats would have skipped, never a skipped
+    * file that held matching rows.
+    */
+  private[table] def footerEntry(pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      statFields: Seq[(String, DataType)], schemaId: Int,
+      spec: PartitionSpec): DataFileEntry = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    // Path built through a proper URI: partition dir names carry LITERAL
+    // percent signs (Hive escaping), which Path(String) would misparse
+    val hPath = new org.apache.hadoop.fs.Path(
+      java.net.URI.create(encodePath(pathStr)))
+    val inFile = HadoopInputFile.fromPath(hPath, conf)
+    val reader = ParquetFileReader.open(inFile)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      val byName = statFields.toMap
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, org.apache.parquet.column.statistics.Statistics[_]]
+      val bad = scala.collection.mutable.Set.empty[String]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (byName.contains(name) && !bad(name)) {
+            val s = cc.getStatistics
+            // one chunk without usable stats or an exact null count
+            // poisons the whole column — absent stats are sound, wrong
+            // stats are not
+            if (s == null || s.isEmpty || !s.isNumNullsSet) bad += name
+            else acc.get(name) match {
+              case None =>
+                val copy = org.apache.parquet.column.statistics.Statistics
+                  .createStats(cc.getPrimitiveType)
+                copy.mergeStatistics(s)
+                acc(name) = copy
+              case Some(m) => m.mergeStatistics(s)
+            }
+          }
+        }
+      }
+      val stats = acc.iterator.filterNot(kv => bad(kv._1))
+        .map { case (name, s) =>
+          val dt = byName(name)
+          val (mn, mx) =
+            if (!s.hasNonNullValue) (None, None) // all-null column
+            else (Pruning.normalize(footerValue(s.genericGetMin, dt), dt),
+              Pruning.normalize(footerValue(s.genericGetMax, dt), dt))
+          name -> ColStats(mn, mx, s.getNumNulls)
+        }.toMap
+      DataFileEntry(pathStr, rowCount, PendingSnapshot, 0L, schemaId,
+        parsePartition(pathStr, spec), stats, fileSize = inFile.getLength,
+        specId = Some(spec.specId))
+    } finally reader.close()
+  }
+
+  /** Footer statistics value → the Spark-typed value the scan aggregate
+    * would have produced for the same column, so Pruning.normalize
+    * renders the identical canonical string. Int/long already match
+    * normalize's date/timestamp branches; binaries become UTF8 strings
+    * or scaled decimals.
+    */
+  private def footerValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (b: org.apache.parquet.io.api.Binary, d: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale)
+    case (b: org.apache.parquet.io.api.Binary, _) => b.toStringUsingUTF8
+    case (i: java.lang.Integer, d: DecimalType) =>
+      java.math.BigDecimal.valueOf(i.longValue, d.scale)
+    case (l: java.lang.Long, d: DecimalType) =>
+      java.math.BigDecimal.valueOf(l.longValue, d.scale)
+    case (other, _) => other
+  }
+
   private[table] def statsRowToEntry(r: Row,
       statFields: Seq[(String, DataType)], schemaId: Int,
       spec: PartitionSpec, bloomCols: Seq[String] = Seq.empty,
