@@ -131,6 +131,56 @@ class FooterStatsSpec extends SparkSpec {
     assert(t.countRows(Some(col("id") < 10L)) == 10L)
   }
 
+  test("fuzz: footer/scan stats parity over random data (6 seeds)") {
+    // randomized differential: random value ranges (extremes included),
+    // random null rates, random row counts — the stats maps must match
+    // byte-for-byte. NaN is excluded (covered by the dedicated
+    // suppression test: the paths legitimately differ there).
+    for (seed <- Seq(2, 3, 5, 7, 11, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(400)
+      val nullPct = rnd.nextInt(40)
+      val lo = rnd.nextLong() % 1000000L
+      val df = spark.range(n).selectExpr(
+        s"if(id % 100 < $nullPct, null, id * ${1 + rnd.nextInt(9)} + $lo) " +
+          "as l",
+        s"if(id % 100 < $nullPct, null, " +
+          s"cast((id - ${rnd.nextInt(200)}) as double) / 7.0) as d",
+        s"if(id % 100 < $nullPct, null, concat('é中', " +
+          "cast(id as string), char(1 + cast(id % 90 as int)))) as s",
+        s"if(id % 100 < $nullPct, null, timestamp_micros(" +
+          s"${rnd.nextLong() % 100000000000L} + id * 1000003)) as ts",
+        s"if(id % 100 < $nullPct, null, cast(cast(id as decimal(22,3)) * " +
+          s"${rnd.nextInt(100000)} - 500000 as decimal(22,3))) as dec")
+      val (eF, eS) = bothPaths(df)
+      assert(eF.recordCount == eS.recordCount, s"seed=$seed rows")
+      assert(eF.stats == eS.stats,
+        s"seed=$seed stats diverged:\n footer=${eF.stats}\n scan=${eS.stats}")
+    }
+  }
+
+  test("footer path survives hive-escaped partition directory names") {
+    // identity partitions on strings with ':', ' ', '%' produce escaped
+    // dir names (literal % on disk) — the footer path's Hadoop listing
+    // and URI round-trip must address the literal names, and partition
+    // values must decode exactly as the scan path's did
+    import spark.implicits._
+    val df = Seq((1L, "a:b"), (2L, "c d"), (3L, "e%3Af"), (4L, "plain"))
+      .toDF("id", "k")
+    val t = GraftTable.create(spark, freshLoc("fstats-esc"), df.schema,
+      partitionBy = Seq(("k", TIdentity, "k_p")))
+    t.append(df, repartitionByPartition = true)
+    val entries = t.planFiles(None)
+    assert(entries.flatMap(_.partition.get("k_p")).toSet ==
+      Set(Some("a:b"), Some("c d"), Some("e%3Af"), Some("plain")))
+    assert(entries.forall(_.stats.get("id").exists(_.min.isDefined)))
+    // pruned read THROUGH the escaped dirs answers exactly
+    assert(t.scan(Some(col("k") === "a:b")).count() == 1L)
+    assert(t.scan(Some(col("k") === "e%3Af"))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(t.countRows(Some(col("k") === "c d")) == 1L)
+  }
+
   test("partitioned writes summarize tuples identically on both paths") {
     val df = spark.range(400).selectExpr("id", "id % 4 as grp",
       "cast(id as string) as v")
