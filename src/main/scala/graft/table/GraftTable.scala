@@ -575,6 +575,46 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     GraftTable.parseRollups(rollups.toSeq)
   }
 
+  /** Per-file (decoded path, row count) for the parquet files just
+    * written under `dir`, straight from FOOTERS — replaces a Spark
+    * read-back job whose only output was these counts. Every MoR /
+    * equality / DV-rebuild delete commit runs this, so a job per commit
+    * matters. Driver-side for the common few-hundred-file case,
+    * distributed above that; 0-row parts are dropped (the read-back's
+    * groupBy never produced a row for them either).
+    */
+  private def footerCounts(dir: String): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(
+      java.net.URI.create(GraftTable.encodePath(dir)))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        buf += f.getPath.toUri.getPath
+    }
+    val paths = buf.result().sorted
+    val counted =
+      if (paths.size <= 512)
+        paths.map(p => p -> GraftTable.footerRowCount(p, conf))
+      else {
+        val serConf = new SerConf(conf)
+        spark.createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
+          .repartition(math.max(1, math.min(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(paths.size / 64.0).toInt)))
+          .map(p => (p, GraftTable.footerRowCount(p, serConf.value)))(
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.scalaLong))
+          .collect().toSeq.sortBy(_._1)
+      }
+    counted.filter(_._2 > 0L)
+  }
+
   /** SCAN stats path: one distributed aggregate over the written data —
     * per-file row count + min/max/null-count for every primitive column
     * (and bloom sidecars, which ride the same pass at zero extra scans).
@@ -2041,15 +2081,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           val delDir = s"$location/deletes/$writeId"
           morLivePositions(meta, cond, affected)
             .write.mode("errorifexists").parquet(delDir)
-          val delSchema = StructType(Seq(SparkField("file_path", StringType),
-            SparkField("pos", LongType)))
-          val counts = spark.read.schema(delSchema).parquet(delDir)
-            .groupBy(col("_metadata.file_path").as("__f"))
-            .agg(count(lit(1)).as("n")).collect()
-          counts.toSeq.map(r =>
-            DataFileEntry(decodePath(r.getAs[String]("__f")),
-              r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
-              Map.empty, Map.empty, content = 1))
+          footerCounts(delDir).map { case (p, n) =>
+            DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
+              Map.empty, Map.empty, content = 1) }
         }
       commitSnapshot("delete", fresh => {
         if (fresh.currentSnapshotId != meta.currentSnapshotId)
@@ -2188,13 +2222,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val delDir = s"$location/deletes/$writeId"
     pinParquetTs(keys) // eq-delete keys may carry timestamp columns
     keys.distinct().write.mode("errorifexists").parquet(delDir)
-    val counts = spark.read.schema(keys.schema).parquet(delDir)
-      .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(count(lit(1)).as("n")).collect()
-    val delEntries = counts.toSeq.map(r =>
-      DataFileEntry(decodePath(r.getAs[String]("__f")), r.getAs[Long]("n"),
-        PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
-        content = 2, eqColumns = cols))
+    val delEntries = footerCounts(delDir).map { case (p, n) =>
+      DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
+        Map.empty, Map.empty, content = 2, eqColumns = cols) }
     // plain rebase is safe here: equality deletes scope by sequence
     // number, so whatever commits in between, this delete still applies
     // to exactly the data that predates it
@@ -2233,14 +2263,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         GraftTable.decodePathCol(col("file_path")) === col("__dead_path"),
         "left_anti")
       .write.mode("errorifexists").parquet(delDir)
-    val delSchema = StructType(Seq(SparkField("file_path", StringType),
-      SparkField("pos", LongType)))
-    dvKept ++ spark.read.schema(delSchema).parquet(delDir)
-      .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(count(lit(1)).as("n")).collect().toSeq
-      .map(r => DataFileEntry(decodePath(r.getAs[String]("__f")),
-        r.getAs[Long]("n"), PendingSnapshot, 0L, schemaId,
-        Map.empty, Map.empty, content = 1))
+    dvKept ++ footerCounts(delDir).map { case (p, n) =>
+      DataFileEntry(p, n, PendingSnapshot, 0L, schemaId,
+        Map.empty, Map.empty, content = 1) }
   }
 
   /** Manifest-granular change split: manifests where NO data entry
@@ -2713,15 +2738,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               col(PosIdxCol).as("pos"))
             .distinct()
             .write.mode("errorifexists").parquet(delDir)
-          val delSchema = StructType(Seq(
-            SparkField("file_path", StringType),
-            SparkField("pos", LongType)))
-          spark.read.schema(delSchema).parquet(delDir)
-            .groupBy(col("_metadata.file_path").as("__f"))
-            .agg(count(lit(1)).as("n")).collect().toSeq
-            .map(r => DataFileEntry(decodePath(r.getAs[String]("__f")),
-              r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
-              Map.empty, Map.empty, content = 1))
+          footerCounts(delDir).map { case (p, n) =>
+            DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
+              Map.empty, Map.empty, content = 1) }
         }
       commitSnapshot("replace", fresh => {
         if (fresh.currentSnapshotId != meta.currentSnapshotId)
@@ -2774,13 +2793,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .distinct().repartitionByRange(outFiles, col("file_path"))
           .sortWithinPartitions("file_path", "pos")
           .write.mode("errorifexists").parquet(delDir)
-        val counts = spark.read.schema(delSchema).parquet(delDir)
-          .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(count(lit(1)).as("n")).collect()
-        val newEntries = counts.toSeq.map(r =>
-          DataFileEntry(decodePath(r.getAs[String]("__f")),
-            r.getAs[Long]("n"), PendingSnapshot, 0L, schema.schemaId,
-            Map.empty, Map.empty, content = 1))
+        val newEntries = footerCounts(delDir).map { case (p, n) =>
+          DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
+            Map.empty, Map.empty, content = 1) }
         commitSnapshot("replace", fresh => {
           if (fresh.currentSnapshotId != meta.currentSnapshotId)
             throw new CommitConflictException(
@@ -5144,6 +5159,20 @@ object GraftTable {
         parsePartition(pathStr, spec), stats, fileSize = inFile.getLength,
         specId = Some(spec.specId))
     } finally reader.close()
+  }
+
+  /** Row count of one parquet file from its footer. `decodedPath` is the
+    * on-disk (manifest-domain) form; the Path is rebuilt through a
+    * proper URI so literal '%' in hive-escaped dir names survives.
+    */
+  private[table] def footerRowCount(decodedPath: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val p = new org.apache.hadoop.fs.Path(
+      java.net.URI.create(encodePath(decodedPath)))
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try r.getRecordCount
+    finally r.close()
   }
 
   /** Footer statistics value → the Spark-typed value the scan aggregate
