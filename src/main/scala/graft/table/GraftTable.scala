@@ -686,56 +686,6 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     GraftTable.parseRollups(rollups.toSeq)
   }
 
-  /** Rollup refs for executor-written JSONL shard files under `shardDir`:
-    * sweep writer markers/empties, then compute per-shard (entry count,
-    * record count) distributedly — O(shards) rows reach the driver.
-    */
-  private def collectShardRefs(shardDir: Path): Seq[ShardRef] = {
-    val stream = Files.list(shardDir)
-    val (junk, parts) =
-      try stream.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
-        .partition(p => !p.getFileName.toString.startsWith("part-"))
-      finally stream.close()
-    junk.foreach(Files.deleteIfExists(_)) // _SUCCESS / .crc markers
-    val (emptyParts, shards) = parts.partition(p => Files.size(p) == 0L)
-    emptyParts.foreach(Files.deleteIfExists(_))
-    if (shards.isEmpty) return Seq.empty
-    val counts = spark.read.schema(manifestSchema)
-      .json(shards.map(_.toString): _*)
-      .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(count(lit(1)).as("n"), sum(col("record-count")).as("rc"),
-        // distinct (spec, partition) tuples for the manifest summary —
-        // sliced to cap+1 so an over-cap shard transfers O(cap), and the
-        // driver sees >cap and drops the summary (always-read)
-        slice(
-          collect_set(to_json(struct(col("spec-id").as("s"),
-            col("partition").as("p")))),
-          1, ManifestRef.SummaryCap + 1).as("pts"))
-      .collect()
-    counts.toSeq.map { r =>
-      val pts = r.getAs[scala.collection.Seq[String]]("pts")
-      val summary =
-        if (pts.size > ManifestRef.SummaryCap) None
-        else {
-          val tuples = pts.toSeq.map { s =>
-            val n = graft.model.Json.parse(s)
-            PartitionTuple(
-              Option(n.get("s")).filterNot(_.isNull).map(_.asInt),
-              Option(n.get("p")).filterNot(_.isNull).map { pn =>
-                import scala.jdk.CollectionConverters._
-                pn.fields.asScala.map(e => e.getKey ->
-                  (if (e.getValue.isNull) None
-                  else Some(e.getValue.asText))).toMap
-              }.getOrElse(Map.empty))
-          }
-          if (tuples.isEmpty || tuples.forall(_.partition.isEmpty)) None
-          else Some(tuples.distinct)
-        }
-      ShardRef(decodePath(r.getAs[String]("__f")),
-        r.getAs[Long]("n"), r.getAs[Long]("rc"), partitions = summary)
-    }
-  }
-
   // -------------------------------------------------------------- read ----
 
   /** A snapshot's manifest refs (empty before the first snapshot). */
@@ -2575,13 +2525,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           val nOut = math.max(1, math.ceil(
             entriesN.toDouble / targetEntriesPerManifest).toInt)
           val dir = metaDir.resolve(s"manifest-shards-rw-$writeId-c$ct")
+          Files.createDirectories(dir)
+          val dirStr = dir.toString
+          val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
+          // same fused shape as the commit path: each task writes its
+          // own shard and returns one rollup line — no read-back job
           manifestDfForRefs(rs).drop(SrcManifestCol)
-            .map(r => graft.model.Json.write(
-              GraftTable.manifestRowToEntry(r).toJson))(
-              org.apache.spark.sql.Encoders.STRING)
             .coalesce(nOut)
-            .write.mode("errorifexists").text(dir.toString)
-          collectShardRefs(dir).map(_.copy(content = ct))
+            .mapPartitions { it =>
+              GraftTable.shardRollup(
+                it.map(GraftTable.manifestRowToEntry), dirStr,
+                serConf.value)
+            }(org.apache.spark.sql.Encoders.STRING)
+            .collect().toSeq
+            .flatMap(l => GraftTable.parseRollups(Seq(l)))
+            .map(_.copy(content = ct))
         }
       }
       commitSnapshot("replace", { fresh =>
