@@ -103,7 +103,37 @@ object Bench {
         } else Map.empty
       } catch { case _: Exception => Map.empty }
     val prev = loadTimes("/root/repo/bench_detail.json", "queries")
-    val bestEver = loadTimes("/root/repo/bench_best.json", "queries")
+    // best-ever floors are kept PER scale factor under "bySf" — a full
+    // run at another sf must not clobber this sf's floors (that would
+    // silently reopen the ratchet blindspot for the next run here).
+    // Legacy single-sf files ({"queries":…,"sf":…}) still load.
+    def loadBest(): (Map[String, Double], Map[String, String]) =
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get("/root/repo/bench_best.json")))
+        val others = scala.collection.mutable.Map.empty[String, String]
+        var mine = Map.empty[String, Double]
+        Option(n.get("bySf")) match {
+          case Some(by) =>
+            by.fields().forEachRemaining { e =>
+              if (e.getKey == sfDir) {
+                val out = scala.collection.mutable.Map.empty[String, Double]
+                e.getValue.fields().forEachRemaining(q =>
+                  out += q.getKey -> q.getValue.asDouble())
+                mine = out.toMap
+              } else others += e.getKey -> e.getValue.toString
+            }
+          case None => // legacy shape
+            if (Option(n.get("sf")).map(_.asText()).contains(sfDir))
+              mine = loadTimes("/root/repo/bench_best.json", "queries")
+            else Option(n.get("sf")).map(_.asText()).foreach { s =>
+              Option(n.get("queries")).foreach(q => others += s -> q.toString)
+            }
+        }
+        (mine, others.toMap)
+      } catch { case _: Exception => (Map.empty, Map.empty) }
+    val (bestEver, otherSfBest) = loadBest()
     val base = BenchGate.baseline(prev, bestEver)
     val (drift, candidates) = BenchGate.candidates(results, base)
     // a first-pass flag on a shared machine is usually scheduler /
@@ -181,9 +211,12 @@ object Bench {
         robust.map { case (k, v) => k -> v / norm }.toMap)
       val bq = nb.toSeq.sortBy(_._1)
         .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      // re-emit other scale factors' floors untouched
+      val all = (otherSfBest + (sfDir -> bq)).toSeq.sortBy(_._1)
+        .map { case (s, q) => s""""$s":$q""" }.mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/bench_best.json"),
-        s"""{"queries":$bq,"sf":"$sfDir"}""" + "\n")
+        s"""{"bySf":$all}""" + "\n")
       catch { case _: Exception => () }
     }
     spark.stop()

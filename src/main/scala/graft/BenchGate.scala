@@ -55,9 +55,18 @@ object BenchGate {
     (d, ratios.filter { case (k, r) => r / d > 1.5 && overFloor(k) })
   }
 
+  /** Per-run cap on how far one run may lower a key's floor: a single
+    * lucky scheduler day must not set a floor that every normal run then
+    * "regresses" against. A genuinely faster plan still converges
+    * geometrically (15%/run); a one-off 30% outlier only moves the floor
+    * 15%, keeping normal runs' ratio ≈1.18 — under the 1.5× flag bar.
+    */
+  val MaxRatchetPerRun = 0.85
+
   /** Next best-ever map: element-wise min of the previous best and this
     * run's successful times (robust re-times preferred — a scheduler
-    * hiccup must not inflate the floor, and only an ok run may lower it).
+    * hiccup must not inflate the floor, and only an ok run may lower it),
+    * damped to [[MaxRatchetPerRun]] of the previous floor per run.
     */
   def nextBest(best: Map[String, Double],
       results: Seq[(String, Double, Boolean)],
@@ -65,8 +74,16 @@ object BenchGate {
     val now = results.collect { case (k, v, true) =>
       k -> math.min(v, robust.getOrElse(k, v)) }.toMap
     (best.keySet ++ now.keySet).iterator.map { k =>
-      k -> math.min(best.getOrElse(k, Double.MaxValue),
-        now.getOrElse(k, Double.MaxValue))
+      val old = best.get(k)
+      val cand = now.get(k)
+      val next = (old, cand) match {
+        case (Some(o), Some(c)) =>
+          math.min(o, math.max(c, o * MaxRatchetPerRun))
+        case (Some(o), None) => o
+        case (None, Some(c)) => c
+        case (None, None) => Double.MaxValue // unreachable by keyset
+      }
+      k -> next
     }.toMap
   }
 }

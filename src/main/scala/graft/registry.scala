@@ -91,7 +91,13 @@ object Staging {
     val base = sys.env.get("GRAFT_STAGING_DIR")
       .orElse(sys.props.get("graft.staging.dir"))
       .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val p = java.nio.file.Paths.get(base, "graft-staging")
+    // scoped per (user, working dir): freshDir reclaims prior runs' dirs
+    // by name prefix, so an UNscoped shared /tmp root would let one
+    // checkout's run delete another's live tables (and a second user
+    // couldn't create the dir at all)
+    val scope = s"${sys.props.getOrElse("user.name", "u")}-" +
+      Integer.toHexString(sys.props.getOrElse("user.dir", "/").hashCode)
+    val p = java.nio.file.Paths.get(base, s"graft-staging-$scope")
     java.nio.file.Files.createDirectories(p)
     p
   }

@@ -45,8 +45,13 @@ object StreamingQueries {
     */
   private def fingerprint(leaves: Seq[java.nio.file.Path]): String = {
     import java.nio.file.Files
-    leaves.map(p => s"$p|${Files.size(p)}|" +
-      s"${Files.getLastModifiedTime(p).toMillis}").mkString("\n")
+    // mtime at full (nanosecond where the FS has it) resolution: a
+    // same-size regeneration within the same millisecond tick must
+    // still invalidate the cache
+    leaves.map { p =>
+      val t = Files.getLastModifiedTime(p).toInstant
+      s"$p|${Files.size(p)}|${t.getEpochSecond}.${t.getNano}"
+    }.mkString("\n")
   }
 
   /** Names of the non-hidden files currently in a staging dir (the

@@ -329,6 +329,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * write pins TIMESTAMP_MICROS on the WRITING session — df.write reads
     * the conf from the dataframe's own session, which under foreachBatch
     * is the micro-batch clone, not the table's.
+    *
+    * The pin is deliberately session-wide and NOT restored: parquet has
+    * no per-write option for it (ParquetOptions carries only
+    * compression/mergeSchema/rebase), and save-restore would race
+    * concurrent writers on the same session (ConcurrencySpec's shape) —
+    * a thread restoring INT96 mid-way through another thread's write
+    * would silently emit non-conformant files. The documented contract:
+    * a session that writes graft tables writes standard int64-micros
+    * timestamps everywhere.
     */
   private def pinParquetTs(df: DataFrame): Unit =
     df.sparkSession.conf.set(
@@ -475,12 +484,29 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         finally stream.close()
       }
     }
-    if (!wrote) PendingAdds.empty
-    else PendingAdds(Seq.empty,
-      writeStatsShards(writeDir, schema, sparkSchema, spec, writeId,
+    val shards =
+      if (!wrote) Seq.empty
+      else writeStatsShards(writeDir, schema, sparkSchema, spec, writeId,
         meta.properties.getOrElse(Map.empty))
-        .map(_.copy(lineageFresh = lineageFresh)))
+        .map(_.copy(lineageFresh = lineageFresh))
+    if (shards.isEmpty) {
+      // nothing to commit — reclaim the (possibly 0-row-part-only) data
+      // dir and any pre-created shard dir NOW: a long-idle streaming
+      // sink's no-data micro-batches would otherwise orphan one dir pair
+      // per trigger, forever
+      deleteRecursively(Paths.get(writeDir))
+      deleteRecursively(metaDir.resolve(s"manifest-shards-$writeId"))
+      PendingAdds.empty
+    } else PendingAdds(Seq.empty, shards)
   }
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val w = Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
 
   /** Stats shards for the freshly written files under `writeDir`:
     * manifest-entry JSONL written by EXECUTORS (one shard per task), the
@@ -528,22 +554,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     Files.createDirectories(shardDir)
     val shardDirStr = shardDir.toString
     val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
-    // freshly written leaves (recursive — partitioned writes nest), in
-    // DECODED on-disk form (the manifest path domain). O(files) listing,
-    // the same order of work as the write's own job commit.
-    val paths: Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(
-        java.net.URI.create(GraftTable.encodePath(writeDir)))
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(root, true)
-      val buf = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          buf += f.getPath.toUri.getPath
-      }
-      buf.result().sorted
-    }
+    // freshly written leaves — O(files) listing, the same order of work
+    // as the write's own job commit
+    val paths = listParquetLeaves(writeDir)
     if (paths.isEmpty) return Seq.empty
     // shard sizing: ~64 footers per task, capped at the cluster's
     // parallelism — a small append makes ONE shard (manifest-list
@@ -583,11 +596,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * distributed above that; 0-row parts are dropped (the read-back's
     * groupBy never produced a row for them either).
     */
-  private def footerCounts(dir: String): Seq[(String, Long)] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Recursive parquet leaves under `dir` (partitioned writes nest), in
+    * DECODED on-disk form — the manifest path domain. The Path is built
+    * through a proper URI so hive-escaped dir names (literal '%')
+    * survive, and fileStatus.getPath.toUri.getPath decodes back to the
+    * literal on-disk form exactly as _metadata.file_path+decodePath did.
+    */
+  private def listParquetLeaves(dir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(
       java.net.URI.create(GraftTable.encodePath(dir)))
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val it = fs.listFiles(root, true)
     val buf = Seq.newBuilder[String]
@@ -596,7 +614,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       if (f.getPath.getName.endsWith(".parquet"))
         buf += f.getPath.toUri.getPath
     }
-    val paths = buf.result().sorted
+    buf.result().sorted
+  }
+
+  private def footerCounts(dir: String): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = listParquetLeaves(dir)
     val counted =
       if (paths.size <= 512)
         paths.map(p => p -> GraftTable.footerRowCount(p, conf))
@@ -5022,6 +5045,14 @@ object GraftTable {
       rc += e.recordCount
       if (tuples.size <= cap) tuples += PartitionTuple(e.specId, e.partition)
     } finally out.close()
+    // local FS writes go through ChecksumFileSystem — don't leave a
+    // .crc sidecar per shard accumulating in the table's metadata dir
+    // (one shard per commit on a streaming sink)
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.delete(c.getChecksumFile(p), false); ()
+      case _ => ()
+    }
     val o = graft.model.Json.obj
     o.put("path", p.toString)
     o.put("n", n)

@@ -65,9 +65,27 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("nextBest folds in only ok runs, preferring robust re-times") {
     val best = Map("a" -> 2.0, "b" -> 3.0)
-    val results = Seq(("a", 1.5, true), ("b", 9.0, false), ("c", 4.0, true))
+    val results = Seq(("a", 1.8, true), ("b", 9.0, false), ("c", 4.0, true))
     val nb = BenchGate.nextBest(best, results, Map("c" -> 3.2))
-    assert(nb == Map("a" -> 1.5, "b" -> 3.0, "c" -> 3.2))
+    // a: within the per-run ratchet cap → taken as measured; b: failed
+    // run never lowers the floor; c: new key seeds from its robust time
+    assert(nb == Map("a" -> 1.8, "b" -> 3.0, "c" -> 3.2))
+  }
+
+  test("a one-off lucky run only moves the floor 15%, never flags later") {
+    val best = Map("a" -> 2.0)
+    // lucky 35%-fast outlier: floor dampens to 0.85 * 2.0 = 1.7
+    val nb = BenchGate.nextBest(best, Seq(("a", 1.3, true)), Map.empty)
+    assert(nb == Map("a" -> 1.7))
+    // a NORMAL run against the damped floor stays under the flag bar
+    val (_, flagged) = BenchGate.candidates(Seq(("a", 2.0, true)),
+      BenchGate.baseline(Map("a" -> 2.0), nb))
+    assert(flagged.isEmpty)
+    // while a SUSTAINED genuine improvement converges geometrically
+    val nb2 = BenchGate.nextBest(nb, Seq(("a", 1.3, true)), Map.empty)
+    val nb3 = BenchGate.nextBest(nb2, Seq(("a", 1.3, true)), Map.empty)
+    assert(math.abs(nb2("a") - 1.7 * 0.85) < 1e-9)
+    assert(math.abs(nb3("a") - 1.3) < 1e-9)
   }
 
   test("baseline takes the min of committed and best-ever per key") {

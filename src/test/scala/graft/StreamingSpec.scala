@@ -177,18 +177,22 @@ class StreamingSpec extends SparkSpec {
         staging: java.nio.file.Path, i: Int): Unit = {
       val tmp = Files.createTempDirectory("fuzz-part")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator()
+      val ls = Files.list(tmp)
       var moved = false
-      while (part.hasNext && !moved) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          val dst = staging.resolve(f"$i%03d.parquet")
-          Files.move(p, dst)
-          Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-          moved = true
+      try {
+        val part = ls.iterator()
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val dst = staging.resolve(f"$i%03d.parquet")
+            Files.move(p, dst)
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime
+                .fromMillis(1000000L + i * 60000L))
+            moved = true
+          }
         }
-      }
+      } finally ls.close()
       assert(moved, s"no parquet written for range $i")
     }
 
