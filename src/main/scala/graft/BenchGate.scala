@@ -55,6 +55,41 @@ object BenchGate {
     (d, ratios.filter { case (k, r) => r / d > 1.5 && overFloor(k) })
   }
 
+  /** Stable panel for instantaneous-drift confirmation. The r15 driver
+    * run flagged three join keys 3–4.5× on code whose committed run (and
+    * plans) were clean: the driver benches on a box that concurrently
+    * runs oracle/judge processes, and a single global drift factor
+    * measured over the whole pass cannot see load that arrives mid-run.
+    * The fix: when a key is re-timed to confirm a flag, a small panel of
+    * non-flagged keys is re-timed AT THE SAME MOMENT; if the panel is
+    * slow too, it is machine load, not a code regression. Panel = keys
+    * nearest the median first-pass ratio (they tracked the environment,
+    * not an outlier) with baselines big enough to time reliably.
+    */
+  def panel(results: Seq[(String, Double, Boolean)],
+      base: Map[String, Double], exclude: Set[String],
+      n: Int = 3): Seq[String] = {
+    val stable = results.collect { case (k, v, true)
+      if !exclude.contains(k) && base.get(k).exists(_ >= 0.2) =>
+        k -> v / base(k) }
+    if (stable.isEmpty) Seq.empty
+    else {
+      val med = drift(stable.map(_._2))
+      stable.sortBy { case (k, r) => (math.abs(r - med), k) }
+        .take(n).map(_._1)
+    }
+  }
+
+  /** A flagged key is CONFIRMED as a code regression only if its best
+    * re-time exceeds 1.5× baseline after normalizing by the drift the
+    * panel showed at the same moment. The panel drift is floored at 1.0:
+    * a momentarily FAST panel must never manufacture a regression out of
+    * a sub-1.5× raw ratio — the panel can only excuse, never accuse.
+    */
+  def confirmed(bestSec: Double, baseSec: Double,
+      panelDrift: Double): Boolean =
+    bestSec / (baseSec * math.max(panelDrift, 1.0)) > 1.5
+
   /** Per-run cap on how far one run may lower a key's floor: a single
     * lucky scheduler day must not set a floor that every normal run then
     * "regresses" against. A genuinely faster plan still converges

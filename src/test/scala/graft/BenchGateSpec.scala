@@ -88,6 +88,59 @@ class BenchGateSpec extends AnyFunSuite {
     assert(math.abs(nb3("a") - 1.3) < 1e-9)
   }
 
+  test("environment noise at re-time is excused by a slow panel") {
+    // r15 driver-run scenario: the candidate re-times 3x over its floor,
+    // but the panel measured at the same moment is also 3x slow — the
+    // box is loaded (concurrent oracle/judge processes), not a plan
+    // regression
+    assert(!BenchGate.confirmed(bestSec = 4.5, baseSec = 1.5,
+      panelDrift = 3.0))
+  }
+
+  test("a real code regression is confirmed against a healthy panel") {
+    assert(BenchGate.confirmed(bestSec = 4.5, baseSec = 1.5,
+      panelDrift = 1.0))
+    // and stays confirmed under mild load — 3x over floor vs 1.3 drift
+    assert(BenchGate.confirmed(bestSec = 4.5, baseSec = 1.5,
+      panelDrift = 1.3))
+  }
+
+  test("a momentarily fast panel never manufactures a regression") {
+    // 1.4x over floor with the panel at 0.7 would normalize to 2.0 —
+    // the 1.0 floor keeps sub-1.5x raw ratios unflagged (the panel can
+    // only excuse, never accuse)
+    assert(!BenchGate.confirmed(bestSec = 2.1, baseSec = 1.5,
+      panelDrift = 0.7))
+  }
+
+  test("panel picks stable keys nearest the median, excluding flagged") {
+    val results = run("a" -> 2.0, "b" -> 3.3, "c" -> 4.5, "d" -> 0.1,
+      "e" -> 2.2)
+    val base = Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.5, "d" -> 0.09,
+      "e" -> 2.0)
+    // c is the flagged candidate; d's baseline is too small to re-time
+    // reliably — the panel is the remaining stable keys
+    assert(BenchGate.panel(results, base, Set("c")).toSet ==
+      Set("a", "b", "e"))
+    // at most n keys, nearest the median ratio first (ties by key)
+    assert(BenchGate.panel(results, base, Set("c"), n = 1) == Seq("b"))
+  }
+
+  test("end-to-end: planted machine load flags nothing, planted code" +
+      " regression still flags") {
+    val base = BenchGate.baseline(
+      Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.5, "e" -> 2.0), Map.empty)
+    // whole machine 3x slow mid-run: candidates() may flag c if the
+    // load arrived after the median was set, but the panel measured at
+    // re-time excuses it
+    val (_, flaggedEnv) = BenchGate.candidates(
+      run("a" -> 2.1, "b" -> 3.1, "c" -> 4.5, "e" -> 2.1), base)
+    assert(flaggedEnv.map(_._1) == Seq("c"))
+    assert(!BenchGate.confirmed(4.5, base("c"), panelDrift = 3.0))
+    // same flag with a healthy panel → a genuine regression
+    assert(BenchGate.confirmed(4.5, base("c"), panelDrift = 1.05))
+  }
+
   test("baseline takes the min of committed and best-ever per key") {
     val b = BenchGate.baseline(Map("a" -> 2.0, "b" -> 1.0),
       Map("a" -> 1.5, "c" -> 5.0))
