@@ -131,7 +131,7 @@ object StreamingQueries {
     * reorder a key's history), file mtimes ascending so the file source
     * processes them oldest-first. Re-staged fresh each run.
     */
-  private def stageCdcFeed(s: SparkSession, dir: String): (String, Int) = {
+  private[graft] def stageCdcFeed(s: SparkSession, dir: String): (String, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val staging = graft.Staging.root.resolve(
@@ -151,11 +151,14 @@ object StreamingQueries {
     val manifest = staging.resolve("_MANIFEST")
     val fpNow = fingerprint(srcLeaves)
     if (Files.isRegularFile(manifest)) {
+      // Try-wrapped count parse: a corrupt/truncated manifest (non-numeric
+      // suffix) must fall through to wipe-and-restage, never throw
       Files.readString(manifest).split("\n#staged=") match {
         case Array(fp, n) if fp == fpNow &&
-            stagedNames(staging) ==
-              (0 until n.toInt).map(i => s"cdc-$i.parquet").toSet =>
-          return (staging.toString, n.toInt)
+            scala.util.Try(n.trim.toInt).toOption.exists(cnt =>
+              stagedNames(staging) ==
+                (0 until cnt).map(i => s"cdc-$i.parquet").toSet) =>
+          return (staging.toString, n.trim.toInt)
         case _ => ()
       }
     }

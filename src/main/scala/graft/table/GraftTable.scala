@@ -339,9 +339,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * a session that writes graft tables writes standard int64-micros
     * timestamps everywhere.
     */
-  private def pinParquetTs(df: DataFrame): Unit =
+  private def pinParquetTs(df: DataFrame): Unit = {
     df.sparkSession.conf.set(
       "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Manifest stats certify EXACT global MIN/MAX answers for
+    // statAggregable types (strings/decimals) from footer min/max —
+    // parquet permits TRUNCATED column-chunk statistics (e.g. a harness
+    // setting parquet.statistics.truncate.length on the Hadoop conf),
+    // which the pre-V2 Statistics API cannot distinguish from exact
+    // ones. Pin truncation OFF on every writing session, same contract
+    // as the timestamp pin above.
+    df.sparkSession.sparkContext.hadoopConfiguration.setInt(
+      "parquet.statistics.truncate.length", Int.MaxValue)
+  }
 
   /** Write df's files under a fresh writeId; return pending adds (shard
     * manifests written by executors — no per-file rows on the driver).
@@ -585,8 +595,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         }.filter(_.recordCount > 0L)
         GraftTable.shardRollup(entries, shardDirStr, serConf.value)
       }(org.apache.spark.sql.Encoders.STRING).collect()
-    GraftTable.parseRollups(rollups.toSeq)
+    val refs = GraftTable.parseRollups(rollups.toSeq)
+    sweepOrphanShards(shardDir, refs)
+    refs
   }
+
+  private def sweepOrphanShards(shardDir: Path, refs: Seq[ShardRef]): Unit =
+    GraftTable.sweepOrphanShards(shardDir, refs)
 
   /** Per-file (decoded path, row count) for the parquet files just
     * written under `dir`, straight from FOOTERS — replaces a Spark
@@ -706,7 +721,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       }
       GraftTable.shardRollup(entries, shardDirStr, serConf.value)
     }(org.apache.spark.sql.Encoders.STRING).collect()
-    GraftTable.parseRollups(rollups.toSeq)
+    val refs = GraftTable.parseRollups(rollups.toSeq)
+    sweepOrphanShards(shardDir, refs)
+    refs
   }
 
   // -------------------------------------------------------------- read ----
@@ -2553,7 +2570,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
           // same fused shape as the commit path: each task writes its
           // own shard and returns one rollup line — no read-back job
-          manifestDfForRefs(rs).drop(SrcManifestCol)
+          val lines = manifestDfForRefs(rs).drop(SrcManifestCol)
             .coalesce(nOut)
             .mapPartitions { it =>
               GraftTable.shardRollup(
@@ -2561,8 +2578,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
                 serConf.value)
             }(org.apache.spark.sql.Encoders.STRING)
             .collect().toSeq
-            .flatMap(l => GraftTable.parseRollups(Seq(l)))
-            .map(_.copy(content = ct))
+          val refs = GraftTable.parseRollups(lines)
+          sweepOrphanShards(dir, refs)
+          refs.map(_.copy(content = ct))
         }
       }
       commitSnapshot("replace", { fresh =>
@@ -5065,6 +5083,28 @@ object GraftTable {
       tuples.foreach(t => a.add(t.toJson))
     }
     Iterator(graft.model.Json.write(o))
+  }
+
+  /** Sweep shard files under `shardDir` that no returned rollup line
+    * references: a failed or speculative task attempt's attempt-unique
+    * file is orphaned (referenced by nothing) and nothing else ever
+    * deletes it, so retried commits would slowly accumulate junk JSONL
+    * inside metadata/manifest-shards-*. One dir listing right after the
+    * rollup collect; best-effort (an orphan that survives — e.g. a
+    * speculative attempt finishing its create after the sweep — is
+    * inert, just dead bytes).
+    */
+  private[graft] def sweepOrphanShards(shardDir: java.nio.file.Path,
+      refs: Seq[ShardRef]): Unit = {
+    val live = refs.map(r => new java.io.File(r.path).getName).toSet
+    try {
+      val ls = Files.list(shardDir)
+      try ls.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("shard-") && !live.contains(n))
+          Files.deleteIfExists(p)
+      } finally ls.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Driver-side inverse of [[shardRollup]]'s emitted lines. */

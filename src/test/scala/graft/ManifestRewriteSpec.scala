@@ -12,6 +12,45 @@ class ManifestRewriteSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-rw").toString + "/t"
 
+  test("orphaned shard files from failed attempts are swept") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("shard-sweep")
+    val live = dir.resolve("shard-live00000001.jsonl")
+    Files.writeString(live, "{}\n")
+    // a failed/speculative attempt's attempt-unique file: no rollup line
+    // ever references it, and before the sweep nothing deleted it
+    Files.writeString(dir.resolve("shard-orphan0000.jsonl"), "{}\n")
+    // non-shard files (whatever a future layout adds) are not touched
+    Files.writeString(dir.resolve("_other"), "x")
+    GraftTable.sweepOrphanShards(dir,
+      Seq(GraftTable.ShardRef(live.toString, 1L, 1L)))
+    assert(Files.exists(live), "referenced shard must survive")
+    assert(!Files.exists(dir.resolve("shard-orphan0000.jsonl")),
+      "unreferenced shard must be deleted")
+    assert(Files.exists(dir.resolve("_other")))
+  }
+
+  test("a commit leaves no unreferenced shard files behind") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      (1L to 4L).map(i => (i, i.toDouble)).toDF("id", "v").schema)
+    t.append((1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    t.append((101L to 200L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    // every shard file on disk must be referenced by some snapshot's
+    // manifest list — the invariant the sweep maintains
+    val referenced = t.metadata.snapshots.getOrElse(Seq.empty)
+      .flatMap(s => t.liveManifests(Some(s.snapshotId)))
+      .map(m => new java.io.File(m.path).getName).toSet
+    val metaDir = java.nio.file.Paths.get(loc, "metadata")
+    val onDisk = java.nio.file.Files.walk(metaDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("shard-"))
+      .map(_.getFileName.toString).toList
+    assert(onDisk.nonEmpty && onDisk.forall(referenced.contains),
+      s"unreferenced shards on disk: ${onDisk.filterNot(referenced)}")
+  }
+
   test("consolidation preserves every read path exactly") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(),

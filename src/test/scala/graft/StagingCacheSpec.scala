@@ -78,4 +78,32 @@ class StagingCacheSpec extends SparkSpec {
       "stray staged file must be wiped on re-stage")
     assert(spark.read.parquet(staged5.toString).count() == 250)
   }
+
+  test("corrupt CDC manifest re-stages instead of throwing") {
+    val dir = Files.createTempDirectory("stage-cdc")
+    writeEvents(dir, 90)
+    val (path1, n1) =
+      graft.streaming.StreamingQueries.stageCdcFeed(spark, dir.toString)
+    assert(n1 >= 1 && spark.read.parquet(path1).count() == 90)
+    val manifest = Paths.get(path1).resolve("_MANIFEST")
+
+    // a truncated/corrupt manifest whose count suffix is non-numeric
+    // used to throw NumberFormatException out of the pattern guard and
+    // fail the query — it must fall into the wipe-and-restage branch
+    val fp = Files.readString(manifest).split("\n#staged=")(0)
+    Files.writeString(manifest, s"$fp\n#staged=garbage")
+    val (path2, n2) =
+      graft.streaming.StreamingQueries.stageCdcFeed(spark, dir.toString)
+    assert(path2 == path1 && n2 == n1)
+    assert(spark.read.parquet(path2).count() == 90)
+    assert(Files.readString(manifest).endsWith(s"#staged=$n2"),
+      "re-stage must rewrite a well-formed manifest")
+
+    // ... and a manifest with no separator at all
+    Files.writeString(manifest, "junk-without-separator")
+    val (path3, n3) =
+      graft.streaming.StreamingQueries.stageCdcFeed(spark, dir.toString)
+    assert(path3 == path1 && n3 == n1)
+    assert(spark.read.parquet(path3).count() == 90)
+  }
 }
