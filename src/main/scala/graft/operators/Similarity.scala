@@ -112,32 +112,91 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF ----
 
-  /** Coarse quantizer for IVF: K centroids on the unit sphere, trained by
-    * Lloyd iterations over a bounded driver-side sample (IVF training is
-    * an offline step; the model is centroids only — K×dims doubles — and
-    * broadcasts into the assignment closure). Deterministic: spread
-    * init over the id-sorted sample, fixed iteration count.
+  /** Coarse quantizer for IVF: K centroids on the unit sphere. Seeding
+    * is a deterministic spread over an id-ordered bounded sample (seeds
+    * only — O(max(k, sampleN)) driver rows); refinement is the shared
+    * DISTRIBUTED Lloyd step ([[lloydIterate]]), so the quantizer trains
+    * on the FULL corpus — the old fixed 2000-row driver sample
+    * under-trained it once k ≈ √N grew past a few hundred cells (at
+    * 100 TB the model itself needs the distributed path). Driver memory
+    * stays the model: K×dims doubles.
     */
   def trainIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      sampleN: Int = 2000, iters: Int = 10): Array[Array[Double]] = {
-    val sample = corpus.select(idCol, vecCol).orderBy(idCol).limit(sampleN)
+      sampleN: Int = 2000, iters: Int = 5): Array[Array[Double]] = {
+    val seedN = math.max(k, sampleN)
+    val sample = corpus.select(idCol, vecCol).orderBy(idCol).limit(seedN)
       .collect().map(r => normalizeVec(
         r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
-    var cents = Array.tabulate(k)(i => sample(i * sample.length / k))
+    val init = Array.tabulate(k)(i => sample(i * sample.length / k))
+    lloydIterate(corpus, vecCol, init, iters, normalizeBeforeSum = true)
+  }
+
+  /** The distributed Lloyd refinement shared by [[trainIvf]] and
+    * [[kmeansFit]]: per iteration, assignment is map-only against
+    * broadcast centroids and the new means arrive via ONE
+    * partition-pre-aggregated shuffle — each task folds its rows into a
+    * local k×D sum table and emits at most k rows, so shuffle volume is
+    * O(partitions × k) and only K×D doubles ever reach the driver,
+    * never vectors. Empty cells keep their centroid. `normalizeBeforeSum`
+    * preserves the two callers' historical variants (IVF sums unit
+    * vectors; k-means sums raw vectors, both renormalize the mean —
+    * equivalent up to per-vector magnitude weighting).
+    *
+    * DETERMINISTIC: cross-partition partials merge in partition-id
+    * order (mapGroups buffers a cell's ≤ numPartitions contributions —
+    * tiny vs the vectors themselves), so float-sum order never depends
+    * on task completion order.
+    */
+  private[operators] def lloydIterate(corpus: DataFrame, vecCol: String,
+      init: Array[Array[Double]], iters: Int,
+      normalizeBeforeSum: Boolean): Array[Array[Double]] = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    var cents = init
+    val dims = init(0).length
+    val k = init.length
     for (_ <- 1 to iters) {
-      val sums = Array.fill(k)(new Array[Double](cents(0).length))
-      val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = nearestCell(v, cents)
-        val s = sums(c)
-        var i = 0
-        while (i < v.length) { s(i) += v(i); i += 1 }
-        counts(c) += 1
+      val bc = s.sparkContext.broadcast(cents)
+      val agg = corpus.select(col(vecCol)).as[Array[Float]]
+        .mapPartitions { it =>
+          val cs = bc.value
+          val sums = Array.ofDim[Double](k, dims)
+          val counts = new Array[Long](k)
+          it.foreach { raw =>
+            val u = normalizeVec(raw.map(_.toDouble))
+            val c = nearestCell(u, cs)
+            val v = if (normalizeBeforeSum) u
+              else raw.map(_.toDouble)
+            val sc = sums(c)
+            var i = 0
+            val n = math.min(dims, v.length)
+            while (i < n) { sc(i) += v(i); i += 1 }
+            counts(c) += 1
+          }
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          Iterator.range(0, k).filter(counts(_) > 0L)
+            .map(c => (c, pid, sums(c), counts(c)))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          val parts = it.toArray.sortBy(_._2)
+          val m = new Array[Double](dims)
+          var n = 0L
+          parts.foreach { p =>
+            var i = 0
+            while (i < dims) { m(i) += p._3(i); i += 1 }
+            n += p._4
+          }
+          (cell, m, n)
+        }
+        .collect()
+      val next = cents.map(_.clone())
+      agg.foreach { case (c, sum, n) =>
+        if (n > 0L) next(c) = normalizeVec(sum)
       }
-      cents = cents.indices.map { c =>
-        if (counts(c) == 0L) cents(c) else normalizeVec(sums(c))
-      }.toArray
+      cents = next
+      bc.destroy()
     }
     cents
   }
@@ -282,13 +341,13 @@ object Similarity {
 
   // --------------------------------------------------------- k-means ----
 
-  /** FULLY distributed spherical k-means (contrast trainIvf, which fits
-    * on a bounded driver-side sample): per iteration, assignment is
-    * map-only against broadcast centroids and the new means come from ONE
-    * partially-aggregated shuffle of (cell, dim) sums — K×D rows reach
-    * the driver, never vectors. This is the shape that survives 100 TB:
-    * driver memory is the model (K×D doubles), executor work is linear
-    * per pass, and the iteration count is fixed.
+  /** FULLY distributed spherical k-means (same [[lloydIterate]] core as
+    * trainIvf): per iteration, assignment is map-only against broadcast
+    * centroids and the new means come from ONE partition-pre-aggregated
+    * shuffle — K×D doubles reach the driver, never vectors. This is the
+    * shape that survives 100 TB: driver memory is the model (K×D
+    * doubles), executor work is linear per pass, and the iteration count
+    * is fixed.
     *
     * Deterministic: a bounded sample (the max(4k, 64) vectors with the
     * lowest xxhash64(id), ties by id) seeds a greedy FARTHEST-POINT
@@ -335,34 +394,12 @@ object Similarity {
       used(best) = true
       chosen += sample(best)
     }
-    var cents = chosen.toArray
-    for (_ <- 1 to iters) {
-      val bc = s.sparkContext.broadcast(cents)
-      val sums = corpus.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.map { case (_, v) =>
-            (nearestCell(normalizeVec(v.map(_.toDouble)), cs), v)
-          }
-        }.toDF("cell", "vec")
-        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-        val d = new Array[Double](cents(0).length)
-        rows.foreach(r => d(r.getInt(1)) = r.getLong(3) match {
-          case 0L => 0.0
-          case n => r.getDouble(2) / n
-        })
-        next(cell) = normalizeVec(d) // empty cells keep their centroid
-      }
-      cents = next
-      bc.destroy()
-    }
-    cents
+    // refinement: the shared distributed Lloyd step. The old inline
+    // shape posexploded every vector into (cell, dim, x) rows before the
+    // aggregate — shuffle O(partitions × k × D) scalar rows; the shared
+    // step pre-folds per task and shuffles O(partitions × k) array rows.
+    lloydIterate(corpus, vecCol, chosen.toArray, iters,
+      normalizeBeforeSum = false)
   }
 
   /** Map-only cluster assignment: (id, cluster, cosine to its centroid). */

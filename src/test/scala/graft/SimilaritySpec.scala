@@ -241,6 +241,66 @@ class SimilaritySpec extends SparkSpec {
       "duplicate centroids chosen by init")
   }
 
+  test("trainIvf trains on the full corpus, not a driver sample") {
+    import spark.implicits._
+    // structure the OLD 2000-row driver sample could never see: ids
+    // 0..2999 hold three clusters, ids 3000..3999 a fourth — seeds all
+    // come from the id-ordered head, so only distributed Lloyd over the
+    // whole corpus can pull a centroid to the late cluster
+    val dims = 16
+    val protos = Array.tabulate(4, dims)((c, d) =>
+      if (d == c * 4) 1.0f else 0.0f)
+    val data = (0L until 4000L).map { id =>
+      val c = if (id < 3000L) (id % 3).toInt else 3
+      val noise = Array.tabulate(dims)(d =>
+        (((id * 31 + d * 7) % 13).toFloat - 6f) / 100f)
+      (id, protos(c).zip(noise).map { case (p, n) => p + n })
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(8)
+    val cents = Similarity.trainIvf(df, "vec_id", "embedding", k = 4)
+    val late = protos(3).map(_.toDouble)
+    val bestDot = cents.map { ct =>
+      ct.zip(late).map { case (a, b) => a * b }.sum /
+        math.sqrt(ct.map(x => x * x).sum)
+    }.max
+    assert(bestDot > 0.9,
+      f"no centroid near the late cluster (best cosine $bestDot%.3f) — " +
+        "quantizer trained on a head sample only")
+  }
+
+  test("trainIvf cost is O(iters) distributed aggregates at k >= 1000") {
+    import spark.implicits._
+    val dims = 8
+    val df = (0L until 3000L).map { id =>
+      (id, Array.tabulate(dims)(d =>
+        (((id * 17 + d * 3) % 29).toFloat - 14f) / 14f))
+    }.toDF("vec_id", "embedding").repartition(8)
+    df.count() // materialize plan-side warmup outside the counted window
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val iters = 3
+      val cents = Similarity.trainIvf(df, "vec_id", "embedding", k = 1000,
+        iters = iters)
+      assert(cents.length == 1000)
+      // let the async listener bus drain before reading the counter
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (jobs != last && System.nanoTime() < deadline) {
+        last = jobs; Thread.sleep(100)
+      }
+      // one seed collect + one aggregate per iteration (an aggregate may
+      // plan as a couple of jobs under AQE) — NEVER O(k) or O(N) jobs,
+      // and no k×N driver work hiding behind a small job count
+      assert(jobs <= 2 + 3 * iters, s"$jobs jobs for $iters Lloyd iters")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("k-means is deterministic and improves cohesion over init") {
     val emb = Tables.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val c1 = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, iters = 4)
