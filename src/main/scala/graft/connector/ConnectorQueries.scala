@@ -312,6 +312,56 @@ object ConnectorQueries {
         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // SQL VIEWS through the catalog's DSv2 ViewCatalog (versioned
+    // Iceberg-view-spec metadata under <view>/viewmeta/; DDL claimed at
+    // parse time, reads substituted by the analyzer rule): a view over
+    // a filtered join must answer exactly like the same query inlined,
+    // and a CREATE OR REPLACE must serve the REPLACED definition.
+    GraftQuery(
+      "ice_sql_view",
+      (s, dir) => {
+        val wh = warehouseLoc("wh")
+        s.conf.set("spark.sql.catalog.graft_ct", "graft.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ct.db")
+        s.sql("DROP VIEW IF EXISTS graft_ct.db.seg_rev")
+        s.sql("DROP TABLE IF EXISTS graft_ct.db.ord_v")
+        s.sql("DROP TABLE IF EXISTS graft_ct.db.cust_v")
+        s.sql("""CREATE TABLE graft_ct.db.ord_v (
+          o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+          o_orderpriority STRING)""")
+        Tables.tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority")
+          .createOrReplaceTempView("ord_src_v")
+        s.sql("INSERT INTO graft_ct.db.ord_v SELECT * FROM ord_src_v")
+        s.sql("CREATE TABLE graft_ct.db.cust_v (c_custkey BIGINT, " +
+          "c_mktsegment STRING)")
+        Tables.tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+          .createOrReplaceTempView("cust_src_v")
+        s.sql("INSERT INTO graft_ct.db.cust_v SELECT * FROM cust_src_v")
+        // v1 on purpose wrong, replaced below — the read must serve v2
+        s.sql("CREATE VIEW graft_ct.db.seg_rev AS " +
+          "SELECT o_orderkey FROM graft_ct.db.ord_v")
+        s.sql(s"""CREATE OR REPLACE VIEW graft_ct.db.seg_rev
+          (mktsegment, priority, n_orders, revenue) AS
+          SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*),
+            round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,8)))
+              AS DOUBLE), 4)
+          FROM graft_ct.db.ord_v o
+          JOIN graft_ct.db.cust_v c ON o.o_custkey = c.c_custkey
+          WHERE o.o_totalprice > 150000
+          GROUP BY 1, 2""")
+        s.sql("SELECT * FROM graft_ct.db.seg_rev " +
+          "ORDER BY mktsegment, priority")
+      },
+      Some(s"""SELECT c_mktsegment AS mktsegment,
+          o_orderpriority AS priority, COUNT(*) AS n_orders,
+          ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 150000
+        GROUP BY 1, 2 ORDER BY mktsegment, priority""")),
+
     // DataFrame connector roundtrip: format("graft") writes (append,
     // atomic overwrite), tagged time travel, pushdown-pruned reads.
     GraftQuery(

@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
   * data files — hidden partitioning, not directory-only columns).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -52,6 +52,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def tablePath(ident: Identifier): Path =
     ident.namespace.foldLeft(warehouse)(_.resolve(_)).resolve(ident.name)
+
+  /** The on-disk dir a view with this identifier lives in (same layout
+    * as tables; views carry `viewmeta/` instead of `metadata/`).
+    */
+  private[connector] def viewDirPath(ident: Identifier): Path =
+    tablePath(ident)
 
   private def isTableDir(p: Path): Boolean =
     Files.isDirectory(p.resolve("metadata"))
@@ -119,6 +125,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: java.util.Map[String, String]): Table = {
     val p = tablePath(ident)
     if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    // a table must not silently nest inside an existing VIEW's dir
+    if (GraftViews.isViewDir(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     Files.createDirectories(p.getParent)
     val partitionBy = partitions.map(toGraftPartition(_, schema)).toSeq
     // strip Spark-managed props (provider/location/owner) from table props
@@ -224,6 +234,111 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // catalog); a directory move would orphan every entry
     throw new UnsupportedOperationException(
       "graft tables pin absolute paths; use CREATE TABLE ... AS SELECT")
+
+  // ------------------------------------------------------------- views ----
+  // SQL views through the DSv2 ViewCatalog (the successor crate's first
+  // post-serde feature — reference lib.rs:21): CREATE [OR REPLACE] VIEW /
+  // SELECT / ALTER VIEW SET-UNSET TBLPROPERTIES / SHOW VIEWS / DROP VIEW.
+  // Versioned Iceberg-view-spec-shaped metadata in <view>/viewmeta/
+  // (GraftViews); the stored SQL re-resolves at read time against the
+  // stored default catalog+namespace, so the view tracks the CURRENT
+  // table state while its definition history stays replayable.
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = ns.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(ns)
+    val ls = Files.list(dir)
+    try ls.iterator.asScala
+      .filter(GraftViews.isViewDir)
+      .map(p => Identifier.of(ns, p.getFileName.toString))
+      .toArray
+    finally ls.close()
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.isViewDir(tablePath(ident))
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.load(tablePath(ident))
+      .map(st => new GraftView(ident.name, st.current))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    val p = tablePath(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(p.getParent)
+    val st = GraftViews.commit(p, None,
+      GraftViews.versionFromInfo(info, versionId = 1, operation = "create"))
+    new GraftView(ident.name, st.current)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    val p = tablePath(ident)
+    val prev = GraftViews.load(p)
+    if (prev.isEmpty && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    if (prev.isEmpty && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val nextId = prev.map(_.versions.map(_.versionId).max + 1).getOrElse(1)
+    val st = GraftViews.commit(p, prev,
+      GraftViews.versionFromInfo(info, nextId, operation = "replace"))
+    new GraftView(ident.name, st.current)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val p = tablePath(ident)
+    val prev = GraftViews.load(p).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    var props = prev.current.properties
+    changes.foreach {
+      case s: ViewChange.SetProperty => props += s.property -> s.value
+      case r: ViewChange.RemoveProperty => props -= r.property
+      case other => throw new UnsupportedOperationException(
+        s"ALTER VIEW change not supported: $other")
+    }
+    val next = prev.current.copy(
+      versionId = prev.versions.map(_.versionId).max + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "alter", properties = props)
+    val st = GraftViews.commit(p, Some(prev), next)
+    new GraftView(ident.name, st.current)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!GraftViews.isViewDir(p)) return false
+    val w = Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    finally w.close()
+    true
+  }
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    // unlike tables, a view's metadata holds only SQL text — no pinned
+    // absolute data paths — so a directory move IS a correct rename
+    val from = tablePath(oldIdent)
+    if (!GraftViews.isViewDir(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    val to = tablePath(newIdent)
+    if (GraftViews.isViewDir(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
 
   // -------------------------------------------------------- procedures ----
   // SQL CALL surface for table maintenance:

@@ -41,8 +41,15 @@ import org.apache.spark.sql.graft.Bridge
   * `GraftTable.MergeSourcePrefix`).
   */
 class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => GraftDmlRewrite)
+    // view READ substitution over GraftCatalog's ViewCatalog ...
+    ext.injectResolutionRule(_ => GraftViewRewrite)
+    // ... and view DDL claimed at PARSE time: in-tree Spark routes view
+    // commands only to the session catalog, and the throwing rule sits
+    // ahead of injected resolution rules in the Resolution batch
+    ext.injectParser((_, parser) => new GraftViewSqlParser(parser))
+  }
 }
 
 object GraftDmlRewrite extends Rule[LogicalPlan] {

@@ -1,0 +1,305 @@
+package graft.connector
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{ResolvedNamespace, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.Bridge
+
+/** SQL views over [[GraftCatalog]]'s DSv2 ViewCatalog.
+  *
+  * Spark 4.1 ships the ViewCatalog API but its analyzer routes view DDL
+  * only to the SESSION catalog (ResolveSessionCatalog throws
+  * MISSING_CATALOG_ABILITY.VIEWS for any other ResolvedIdentifier), so —
+  * exactly like Iceberg's spark-extensions — the engine claims the view
+  * commands itself: this rule intercepts the parsed plans while their
+  * identifiers are still unresolved and rewrites them to eager commands
+  * against the graft ViewCatalog. Reads substitute the stored SQL:
+  * an UnresolvedRelation naming a graft view expands (recursively, with
+  * cycle detection) into its parsed body, table references qualified
+  * against the view's stored default catalog + namespace, so the view is
+  * stable under `USE` and always reflects the referenced tables' CURRENT
+  * state.
+  */
+/** Delegating parser that rewrites view COMMANDS right after parse.
+  *
+  * This must happen pre-analysis: ResolveSessionCatalog sits AHEAD of
+  * injected resolution rules in the analyzer's Resolution batch and
+  * throws MISSING_CATALOG_ABILITY.VIEWS the moment it sees a view
+  * command whose identifier resolved to a non-session catalog — an
+  * injected rule never gets a chance. View READS don't pass through
+  * that rule and stay in [[GraftViewRewrite]].
+  */
+class GraftViewSqlParser(
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    // catalog lookup needs a session; a parse outside one (tooling)
+    // passes through to Spark's own handling
+    if (SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).isEmpty) plan
+    else GraftViewRewrite.rewriteViewCommands(plan)
+  }
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftViewRewrite extends Rule[LogicalPlan] {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Resolve name parts to (graft catalog, identifier) — None when the
+    * leading part is not a registered GraftCatalog (leave the plan for
+    * Spark's own resolution: session-catalog views, temp views, tables).
+    * Single-part names fall back to the CURRENT catalog + namespace.
+    */
+  private def graftCatalogAndIdent(parts: Seq[String])
+      : Option[(GraftCatalog, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    val (plugin, idParts) =
+      (try Some(cm.catalog(parts.head))
+      catch { case _: Exception => None }) match {
+        case Some(c) if parts.length > 1 => (c, parts.tail)
+        case _ => (cm.currentCatalog,
+          cm.currentNamespace.toSeq ++ parts)
+      }
+    plugin match {
+      case g: GraftCatalog if idParts.nonEmpty =>
+        Some((g, Identifier.of(idParts.init.toArray, idParts.last)))
+      case _ => None
+    }
+  }
+
+  /** Parse a stored view body and expand it: relation references missing
+    * a catalog qualifier are prefixed with the view's default catalog /
+    * namespace, and nested graft views expand recursively (`seen` stops
+    * cycles with a clear error instead of analyzer max-iterations).
+    */
+  private[connector] def expandView(g: GraftCatalog, ident: Identifier,
+      st: GraftViews.ViewState, seen: Set[String]): LogicalPlan = {
+    val v = st.current
+    val key = (v.currentCatalog +: ident.namespace :+ ident.name)
+      .mkString(".")
+    if (seen.contains(key))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "RECURSIVE_VIEW",
+        messageParameters = Map("viewIdent" -> key,
+          "newPath" -> (seen + key).mkString(" -> ")))
+    val parsed = spark.sessionState.sqlParser.parsePlan(v.sql)
+    val cm = spark.sessionState.catalogManager
+    val qualified = parsed.transformUp {
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier
+        val headIsCatalog =
+          try { cm.catalog(parts.head); parts.length > 1 }
+          catch { case _: Exception => false }
+        val full =
+          if (headIsCatalog) parts
+          else if (parts.length == 1)
+            v.currentCatalog +: v.currentNamespace :+ parts.head
+          else v.currentCatalog +: parts
+        r.copy(multipartIdentifier = full)
+    }
+    // expand nested graft views NOW (one rule application yields a fully
+    // substituted tree; cycles surface as RECURSIVE_VIEW, never as the
+    // analyzer's opaque max-iterations failure)
+    val expanded = qualified.transformUp {
+      case r: UnresolvedRelation =>
+        graftCatalogAndIdent(r.multipartIdentifier) match {
+          case Some((g2, id2)) =>
+            GraftViews.load(viewPath(g2, id2)) match {
+              case Some(st2) => expandView(g2, id2, st2, seen + key)
+              case None => r
+            }
+          case None => r
+        }
+    }
+    val aliased =
+      if (v.columnAliases.nonEmpty)
+        UnresolvedSubqueryColumnAliases(v.columnAliases, expanded)
+      else expanded
+    SubqueryAlias(ident.name, aliased)
+  }
+
+  private def viewPath(g: GraftCatalog, ident: Identifier)
+      : java.nio.file.Path = g.viewDirPath(ident)
+
+  /** Analyzer side: substitute a graft view's stored SQL for relations
+    * that name it (DDL commands never reach here — see
+    * [[GraftViewSqlParser]]).
+    */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      // temp views keep precedence over catalog views (Spark contract):
+      // a bare name matching a temp view is never claimed here
+      case r: UnresolvedRelation if !r.isStreaming &&
+          !spark.sessionState.catalog.isTempView(r.multipartIdentifier) =>
+        graftCatalogAndIdent(r.multipartIdentifier).flatMap {
+          case (g, ident) => GraftViews.load(viewPath(g, ident))
+            .map(st => expandView(g, ident, st, Set.empty))
+        }.getOrElse(r)
+    }
+
+  /** Parse-time rewrite of view COMMANDS whose identifier lives in a
+    * GraftCatalog; anything else passes through untouched for Spark's
+    * own (session-catalog / temp-view) handling.
+    */
+  def rewriteViewCommands(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case c @ CreateView(UnresolvedIdentifier(parts, _), userCols,
+          comment, _, props, originalText, query, allowExisting, replace,
+          _) =>
+        graftCatalogAndIdent(parts).map { case (g, ident) =>
+          val sql = originalText.getOrElse(
+            throw new UnsupportedOperationException(
+              "CREATE VIEW on a graft catalog requires the original " +
+                "query text"))
+          CreateGraftViewCommand(g, ident, sql, query,
+            userCols.map(_._1), userCols.map(_._2),
+            comment, props, allowExisting, replace): LogicalPlan
+        }.getOrElse(c)
+
+      case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+        graftCatalogAndIdent(parts).map { case (g, ident) =>
+          DropGraftViewCommand(g, ident, ifExists): LogicalPlan
+        }.getOrElse(d)
+
+      case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
+          if parts.nonEmpty =>
+        (try Some(spark.sessionState.catalogManager.catalog(parts.head))
+        catch { case _: Exception => None }) match {
+          case Some(g: GraftCatalog) =>
+            ShowGraftViewsCommand(g, parts.tail, pattern, output)
+          case _ => s
+        }
+
+      case s @ SetViewProperties(UnresolvedView(parts, _, _, _), props) =>
+        graftCatalogAndIdent(parts).map { case (g, ident) =>
+          AlterGraftViewPropsCommand(g, ident,
+            props.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) })
+            : LogicalPlan
+        }.getOrElse(s)
+
+      case u @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys,
+          _) =>
+        graftCatalogAndIdent(parts).map { case (g, ident) =>
+          AlterGraftViewPropsCommand(g, ident,
+            keys.map(ViewChange.removeProperty)): LogicalPlan
+        }.getOrElse(u)
+
+      case rn @ RenameTable(UnresolvedTableOrView(parts, _, _), newName,
+          true) =>
+        graftCatalogAndIdent(parts).flatMap { case (g, ident) =>
+          if (!g.viewExists(ident)) None
+          else graftCatalogAndIdent(newName).map { case (g2, newIdent) =>
+            require(g2 eq g,
+              "ALTER VIEW RENAME across catalogs is not supported")
+            RenameGraftViewCommand(g, ident, newIdent): LogicalPlan
+          }
+        }.getOrElse(rn)
+    }
+}
+
+/** Eager CREATE [OR REPLACE] VIEW [IF NOT EXISTS]: analyzes the view
+  * query (for the persisted schema + query column names), then commits a
+  * new view version through the catalog.
+  */
+case class CreateGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, sql: String, query: LogicalPlan,
+    columnAliases: Seq[String], columnComments: Seq[Option[String]],
+    comment: Option[String], properties: Map[String, String],
+    allowExisting: Boolean, replace: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (allowExisting && catalog.viewExists(ident)) return Seq.empty
+    val analyzed = Bridge.ofRows(spark, query)
+    val queryNames = analyzed.schema.fieldNames.toSeq
+    val schema =
+      if (columnAliases.isEmpty) analyzed.schema
+      else {
+        require(columnAliases.length == queryNames.length,
+          s"view columns (${columnAliases.length}) must match query " +
+            s"output (${queryNames.length})")
+        org.apache.spark.sql.types.StructType(
+          analyzed.schema.fields.zip(columnAliases).map {
+            case (f, n) => f.copy(name = n) })
+      }
+    val cm = spark.sessionState.catalogManager
+    import scala.jdk.CollectionConverters._
+    val props = properties ++
+      comment.map(org.apache.spark.sql.connector.catalog.ViewCatalog
+        .PROP_COMMENT -> _)
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
+      cm.currentNamespace, schema, queryNames.toArray,
+      columnAliases.toArray, columnComments.map(_.orNull).toArray,
+      props.asJava)
+    if (replace) catalog.replaceView(info, true)
+    else catalog.createView(info)
+    Seq.empty
+  }
+}
+
+case class DropGraftViewCommand(catalog: GraftCatalog, ident: Identifier,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = catalog.dropView(ident)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+case class ShowGraftViewsCommand(catalog: GraftCatalog,
+    namespace: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val views = catalog.listViews(namespace: _*)
+    val re = pattern.map(p =>
+      java.util.regex.Pattern.compile(
+        p.replace("*", ".*").replace("|", "|"),
+        java.util.regex.Pattern.CASE_INSENSITIVE))
+    views.toSeq
+      .filter(v => re.forall(_.matcher(v.name).matches()))
+      .sortBy(_.name)
+      .map(v => Row(namespace.mkString("."), v.name, false))
+  }
+}
+
+case class AlterGraftViewPropsCommand(catalog: GraftCatalog,
+    ident: Identifier, changes: Seq[ViewChange])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    catalog.alterView(ident, changes: _*)
+    Seq.empty
+  }
+}
+
+case class RenameGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, newIdent: Identifier)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    catalog.renameView(ident, newIdent)
+    Seq.empty
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL views through GraftCatalog's DSv2 ViewCatalog: CREATE / CREATE OR
+  * REPLACE / SHOW / ALTER ... TBLPROPERTIES / RENAME-ish (catalog API) /
+  * DROP, with the view SQL persisted in versioned Iceberg-view-spec-
+  * shaped metadata and re-resolved at read time (a view over a mutated
+  * table must serve the CURRENT rows).
+  */
+class ViewsSpec extends SparkSpec {
+
+  private def freshCat(name: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-views-$name")
+      .toString
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.connector.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    wh
+  }
+
+  test("create, read, replace, drop a SQL view end-to-end") {
+    freshCat("gv")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gv.db")
+    spark.sql("CREATE TABLE gv.db.t (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO gv.db.t VALUES (1, 1.5, 'a'), (2, 2.5, 'b'), " +
+      "(3, 3.5, 'a'), (4, 4.5, 'b')")
+
+    spark.sql("CREATE VIEW gv.db.v_a AS " +
+      "SELECT id, v FROM gv.db.t WHERE tag = 'a'")
+    val got = spark.sql("SELECT * FROM gv.db.v_a ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.5), (3L, 3.5)))
+
+    // the view re-resolves against CURRENT table state
+    spark.sql("INSERT INTO gv.db.t VALUES (5, 5.5, 'a')")
+    assert(spark.sql("SELECT count(*) AS n FROM gv.db.v_a").head.getLong(0)
+      == 3L)
+
+    // SHOW VIEWS lists it; tables are not views and vice versa
+    val shown = spark.sql("SHOW VIEWS IN gv.db").collect()
+      .map(_.getString(1)).toSet
+    assert(shown == Set("v_a"))
+    assert(spark.sql("SHOW TABLES IN gv.db").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+
+    // CREATE OR REPLACE swaps the definition (new version, same name)
+    spark.sql("CREATE OR REPLACE VIEW gv.db.v_a AS " +
+      "SELECT id, v FROM gv.db.t WHERE tag = 'b'")
+    val got2 = spark.sql("SELECT id FROM gv.db.v_a ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got2 == Seq(2L, 4L))
+
+    // duplicate CREATE without OR REPLACE fails; IF NOT EXISTS no-ops
+    intercept[Exception](spark.sql(
+      "CREATE VIEW gv.db.v_a AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW IF NOT EXISTS gv.db.v_a AS SELECT 1 AS one")
+    assert(spark.sql("SELECT id FROM gv.db.v_a ORDER BY id").count() == 2)
+
+    // ALTER VIEW properties round-trip through the versioned metadata
+    spark.sql("ALTER VIEW gv.db.v_a SET TBLPROPERTIES ('owner_team'='ml')")
+    val cat = spark.sessionState.catalogManager.catalog("gv")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+    def propsOf: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      cat.loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "v_a")).properties().asScala.toMap
+    }
+    assert(propsOf.get("owner_team").contains("ml"))
+    spark.sql("ALTER VIEW gv.db.v_a UNSET TBLPROPERTIES ('owner_team')")
+    assert(!propsOf.contains("owner_team"))
+
+    spark.sql("DROP VIEW gv.db.v_a")
+    assert(spark.sql("SHOW VIEWS IN gv.db").isEmpty)
+    intercept[Exception](spark.sql("SELECT * FROM gv.db.v_a"))
+  }
+
+  test("view metadata is versioned and replayable (Iceberg view shape)") {
+    val wh = freshCat("gvm")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvm.db")
+    spark.sql("CREATE TABLE gvm.db.s (id BIGINT)")
+    spark.sql("INSERT INTO gvm.db.s VALUES (1), (2)")
+    spark.sql("CREATE VIEW gvm.db.w AS SELECT id FROM gvm.db.s")
+    spark.sql("CREATE OR REPLACE VIEW gvm.db.w AS " +
+      "SELECT id * 2 AS id2 FROM gvm.db.s")
+
+    val dir = java.nio.file.Paths.get(wh, "db", "w", "viewmeta")
+    val files = java.nio.file.Files.list(dir)
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.map(_.getFileName.toString).toList.sorted
+      } finally files.close()
+    assert(names == List("v00001.view-metadata.json",
+      "v00002.view-metadata.json"))
+
+    val st = graft.connector.GraftViews.fromJson(
+      java.nio.file.Files.readString(dir.resolve(names.last)))
+    assert(st.versions.map(_.versionId) == Seq(1, 2))
+    assert(st.currentVersionId == 2)
+    assert(st.versions.head.sql.contains("SELECT id FROM"))
+    assert(st.current.sql.contains("id * 2"))
+    // the default catalog is the SESSION's current catalog at creation
+    // (the body here is fully qualified, so resolution never needs it)
+    assert(st.versions.forall(_.currentCatalog == "spark_catalog"))
+    // round-trip: serialize the parsed state back and reparse identically
+    val rt = graft.connector.GraftViews.fromJson(
+      graft.connector.GraftViews.toJson(st))
+    assert(rt == st)
+  }
+
+  test("a view name never collides with a table; rename moves metadata") {
+    freshCat("gvc")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvc.db")
+    spark.sql("CREATE TABLE gvc.db.t (id BIGINT)")
+    // a view may not shadow an existing table
+    intercept[Exception](spark.sql(
+      "CREATE VIEW gvc.db.t AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW gvc.db.v AS SELECT id FROM gvc.db.t")
+    // ... and a table may not shadow an existing view (dir exists but is
+    // not a table dir — create must fail, not silently nest)
+    intercept[Exception](spark.sql("CREATE TABLE gvc.db.v (x INT)"))
+
+    spark.sql("ALTER VIEW gvc.db.v RENAME TO gvc.db.v2")
+    assert(spark.sql("SHOW VIEWS IN gvc.db").collect()
+      .map(_.getString(1)).toSet == Set("v2"))
+    spark.sql("INSERT INTO gvc.db.t VALUES (7)")
+    assert(spark.sql("SELECT id FROM gvc.db.v2").head.getLong(0) == 7L)
+  }
+}
