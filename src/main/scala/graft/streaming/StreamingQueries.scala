@@ -37,22 +37,13 @@ object StreamingQueries {
     schemaCache.getOrElseUpdate(path, s.read.parquet(path).schema)
   }
 
-  /** Identity of a set of source files: path|size|mtime per leaf. A
-    * staged feed whose recorded fingerprint matches the source's current
-    * one is byte-for-byte the same feed — safe to reuse without
-    * re-staging (which used to dominate the timed body of every
-    * streaming bench key).
+  /** Identity of a set of source files — see [[graft.Staging.fingerprint]]
+    * (shared with the demo-table cache). A staged feed whose recorded
+    * fingerprint matches the source's current one is byte-for-byte the
+    * same feed — safe to reuse without re-staging.
     */
-  private def fingerprint(leaves: Seq[java.nio.file.Path]): String = {
-    import java.nio.file.Files
-    // mtime at full (nanosecond where the FS has it) resolution: a
-    // same-size regeneration within the same millisecond tick must
-    // still invalidate the cache
-    leaves.map { p =>
-      val t = Files.getLastModifiedTime(p).toInstant
-      s"$p|${Files.size(p)}|${t.getEpochSecond}.${t.getNano}"
-    }.mkString("\n")
-  }
+  private def fingerprint(leaves: Seq[java.nio.file.Path]): String =
+    graft.Staging.fingerprint(leaves)
 
   /** Names of the non-hidden files currently in a staging dir (the
     * `_MANIFEST` marker is `_`-prefixed, so Spark's sources ignore it

@@ -422,24 +422,39 @@ object IcebergQueries {
     GraftQuery(
       "ice_row_lineage",
       (s, dir) => {
-        val src = li(s, dir)
-        val t = GraftTable.create(s, loc("rowlin"), src.schema,
-          properties = Map(GraftTable.RowLineageProp -> "true"))
-        t.append(src.filter(col("l_orderkey") % 2 === 0))
-        t.append(src.filter(col("l_orderkey") % 2 === 1))
         // id stability check via (id, full-row-hash) pairs — the
         // synthetic data does not enforce the TPC-H key, so identity is
-        // "this exact row kept this exact id". The pre plan pins the
-        // pre-delete file set, so evaluating it later stays valid.
-        val cols = src.columns.toSeq
-        def tagged(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("_row_id"), hash(cols.map(col): _*).as("__h"))
-        val pre = tagged(t.scanWithLineage())
-        t.deleteWhereDv(col("l_returnflag") === "R")
-        t.compact()
+        // "this exact row kept this exact id". The many-commit HISTORY
+        // (2 appends → DV delete → compaction) builds once per testdata
+        // generation, with the pre-delete pairs MATERIALIZED beside the
+        // table; the lineage READS and both invariants run every
+        // invocation against that stored truth.
+        val cache = graft.Staging.cachedBuild(
+          s"rowlin-${Integer.toHexString(dir.hashCode)}",
+          recipe = "rowlin-v2: 2 appends, DV delete R, compact, " +
+            "pre-delete (id, hash) pairs stored",
+          sources = graft.Staging.parquetLeaves(s"$dir/lineitem.parquet")
+        ) { d =>
+          val src = li(s, dir)
+          val t = GraftTable.create(s, d.resolve("t").toString, src.schema,
+            properties = Map(GraftTable.RowLineageProp -> "true"))
+          t.append(src.filter(col("l_orderkey") % 2 === 0))
+          t.append(src.filter(col("l_orderkey") % 2 === 1))
+          val cols = src.columns.toSeq
+          t.scanWithLineage()
+            .select(col("_row_id"), hash(cols.map(col): _*).as("__h"))
+            .write.parquet(d.resolve("pre").toString)
+          t.deleteWhereDv(col("l_returnflag") === "R")
+          t.compact()
+        }
+        val t = GraftTable.load(s, cache.resolve("t").toString)
+        val cols = li(s, dir).columns.toSeq
+        val pre = s.read.parquet(cache.resolve("pre").toString)
         // one materialization serves both invariants (the lineage read
         // joins physical id columns — don't recompute it per check)
-        val post = tagged(t.scanWithLineage()).persist()
+        val post = t.scanWithLineage()
+          .select(col("_row_id"), hash(cols.map(col): _*).as("__h"))
+          .persist()
         try {
           val a = post.agg(count(lit(1)),
             countDistinct(col("_row_id"))).head()
@@ -741,18 +756,33 @@ object IcebergQueries {
     GraftQuery(
       "ice_import_external",
       (s, dir) => {
-        val src = li(s, dir)
-        val t = GraftTable.create(s, loc("extimp"), src.schema,
-          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
-        t.append(src.filter(col("l_orderkey") % 2 === 0),
-          repartitionByPartition = true)
-        t.append(src.filter(col("l_orderkey") % 2 === 1),
-          repartitionByPartition = true)
-        t.deleteWhereMoR(col("l_quantity") < 5)
-        t.deleteWhereEq(src.filter(col("l_orderkey") % 10 === 3)
-          .select("l_orderkey").distinct())
-        t.append(src.filter(col("l_orderkey") % 100 === 3),
-          repartitionByPartition = true)
+        // the key demonstrates the LAYOUT roundtrip (export → external
+        // read → in-place adoption). Its SOURCE table — three
+        // partitioned appends + MoR and equality deletes, machinery
+        // covered fresh-every-run by ice_partitioned_write /
+        // ice_delete_mor / ice_delete_eq — was 3/4 of the key's 12+ s
+        // and is now built once per testdata generation (cachedBuild).
+        // Export, adoption and BOTH reads still run per-invocation.
+        val cache = graft.Staging.cachedBuild(
+          s"extimp-${Integer.toHexString(dir.hashCode)}",
+          recipe = "extimp-v2: quarter slice, 3 partitioned appends, " +
+            "MoR + eq deletes, reinsert",
+          sources = graft.Staging.parquetLeaves(s"$dir/lineitem.parquet")
+        ) { d =>
+          val src = li(s, dir).filter(col("l_partkey") % 4 === 0)
+          val t = GraftTable.create(s, d.resolve("t").toString, src.schema,
+            partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+          t.append(src.filter(col("l_orderkey") % 2 === 0),
+            repartitionByPartition = true)
+          t.append(src.filter(col("l_orderkey") % 2 === 1),
+            repartitionByPartition = true)
+          t.deleteWhereMoR(col("l_quantity") < 5)
+          t.deleteWhereEq(src.filter(col("l_orderkey") % 10 === 3)
+            .select("l_orderkey").distinct())
+          t.append(src.filter(col("l_orderkey") % 100 === 3),
+            repartitionByPartition = true)
+        }
+        val t = GraftTable.load(s, cache.resolve("t").toString)
         val layout = loc("extimp-layout")
         IcebergInterop.exportTable(t, layout)
         val adopted = IcebergInterop.adoptTable(s, layout,
@@ -768,9 +798,11 @@ object IcebergQueries {
       },
       Some(s"""$flagAggSql FROM (
           SELECT * FROM lineitem
-          WHERE l_quantity >= 5 AND l_orderkey % 10 <> 3
+          WHERE l_partkey % 4 = 0
+            AND l_quantity >= 5 AND l_orderkey % 10 <> 3
           UNION ALL
-          SELECT * FROM lineitem WHERE l_orderkey % 100 = 3)
+          SELECT * FROM lineitem
+          WHERE l_partkey % 4 = 0 AND l_orderkey % 100 = 3)
         GROUP BY 1 ORDER BY l_returnflag""")),
 
     // Snapshot expiry WITH per-ref retention: old snapshots drop out,
