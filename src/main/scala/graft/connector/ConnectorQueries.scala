@@ -362,6 +362,53 @@ object ConnectorQueries {
         WHERE o_totalprice > 150000
         GROUP BY 1, 2 ORDER BY mktsegment, priority""")),
 
+    // MATERIALIZED VIEW lifecycle through SQL (the lib.rs:21 successor-
+    // crate pair with ice_sql_view): CREATE MATERIALIZED VIEW persists
+    // definition + rows; reads serve the TABLE (stale by design after a
+    // base mutation — required in-query); CALL refresh_mview recomputes
+    // the stored SQL and truncate-replaces in ONE commit. Oracle = the
+    // post-refresh state inlined over the full base.
+    GraftQuery(
+      "ice_sql_mview",
+      (s, dir) => {
+        val wh = warehouseLoc("wh")
+        s.conf.set("spark.sql.catalog.graft_ct", "graft.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ct.db")
+        s.sql("DROP TABLE IF EXISTS graft_ct.db.mv_rev")
+        s.sql("DROP VIEW IF EXISTS graft_ct.db.mv_rev")
+        s.sql("DROP TABLE IF EXISTS graft_ct.db.ord_m")
+        s.sql("""CREATE TABLE graft_ct.db.ord_m (
+          o_orderkey BIGINT, o_totalprice DOUBLE,
+          o_orderpriority STRING)""")
+        Tables.tbl(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .createOrReplaceTempView("ord_src_m")
+        s.sql("INSERT INTO graft_ct.db.ord_m " +
+          "SELECT * FROM ord_src_m WHERE o_orderkey % 2 = 0")
+        s.sql("""CREATE MATERIALIZED VIEW graft_ct.db.mv_rev AS
+          SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+            round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+              AS DOUBLE), 4) AS revenue
+          FROM graft_ct.db.ord_m GROUP BY o_orderpriority""")
+        val stale = s.sql("SELECT SUM(n_orders) FROM graft_ct.db.mv_rev")
+          .head.getLong(0)
+        // base mutation must NOT show through until refresh
+        s.sql("INSERT INTO graft_ct.db.ord_m " +
+          "SELECT * FROM ord_src_m WHERE o_orderkey % 2 = 1")
+        val afterInsert = s
+          .sql("SELECT SUM(n_orders) FROM graft_ct.db.mv_rev")
+          .head.getLong(0)
+        require(afterInsert == stale,
+          s"materialized view recomputed on read: $stale -> $afterInsert")
+        s.sql("CALL graft_ct.system.refresh_mview('db.mv_rev')")
+        s.sql("SELECT priority, n_orders, revenue FROM graft_ct.db.mv_rev " +
+          "ORDER BY priority")
+      },
+      Some(s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+          ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1 ORDER BY priority""")),
+
     // DataFrame connector roundtrip: format("graft") writes (append,
     // atomic overwrite), tagged time travel, pushdown-pruned reads.
     GraftQuery(

@@ -141,6 +141,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(p.toString, None)
   }
 
+  /** SQL PARTITIONED BY transform → (sourceColumn, transform, fieldName)
+    * — shared with CREATE MATERIALIZED VIEW's partitioning clause.
+    */
+  private[connector] def toGraftPartitionSpec(t: SparkTransform,
+      schema: StructType): (String, IceTransform, String) =
+    toGraftPartition(t, schema)
+
   /** SQL PARTITIONED BY transform → (sourceColumn, transform, fieldName).
     * Identity partitions are suffixed `_p`: graft models hidden
     * partitioning, so the partition field must not shadow the data column.

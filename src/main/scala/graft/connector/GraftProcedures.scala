@@ -33,7 +33,7 @@ object GraftProcedures {
     "create_changelog_view", "set_sort_order", "evolve_partition_spec",
     "rollback_to_timestamp", "rewrite_position_deletes",
     "convert_equality_deletes", "compute_partition_stats",
-    "compute_delete_attribution")
+    "compute_delete_attribution", "refresh_mview")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -375,6 +375,22 @@ object GraftProcedures {
             .map(parseTransformSpec)
           t.evolvePartitionSpec(specs)
           Seq(t.metadata.defaultSpecId.toLong)
+      })
+      // MATERIALIZED-view refresh: recompute the stored SQL (qualified
+      // against its stored default catalog/namespace) and atomically
+      // truncate-and-replace the backing table in ONE commit — readers
+      // see either the old refresh or the new one, never a mix
+      case "refresh_mview" => Some(p("refresh_mview",
+        Seq(table),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("row_count", LongType)))) {
+        (t, _) =>
+          val s = SparkSession.active
+          val df = GraftViewRewrite.materializedQuery(s, t.location)
+          df.write.format("graft").mode("overwrite").save(t.location)
+          val after = GraftTable.load(s, t.location)
+          Seq(after.metadata.currentSnapshotId.getOrElse(-1L),
+            after.countRows())
       })
       case _ => None
     }

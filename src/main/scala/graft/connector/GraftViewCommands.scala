@@ -88,16 +88,23 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Parse a stored view body and expand it: relation references missing
-    * a catalog qualifier are prefixed with the view's default catalog /
-    * namespace, and nested graft views expand recursively (`seen` stops
-    * cycles with a clear error instead of analyzer max-iterations).
+  /** A dir that is BOTH a view and a table is a MATERIALIZED view: the
+    * table holds the last refresh's rows and serves reads directly —
+    * substitution must never re-expand its SQL (that would silently
+    * un-materialize it).
     */
-  private[connector] def expandView(g: GraftCatalog, ident: Identifier,
-      st: GraftViews.ViewState, seen: Set[String]): LogicalPlan = {
-    val v = st.current
-    val key = (v.currentCatalog +: ident.namespace :+ ident.name)
-      .mkString(".")
+  private def isMaterialized(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p.resolve("metadata"))
+
+  /** Parse a stored view body and qualify + expand it: relation
+    * references missing a catalog qualifier are prefixed with the view's
+    * default catalog / namespace, and nested graft views expand
+    * recursively (`seen` stops cycles with a clear error instead of
+    * analyzer max-iterations). Materialized views do NOT expand — their
+    * table serves.
+    */
+  private[connector] def qualifiedBody(v: GraftViews.ViewVersion,
+      key: String, seen: Set[String]): LogicalPlan = {
     if (seen.contains(key))
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "RECURSIVE_VIEW",
@@ -121,22 +128,46 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
     // expand nested graft views NOW (one rule application yields a fully
     // substituted tree; cycles surface as RECURSIVE_VIEW, never as the
     // analyzer's opaque max-iterations failure)
-    val expanded = qualified.transformUp {
+    qualified.transformUp {
       case r: UnresolvedRelation =>
         graftCatalogAndIdent(r.multipartIdentifier) match {
-          case Some((g2, id2)) =>
+          case Some((g2, id2)) if !isMaterialized(viewPath(g2, id2)) =>
             GraftViews.load(viewPath(g2, id2)) match {
               case Some(st2) => expandView(g2, id2, st2, seen + key)
               case None => r
             }
-          case None => r
+          case _ => r
         }
     }
+  }
+
+  private[connector] def expandView(g: GraftCatalog, ident: Identifier,
+      st: GraftViews.ViewState, seen: Set[String]): LogicalPlan = {
+    val v = st.current
+    val key = (v.currentCatalog +: ident.namespace :+ ident.name)
+      .mkString(".")
+    val expanded = qualifiedBody(v, key, seen)
     val aliased =
       if (v.columnAliases.nonEmpty)
         UnresolvedSubqueryColumnAliases(v.columnAliases, expanded)
       else expanded
     SubqueryAlias(ident.name, aliased)
+  }
+
+  /** The analyzed recomputation of a MATERIALIZED view's stored SQL —
+    * the refresh procedure's body. Cycle seed = the view itself.
+    */
+  private[connector] def materializedQuery(s: SparkSession,
+      location: String): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Paths.get(location)
+    val st = GraftViews.load(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$location is not a materialized view (no view metadata)"))
+    require(st.current.properties.get(GraftViews.MaterializedProp)
+        .contains("true"),
+      s"$location is a plain view, not a materialized view")
+    val key = s"mv:$location"
+    Bridge.ofRows(s, qualifiedBody(st.current, key, Set.empty))
   }
 
   private def viewPath(g: GraftCatalog, ident: Identifier)
@@ -149,12 +180,15 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       // temp views keep precedence over catalog views (Spark contract):
-      // a bare name matching a temp view is never claimed here
+      // a bare name matching a temp view is never claimed here; a
+      // MATERIALIZED view is served by its table (standard resolution)
       case r: UnresolvedRelation if !r.isStreaming &&
           !spark.sessionState.catalog.isTempView(r.multipartIdentifier) =>
         graftCatalogAndIdent(r.multipartIdentifier).flatMap {
-          case (g, ident) => GraftViews.load(viewPath(g, ident))
-            .map(st => expandView(g, ident, st, Set.empty))
+          case (g, ident) if !isMaterialized(viewPath(g, ident)) =>
+            GraftViews.load(viewPath(g, ident))
+              .map(st => expandView(g, ident, st, Set.empty))
+          case _ => None
         }.getOrElse(r)
     }
 
@@ -175,6 +209,19 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
           CreateGraftViewCommand(g, ident, sql, query,
             userCols.map(_._1), userCols.map(_._2),
             comment, props, allowExisting, replace): LogicalPlan
+        }.getOrElse(c)
+
+      // CREATE MATERIALIZED VIEW (Spark 4.1 parses the syntax; no
+      // in-tree execution exists): table + stored definition in one dir,
+      // refreshed on demand via CALL <cat>.system.refresh_mview('db.v')
+      case c @ CreateMaterializedViewAsSelect(
+          UnresolvedIdentifier(parts, _), columns, partitioning, _,
+          query, originalText, ifNotExists) =>
+        graftCatalogAndIdent(parts).map { case (g, ident) =>
+          require(columns.isEmpty, "column definitions on CREATE " +
+            "MATERIALIZED VIEW are not supported — alias in the query")
+          CreateGraftMaterializedViewCommand(g, ident, originalText,
+            query, partitioning, ifNotExists): LogicalPlan
         }.getOrElse(c)
 
       case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
@@ -255,6 +302,50 @@ case class CreateGraftViewCommand(catalog: GraftCatalog,
       props.asJava)
     if (replace) catalog.replaceView(info, true)
     else catalog.createView(info)
+    Seq.empty
+  }
+}
+
+/** Eager CREATE MATERIALIZED VIEW: persists the definition (versioned
+  * view metadata tagged materialized) and a graft TABLE of the query's
+  * rows in ONE directory — reads are plain table scans (no
+  * re-computation), staleness is by design until refresh_mview
+  * recomputes the stored SQL and atomically overwrites the table.
+  * Definition commits FIRST: a crash before the table materializes
+  * degrades to a plain view (reads re-expand the SQL) instead of
+  * serving nothing.
+  */
+case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
+    ident: Identifier, sql: String, query: LogicalPlan,
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (catalog.viewExists(ident) || catalog.tableExists(ident)) {
+      if (ifNotExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    }
+    val analyzed = Bridge.ofRows(spark, query)
+    val cm = spark.sessionState.catalogManager
+    val dir = catalog.viewDirPath(ident)
+    java.nio.file.Files.createDirectories(dir.getParent)
+    GraftViews.commit(dir, None, GraftViews.ViewVersion(
+      versionId = 1, timestampMs = System.currentTimeMillis(),
+      operation = "create-materialized", sql = sql,
+      currentCatalog = cm.currentCatalog.name(),
+      currentNamespace = cm.currentNamespace.toSeq,
+      schemaDdl = analyzed.schema.toDDL,
+      queryColumnNames = analyzed.schema.fieldNames.toSeq,
+      columnAliases = Seq.empty, columnComments = Seq.empty,
+      properties = Map(GraftViews.MaterializedProp -> "true")))
+    val partitionBy = partitioning
+      .map(catalog.toGraftPartitionSpec(_, analyzed.schema))
+    val t = graft.table.GraftTable.create(spark, dir.toString,
+      analyzed.schema, partitionBy)
+    t.append(analyzed, repartitionByPartition = partitionBy.nonEmpty)
     Seq.empty
   }
 }

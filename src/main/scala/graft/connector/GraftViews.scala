@@ -28,6 +28,11 @@ import scala.jdk.CollectionConverters._
   */
 private[graft] object GraftViews {
 
+  /** View property marking a MATERIALIZED view: the same dir also holds
+    * a graft TABLE (the last refresh's rows) that serves reads.
+    */
+  val MaterializedProp = "graft.materialized"
+
   def metaDir(viewPath: Path): Path = viewPath.resolve("viewmeta")
 
   def isViewDir(p: Path): Boolean = Files.isDirectory(metaDir(p))

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * is not installed and DuckDB's iceberg extension downloads at INSTALL
   * time — both need network, and this environment has zero egress
   * (verified: `INSTALL iceberg` fails with ERROR Connection; re-probed
-  * rounds 14 and 15, same result — the round-15 probe also confirmed no
-  * iceberg-spark-runtime jar under /opt/spark/jars and no pyiceberg /
-  * fastavro pip package, so no foreign reader exists in ANY form here).
+  * rounds 14, 15 and 16, same result — the round-15/16 probes also
+  * confirmed no iceberg-spark-runtime jar under /opt/spark/jars and no
+  * pyiceberg / fastavro pip package, so no foreign reader exists in ANY
+  * form here).
   * The next
   * best evidence is committed golden fixtures: the export of a FIXED
   * table is canonicalized (volatile ids/paths/timestamps masked) and

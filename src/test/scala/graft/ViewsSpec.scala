@@ -108,6 +108,53 @@ class ViewsSpec extends SparkSpec {
     assert(rt == st)
   }
 
+  test("materialized view: stale until refreshed, refresh is atomic") {
+    freshCat("gmv")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.db")
+    spark.sql("CREATE TABLE gmv.db.base (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO gmv.db.base VALUES (1,'a'), (2,'b'), (3,'a')")
+    spark.sql("CREATE MATERIALIZED VIEW gmv.db.counts AS " +
+      "SELECT grp, COUNT(*) AS n FROM gmv.db.base GROUP BY grp")
+    def read: Map[String, Long] = spark.sql(
+      "SELECT grp, n FROM gmv.db.counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(read == Map("a" -> 2L, "b" -> 1L))
+
+    // a base mutation must NOT show through — the TABLE serves, the SQL
+    // is not silently re-expanded
+    spark.sql("INSERT INTO gmv.db.base VALUES (4,'b'), (5,'b')")
+    assert(read == Map("a" -> 2L, "b" -> 1L),
+      "materialized view re-computed on read — not materialized")
+    // ... and the read plan must be a plain table scan, no join/agg
+    val plan = spark.sql("SELECT * FROM gmv.db.counts")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"),
+      s"materialized read still aggregates:\n$plan")
+
+    // refresh recomputes the stored SQL and swaps atomically
+    val out = spark.sql(
+      "CALL gmv.system.refresh_mview('db.counts')").collect()
+    assert(out.head.getLong(1) == 2L, "refresh must report row count")
+    assert(read == Map("a" -> 2L, "b" -> 3L))
+
+    // listed as a view AND queryable as a table; IF NOT EXISTS no-ops
+    assert(spark.sql("SHOW VIEWS IN gmv.db").collect()
+      .map(_.getString(1)).toSet == Set("counts"))
+    spark.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS gmv.db.counts AS " +
+      "SELECT 1 AS one")
+    assert(read == Map("a" -> 2L, "b" -> 3L))
+    intercept[Exception](spark.sql(
+      "CREATE MATERIALIZED VIEW gmv.db.counts AS SELECT 1 AS one"))
+    // refresh on a PLAIN view is refused
+    spark.sql("CREATE VIEW gmv.db.plain AS SELECT id FROM gmv.db.base")
+    intercept[Exception](spark.sql(
+      "CALL gmv.system.refresh_mview('db.plain')"))
+    // DROP TABLE tears the whole thing down (it IS a table on disk)
+    spark.sql("DROP TABLE gmv.db.counts")
+    assert(spark.sql("SHOW VIEWS IN gmv.db").collect()
+      .map(_.getString(1)).toSet == Set("plain"))
+  }
+
   test("a view name never collides with a table; rename moves metadata") {
     freshCat("gvc")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gvc.db")
