@@ -416,6 +416,12 @@ object ConnectorQueries {
       (s, dir) => {
         val src = Tables.tbl(s, dir, "lineitem")
         val where = loc("dsv2")
+        // deliberately NO write.distribution-mode here: the bench input
+        // is a handful of read partitions, so fan-out is already ~1 file
+        // per month and hash clustering would only add a shuffle
+        // (measured +34%). At real scale — thousands of input tasks —
+        // set `write.distribution-mode = hash` (engine-supported,
+        // TableSpec-pinned) or tasks × partitions tiny files result.
         GraftTable.create(s, where, src.schema,
           partitionBy = Seq(("l_shipdate", graft.model.TMonth, "ship_month")))
         src.filter(col("l_orderkey") % 2 === 0)

@@ -110,7 +110,15 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
         errorClass = "RECURSIVE_VIEW",
         messageParameters = Map("viewIdent" -> key,
           "newPath" -> (seen + key).mkString(" -> ")))
-    val parsed = spark.sessionState.sqlParser.parsePlan(v.sql)
+    // CTE substitution must run HERE: the analyzer's own Substitution
+    // batch already finished before this rule injects the parsed body,
+    // so `WITH big AS (...) SELECT ... FROM big` would otherwise leave
+    // `big` as an unresolvable relation (and qualification would turn
+    // it into a phantom catalog table). After substitution, CTE refs
+    // are CTERelationRef nodes — qualification only ever sees real
+    // table references. (Iceberg's ResolveViews does the same.)
+    val parsed = org.apache.spark.sql.catalyst.analysis.CTESubstitution(
+      spark.sessionState.sqlParser.parsePlan(v.sql))
     val cm = spark.sessionState.catalogManager
     val qualified = parsed.transformUp {
       case r: UnresolvedRelation =>

@@ -108,6 +108,46 @@ class ViewsSpec extends SparkSpec {
     assert(rt == st)
   }
 
+  test("nested views, CTE bodies, and cycle detection") {
+    freshCat("gvn")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvn.db")
+    spark.sql("CREATE TABLE gvn.db.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gvn.db.t VALUES (1, 10.0), (2, 20.0), " +
+      "(3, 30.0), (4, 40.0)")
+    // a CTE inside the stored body must survive substitution
+    spark.sql("""CREATE VIEW gvn.db.v1 AS
+      WITH big AS (SELECT id, v FROM gvn.db.t WHERE v >= 20.0)
+      SELECT id, v * 2 AS v2 FROM big""")
+    // ... and a view over that view expands recursively in one pass
+    spark.sql("CREATE VIEW gvn.db.v2 AS " +
+      "SELECT SUM(v2) AS total, COUNT(*) AS n FROM gvn.db.v1")
+    val r = spark.sql("SELECT total, n FROM gvn.db.v2").head
+    assert(r.getDouble(0) == 180.0 && r.getLong(1) == 3L)
+
+    // a materialized view OVER a plain view: creation expands the view,
+    // materializes its rows, and stays stale when the base moves
+    spark.sql("CREATE MATERIALIZED VIEW gvn.db.m1 AS " +
+      "SELECT total FROM gvn.db.v2")
+    spark.sql("INSERT INTO gvn.db.t VALUES (5, 50.0)")
+    assert(spark.sql("SELECT total FROM gvn.db.m1").head.getDouble(0)
+      == 180.0)
+    spark.sql("CALL gvn.system.refresh_mview('db.m1')")
+    assert(spark.sql("SELECT total FROM gvn.db.m1").head.getDouble(0)
+      == 280.0)
+
+    // a definition cycle is a clear RECURSIVE_VIEW error, not an
+    // analyzer max-iterations blowup: v_a -> v_b, then v_a REPLACED to
+    // read v_b
+    spark.sql("CREATE VIEW gvn.db.va AS SELECT id FROM gvn.db.t")
+    spark.sql("CREATE VIEW gvn.db.vb AS SELECT id FROM gvn.db.va")
+    spark.sql("CREATE OR REPLACE VIEW gvn.db.va AS " +
+      "SELECT id FROM gvn.db.vb")
+    val e = intercept[Exception](spark.sql("SELECT * FROM gvn.db.va")
+      .collect())
+    assert(e.getMessage.contains("RECURSIVE_VIEW") ||
+      e.getMessage.toLowerCase.contains("recursive"), e.getMessage)
+  }
+
   test("materialized view: stale until refreshed, refresh is atomic") {
     freshCat("gmv")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.db")
