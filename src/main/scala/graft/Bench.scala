@@ -55,9 +55,13 @@ object Bench {
     try {
       val dir = new java.io.File(sfDir)
       Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .foreach { f =>
-          val in = java.nio.file.Files.newInputStream(f.toPath)
+        .filter(_.getName.endsWith(".parquet"))
+        // a table may be a single FILE or a DIRECTORY of part files
+        // (Staging.parquetLeaves handles both — GenScale output is
+        // directory-shaped)
+        .flatMap(f => Staging.parquetLeaves(f.getPath))
+        .foreach { p =>
+          val in = java.nio.file.Files.newInputStream(p)
           val buf = new Array[Byte](1 << 20)
           try { while (in.read(buf) >= 0) () } finally in.close()
         }

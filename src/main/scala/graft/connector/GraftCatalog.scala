@@ -333,12 +333,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameView(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
-    // unlike tables, a view's metadata holds only SQL text — no pinned
-    // absolute data paths — so a directory move IS a correct rename
+    // unlike tables, a PLAIN view's metadata holds only SQL text — no
+    // pinned absolute data paths — so a directory move IS a correct
+    // rename. A MATERIALIZED view carries a backing table whose
+    // manifests pin absolute paths (same reason renameTable refuses).
     val from = tablePath(oldIdent)
     if (!GraftViews.isViewDir(from))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(oldIdent)
+    if (isTableDir(from))
+      throw new UnsupportedOperationException(
+        "a materialized view's backing table pins absolute paths; " +
+          "DROP TABLE and recreate instead of renaming")
     val to = tablePath(newIdent)
     if (GraftViews.isViewDir(to))
       throw new org.apache.spark.sql.catalyst.analysis

@@ -78,8 +78,13 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
       (try Some(cm.catalog(parts.head))
       catch { case _: Exception => None }) match {
         case Some(c) if parts.length > 1 => (c, parts.tail)
-        case _ => (cm.currentCatalog,
-          cm.currentNamespace.toSeq ++ parts)
+        // Spark's v2 resolution: only a BARE name takes the current
+        // namespace; a multi-part name is already namespace-qualified
+        // within the current catalog (`USE cat.db; ... FROM db.v` must
+        // resolve db.v, not db.db.v)
+        case _ if parts.length == 1 =>
+          (cm.currentCatalog, cm.currentNamespace.toSeq ++ parts)
+        case _ => (cm.currentCatalog, parts)
       }
     plugin match {
       case g: GraftCatalog if idParts.nonEmpty =>
@@ -152,7 +157,9 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
   private[connector] def expandView(g: GraftCatalog, ident: Identifier,
       st: GraftViews.ViewState, seen: Set[String]): LogicalPlan = {
     val v = st.current
-    val key = (v.currentCatalog +: ident.namespace :+ ident.name)
+    // cycle key = the catalog the view LIVES in (two catalogs' same-named
+    // views both storing default-catalog spark_catalog must not collide)
+    val key = (g.name() +: ident.namespace :+ ident.name)
       .mkString(".")
     val expanded = qualifiedBody(v, key, seen)
     val aliased =
@@ -287,6 +294,15 @@ case class CreateGraftViewCommand(catalog: GraftCatalog,
 
   override def run(spark: SparkSession): Seq[Row] = {
     if (allowExisting && catalog.viewExists(ident)) return Seq.empty
+    // a MATERIALIZED view must not be silently replaced by a plain one:
+    // the backing table would keep serving the OLD rows (reads route to
+    // it) while refresh_mview starts refusing — a stuck view
+    if (GraftViews.load(catalog.viewDirPath(ident)).exists(
+        _.current.properties.get(GraftViews.MaterializedProp)
+          .contains("true")))
+      throw new UnsupportedOperationException(
+        s"$ident is a MATERIALIZED view — CREATE OR REPLACE VIEW cannot " +
+          "change its kind; DROP TABLE it and recreate")
     val analyzed = Bridge.ofRows(spark, query)
     val queryNames = analyzed.schema.fieldNames.toSeq
     val schema =
@@ -374,10 +390,16 @@ case class ShowGraftViewsCommand(catalog: GraftCatalog,
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val views = catalog.listViews(namespace: _*)
-    val re = pattern.map(p =>
-      java.util.regex.Pattern.compile(
-        p.replace("*", ".*").replace("|", "|"),
-        java.util.regex.Pattern.CASE_INSENSITIVE))
+    // Spark's SHOW ... LIKE semantics: '|' separates alternatives, '*'
+    // is a wildcard, everything ELSE is literal — quote it so 'v(1)'
+    // matches the name v(1) instead of blowing up the regex compiler
+    val re = pattern.map { p =>
+      val alts = p.split("\\|").map(_.split("\\*", -1)
+        .map(s => if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+        .mkString(".*")).mkString("|")
+      java.util.regex.Pattern.compile(alts,
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+    }
     views.toSeq
       .filter(v => re.forall(_.matcher(v.name).matches()))
       .sortBy(_.name)

@@ -189,10 +189,52 @@ class ViewsSpec extends SparkSpec {
     spark.sql("CREATE VIEW gmv.db.plain AS SELECT id FROM gmv.db.base")
     intercept[Exception](spark.sql(
       "CALL gmv.system.refresh_mview('db.plain')"))
+    // a materialized view cannot be silently demoted or moved: REPLACE
+    // as a plain view would leave the table serving stale rows with no
+    // refresh path, and a rename would orphan the pinned absolute paths
+    intercept[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW gmv.db.counts AS SELECT 1 AS one"))
+    intercept[Exception](spark.sql(
+      "ALTER VIEW gmv.db.counts RENAME TO gmv.db.counts2"))
+    assert(read == Map("a" -> 2L, "b" -> 3L))
     // DROP TABLE tears the whole thing down (it IS a table on disk)
     spark.sql("DROP TABLE gmv.db.counts")
     assert(spark.sql("SHOW VIEWS IN gmv.db").collect()
       .map(_.getString(1)).toSet == Set("plain"))
+  }
+
+  test("resolution under USE and SHOW VIEWS LIKE literals") {
+    freshCat("gvu")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvu.db")
+    spark.sql("CREATE TABLE gvu.db.t (id BIGINT)")
+    spark.sql("INSERT INTO gvu.db.t VALUES (9)")
+    spark.sql("CREATE VIEW gvu.db.v AS SELECT id FROM gvu.db.t")
+    val cm = spark.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name(), cm.currentNamespace)
+    try {
+      spark.sql("USE gvu.db")
+      // bare name takes the current namespace; a multi-part name is
+      // already namespace-qualified within the current catalog (db.v
+      // must NOT resolve as db.db.v)
+      assert(spark.sql("SELECT id FROM v").head.getLong(0) == 9L)
+      assert(spark.sql("SELECT id FROM db.v").head.getLong(0) == 9L)
+      spark.sql("DROP VIEW db.v")
+      assert(spark.sql("SHOW VIEWS IN gvu.db").isEmpty)
+      spark.sql("CREATE VIEW db.v AS SELECT id FROM gvu.db.t")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+    }
+    // SHOW VIEWS LIKE: '*' wildcard and '|' alternatives; everything
+    // else literal — regex metacharacters in a pattern must not throw
+    spark.sql("CREATE VIEW gvu.db.other AS SELECT 1 AS one")
+    def shown(like: String): Set[String] =
+      spark.sql(s"SHOW VIEWS IN gvu.db LIKE '$like'").collect()
+        .map(_.getString(1)).toSet
+    assert(shown("v") == Set("v"))
+    assert(shown("v|other") == Set("v", "other"))
+    assert(shown("oth*") == Set("other"))
+    assert(shown("v(1)") == Set.empty)
   }
 
   test("a view name never collides with a table; rename moves metadata") {
