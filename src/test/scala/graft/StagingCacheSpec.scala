@@ -79,6 +79,42 @@ class StagingCacheSpec extends SparkSpec {
     assert(spark.read.parquet(staged5.toString).count() == 250)
   }
 
+  test("cachedBuild: reuse on hit, rebuild on source or recipe change") {
+    val src = Files.createTempDirectory("cb-src")
+    val f = src.resolve("t.parquet")
+    Files.writeString(f, "payload-v1")
+    var builds = 0
+    def build(name: String, recipe: String): Path =
+      Staging.cachedBuild(name, recipe, Seq(f)) { d =>
+        builds += 1
+        Files.writeString(d.resolve("artifact"), s"built-$builds")
+      }
+    val name = s"cb-test-${System.nanoTime()}"
+    val d1 = build(name, "r1")
+    assert(builds == 1 && Files.readString(d1.resolve("artifact"))
+      == "built-1")
+    // unchanged source + recipe → the SAME artifact, no rebuild
+    assert(build(name, "r1") == d1 && builds == 1)
+    // recipe change (the build code evolved) → rebuild
+    build(name, "r2")
+    assert(builds == 2)
+    // source change (size/mtime fingerprint) → rebuild
+    Thread.sleep(5)
+    Files.writeString(f, "payload-v2-longer")
+    build(name, "r2")
+    assert(builds == 3)
+    // a crash mid-build leaves no marker → next call rebuilds (marker
+    // is written LAST)
+    val name2 = s"cb-crash-${System.nanoTime()}"
+    intercept[RuntimeException](Staging.cachedBuild(name2, "r1", Seq(f)) {
+      d => Files.writeString(d.resolve("artifact"), "half")
+        throw new RuntimeException("boom")
+    })
+    var rebuilt = false
+    Staging.cachedBuild(name2, "r1", Seq(f))(_ => rebuilt = true)
+    assert(rebuilt, "half-finished build (no marker) must rebuild")
+  }
+
   test("corrupt CDC manifest re-stages instead of throwing") {
     val dir = Files.createTempDirectory("stage-cdc")
     writeEvents(dir, 90)
