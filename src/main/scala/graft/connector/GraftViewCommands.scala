@@ -349,8 +349,11 @@ case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
   override def run(spark: SparkSession): Seq[Row] = {
     if (catalog.viewExists(ident) || catalog.tableExists(ident)) {
       if (ifNotExists) return Seq.empty
+      if (catalog.viewExists(ident))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(ident)
       throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(ident)
+        .TableAlreadyExistsException(ident)
     }
     val analyzed = Bridge.ofRows(spark, query)
     val cm = spark.sessionState.catalogManager
