@@ -60,7 +60,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tablePath(ident)
 
   private def isTableDir(p: Path): Boolean =
-    Files.isDirectory(p.resolve("metadata"))
+    Files.isDirectory(p.resolve("metadata")) &&
+      // a dir that is ALSO a view serves as a table only once its
+      // materialized tag is COMMITTED: during the CREATE MATERIALIZED
+      // VIEW window (or after a crash inside it) the half-built table
+      // must stay invisible so reads fall through to SQL expansion
+      (!GraftViews.isViewDir(p) || GraftViews.load(p).exists(
+        _.current.properties.get(GraftViews.MaterializedProp)
+          .contains("true")))
 
   // ------------------------------------------------------------ tables ----
 

@@ -93,13 +93,24 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** A dir that is BOTH a view and a table is a MATERIALIZED view: the
-    * table holds the last refresh's rows and serves reads directly —
-    * substitution must never re-expand its SQL (that would silently
-    * un-materialize it).
+  /** A view whose CURRENT version is tagged materialized serves reads
+    * from its backing table — substitution must never re-expand its SQL
+    * (that would silently un-materialize it). Keyed on the COMMITTED
+    * property, not on the table dir existing: during CREATE MATERIALIZED
+    * VIEW the table materializes BEFORE the tagged version commits, so a
+    * crash mid-create leaves a plain view (reads expand the SQL) instead
+    * of a half-built table serving zero rows.
     */
-  private def isMaterialized(p: java.nio.file.Path): Boolean =
-    java.nio.file.Files.isDirectory(p.resolve("metadata"))
+  private def isMaterialized(st: GraftViews.ViewState): Boolean =
+    st.current.properties.get(GraftViews.MaterializedProp)
+      .contains("true")
+
+  /** Temp views keep precedence over catalog views (Spark contract) —
+    * both reads AND view DDL with a bare name matching a temp view must
+    * leave the plan to Spark's own handling.
+    */
+  private def isTempView(parts: Seq[String]): Boolean =
+    spark.sessionState.catalog.isTempView(parts)
 
   /** Parse a stored view body and qualify + expand it: relation
     * references missing a catalog qualifier are prefixed with the view's
@@ -125,7 +136,12 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
     val parsed = org.apache.spark.sql.catalyst.analysis.CTESubstitution(
       spark.sessionState.sqlParser.parsePlan(v.sql))
     val cm = spark.sessionState.catalogManager
-    val qualified = parsed.transformUp {
+    // ...WithSubqueries: IN/EXISTS/scalar subqueries inside the stored
+    // body must get the same stored-default qualification — plain
+    // transformUp never descends into subquery expressions, so an
+    // unqualified table there would resolve against the READER's USE
+    // context instead of the view's
+    val qualified = parsed.transformUpWithSubqueries {
       case r: UnresolvedRelation =>
         val parts = r.multipartIdentifier
         val headIsCatalog =
@@ -141,13 +157,14 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
     // expand nested graft views NOW (one rule application yields a fully
     // substituted tree; cycles surface as RECURSIVE_VIEW, never as the
     // analyzer's opaque max-iterations failure)
-    qualified.transformUp {
+    qualified.transformUpWithSubqueries {
       case r: UnresolvedRelation =>
         graftCatalogAndIdent(r.multipartIdentifier) match {
-          case Some((g2, id2)) if !isMaterialized(viewPath(g2, id2)) =>
+          case Some((g2, id2)) =>
             GraftViews.load(viewPath(g2, id2)) match {
-              case Some(st2) => expandView(g2, id2, st2, seen + key)
-              case None => r
+              case Some(st2) if !isMaterialized(st2) =>
+                expandView(g2, id2, st2, seen + key)
+              case _ => r
             }
           case _ => r
         }
@@ -198,12 +215,12 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
       // a bare name matching a temp view is never claimed here; a
       // MATERIALIZED view is served by its table (standard resolution)
       case r: UnresolvedRelation if !r.isStreaming &&
-          !spark.sessionState.catalog.isTempView(r.multipartIdentifier) =>
+          !isTempView(r.multipartIdentifier) =>
         graftCatalogAndIdent(r.multipartIdentifier).flatMap {
-          case (g, ident) if !isMaterialized(viewPath(g, ident)) =>
+          case (g, ident) =>
             GraftViews.load(viewPath(g, ident))
+              .filterNot(isMaterialized)
               .map(st => expandView(g, ident, st, Set.empty))
-          case _ => None
         }.getOrElse(r)
     }
 
@@ -239,7 +256,8 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
             query, partitioning, ifNotExists): LogicalPlan
         }.getOrElse(c)
 
-      case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+      case d @ DropView(UnresolvedIdentifier(parts, _), ifExists)
+          if !isTempView(parts) =>
         graftCatalogAndIdent(parts).map { case (g, ident) =>
           DropGraftViewCommand(g, ident, ifExists): LogicalPlan
         }.getOrElse(d)
@@ -253,7 +271,8 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
           case _ => s
         }
 
-      case s @ SetViewProperties(UnresolvedView(parts, _, _, _), props) =>
+      case s @ SetViewProperties(UnresolvedView(parts, _, _, _), props)
+          if !isTempView(parts) =>
         graftCatalogAndIdent(parts).map { case (g, ident) =>
           AlterGraftViewPropsCommand(g, ident,
             props.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) })
@@ -261,14 +280,14 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
         }.getOrElse(s)
 
       case u @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys,
-          _) =>
+          _) if !isTempView(parts) =>
         graftCatalogAndIdent(parts).map { case (g, ident) =>
           AlterGraftViewPropsCommand(g, ident,
             keys.map(ViewChange.removeProperty)): LogicalPlan
         }.getOrElse(u)
 
       case rn @ RenameTable(UnresolvedTableOrView(parts, _, _), newName,
-          true) =>
+          true) if !isTempView(parts) =>
         graftCatalogAndIdent(parts).flatMap { case (g, ident) =>
           if (!g.viewExists(ident)) None
           else graftCatalogAndIdent(newName).map { case (g2, newIdent) =>
@@ -334,10 +353,12 @@ case class CreateGraftViewCommand(catalog: GraftCatalog,
   * view metadata tagged materialized) and a graft TABLE of the query's
   * rows in ONE directory — reads are plain table scans (no
   * re-computation), staleness is by design until refresh_mview
-  * recomputes the stored SQL and atomically overwrites the table.
-  * Definition commits FIRST: a crash before the table materializes
-  * degrades to a plain view (reads re-expand the SQL) instead of
-  * serving nothing.
+  * refreshes the table. Two-phase for crash safety: the definition
+  * commits FIRST as a PLAIN view version, the rows materialize, and
+  * only then does a second version commit the materialized tag — a
+  * crash at ANY intermediate point leaves a working plain view (reads
+  * re-expand the SQL; a half-built table dir is ignored because the
+  * read path keys on the committed property, not the dir).
   */
 case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
     ident: Identifier, sql: String, query: LogicalPlan,
@@ -359,20 +380,28 @@ case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
     val cm = spark.sessionState.catalogManager
     val dir = catalog.viewDirPath(ident)
     java.nio.file.Files.createDirectories(dir.getParent)
-    GraftViews.commit(dir, None, GraftViews.ViewVersion(
-      versionId = 1, timestampMs = System.currentTimeMillis(),
-      operation = "create-materialized", sql = sql,
-      currentCatalog = cm.currentCatalog.name(),
-      currentNamespace = cm.currentNamespace.toSeq,
-      schemaDdl = analyzed.schema.toDDL,
-      queryColumnNames = analyzed.schema.fieldNames.toSeq,
-      columnAliases = Seq.empty, columnComments = Seq.empty,
-      properties = Map(GraftViews.MaterializedProp -> "true")))
+    def version(id: Int, op: String, props: Map[String, String]) =
+      GraftViews.ViewVersion(
+        versionId = id, timestampMs = System.currentTimeMillis(),
+        operation = op, sql = sql,
+        currentCatalog = cm.currentCatalog.name(),
+        currentNamespace = cm.currentNamespace.toSeq,
+        schemaDdl = analyzed.schema.toDDL,
+        queryColumnNames = analyzed.schema.fieldNames.toSeq,
+        columnAliases = Seq.empty, columnComments = Seq.empty,
+        properties = props)
+    // phase 1: a plain-view version — valid on its own if we crash
+    val v1 = GraftViews.commit(dir, None,
+      version(1, "create", Map.empty))
+    // phase 2: materialize the rows
     val partitionBy = partitioning
       .map(catalog.toGraftPartitionSpec(_, analyzed.schema))
     val t = graft.table.GraftTable.create(spark, dir.toString,
       analyzed.schema, partitionBy)
     t.append(analyzed, repartitionByPartition = partitionBy.nonEmpty)
+    // phase 3: flip to materialized — reads route to the table only now
+    GraftViews.commit(dir, Some(v1), version(2, "create-materialized",
+      Map(GraftViews.MaterializedProp -> "true")))
     Seq.empty
   }
 }

@@ -163,11 +163,29 @@ object Staging {
     if (Files.isRegularFile(marker) &&
         scala.util.Try(Files.readString(marker)).toOption.contains(want))
       return dir
-    wipe(dir)
-    Files.createDirectories(dir)
-    build(dir)
-    Files.writeString(marker, want)
-    dir
+    // cross-process exclusion: two bench/test JVMs missing the marker
+    // at once must not interleave wipe+build in the same directory —
+    // an exclusive OS file lock (sibling of the cache dir, so wipe
+    // never deletes it) serializes them; the loser re-checks the
+    // marker under the lock and reuses the winner's build
+    Files.createDirectories(dir.getParent)
+    val lockPath = dir.getParent.resolve(s".$name.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (Files.isRegularFile(marker) && scala.util.Try(
+            Files.readString(marker)).toOption.contains(want))
+          return dir
+        wipe(dir)
+        Files.createDirectories(dir)
+        build(dir)
+        Files.writeString(marker, want)
+        dir
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** A fresh unique directory under `root/group`, reclaiming any prior

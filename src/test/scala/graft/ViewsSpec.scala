@@ -237,6 +237,101 @@ class ViewsSpec extends SparkSpec {
     assert(shown("v(1)") == Set.empty)
   }
 
+  test("temp views keep precedence over graft view DDL and reads") {
+    freshCat("gvt")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvt.db")
+    spark.sql("CREATE TABLE gvt.db.t (id BIGINT)")
+    spark.sql("INSERT INTO gvt.db.t VALUES (1)")
+    spark.sql("CREATE VIEW gvt.db.sameview AS SELECT id FROM gvt.db.t")
+    val cm = spark.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name(), cm.currentNamespace)
+    try {
+      spark.sql("USE gvt.db")
+      spark.sql("CREATE TEMPORARY VIEW sameview AS SELECT 42 AS marker")
+      // reads: the temp view wins over the same-named catalog view
+      assert(spark.sql("SELECT * FROM sameview").head.getInt(0) == 42)
+      // DDL: DROP VIEW with the bare name must drop the TEMP view
+      // (Spark's handling), leaving the catalog view alive
+      spark.sql("DROP VIEW sameview")
+      assert(!spark.catalog.tableExists("sameview") ||
+        spark.sql("SELECT id FROM sameview").head.getLong(0) == 1L)
+      assert(spark.sql("SHOW VIEWS IN gvt.db").collect()
+        .map(_.getString(1)).toSet == Set("sameview"),
+        "catalog view must survive a temp-view DROP")
+      // and now the catalog view serves again under the bare name
+      assert(spark.sql("SELECT id FROM sameview").head.getLong(0) == 1L)
+      spark.sql("DROP VIEW sameview")
+      assert(spark.sql("SHOW VIEWS IN gvt.db").isEmpty)
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+    }
+  }
+
+  test("stored-body subqueries qualify against the view's defaults") {
+    freshCat("gvs")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvs.db")
+    spark.sql("CREATE TABLE gvs.db.f (id BIGINT, k BIGINT)")
+    spark.sql("CREATE TABLE gvs.db.d (k BIGINT)")
+    spark.sql("INSERT INTO gvs.db.f VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("INSERT INTO gvs.db.d VALUES (10), (30)")
+    val cm = spark.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name(), cm.currentNamespace)
+    try {
+      spark.sql("USE gvs.db")
+      // body references `d` UNQUALIFIED inside an IN-subquery and a
+      // scalar subquery — both must bind to gvs.db at READ time even
+      // when the reader's USE context has moved elsewhere
+      spark.sql("""CREATE VIEW vsub AS
+        SELECT id FROM f
+        WHERE k IN (SELECT k FROM d)
+          AND id <= (SELECT MAX(k) FROM d)""")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+    }
+    // read from a DIFFERENT catalog context: unqualified subquery tables
+    // must not resolve against spark_catalog (where `d` doesn't exist)
+    val got = spark.sql("SELECT id FROM gvs.db.vsub ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("half-created materialized view degrades to plain-view reads") {
+    val wh = freshCat("gvh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvh.db")
+    spark.sql("CREATE TABLE gvh.db.b (id BIGINT)")
+    spark.sql("INSERT INTO gvh.db.b VALUES (1), (2), (3)")
+    // the committed creation is two-phase: v1 plain, v2 materialized
+    spark.sql("CREATE MATERIALIZED VIEW gvh.db.m AS " +
+      "SELECT COUNT(*) AS n FROM gvh.db.b")
+    val metaDir = java.nio.file.Paths.get(wh, "db", "m", "viewmeta")
+    val ls = java.nio.file.Files.list(metaDir)
+    val names =
+      try { import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toList.sorted }
+      finally ls.close()
+    assert(names.size == 2, s"expected 2 phased version files: $names")
+    val v1 = graft.connector.GraftViews.fromJson(
+      java.nio.file.Files.readString(metaDir.resolve(names.head)))
+    assert(!v1.current.properties.contains(
+      graft.connector.GraftViews.MaterializedProp),
+      "phase-1 version must be a plain view")
+
+    // simulate the crash window: a view whose table dir exists (even
+    // with rows missing) but whose materialized tag never committed must
+    // be served by SQL expansion, not by the half-built table
+    spark.sql("CREATE VIEW gvh.db.crashed AS " +
+      "SELECT COUNT(*) AS n FROM gvh.db.b")
+    graft.table.GraftTable.create(spark,
+      java.nio.file.Paths.get(wh, "db", "crashed").toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))), Seq.empty)
+    assert(spark.sql("SELECT n FROM gvh.db.crashed").head.getLong(0) == 3L,
+      "half-created MV served the empty table instead of expanding SQL")
+  }
+
   test("a view name never collides with a table; rename moves metadata") {
     freshCat("gvc")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gvc.db")
