@@ -401,7 +401,14 @@ object ConnectorQueries {
           .head.getLong(0)
         require(afterInsert == stale,
           s"materialized view recomputed on read: $stale -> $afterInsert")
-        s.sql("CALL graft_ct.system.refresh_mview('db.mv_rev')")
+        // the refresh must be INCREMENTAL (append-only delta over an
+        // aggregate definition): the base is not re-scanned — at 100 TB
+        // this is the difference between O(delta) and O(base) per
+        // refresh
+        val ref = s.sql(
+          "CALL graft_ct.system.refresh_mview('db.mv_rev')").head
+        require(ref.getString(2) == "incremental",
+          s"expected incremental refresh, got $ref")
         s.sql("SELECT priority, n_orders, revenue FROM graft_ct.db.mv_rev " +
           "ORDER BY priority")
       },

@@ -376,21 +376,25 @@ object GraftProcedures {
           t.evolvePartitionSpec(specs)
           Seq(t.metadata.defaultSpecId.toLong)
       })
-      // MATERIALIZED-view refresh: recompute the stored SQL (qualified
-      // against its stored default catalog/namespace) and atomically
-      // truncate-and-replace the backing table in ONE commit — readers
-      // see either the old refresh or the new one, never a mix
+      // MATERIALIZED-view refresh: INCREMENTAL when the stored SQL is a
+      // maintainable aggregate over one graft table — apply the base's
+      // changelog since the recorded sequence watermark and merge
+      // per-key deltas (O(delta) base rows scanned, never the full
+      // base); full recompute otherwise. Either way the backing table
+      // swaps atomically in ONE commit — readers see either the old
+      // refresh or the new one, never a mix.
       case "refresh_mview" => Some(p("refresh_mview",
         Seq(table),
         StructType(Seq(StructField("snapshot_id", LongType),
-          StructField("row_count", LongType)))) {
+          StructField("row_count", LongType),
+          StructField("mode", StringType),
+          StructField("delta_rows", LongType)))) {
         (t, _) =>
           val s = SparkSession.active
           val df = GraftViewRewrite.materializedQuery(s, t.location)
-          df.write.format("graft").mode("overwrite").save(t.location)
-          val after = GraftTable.load(s, t.location)
-          Seq(after.metadata.currentSnapshotId.getOrElse(-1L),
-            after.countRows())
+          val r = GraftMviewRefresh.refresh(s, t, df)
+          Seq(r.snapshotId, r.rowCount,
+            UTF8String.fromString(r.mode), r.deltaRows)
       })
       case _ => None
     }

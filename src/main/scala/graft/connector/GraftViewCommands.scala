@@ -393,12 +393,21 @@ case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
     // phase 1: a plain-view version — valid on its own if we crash
     val v1 = GraftViews.commit(dir, None,
       version(1, "create", Map.empty))
-    // phase 2: materialize the rows
+    // phase 2: materialize the rows through the refresh machinery, so
+    // an incrementally-maintainable definition seeds its state sidecar
+    // + watermark in the SAME base scan (the first refresh_mview is
+    // then O(delta), not a full bootstrap)
     val partitionBy = partitioning
       .map(catalog.toGraftPartitionSpec(_, analyzed.schema))
+    // asNullable, as Spark's own CTAS does: scan-level pushdowns (e.g.
+    // the global-count rewrite) may legally widen an output column's
+    // nullability, and the refresh write must still resolve against
+    // the table schema
+    val relaxed = org.apache.spark.sql.types.StructType(
+      analyzed.schema.fields.map(_.copy(nullable = true)))
     val t = graft.table.GraftTable.create(spark, dir.toString,
-      analyzed.schema, partitionBy)
-    t.append(analyzed, repartitionByPartition = partitionBy.nonEmpty)
+      relaxed, partitionBy)
+    GraftMviewRefresh.refresh(spark, t, analyzed)
     // phase 3: flip to materialized — reads route to the table only now
     GraftViews.commit(dir, Some(v1), version(2, "create-materialized",
       Map(GraftViews.MaterializedProp -> "true")))
