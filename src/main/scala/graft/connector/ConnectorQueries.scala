@@ -285,6 +285,91 @@ object ConnectorQueries {
           WHERE t.l_orderkey IS NULL)
         SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("q")} AS sum_qty
         FROM merged GROUP BY 1 ORDER BY l_returnflag""")),
+    // MERGE-ON-READ UPDATE + MERGE (write.update.mode /
+    // write.merge.mode = merge-on-read, the Iceberg properties): both
+    // statements commit ROW DELTAS — position deletes + appended new
+    // versions — with ZERO data files rewritten (required in-query via
+    // manifest diff), yet answer exactly like the CoW path. At 100 TB a
+    // wide MERGE touching 0.1% of rows writes 0.1% of the bytes instead
+    // of rewriting every affected file.
+    GraftQuery(
+      "ice_merge_mor",
+      (s, dir) => {
+        val wh = warehouseLoc("wh")
+        s.conf.set("spark.sql.catalog.graft_ct", "graft.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ct.db")
+        s.sql("DROP TABLE IF EXISTS graft_ct.db.li_mor")
+        s.sql(
+          """CREATE TABLE graft_ct.db.li_mor (
+            |  l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,
+            |  l_returnflag STRING, l_shipdate TIMESTAMP_NTZ
+            |) PARTITIONED BY (bucket(8, l_orderkey))
+            |TBLPROPERTIES(
+            |  'write.update.mode' = 'merge-on-read',
+            |  'write.merge.mode' = 'merge-on-read',
+            |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+        Tables.tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_shipdate")
+          .createOrReplaceTempView("li_src_mor")
+        s.sql("INSERT INTO graft_ct.db.li_mor " +
+          "SELECT * FROM li_src_mor WHERE l_orderkey % 3 = 0")
+        val loc = java.nio.file.Paths.get(wh, "db", "li_mor").toString
+        val before = GraftTable.load(s, loc).liveEntries()
+          .filter(_.isData).map(_.path).toSet
+
+        s.sql("UPDATE graft_ct.db.li_mor SET l_quantity = l_quantity + 5 " +
+          "WHERE l_linenumber = 1")
+        Tables.tbl(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") * 2).as("l_quantity"), col("l_returnflag"),
+            col("l_shipdate"))
+          .createOrReplaceTempView("li_mor_source")
+        s.sql(
+          s"""MERGE INTO graft_ct.db.li_mor t USING li_mor_source s
+             |ON t.l_orderkey = s.l_orderkey
+             |  AND t.l_linenumber = s.l_linenumber
+             |WHEN MATCHED AND s.l_quantity > 80 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity + 100
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+
+        val t = GraftTable.load(s, loc)
+        val after = t.liveEntries().filter(_.isData).map(_.path).toSet
+        require(before.subsetOf(after),
+          "merge-on-read UPDATE/MERGE rewrote data files")
+        require(t.metadata.currentSnapshot.get.summary.other
+          .get("row-delta").contains("true"),
+          "MERGE commit is not a row delta")
+        flagQtyAgg(s, "graft_ct.db.li_mor")
+      },
+      Some(s"""WITH tgt AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+            CASE WHEN l_linenumber = 1 THEN l_quantity + 5
+                 ELSE l_quantity END AS l_quantity
+          FROM lineitem WHERE l_orderkey % 3 = 0),
+        src AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+            l_quantity * 2 AS l_quantity
+          FROM lineitem WHERE l_orderkey % 2 = 0),
+        merged AS (
+          SELECT t.l_returnflag AS l_returnflag,
+            CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_quantity + 100
+                 ELSE t.l_quantity END AS q
+          FROM tgt t LEFT JOIN src s
+            ON t.l_orderkey = s.l_orderkey
+            AND t.l_linenumber = s.l_linenumber
+          WHERE s.l_orderkey IS NULL OR s.l_quantity <= 80
+          UNION ALL
+          SELECT s.l_returnflag, s.l_quantity AS q
+          FROM src s LEFT JOIN tgt t
+            ON t.l_orderkey = s.l_orderkey
+            AND t.l_linenumber = s.l_linenumber
+          WHERE t.l_orderkey IS NULL)
+        SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("q")} AS sum_qty
+        FROM merged GROUP BY 1 ORDER BY l_returnflag""")),
     // Full SQL surface through the TableCatalog: CREATE TABLE with
     // hidden partitioning, INSERT INTO, pushdown-pruned SELECT.
     GraftQuery(

@@ -111,8 +111,15 @@ case class GraftUpdateCommand(location: String,
     def toCol(e: Expression): Column = Bridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
-    t.updateWhere(condition.map(toCol).getOrElse(lit(true)),
-      assignments.map { case (n, v) => n -> toCol(v) }.toMap)
+    val cond = condition.map(toCol).getOrElse(lit(true))
+    val asg = assignments.map { case (n, v) => n -> toCol(v) }.toMap
+    // Iceberg's write.update.mode: merge-on-read tables take the
+    // row-delta path (position deletes/DVs + new versions) — a wide
+    // UPDATE never rewrites data files
+    if (t.metadata.properties.exists(_.get(GraftTable.UpdateModeProp)
+        .contains("merge-on-read")))
+      t.updateWhereMoR(cond, asg)
+    else t.updateWhere(cond, asg)
     Seq.empty
   }
 }
@@ -186,7 +193,13 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
       case other => throw new UnsupportedOperationException(
         s"unsupported MERGE action $other")
     }
-    t.mergeApply(srcDf, keys,
+    // Iceberg's write.merge.mode: merge-on-read tables commit a
+    // row-delta (deletes + new versions/inserts) instead of rewriting
+    // every affected file
+    val mor = t.metadata.properties
+      .exists(_.get(GraftTable.MergeModeProp).contains("merge-on-read"))
+    val apply = if (mor) t.mergeApplyMoR _ else t.mergeApply _
+    apply(srcDf, keys,
       matchedActions.map(convert),
       notMatchedActions.map(convert).map(_.asInstanceOf[GMergeInsert]),
       notMatchedBySourceActions.map(convert))

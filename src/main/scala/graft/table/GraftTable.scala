@@ -1704,10 +1704,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val logical = inRange.filterNot(_.summary.operation.contains("replace"))
     logical.foreach { s =>
       val op = s.summary.operation.getOrElse("unknown")
-      val cow = s.summary.other.get("rewritten-files").exists(_.toInt > 0) ||
-        s.summary.other.get("dropped-files").exists(_.toInt > 0) ||
-        op == "overwrite"
-      require(!cow && (op == "append" || op == "delete"),
+      // a ROW-DELTA commit (MoR UPDATE/MERGE: delete files + appended
+      // new versions, nothing rewritten) is fully expressible — its
+      // adds surface as inserts and its delete files as deletes, both
+      // scoped by this commit's sequence
+      val rowDelta = op == "overwrite" &&
+        s.summary.other.get("row-delta").contains("true")
+      val cow = !rowDelta &&
+        (s.summary.other.get("rewritten-files").exists(_.toInt > 0) ||
+          s.summary.other.get("dropped-files").exists(_.toInt > 0) ||
+          op == "overwrite")
+      require(!cow && (op == "append" || op == "delete" || rowDelta),
         s"changelog cannot express snapshot ${s.snapshotId} ($op): " +
           "copy-on-write rewrites interleave physical and logical changes")
     }
@@ -2090,26 +2097,57 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * row is never recorded twice. Shared by both MoR delete forms.
     */
   private def morLivePositions(meta: TableMetadataV2, cond: Column,
-      affected: Seq[(String, Int, Long, String)]): DataFrame = {
+      affected: Seq[(String, Int, Long, String)]): DataFrame =
+    morLiveMatching(meta, cond, affected)
+      .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
+
+  /** LIVE rows of `affected` files matching `cond`, WITH their
+    * (PosPathCol, PosIdxCol) addresses — the fully-applied read (prior
+    * position and equality deletes), so a row is never matched twice.
+    * With `withLineage` the rows additionally carry `_row_id` (virtual
+    * or materialized), so a MoR update/merge can hand each replaced
+    * row's identity to its new version. Feeds the MoR delete forms
+    * (positions only) and the MoR update/merge row-delta writers (full
+    * rows).
+    */
+  private def morLiveMatching(meta: TableMetadataV2, cond: Column,
+      affected: Seq[(String, Int, Long, String)],
+      withLineage: Boolean = false): DataFrame = {
     val schema = meta.currentSchema
     // MoR positions are parquet row indexes; a non-parquet file cannot
     // receive them — the withPos read below refuses via formatOf
     val fmts = affected.collect {
       case (p, _, _, f) if f != DataFileEntry.Parquet => p -> f }.toMap
+    require(!withLineage || fmts.isEmpty,
+      "lineage-preserving MoR mutation over non-parquet files is " +
+        "unsupported — compact the imported files first")
     val dels = posDeleteEntriesFor(meta, None)
     val minSeq = affected.map(_._3).min
     val eqDels = eqDeletesFor(meta, None)
       .filter(_.sequenceNumber > minSeq)
+    // lineage needs the plan's firstRowId per entry — re-derive entries
+    // for the affected paths off the (already driver-sized) manifests
+    val lineageEntries: Map[String, DataFileEntry] =
+      if (!withLineage) Map.empty
+      else {
+        val want = affected.map(e => canonPath(decodePath(e._1))).toSet
+        liveEntries(None).filter(e => e.isData &&
+          want.contains(canonPath(decodePath(e.path))))
+          .map(e => canonPath(decodePath(e.path)) -> e).toMap
+      }
     val ann0 = affected.groupBy(_._3).map { case (sq, es) =>
-      val ann = readAlignedFilesFor(meta,
-        es.map(e => (e._1, e._2)), schema, withPos = true,
-        formatOf = fmts)
+      val ann =
+        if (!withLineage) readAlignedFilesFor(meta,
+          es.map(e => (e._1, e._2)), schema, withPos = true,
+          formatOf = fmts)
+        else alignedWithRowId(meta,
+          es.map(e => lineageEntries(canonPath(decodePath(e._1)))),
+          schema, withPos = true)
       (if (dels.isEmpty) ann else applyDeletes(ann, dels))
         .withColumn(SeqCol, lit(sq))
     }.reduce(_.unionByName(_))
     val live = applyEqDeletesSeq(ann0, eqDels).drop(SeqCol)
     live.filter(cond)
-      .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
   }
 
   /** Merge-on-read DELETE WHERE as DELETION VECTORS (the Iceberg-v3
@@ -2132,28 +2170,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val affected = plannedFilesFor(meta, Some(cond), None)
       val (dvEntries, supersededCanon): (Seq[DataFileEntry], Set[String]) =
         if (affected.isEmpty) (Seq.empty, Set.empty)
-        else {
-          val writeId = java.util.UUID.randomUUID.toString.take(8)
-          val dvDir = s"$location/deletes/dv-$writeId"
-          val newPos = morLivePositions(meta, cond, affected)
-          // files actually receiving deletes — bounded by |affected|
-          val touchedRaw = newPos.select("file_path").distinct()
-            .collect().map(_.getString(0)).toSet
-          val touchedCanon = touchedRaw.map(p => canonPath(decodePath(p)))
-          // the new DV supersedes those files' existing DVs: merge their
-          // positions in, drop their entries at commit
-          val oldDvs = posDeleteEntriesFor(meta, None).filter(_.dv.exists(
-            d => touchedCanon.contains(canonPath(decodePath(d.dataFile)))))
-          val mergedPos =
-            if (oldDvs.isEmpty) newPos
-            else newPos.unionByName(
-              GraftTable.posDeletePositionsCore(spark, oldDvs))
-          val written = Dv.writeAll(spark, mergedPos, dvDir)
-          (written.map(w => DataFileEntry(w.sidecar, w.cardinality,
-            PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
-            content = 1, dv = Some(Dv.DvRef(w.dataFile, w.off, w.len)))),
-            oldDvs.map(e => canonPath(decodePath(e.dv.get.dataFile))).toSet)
-        }
+        else writeMergedDvs(meta, morLivePositions(meta, cond, affected))
       val snap = commitSnapshot("delete", fresh => {
         if (fresh.currentSnapshotId != meta.currentSnapshotId)
           throw new CommitConflictException(
@@ -2192,6 +2209,297 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           snap.sequenceNumber))
       snap
     })
+
+  /** One merged DELETION VECTOR per data file touched by `positions`,
+    * superseding those files' existing DVs (their positions merge in,
+    * their entries drop at commit — a file carries at most ONE vector).
+    * Returns (new DV entries, canon paths of data files whose previous
+    * DVs are superseded). Shared by DV-form DELETE, UPDATE and MERGE.
+    */
+  private def writeMergedDvs(meta: TableMetadataV2, positions: DataFrame)
+      : (Seq[DataFileEntry], Set[String]) = {
+    val schema = meta.currentSchema
+    val writeId = java.util.UUID.randomUUID.toString.take(8)
+    val dvDir = s"$location/deletes/dv-$writeId"
+    // files actually receiving deletes — bounded by the affected plan
+    val touchedRaw = positions.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedRaw.isEmpty) return (Seq.empty, Set.empty)
+    val touchedCanon = touchedRaw.map(p => canonPath(decodePath(p)))
+    val oldDvs = posDeleteEntriesFor(meta, None).filter(_.dv.exists(
+      d => touchedCanon.contains(canonPath(decodePath(d.dataFile)))))
+    val mergedPos =
+      if (oldDvs.isEmpty) positions
+      else positions.unionByName(
+        GraftTable.posDeletePositionsCore(spark, oldDvs))
+    val written = Dv.writeAll(spark, mergedPos, dvDir)
+    (written.map(w => DataFileEntry(w.sidecar, w.cardinality,
+      PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
+      content = 1, dv = Some(Dv.DvRef(w.dataFile, w.off, w.len)))),
+      oldDvs.map(e => canonPath(decodePath(e.dv.get.dataFile))).toSet)
+  }
+
+  /** Write matched positions in this table's configured delete form:
+    * plain position-delete parquet by default, merged DVs under
+    * `write.delete.format = deletion-vectors`. Returns (entries,
+    * superseded-DV canon paths — always empty for the parquet form).
+    * DV sidecars must be restamped after the commit ([[restampDvs]]).
+    */
+  private def writeRowDeltaDeletes(meta: TableMetadataV2,
+      positions: DataFrame): (Seq[DataFileEntry], Set[String]) =
+    if (meta.properties.exists(_.get(GraftTable.DeleteFormatProp)
+        .contains("deletion-vectors")))
+      writeMergedDvs(meta, positions)
+    else {
+      val writeId = java.util.UUID.randomUUID.toString.take(8)
+      val delDir = s"$location/deletes/$writeId"
+      positions.write.mode("errorifexists").parquet(delDir)
+      (footerCounts(delDir).map { case (p, n) =>
+        DataFileEntry(p, n, PendingSnapshot, 0L,
+          meta.currentSchema.schemaId, Map.empty, Map.empty,
+          content = 1) }, Set.empty)
+    }
+
+  /** Commit-side carry for a row-delta commit that may supersede DVs:
+    * returns (manifest refs to reuse verbatim, delete entries to carry
+    * forward, superseded row count). With nothing superseded every ref
+    * is reused and nothing is carried.
+    */
+  private def carryMinusSupersededDvs(fresh: TableMetadataV2,
+      superseded: Set[String])
+      : (Seq[ManifestRef], Seq[DataFileEntry], Long) = {
+    val all = manifestsFor(fresh, None)
+    if (superseded.isEmpty) (all, Seq.empty, 0L)
+    else {
+      // superseded DVs live inside content-1 manifests: rewrite those,
+      // carrying every entry EXCEPT the replaced vectors
+      val (delMfs, rest) = all.partition(_.content == 1)
+      val (dead, carried) = delMfs.flatMap(_.entries).partition(e =>
+        e.dv.exists(d =>
+          superseded.contains(canonPath(decodePath(d.dataFile)))))
+      (rest, carried, dead.map(_.recordCount).sum)
+    }
+  }
+
+  /** Post-commit Puffin footer restamp for just-committed DV sidecars
+    * (written executor-side before the commit existed, so their footers
+    * carry -1 ids). Footer-only atomic rewrite — blob offsets are
+    * untouched, so committed manifest byte-ranges stay valid.
+    */
+  private def restampDvs(entries: Seq[DataFileEntry],
+      snap: SnapshotV2): Unit =
+    entries.filter(_.dv.isDefined).map(_.path).distinct.foreach(s =>
+      Puffin.restamp(java.nio.file.Paths.get(s), snap.snapshotId,
+        snap.sequenceNumber))
+
+  /** Merge-on-read UPDATE WHERE (Iceberg's `write.update.mode =
+    * merge-on-read`): write position deletes (or merged DVs) for the
+    * matched rows PLUS appended files of their updated versions, in one
+    * row-delta commit — ZERO data files rewritten. A wide UPDATE on a
+    * 100 TB table costs O(matched rows), not O(affected file bytes);
+    * scans see the new versions via ordinary delete application. On
+    * lineage tables each new version carries its replaced row's
+    * `_row_id` with a null last-updated sequence, inheriting this
+    * commit's (the v3 contract, same as the CoW path).
+    */
+  def updateWhereMoR(cond: Column,
+      assignments: Map[String, Column]): SnapshotV2 = {
+    val names0 = toSparkSchema(metadata.currentSchema).fieldNames
+    assignments.keys.foreach(k => require(names0.contains(k),
+      s"UPDATE assignment targets unknown column $k"))
+    retryingCommit(() => {
+      val meta = metadata
+      val schema = meta.currentSchema
+      val sparkSchema = toSparkSchema(schema)
+      val lineage = lineageEnabled(meta)
+      if (lineage) requireLineageReadable(meta)
+      val affected = plannedFilesFor(meta, Some(cond), None)
+      val (delEntries, superseded, newData) =
+        if (affected.isEmpty)
+          (Seq.empty[DataFileEntry], Set.empty[String], PendingAdds.empty)
+        else {
+          val matching = morLiveMatching(meta, cond, affected,
+            withLineage = lineage).persist()
+          try {
+            val (de, sup) = writeRowDeltaDeletes(meta, matching.select(
+              col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos")))
+            // every selected row updates (cond already filtered TRUE)
+            val lineageSel =
+              if (!lineage) Seq.empty[Column]
+              else Seq(col(GraftTable.RowIdCol),
+                lit(null).cast(LongType).as(GraftTable.LastUpdCol))
+            val updated = matching.select(
+              sparkSchema.fields.toIndexedSeq.map { f =>
+                assignments.get(f.name) match {
+                  case Some(v) => v.cast(f.dataType).as(f.name)
+                  case None => col(f.name)
+                }
+              } ++ lineageSel: _*)
+            (de, sup, writeFiles(updated))
+          } finally matching.unpersist()
+        }
+      val snap = commitSnapshot("overwrite", fresh => {
+        if (fresh.currentSnapshotId != meta.currentSnapshotId)
+          throw new CommitConflictException(
+            s"table changed during updateWhereMoR at $location")
+        val (refs, carried, supRows) =
+          carryMinusSupersededDvs(fresh, superseded)
+        (refs,
+          PendingAdds(carried ++ delEntries ++ newData.entries,
+            newData.shards),
+          Map("row-delta" -> "true",
+            "updated-rows" ->
+              (delEntries.map(_.recordCount).sum - supRows).toString,
+            "delete-files" -> delEntries.size.toString))
+      })
+      restampDvs(delEntries, snap)
+      snap
+    })
+  }
+
+  /** Merge-on-read MERGE (Iceberg's `write.merge.mode = merge-on-read`):
+    * same action semantics as [[mergeApply]], but instead of rewriting
+    * every affected file it commits one row-delta — position deletes
+    * (or merged DVs) for rows an UPDATE/DELETE action replaced, plus
+    * appended files of updated versions and inserts. Rows no action
+    * touches cost NOTHING (the CoW path re-writes them); at 100 TB a
+    * MERGE touching 0.1% of rows writes 0.1% of the bytes.
+    */
+  def mergeApplyMoR(source: DataFrame, keys: Seq[(String, String)],
+      matched: Seq[MergeAction],
+      notMatched: Seq[MergeInsert],
+      notMatchedBySource: Seq[MergeAction] = Seq.empty): SnapshotV2 = {
+    val srcPfx = GraftTable.MergeSourcePrefix
+    retryingCommit(() => {
+      val meta = metadata
+      val schema = meta.currentSchema
+      val sparkSchema = toSparkSchema(schema)
+      val lineage = lineageEnabled(meta)
+      if (lineage) requireLineageReadable(meta)
+      keys.foreach { case (t, s) =>
+        require(sparkSchema.fieldNames.contains(t),
+          s"merge key $t is not a table column")
+        require(source.columns.contains(s),
+          s"merge key $s is not a source column")
+      }
+      require(source.columns.distinct.length == source.columns.length,
+        "merge source has duplicate column names")
+      // key envelope of the source → affected-file pruning, as in the
+      // CoW path; not-matched-by-source actions touch every target row
+      val envCond: Option[Column] =
+        if (notMatchedBySource.nonEmpty) None
+        else {
+          val aggs =
+            keys.map { case (t, s) => min(col(s)).as(s"mn::$t") } ++
+              keys.map { case (t, s) => max(col(s)).as(s"mx::$t") }
+          val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+          Some(keys.map { case (t, _) =>
+            val mn = bounds.getAs[Any](s"mn::$t")
+            val mx = bounds.getAs[Any](s"mx::$t")
+            // empty/all-null source side: no key can match any file
+            if (mn == null || mx == null) lit(false)
+            else col(t) >= lit(mn) && col(t) <= lit(mx)
+          }.reduce(_ && _))
+        }
+      val affected = plannedFilesFor(meta, envCond, None)
+      // all live rows of possibly-matching files, with row addresses;
+      // rows of pruned files provably match no source key
+      val target =
+        (if (affected.nonEmpty)
+          morLiveMatching(meta, lit(true), affected,
+            withLineage = lineage)
+        else {
+          val empty = GraftTable.readAlignedFilesCore(spark, meta,
+            Seq.empty, schema, withPos = true)
+          if (lineage)
+            empty.withColumn(GraftTable.RowIdCol, lit(null).cast(LongType))
+          else empty
+        }).withColumn("__tgt_present", lit(1))
+      val src = source.select(source.columns.toIndexedSeq.map(n =>
+        col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
+      val joinCond = keys.map { case (t, s) =>
+        col(t) === col(s"$srcPfx$s") }.reduce(_ && _)
+      val joined = target.join(src, joinCond, "full_outer").persist()
+      try {
+        val isMatched =
+          col("__tgt_present").isNotNull && col("__src_present").isNotNull
+        val isTgtOnly =
+          col("__tgt_present").isNotNull && col("__src_present").isNull
+        val isSrcOnly =
+          col("__tgt_present").isNull && col("__src_present").isNotNull
+        def condOf(a: MergeAction): Column = a.condition.getOrElse(lit(true))
+        // first-applicable-action chains, SQL-style: `applied` = some
+        // action fires for the row, `updated` = that action is an UPDATE
+        def appliedChain(actions: Seq[MergeAction]): Column =
+          actions.foldRight(lit(false)) { (a, els) =>
+            when(condOf(a), lit(true)).otherwise(els) }
+        def updatedChain(actions: Seq[MergeAction]): Column =
+          actions.foldRight(lit(false)) { (a, els) =>
+            when(condOf(a), lit(a.isInstanceOf[MergeUpdate])).otherwise(els) }
+        def valueChain(actions: Seq[MergeAction], f: SparkField,
+            default: Column): Column =
+          actions.foldRight(default) { (a, els) =>
+            val v = a match {
+              case MergeUpdate(_, asg) => asg.get(f.name)
+                .map(_.cast(f.dataType)).getOrElse(col(f.name))
+              case MergeInsert(_, vals) => vals.get(f.name)
+                .map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType))
+              case _: MergeDelete => col(f.name) // filtered out upstream
+            }
+            when(condOf(a), v).otherwise(els)
+          }
+        // a fired UPDATE or DELETE replaces/removes the old version —
+        // either way its position is deleted; untouched rows cost zero
+        val toDelete =
+          (isMatched && appliedChain(matched)) ||
+            (isTgtOnly && appliedChain(notMatchedBySource))
+        val toUpdate =
+          (isMatched && updatedChain(matched)) ||
+            (isTgtOnly && updatedChain(notMatchedBySource))
+        val toInsert = isSrcOnly && appliedChain(notMatched)
+        val outCols = sparkSchema.fields.toIndexedSeq.map { f =>
+          when(isMatched, valueChain(matched, f, col(f.name)))
+            .when(isTgtOnly,
+              valueChain(notMatchedBySource, f, col(f.name)))
+            .otherwise(valueChain(notMatched, f,
+              lit(null).cast(f.dataType)))
+            .cast(f.dataType).as(f.name)
+        }
+        val (delEntries, superseded) = writeRowDeltaDeletes(meta,
+          joined.filter(toDelete).select(
+            col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos")))
+        // updated versions keep their row's id (null sequence inherits
+        // this commit's); inserts are fresh rows and get new ids
+        val lineageSel =
+          if (!lineage) Seq.empty[Column]
+          else Seq(col(GraftTable.RowIdCol),
+            lit(null).cast(LongType).as(GraftTable.LastUpdCol))
+        val updPart = writeFiles(
+          joined.filter(toUpdate).select(outCols ++ lineageSel: _*))
+        val insPart = writeFiles(
+          joined.filter(toInsert).select(outCols: _*),
+          lineageFresh = true)
+        val snap = commitSnapshot("overwrite", fresh => {
+          if (fresh.currentSnapshotId != meta.currentSnapshotId)
+            throw new CommitConflictException(
+              s"table changed during mergeApplyMoR at $location")
+          val (refs, carried, supRows) =
+            carryMinusSupersededDvs(fresh, superseded)
+          (refs,
+            PendingAdds(
+              carried ++ delEntries ++ updPart.entries ++ insPart.entries,
+              updPart.shards ++ insPart.shards),
+            Map("row-delta" -> "true",
+              "replaced-rows" ->
+                (delEntries.map(_.recordCount).sum - supRows).toString,
+              "delete-files" -> delEntries.size.toString))
+        })
+        restampDvs(delEntries, snap)
+        snap
+      } finally joined.unpersist()
+    })
+  }
 
   /** Merge-on-read EQUALITY delete: drop every CURRENT row whose key
     * tuple appears in `keys` (a DataFrame whose columns are a subset of
@@ -4388,6 +4696,19 @@ object GraftTable {
     * path.
     */
   val DeleteModeProp = "write.delete.mode"
+
+  /** Iceberg's update-mode property: tables declaring "merge-on-read"
+    * get SQL `UPDATE` routed to updateWhereMoR (position deletes/DVs +
+    * appended new versions, zero data-file rewrites) instead of the
+    * CoW updateWhere.
+    */
+  val UpdateModeProp = "write.update.mode"
+
+  /** Iceberg's merge-mode property: tables declaring "merge-on-read"
+    * get SQL `MERGE INTO` routed to mergeApplyMoR instead of the CoW
+    * mergeApply.
+    */
+  val MergeModeProp = "write.merge.mode"
 
   /** Table property enabling row lineage (Iceberg v3 semantics): every
     * row gets a stable `_row_id`, assigned once at append and preserved

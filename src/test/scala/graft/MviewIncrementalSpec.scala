@@ -33,7 +33,8 @@ class MviewIncrementalSpec extends SparkSpec {
     val wh = freshCat("mvi")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mvi.db")
     spark.sql("""CREATE TABLE mvi.db.ord (k BIGINT, grp STRING,
-      amt DOUBLE) TBLPROPERTIES('write.delete.mode'='merge-on-read')""")
+      amt DOUBLE) TBLPROPERTIES('write.delete.mode'='merge-on-read',
+      'write.update.mode'='merge-on-read')""")
     // a "large" base: 2000 rows over 4 groups
     spark.range(2000).selectExpr("id AS k",
       "concat('g', id % 4) AS grp", "CAST(id AS DOUBLE) / 10 AS amt")
@@ -102,6 +103,14 @@ class MviewIncrementalSpec extends SparkSpec {
     assert(r3.getString(2) == "incremental", s"got $r3")
     assert(got == expected, "emptied group must vanish")
     assert(!got.exists(_.getString(0) == "g3"))
+
+    // MoR UPDATE commits a row delta (delete old + insert new in ONE
+    // commit) — the changelog expresses it, so the refresh STAYS
+    // incremental across updates and adjusts both sides per key
+    spark.sql("UPDATE mvi.db.ord SET amt = amt + 100 WHERE k % 500 = 3")
+    val r4 = refresh("mvi", "db.mv")
+    assert(r4.getString(2) == "incremental", s"got $r4")
+    assert(got == expected, "post-MoR-update incremental refresh mismatch")
   }
 
   test("fallbacks: CoW range, out-of-band writes, forced full, joins") {
