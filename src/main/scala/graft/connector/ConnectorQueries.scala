@@ -25,6 +25,15 @@ object ConnectorQueries {
   private def warehouseLoc(name: String): String =
     warehouseCache.computeIfAbsent(name, _ => loc(name))
 
+  /** One embedded REST catalog service for the JVM (ice_rest_catalog);
+    * lazily started over its own warehouse dir.
+    */
+  private lazy val restServer: rest.GraftRestServer = {
+    val srv = new rest.GraftRestServer(warehouseLoc("restwh"))
+    srv.start()
+    srv
+  }
+
   private def loc(name: String): String =
     graft.Staging.freshDir("graft-conn", name)
 
@@ -500,6 +509,46 @@ object ConnectorQueries {
       Some(s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
           ${sqlDsum("o_totalprice")} AS revenue
         FROM orders GROUP BY 1 ORDER BY priority""")),
+
+    // The Iceberg REST CATALOG protocol, in process (reference
+    // lib.rs:22's "Multiple catalog implementations: REST" successor
+    // feature): DDL + INSERT + pruned SELECT through a catalog whose
+    // lifecycle AND commits speak the public REST OpenAPI surface
+    // against an embedded loopback service — the service is the single
+    // commit authority (requirements-guarded optimistic commits), data
+    // and manifests go straight to shared storage. In-query require:
+    // the committed state is visible through a plain REST client.
+    GraftQuery(
+      "ice_rest_catalog",
+      (s, dir) => {
+        val srv = restServer
+        s.conf.set("spark.sql.catalog.graft_rest",
+          "graft.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_rest.uri", srv.uri)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rest.db")
+        s.sql("DROP TABLE IF EXISTS graft_rest.db.li_rest")
+        s.sql(
+          """CREATE TABLE graft_rest.db.li_rest (
+            |  l_orderkey BIGINT, l_quantity DOUBLE,
+            |  l_returnflag STRING, l_shipdate TIMESTAMP_NTZ
+            |) PARTITIONED BY (months(l_shipdate))""".stripMargin)
+        Tables.tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+          .createOrReplaceTempView("li_src_rest")
+        s.sql("INSERT INTO graft_rest.db.li_rest " +
+          "SELECT * FROM li_src_rest")
+        val client = new rest.GraftRestClient(srv.uri)
+        val served = client.loadTable(Seq("db"), "li_rest")
+        require(served.exists(_._2.snapshots.exists(_.nonEmpty)),
+          "append commit did not reach the REST service")
+        flagAgg(s.sql(
+          """SELECT l_returnflag, l_quantity FROM graft_rest.db.li_rest
+            |WHERE l_shipdate >= TIMESTAMP'1998-01-01 00:00:00'"""
+            .stripMargin))
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY l_returnflag""")),
 
     // DataFrame connector roundtrip: format("graft") writes (append,
     // atomic overwrite), tagged time travel, pushdown-pruned reads.

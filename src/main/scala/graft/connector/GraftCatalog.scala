@@ -35,18 +35,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: Path = _
+  // REST mode (`spark.sql.catalog.X.uri = http://...`): table lifecycle
+  // + commits speak the Iceberg REST protocol against the service; the
+  // warehouse path comes from GET /v1/config, and data/manifest IO
+  // still hits that shared storage directly (the standard REST model)
+  private var restClient: Option[rest.GraftRestClient] = None
 
   private def spark: SparkSession = SparkSession.active
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    val wh = options.get("warehouse")
-    require(wh != null && wh.nonEmpty,
-      s"catalog $name requires spark.sql.catalog.$name.warehouse")
-    warehouse = Paths.get(wh)
-    Files.createDirectories(warehouse)
+    val uri = options.get("uri")
+    if (uri != null && uri.nonEmpty) {
+      val client = new rest.GraftRestClient(uri)
+      restClient = Some(client)
+      warehouse = Paths.get(client.warehouse())
+    } else {
+      val wh = options.get("warehouse")
+      require(wh != null && wh.nonEmpty,
+        s"catalog $name requires spark.sql.catalog.$name.warehouse " +
+          "(or .uri for REST mode)")
+      warehouse = Paths.get(wh)
+      Files.createDirectories(warehouse)
+    }
   }
+
+  /** The commit path for tables of this catalog: REST-guarded in REST
+    * mode, direct file CREATE_NEW otherwise.
+    */
+  private def ioFor(ident: Identifier): graft.table.MetadataIo =
+    restClient.map(c => new rest.RestMetadataIo(c, ident.namespace.toSeq,
+      ident.name)).getOrElse(graft.table.FileMetadataIo)
 
   override def name(): String = catalogName
 
@@ -72,6 +92,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ------------------------------------------------------------ tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    restClient.foreach { c =>
+      if (!c.namespaceExists(namespace.toSeq))
+        throw new NoSuchNamespaceException(namespace)
+      return c.listTables(namespace.toSeq)
+        .map(Identifier.of(namespace, _)).toArray
+    }
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
     val ls = Files.list(dir)
@@ -83,11 +109,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(tablePath(ident))
+    restClient match {
+      case Some(c) => c.tableExists(ident.namespace.toSeq, ident.name)
+      case None => isTableDir(tablePath(ident))
+    }
 
   override def loadTable(ident: Identifier): Table = {
+    restClient.foreach { c =>
+      c.loadTable(ident.namespace.toSeq, ident.name).foreach { case (_, m) =>
+        return new GraftSparkTable(m.location, None,
+          metadataIo = ioFor(ident))
+      }
+      // fall through: metadata-table names resolve against the parent
+    }
     val p = tablePath(ident)
-    if (isTableDir(p)) return new GraftSparkTable(p.toString, None)
+    if (isTableDir(p) && restClient.isEmpty)
+      return new GraftSparkTable(p.toString, None)
     // metadata table: g.db.t.snapshots parses as namespace [db, t] with
     // name "snapshots" — route to the parent table's metadata view
     if (ident.namespace.nonEmpty && GraftMetaTable.Kinds.contains(ident.name)) {
@@ -104,18 +141,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val t = GraftTable.load(spark, tablePath(ident).toString, ioFor(ident))
     val snapshotId = version.toLongOption
       .filter(id => t.metadata.snapshotById(id).isDefined)
       .orElse(t.metadata.refs.flatMap(_.get(version)).map(_.snapshotId))
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot or ref '$version' on ${ident.name}"))
-    new GraftSparkTable(tablePath(ident).toString, Some(snapshotId))
+    new GraftSparkTable(tablePath(ident).toString, Some(snapshotId),
+      metadataIo = ioFor(ident))
   }
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val t = GraftTable.load(spark, tablePath(ident).toString, ioFor(ident))
     val ms = timestampMicros / 1000L
     // the snapshot CURRENT at that wall-clock time: latest whose commit
     // timestamp is <= the asked instant (Iceberg time-travel contract)
@@ -124,25 +162,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .sortBy(s => (s.timestampMs, s.sequenceNumber)).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot at or before timestamp $ms on ${ident.name}"))
-    new GraftSparkTable(tablePath(ident).toString, Some(snap.snapshotId))
+    new GraftSparkTable(tablePath(ident).toString, Some(snap.snapshotId),
+      metadataIo = ioFor(ident))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[SparkTransform],
       properties: java.util.Map[String, String]): Table = {
     val p = tablePath(ident)
-    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
-    // a table must not silently nest inside an existing VIEW's dir
-    if (GraftViews.isViewDir(p))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(ident)
-    Files.createDirectories(p.getParent)
     val partitionBy = partitions.map(toGraftPartition(_, schema)).toSeq
     // strip Spark-managed props (provider/location/owner) from table props
     val props = properties.asScala.toMap --
       Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
         TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
         TableCatalog.PROP_COMMENT)
+    restClient.foreach { c =>
+      if (c.tableExists(ident.namespace.toSeq, ident.name))
+        throw new TableAlreadyExistsException(ident)
+      // spec-shaped create: Iceberg schema JSON + partition spec; the
+      // SERVICE writes metadata v1 and is the commit authority from here
+      val ice = GraftTable.toIceSchema(schema, schemaId = 0)
+      val fields = partitionBy.zipWithIndex.map { case ((src, t, nm), i) =>
+        val f = ice.fieldByName(src).getOrElse(
+          throw new IllegalArgumentException(s"no column $src"))
+        graft.model.PartitionField(f.id, 1000 + i, nm, t)
+      }
+      val spec =
+        if (fields.isEmpty) None
+        else Some(graft.model.PartitionSpec(1, fields))
+      val meta = c.createTable(ident.namespace.toSeq, ident.name,
+        ice, spec, props)
+      return new GraftSparkTable(meta.location, None,
+        metadataIo = ioFor(ident))
+    }
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    // a table must not silently nest inside an existing VIEW's dir
+    if (GraftViews.isViewDir(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    Files.createDirectories(p.getParent)
     GraftTable.create(spark, p.toString, schema, partitionBy,
       properties = props)
     new GraftSparkTable(p.toString, None)
@@ -195,7 +253,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // existence check FIRST: a missing table must surface Spark's
     // NoSuchTableException, not whatever GraftTable.load throws
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val t = GraftTable.load(spark, tablePath(ident).toString, ioFor(ident))
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -233,6 +291,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    restClient.foreach(c =>
+      return c.dropTable(ident.namespace.toSeq, ident.name))
     val p = tablePath(ident)
     if (!isTableDir(p)) return false
     val w = Files.walk(p)
@@ -364,12 +424,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // SQL CALL surface for table maintenance:
   //   CALL <cat>.system.expire_snapshots('db.t', 3)   etc.
 
-  private def resolveTablePath(ident: String): String = {
+  /** Procedure-side table resolution: loads with this catalog's commit
+    * io, so CALL-driven maintenance commits through REST in REST mode.
+    */
+  private def resolveGraftTable(ident: String): GraftTable = {
     val parts = ident.split('.')
-    val p = parts.foldLeft(warehouse)(_.resolve(_))
-    if (!isTableDir(p)) throw new NoSuchTableException(
-      Identifier.of(parts.dropRight(1), parts.last))
-    p.toString
+    val id = Identifier.of(parts.dropRight(1), parts.last)
+    if (!tableExists(id)) throw new NoSuchTableException(id)
+    GraftTable.load(spark, tablePath(id).toString, ioFor(id))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -378,7 +440,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident.name, resolveTablePath).getOrElse(
+    GraftProcedures.load(ident.name, resolveGraftTable).getOrElse(
       throw new RuntimeException(s"no such procedure ${ident.name}"))
 
   // --------------------------------------------------------- functions ----
@@ -400,6 +462,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // -------------------------------------------------------- namespaces ----
 
   override def listNamespaces(): Array[Array[String]] = {
+    restClient.foreach(c =>
+      return c.listNamespaces().map(_.toArray).toArray)
     val ls = Files.list(warehouse)
     try ls.iterator.asScala
       .filter(p => Files.isDirectory(p) && !isTableDir(p))
@@ -421,7 +485,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+    restClient match {
+      case Some(c) => c.namespaceExists(namespace.toSeq)
+      case None =>
+        Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+    }
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] = {
@@ -432,7 +500,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit =
-    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+    restClient match {
+      case Some(c) => c.createNamespace(namespace.toSeq)
+      case None =>
+        Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+    }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =

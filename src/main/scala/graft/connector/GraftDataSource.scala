@@ -1,6 +1,6 @@
 package graft.connector
 
-import graft.table.GraftTable
+import graft.table.{FileMetadataIo, GraftTable, MetadataIo}
 import graft.model._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
@@ -92,7 +92,10 @@ object GraftSparkTable {
   */
 class GraftSparkTable(val location: String, asOf: Option[Long],
     changelog: Boolean = false,
-    incremental: Option[(Long, Option[Long])] = None)
+    incremental: Option[(Long, Option[Long])] = None,
+    // the REST catalog mode routes this table's COMMITS through the
+    // REST service; reads and data/manifest IO stay on shared storage
+    private[connector] val metadataIo: MetadataIo = FileMetadataIo)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -118,7 +121,8 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
       else Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn])
 
   private def spark: SparkSession = SparkSession.active
-  private[connector] def graft: GraftTable = GraftTable.load(spark, location)
+  private[connector] def graft: GraftTable =
+    GraftTable.load(spark, location, metadataIo)
 
   // ------------------------------------------ SQL DELETE FROM support ----
   // `DELETE FROM graft_cat.db.t WHERE ...` plans DeleteFromTableExec when

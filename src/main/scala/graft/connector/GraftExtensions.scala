@@ -54,10 +54,13 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftDmlRewrite extends Rule[LogicalPlan] {
 
-  private def graftLocation(table: LogicalPlan): Option[String] =
+  private def graftLocation(table: LogicalPlan)
+      : Option[(String, graft.table.MetadataIo)] =
     EliminateSubqueryAliases(table) match {
       case r: DataSourceV2Relation => r.table match {
-        case g: GraftSparkTable => Some(g.location)
+        // the io rides along so REST-catalog tables keep committing
+        // through the REST service, not around it
+        case g: GraftSparkTable => Some((g.location, g.metadataIo))
         case _ => None
       }
       case _ => None
@@ -65,13 +68,13 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u @ UpdateTable(tbl, assignments, cond) if u.resolved =>
-      graftLocation(tbl).fold(u: LogicalPlan)(loc =>
+      graftLocation(tbl).fold(u: LogicalPlan) { case (loc, io) =>
         GraftUpdateCommand(loc,
-          assignments.map(a => (attrName(a.key), a.value)), cond))
+          assignments.map(a => (attrName(a.key), a.value)), cond, io) }
     case d @ DeleteFromTable(tbl, cond) if d.resolved =>
       // claim ONLY merge-on-read tables; copy-on-write DELETEs keep the
       // native SupportsDeleteV2 path (metadata-only whole-file drops)
-      graftLocation(tbl).fold(d: LogicalPlan) { loc =>
+      graftLocation(tbl).fold(d: LogicalPlan) { case (loc, io) =>
         // graftLocation already proved this IS a graft table — a
         // metadata-load failure here is real (corruption, races) and
         // must propagate, not silently reroute a merge-on-read table's
@@ -80,15 +83,15 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
             loc).metadata.properties
           .exists(_.get(GraftTable.DeleteModeProp)
             .contains("merge-on-read"))
-        if (mor) GraftMorDeleteCommand(loc, cond) else d
+        if (mor) GraftMorDeleteCommand(loc, cond, io) else d
       }
     case m @ MergeIntoTable(tgt, src, mergeCond, matched, notMatched,
         notMatchedBySource, withSchemaEvolution) if m.resolved =>
-      graftLocation(tgt).fold(m: LogicalPlan) { loc =>
+      graftLocation(tgt).fold(m: LogicalPlan) { case (loc, io) =>
         if (withSchemaEvolution) throw new UnsupportedOperationException(
           "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft tables")
         GraftMergeCommand(loc, src, mergeCond, matched, notMatched,
-          notMatchedBySource)
+          notMatchedBySource, io)
       }
   }
 
@@ -104,10 +107,12 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
   */
 case class GraftUpdateCommand(location: String,
     assignments: Seq[(String, Expression)],
-    condition: Option[Expression]) extends LeafRunnableCommand {
+    condition: Option[Expression],
+    io: graft.table.MetadataIo = graft.table.FileMetadataIo)
+    extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.load(spark, location)
+    val t = GraftTable.load(spark, location, io)
     def toCol(e: Expression): Column = Bridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
@@ -132,10 +137,12 @@ case class GraftUpdateCommand(location: String,
   * rows), never a file rewrite.
   */
 case class GraftMorDeleteCommand(location: String,
-    condition: Expression) extends LeafRunnableCommand {
+    condition: Expression,
+    io: graft.table.MetadataIo = graft.table.FileMetadataIo)
+    extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.load(spark, location)
+    val t = GraftTable.load(spark, location, io)
     val cond = Bridge.column(condition.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
@@ -153,13 +160,14 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     mergeCondition: Expression,
     matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction],
-    notMatchedBySourceActions: Seq[MergeAction])
+    notMatchedBySourceActions: Seq[MergeAction],
+    io: graft.table.MetadataIo = graft.table.FileMetadataIo)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.load(spark, location)
+    val t = GraftTable.load(spark, location, io)
     val srcDf = Bridge.ofRows(spark, source)
     val srcAttrs = source.outputSet
     // re-bind by name: target columns bare, source columns prefixed (the

@@ -69,7 +69,7 @@ object GraftProcedures {
     }
   }
 
-  def load(name: String, resolveTable: String => String)
+  def load(name: String, resolveTable: String => GraftTable)
       : Option[UnboundProcedure] = {
     def p(n: String, params: Seq[ProcedureParameter],
         out: StructType)(body: (GraftTable, InternalRow) => Seq[Any])
@@ -407,7 +407,7 @@ object GraftProcedures {
   */
 class GraftProcedure(procName: String,
     params: Array[ProcedureParameter], outSchema: StructType,
-    resolveTable: String => String,
+    resolveTable: String => GraftTable,
     body: (GraftTable, InternalRow) => Seq[Any])
     extends UnboundProcedure with BoundProcedure {
 
@@ -419,7 +419,7 @@ class GraftProcedure(procName: String,
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val tableIdent = input.getUTF8String(0).toString
-    val t = GraftTable.load(SparkSession.active, resolveTable(tableIdent))
+    val t = resolveTable(tableIdent)
     val values = body(t, input)
     val row: InternalRow = new GenericInternalRow(values.map {
       case s: String => UTF8String.fromString(s)

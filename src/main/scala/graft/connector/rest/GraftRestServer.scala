@@ -1,0 +1,294 @@
+package graft.connector.rest
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.model._
+import graft.table.{CommitConflictException, FileMetadataIo, GraftTable}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** In-process Iceberg REST catalog service (the reference's lib.rs:22
+  * "Multiple catalog implementations: REST" successor feature, built
+  * offline against the PUBLIC REST catalog OpenAPI surface): config,
+  * namespace CRUD, table list/create/load/drop, and the
+  * requirements-guarded commit protocol — served from an embedded JDK
+  * HttpServer (zero new dependencies) over a file warehouse. Data and
+  * manifest files go straight to shared storage (the standard REST
+  * deployment model); ONLY metadata commits flow through here, so the
+  * service is the table's single commit authority and any engine
+  * speaking the protocol (a future pyiceberg/Trino peer, or this
+  * engine's own REST-mode catalog) shares one consistent view.
+  *
+  * Commit concurrency: requirements are validated against current
+  * metadata, updates fold in ([[RestProtocol.applyUpdates]]), and the
+  * result claims the next metadata version with the same atomic
+  * CREATE_NEW the file catalog uses — a racing commit loses the claim
+  * and surfaces as 409 CommitFailedException for the client to retry.
+  */
+private[graft] class GraftRestServer(warehouse: String) {
+
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // serial dispatch; commits serialize anyway
+    // start from a DAEMON thread: the JDK server's internal
+    // HTTP-Dispatcher thread inherits daemon status from its creator,
+    // so an embedded service never pins the JVM open after main exits
+    // (a non-daemon dispatcher hangs bench/verify runs at shutdown)
+    val starter = new Thread(() => server.start(), "graft-rest-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    server.getAddress.getPort
+  }
+
+  def port: Int = server.getAddress.getPort
+  def uri: String = s"http://127.0.0.1:$port"
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------- dispatch ----
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath.stripPrefix("/v1")
+      .split("/").filter(_.nonEmpty).toSeq
+      .map(URLDecoder.decode(_, "UTF-8"))
+    try {
+      (method, path) match {
+        case ("GET", Seq("config")) =>
+          val o = Json.obj
+          o.putObject("defaults")
+          o.putObject("overrides").put("warehouse", warehouse)
+          reply(ex, 200, o)
+
+        case ("GET", Seq("namespaces")) =>
+          val o = Json.obj
+          val arr = o.putArray("namespaces")
+          listNamespaces().foreach { ns =>
+            val a = arr.addArray(); ns.foreach(a.add) }
+          reply(ex, 200, o)
+
+        case ("POST", Seq("namespaces")) =>
+          val body = Json.parse(new String(
+            ex.getRequestBody.readAllBytes(), "UTF-8"))
+          val ns = body.path("namespace").elements.asScala
+            .map(_.asText).toSeq
+          val dir = nsDir(ns)
+          if (Files.isDirectory(dir))
+            return error(ex, 409, "AlreadyExistsException",
+              s"namespace ${ns.mkString(".")} already exists")
+          Files.createDirectories(dir)
+          val o = Json.obj
+          val a = o.putArray("namespace"); ns.foreach(a.add)
+          o.putObject("properties")
+          reply(ex, 200, o)
+
+        case ("GET" | "HEAD", Seq("namespaces", ns)) =>
+          val parts = splitNs(ns)
+          if (!Files.isDirectory(nsDir(parts)))
+            return error(ex, 404, "NoSuchNamespaceException",
+              s"namespace $ns not found")
+          if (method == "HEAD") { ex.sendResponseHeaders(204, 0); return }
+          val o = Json.obj
+          val a = o.putArray("namespace"); parts.foreach(a.add)
+          o.putObject("properties")
+          reply(ex, 200, o)
+
+        case ("DELETE", Seq("namespaces", ns)) =>
+          val dir = nsDir(splitNs(ns))
+          if (!Files.isDirectory(dir))
+            return error(ex, 404, "NoSuchNamespaceException",
+              s"namespace $ns not found")
+          val ls = Files.list(dir)
+          val empty = try !ls.iterator.hasNext finally ls.close()
+          if (!empty)
+            return error(ex, 409, "NamespaceNotEmptyException",
+              s"namespace $ns is not empty")
+          Files.delete(dir)
+          ex.sendResponseHeaders(204, -1)
+
+        case ("GET", Seq("namespaces", ns, "tables")) =>
+          val parts = splitNs(ns)
+          val dir = nsDir(parts)
+          if (!Files.isDirectory(dir))
+            return error(ex, 404, "NoSuchNamespaceException",
+              s"namespace $ns not found")
+          val o = Json.obj
+          val arr = o.putArray("identifiers")
+          val ls = Files.list(dir)
+          try ls.iterator.asScala
+            .filter(p => Files.isDirectory(p.resolve("metadata")))
+            .foreach { p =>
+              val t = arr.addObject()
+              val a = t.putArray("namespace"); parts.foreach(a.add)
+              t.put("name", p.getFileName.toString)
+            }
+          finally ls.close()
+          reply(ex, 200, o)
+
+        case ("POST", Seq("namespaces", ns, "tables")) =>
+          createTable(ex, splitNs(ns))
+
+        case ("GET" | "HEAD", Seq("namespaces", ns, "tables", t)) =>
+          val loc = tableDir(splitNs(ns), t)
+          FileMetadataIo.latest(loc.toString) match {
+            case None => error(ex, 404, "NoSuchTableException",
+              s"table $ns.$t not found")
+            case Some((v, meta)) =>
+              if (method == "HEAD") {
+                ex.sendResponseHeaders(204, 0); return
+              }
+              reply(ex, 200, loadResponse(loc, v, meta))
+          }
+
+        case ("POST", Seq("namespaces", ns, "tables", t)) =>
+          commitTable(ex, splitNs(ns), t)
+
+        case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
+          val loc = tableDir(splitNs(ns), t)
+          if (FileMetadataIo.latest(loc.toString).isEmpty)
+            return error(ex, 404, "NoSuchTableException",
+              s"table $ns.$t not found")
+          val w = Files.walk(loc)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .iterator.asScala.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          ex.sendResponseHeaders(204, -1)
+
+        case _ =>
+          error(ex, 404, "NotFound", s"$method /v1${path.mkString("/")}")
+      }
+    } catch {
+      case e: Exception =>
+        try error(ex, 500, e.getClass.getSimpleName,
+          Option(e.getMessage).getOrElse("internal error"))
+        catch { case _: Exception => }
+    } finally ex.close()
+  }
+
+  // -------------------------------------------------------- handlers ----
+
+  private def createTable(ex: HttpExchange, ns: Seq[String]): Unit = {
+    if (!Files.isDirectory(nsDir(ns)))
+      return error(ex, 404, "NoSuchNamespaceException",
+        s"namespace ${ns.mkString(".")} not found")
+    val body = Json.parse(new String(
+      ex.getRequestBody.readAllBytes(), "UTF-8"))
+    val name = body.path("name").asText
+    val loc = tableDir(ns, name)
+    if (FileMetadataIo.latest(loc.toString).isDefined)
+      return error(ex, 409, "AlreadyExistsException",
+        s"table ${ns.mkString(".")}.$name already exists")
+    val schema = SchemaV2.fromJson(body.path("schema"))
+      .copy(schemaId = 0)
+    val spec = Option(body.get("partition-spec")).filterNot(_.isNull)
+      .map(PartitionSpec.fromJson)
+      .filter(_.fields.nonEmpty)
+    val props = Option(body.get("properties")).filterNot(_.isNull)
+      .map(_.fields.asScala.map(e =>
+        e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty)
+    val meta = TableMetadataV2(
+      tableUuid = java.util.UUID.randomUUID.toString,
+      location = loc.toString,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis,
+      lastColumnId = GraftTable.maxFieldId(schema),
+      schemas = Seq(schema),
+      currentSchemaId = 0,
+      partitionSpecs = Seq(spec.map(_.copy(specId = 1))
+        .getOrElse(PartitionSpec.unpartitioned)),
+      defaultSpecId = spec.map(_ => 1).getOrElse(0),
+      lastPartitionId = spec.map(_.fields.map(_.fieldId).max)
+        .getOrElse(999),
+      properties = if (props.isEmpty) None else Some(props))
+    FileMetadataIo.commit(loc.toString, None, meta)
+    val (v, committed) = FileMetadataIo.latest(loc.toString).get
+    reply(ex, 200, loadResponse(loc, v, committed))
+  }
+
+  private def commitTable(ex: HttpExchange, ns: Seq[String],
+      name: String): Unit = {
+    val loc = tableDir(ns, name)
+    val body = Json.parse(new String(
+      ex.getRequestBody.readAllBytes(), "UTF-8"))
+    val reqs = Option(body.get("requirements"))
+      .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    val updates = Option(body.get("updates"))
+      .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    val cur = FileMetadataIo.latest(loc.toString)
+    if (cur.isEmpty)
+      return error(ex, 404, "NoSuchTableException",
+        s"table ${ns.mkString(".")}.$name not found")
+    RestProtocol.checkRequirements(cur.map(_._2), reqs) match {
+      case Some(violation) =>
+        return error(ex, 409, "CommitFailedException", violation)
+      case None =>
+    }
+    try {
+      val next = RestProtocol.applyUpdates(cur.get._2, updates)
+        .copy(lastUpdatedMs = System.currentTimeMillis)
+      // the atomic version claim is the serializer: a commit that lands
+      // between our read and this write loses the claim → 409 → retry
+      FileMetadataIo.commit(loc.toString, Some((cur.get._1, cur.get._2)),
+        next)
+      val (v, committed) = FileMetadataIo.latest(loc.toString).get
+      reply(ex, 200, loadResponse(loc, v, committed))
+    } catch {
+      case e @ (_: CommitConflictException |
+          _: RestProtocol.CommitConflict) =>
+        error(ex, 409, "CommitFailedException", e.getMessage)
+    }
+  }
+
+  // --------------------------------------------------------- helpers ----
+
+  private def nsDir(ns: Seq[String]): Path =
+    ns.foldLeft(Paths.get(warehouse))(_.resolve(_))
+  private def tableDir(ns: Seq[String], t: String): Path =
+    nsDir(ns).resolve(t)
+  /** The REST spec separates multi-level namespace parts with %1F. */
+  private def splitNs(ns: String): Seq[String] =
+    ns.split('\u001f').toSeq
+  private def listNamespaces(): Seq[Seq[String]] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val ls = Files.list(root)
+    try ls.iterator.asScala.filter(p => Files.isDirectory(p))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map(p => Seq(p.getFileName.toString)).toSeq.sortBy(_.mkString)
+    finally ls.close()
+  }
+
+  private def loadResponse(loc: Path, version: Int,
+      meta: TableMetadataV2): ObjectNode = {
+    val o = Json.obj
+    o.put("metadata-location",
+      loc.resolve("metadata").resolve(s"v$version.metadata.json").toString)
+    o.set[ObjectNode]("metadata", meta.toJson)
+    o.putObject("config")
+    o
+  }
+
+  private def reply(ex: HttpExchange, code: Int, body: JsonNode): Unit = {
+    val bytes = Json.write(body).getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def error(ex: HttpExchange, code: Int, errType: String,
+      msg: String): Unit = {
+    val o = Json.obj
+    val e = o.putObject("error")
+    e.put("message", msg)
+    e.put("type", errType)
+    e.put("code", code)
+    reply(ex, code, o)
+  }
+}

@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
   *     switching the reader from driver-side lines to a Spark JSON scan
   *     (see manifestDf/planFilesDistributed).
   */
-class GraftTable private (val spark: SparkSession, val location: String) {
+class GraftTable private (val spark: SparkSession, val location: String,
+    private[graft] val io: MetadataIo = FileMetadataIo) {
 
   import GraftTable._
 
@@ -50,54 +51,26 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * write surfaces as CommitConflictException instead of being silently
     * overwritten (lost update).
     */
-  private def metadataWithVersion: (Int, TableMetadataV2) = {
-    val (v, p) = latestVersion(metaDir)
+  private def metadataWithVersion: (Int, TableMetadataV2) =
+    io.latest(location)
       .getOrElse(throw new IllegalStateException(s"no table at $location"))
-    (v, TableMetadataV2.fromJsonString(
-      new String(Files.readAllBytes(p), "UTF-8")))
-  }
 
-  private def latestVersion(dir: Path): Option[(Int, Path)] = {
-    if (!Files.isDirectory(dir)) return None
-    val re = """v(\d+)\.metadata\.json""".r
-    val stream = Files.list(dir)
-    try stream.iterator.asScala
-      .flatMap(p => p.getFileName.toString match {
-        case re(n) => Some((n.toInt, p))
-        case _ => None
-      }).toSeq.sortBy(-_._1).headOption
-    finally stream.close()
-  }
+  private def latestVersion(dir: Path): Option[(Int, Path)] =
+    FileMetadataIo.latestVersion(dir)
 
   // ------------------------------------------------------------- commit ----
 
   private def writeMetadata(meta: TableMetadataV2): Unit =
-    writeMetadataAt(meta, latestVersion(metaDir).map(_._1 + 1).getOrElse(1))
+    io.commit(location, None, meta)
 
-  /** Write EXACTLY version `next` (CREATE_NEW). Callers that pinned a base
-    * version pass base+1 so a commit landing in between conflicts loudly.
+  /** Commit EXACTLY the version after `base` through this table's
+    * [[MetadataIo]] (file CREATE_NEW, or the REST catalog's
+    * requirements-guarded commit). A commit landing in between
+    * conflicts loudly.
     */
-  private def writeMetadataAt(meta: TableMetadataV2, next: Int): Unit = {
-    val target = metaDir.resolve(s"v$next.metadata.json")
-    Files.createDirectories(metaDir)
-    val withLog = meta.copy(metadataLog = Some(
-      meta.metadataLog.getOrElse(Seq.empty) ++
-        latestVersion(metaDir).map { case (_, p) =>
-          MetadataLog(p.toString, System.currentTimeMillis)
-        }.toSeq))
-    // CREATE_NEW = atomic claim of the version slot (optimistic commit);
-    // losing the race surfaces as CommitConflictException so callers can
-    // re-derive their change against the new table state and retry
-    try Files.write(target, withLog.toJsonString.getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"concurrent commit claimed v$next at $location")
-    }
-    Files.write(metaDir.resolve("version-hint.text"),
-      next.toString.getBytes("UTF-8"))
-  }
+  private def writeMetadataAt(meta: TableMetadataV2,
+      base: (Int, TableMetadataV2)): Unit =
+    io.commit(location, Some(base), meta)
 
   private def manifestListPath(snapshotId: Long): Path =
     metaDir.resolve(s"snap-$snapshotId.manifest-list.json")
@@ -251,7 +224,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       // metadata over v3 manifests is a layout external readers reject)
       formatVersion =
         if (adds.entries.exists(_.dv.isDefined)) 3 else meta.formatVersion,
-      refs = Some(refs)), baseVersion + 1)
+      refs = Some(refs)), (baseVersion, meta))
     catch {
       case e: CommitConflictException =>
         // lost the race: remove the manifest/list files this attempt
@@ -315,7 +288,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     while (true) {
       attempts += 1
       val (v, meta) = metadataWithVersion
-      try { writeMetadataAt(change(meta), v + 1); return }
+      try { writeMetadataAt(change(meta), (v, meta)); return }
       catch {
         case _: CommitConflictException if attempts < 20 =>
           Thread.sleep(5L * attempts + scala.util.Random.nextInt(25))
@@ -3510,7 +3483,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .filterNot(_.snapshotId == sid)
       try {
         writeMetadataAt(meta.copy(statistics = Some(kept :+ ref),
-          lastUpdatedMs = System.currentTimeMillis), v + 1)
+          lastUpdatedMs = System.currentTimeMillis), (v, meta))
         return ref
       } catch {
         case _: CommitConflictException if attempts < 20 =>
@@ -3596,7 +3569,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         .filterNot(_.snapshotId == sid)
       try {
         writeMetadataAt(m.copy(partitionStatistics = Some(kept :+ ref),
-          lastUpdatedMs = System.currentTimeMillis), v + 1)
+          lastUpdatedMs = System.currentTimeMillis), (v, m))
         return ref
       } catch {
         case _: CommitConflictException if attempts < 20 =>
@@ -3753,7 +3726,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       refs = Some(meta.refs.getOrElse(Map.empty) +
         ("main" -> SnapshotRef(head,
           BranchRetention(1, Long.MaxValue, Long.MaxValue)))),
-      lastUpdatedMs = now), v + 1)
+      lastUpdatedMs = now), (v, meta))
   }
 
 
@@ -3883,7 +3856,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       statistics = if (retainedStats.isEmpty) None else Some(retainedStats),
       partitionStatistics =
         if (retainedPStats.isEmpty) None else Some(retainedPStats),
-      lastUpdatedMs = System.currentTimeMillis), baseVersion + 1)
+      lastUpdatedMs = System.currentTimeMillis), (baseVersion, meta))
     deleteDistributed(orphans ++ orphanBlooms)
     orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
     (expiredStats ++ expiredPStats).foreach(s =>
@@ -5638,6 +5611,13 @@ object GraftTable {
 
   def load(spark: SparkSession, location: String): GraftTable =
     new GraftTable(spark, location)
+
+  /** Load with a non-default metadata IO (the REST catalog mode routes
+    * commits through the REST service instead of file CREATE_NEW).
+    */
+  def load(spark: SparkSession, location: String,
+      io: MetadataIo): GraftTable =
+    new GraftTable(spark, location, io)
 
   /** Create a new table (fails if metadata already exists). Partitioning is
     * given as (sourceColumn, transform, partitionFieldName).

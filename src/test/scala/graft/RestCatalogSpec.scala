@@ -1,0 +1,156 @@
+package graft
+
+import graft.connector.rest.{GraftRestClient, GraftRestServer, RestMetadataIo, RestProtocol}
+import graft.table.{CommitConflictException, GraftTable}
+import org.apache.spark.sql.functions._
+
+/** In-process Iceberg REST catalog: DDL + INSERT + pruned SELECT through
+  * the REST-backed catalog must equal direct-catalog results; commits
+  * flow through the requirements-guarded protocol (NOT around it), the
+  * optimistic-commit conflict path retries correctly, and requirement
+  * violations surface as 409 → CommitConflictException.
+  */
+class RestCatalogSpec extends SparkSpec {
+
+  private def startServer(): (GraftRestServer, String) = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-rest").toString
+    val srv = new GraftRestServer(wh)
+    srv.start()
+    (srv, wh)
+  }
+
+  test("DDL + INSERT + pruned SELECT through REST == direct catalog") {
+    val (srv, wh) = startServer()
+    try {
+      spark.conf.set("spark.sql.catalog.grc", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grc.uri", srv.uri)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS grc.db")
+      spark.sql("""CREATE TABLE grc.db.ev (id BIGINT, ts TIMESTAMP_NTZ,
+        v DOUBLE) PARTITIONED BY (days(ts))""")
+      spark.range(300).selectExpr("id",
+        "timestamp_ntz'2026-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 72 AS INT)) AS ts",
+        "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("ev_src")
+      spark.sql("INSERT INTO grc.db.ev SELECT * FROM ev_src")
+
+      // lifecycle went through the service: the table is visible to a
+      // plain REST client and its commits appear in the metadata
+      val client = new GraftRestClient(srv.uri)
+      assert(client.listNamespaces() == Seq(Seq("db")))
+      assert(client.listTables(Seq("db")) == Seq("ev"))
+      val (_, meta) = client.loadTable(Seq("db"), "ev").get
+      assert(meta.snapshots.exists(_.nonEmpty), "append did not commit")
+      assert(meta.currentSnapshotId.isDefined)
+
+      // pruned read parity with the same data written directly
+      val got = spark.sql("""SELECT COUNT(*) AS n, SUM(v) AS s
+        FROM grc.db.ev WHERE ts >= TIMESTAMP_NTZ'2026-03-02 00:00:00'""")
+        .head
+      val exp = spark.sql("""SELECT COUNT(*) AS n, SUM(v) AS s
+        FROM ev_src WHERE ts >= TIMESTAMP_NTZ'2026-03-02 00:00:00'""").head
+      assert(got == exp, s"$got != $exp")
+
+      // schema evolution + UPDATE commit through the protocol too
+      spark.sql("ALTER TABLE grc.db.ev ADD COLUMN tag STRING")
+      spark.sql("UPDATE grc.db.ev SET tag = 'hot' WHERE id < 10")
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM grc.db.ev WHERE tag = 'hot'")
+        .head.getLong(0) == 10L)
+      val (_, meta2) = client.loadTable(Seq("db"), "ev").get
+      assert(meta2.schemas.size == 2 && meta2.currentSchemaId == 1,
+        "ADD COLUMN did not reach the service")
+
+      // DROP via REST
+      spark.sql("DROP TABLE grc.db.ev")
+      assert(!client.tableExists(Seq("db"), "ev"))
+    } finally srv.stop()
+  }
+
+  test("optimistic-commit conflict: stale base retries and converges") {
+    val (srv, wh) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      client.createNamespace(Seq("db"))
+      spark.conf.set("spark.sql.catalog.grk", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grk.uri", srv.uri)
+      spark.sql("CREATE TABLE grk.db.t (id BIGINT, v DOUBLE)")
+
+      // two handles over the SAME REST table; both append — the loser's
+      // requirements fail (main moved / sequence claimed), it re-derives
+      // through retryingCommit and lands on top
+      val io1 = new RestMetadataIo(client, Seq("db"), "t")
+      val io2 = new RestMetadataIo(client, Seq("db"), "t")
+      val loc = java.nio.file.Paths.get(wh, "db", "t").toString
+      val t1 = GraftTable.load(spark, loc, io1)
+      val t2 = GraftTable.load(spark, loc, io2)
+      import spark.implicits._
+      val threads = (1 to 4).map { i =>
+        new Thread(() => {
+          val t = if (i % 2 == 0) t1 else t2
+          t.append(Seq.tabulate(10)(j =>
+            (i * 100L + j, j.toDouble)).toDF("id", "v"))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(spark.sql("SELECT COUNT(*) FROM grk.db.t").head.getLong(0)
+        == 40L, "a concurrent append was lost")
+      val (_, meta) = client.loadTable(Seq("db"), "t").get
+      assert(meta.snapshots.get.size == 4)
+      // sequence numbers are dense and unique: the server's global
+      // sequence check forced every retry to re-derive
+      assert(meta.snapshots.get.map(_.sequenceNumber).sorted ==
+        Seq(1L, 2L, 3L, 4L))
+
+      // a HAND-BUILT stale commit (no retry loop) must 409
+      val stale = meta.copy(currentSnapshotId = None)
+      val snap = meta.snapshots.get.head
+      val bogus = graft.model.Json.obj
+      bogus.put("type", "assert-ref-snapshot-id")
+      bogus.put("ref", "main")
+      bogus.put("snapshot-id", snap.snapshotId) // main is PAST this
+      intercept[CommitConflictException] {
+        client.commitTable(Seq("db"), "t", Seq(bogus), Seq.empty)
+      }
+      // ... and a wrong-uuid assertion too
+      val wrongUuid = graft.model.Json.obj
+      wrongUuid.put("type", "assert-table-uuid")
+      wrongUuid.put("uuid", "00000000-0000-0000-0000-000000000000")
+      intercept[CommitConflictException] {
+        client.commitTable(Seq("db"), "t", Seq(wrongUuid), Seq.empty)
+      }
+    } finally srv.stop()
+  }
+
+  test("diff/apply round-trips every engine commit shape") {
+    val (srv, wh) = startServer()
+    try {
+      spark.conf.set("spark.sql.catalog.grd", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grd.uri", srv.uri)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS grd.db")
+      spark.sql("""CREATE TABLE grd.db.t (id BIGINT, d DATE, v DOUBLE)
+        PARTITIONED BY (months(d))
+        TBLPROPERTIES('write.delete.mode'='merge-on-read')""")
+      spark.sql("""INSERT INTO grd.db.t
+        SELECT id, DATE'2026-01-01' + CAST(id % 90 AS INT), CAST(id AS DOUBLE)
+        FROM range(400)""")
+      // every statement below exercises a different update vocabulary
+      // through RestProtocol.diff's self-check (it throws if the update
+      // list cannot reproduce the commit)
+      spark.sql("DELETE FROM grd.db.t WHERE id < 20")        // MoR delete
+      spark.sql("ALTER TABLE grd.db.t ADD COLUMN tag STRING")  // schema
+      spark.sql("ALTER TABLE grd.db.t SET TBLPROPERTIES ('k'='v')")
+      spark.sql("ALTER TABLE grd.db.t UNSET TBLPROPERTIES ('k')")
+      spark.sql("CALL grd.system.create_tag('db.t', 'audit')") // ref
+      spark.sql("CALL grd.system.compact('db.t')")             // replace
+      spark.sql("CALL grd.system.analyze_table('db.t')")       // stats
+      spark.sql("CALL grd.system.expire_snapshots('db.t', 1)") // remove
+      assert(spark.sql("SELECT COUNT(*) FROM grd.db.t").head.getLong(0)
+        == 380L)
+      val client = new GraftRestClient(srv.uri)
+      val (_, meta) = client.loadTable(Seq("db"), "t").get
+      assert(meta.refs.exists(_.contains("audit")))
+      assert(meta.schemas.map(_.schemaId).max == 1)
+    } finally srv.stop()
+  }
+}
