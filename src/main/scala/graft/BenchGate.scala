@@ -90,6 +90,22 @@ object BenchGate {
       panelDrift: Double): Boolean =
     bestSec / (baseSec * math.max(panelDrift, 1.0)) > 1.5
 
+  /** Flags excused ONLY by panel drift: the key's robust re-time would
+    * confirm against its floor under a quiet machine (panel drift 1.0)
+    * but the measured panel drift absorbed it. These are audit-DEFERRED:
+    * the next run re-confirms them first, at its quietest moment, so a
+    * real regression that landed during a noisy window cannot ride the
+    * excuse forever (the panel can only excuse — this is the follow-up
+    * that keeps the excuse honest).
+    */
+  def deferredFlags(candidates: Seq[String],
+      robust: Map[String, Double], base: Map[String, Double],
+      panelDrift: Map[String, Double]): Seq[String] =
+    candidates.filter { k =>
+      !confirmed(robust(k), base(k), panelDrift.getOrElse(k, 1.0)) &&
+        confirmed(robust(k), base(k), 1.0)
+    }.sorted
+
   /** Per-run cap on how far one run may lower a key's floor: a single
     * lucky scheduler day must not set a floor that every normal run then
     * "regresses" against. A genuinely faster plan still converges

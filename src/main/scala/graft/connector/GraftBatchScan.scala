@@ -42,12 +42,14 @@ class GraftBatchScan(protected val graft: GraftTable,
     limits: StreamLimits = StreamLimits.none)
     extends Scan with Batch with GraftScanStatistics
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private def spark: SparkSession = SparkSession.active
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
   @volatile private var plannedCache: Array[InputPartition] = _
+  @volatile private var plannedFiles: Seq[_root_.graft.table.ConnectorFile] = _
   @volatile private var plannedKeyGroups: Int = -1
 
   override def readSchema(): StructType = prunedSchema
@@ -140,6 +142,65 @@ class GraftBatchScan(protected val graft: GraftTable,
     }
   }
 
+  /** Per-partition output ordering (SupportsReportOrdering): reported —
+    * so EnsureRequirements drops Sort nodes under SortMergeJoins on
+    * co-sorted tables — only when provably true of every planned split:
+    *
+    *   1. the table's default sort order is non-trivial and its leading
+    *      fields are identity transforms on columns in the pruned
+    *      output (the longest such prefix is reported; a prefix of a
+    *      sort is itself a valid ordering);
+    *   2. every planned file post-dates the order's sequence watermark
+    *      ([[GraftTable.SortSinceSeqProp]] — writeFiles sorts every
+    *      append/rewrite by the default order, so such files are
+    *      file-local sorted);
+    *   3. every split reads ranges of exactly ONE file in ascending
+    *      offset order (bin-packed multi-file splits concatenate
+    *      independently-sorted files — NOT sorted; the one-file shape
+    *      is what sorted compaction + storage-partitioned joins
+    *      produce).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    val meta = graft.metadata
+    val order = meta.sortOrders
+      .find(_.orderId == meta.defaultSortOrderId)
+      .filter(_.orderId != 0)
+    val since = meta.properties.getOrElse(Map.empty)
+      .get(_root_.graft.table.GraftTable.SortSinceSeqProp)
+      .flatMap(_.toLongOption)
+    (order, since) match {
+      case (Some(o), Some(watermark)) =>
+        val schema = meta.currentSchema
+        val prefix = o.fields.iterator.map { f =>
+          if (f.transform != _root_.graft.model.TIdentity) None
+          else schema.fieldById(f.sourceId)
+            .filter(src => prunedSchema.fieldNames.contains(src.name))
+            .map { src =>
+              Expressions.sort(Expressions.column(src.name),
+                if (f.direction == _root_.graft.model.SortAsc)
+                  SortDirection.ASCENDING
+                else SortDirection.DESCENDING,
+                if (f.nullOrder == _root_.graft.model.NullsFirst)
+                  NullOrdering.NULLS_FIRST
+                else NullOrdering.NULLS_LAST)
+            }
+        }.takeWhile(_.isDefined).flatten.toArray
+        if (prefix.isEmpty) return Array.empty
+        val parts = planInputPartitions()
+        val filesSorted =
+          plannedFiles.forall(_.sequenceNumber > watermark)
+        val splitsSorted = parts.forall { p =>
+          val fs = p.asInstanceOf[GraftSplit].files
+          fs.map(_._1).distinct.length <= 1 &&
+            fs.map(_._2).sameElements(fs.map(_._2).sorted)
+        }
+        if (filesSorted && splitsSorted) prefix else Array.empty
+      case _ => Array.empty
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val cached = plannedCache
     if (cached != null) return cached
@@ -148,6 +209,7 @@ class GraftBatchScan(protected val graft: GraftTable,
     // rows reach the driver for bin-packing — the connector never
     // materializes the full entry list driver-side
     val files = graft.plannedConnectorFiles(effectiveFilter, asOf)
+    plannedFiles = files
     // `_pos` positions are counted per file from zero — such scans read
     // whole files; everything else range-splits oversized files
     val splitOk =
@@ -304,7 +366,7 @@ object GraftRead {
     * count). Throws if a partition value fails to decode — the caller
     * falls back to unkeyed splits.
     */
-  def binPackKeyed(spark: SparkSession, files: Seq[graft.table.ConnectorFile],
+  def binPackKeyed(spark: SparkSession, files: Seq[_root_.graft.table.ConnectorFile],
       keyFields: Seq[(String, org.apache.spark.sql.types.DataType)],
       splitLargeFiles: Boolean = true): (Array[InputPartition], Int) = {
     val target = math.max(1L << 20,

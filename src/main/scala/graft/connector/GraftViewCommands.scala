@@ -286,6 +286,35 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
             keys.map(ViewChange.removeProperty)): LogicalPlan
         }.getOrElse(u)
 
+      // ALTER VIEW ... AS: a NEW definition version through the same
+      // versioned metadata (history stays replayable)
+      case a @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText,
+          query) if !isTempView(parts) =>
+        graftCatalogAndIdent(parts).map { case (g, ident) =>
+          AlterGraftViewAsCommand(g, ident, originalText, query)
+            : LogicalPlan
+        }.getOrElse(a)
+
+      // SHOW CREATE TABLE on a graft view renders the view DDL (Spark's
+      // own handling covers tables; views live here)
+      case s @ ShowCreateTable(UnresolvedTableOrView(parts, _, _), _,
+          output) if !isTempView(parts) =>
+        graftCatalogAndIdent(parts) match {
+          case Some((g, ident)) if g.viewExists(ident) =>
+            ShowCreateGraftViewCommand(g, ident, output)
+          case _ => s
+        }
+
+      // DESCRIBE [EXTENDED] on a graft view: column schema, and with
+      // EXTENDED the stored defaults, properties, and version history
+      case d @ DescribeRelation(UnresolvedTableOrView(parts, _, _), _,
+          isExtended, output) if !isTempView(parts) =>
+        graftCatalogAndIdent(parts) match {
+          case Some((g, ident)) if g.viewExists(ident) =>
+            DescribeGraftViewCommand(g, ident, isExtended, output)
+          case _ => d
+        }
+
       case rn @ RenameTable(UnresolvedTableOrView(parts, _, _), newName,
           true) if !isTempView(parts) =>
         graftCatalogAndIdent(parts).flatMap { case (g, ident) =>
@@ -463,5 +492,113 @@ case class RenameGraftViewCommand(catalog: GraftCatalog,
   override def run(spark: SparkSession): Seq[Row] = {
     catalog.renameView(ident, newIdent)
     Seq.empty
+  }
+}
+
+/** Eager ALTER VIEW ... AS: commits the next definition version through
+  * the same versioned metadata — the old SQL stays replayable in the
+  * version log, exactly like CREATE OR REPLACE.
+  */
+case class AlterGraftViewAsCommand(catalog: GraftCatalog,
+    ident: Identifier, sql: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val p = catalog.viewDirPath(ident)
+    val prev = GraftViews.load(p).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    if (prev.current.properties.get(GraftViews.MaterializedProp)
+        .contains("true"))
+      throw new UnsupportedOperationException(
+        s"$ident is a MATERIALIZED view — its backing table serves its " +
+          "current definition; DROP TABLE and recreate to change it")
+    val analyzed = Bridge.ofRows(spark, query)
+    val cm = spark.sessionState.catalogManager
+    GraftViews.commit(p, Some(prev), GraftViews.ViewVersion(
+      versionId = prev.versions.map(_.versionId).max + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "replace", sql = sql,
+      currentCatalog = cm.currentCatalog.name(),
+      currentNamespace = cm.currentNamespace.toSeq,
+      schemaDdl = analyzed.schema.toDDL,
+      queryColumnNames = analyzed.schema.fieldNames.toSeq,
+      columnAliases = Seq.empty, columnComments = Seq.empty,
+      properties = prev.current.properties))
+    Seq.empty
+  }
+}
+
+/** SHOW CREATE TABLE on a graft view: the reproducing DDL. */
+case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = GraftViews.load(catalog.viewDirPath(ident)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val v = st.current
+    val mat = v.properties.get(GraftViews.MaterializedProp)
+      .contains("true")
+    val cols =
+      if (v.columnAliases.nonEmpty) v.columnAliases
+      else org.apache.spark.sql.types.StructType
+        .fromDDL(v.schemaDdl).fieldNames.toSeq
+    val name = (catalog.name() +: ident.namespace :+ ident.name)
+      .mkString(".")
+    val props = (v.properties - GraftViews.MaterializedProp).toSeq.sorted
+    val kind = if (mat) "MATERIALIZED VIEW" else "VIEW"
+    val sb = new StringBuilder
+    sb.append(s"CREATE $kind $name")
+    if (!mat) sb.append(cols.mkString(" (\n  ", ",\n  ", ")"))
+    sb.append('\n')
+    if (props.nonEmpty)
+      sb.append(props.map { case (k, x) => s"'$k' = '$x'" }
+        .mkString("TBLPROPERTIES (\n  ", ",\n  ", ")\n"))
+    sb.append(s"AS ${v.sql}\n")
+    Seq(Row(sb.toString))
+  }
+}
+
+/** DESCRIBE [EXTENDED] on a graft view: column schema; EXTENDED adds the
+  * stored resolution defaults, properties, and the full version history
+  * (the Iceberg-view-spec `versions` + `version-log` surfaced in SQL).
+  */
+case class DescribeGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = GraftViews.load(catalog.viewDirPath(ident)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val v = st.current
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(v.schemaDdl)
+    val cols = schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) return cols
+    val mat = v.properties.get(GraftViews.MaterializedProp)
+      .contains("true")
+    def ts(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString
+    cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Name",
+        (catalog.name() +: ident.namespace :+ ident.name).mkString("."),
+        ""),
+      Row("Kind", if (mat) "MATERIALIZED VIEW" else "VIEW", ""),
+      Row("View Text", v.sql, ""),
+      Row("Default Catalog", v.currentCatalog, ""),
+      Row("Default Namespace", v.currentNamespace.mkString("."), ""),
+      Row("View Properties",
+        (v.properties - GraftViews.MaterializedProp).toSeq.sorted
+          .map { case (k, x) => s"$k=$x" }.mkString("[", ", ", "]"), ""),
+      Row("", "", ""),
+      Row("# Version History", "", "")) ++
+      st.versions.sortBy(_.versionId).map(ver =>
+        Row(s"v${ver.versionId}", s"${ver.operation} @ ${ts(ver.timestampMs)}",
+          if (ver.versionId == st.currentVersionId) "(current)" else null))
   }
 }

@@ -3437,11 +3437,22 @@ class GraftTable private (val spark: SparkSession, val location: String,
             throw new IllegalArgumentException(s"no column $src"))
           SortField(f.id, t, SortAsc, NullsFirst)
         })
+    // record WHEN the new default took effect: every data file whose
+    // sequence number is above this watermark was written (or
+    // rewritten) under the order — writeFiles applies the default sort
+    // on every append/rewrite — so the connector can honestly report
+    // per-partition output ordering for fully-post-watermark scans
+    val props = meta.properties.getOrElse(Map.empty)
+    val nextProps =
+      if (order.orderId == 0) props - GraftTable.SortSinceSeqProp
+      else props +
+        (GraftTable.SortSinceSeqProp -> meta.lastSequenceNumber.toString)
     meta.copy(
       sortOrders =
         if (order.orderId == 0) meta.sortOrders
         else meta.sortOrders :+ order,
       defaultSortOrderId = order.orderId.toLong,
+      properties = if (nextProps.isEmpty) None else Some(nextProps),
       lastUpdatedMs = System.currentTimeMillis)
   }
 
@@ -4670,6 +4681,16 @@ object GraftTable {
     */
   val DeleteModeProp = "write.delete.mode"
 
+  /** Sequence-number watermark recording when the CURRENT default sort
+    * order took effect: every data file with a larger sequence number
+    * was written under it (writeFiles applies the default sort on every
+    * append and rewrite), so a scan whose planned files all clear the
+    * watermark can report per-partition output ordering to Spark
+    * (SupportsReportOrdering — sort-free SortMergeJoins on co-sorted
+    * tables).
+    */
+  val SortSinceSeqProp = "graft.sort-order.since-seq"
+
   /** Iceberg's update-mode property: tables declaring "merge-on-read"
     * get SQL `UPDATE` routed to updateWhereMoR (position deletes/DVs +
     * appended new versions, zero data-file rewrites) instead of the
@@ -5660,7 +5681,14 @@ object GraftTable {
         else PartitionSpec(if (specFields.isEmpty) 0 else 1, specFields)),
       defaultSpecId = if (specFields.isEmpty) 0 else 1,
       lastPartitionId = specFields.map(_.fieldId).maxOption.getOrElse(999),
-      properties = if (properties.isEmpty) None else Some(properties),
+      properties = {
+        // a sort order set at CREATE covers the table's whole history:
+        // watermark 0 (see replaceSortOrder / SortSinceSeqProp)
+        val p =
+          if (order.orderId == 0) properties
+          else properties + (GraftTable.SortSinceSeqProp -> "0")
+        if (p.isEmpty) None else Some(p)
+      },
       sortOrders = Seq(SortOrder.unsorted) ++
         (if (order.orderId == 0) Seq.empty else Seq(order)),
       defaultSortOrderId = order.orderId.toLong)

@@ -146,4 +146,29 @@ class BenchGateSpec extends AnyFunSuite {
       Map("a" -> 1.5, "c" -> 5.0))
     assert(b == Map("a" -> 1.5, "b" -> 1.0, "c" -> 5.0))
   }
+
+  test("a panel-excused planted regression is deferred and caught on " +
+      "the next quiet run") {
+    val base = Map("slow" -> 2.0, "fine" -> 2.0)
+    // run 1: "slow" genuinely regressed 2x, but the machine was loaded —
+    // the panel measured 2.1x drift at the same moment, so the in-flow
+    // gate excuses it (the panel can only excuse)...
+    val robust = Map("slow" -> 4.0, "fine" -> 2.1)
+    val panelDrift = Map("slow" -> 2.1)
+    assert(!BenchGate.confirmed(robust("slow"), base("slow"),
+      panelDrift("slow")), "loaded run must excuse")
+    // ...but the excuse is recorded: the flag would confirm on a quiet
+    // machine, so it lands in the deferred audit list
+    val deferred = BenchGate.deferredFlags(Seq("slow"), robust, base,
+      panelDrift)
+    assert(deferred == Seq("slow"))
+    // run 2 (quiet): the audit re-times the key first thing; the
+    // regression is still there and the quiet panel (drift 1.0) cannot
+    // excuse it — caught
+    assert(BenchGate.confirmed(3.9, base("slow"), 1.0))
+    // a flag that would NOT confirm even on a quiet machine (pure noise)
+    // is never deferred
+    assert(BenchGate.deferredFlags(Seq("fine"),
+      Map("fine" -> 2.2), base, Map("fine" -> 1.8)).isEmpty)
+  }
 }

@@ -574,6 +574,66 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("co-sorted bucket tables join with a sort-free SMJ " +
+      "(SupportsReportOrdering)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    val wh = java.nio.file.Files.createTempDirectory("graft-sspj-wh")
+    spark.conf.set("spark.sql.catalog.gsrt", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsrt.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsrt.db")
+    for (t <- Seq("a", "b")) {
+      spark.sql(
+        s"""CREATE TABLE gsrt.db.$t (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))
+          |TBLPROPERTIES('write.distribution-mode'='hash')""".stripMargin)
+      // sort order declared BEFORE any rows: the sequence watermark
+      // covers every file, and hash distribution → ONE file per bucket
+      spark.sql(s"CALL gsrt.system.set_sort_order('db.$t', 'k')")
+    }
+    import spark.implicits._
+    (1L to 500L).map(i => (i, i * 1.5)).toDF("k", "v")
+      .createOrReplaceTempView("sspj_a")
+    (1L to 500L).map(i => (i, i * 0.25)).toDF("k", "v")
+      .createOrReplaceTempView("sspj_b")
+    spark.sql("INSERT INTO gsrt.db.a SELECT * FROM sspj_a")
+    spark.sql("INSERT INTO gsrt.db.b SELECT * FROM sspj_b")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def planOf() = spark.sql(
+        """SELECT a.k, a.v, b.v AS w FROM gsrt.db.a a
+          |JOIN gsrt.db.b b ON a.k = b.k""".stripMargin)
+      val joined = planOf()
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"expected shuffle-free SPJ:\n$plan")
+      // the headline: each side is ONE sorted file per bucket and the
+      // scan reports its ordering, so the SMJ needs NO Sort nodes
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"expected a SORT-FREE storage-partitioned SMJ:\n$plan")
+      assert(joined.count() == 500)
+      assert(joined.filter(col("k") === 7L).head().getDouble(2) == 1.75)
+
+      // a second append gives two independently-sorted files per bucket
+      // — the split is no longer provably sorted, the report must
+      // withdraw (sorts reappear, results stay right)
+      spark.sql("INSERT INTO gsrt.db.b SELECT k + 1000, v FROM sspj_b")
+      val again = planOf()
+      val plan2 = again.queryExecution.executedPlan
+      assert(plan2.collect { case s: SortExec => s }.nonEmpty,
+        s"multi-file buckets must NOT report ordering:\n$plan2")
+      assert(again.count() == 500)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("concurrent format(graft) writers all commit through the V2 path") {
     val src = lineitem.limit(300).cache()
     val loc = freshLoc("conc")

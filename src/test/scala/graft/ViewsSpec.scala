@@ -237,6 +237,61 @@ class ViewsSpec extends SparkSpec {
     assert(shown("v(1)") == Set.empty)
   }
 
+  test("ALTER VIEW AS, SHOW CREATE, DESCRIBE EXTENDED round out the " +
+      "DDL surface") {
+    freshCat("gvd")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvd.db")
+    spark.sql("CREATE TABLE gvd.db.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gvd.db.t VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    spark.sql("CREATE VIEW gvd.db.v AS SELECT id FROM gvd.db.t")
+    spark.sql("ALTER VIEW gvd.db.v SET TBLPROPERTIES ('team'='ml')")
+
+    // ALTER VIEW ... AS commits a NEW version; the old SQL stays in the
+    // version log and the new definition serves immediately
+    spark.sql("ALTER VIEW gvd.db.v AS " +
+      "SELECT id, v * 2 AS v2 FROM gvd.db.t WHERE id > 1")
+    val got = spark.sql("SELECT id, v2 FROM gvd.db.v ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((2L, 5.0), (3L, 7.0)))
+    val st = graft.connector.GraftViews.load(
+      java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.gvd.warehouse"), "db", "v")).get
+    assert(st.versions.map(_.versionId) == Seq(1, 2, 3))
+    assert(st.versions.head.sql.contains("SELECT id FROM"))
+    assert(st.current.sql.contains("v * 2"))
+    // properties survive the definition change
+    assert(st.current.properties.get("team").contains("ml"))
+
+    // SHOW CREATE TABLE renders reproducing DDL incl. properties
+    val ddl = spark.sql("SHOW CREATE TABLE gvd.db.v").head.getString(0)
+    assert(ddl.contains("CREATE VIEW gvd.db.v"), ddl)
+    assert(ddl.contains("'team' = 'ml'"), ddl)
+    assert(ddl.contains("AS SELECT id, v * 2 AS v2"), ddl)
+
+    // DESCRIBE: columns; EXTENDED adds defaults + version history
+    val plain = spark.sql("DESCRIBE gvd.db.v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(plain == Seq(("id", "bigint"), ("v2", "double")))
+    val ext = spark.sql("DESCRIBE EXTENDED gvd.db.v").collect()
+      .map(_.getString(0)).toSeq
+    assert(ext.contains("# Detailed View Information"), ext)
+    assert(ext.contains("# Version History"), ext)
+    assert(ext.count(_.startsWith("v")) >= 3) // v1..v3 listed
+    val hist = spark.sql("DESCRIBE EXTENDED gvd.db.v").collect()
+      .filter(_.getString(0) == "v3")
+    assert(hist.length == 1 && hist.head.getString(2) == "(current)")
+
+    // ALTER VIEW AS on a MATERIALIZED view is refused with a clear error
+    spark.sql("CREATE MATERIALIZED VIEW gvd.db.m AS " +
+      "SELECT COUNT(*) AS n FROM gvd.db.t")
+    val e = intercept[Exception](spark.sql(
+      "ALTER VIEW gvd.db.m AS SELECT 1 AS one"))
+    assert(e.getMessage.contains("MATERIALIZED"), e.getMessage)
+    // ... and SHOW CREATE on it renders the materialized kind
+    assert(spark.sql("SHOW CREATE TABLE gvd.db.m").head.getString(0)
+      .contains("CREATE MATERIALIZED VIEW"))
+  }
+
   test("temp views keep precedence over graft view DDL and reads") {
     freshCat("gvt")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gvt.db")
