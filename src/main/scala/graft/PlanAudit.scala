@@ -23,6 +23,11 @@ object PlanAudit {
     "Exchange hashpartitioning", "Exchange rangepartitioning",
     "Exchange SinglePartition",
     "TakeOrderedAndProject", "GlobalLimit",
+    // standalone sorts ("Sort [keys...]" — the bracket keeps
+    // SortMergeJoin/SortAggregate out): counted so a sort the connector's
+    // reported ordering should have elided (SupportsReportOrdering) is
+    // visible cross-scale drift, not invisible wasted work
+    "Sort [",
     "HashAggregate", "ObjectHashAggregate", "SortAggregate",
     "Window", "Generate", "Expand", "BroadcastExchange",
     // connector scan surface: DSv2 scans surface as BatchScan; a bare

@@ -255,11 +255,17 @@ object ConnectorQueries {
       "ice_sql_merge",
       (s, dir) => {
         val t = dmlTable(s, dir, "li_mrg", where = "l_orderkey % 3 = 0")
+        // the synthetic lineitem holds DUPLICATE (orderkey, linenumber)
+        // pairs; SQL MERGE requires each target row to match at most one
+        // source row (the engine raises the cardinality violation
+        // otherwise), so the source deduplicates by key — deterministic
+        // MAX aggregation, mirrored exactly in the oracle
         Tables.tbl(s, dir, "lineitem")
           .filter(col("l_orderkey") % 2 === 0)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            (col("l_quantity") * 2).as("l_quantity"), col("l_returnflag"),
-            col("l_shipdate"))
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg((max(col("l_quantity")) * 2).as("l_quantity"),
+            max(col("l_returnflag")).as("l_returnflag"),
+            max(col("l_shipdate")).as("l_shipdate"))
           .createOrReplaceTempView("li_mrg_source")
         s.sql(
           s"""MERGE INTO $t t USING li_mrg_source s
@@ -275,9 +281,10 @@ object ConnectorQueries {
           SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
           FROM lineitem WHERE l_orderkey % 3 = 0),
         src AS (
-          SELECT l_orderkey, l_linenumber, l_returnflag,
-            l_quantity * 2 AS l_quantity
-          FROM lineitem WHERE l_orderkey % 2 = 0),
+          SELECT l_orderkey, l_linenumber,
+            MAX(l_returnflag) AS l_returnflag,
+            MAX(l_quantity) * 2 AS l_quantity
+          FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2),
         merged AS (
           SELECT t.l_returnflag AS l_returnflag,
             CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_quantity + 100
@@ -317,7 +324,8 @@ object ConnectorQueries {
             |TBLPROPERTIES(
             |  'write.update.mode' = 'merge-on-read',
             |  'write.merge.mode' = 'merge-on-read',
-            |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+            |  'write.delete.mode' = 'merge-on-read',
+            |  'write.distribution-mode' = 'hash')""".stripMargin)
         Tables.tbl(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity",
             "l_returnflag", "l_shipdate")
@@ -328,13 +336,18 @@ object ConnectorQueries {
         val before = GraftTable.load(s, loc).liveEntries()
           .filter(_.isData).map(_.path).toSet
 
+        // SPARSE mutations — the shape MoR exists for: the row delta
+        // writes O(touched rows); a dense MERGE should use CoW instead
         s.sql("UPDATE graft_ct.db.li_mor SET l_quantity = l_quantity + 5 " +
-          "WHERE l_linenumber = 1")
+          "WHERE l_linenumber = 1 AND l_orderkey % 10 = 5")
+        // key-deduplicated source (see ice_sql_merge: the synthetic
+        // lineitem duplicates key pairs; MERGE cardinality is enforced)
         Tables.tbl(s, dir, "lineitem")
-          .filter(col("l_orderkey") % 2 === 0)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            (col("l_quantity") * 2).as("l_quantity"), col("l_returnflag"),
-            col("l_shipdate"))
+          .filter(col("l_orderkey") % 10 === 0)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg((max(col("l_quantity")) * 2).as("l_quantity"),
+            max(col("l_returnflag")).as("l_returnflag"),
+            max(col("l_shipdate")).as("l_shipdate"))
           .createOrReplaceTempView("li_mor_source")
         s.sql(
           s"""MERGE INTO graft_ct.db.li_mor t USING li_mor_source s
@@ -356,13 +369,15 @@ object ConnectorQueries {
       },
       Some(s"""WITH tgt AS (
           SELECT l_orderkey, l_linenumber, l_returnflag,
-            CASE WHEN l_linenumber = 1 THEN l_quantity + 5
+            CASE WHEN l_linenumber = 1 AND l_orderkey % 10 = 5
+                 THEN l_quantity + 5
                  ELSE l_quantity END AS l_quantity
           FROM lineitem WHERE l_orderkey % 3 = 0),
         src AS (
-          SELECT l_orderkey, l_linenumber, l_returnflag,
-            l_quantity * 2 AS l_quantity
-          FROM lineitem WHERE l_orderkey % 2 = 0),
+          SELECT l_orderkey, l_linenumber,
+            MAX(l_returnflag) AS l_returnflag,
+            MAX(l_quantity) * 2 AS l_quantity
+          FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1, 2),
         merged AS (
           SELECT t.l_returnflag AS l_returnflag,
             CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_quantity + 100

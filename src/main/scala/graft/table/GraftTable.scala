@@ -2400,6 +2400,12 @@ class GraftTable private (val spark: SparkSession, val location: String,
           col("__tgt_present").isNotNull && col("__src_present").isNull
         val isSrcOnly =
           col("__tgt_present").isNull && col("__src_present").isNotNull
+        // SQL MERGE cardinality contract (see mergeApply): a multiply-
+        // matched target row would have its position deleted once per
+        // match and a new version appended per match — exact corruption
+        // of record counts. Positions ARE row identity here.
+        requireMergeCardinality(joined.filter(isMatched)
+          .groupBy(col(PosPathCol), col(PosIdxCol)))
         def condOf(a: MergeAction): Column = a.condition.getOrElse(lit(true))
         // first-applicable-action chains, SQL-style: `applied` = some
         // action fires for the row, `updated` = that action is an UPDATE
@@ -2650,6 +2656,20 @@ class GraftTable private (val spark: SparkSession, val location: String,
       notMatched = Seq(MergeInsert(None, star)))
   }
 
+  /** Throw the SQL MERGE cardinality violation when any identity group
+    * in `grouped` (target-row identity: uid or file position) holds more
+    * than one matched join row.
+    */
+  private def requireMergeCardinality(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): Unit = {
+    val dupes = grouped.agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    if (dupes > 0) throw new IllegalStateException(
+      "MERGE cardinality violation: a target row matches more than one " +
+        "source row — the ON condition must match each target row at " +
+        "most once (deduplicate the source or tighten the keys)")
+  }
+
   /** Generalized MERGE on equality keys (the full SQL MERGE INTO shape):
     * `matched` actions apply to (target, source) key matches, `notMatched`
     * to source-only rows, `notMatchedBySource` to target-only rows — each
@@ -2714,8 +2734,11 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // misclassify null-keyed rows on either side. On lineage tables the
     // target read carries _row_id/_last_updated so the rewrite preserves
     // row identity.
+    // __tgt_uid: per-execution row identity for the cardinality check
+    // below (ids need only be consistent WITHIN the checking job)
     val target = readAppliedForRewrite(meta, affected, schema)
       .withColumn("__tgt_present", lit(1))
+      .withColumn("__tgt_uid", monotonically_increasing_id())
     val src = source.select(source.columns.toIndexedSeq.map(n =>
       col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
     val joinCond = keys.map { case (t, s) =>
@@ -2724,6 +2747,12 @@ class GraftTable private (val spark: SparkSession, val location: String,
 
     val isMatched =
       col("__tgt_present").isNotNull && col("__src_present").isNotNull
+    // SQL MERGE cardinality contract: a target row matched by MORE THAN
+    // ONE source row is an error, never silent corruption (the
+    // full-outer join would otherwise emit the row once per match —
+    // duplicating it in the rewrite, or double-applying its action)
+    requireMergeCardinality(
+      joined.filter(isMatched).groupBy(col("__tgt_uid")))
     val isTgtOnly =
       col("__tgt_present").isNotNull && col("__src_present").isNull
     def condOf(a: MergeAction): Column = a.condition.getOrElse(lit(true))

@@ -183,6 +183,44 @@ class MorDmlSpec extends SparkSpec {
     assert(after(7L) == ((7.0, idsBefore(7L), 1L)))
   }
 
+  test("MERGE cardinality violation: multiply-matched target row errors " +
+      "on both CoW and MoR paths") {
+    freshCat("mcv")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcv.db")
+    for ((name, mode) <- Seq(("cw", "copy-on-write"),
+        ("mr", "merge-on-read"))) {
+      spark.sql(s"""CREATE TABLE mcv.db.$name (k BIGINT, v DOUBLE)
+        TBLPROPERTIES('write.merge.mode'='$mode')""")
+      spark.sql(s"INSERT INTO mcv.db.$name VALUES (1, 1.0), (2, 2.0)")
+      // source holds TWO rows with k=1: target row 1 matches both —
+      // silent behavior would duplicate the row (CoW) or double-delete
+      // its position (MoR); SQL requires an error
+      spark.sql("SELECT * FROM VALUES (1L, 10.0), (1L, 20.0), (3L, 30.0) " +
+        "AS s(k, nv)").createOrReplaceTempView("mcv_src")
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE INTO mcv.db.$name t USING mcv_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)"""
+          .stripMargin))
+      assert(e.getMessage.contains("cardinality") ||
+        Option(e.getCause).exists(_.getMessage.contains("cardinality")),
+        s"$mode: ${e.getMessage}")
+      // table unchanged after the refused merge
+      assert(spark.sql(s"SELECT COUNT(*) FROM mcv.db.$name")
+        .head.getLong(0) == 2L)
+      // a deduplicated source merges fine
+      spark.sql("SELECT * FROM VALUES (1L, 10.0), (3L, 30.0) " +
+        "AS s(k, nv)").createOrReplaceTempView("mcv_src_ok")
+      spark.sql(
+        s"""MERGE INTO mcv.db.$name t USING mcv_src_ok s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)"""
+          .stripMargin)
+      assert(spark.sql(s"SELECT SUM(v) FROM mcv.db.$name")
+        .head.getDouble(0) == 42.0)
+    }
+  }
+
   test("engine parity: MoR merge result equals CoW merge result") {
     val wh = freshCat("mp")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mp.db")
