@@ -122,6 +122,41 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("write-audit-publish through REST: branch commit + fast-forward") {
+    val (srv, wh) = startServer()
+    try {
+      spark.conf.set("spark.sql.catalog.grw", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grw.uri", srv.uri)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS grw.db")
+      spark.sql("CREATE TABLE grw.db.t (id BIGINT)")
+      spark.sql("INSERT INTO grw.db.t SELECT id FROM range(10)")
+      // stage to a branch: the commit carries set-snapshot-ref for the
+      // BRANCH — main must not move, and the branch ref must be visible
+      // through a plain REST client
+      val client = new GraftRestClient(srv.uri)
+      val head0 = client.loadTable(Seq("db"), "t").get
+        ._2.currentSnapshotId.get
+      spark.sql(s"CALL grw.system.create_branch('db.t', 'wip', $head0)")
+      spark.range(10, 20).selectExpr("id")
+        .writeTo("grw.db.t").option("branch", "wip").append()
+      val (_, m1) = client.loadTable(Seq("db"), "t").get
+      val refs1 = m1.refs.get
+      assert(refs1.contains("wip"), "branch ref missing from service")
+      assert(m1.currentSnapshotId.contains(refs1("main").snapshotId))
+      assert(refs1("main").snapshotId != refs1("wip").snapshotId)
+      // unpublished rows invisible on main
+      assert(spark.sql("SELECT COUNT(*) FROM grw.db.t").head.getLong(0)
+        == 10L)
+      // publish: fast_forward main → wip, committed through REST too
+      spark.sql("CALL grw.system.fast_forward('db.t', 'wip')")
+      val (_, m2) = client.loadTable(Seq("db"), "t").get
+      assert(m2.refs.get("main").snapshotId ==
+        refs1("wip").snapshotId, "fast-forward did not reach the service")
+      assert(spark.sql("SELECT COUNT(*) FROM grw.db.t").head.getLong(0)
+        == 20L)
+    } finally srv.stop()
+  }
+
   test("diff/apply round-trips every engine commit shape") {
     val (srv, wh) = startServer()
     try {
