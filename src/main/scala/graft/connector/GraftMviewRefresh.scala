@@ -4,7 +4,7 @@ import graft.table.GraftTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -37,10 +37,13 @@ import scala.jdk.CollectionConverters._
   * that re-bootstraps the state. `ALTER VIEW ... SET TBLPROPERTIES
   * ('graft.mview.refresh'='full')` opts a view out entirely.
   *
-  * Anything non-incrementable (joins, distinct aggregates, MIN/MAX —
-  * which cannot be maintained under deletes — window functions, ...)
-  * falls back to the proven full recompute, as does a changelog range
-  * containing copy-on-write commits the CDC contract cannot express.
+  * MIN/MAX are additionally maintainable on APPEND-ONLY deltas (they
+  * are monotone under inserts); a delta carrying delete rows falls back
+  * to a full recompute for such definitions. Anything else
+  * non-incrementable (joins, distinct aggregates, window functions,
+  * ...) always takes the proven full recompute, as does a changelog
+  * range containing copy-on-write commits the CDC contract cannot
+  * express.
   */
 private[graft] object GraftMviewRefresh {
 
@@ -52,7 +55,17 @@ private[graft] object GraftMviewRefresh {
       filter: Option[Expression],
       groupExprs: Seq[Expression],
       resultExprs: Seq[NamedExpression],
-      aggs: Seq[AggregateExpression])
+      aggs: Seq[AggregateExpression]) {
+    /** MIN/MAX are monotone under INSERTS only: an incremental refresh
+      * may use them on append-only deltas but must fall back to a full
+      * recompute the moment a delta carries deletes (a deleted extremum
+      * cannot be un-taken from the running state).
+      */
+    def hasMinMax: Boolean = aggs.exists(_.aggregateFunction match {
+      case _: Min | _: Max => true
+      case _ => false
+    })
+  }
 
   case class RefreshResult(snapshotId: Long, rowCount: Long,
       mode: String, deltaRows: Long)
@@ -89,6 +102,10 @@ private[graft] object GraftMviewRefresh {
               // sum/count replay would not reproduce bit-exactly
               case av: Average => av.child.deterministic &&
                 !av.child.dataType.isInstanceOf[DecimalType]
+              // append-only-incrementable; deltas with deletes force a
+              // full recompute (checked at refresh time)
+              case mn: Min => mn.child.deterministic
+              case mx: Max => mx.child.deterministic
               case _ => false
             })
         def coveredByGroup(e: Expression): Boolean =
@@ -134,17 +151,26 @@ private[graft] object GraftMviewRefresh {
   }
   private def colOf(e: Expression): Column = Bridge.column(byName(e))
 
-  private def stateColNames(spec: IncrementalSpec): Seq[String] =
+  /** One persisted state column and how two states of it merge:
+    * additive (counts/sums), or extremum (least/greatest for MIN/MAX).
+    */
+  private case class StateCol(name: String, op: String)
+
+  private def stateCols(spec: IncrementalSpec): Seq[StateCol] =
     spec.aggs.zipWithIndex.flatMap { case (ae, i) =>
       ae.aggregateFunction match {
-        case _: Count => Seq(s"a${i}_cnt")
+        case _: Count => Seq(StateCol(s"a${i}_cnt", "add"))
         // SUM carries a non-null count too: deleting a group's last
         // non-null value must take the sum back to NULL, which the
         // running sum alone cannot express (it lands on 0, not NULL)
-        case _: Sum => Seq(s"a${i}_sum", s"a${i}_cnt")
-        case _: Average => Seq(s"a${i}_sum", s"a${i}_cnt")
+        case _: Sum => Seq(StateCol(s"a${i}_sum", "add"),
+          StateCol(s"a${i}_cnt", "add"))
+        case _: Average => Seq(StateCol(s"a${i}_sum", "add"),
+          StateCol(s"a${i}_cnt", "add"))
+        case _: Min => Seq(StateCol(s"a${i}_min", "min"))
+        case _: Max => Seq(StateCol(s"a${i}_max", "max"))
       }
-    } :+ "__rows"
+    } :+ StateCol("__rows", "add")
 
   /** Per-group decomposed state from a signed change feed (`insert`
     * rows +1, `delete` rows −1). A plain base scan tagged all-insert
@@ -181,6 +207,10 @@ private[graft] object GraftMviewRefresh {
           Seq(sum(when(del, -x).otherwise(x)).as(s"a${i}_sum"),
             sum(when(x.isNotNull, sign).otherwise(lit(0L)))
               .as(s"a${i}_cnt"))
+        // sign-free: the refresh only routes append-only deltas here
+        // (hasMinMax + delete rows -> full recompute)
+        case mn: Min => Seq(min(colOf(mn.child)).as(s"a${i}_min"))
+        case mx: Max => Seq(max(colOf(mx.child)).as(s"a${i}_max"))
       }
     } :+ sum(sign).as("__rows")
     filtered.groupBy(keys: _*).agg(cols.head, cols.tail: _*)
@@ -198,12 +228,17 @@ private[graft] object GraftMviewRefresh {
       .reduce(_ && _)
     val keyCols = keys.map(k =>
       coalesce(col(s"o.$k"), col(s"d.$k")).as(k))
-    val stateCols = stateColNames(spec).map { n =>
-      coalesce(col(s"o.$n") + col(s"d.$n"), col(s"o.$n"), col(s"d.$n"))
-        .as(n)
+    val merged = stateCols(spec).map { sc =>
+      val (o2, d2) = (col(s"o.${sc.name}"), col(s"d.${sc.name}"))
+      (sc.op match {
+        // null-aware: both-null stays null, one-sided carries through
+        case "add" => coalesce(o2 + d2, o2, d2)
+        case "min" => least(o2, d2) // least/greatest skip nulls
+        case "max" => greatest(o2, d2)
+      }).as(sc.name)
     }
     o.join(d, cond, "full_outer")
-      .select((keyCols ++ stateCols): _*)
+      .select((keyCols ++ merged): _*)
       .filter(col("__rows") > 0)
   }
 
@@ -231,6 +266,10 @@ private[graft] object GraftMviewRefresh {
           // division (ANSI mode errors on /0; AVG of no rows is NULL)
           If(EqualTo(cnt, Literal(0L)), Literal(null, ae.dataType),
             Cast(Divide(sm, Cast(cnt, DoubleType)), ae.dataType))
+        case _: Min =>
+          Cast(UnresolvedAttribute.quoted(s"a${i}_min"), ae.dataType)
+        case _: Max =>
+          Cast(UnresolvedAttribute.quoted(s"a${i}_max"), ae.dataType)
       }
     def subst(e: Expression): Expression = e match {
       case ae: AggregateExpression =>
@@ -375,6 +414,12 @@ private[graft] object GraftMviewRefresh {
               case scala.util.Success(delta) =>
                 val d = delta.persist()
                 try {
+                  // MIN/MAX cannot be maintained under deletes: a delta
+                  // carrying delete rows (MoR deletes, row-delta
+                  // updates) forces the full path for such definitions
+                  if (sp.hasMinMax && !d.filter(
+                      col("_change_type") === "delete").isEmpty)
+                    return full()
                   val n = d.count()
                   val merged = merge(
                     spark.read.parquet(

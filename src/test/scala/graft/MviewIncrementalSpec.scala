@@ -172,6 +172,52 @@ class MviewIncrementalSpec extends SparkSpec {
     assert(score == Map("g0" -> 182.0, "g1" -> 273.0))
   }
 
+  test("MIN/MAX maintain incrementally on appends, fall back on deletes") {
+    freshCat("mvx")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvx.db")
+    spark.sql("""CREATE TABLE mvx.db.t (grp STRING, x DOUBLE)
+      TBLPROPERTIES('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO mvx.db.t SELECT concat('g', id % 3), " +
+      "CAST(id AS DOUBLE) FROM range(300)")
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.db.mv AS
+      SELECT grp, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+      FROM mvx.db.t GROUP BY grp""")
+    def both: (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = (
+      spark.sql("SELECT grp, n, lo, hi FROM mvx.db.mv ORDER BY grp")
+        .collect().toSeq,
+      spark.sql("""SELECT grp, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+        FROM mvx.db.t GROUP BY grp ORDER BY grp""").collect().toSeq)
+    val (g0, e0) = both
+    assert(g0 == e0)
+
+    // append-only delta: extremes on both sides move, stays incremental
+    spark.sql("INSERT INTO mvx.db.t VALUES ('g0', -5.0), ('g1', 999.0), " +
+      "('g2', 100.5)")
+    val r = refresh("mvx", "db.mv")
+    assert(r.getString(2) == "incremental", s"got $r")
+    val (g1, e1) = both
+    assert(g1 == e1, s"$g1 vs $e1")
+    assert(g1.find(_.getString(0) == "g0").get.getDouble(2) == -5.0)
+    assert(g1.find(_.getString(0) == "g1").get.getDouble(3) == 999.0)
+
+    // a delta with DELETE rows cannot maintain extremes — full fallback,
+    // still exactly right (the deleted maximum must disappear)
+    spark.sql("DELETE FROM mvx.db.t WHERE x = 999.0")
+    val r2 = refresh("mvx", "db.mv")
+    assert(r2.getString(2) == "full", s"deletes must force full: $r2")
+    val (g2, e2) = both
+    assert(g2 == e2, s"$g2 vs $e2")
+    assert(g2.find(_.getString(0) == "g1").get.getDouble(3) < 999.0)
+
+    // ... and the full fallback re-seeded state: appends incremental again
+    spark.sql("INSERT INTO mvx.db.t VALUES ('g2', -77.0)")
+    val r3 = refresh("mvx", "db.mv")
+    assert(r3.getString(2) == "incremental", s"got $r3")
+    val (g3, e3) = both
+    assert(g3 == e3)
+    assert(g3.find(_.getString(0) == "g2").get.getDouble(2) == -77.0)
+  }
+
   test("count/sum/avg null handling matches a full recompute") {
     freshCat("mvn")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mvn.db")
