@@ -55,9 +55,13 @@ private[graft] class GraftRestServer(warehouse: String) {
 
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
-    val path = ex.getRequestURI.getPath.stripPrefix("/v1")
+    // decode from the RAW path: getPath already percent-decodes, and a
+    // second URLDecoder pass would corrupt names ('+' -> space, literal
+    // '%' -> decode error). URLDecoder is form-decoding, so protect '+'
+    // (a legal path char) before decoding each raw segment.
+    val path = ex.getRequestURI.getRawPath.stripPrefix("/v1")
       .split("/").filter(_.nonEmpty).toSeq
-      .map(URLDecoder.decode(_, "UTF-8"))
+      .map(seg => URLDecoder.decode(seg.replace("+", "%2B"), "UTF-8"))
     try {
       (method, path) match {
         case ("GET", Seq("config")) =>

@@ -150,6 +150,16 @@ private[graft] object RestProtocol {
     statsDiff("partition-statistics", base.partitionStatistics,
       next.partitionStatistics)
 
+    // format-version bump (the spec's upgrade-format-version action):
+    // committing a deletion vector permanently raises the declared
+    // format floor (v2 -> v3) — without this action every DV commit on
+    // a REST table would fail the self-check below and abort
+    if (next.formatVersion != base.formatVersion) {
+      val o = action("upgrade-format-version")
+      o.put("format-version", next.formatVersion)
+      out += o
+    }
+
     // v3 row-lineage high-water mark (shaped like the other updates;
     // the official spec tracks next-row-id through add-snapshot
     // first-row-id — carried explicitly here so the engine's lineage
@@ -276,6 +286,11 @@ private[graft] object RestProtocol {
         case "remove-partition-statistics" =>
           m = m.copy(partitionStatistics = m.partitionStatistics.map(
             _.filterNot(_.snapshotId == u.path("snapshot-id").asLong)))
+        case "upgrade-format-version" =>
+          val v = u.path("format-version").asInt
+          if (v < m.formatVersion) throw new IllegalArgumentException(
+            s"cannot downgrade format version ${m.formatVersion} -> $v")
+          m = m.copy(formatVersion = v)
         case "set-next-row-id" =>
           m = m.copy(nextRowId =
             Option(u.get("next-row-id")).map(_.asLong))
@@ -297,7 +312,8 @@ private[graft] object RestProtocol {
   def requirementsFor(base: TableMetadataV2, updates: Seq[ObjectNode])
       : Seq[ObjectNode] = {
     val reqs = Seq.newBuilder[ObjectNode]
-    val uuid = action("assert-table-uuid")
+    val uuid = Json.obj
+    uuid.put("type", "assert-table-uuid") // spec discriminator is `type`
     uuid.put("uuid", base.tableUuid)
     reqs += uuid
     val touched = updates.flatMap(u => u.path("action").asText match {

@@ -153,40 +153,47 @@ object Staging {
     * the keys that build fresh every run (partitioned writes, MoR/eq
     * deletes, compaction).
     */
+  /** Per-name in-process mutex: JDK file locks are held per-JVM, so two
+    * THREADS of one JVM reaching for the same artifact would get
+    * OverlappingFileLockException from the OS lock instead of waiting —
+    * they serialize here first.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def cachedBuild(name: String, recipe: String,
       sources: Seq[java.nio.file.Path])(
-      build: java.nio.file.Path => Unit): java.nio.file.Path = {
-    import java.nio.file.Files
-    val dir = root.resolve("demo-cache").resolve(name)
-    val marker = dir.resolve("_BUILD")
-    val want = recipe + "\n" + fingerprint(sources)
-    if (Files.isRegularFile(marker) &&
-        scala.util.Try(Files.readString(marker)).toOption.contains(want))
-      return dir
-    // cross-process exclusion: two bench/test JVMs missing the marker
-    // at once must not interleave wipe+build in the same directory —
-    // an exclusive OS file lock (sibling of the cache dir, so wipe
-    // never deletes it) serializes them; the loser re-checks the
-    // marker under the lock and reuses the winner's build
-    Files.createDirectories(dir.getParent)
-    val lockPath = dir.getParent.resolve(s".$name.lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
+      build: java.nio.file.Path => Unit): java.nio.file.Path =
+    buildLocks.computeIfAbsent(name, _ => new Object).synchronized {
+      import java.nio.file.Files
+      val dir = root.resolve("demo-cache").resolve(name)
+      val marker = dir.resolve("_BUILD")
+      val want = recipe + "\n" + fingerprint(sources)
+      // cross-process exclusion: even the CHECK takes the OS file lock
+      // (sibling of the cache dir, so wipe never deletes it) — a
+      // marker-matched fast path outside the lock could hand back a
+      // directory another process is concurrently wiping for a
+      // different fingerprint. The loser re-checks under the lock and
+      // reuses the winner's build.
+      Files.createDirectories(dir.getParent)
+      val lockPath = dir.getParent.resolve(s".$name.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        if (Files.isRegularFile(marker) && scala.util.Try(
-            Files.readString(marker)).toOption.contains(want))
-          return dir
-        wipe(dir)
-        Files.createDirectories(dir)
-        build(dir)
-        Files.writeString(marker, want)
-        dir
-      } finally lock.release()
-    } finally ch.close()
-  }
+        val lock = ch.lock()
+        try {
+          if (Files.isRegularFile(marker) && scala.util.Try(
+              Files.readString(marker)).toOption.contains(want))
+            return dir
+          wipe(dir)
+          Files.createDirectories(dir)
+          build(dir)
+          Files.writeString(marker, want)
+          dir
+        } finally lock.release()
+      } finally ch.close()
+    }
 
   /** A fresh unique directory under `root/group`, reclaiming any prior
     * runs' directories for the same (group, name) first — bench/verify

@@ -86,7 +86,8 @@ class GraftTable private (val spark: SparkSession, val location: String,
       buildRefs: TableMetadataV2 =>
         (Seq[ManifestRef], PendingAdds, Map[String, String]),
       propsExtra: Map[String, String] = Map.empty,
-      toBranch: Option[String] = None)
+      toBranch: Option[String] = None,
+      invalidateSortClaim: Boolean = false)
       : SnapshotV2 = {
     val (baseVersion, meta) = metadataWithVersion
     val (reused, adds, summaryExtra) = buildRefs(meta)
@@ -212,9 +213,19 @@ class GraftTable private (val spark: SparkSession, val location: String,
           Some(meta.snapshotLog.getOrElse(Seq.empty) :+
             SnapshotLog(snapId, now))
         else meta.snapshotLog,
-      properties =
-        if (propsExtra.isEmpty) meta.properties
-        else Some(meta.properties.getOrElse(Map.empty) ++ propsExtra),
+      properties = {
+        val p0 = meta.properties.getOrElse(Map.empty) ++ propsExtra
+        // files written under an EXPLICIT non-default sort (z-order, ad
+        // hoc re-cluster) are NOT clustered by the declared order:
+        // advance the ordering watermark past this commit so
+        // SupportsReportOrdering never claims them sorted
+        val p =
+          if (invalidateSortClaim &&
+              p0.contains(GraftTable.SortSinceSeqProp))
+            p0 + (GraftTable.SortSinceSeqProp -> seq.toString)
+          else p0
+        if (p.isEmpty) None else Some(p)
+      },
       nextRowId =
         if (lineageAdds == 0L) meta.nextRowId
         else Some(meta.nextRowId.getOrElse(0L) + lineageAdds),
@@ -245,6 +256,28 @@ class GraftTable private (val spark: SparkSession, val location: String,
     * files union with whatever the current manifest holds), so a lost
     * commit race is retried against the fresh state.
     */
+  /** True when an explicit `sortWithin` re-states the table's default
+    * sort order (identity ASC on the same source columns, in order —
+    * rendered column names compared, the shape the compact procedure's
+    * sort strategy passes): such a rewrite PRESERVES the reported-
+    * ordering claim. Anything else (z-order interleaves, different
+    * columns, directions) conservatively invalidates it (see
+    * [[GraftTable.SortSinceSeqProp]]).
+    */
+  private def sortsMatchDefault(meta: TableMetadataV2,
+      sorts: Seq[Column]): Boolean = {
+    val order = meta.sortOrders
+      .find(_.orderId == meta.defaultSortOrderId).filter(_.orderId != 0)
+    order.exists { o =>
+      val names = o.fields.flatMap(f =>
+        if (f.transform == TIdentity && f.direction == SortAsc)
+          meta.currentSchema.fieldById(f.sourceId).map(_.name)
+        else None)
+      names.length == o.fields.length &&
+        sorts.map(_.toString) == names
+    }
+  }
+
   def append(df: DataFrame, sortWithin: Seq[Column] = Seq.empty,
       repartitionByPartition: Boolean = false): SnapshotV2 =
     appendWithSummary(df, Map.empty, sortWithin, repartitionByPartition)
@@ -255,8 +288,11 @@ class GraftTable private (val spark: SparkSession, val location: String,
       propsExtra: Map[String, String] = Map.empty): SnapshotV2 = {
     val adds = writeFiles(df, sortWithin, repartitionByPartition,
       lineageFresh = true)
+    val nonDefaultSort = sortWithin.nonEmpty &&
+      !sortsMatchDefault(metadata, sortWithin)
     retryingCommit(() => commitSnapshot("append",
-      meta => (manifestsFor(meta, None), adds, summaryExtra), propsExtra))
+      meta => (manifestsFor(meta, None), adds, summaryExtra), propsExtra,
+      invalidateSortClaim = nonDefaultSort))
   }
 
   /** Run an optimistic commit, rebasing and retrying on version-claim
@@ -2743,7 +2779,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
       col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
     val joinCond = keys.map { case (t, s) =>
       col(t) === col(s"$srcPfx$s") }.reduce(_ && _)
-    val joined = target.join(src, joinCond, "full_outer")
+    // persisted: the cardinality check below and the rewrite (twice on
+    // lineage tables) all consume this join — one execution, not three
+    val joined = target.join(src, joinCond, "full_outer").persist()
 
     val isMatched =
       col("__tgt_present").isNotNull && col("__src_present").isNotNull
@@ -2751,8 +2789,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // ONE source row is an error, never silent corruption (the
     // full-outer join would otherwise emit the row once per match —
     // duplicating it in the rewrite, or double-applying its action)
-    requireMergeCardinality(
+    try requireMergeCardinality(
       joined.filter(isMatched).groupBy(col("__tgt_uid")))
+    catch { case e: Throwable => joined.unpersist(); throw e }
     val isTgtOnly =
       col("__tgt_present").isNotNull && col("__src_present").isNull
     def condOf(a: MergeAction): Column = a.condition.getOrElse(lit(true))
@@ -2815,7 +2854,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
         val b = writeFiles(insPart, lineageFresh = true)
         PendingAdds(a.entries ++ b.entries, a.shards ++ b.shards)
       }
-    commitSnapshot("overwrite", { freshMeta =>
+    val snap = commitSnapshot("overwrite", { freshMeta =>
       // the rewrite was derived from `meta`; if the manifest set moved
       // underneath us the merge must be re-run, not silently committed
       if (manifestsFor(freshMeta, None).map(_.path).sorted !=
@@ -2832,6 +2871,8 @@ class GraftTable private (val spark: SparkSession, val location: String,
       (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
         Map("merged-files" -> affected.size.toString))
     })
+    joined.unpersist()
+    snap
   }
 
   /** Intra-partition bin-pack compaction: ONLY partitions holding ≥2
@@ -3145,7 +3186,8 @@ class GraftTable private (val spark: SparkSession, val location: String,
           throw new CommitConflictException(
             s"table changed during compact at $location")
         (Seq.empty, rewritten, Map.empty)
-      })
+      }, invalidateSortClaim = sortWithin.nonEmpty &&
+        !sortsMatchDefault(meta, sortWithin))
     })
     // the full rewrite replaced every live data file with parquet — once
     // no RETAINED snapshot references avro either (time travel must keep
@@ -3266,7 +3308,8 @@ class GraftTable private (val spark: SparkSession, val location: String,
                 rebuildPosDeletes(posDels, paths, schema.schemaId))
             (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
               Map("compaction-group-files" -> mine.size.toString))
-          })
+          }, invalidateSortClaim = sortWithin.nonEmpty &&
+            !sortsMatchDefault(meta, sortWithin))
         }
       })
       if (skipped.get) None else Some(snap)
@@ -3723,12 +3766,15 @@ class GraftTable private (val spark: SparkSession, val location: String,
       repartitionByPartition: Boolean = false): SnapshotV2 = {
     val adds = writeFiles(df, sortWithin, repartitionByPartition,
       lineageFresh = true)
+    val nonDefaultSort = sortWithin.nonEmpty &&
+      !sortsMatchDefault(metadata, sortWithin)
     retryingCommit(() => commitSnapshot("append", fresh => {
       val head = fresh.refs.flatMap(_.get(branch)).getOrElse(
         throw new IllegalArgumentException(s"no branch $branch")).snapshotId
       (manifestsFor(fresh, Some(head)), adds,
         Map("branch" -> branch))
-    }, toBranch = Some(branch)))
+    }, toBranch = Some(branch),
+      invalidateSortClaim = nonDefaultSort))
   }
 
   /** Publish a branch: fast-forward main to the branch head. Requires

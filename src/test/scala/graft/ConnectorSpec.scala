@@ -628,6 +628,29 @@ class ConnectorSpec extends SparkSpec {
       assert(plan2.collect { case s: SortExec => s }.nonEmpty,
         s"multi-file buckets must NOT report ordering:\n$plan2")
       assert(again.count() == 500)
+
+      // a sort-strategy compaction that RE-STATES the default order
+      // restores one sorted file per bucket — the claim (and the
+      // sort-free plan) must come back
+      spark.sql(s"CALL gsrt.system.compact('db.b', ${256L << 20}, " +
+        "'sort', 'k')")
+      val restored = planOf()
+      assert(restored.queryExecution.executedPlan
+        .collect { case s: SortExec => s }.isEmpty,
+        "default-order re-cluster must restore the ordering claim")
+      assert(restored.count() == 500)
+
+      // ... but an EXPLICIT NON-DEFAULT sort rewrite produces files not
+      // clustered by k: the commit advances the ordering watermark and
+      // the claim is withdrawn even though every split is one file
+      val tb = graft.table.GraftTable.load(spark,
+        java.nio.file.Paths.get(wh.toString, "db", "b").toString)
+      tb.compact(sortWithin = Seq(col("v")))
+      val invalidated = planOf()
+      assert(invalidated.queryExecution.executedPlan
+        .collect { case s: SortExec => s }.nonEmpty,
+        "non-default sort rewrite must invalidate the ordering claim")
+      assert(invalidated.count() == 500)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -165,14 +165,17 @@ class RestCatalogSpec extends SparkSpec {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS grd.db")
       spark.sql("""CREATE TABLE grd.db.t (id BIGINT, d DATE, v DOUBLE)
         PARTITIONED BY (months(d))
-        TBLPROPERTIES('write.delete.mode'='merge-on-read')""")
+        TBLPROPERTIES('write.delete.mode'='merge-on-read',
+          'write.delete.format'='deletion-vectors')""")
       spark.sql("""INSERT INTO grd.db.t
         SELECT id, DATE'2026-01-01' + CAST(id % 90 AS INT), CAST(id AS DOUBLE)
         FROM range(400)""")
       // every statement below exercises a different update vocabulary
       // through RestProtocol.diff's self-check (it throws if the update
       // list cannot reproduce the commit)
-      spark.sql("DELETE FROM grd.db.t WHERE id < 20")        // MoR delete
+      // MoR DV delete: also exercises upgrade-format-version (v2 -> v3)
+      // through the commit protocol
+      spark.sql("DELETE FROM grd.db.t WHERE id < 20")
       spark.sql("ALTER TABLE grd.db.t ADD COLUMN tag STRING")  // schema
       spark.sql("ALTER TABLE grd.db.t SET TBLPROPERTIES ('k'='v')")
       spark.sql("ALTER TABLE grd.db.t UNSET TBLPROPERTIES ('k')")
@@ -186,6 +189,8 @@ class RestCatalogSpec extends SparkSpec {
       val (_, meta) = client.loadTable(Seq("db"), "t").get
       assert(meta.refs.exists(_.contains("audit")))
       assert(meta.schemas.map(_.schemaId).max == 1)
+      assert(meta.formatVersion == 3,
+        "the DV delete's format bump did not cross the protocol")
     } finally srv.stop()
   }
 }
