@@ -2770,28 +2770,29 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // misclassify null-keyed rows on either side. On lineage tables the
     // target read carries _row_id/_last_updated so the rewrite preserves
     // row identity.
-    // __tgt_uid: per-execution row identity for the cardinality check
-    // below (ids need only be consistent WITHIN the checking job)
     val target = readAppliedForRewrite(meta, affected, schema)
       .withColumn("__tgt_present", lit(1))
-      .withColumn("__tgt_uid", monotonically_increasing_id())
     val src = source.select(source.columns.toIndexedSeq.map(n =>
       col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
     val joinCond = keys.map { case (t, s) =>
       col(t) === col(s"$srcPfx$s") }.reduce(_ && _)
-    // persisted: the cardinality check below and the rewrite (twice on
-    // lineage tables) all consume this join — one execution, not three
-    val joined = target.join(src, joinCond, "full_outer").persist()
+    // SQL MERGE cardinality contract: a target row matched by MORE THAN
+    // ONE source row is an error, never silent corruption (the
+    // full-outer join below would otherwise emit the row once per
+    // match — duplicating it in the rewrite, or double-applying its
+    // action). Checked as a NARROW keys-only pre-join (uid + key
+    // columns; column pruning reaches the scan) so the rewrite itself
+    // stays a single streamed execution — no full-row persist.
+    requireMergeCardinality(
+      target.select(monotonically_increasing_id().as("__tgt_uid") +:
+        keys.map(k => col(k._1)): _*)
+        .join(src.select(keys.map(k =>
+          col(s"$srcPfx${k._2}")): _*), joinCond, "inner")
+        .groupBy(col("__tgt_uid")))
+    val joined = target.join(src, joinCond, "full_outer")
 
     val isMatched =
       col("__tgt_present").isNotNull && col("__src_present").isNotNull
-    // SQL MERGE cardinality contract: a target row matched by MORE THAN
-    // ONE source row is an error, never silent corruption (the
-    // full-outer join would otherwise emit the row once per match —
-    // duplicating it in the rewrite, or double-applying its action)
-    try requireMergeCardinality(
-      joined.filter(isMatched).groupBy(col("__tgt_uid")))
-    catch { case e: Throwable => joined.unpersist(); throw e }
     val isTgtOnly =
       col("__tgt_present").isNotNull && col("__src_present").isNull
     def condOf(a: MergeAction): Column = a.condition.getOrElse(lit(true))
@@ -2854,7 +2855,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
         val b = writeFiles(insPart, lineageFresh = true)
         PendingAdds(a.entries ++ b.entries, a.shards ++ b.shards)
       }
-    val snap = commitSnapshot("overwrite", { freshMeta =>
+    commitSnapshot("overwrite", { freshMeta =>
       // the rewrite was derived from `meta`; if the manifest set moved
       // underneath us the merge must be re-run, not silently committed
       if (manifestsFor(freshMeta, None).map(_.path).sorted !=
@@ -2871,8 +2872,6 @@ class GraftTable private (val spark: SparkSession, val location: String,
       (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
         Map("merged-files" -> affected.size.toString))
     })
-    joined.unpersist()
-    snap
   }
 
   /** Intra-partition bin-pack compaction: ONLY partitions holding ≥2
