@@ -254,10 +254,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // NoSuchTableException, not whatever GraftTable.load throws
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = GraftTable.load(spark, tablePath(ident).toString, ioFor(ident))
+    // multi-part field names route to the engine's dotted-path nested
+    // evolution (the same field-id machinery behind ice_nested_struct)
+    def dotted(fieldNames: Array[String]): String = fieldNames.mkString(".")
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          "nested ADD COLUMN is not supported")
         // ALTER TABLE ... ADD COLUMN x T DEFAULT v: Spark's semantics
         // make the default apply to existing rows AND future inserts
         // omitting the column — exactly the v3 initial-default +
@@ -271,15 +272,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.types.StringType,
             Some("UTC")).eval(null)).map(_.toString)
         }
-        t.addColumn(add.fieldNames.head, add.dataType, dflt, dflt)
+        t.addColumn(dotted(add.fieldNames), add.dataType, dflt, dflt)
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames.length == 1,
-          "nested RENAME COLUMN is not supported")
-        t.renameColumn(ren.fieldNames.head, ren.newName)
+        t.renameColumn(dotted(ren.fieldNames), ren.newName)
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          "nested DROP COLUMN is not supported")
-        t.dropColumn(del.fieldNames.head)
+        t.dropColumn(dotted(del.fieldNames))
+      case up: TableChange.UpdateColumnType =>
+        t.promoteColumn(dotted(up.fieldNames), up.newDataType)
+      case nl: TableChange.UpdateColumnNullability =>
+        t.setColumnNullability(dotted(nl.fieldNames), nl.nullable)
+      case dv: TableChange.UpdateColumnDefaultValue =>
+        // SET DEFAULT changes what FUTURE inserts omitting the column
+        // fill (v3 write-default); DROP DEFAULT clears it. The rendered
+        // form comes through Spark's DefaultValue SQL string via the
+        // same cast-to-string path as ADD COLUMN ... DEFAULT.
+        val rendered = for {
+          d <- Option(dv.newCurrentDefault())
+          sql <- Option(d.getSql)
+          e = spark.sessionState.sqlParser.parseExpression(sql)
+          _ = require(e.foldable,
+            s"DEFAULT must be a constant expression: $sql")
+          v <- Option(org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.StringType,
+            Some("UTC")).eval(null))
+        } yield v.toString
+        t.setWriteDefault(dotted(dv.fieldNames), rendered)
       case set: TableChange.SetProperty =>
         t.updateProperties(Map(set.property -> Some(set.value)))
       case rm: TableChange.RemoveProperty =>
@@ -318,8 +335,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // stored default catalog+namespace, so the view tracks the CURRENT
   // table state while its definition history stays replayable.
 
+  /** View-state load through this catalog's commit authority: the REST
+    * service in REST mode (views are protocol state there, like table
+    * metadata — a second REST client must see them), the file layout
+    * otherwise.
+    */
+  private[connector] def loadViewState(ident: Identifier)
+      : Option[GraftViews.ViewState] =
+    restClient match {
+      case Some(c) => c.loadView(ident.namespace.toSeq, ident.name)
+        .map(_._2)
+      case None => GraftViews.load(tablePath(ident))
+    }
+
+  /** Commit the next view version through this catalog's authority.
+    * REST mode posts the successor state with the version claim the
+    * server validates (base = prev's version-file number, which equals
+    * the version count — every commit appends exactly one of each).
+    */
+  private[connector] def commitViewState(ident: Identifier,
+      prev: Option[GraftViews.ViewState], next: GraftViews.ViewVersion)
+      : GraftViews.ViewState = {
+    val p = tablePath(ident)
+    restClient match {
+      case Some(c) =>
+        val st = GraftViews.nextState(p, prev, next)
+        prev match {
+          case None =>
+            c.createView(ident.namespace.toSeq, ident.name, st)
+          case Some(pr) => c.commitView(ident.namespace.toSeq,
+            ident.name, baseVersion = pr.versions.size, st)
+        }
+        st
+      case None =>
+        Files.createDirectories(p.getParent)
+        GraftViews.commit(p, prev, next)
+    }
+  }
+
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
+    restClient.foreach { c =>
+      if (!c.namespaceExists(ns.toSeq))
+        throw new NoSuchNamespaceException(ns)
+      return c.listViews(ns.toSeq).map(Identifier.of(ns, _)).toArray
+    }
     val dir = ns.foldLeft(warehouse)(_.resolve(_))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(ns)
     val ls = Files.list(dir)
@@ -331,46 +391,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    GraftViews.isViewDir(tablePath(ident))
+    restClient match {
+      case Some(c) => c.viewExists(ident.namespace.toSeq, ident.name)
+      case None => GraftViews.isViewDir(tablePath(ident))
+    }
 
   override def loadView(ident: Identifier): View =
-    GraftViews.load(tablePath(ident))
+    loadViewState(ident)
       .map(st => new GraftView(ident.name, st.current))
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident))
 
   override def createView(info: ViewInfo): View = {
     val ident = info.ident
-    val p = tablePath(ident)
     if (viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
-    Files.createDirectories(p.getParent)
-    val st = GraftViews.commit(p, None,
+    val st = commitViewState(ident, None,
       GraftViews.versionFromInfo(info, versionId = 1, operation = "create"))
     new GraftView(ident.name, st.current)
   }
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
     val ident = info.ident
-    val p = tablePath(ident)
-    val prev = GraftViews.load(p)
+    val prev = loadViewState(ident)
     if (prev.isEmpty && !orCreate)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
     if (prev.isEmpty && tableExists(ident))
       throw new TableAlreadyExistsException(ident)
     val nextId = prev.map(_.versions.map(_.versionId).max + 1).getOrElse(1)
-    val st = GraftViews.commit(p, prev,
+    val st = commitViewState(ident, prev,
       GraftViews.versionFromInfo(info, nextId, operation = "replace"))
     new GraftView(ident.name, st.current)
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val p = tablePath(ident)
-    val prev = GraftViews.load(p).getOrElse(
+    val prev = loadViewState(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident))
     var props = prev.current.properties
@@ -384,11 +443,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       versionId = prev.versions.map(_.versionId).max + 1,
       timestampMs = System.currentTimeMillis(),
       operation = "alter", properties = props)
-    val st = GraftViews.commit(p, Some(prev), next)
+    val st = commitViewState(ident, Some(prev), next)
     new GraftView(ident.name, st.current)
   }
 
   override def dropView(ident: Identifier): Boolean = {
+    restClient.foreach(c =>
+      return c.dropView(ident.namespace.toSeq, ident.name))
     val p = tablePath(ident)
     if (!GraftViews.isViewDir(p)) return false
     val w = Files.walk(p)

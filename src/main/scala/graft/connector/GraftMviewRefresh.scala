@@ -428,7 +428,11 @@ private[graft] object GraftMviewRefresh {
                   commitFromStates(spark, t, mvDir, sp, merged, toSeq,
                     mode = "incremental", deltaRows = n)
                 } finally d.unpersist()
-              // CoW commits in range: the changelog refuses — recompute
+              // the changelog refuses the range — CoW commits interleave
+              // physical and logical changes, or expired base snapshots
+              // inside (watermark, toSeq] make the delta unrecoverable
+              // (changesBySeq walks the ancestry and throws on a gap) —
+              // either way the only safe answer is a full recompute
               case scala.util.Failure(_) => full()
             }
           case _ => full()

@@ -161,7 +161,7 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
       case r: UnresolvedRelation =>
         graftCatalogAndIdent(r.multipartIdentifier) match {
           case Some((g2, id2)) =>
-            GraftViews.load(viewPath(g2, id2)) match {
+            g2.loadViewState(id2) match {
               case Some(st2) if !isMaterialized(st2) =>
                 expandView(g2, id2, st2, seen + key)
               case _ => r
@@ -218,7 +218,7 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
           !isTempView(r.multipartIdentifier) =>
         graftCatalogAndIdent(r.multipartIdentifier).flatMap {
           case (g, ident) =>
-            GraftViews.load(viewPath(g, ident))
+            g.loadViewState(ident)
               .filterNot(isMaterialized)
               .map(st => expandView(g, ident, st, Set.empty))
         }.getOrElse(r)
@@ -345,7 +345,7 @@ case class CreateGraftViewCommand(catalog: GraftCatalog,
     // a MATERIALIZED view must not be silently replaced by a plain one:
     // the backing table would keep serving the OLD rows (reads route to
     // it) while refresh_mview starts refusing — a stuck view
-    if (GraftViews.load(catalog.viewDirPath(ident)).exists(
+    if (catalog.loadViewState(ident).exists(
         _.current.properties.get(GraftViews.MaterializedProp)
           .contains("true")))
       throw new UnsupportedOperationException(
@@ -420,7 +420,7 @@ case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
         columnAliases = Seq.empty, columnComments = Seq.empty,
         properties = props)
     // phase 1: a plain-view version — valid on its own if we crash
-    val v1 = GraftViews.commit(dir, None,
+    val v1 = catalog.commitViewState(ident, None,
       version(1, "create", Map.empty))
     // phase 2: materialize the rows through the refresh machinery, so
     // an incrementally-maintainable definition seeds its state sidecar
@@ -438,8 +438,9 @@ case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
       relaxed, partitionBy)
     GraftMviewRefresh.refresh(spark, t, analyzed)
     // phase 3: flip to materialized — reads route to the table only now
-    GraftViews.commit(dir, Some(v1), version(2, "create-materialized",
-      Map(GraftViews.MaterializedProp -> "true")))
+    catalog.commitViewState(ident, Some(v1),
+      version(2, "create-materialized",
+        Map(GraftViews.MaterializedProp -> "true")))
     Seq.empty
   }
 }
@@ -506,8 +507,7 @@ case class AlterGraftViewAsCommand(catalog: GraftCatalog,
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val p = catalog.viewDirPath(ident)
-    val prev = GraftViews.load(p).getOrElse(
+    val prev = catalog.loadViewState(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident))
     if (prev.current.properties.get(GraftViews.MaterializedProp)
@@ -517,7 +517,7 @@ case class AlterGraftViewAsCommand(catalog: GraftCatalog,
           "current definition; DROP TABLE and recreate to change it")
     val analyzed = Bridge.ofRows(spark, query)
     val cm = spark.sessionState.catalogManager
-    GraftViews.commit(p, Some(prev), GraftViews.ViewVersion(
+    catalog.commitViewState(ident, Some(prev), GraftViews.ViewVersion(
       versionId = prev.versions.map(_.versionId).max + 1,
       timestampMs = System.currentTimeMillis(),
       operation = "replace", sql = sql,
@@ -536,7 +536,7 @@ case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
     ident: Identifier, override val output: Seq[Attribute])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val st = GraftViews.load(catalog.viewDirPath(ident)).getOrElse(
+    val st = catalog.loadViewState(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident))
     val v = st.current
@@ -570,7 +570,7 @@ case class DescribeGraftViewCommand(catalog: GraftCatalog,
     ident: Identifier, isExtended: Boolean,
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val st = GraftViews.load(catalog.viewDirPath(ident)).getOrElse(
+    val st = catalog.loadViewState(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident))
     val v = st.current

@@ -68,23 +68,55 @@ private[graft] object GraftViews {
             "not in versions"))
   }
 
-  def load(viewPath: Path): Option[ViewState] = {
+  def load(viewPath: Path): Option[ViewState] =
+    loadWithVersion(viewPath).map(_._2)
+
+  /** Load with the version-FILE number (the optimistic-commit claim
+    * domain the REST view protocol asserts against).
+    */
+  def loadWithVersion(viewPath: Path): Option[(Int, ViewState)] = {
     val vf = versionFiles(metaDir(viewPath))
-    vf.lastOption.map { case (_, p) => fromJson(Files.readString(p)) }
+    vf.lastOption.map { case (n, p) => (n, fromJson(Files.readString(p))) }
   }
+
+  /** Write `st` as version file `expectedVersion + 1`, refusing if the
+    * current version file is not `expectedVersion` — the REST server's
+    * commit claim (CREATE_NEW is the serializer, exactly like tables).
+    */
+  def commitState(viewPath: Path, expectedVersion: Int,
+      st: ViewState): Int = {
+    val dir = metaDir(viewPath)
+    Files.createDirectories(dir)
+    val cur = versionFiles(dir).lastOption.map(_._1).getOrElse(0)
+    if (cur != expectedVersion)
+      throw new graft.table.CommitConflictException(
+        s"view at $viewPath moved: expected version $expectedVersion, " +
+          s"found $cur")
+    val n = expectedVersion + 1
+    Files.writeString(dir.resolve(f"v$n%05d.view-metadata.json"),
+      toJson(st), StandardOpenOption.CREATE_NEW)
+    n
+  }
+
+  /** The successor state appending `next` to `prev` (None for CREATE).
+    * Shared by the file commit below and the REST-mode client, so both
+    * commit authorities serialize the identical state shape.
+    */
+  def nextState(viewPath: Path, prev: Option[ViewState],
+      next: ViewVersion): ViewState =
+    ViewState(
+      uuid = prev.map(_.uuid).getOrElse(
+        java.util.UUID.randomUUID().toString),
+      location = viewPath.toString,
+      versions = prev.map(_.versions).getOrElse(Seq.empty) :+ next,
+      currentVersionId = next.versionId)
 
   /** Append the next version file atomically (CREATE_NEW); the caller
     * passes the previous state (None for CREATE).
     */
   def commit(viewPath: Path, prev: Option[ViewState],
       next: ViewVersion): ViewState = {
-    val versions = prev.map(_.versions).getOrElse(Seq.empty) :+ next
-    val st = ViewState(
-      uuid = prev.map(_.uuid).getOrElse(
-        java.util.UUID.randomUUID().toString),
-      location = viewPath.toString,
-      versions = versions,
-      currentVersionId = next.versionId)
+    val st = nextState(viewPath, prev, next)
     val dir = metaDir(viewPath)
     Files.createDirectories(dir)
     val n = versionFiles(dir).lastOption.map(_._1 + 1).getOrElse(1)

@@ -146,6 +146,67 @@ private[graft] class GraftRestClient(baseUri: String) {
     if (code != 200) fail(code, body, "commitTable")
     graft.model.TableMetadataV2.fromJson(body.path("metadata"))
   }
+
+  // ------------------------------------------------------------ views ----
+
+  def listViews(ns: Seq[String]): Seq[String] = {
+    val (code, body) = request("GET",
+      s"/v1/namespaces/${nsPath(ns)}/views")
+    if (code != 200) fail(code, body, "listViews")
+    body.path("identifiers").elements.asScala
+      .map(_.path("name").asText).toSeq.sorted
+  }
+
+  def viewExists(ns: Seq[String], name: String): Boolean =
+    request("HEAD",
+      s"/v1/namespaces/${nsPath(ns)}/views/${enc(name)}")._1 == 204
+
+  /** Load a view: (version-file number, state) — the version is the
+    * base the next [[commitView]] must assert.
+    */
+  def loadView(ns: Seq[String], name: String)
+      : Option[(Int, graft.connector.GraftViews.ViewState)] = {
+    val (code, body) = request("GET",
+      s"/v1/namespaces/${nsPath(ns)}/views/${enc(name)}")
+    if (code == 404) return None
+    if (code != 200) fail(code, body, "loadView")
+    val re = """v(\d+)\.view-metadata\.json$""".r
+    val v = re.findFirstMatchIn(body.path("metadata-location").asText)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"unparseable view metadata location for ${ns.mkString(".")}.$name"))
+    Some((v, graft.connector.GraftViews.fromJson(
+      Json.write(body.path("metadata")))))
+  }
+
+  def createView(ns: Seq[String], name: String,
+      st: graft.connector.GraftViews.ViewState): Unit = {
+    val o = Json.obj
+    o.put("name", name)
+    o.set[JsonNode]("metadata",
+      Json.parse(graft.connector.GraftViews.toJson(st)))
+    val (code, body) = request("POST",
+      s"/v1/namespaces/${nsPath(ns)}/views", Some(o))
+    if (code != 200) fail(code, body, "createView")
+  }
+
+  def commitView(ns: Seq[String], name: String, baseVersion: Int,
+      st: graft.connector.GraftViews.ViewState): Unit = {
+    val o = Json.obj
+    o.put("base-version", baseVersion)
+    o.set[JsonNode]("metadata",
+      Json.parse(graft.connector.GraftViews.toJson(st)))
+    val (code, body) = request("POST",
+      s"/v1/namespaces/${nsPath(ns)}/views/${enc(name)}", Some(o))
+    if (code != 200) fail(code, body, "commitView")
+  }
+
+  def dropView(ns: Seq[String], name: String): Boolean = {
+    val (code, body) = request("DELETE",
+      s"/v1/namespaces/${nsPath(ns)}/views/${enc(name)}")
+    if (code == 404) return false
+    if (code != 204) fail(code, body, "dropView")
+    true
+  }
 }
 
 /** [[MetadataIo]] over the REST protocol: the engine's commits become

@@ -126,7 +126,8 @@ private[graft] class GraftRestServer(warehouse: String) {
           val arr = o.putArray("identifiers")
           val ls = Files.list(dir)
           try ls.iterator.asScala
-            .filter(p => Files.isDirectory(p.resolve("metadata")))
+            .filter(p => Files.isDirectory(p.resolve("metadata")) &&
+              tableVisible(p))
             .foreach { p =>
               val t = arr.addObject()
               val a = t.putArray("namespace"); parts.foreach(a.add)
@@ -140,7 +141,8 @@ private[graft] class GraftRestServer(warehouse: String) {
 
         case ("GET" | "HEAD", Seq("namespaces", ns, "tables", t)) =>
           val loc = tableDir(splitNs(ns), t)
-          FileMetadataIo.latest(loc.toString) match {
+          FileMetadataIo.latest(loc.toString)
+            .filter(_ => tableVisible(loc)) match {
             case None => error(ex, 404, "NoSuchTableException",
               s"table $ns.$t not found")
             case Some((v, meta)) =>
@@ -152,6 +154,58 @@ private[graft] class GraftRestServer(warehouse: String) {
 
         case ("POST", Seq("namespaces", ns, "tables", t)) =>
           commitTable(ex, splitNs(ns), t)
+
+        // ---- views (the REST spec's /v1/.../views surface): list /
+        // create / load / commit-replace / drop. View metadata commits
+        // flow through here in REST mode — one commit authority for
+        // tables AND views, so a second REST client sees every view.
+        case ("GET", Seq("namespaces", ns, "views")) =>
+          val parts = splitNs(ns)
+          val dir = nsDir(parts)
+          if (!Files.isDirectory(dir))
+            return error(ex, 404, "NoSuchNamespaceException",
+              s"namespace $ns not found")
+          val o = Json.obj
+          val arr = o.putArray("identifiers")
+          val ls = Files.list(dir)
+          try ls.iterator.asScala
+            .filter(graft.connector.GraftViews.isViewDir)
+            .foreach { p =>
+              val t = arr.addObject()
+              val a = t.putArray("namespace"); parts.foreach(a.add)
+              t.put("name", p.getFileName.toString)
+            }
+          finally ls.close()
+          reply(ex, 200, o)
+
+        case ("POST", Seq("namespaces", ns, "views")) =>
+          createView(ex, splitNs(ns))
+
+        case ("GET" | "HEAD", Seq("namespaces", ns, "views", v)) =>
+          val loc = tableDir(splitNs(ns), v)
+          graft.connector.GraftViews.loadWithVersion(loc) match {
+            case None => error(ex, 404, "NoSuchViewException",
+              s"view $ns.$v not found")
+            case Some((n, st)) =>
+              if (method == "HEAD") {
+                ex.sendResponseHeaders(204, 0); return
+              }
+              reply(ex, 200, viewResponse(loc, n, st))
+          }
+
+        case ("POST", Seq("namespaces", ns, "views", v)) =>
+          commitView(ex, splitNs(ns), v)
+
+        case ("DELETE", Seq("namespaces", ns, "views", v)) =>
+          val loc = tableDir(splitNs(ns), v)
+          if (!graft.connector.GraftViews.isViewDir(loc))
+            return error(ex, 404, "NoSuchViewException",
+              s"view $ns.$v not found")
+          val w = Files.walk(loc)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .iterator.asScala.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          ex.sendResponseHeaders(204, -1)
 
         case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
           val loc = tableDir(splitNs(ns), t)
@@ -250,7 +304,81 @@ private[graft] class GraftRestServer(warehouse: String) {
     }
   }
 
+  private def createView(ex: HttpExchange, ns: Seq[String]): Unit = {
+    if (!Files.isDirectory(nsDir(ns)))
+      return error(ex, 404, "NoSuchNamespaceException",
+        s"namespace ${ns.mkString(".")} not found")
+    val body = Json.parse(new String(
+      ex.getRequestBody.readAllBytes(), "UTF-8"))
+    val name = body.path("name").asText
+    val loc = tableDir(ns, name)
+    if (graft.connector.GraftViews.isViewDir(loc))
+      return error(ex, 409, "AlreadyExistsException",
+        s"view ${ns.mkString(".")}.$name already exists")
+    if (FileMetadataIo.latest(loc.toString).isDefined)
+      return error(ex, 409, "AlreadyExistsException",
+        s"table ${ns.mkString(".")}.$name already exists")
+    val st = graft.connector.GraftViews
+      .fromJson(Json.write(body.path("metadata")))
+      .copy(location = loc.toString) // server re-anchors the location
+    try {
+      val n = graft.connector.GraftViews.commitState(loc, 0, st)
+      reply(ex, 200, viewResponse(loc, n, st))
+    } catch {
+      case e: CommitConflictException =>
+        error(ex, 409, "CommitFailedException", e.getMessage)
+    }
+  }
+
+  private def commitView(ex: HttpExchange, ns: Seq[String],
+      name: String): Unit = {
+    val loc = tableDir(ns, name)
+    val body = Json.parse(new String(
+      ex.getRequestBody.readAllBytes(), "UTF-8"))
+    val cur = graft.connector.GraftViews.loadWithVersion(loc)
+    if (cur.isEmpty)
+      return error(ex, 404, "NoSuchViewException",
+        s"view ${ns.mkString(".")}.$name not found")
+    val base = body.path("base-version").asInt
+    val st = graft.connector.GraftViews
+      .fromJson(Json.write(body.path("metadata")))
+      .copy(location = loc.toString)
+    // identity must hold across the replace (spec assert-view-uuid)
+    if (st.uuid != cur.get._2.uuid)
+      return error(ex, 409, "CommitFailedException",
+        s"view uuid changed: ${cur.get._2.uuid} != ${st.uuid}")
+    try {
+      val n = graft.connector.GraftViews.commitState(loc, base, st)
+      reply(ex, 200, viewResponse(loc, n, st))
+    } catch {
+      case e: CommitConflictException =>
+        error(ex, 409, "CommitFailedException", e.getMessage)
+    }
+  }
+
   // --------------------------------------------------------- helpers ----
+
+  /** A dir that is ALSO a view serves as a table only once its
+    * materialized tag is committed — the same visibility rule the file
+    * catalog applies, mirrored here so REST clients never see a
+    * half-built materialized view's backing table.
+    */
+  private def tableVisible(loc: Path): Boolean =
+    !graft.connector.GraftViews.isViewDir(loc) ||
+      graft.connector.GraftViews.load(loc).exists(
+        _.current.properties
+          .get(graft.connector.GraftViews.MaterializedProp)
+          .contains("true"))
+
+  private def viewResponse(loc: Path, version: Int,
+      st: graft.connector.GraftViews.ViewState): ObjectNode = {
+    val o = Json.obj
+    o.put("metadata-location", graft.connector.GraftViews.metaDir(loc)
+      .resolve(f"v$version%05d.view-metadata.json").toString)
+    o.set[JsonNode]("metadata",
+      Json.parse(graft.connector.GraftViews.toJson(st)))
+    o
+  }
 
   private def nsDir(ns: Seq[String]): Path =
     ns.foldLeft(Paths.get(warehouse))(_.resolve(_))

@@ -261,12 +261,13 @@ private[graft] object RestProtocol {
           m = m.copy(refs =
             Some(m.refs.getOrElse(Map.empty) + (name -> ref)))
           if (name == "main") {
-            val ts = m.snapshots.getOrElse(Seq.empty)
-              .find(_.snapshotId == ref.snapshotId)
-              .map(_.timestampMs).getOrElse(System.currentTimeMillis)
+            // the log records WHEN main moved, not when the snapshot was
+            // created — stamping server time keeps the snapshot-log
+            // monotonic across rollbacks (a rollback re-targets an OLD
+            // snapshot whose own timestamp precedes the log tail)
             m = m.copy(currentSnapshotId = Some(ref.snapshotId),
               snapshotLog = Some(m.snapshotLog.getOrElse(Seq.empty) :+
-                SnapshotLog(ref.snapshotId, ts)))
+                SnapshotLog(ref.snapshotId, System.currentTimeMillis)))
           }
         case "remove-snapshot-ref" =>
           val name = u.path("ref-name").asText
@@ -332,6 +333,42 @@ private[graft] object RestProtocol {
       }
       reqs += o
     }
+    // Metadata-evolution commits need the spec's stronger asserts: two
+    // concurrent schema (or spec / sort-order) evolutions both built
+    // against the same base would otherwise BOTH pass the uuid+ref
+    // checks, and applyUpdates' replace-by-id fold would let the second
+    // silently overwrite the first — a lost update the file catalog's
+    // CREATE_NEW version claim would have caught.
+    val actions = updates.map(_.path("action").asText).toSet
+    if (actions.contains("add-schema") ||
+        actions.contains("set-current-schema")) {
+      val a = Json.obj
+      a.put("type", "assert-current-schema-id")
+      a.put("current-schema-id", base.currentSchemaId)
+      reqs += a
+      val b = Json.obj
+      b.put("type", "assert-last-assigned-field-id")
+      b.put("last-assigned-field-id", base.lastColumnId)
+      reqs += b
+    }
+    if (actions.contains("add-spec") ||
+        actions.contains("set-default-spec")) {
+      val a = Json.obj
+      a.put("type", "assert-default-spec-id")
+      a.put("default-spec-id", base.defaultSpecId)
+      reqs += a
+      val b = Json.obj
+      b.put("type", "assert-last-assigned-partition-id")
+      b.put("last-assigned-partition-id", base.lastPartitionId)
+      reqs += b
+    }
+    if (actions.contains("add-sort-order") ||
+        actions.contains("set-default-sort-order")) {
+      val o = Json.obj
+      o.put("type", "assert-default-sort-order-id")
+      o.put("default-sort-order-id", base.defaultSortOrderId)
+      reqs += o
+    }
     reqs.result()
   }
 
@@ -364,6 +401,29 @@ private[graft] object RestProtocol {
           if (have != want)
             Some(s"ref $ref moved: expected $want, found $have")
           else None
+        case "assert-current-schema-id" =>
+          val want = r.path("current-schema-id").asInt
+          cur.map(_.currentSchemaId).filter(_ != want)
+            .map(h => s"current schema id changed: expected $want, found $h")
+        case "assert-last-assigned-field-id" =>
+          val want = r.path("last-assigned-field-id").asInt
+          cur.map(_.lastColumnId).filter(_ != want)
+            .map(h =>
+              s"last assigned field id changed: expected $want, found $h")
+        case "assert-default-spec-id" =>
+          val want = r.path("default-spec-id").asInt
+          cur.map(_.defaultSpecId).filter(_ != want)
+            .map(h => s"default spec id changed: expected $want, found $h")
+        case "assert-last-assigned-partition-id" =>
+          val want = r.path("last-assigned-partition-id").asInt
+          cur.map(_.lastPartitionId).filter(_ != want)
+            .map(h =>
+              s"last assigned partition id changed: expected $want, found $h")
+        case "assert-default-sort-order-id" =>
+          val want = r.path("default-sort-order-id").asLong
+          cur.map(_.defaultSortOrderId).filter(_ != want)
+            .map(h =>
+              s"default sort order id changed: expected $want, found $h")
         case other => Some(s"unsupported requirement: $other")
       }
     }.nextOption()

@@ -82,6 +82,33 @@ object TextOps {
         CAST(len(regexp_extract_all(text, '$bpeReSql')) AS BIGINT) AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // REAL byte-pair encoding over a pinned merge table (graft.functions
+    // .Bpe): the published iterative lowest-rank merge loop per
+    // pre-token, as a codegen'd StaticInvoke expression — map-only at
+    // any scale. The merge loop is order-sensitive and iterative, so no
+    // single DuckDB SQL reproduces it: rows-only key, certified by
+    // BpeSpec (pinned vectors, reference-implementation cross-check,
+    // decode roundtrip, termination invariant). The in-query require
+    // proves the roundtrip ON the actual corpus: concatenating the BPE
+    // tokens of every document reproduces its pre-token stream exactly.
+    GraftQuery(
+      "d_bpe_tokenize",
+      (s, dir) => {
+        val pre = regexp_count(col("text"), lit(bpeRe)).cast("long")
+        val out = docs(s, dir).select(
+          col("doc_id"),
+          pre.as("pre_tokens"),
+          graft.functions.Bpe.bpeTokenCount(col("text")).as("bpe_tokens"),
+          (graft.functions.Bpe.bpeTokens(col("text"), "") ===
+            array_join(regexp_extract_all(col("text"), lit(bpeRe),
+              lit(0)), "")).as("rt"))
+        val bad = out.filter(!col("rt") ||
+          col("bpe_tokens") < col("pre_tokens")).count()
+        require(bad == 0, s"$bad documents fail the BPE roundtrip")
+        out.select("doc_id", "pre_tokens", "bpe_tokens").orderBy("doc_id")
+      },
+      None),
+
     // Quality scoring from length / punctuation / stopword ratios. The
     // score formula is evaluated in identical double arithmetic on both
     // engines, then rounded.

@@ -1706,9 +1706,39 @@ class GraftTable private (val spark: SparkSession, val location: String,
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
     val toSeq = snapOf(toSnapshotId).sequenceNumber
     require(fromSeq <= toSeq, "fromSnapshot must precede toSnapshot")
-    val inRange = meta.snapshots.getOrElse(Seq.empty)
-      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
-      .sortBy(_.sequenceNumber)
+    // The commit set is the ANCESTRY of toSnapshot down to fromSeq —
+    // not every retained snapshot whose sequence lands in range. The
+    // distinction matters twice: commits on other branches (or rolled-
+    // back history) share the table-global sequence domain but are not
+    // part of this lineage's changes; and EXPIRED ancestors are a hard
+    // stop — their changes are unrecoverable, so a consumer must hear
+    // that loudly (incremental MV refresh catches this and recomputes)
+    // instead of receiving a silently incomplete delta.
+    val inRange = {
+      val chain = Seq.newBuilder[SnapshotV2]
+      var cur: Option[SnapshotV2] = Some(snapOf(toSnapshotId))
+      while (cur.exists(_.sequenceNumber > fromSeq)) {
+        val s = cur.get
+        chain += s
+        cur = s.parentSnapshotId match {
+          case None => None // table start: nothing precedes it
+          case Some(p) => meta.snapshotById(p) match {
+            case some @ Some(_) => some
+            case None =>
+              // parent expired. Its sequence was < s.sequenceNumber, so
+              // the range is still complete iff s is the first commit
+              // past fromSeq; anything else hides expired changes.
+              if (s.sequenceNumber > fromSeq + 1)
+                throw new IllegalStateException(
+                  s"changelog range ($fromSeq, $toSeq] is incomplete: " +
+                    s"snapshot ${s.snapshotId}'s parent $p was expired " +
+                    "and its changes are unrecoverable")
+              None
+          }
+        }
+      }
+      chain.result().sortBy(_.sequenceNumber)
+    }
     // net-changes: replace commits move bytes, not rows — skip them
     val logical = inRange.filterNot(_.summary.operation.contains("replace"))
     logical.foreach { s =>
@@ -3376,6 +3406,51 @@ class GraftTable private (val spark: SparkSession, val location: String,
       s.copy(fields = ren(s.fields, parts))
     }
 
+  /** Promote a column's type in place — the Iceberg spec's third schema
+    * evolution primitive after add/rename/drop (spec "Schema Evolution":
+    * legal primitive promotions are `int -> long`, `float -> double`,
+    * and `decimal(P,S) -> decimal(P',S)` with P' > P; the promotable
+    * primitives are exactly the reference's schema.rs:16-28 set). The
+    * field id is stable, so files written under the old type keep
+    * reading: the scan aligns them to the promoted type (an exact
+    * widening cast — no value can change), and stats pruning already
+    * compares bounds in the decoded numeric domain, so old files' int
+    * bounds prune correctly against long predicates. `name` may be a
+    * dotted path into a struct.
+    */
+  def promoteColumn(name: String, to: DataType): Unit =
+    evolveSchema { s =>
+      val f = s.fieldByName(name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+      val toIce = toIceType(to)
+      val legal = (f.fieldType, toIce) match {
+        case (TInt, TLong) | (TFloat, TDouble) => true
+        case (TDecimal(p, sc), TDecimal(p2, sc2)) => sc2 == sc && p2 > p
+        case _ => false
+      }
+      require(legal,
+        s"illegal type promotion for $name: ${f.fieldType.toJson} -> " +
+          s"${toIce.toJson} (legal: int->long, float->double, " +
+          "decimal(P,S)->decimal(P',S) with P'>P)")
+      // defaults are stored in the spec string rendering, which reads
+      // back identically under the widened type — keep them as-is
+      val parts = name.split('.').toList
+      def promote(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
+        ps match {
+          case leaf :: Nil =>
+            fs.map(x => if (x.name == leaf) x.copy(fieldType = toIce) else x)
+          case p :: rest =>
+            val i = fs.indexWhere(_.name == p)
+            fs(i).fieldType match {
+              case TStruct(nfs) => fs.updated(i,
+                fs(i).copy(fieldType = TStruct(promote(nfs, rest))))
+              case other => throw new IllegalArgumentException(
+                s"$p is not a struct (got $other)")
+            }
+        }
+      s.copy(fields = promote(s.fields, parts))
+    }
+
   /** Add an optional column with fresh field ids; old files read null.
     * `dataType` may be nested (struct/list/map — every nested element
     * gets its own id), and `name` may be a dotted path targeting a
@@ -3695,9 +3770,101 @@ class GraftTable private (val spark: SparkSession, val location: String,
     }
     evolveSchema { s =>
       require(s.fieldByName(name).isDefined, s"no column $name")
-      s.copy(fields = s.fields.filterNot(_.name == name))
+      val parts = name.split('.').toList
+      def drop(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
+        ps match {
+          case leaf :: Nil => fs.filterNot(_.name == leaf)
+          case p :: rest =>
+            val i = fs.indexWhere(_.name == p)
+            fs(i).fieldType match {
+              case TStruct(nfs) => fs.updated(i,
+                fs(i).copy(fieldType = TStruct(drop(nfs, rest))))
+              case other => throw new IllegalArgumentException(
+                s"$p is not a struct (got $other)")
+            }
+        }
+      s.copy(fields = drop(s.fields, parts))
     }
   }
+
+  /** Relax a column's nullability (required -> optional; dotted paths
+    * descend into structs). The reverse is refused: declaring an
+    * optional column required would assert a fact about already-written
+    * rows no metadata commit can establish (Iceberg spec's rule).
+    */
+  def setColumnNullability(name: String, nullable: Boolean): Unit =
+    evolveSchema { s =>
+      val f = s.fieldByName(name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+      require(nullable || f.required,
+        s"cannot make optional column $name required: existing rows " +
+          "may hold nulls")
+      val parts = name.split('.').toList
+      def set(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
+        ps match {
+          case leaf :: Nil =>
+            fs.map(x =>
+              if (x.name == leaf) x.copy(required = !nullable) else x)
+          case p :: rest =>
+            val i = fs.indexWhere(_.name == p)
+            fs(i).fieldType match {
+              case TStruct(nfs) => fs.updated(i,
+                fs(i).copy(fieldType = TStruct(set(nfs, rest))))
+              case other => throw new IllegalArgumentException(
+                s"$p is not a struct (got $other)")
+            }
+        }
+      s.copy(fields = set(s.fields, parts))
+    }
+
+  /** Change a column's `write-default` (v3): future writes omitting the
+    * column fill with the new value; None clears it. `initial-default`
+    * is immutable after creation — it defines what PRE-EXISTING rows
+    * read, so changing it would rewrite history metadata-only.
+    */
+  def setWriteDefault(name: String, value: Option[String]): Unit =
+    evolveSchema { s =>
+      val f = s.fieldByName(name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+      require(f.fieldType match {
+        case _: TStruct | _: TList | _: TMap => false
+        case _ => true
+      }, s"column $name: defaults are limited to primitive columns")
+      value.foreach { v =>
+        val ok =
+          try {
+            f.fieldType match {
+              case TInt => v.toInt; case TLong => v.toLong
+              case TFloat => v.toFloat; case TDouble => v.toDouble
+              case TBoolean => v.toBoolean
+              case TDate => java.time.LocalDate.parse(v)
+              case _ => ()
+            }
+            true
+          } catch {
+            case _: RuntimeException | _: java.time.DateTimeException =>
+              false
+          }
+        require(ok,
+          s"column $name: default '$v' does not parse as ${f.fieldType}")
+      }
+      val parts = name.split('.').toList
+      def set(fs: Seq[StructField], ps: List[String]): Seq[StructField] =
+        ps match {
+          case leaf :: Nil =>
+            fs.map(x =>
+              if (x.name == leaf) x.copy(writeDefault = value) else x)
+          case p :: rest =>
+            val i = fs.indexWhere(_.name == p)
+            fs(i).fieldType match {
+              case TStruct(nfs) => fs.updated(i,
+                fs(i).copy(fieldType = TStruct(set(nfs, rest))))
+              case other => throw new IllegalArgumentException(
+                s"$p is not a struct (got $other)")
+            }
+        }
+      s.copy(fields = set(s.fields, parts))
+    }
 
   /** Partition-spec evolution (metadata-only, like the reference's
     * plural `partition-specs` + `default-spec-id` at
@@ -5290,7 +5457,10 @@ object GraftTable {
           }
         }: _*)
         when(c.isNull, lit(null).cast(toSparkType(readT))).otherwise(rebuilt)
-      case _ => c
+      // primitive promotion (int->long, float->double, decimal widen):
+      // the file group was read under its write-time type — an exact
+      // widening cast aligns it to the promoted read type
+      case _ => c.cast(toSparkType(readT))
     }
 
   /** The spec an entry's partition values were derived under — static so

@@ -570,6 +570,36 @@ object IcebergQueries {
         FROM part WHERE p_partkey % 2 = 1
         ORDER BY p_partkey""")),
 
+    // Type promotion by field id (the spec's third evolution primitive
+    // after add/rename/drop): int->long, float->double, and decimal
+    // precision widening. Files written under the OLD types keep
+    // reading through the promoted schema (exact widening alignment),
+    // and the filtered scan proves stats pruning compares old int
+    // bounds against the long predicate correctly across mixed files.
+    GraftQuery(
+      "ice_type_promotion",
+      (s, dir) => {
+        val part = Tables.tbl(s, dir, "part")
+        val v1 = part.select(col("p_partkey"), col("p_size"),
+          col("p_retailprice").cast("float").as("price_f"),
+          col("p_retailprice").cast("decimal(9,2)").as("price_d"))
+        val t = GraftTable.create(s, loc("promote"), v1.schema)
+        t.append(v1.filter(col("p_partkey") % 2 === 0))
+        t.promoteColumn("p_size", org.apache.spark.sql.types.LongType)
+        t.promoteColumn("price_f", org.apache.spark.sql.types.DoubleType)
+        t.promoteColumn("price_d",
+          org.apache.spark.sql.types.DecimalType(18, 2))
+        t.append(part.filter(col("p_partkey") % 2 === 1).select(
+          col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          col("p_retailprice").cast("float").cast("double").as("price_f"),
+          col("p_retailprice").cast("decimal(18,2)").as("price_d")))
+        t.scan().filter(col("p_size") >= 25L).orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+          CAST(CAST(p_retailprice AS REAL) AS DOUBLE) AS price_f,
+          CAST(p_retailprice AS DECIMAL(18,2)) AS price_d
+        FROM part WHERE p_size >= 25 ORDER BY p_partkey""")),
+
     // Sorted write: SortOrder day(l_shipdate) + orderkey clusters files so
     // min/max stats are tight (TableSpec asserts the clustering).
     GraftQuery(

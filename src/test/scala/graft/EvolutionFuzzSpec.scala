@@ -110,4 +110,71 @@ class EvolutionFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzz: type promotion interleaved with appends keeps values exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x9e0407L)
+
+    for (round <- 1 to 3) {
+      val loc = java.nio.file.Files
+        .createTempDirectory(s"promofuzz$round").toString + "/t"
+      val t = GraftTable.create(spark, loc, StructType(Seq(
+        StructField("id", LongType), StructField("n", IntegerType),
+        StructField("f", FloatType),
+        StructField("d", DecimalType(9, 2)))))
+
+      var promoted = false
+      var ids = Vector.empty[Long]
+      var nextId = 0L
+      def batch(k: Int): org.apache.spark.sql.DataFrame = {
+        val rows = (nextId until nextId + k)
+        nextId += k
+        ids ++= rows
+        val base = rows.toDF("id")
+          .withColumn("n", (col("id") % 1000).cast("int"))
+          .withColumn("f", (col("id") % 97).cast("float"))
+          .withColumn("d", (col("id") % 503).cast("decimal(9,2)"))
+        if (!promoted) base
+        else base.select(col("id"), col("n").cast("long").as("n"),
+          col("f").cast("double").as("f"),
+          col("d").cast("decimal(18,2)").as("d"))
+      }
+      val promoteAt = 2 + rnd.nextInt(5)
+      (1 to 8).foreach { step =>
+        if (step == promoteAt) {
+          t.promoteColumn("n", LongType)
+          t.promoteColumn("f", DoubleType)
+          t.promoteColumn("d", DecimalType(18, 2))
+          promoted = true
+        } else t.append(batch(3 + rnd.nextInt(4)))
+      }
+
+      // expected: exact widening — no value changes across promotion
+      val expected = ids.toDF("id")
+        .withColumn("n", col("id") % 1000)
+        .withColumn("f", (col("id") % 97).cast("float").cast("double"))
+        .withColumn("d", (col("id") % 503).cast("decimal(18,2)"))
+      val out = t.scan()
+      assert(out.schema("n").dataType == LongType &&
+        out.schema("f").dataType == DoubleType &&
+        out.schema("d").dataType == DecimalType(18, 2),
+        s"round $round: promoted schema wrong: ${out.schema}")
+      assert(out.exceptAll(expected).isEmpty &&
+        expected.exceptAll(out).isEmpty,
+        s"round $round: engine scan diverged after promotion")
+      // the DSv2 columnar path must agree (it reads old files through
+      // the parquet reader's widening, not the engine's align cast)
+      val dsv2 = spark.read.format("graft").load(loc)
+      assert(dsv2.schema("n").dataType == LongType)
+      assert(dsv2.exceptAll(expected).isEmpty &&
+        expected.exceptAll(dsv2).isEmpty,
+        s"round $round: DSv2 read diverged after promotion")
+      // a predicate over the promoted column plans old int-bounded
+      // files correctly (no silent row loss from stats pruning)
+      val cut = 500L
+      val want = ids.count(_ % 1000 >= cut)
+      assert(t.scan().filter(col("n") >= cut).count() == want)
+      assert(dsv2.filter(col("n") >= cut).count() == want)
+    }
+  }
 }

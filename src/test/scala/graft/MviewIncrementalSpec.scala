@@ -172,6 +172,41 @@ class MviewIncrementalSpec extends SparkSpec {
     assert(score == Map("g0" -> 182.0, "g1" -> 273.0))
   }
 
+  test("expired base snapshots inside the refresh range force full") {
+    val wh = freshCat("mvg")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvg.db")
+    spark.sql("CREATE TABLE mvg.db.t (k BIGINT, grp STRING)")
+    spark.sql("INSERT INTO mvg.db.t SELECT id, concat('g', id % 3) " +
+      "FROM range(300)")
+    spark.sql("CREATE MATERIALIZED VIEW mvg.db.mv AS " +
+      "SELECT grp, COUNT(*) AS n FROM mvg.db.t GROUP BY grp")
+    def got: Map[String, Long] = spark.sql(
+      "SELECT grp, n FROM mvg.db.mv").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+
+    // two append-only commits since the watermark, then expire the
+    // FIRST of them out of the base's retained history: the delta for
+    // (watermark, head] is unrecoverable — the refresh must detect the
+    // gap and recompute instead of committing a silently short MV
+    spark.sql("INSERT INTO mvg.db.t VALUES (1000, 'g0')")
+    spark.sql("INSERT INTO mvg.db.t VALUES (1001, 'g1')")
+    val baseT = graft.table.GraftTable.load(spark,
+      java.nio.file.Paths.get(wh, "db", "t").toString)
+    baseT.expireSnapshots(keepLast = 1)
+    assert(baseT.metadata.snapshots.get.size == 1)
+    val r = refresh("mvg", "db.mv")
+    assert(r.getString(2) == "full",
+      s"expired range must force full, got $r")
+    assert(got == Map("g0" -> 101L, "g1" -> 101L, "g2" -> 100L))
+
+    // the full fallback re-seeded state at the new head: a retained
+    // append-only delta refreshes incrementally again
+    spark.sql("INSERT INTO mvg.db.t VALUES (1002, 'g2')")
+    val r2 = refresh("mvg", "db.mv")
+    assert(r2.getString(2) == "incremental", s"got $r2")
+    assert(got("g2") == 101L)
+  }
+
   test("MIN/MAX maintain incrementally on appends, fall back on deletes") {
     freshCat("mvx")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mvx.db")

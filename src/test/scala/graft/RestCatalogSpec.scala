@@ -193,4 +193,137 @@ class RestCatalogSpec extends SparkSpec {
         "the DV delete's format bump did not cross the protocol")
     } finally srv.stop()
   }
+
+  test("concurrent metadata evolutions conflict instead of lost-updating") {
+    val (srv, _) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      client.createNamespace(Seq("db"))
+      spark.conf.set("spark.sql.catalog.gre", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gre.uri", srv.uri)
+      spark.sql("CREATE TABLE gre.db.t (id BIGINT, v DOUBLE)")
+      val (_, base) = client.loadTable(Seq("db"), "t").get
+
+      // two schema evolutions built against the SAME base: without the
+      // spec's assert-current-schema-id / assert-last-assigned-field-id
+      // both would pass the uuid check and applyUpdates' replace-by-id
+      // fold would silently drop the first commit's schema
+      def evolved(colName: String): graft.model.TableMetadataV2 = {
+        val cur = base.schemas.find(_.schemaId == base.currentSchemaId).get
+        val next = cur.copy(schemaId = cur.schemaId + 1,
+          fields = cur.fields :+ graft.model.StructField(
+            base.lastColumnId + 1, colName, required = false,
+            graft.model.TInt))
+        base.copy(schemas = base.schemas :+ next,
+          currentSchemaId = next.schemaId,
+          lastColumnId = base.lastColumnId + 1)
+      }
+      def post(next: graft.model.TableMetadataV2): Unit = {
+        val ups = RestProtocol.diff(base, next)
+        client.commitTable(Seq("db"), "t",
+          RestProtocol.requirementsFor(base, ups), ups)
+      }
+      post(evolved("a")) // first writer wins
+      val err = intercept[CommitConflictException] { post(evolved("b")) }
+      assert(err.getMessage.contains("schema") ||
+        err.getMessage.contains("field"), err.getMessage)
+      // the first evolution is intact, the loser left no trace
+      val (_, after) = client.loadTable(Seq("db"), "t").get
+      assert(after.currentSchemaId == base.currentSchemaId + 1)
+      assert(after.schemas.exists(_.fields.exists(_.name == "a")))
+      assert(!after.schemas.exists(_.fields.exists(_.name == "b")))
+      // a rebased retry (fresh base) converges
+      spark.sql("ALTER TABLE gre.db.t ADD COLUMN b INT")
+      val (_, fin) = client.loadTable(Seq("db"), "t").get
+      assert(fin.currentSchema.fields.map(_.name).toSet
+        .intersect(Set("a", "b")) == Set("a", "b"))
+    } finally srv.stop()
+  }
+
+  test("views through REST: one commit authority behind the protocol") {
+    val (srv, _) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      client.createNamespace(Seq("db"))
+      spark.conf.set("spark.sql.catalog.grv", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grv.uri", srv.uri)
+      spark.sql("CREATE TABLE grv.db.t (id BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO grv.db.t SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(100)")
+      spark.sql("CREATE VIEW grv.db.big AS " +
+        "SELECT id, v FROM grv.db.t WHERE id >= 50")
+      // visible to a PLAIN REST client: the definition went through the
+      // service, not around it onto local FS
+      assert(client.listViews(Seq("db")) == Seq("big"))
+      val (ver, st) = client.loadView(Seq("db"), "big").get
+      assert(ver == 1 && st.current.sql.contains("id >= 50"))
+      // a SECOND catalog instance over the same service serves it
+      spark.conf.set("spark.sql.catalog.grv2",
+        "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grv2.uri", srv.uri)
+      assert(spark.sql("SELECT COUNT(*) FROM grv2.db.big")
+        .head.getLong(0) == 50L)
+      assert(spark.sql("SHOW VIEWS IN grv2.db").collect()
+        .map(_.getString(1)).toSet == Set("big"))
+      // ALTER VIEW commits version 2 through the protocol
+      spark.sql("ALTER VIEW grv.db.big SET TBLPROPERTIES ('k'='v')")
+      val (v2, st2) = client.loadView(Seq("db"), "big").get
+      assert(v2 == 2 && st2.current.properties.get("k").contains("v"))
+      // a stale-base view commit 409s instead of lost-updating
+      intercept[CommitConflictException] {
+        client.commitView(Seq("db"), "big", baseVersion = 1, st2)
+      }
+      // DROP VIEW through the protocol
+      spark.sql("DROP VIEW grv.db.big")
+      assert(!client.viewExists(Seq("db"), "big"))
+      assert(client.listViews(Seq("db")).isEmpty)
+
+      // materialized view through REST: two-phase create — the backing
+      // table stays INVISIBLE to REST clients until the tag commits,
+      // then reads route to it; refresh re-commits through the protocol
+      spark.sql("CREATE MATERIALIZED VIEW grv.db.mv AS " +
+        "SELECT COUNT(*) AS n FROM grv.db.t")
+      assert(spark.sql("SELECT n FROM grv2.db.mv").head.getLong(0)
+        == 100L)
+      assert(client.listViews(Seq("db")) == Seq("mv"))
+      assert(client.listTables(Seq("db")).contains("mv"),
+        "a TAGGED materialized view serves as a table over REST")
+      spark.sql("INSERT INTO grv.db.t VALUES (1000, 1000.0)")
+      spark.sql("CALL grv.system.refresh_mview('db.mv')")
+      assert(spark.sql("SELECT n FROM grv2.db.mv").head.getLong(0)
+        == 101L)
+    } finally srv.stop()
+  }
+
+  test("set-snapshot-ref rollback keeps the snapshot-log monotonic") {
+    val (srv, _) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      client.createNamespace(Seq("db"))
+      spark.conf.set("spark.sql.catalog.grl", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grl.uri", srv.uri)
+      spark.sql("CREATE TABLE grl.db.t (id BIGINT)")
+      spark.sql("INSERT INTO grl.db.t VALUES (1)")
+      Thread.sleep(5)
+      spark.sql("INSERT INTO grl.db.t VALUES (2)")
+      val (_, meta) = client.loadTable(Seq("db"), "t").get
+      val snaps = meta.snapshots.get.sortBy(_.sequenceNumber)
+      // roll main back to the FIRST snapshot: the appended log entry
+      // records when main MOVED (server time), not the old snapshot's
+      // creation time — the log stays monotonic per the metadata spec
+      val u = graft.model.Json.obj
+      u.put("action", "set-snapshot-ref")
+      u.put("ref-name", "main")
+      u.put("type", "branch")
+      u.put("snapshot-id", snaps.head.snapshotId)
+      val before = System.currentTimeMillis
+      val after = RestProtocol.applyUpdates(meta, Seq(u))
+      val log = after.snapshotLog.get
+      assert(log.last.snapshotId == snaps.head.snapshotId)
+      assert(log.last.timestampMs >= before,
+        "rollback log entry must carry the move time")
+      assert(log.map(_.timestampMs) == log.map(_.timestampMs).sorted,
+        s"snapshot-log timestamps not monotonic: $log")
+    } finally srv.stop()
+  }
 }

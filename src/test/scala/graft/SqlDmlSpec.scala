@@ -195,6 +195,117 @@ class SqlDmlSpec extends SparkSpec {
       s"defaulted MIN/MAX wrong: $mm")
   }
 
+  test("ALTER COLUMN TYPE promotes; old files read through; narrowing refuses") {
+    val t = freshTable("promo")
+    spark.sql(s"ALTER TABLE gdml.db.$t ADD COLUMN n INT")
+    spark.sql(s"INSERT INTO gdml.db.$t VALUES " +
+      "(200, 'even', 200.0, 2000000000)")
+    spark.sql(s"ALTER TABLE gdml.db.$t ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table(s"gdml.db.$t").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a value beyond int range lands in the promoted column
+    spark.sql(s"INSERT INTO gdml.db.$t VALUES " +
+      "(201, 'odd', 201.0, 9000000000)")
+    // filtered scan across MIXED files: the int-typed file's bounds
+    // must compare correctly against the long predicate
+    val got = spark.sql(s"SELECT id FROM gdml.db.$t " +
+      "WHERE n >= 2000000000 ORDER BY id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(200L, 201L), got.mkString(","))
+    assert(spark.sql(s"SELECT COUNT(*) FROM gdml.db.$t WHERE n IS NULL")
+      .head.getLong(0) == 100L)
+    // narrowing refuses at Spark's own analyzer (double -> float is not
+    // an up-cast) — defense above the catalog
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gdml.db.$t ALTER COLUMN qty TYPE FLOAT") }
+    assert(err.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      err.getMessage)
+    // long -> double IS a Spark up-cast but NOT an Iceberg promotion:
+    // the catalog's own guard must refuse it
+    val errL = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gdml.db.$t ALTER COLUMN n TYPE DOUBLE") }
+    assert(errL.getMessage.contains("illegal type promotion"),
+      errL.getMessage)
+    // prove the decimal-widening arm too
+    spark.sql(s"ALTER TABLE gdml.db.$t ADD COLUMN price DECIMAL(9,2)")
+    spark.sql(s"INSERT INTO gdml.db.$t VALUES " +
+      "(202, 'even', 202.0, 1, 1234567.89)")
+    spark.sql(
+      s"ALTER TABLE gdml.db.$t ALTER COLUMN price TYPE DECIMAL(18,2)")
+    spark.sql(s"INSERT INTO gdml.db.$t VALUES " +
+      "(203, 'odd', 203.0, 2, 9876543210987654.32)")
+    val prices = spark.sql(s"SELECT price FROM gdml.db.$t " +
+      "WHERE price IS NOT NULL ORDER BY price").collect()
+      .map(_.getDecimal(0).toPlainString)
+    assert(prices.toSeq == Seq("1234567.89", "9876543210987654.32"))
+    // scale change passes Spark's up-cast check but is not an Iceberg
+    // promotion — the catalog's guard refuses
+    val err2 = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE gdml.db.$t ALTER COLUMN price TYPE DECIMAL(20,4)") }
+    assert(err2.getMessage.contains("illegal type promotion"),
+      err2.getMessage)
+  }
+
+  test("nested-column DDL through SQL: add/rename/drop inside a struct") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gdml.db.nest")
+    spark.sql("""CREATE TABLE gdml.db.nest
+      (id BIGINT, s STRUCT<a: INT, b: STRING>)""")
+    spark.sql("INSERT INTO gdml.db.nest VALUES " +
+      "(1, named_struct('a', 10, 'b', 'x'))")
+    // add INSIDE the struct: old files' structs null-fill the new field
+    spark.sql("ALTER TABLE gdml.db.nest ADD COLUMN s.c DOUBLE")
+    spark.sql("INSERT INTO gdml.db.nest VALUES " +
+      "(2, named_struct('a', 20, 'b', 'y', 'c', 2.5))")
+    val r1 = spark.sql(
+      "SELECT id, s.a, s.c FROM gdml.db.nest ORDER BY id").collect()
+    assert(r1.map(_.getInt(1)).toSeq == Seq(10, 20))
+    assert(r1(0).isNullAt(2) && r1(1).getDouble(2) == 2.5)
+    // rename inside the struct: field id stable, old rows keep serving
+    spark.sql("ALTER TABLE gdml.db.nest RENAME COLUMN s.a TO a2")
+    val r2 = spark.sql(
+      "SELECT s.a2 FROM gdml.db.nest ORDER BY id").collect()
+    assert(r2.map(_.getInt(0)).toSeq == Seq(10, 20))
+    // drop inside the struct
+    spark.sql("ALTER TABLE gdml.db.nest DROP COLUMN s.b")
+    val fields = spark.table("gdml.db.nest").schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    assert(fields.toSeq == Seq("a2", "c"), fields.mkString(","))
+    assert(spark.sql("SELECT COUNT(*) FROM gdml.db.nest")
+      .head.getLong(0) == 2L)
+  }
+
+  test("ALTER COLUMN nullability and SET/DROP DEFAULT through SQL") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gdml.db.nn")
+    spark.sql(
+      "CREATE TABLE gdml.db.nn (id BIGINT NOT NULL, v DOUBLE, g STRING)")
+    spark.sql("INSERT INTO gdml.db.nn VALUES (1, 1.0, 'a')")
+    // required -> optional is a metadata-only relaxation
+    spark.sql("ALTER TABLE gdml.db.nn ALTER COLUMN id DROP NOT NULL")
+    assert(spark.table("gdml.db.nn").schema("id").nullable)
+    // optional -> required would assert a fact about written rows no
+    // metadata commit can establish — Spark's analyzer already refuses
+    // (and the engine's setColumnNullability guards the direct API)
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE gdml.db.nn ALTER COLUMN v SET NOT NULL") }
+    assert(err.getMessage.contains("non-nullable"), err.getMessage)
+    val errEng = intercept[IllegalArgumentException] {
+      GraftTable.load(spark, s"$wh/db/nn")
+        .setColumnNullability("v", nullable = false) }
+    assert(errEng.getMessage.contains("required"))
+    // SET DEFAULT on an EXISTING column: future omitting inserts fill,
+    // existing rows are untouched (v3 write-default, not initial)
+    spark.sql("ALTER TABLE gdml.db.nn ALTER COLUMN g SET DEFAULT 'zz'")
+    spark.sql("INSERT INTO gdml.db.nn (id, v) VALUES (2, 2.0)")
+    // DROP DEFAULT: later omitting inserts go back to null
+    spark.sql("ALTER TABLE gdml.db.nn ALTER COLUMN g DROP DEFAULT")
+    spark.sql("INSERT INTO gdml.db.nn (id, v) VALUES (3, 3.0)")
+    val gs = spark.sql("SELECT g FROM gdml.db.nn ORDER BY id").collect()
+      .map(r => Option(r.getString(0)))
+    assert(gs.toSeq == Seq(Some("a"), Some("zz"), None), gs.mkString(","))
+  }
+
   test("SQL time travel and TRUNCATE through the catalog") {
     val t = freshTable("tt")
     val loc = s"$wh/db/$t"
@@ -616,12 +727,47 @@ class SqlDmlSpec extends SparkSpec {
       Seq((2L, "b", s3.snapshotId), (3L, "c", s4.snapshotId)))
     // empty range → empty changelog with the full schema
     assert(t.changes(s4.snapshotId, s4.snapshotId).count() == 0)
+    // ancestry-scoped: a branch commit shares the table-global sequence
+    // domain but is NOT part of main's lineage — it must not appear
+    t.createBranch("side", s4.snapshotId)
+    t.appendToBranch("side", Seq((90L, "z", 9.0)).toDF("id", "k", "v"))
+    val s4b = t.append(Seq((5L, "e", 5.0)).toDF("id", "k", "v"))
+    val ids = t.changes(s4.snapshotId, s4b.snapshotId).collect()
+      .map(_.getAs[Long]("id")).toSeq
+    assert(ids == Seq(5L), s"branch commit leaked into main CDC: $ids")
     // CoW commits are rejected loudly
     t.deleteWhere(col("id") === 1L)
     val s5 = GraftTable.load(spark, loc).metadata.currentSnapshotId.get
     val err = intercept[IllegalArgumentException] {
       t.changes(s1.snapshotId, s5).collect() }
     assert(err.getMessage.contains("copy-on-write"))
+  }
+
+  test("changes(): an expired ancestor inside the range refuses loudly") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-cdc-gap").toString + "/t"
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 1.0)).toDF("id", "v").schema)
+    val s1 = t.append(Seq((1L, 1.0)).toDF("id", "v"))
+    t.append(Seq((2L, 2.0)).toDF("id", "v"))
+    val s3 = t.append(Seq((3L, 3.0)).toDF("id", "v"))
+    val fromSeq = s1.sequenceNumber
+    // sanity: the full range reads before expiry
+    val t1 = GraftTable.load(spark, loc)
+    assert(t1.changesBySeq(fromSeq, s3.snapshotId).collect()
+      .map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
+    // expire the middle commit: its changes are gone forever — a
+    // consumer asking for the range must hear that, not get a delta
+    // silently missing id=2
+    t1.expireSnapshots(keepLast = 1)
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.metadata.snapshots.get.size == 1)
+    val err = intercept[IllegalStateException] {
+      t2.changesBySeq(fromSeq, s3.snapshotId) }
+    assert(err.getMessage.contains("incomplete"))
+    // a range starting at the last retained ancestor still reads
+    assert(t2.changesBySeq(s3.sequenceNumber, s3.snapshotId).count() == 0)
   }
 
   test("engine updateWhere: null condition rows are not matched") {
