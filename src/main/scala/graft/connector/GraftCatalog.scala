@@ -461,6 +461,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameView(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
+    restClient.foreach { c =>
+      if (!c.viewExists(oldIdent.namespace.toSeq, oldIdent.name))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(oldIdent)
+      if (c.viewExists(newIdent.namespace.toSeq, newIdent.name))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(newIdent)
+      c.renameView(oldIdent.namespace.toSeq, oldIdent.name,
+        newIdent.namespace.toSeq, newIdent.name)
+      return
+    }
     // unlike tables, a PLAIN view's metadata holds only SQL text — no
     // pinned absolute data paths — so a directory move IS a correct
     // rename. A MATERIALIZED view carries a backing table whose

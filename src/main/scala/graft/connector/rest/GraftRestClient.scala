@@ -200,6 +200,19 @@ private[graft] class GraftRestClient(baseUri: String) {
     if (code != 200) fail(code, body, "commitView")
   }
 
+  def renameView(srcNs: Seq[String], srcName: String,
+      dstNs: Seq[String], dstName: String): Unit = {
+    val o = Json.obj
+    val s = o.putObject("source")
+    val sn = s.putArray("namespace"); srcNs.foreach(sn.add)
+    s.put("name", srcName)
+    val d = o.putObject("destination")
+    val dn = d.putArray("namespace"); dstNs.foreach(dn.add)
+    d.put("name", dstName)
+    val (code, body) = request("POST", "/v1/views/rename", Some(o))
+    if (code != 204) fail(code, body, "renameView")
+  }
+
   def dropView(ns: Seq[String], name: String): Boolean = {
     val (code, body) = request("DELETE",
       s"/v1/namespaces/${nsPath(ns)}/views/${enc(name)}")

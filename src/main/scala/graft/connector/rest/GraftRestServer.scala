@@ -181,6 +181,37 @@ private[graft] class GraftRestServer(warehouse: String) {
         case ("POST", Seq("namespaces", ns, "views")) =>
           createView(ex, splitNs(ns))
 
+        case ("POST", Seq("views", "rename")) =>
+          val body = Json.parse(new String(
+            ex.getRequestBody.readAllBytes(), "UTF-8"))
+          def ident(k: String): (Seq[String], String) = {
+            val n = body.path(k)
+            (n.path("namespace").elements.asScala.map(_.asText).toSeq,
+              n.path("name").asText)
+          }
+          val (sns, sname) = ident("source")
+          val (dns, dname) = ident("destination")
+          val from = tableDir(sns, sname)
+          val to = tableDir(dns, dname)
+          if (!graft.connector.GraftViews.isViewDir(from))
+            return error(ex, 404, "NoSuchViewException",
+              s"view ${sns.mkString(".")}.$sname not found")
+          // a materialized view's backing table pins absolute paths — a
+          // dir move would orphan every manifest entry
+          if (FileMetadataIo.latest(from.toString).isDefined)
+            return error(ex, 400, "BadRequestException",
+              "a materialized view cannot be renamed: its backing " +
+                "table pins absolute paths")
+          if (graft.connector.GraftViews.isViewDir(to) ||
+              FileMetadataIo.latest(to.toString).isDefined)
+            return error(ex, 409, "AlreadyExistsException",
+              s"${dns.mkString(".")}.$dname already exists")
+          if (!Files.isDirectory(nsDir(dns)))
+            return error(ex, 404, "NoSuchNamespaceException",
+              s"namespace ${dns.mkString(".")} not found")
+          Files.move(from, to)
+          ex.sendResponseHeaders(204, -1)
+
         case ("GET" | "HEAD", Seq("namespaces", ns, "views", v)) =>
           val loc = tableDir(splitNs(ns), v)
           graft.connector.GraftViews.loadWithVersion(loc) match {

@@ -1721,7 +1721,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
         val s = cur.get
         chain += s
         cur = s.parentSnapshotId match {
-          case None => None // table start: nothing precedes it
+          case None => None // table's first commit: nothing precedes it
           case Some(p) => meta.snapshotById(p) match {
             case some @ Some(_) => some
             case None =>
@@ -1737,6 +1737,21 @@ class GraftTable private (val spark: SparkSession, val location: String,
           }
         }
       }
+      // the walk must land EXACTLY on fromSeq (or the table's first
+      // commit): bottoming out on a retained ancestor with a SMALLER
+      // sequence means the fromSeq commit is not on toSnapshot's
+      // lineage — it was rolled back — and a consumer anchored there
+      // (an MV's state, a stream's offset) holds rows this lineage
+      // never produced; a delta can't reconcile that.
+      // (reaching the table's FIRST commit without crossing fromSeq is
+      // fine: nothing existed at fromSeq, the chain is the whole history)
+      cur.filter(s => s.sequenceNumber < fromSeq && fromSeq > 0)
+        .foreach { s =>
+          throw new IllegalStateException(
+            s"changelog start $fromSeq is not on snapshot " +
+              s"$toSnapshotId's ancestry (nearest ancestor: sequence " +
+              s"${s.sequenceNumber}) — the range was rolled back")
+        }
       chain.result().sortBy(_.sequenceNumber)
     }
     // net-changes: replace commits move bytes, not rows — skip them

@@ -177,4 +177,34 @@ class EvolutionFuzzSpec extends SparkSpec {
       assert(dsv2.filter(col("n") >= cut).count() == want)
     }
   }
+
+  test("promotion composes with equality deletes and bucket partitioning") {
+    import spark.implicits._
+    import graft.model.TBucket
+    val loc = java.nio.file.Files
+      .createTempDirectory("promo-eq").toString + "/t"
+    val df0 = (0L until 40L).map(i => (i, (i % 100).toInt)).toDF("id", "n")
+    val t = GraftTable.create(spark, loc, df0.schema,
+      partitionBy = Seq(("n", TBucket(4), "n_bucket")))
+    t.append(df0)
+    // equality deletes keyed on the INT column, before promotion
+    t.deleteWhereEq(Seq(5, 7).toDF("n"))
+    t.promoteColumn("n", LongType)
+    // the old delete files carry int keys; the promoted read joins them
+    // against the long column — Spark's widening coercion is exact, so
+    // pre-promotion deletes keep applying after the promotion
+    t.append(Seq((100L, 5L), (101L, 9L)).toDF("id", "n"))
+    t.deleteWhereEq(Seq(9L).toDF("n"))
+    val got = t.scan().select("id").collect().map(_.getLong(0)).toSet
+    val expect = (0L until 40L).toSet -- Set(5L, 7L, 9L) + 100L
+    assert(got == expect, s"diff: ${got.diff(expect)} / ${expect.diff(got)}")
+    // bucket[4] hashes int AS long (Iceberg spec): partition pruning on
+    // the promoted column stays correct AND effective across files
+    // written under both types
+    assert(t.scan().filter(col("n") === 12L).count() == 1)
+    val all = t.planFiles().size
+    val kept = t.planFiles(Some(col("n") === 12L)).size
+    assert(kept < all,
+      s"bucket pruning ineffective after promotion: $kept/$all files")
+  }
 }

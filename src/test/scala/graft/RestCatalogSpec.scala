@@ -273,9 +273,15 @@ class RestCatalogSpec extends SparkSpec {
       intercept[CommitConflictException] {
         client.commitView(Seq("db"), "big", baseVersion = 1, st2)
       }
-      // DROP VIEW through the protocol
-      spark.sql("DROP VIEW grv.db.big")
+      // rename through the protocol's /views/rename route
+      spark.sql("ALTER VIEW grv.db.big RENAME TO grv.db.big2")
       assert(!client.viewExists(Seq("db"), "big"))
+      assert(client.listViews(Seq("db")) == Seq("big2"))
+      assert(spark.sql("SELECT COUNT(*) FROM grv2.db.big2")
+        .head.getLong(0) == 50L)
+      // DROP VIEW through the protocol
+      spark.sql("DROP VIEW grv.db.big2")
+      assert(!client.viewExists(Seq("db"), "big2"))
       assert(client.listViews(Seq("db")).isEmpty)
 
       // materialized view through REST: two-phase create — the backing

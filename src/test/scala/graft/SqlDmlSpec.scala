@@ -770,6 +770,30 @@ class SqlDmlSpec extends SparkSpec {
     assert(t2.changesBySeq(s3.sequenceNumber, s3.snapshotId).count() == 0)
   }
 
+  test("changes(): a rolled-back start sequence refuses loudly") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-cdc-rb").toString + "/t"
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 1.0)).toDF("id", "v").schema)
+    val s1 = t.append(Seq((1L, 1.0)).toDF("id", "v"))
+    val s2 = t.append(Seq((2L, 2.0)).toDF("id", "v"))
+    t.rollbackTo(s1.snapshotId)
+    val s4 = t.append(Seq((4L, 4.0)).toDF("id", "v"))
+    // a consumer anchored at the ABANDONED s2 (an MV watermark, a
+    // stream offset) cannot be served a delta: its state holds rows
+    // this lineage never produced
+    val err = intercept[IllegalStateException] {
+      GraftTable.load(spark, loc)
+        .changesBySeq(s2.sequenceNumber, s4.snapshotId) }
+    assert(err.getMessage.contains("rolled back"), err.getMessage)
+    // anchored at the restored ancestor, the delta is exactly the
+    // post-rollback append
+    val ok = GraftTable.load(spark, loc)
+      .changesBySeq(s1.sequenceNumber, s4.snapshotId).collect()
+    assert(ok.map(_.getAs[Long]("id")).toSeq == Seq(4L))
+  }
+
   test("engine updateWhere: null condition rows are not matched") {
     import spark.implicits._
     val loc = java.nio.file.Files
