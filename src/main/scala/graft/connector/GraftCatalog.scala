@@ -429,22 +429,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val prev = loadViewState(ident).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchViewException(ident))
-    var props = prev.current.properties
-    changes.foreach {
-      case s: ViewChange.SetProperty => props += s.property -> s.value
-      case r: ViewChange.RemoveProperty => props -= r.property
-      case other => throw new UnsupportedOperationException(
-        s"ALTER VIEW change not supported: $other")
+    // optimistic-commit retry like table commits: a racing view commit
+    // loses the version claim (file CREATE_NEW or REST 409) — re-derive
+    // the change against the FRESH state and try again
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val prev = loadViewState(ident).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(ident))
+      var props = prev.current.properties
+      changes.foreach {
+        case s: ViewChange.SetProperty => props += s.property -> s.value
+        case r: ViewChange.RemoveProperty => props -= r.property
+        case other => throw new UnsupportedOperationException(
+          s"ALTER VIEW change not supported: $other")
+      }
+      val next = prev.current.copy(
+        versionId = prev.versions.map(_.versionId).max + 1,
+        timestampMs = System.currentTimeMillis(),
+        operation = "alter", properties = props)
+      try {
+        val st = commitViewState(ident, Some(prev), next)
+        return new GraftView(ident.name, st.current)
+      } catch {
+        case _: graft.table.CommitConflictException |
+            _: java.nio.file.FileAlreadyExistsException
+            if attempts < 10 =>
+          Thread.sleep(5L * attempts + scala.util.Random.nextInt(20))
+      }
     }
-    val next = prev.current.copy(
-      versionId = prev.versions.map(_.versionId).max + 1,
-      timestampMs = System.currentTimeMillis(),
-      operation = "alter", properties = props)
-    val st = commitViewState(ident, Some(prev), next)
-    new GraftView(ident.name, st.current)
+    throw new IllegalStateException("unreachable")
   }
 
   override def dropView(ident: Identifier): Boolean = {

@@ -177,6 +177,10 @@ class RestCatalogSpec extends SparkSpec {
       // through the commit protocol
       spark.sql("DELETE FROM grd.db.t WHERE id < 20")
       spark.sql("ALTER TABLE grd.db.t ADD COLUMN tag STRING")  // schema
+      // type promotion crosses the protocol as add-schema too: old
+      // int-typed files still read after the widened schema commits
+      spark.sql("ALTER TABLE grd.db.t ADD COLUMN cnt INT")
+      spark.sql("ALTER TABLE grd.db.t ALTER COLUMN cnt TYPE BIGINT")
       spark.sql("ALTER TABLE grd.db.t SET TBLPROPERTIES ('k'='v')")
       spark.sql("ALTER TABLE grd.db.t UNSET TBLPROPERTIES ('k')")
       spark.sql("CALL grd.system.create_tag('db.t', 'audit')") // ref
@@ -188,7 +192,10 @@ class RestCatalogSpec extends SparkSpec {
       val client = new GraftRestClient(srv.uri)
       val (_, meta) = client.loadTable(Seq("db"), "t").get
       assert(meta.refs.exists(_.contains("audit")))
-      assert(meta.schemas.map(_.schemaId).max == 1)
+      assert(meta.schemas.map(_.schemaId).max == 3)
+      assert(meta.currentSchema.fieldByName("cnt")
+        .exists(_.fieldType == graft.model.TLong),
+        "type promotion did not cross the protocol")
       assert(meta.formatVersion == 3,
         "the DV delete's format bump did not cross the protocol")
     } finally srv.stop()
