@@ -527,7 +527,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident.name, resolveGraftTable).getOrElse(
+    GraftProcedures.load(ident.name, resolveGraftTable,
+      locate = s => {
+        val parts = s.split('.')
+        val id = Identifier.of(parts.dropRight(1), parts.last)
+        require(!tableExists(id) && !viewExists(id),
+          s"$s already exists in catalog $catalogName")
+        tablePath(id).toString
+      }).getOrElse(
       throw new RuntimeException(s"no such procedure ${ident.name}"))
 
   // --------------------------------------------------------- functions ----
@@ -561,6 +568,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
+    restClient.foreach { c =>
+      if (!c.namespaceExists(namespace.toSeq))
+        throw new NoSuchNamespaceException(namespace)
+      return c.listNamespaces(namespace.toSeq).map(_.toArray).toArray
+    }
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
     val ls = Files.list(dir)
@@ -599,6 +611,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
+    restClient.foreach { c =>
+      val ns = namespace.toSeq
+      if (!c.namespaceExists(ns)) return false
+      if (cascade) {
+        // cascade through the PROTOCOL: children drop as first-class
+        // protocol operations, never as a filesystem walk around it
+        c.listTables(ns).foreach(t => c.dropTable(ns, t))
+        c.listViews(ns).foreach(v => c.dropView(ns, v))
+        c.listNamespaces(ns).foreach(child =>
+          dropNamespace(child.toArray, cascade = true))
+      }
+      return c.dropNamespace(ns)
+    }
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
     if (!Files.isDirectory(dir)) return false
     val ls = Files.list(dir)

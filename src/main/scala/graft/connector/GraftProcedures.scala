@@ -33,7 +33,7 @@ object GraftProcedures {
     "create_changelog_view", "set_sort_order", "evolve_partition_spec",
     "rollback_to_timestamp", "rewrite_position_deletes",
     "convert_equality_deletes", "compute_partition_stats",
-    "compute_delete_attribution", "refresh_mview")
+    "compute_delete_attribution", "refresh_mview", "register_table")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -69,7 +69,9 @@ object GraftProcedures {
     }
   }
 
-  def load(name: String, resolveTable: String => GraftTable)
+  def load(name: String, resolveTable: String => GraftTable,
+      locate: String => String = _ => throw new UnsupportedOperationException(
+        "this catalog does not resolve table locations"))
       : Option[UnboundProcedure] = {
     def p(n: String, params: Seq[ProcedureParameter],
         out: StructType)(body: (GraftTable, InternalRow) => Seq[Any])
@@ -77,6 +79,40 @@ object GraftProcedures {
       new GraftProcedure(n, params.toArray, out, resolveTable, body)
     val table = ProcedureParameter.in("table", StringType).build()
     name match {
+      // CALL <cat>.system.register_table('db.t', '/path/to/iceberg'):
+      // adopt an external Iceberg layout INTO this catalog at db.t —
+      // metadata-only (data/delete/DV files referenced at their
+      // absolute paths, never copied); subsequent operations run
+      // natively. The one procedure whose table does not exist yet, so
+      // it resolves a LOCATION instead of a table.
+      case "register_table" => Some(new UnboundProcedure
+          with BoundProcedure {
+        private val outSchema = StructType(Seq(
+          StructField("location", StringType),
+          StructField("data_files", LongType)))
+        override def name(): String = "register_table"
+        override def description(): String =
+          "adopt an external Iceberg table layout into this catalog"
+        override def bind(inputType: StructType): BoundProcedure = this
+        override def parameters(): Array[ProcedureParameter] = Array(
+          table,
+          ProcedureParameter.in("source_dir", StringType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val target = locate(input.getUTF8String(0).toString)
+          val src = input.getUTF8String(1).toString
+          val t = graft.table.IcebergInterop.adoptTable(
+            SparkSession.active, src, target)
+          val row: InternalRow = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(t.location), dataFileCount(t)))
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = outSchema
+            override def description(): String = "graft register_table"
+          }
+          java.util.Collections.singletonList(scan).iterator()
+        }
+      })
       case "expire_snapshots" => Some(p("expire_snapshots",
         Seq(table,
           ProcedureParameter.in("keep_last", IntegerType)

@@ -57,8 +57,10 @@ private[graft] class GraftRestClient(baseUri: String) {
 
   // ------------------------------------------------------ namespaces ----
 
-  def listNamespaces(): Seq[Seq[String]] = {
-    val (code, body) = request("GET", "/v1/namespaces")
+  def listNamespaces(parent: Seq[String] = Seq.empty): Seq[Seq[String]] = {
+    val q = if (parent.isEmpty) ""
+      else s"?parent=${enc(parent.mkString(""))}"
+    val (code, body) = request("GET", s"/v1/namespaces$q")
     if (code != 200) fail(code, body, "listNamespaces")
     body.path("namespaces").elements.asScala
       .map(_.elements.asScala.map(_.asText).toSeq).toSeq

@@ -71,9 +71,20 @@ private[graft] class GraftRestServer(warehouse: String) {
           reply(ex, 200, o)
 
         case ("GET", Seq("namespaces")) =>
+          // ?parent=a%1Fb lists CHILD namespaces (the spec's multi-level
+          // namespace listing); without it, the top level
+          val parent = Option(ex.getRequestURI.getQuery)
+            .flatMap(_.split('&').collectFirst {
+              case q if q.startsWith("parent=") => splitNs(
+                URLDecoder.decode(q.stripPrefix("parent=")
+                  .replace("+", "%2B"), "UTF-8"))
+            }).getOrElse(Seq.empty)
+          if (parent.nonEmpty && !Files.isDirectory(nsDir(parent)))
+            return error(ex, 404, "NoSuchNamespaceException",
+              s"namespace ${parent.mkString(".")} not found")
           val o = Json.obj
           val arr = o.putArray("namespaces")
-          listNamespaces().foreach { ns =>
+          listNamespaces(parent).foreach { ns =>
             val a = arr.addArray(); ns.foreach(a.add) }
           reply(ex, 200, o)
 
@@ -418,13 +429,18 @@ private[graft] class GraftRestServer(warehouse: String) {
   /** The REST spec separates multi-level namespace parts with %1F. */
   private def splitNs(ns: String): Seq[String] =
     ns.split('\u001f').toSeq
-  private def listNamespaces(): Seq[Seq[String]] = {
-    val root = Paths.get(warehouse)
+  private def listNamespaces(
+      parent: Seq[String] = Seq.empty): Seq[Seq[String]] = {
+    val root = nsDir(parent)
     if (!Files.isDirectory(root)) return Seq.empty
     val ls = Files.list(root)
-    try ls.iterator.asScala.filter(p => Files.isDirectory(p))
+    // a child dir holding table or view metadata is a TABLE/VIEW, not a
+    // namespace — only plain dirs list as namespaces
+    try ls.iterator.asScala.filter(p => Files.isDirectory(p) &&
+        !Files.isDirectory(p.resolve("metadata")) &&
+        !Files.isDirectory(p.resolve("viewmeta")))
       .filterNot(_.getFileName.toString.startsWith("."))
-      .map(p => Seq(p.getFileName.toString)).toSeq.sortBy(_.mkString)
+      .map(p => parent :+ p.getFileName.toString).toSeq.sortBy(_.mkString)
     finally ls.close()
   }
 

@@ -308,6 +308,33 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("multi-level namespaces through the protocol") {
+    val (srv, _) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      spark.conf.set("spark.sql.catalog.grn", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grn.uri", srv.uri)
+      spark.sql("CREATE NAMESPACE grn.a")
+      spark.sql("CREATE NAMESPACE grn.a.b")
+      spark.sql("CREATE TABLE grn.a.b.t (id BIGINT)")
+      spark.sql("INSERT INTO grn.a.b.t VALUES (1)")
+      assert(client.listNamespaces() == Seq(Seq("a")),
+        "top-level listing must not descend")
+      assert(client.listNamespaces(Seq("a")) == Seq(Seq("a", "b")))
+      // a table dir is a table, not a namespace
+      assert(client.listNamespaces(Seq("a", "b")).isEmpty)
+      assert(spark.sql("SHOW NAMESPACES IN grn.a").collect()
+        .map(_.getString(0)).toSeq == Seq("a.b"))
+      assert(spark.sql("SELECT COUNT(*) FROM grn.a.b.t")
+        .head.getLong(0) == 1L)
+      // cascade drop flows through the protocol: tables, views, child
+      // namespaces, then the namespace itself
+      spark.sql("DROP NAMESPACE grn.a CASCADE")
+      assert(!client.namespaceExists(Seq("a")))
+      assert(!client.namespaceExists(Seq("a", "b")))
+    } finally srv.stop()
+  }
+
   test("set-snapshot-ref rollback keeps the snapshot-log monotonic") {
     val (srv, _) = startServer()
     try {

@@ -306,6 +306,35 @@ class SqlDmlSpec extends SparkSpec {
     assert(gs.toSeq == Seq(Some("a"), Some("zz"), None), gs.mkString(","))
   }
 
+  test("CALL register_table adopts an external Iceberg layout") {
+    import spark.implicits._
+    wh
+    val srcLoc = java.nio.file.Files
+      .createTempDirectory("regsrc").toString + "/t"
+    val df = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val t = GraftTable.create(spark, srcLoc, df.schema)
+    t.append(df)
+    val layout = java.nio.file.Files
+      .createTempDirectory("reglayout").toString
+    graft.table.IcebergInterop.exportTable(t, layout)
+    val out = spark.sql(
+      s"CALL gdml.system.register_table('db.reg', '$layout')").head
+    assert(out.getLong(1) >= 1L, s"no data files adopted: $out")
+    // visible and queryable through the catalog, metadata-only adoption
+    assert(spark.sql("SELECT COUNT(*) FROM gdml.db.reg")
+      .head.getLong(0) == 50L)
+    // fully live: native SQL mutations land on the adopted table
+    spark.sql("INSERT INTO gdml.db.reg VALUES (100, 100.0)")
+    spark.sql("DELETE FROM gdml.db.reg WHERE id <= 10")
+    assert(spark.sql("SELECT COUNT(*) FROM gdml.db.reg")
+      .head.getLong(0) == 41L)
+    // an existing name refuses instead of clobbering
+    val err = intercept[Exception] {
+      spark.sql(
+        s"CALL gdml.system.register_table('db.reg', '$layout')").collect() }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+  }
+
   test("SQL time travel and TRUNCATE through the catalog") {
     val t = freshTable("tt")
     val loc = s"$wh/db/$t"
