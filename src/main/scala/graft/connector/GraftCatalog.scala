@@ -534,7 +534,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!tableExists(id) && !viewExists(id),
           s"$s already exists in catalog $catalogName")
         tablePath(id).toString
-      }).getOrElse(
+      },
+      publish = restClient.map(c => (tables: Seq[String],
+          branch: String) => {
+        rest.GraftTransactions.publishBranches(c, tables.map { s =>
+          val parts = s.split('.').toSeq
+          (parts.dropRight(1), parts.last, branch)
+        })
+        tables.size.toLong
+      })).getOrElse(
       throw new RuntimeException(s"no such procedure ${ident.name}"))
 
   // --------------------------------------------------------- functions ----

@@ -33,7 +33,8 @@ object GraftProcedures {
     "create_changelog_view", "set_sort_order", "evolve_partition_spec",
     "rollback_to_timestamp", "rewrite_position_deletes",
     "convert_equality_deletes", "compute_partition_stats",
-    "compute_delete_attribution", "refresh_mview", "register_table")
+    "compute_delete_attribution", "refresh_mview", "register_table",
+    "publish_transaction")
 
   /** Live data-file count from manifest rollups — O(refs), no entries. */
   private def dataFileCount(t: GraftTable): Long =
@@ -71,7 +72,8 @@ object GraftProcedures {
 
   def load(name: String, resolveTable: String => GraftTable,
       locate: String => String = _ => throw new UnsupportedOperationException(
-        "this catalog does not resolve table locations"))
+        "this catalog does not resolve table locations"),
+      publish: Option[(Seq[String], String) => Long] = None)
       : Option[UnboundProcedure] = {
     def p(n: String, params: Seq[ProcedureParameter],
         out: StructType)(body: (GraftTable, InternalRow) => Seq[Any])
@@ -79,6 +81,44 @@ object GraftProcedures {
       new GraftProcedure(n, params.toArray, out, resolveTable, body)
     val table = ProcedureParameter.in("table", StringType).build()
     name match {
+      // CALL <cat>.system.publish_transaction('db.a,db.b', 'txn'):
+      // atomically fast-forward EVERY listed table's main to its
+      // staging-branch head through the REST transaction endpoint —
+      // the multi-table write-audit-publish pattern. REST-only: a
+      // single commit authority is what makes cross-table atomicity
+      // possible; independent file version claims cannot provide it.
+      case "publish_transaction" => Some(new UnboundProcedure
+          with BoundProcedure {
+        private val outSchema = StructType(Seq(
+          StructField("published_tables", LongType)))
+        override def name(): String = "publish_transaction"
+        override def description(): String =
+          "atomically publish staged branches across tables"
+        override def bind(inputType: StructType): BoundProcedure = this
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("tables", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val tables = input.getUTF8String(0).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val branch = input.getUTF8String(1).toString
+          val n = publish.getOrElse(throw new UnsupportedOperationException(
+            "publish_transaction needs a REST catalog (.uri): only a " +
+              "single commit authority can make a multi-table commit " +
+              "atomic"))(tables, branch)
+          val row: InternalRow =
+            new GenericInternalRow(Array[Any](n))
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = outSchema
+            override def description(): String =
+              "graft publish_transaction"
+          }
+          java.util.Collections.singletonList(scan).iterator()
+        }
+      })
+
       // CALL <cat>.system.register_table('db.t', '/path/to/iceberg'):
       // adopt an external Iceberg layout INTO this catalog at db.t —
       // metadata-only (data/delete/DV files referenced at their

@@ -149,6 +149,25 @@ private[graft] class GraftRestClient(baseUri: String) {
     graft.model.TableMetadataV2.fromJson(body.path("metadata"))
   }
 
+  /** Atomic multi-table commit (REST spec /v1/transactions/commit):
+    * every table's requirements validate against current metadata and
+    * every update list applies, or nothing does.
+    */
+  def commitTransaction(changes: Seq[GraftRestClient.TxnChange]): Unit = {
+    val o = Json.obj
+    val arr = o.putArray("table-changes")
+    changes.foreach { c =>
+      val ch = arr.addObject()
+      val id = ch.putObject("identifier")
+      val na = id.putArray("namespace"); c.ns.foreach(na.add)
+      id.put("name", c.name)
+      val r = ch.putArray("requirements"); c.requirements.foreach(r.add)
+      val u = ch.putArray("updates"); c.updates.foreach(u.add)
+    }
+    val (code, body) = request("POST", "/v1/transactions/commit", Some(o))
+    if (code != 204) fail(code, body, "commitTransaction")
+  }
+
   // ------------------------------------------------------------ views ----
 
   def listViews(ns: Seq[String]): Seq[String] = {
@@ -255,4 +274,10 @@ private[graft] class RestMetadataIo(client: GraftRestClient,
     client.commitTable(ns, name,
       RestProtocol.requirementsFor(baseMeta, updates), updates)
   }
+}
+
+private[graft] object GraftRestClient {
+  /** One table's slice of a multi-table transaction. */
+  case class TxnChange(ns: Seq[String], name: String,
+      requirements: Seq[ObjectNode], updates: Seq[ObjectNode])
 }

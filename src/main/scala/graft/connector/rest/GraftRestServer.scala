@@ -166,6 +166,16 @@ private[graft] class GraftRestServer(warehouse: String) {
         case ("POST", Seq("namespaces", ns, "tables", t)) =>
           commitTable(ex, splitNs(ns), t)
 
+        // Multi-table ATOMIC transaction (the REST spec's
+        // /v1/transactions/commit): validate every table's requirements
+        // against current metadata, apply every update list, then write
+        // all version claims — all-or-nothing under this server's
+        // serial dispatch (the single commit authority is exactly what
+        // makes cross-table atomicity possible at all; independent
+        // file version-claims cannot provide it).
+        case ("POST", Seq("transactions", "commit")) =>
+          commitTransaction(ex)
+
         // ---- views (the REST spec's /v1/.../views surface): list /
         // create / load / commit-replace / drop. View metadata commits
         // flow through here in REST mode — one commit authority for
@@ -396,6 +406,62 @@ private[graft] class GraftRestServer(warehouse: String) {
       case e: CommitConflictException =>
         error(ex, 409, "CommitFailedException", e.getMessage)
     }
+  }
+
+  private def commitTransaction(ex: HttpExchange): Unit = {
+    val body = Json.parse(new String(
+      ex.getRequestBody.readAllBytes(), "UTF-8"))
+    val changes = body.path("table-changes").elements.asScala.toSeq
+    if (changes.isEmpty)
+      return error(ex, 400, "BadRequestException",
+        "transaction carries no table changes")
+    case class Staged(loc: Path, base: (Int, TableMetadataV2),
+      next: TableMetadataV2, ident: String)
+    val staged = Seq.newBuilder[Staged]
+    val seen = scala.collection.mutable.Set.empty[String]
+    // phase 1: validate EVERYTHING against current state; nothing is
+    // written until every table's requirements and updates are clean
+    changes.foreach { ch =>
+      val ns = ch.path("identifier").path("namespace").elements.asScala
+        .map(_.asText).toSeq
+      val name = ch.path("identifier").path("name").asText
+      val ident = (ns :+ name).mkString(".")
+      val loc = tableDir(ns, name)
+      if (!seen.add(loc.toString))
+        return error(ex, 400, "BadRequestException",
+          s"table $ident appears twice in one transaction")
+      val cur = FileMetadataIo.latest(loc.toString).getOrElse(
+        return error(ex, 404, "NoSuchTableException",
+          s"table $ident not found"))
+      val reqs = Option(ch.get("requirements"))
+        .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+      RestProtocol.checkRequirements(Some(cur._2), reqs).foreach(v =>
+        return error(ex, 409, "CommitFailedException", s"$ident: $v"))
+      val next =
+        try RestProtocol.applyUpdates(cur._2,
+          Option(ch.get("updates")).map(_.elements.asScala.toSeq)
+            .getOrElse(Seq.empty))
+        catch {
+          case e: RestProtocol.CommitConflict =>
+            return error(ex, 409, "CommitFailedException",
+              s"$ident: ${e.getMessage}")
+        }
+      staged += Staged(loc, cur,
+        next.copy(lastUpdatedMs = System.currentTimeMillis), ident)
+    }
+    // phase 2: write every claim. The serial dispatcher guarantees no
+    // protocol commit raced phase 1; a claim can only fail if a writer
+    // bypassed the service entirely (out of contract in REST mode).
+    staged.result().foreach { s =>
+      try FileMetadataIo.commit(s.loc.toString, Some(s.base), s.next)
+      catch {
+        case e: CommitConflictException =>
+          return error(ex, 500, "CommitStateUnknownException",
+            s"transaction partially applied at ${s.ident}: a writer " +
+              s"bypassed the catalog service (${e.getMessage})")
+      }
+    }
+    ex.sendResponseHeaders(204, -1)
   }
 
   // --------------------------------------------------------- helpers ----

@@ -308,6 +308,75 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("atomic multi-table transaction: staged branches publish all-or-nothing") {
+    val (srv, wh) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      client.createNamespace(Seq("db"))
+      spark.conf.set("spark.sql.catalog.grx", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grx.uri", srv.uri)
+      spark.sql("CREATE TABLE grx.db.a (id BIGINT)")
+      spark.sql("CREATE TABLE grx.db.b (id BIGINT)")
+      spark.sql("INSERT INTO grx.db.a VALUES (1)")
+      spark.sql("INSERT INTO grx.db.b VALUES (1)")
+      import spark.implicits._
+      def handle(t: String) = GraftTable.load(spark,
+        java.nio.file.Paths.get(wh, "db", t).toString,
+        new RestMetadataIo(client, Seq("db"), t))
+      def count(t: String): Long =
+        spark.sql(s"SELECT COUNT(*) FROM grx.db.$t").head.getLong(0)
+      // stage ingest on per-table branches — ordinary commits, through
+      // the protocol, invisible to main readers
+      spark.sql("CALL grx.system.create_branch('db.a', 'txn')")
+      spark.sql("CALL grx.system.create_branch('db.b', 'txn')")
+      handle("a").appendToBranch("txn", Seq(2L, 3L).toDF("id"))
+      handle("b").appendToBranch("txn", Seq(2L).toDF("id"))
+      assert(count("a") == 1 && count("b") == 1, "staging leaked to main")
+      // ONE atomic transaction publishes both
+      val out = spark.sql(
+        "CALL grx.system.publish_transaction('db.a,db.b', 'txn')").head
+      assert(out.getLong(0) == 2L)
+      assert(count("a") == 3 && count("b") == 2)
+
+      // all-or-nothing: a's slice is valid, b's requirement is stale —
+      // the transaction 409s and NEITHER table moves
+      handle("a").appendToBranch("txn", Seq(10L).toDF("id"))
+      handle("b").appendToBranch("txn", Seq(10L).toDF("id"))
+      def slice(t: String, breakIt: Boolean) = {
+        val (_, meta) = client.loadTable(Seq("db"), t).get
+        val refs = meta.refs.get
+        val upd = graft.model.Json.obj
+        upd.put("action", "set-snapshot-ref")
+        upd.put("ref-name", "main")
+        upd.put("type", "branch")
+        upd.put("snapshot-id", refs("txn").snapshotId)
+        val req = graft.model.Json.obj
+        req.put("type", "assert-ref-snapshot-id")
+        req.put("ref", "main")
+        req.put("snapshot-id",
+          if (breakIt) -1L else refs("main").snapshotId)
+        GraftRestClient.TxnChange(Seq("db"), t, Seq(req), Seq(upd))
+      }
+      intercept[CommitConflictException] {
+        client.commitTransaction(
+          Seq(slice("a", breakIt = false), slice("b", breakIt = true)))
+      }
+      assert(count("a") == 3 && count("b") == 2,
+        "a partially-failed transaction must move NOTHING")
+
+      // diverged branch refuses (fast-forward rule, per table)
+      spark.sql("INSERT INTO grx.db.b VALUES (99)")
+      val err = intercept[Exception] { spark.sql(
+        "CALL grx.system.publish_transaction('db.a,db.b', 'txn')")
+        .collect() }
+      assert(err.getMessage.contains("not an ancestor"), err.getMessage)
+      assert(count("a") == 3, "refusal must not publish the valid table")
+      // the still-clean table publishes alone
+      spark.sql("CALL grx.system.publish_transaction('db.a', 'txn')")
+      assert(count("a") == 4)
+    } finally srv.stop()
+  }
+
   test("multi-level namespaces through the protocol") {
     val (srv, _) = startServer()
     try {
