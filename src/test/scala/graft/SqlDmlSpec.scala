@@ -333,6 +333,12 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql(
         s"CALL gdml.system.register_table('db.reg', '$layout')").collect() }
     assert(err.getMessage.contains("already exists"), err.getMessage)
+    // multi-table publish needs a single commit authority: a FILE-mode
+    // catalog cannot make it atomic and must refuse, not approximate
+    val err2 = intercept[Exception] {
+      spark.sql(
+        "CALL gdml.system.publish_transaction('db.reg', 'x')").collect() }
+    assert(err2.getMessage.contains("REST catalog"), err2.getMessage)
   }
 
   test("SQL time travel and TRUNCATE through the catalog") {
