@@ -194,6 +194,42 @@ object StreamingQueries {
     (staging.toString, staged)
   }
 
+  /** Stage the documents table as THREE parquet files split on doc_id
+    * ranges, modification-times ordered so the file stream source
+    * ingests them smallest-ids-first — the arrival order the streaming
+    * near-dup key's keep-first-by-id rule assumes.
+    */
+  private def stageDocFeed(s: SparkSession, dir: String): String = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val staging = Files.createTempDirectory("doc-feed")
+    val d = Tables.tbl(s, dir, "documents")
+      .select("doc_id", "source", "text")
+    val b = d.agg(min("doc_id"), max("doc_id")).head()
+    require(!b.isNullAt(0), "documents table is empty")
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (b1, b2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+    val ranges = Seq(col("doc_id") <= b1,
+      col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+    ranges.zipWithIndex.foreach { case (p, i) =>
+      val tmp = staging.resolve(s"tmp-$i")
+      d.filter(p).coalesce(1).write.parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val src = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = staging.resolve(f"docs-$i.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      val w = Files.walk(tmp)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    staging.toString
+  }
+
   /** Clone of the session with spark.sql.shuffle.partitions — which also
     * fixes the STATE STORE partition count at the stream's first batch —
     * sized to the pipeline's key cardinality instead of the batch-shuffle
@@ -530,6 +566,111 @@ object StreamingQueries {
         FROM events, m
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
         GROUP BY event_type, m.mx ORDER BY event_type"""))
+    ,
+
+    // Streaming NEAR-duplicate dedup (MinHash/LSH at ingest): documents
+    // arrive in doc_id-ordered micro-batches; each batch computes the
+    // SAME minhash band signatures as the batch operator, probes an LSH
+    // INDEX TABLE of every previously seen document for candidates,
+    // verifies exact shingle Jaccard, and appends only survivors to the
+    // kept table. Keep rule: a document is dropped iff it near-dups
+    // (jac >= 0.5) ANY smaller-doc_id document — order-independent, so
+    // the streaming answer equals the batch answer the oracle computes
+    // exactly with NO banding (full recall certificate, like
+    // d_dedup_minhash). Scale shape: dedup state is a graft TABLE pair
+    // (band index + shingle sets), not a state store — at 100 TB the
+    // seen-corpus index IS big data; each batch shuffles on band hash
+    // against it and only candidate pairs are ever verified.
+    GraftQuery(
+      "s_dedup_minhash_stream",
+      (s, dir) => {
+        import graft.operators.Dedup
+        val bands = 16
+        val rows = 4
+        val staging = stageDocFeed(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("mh-stream").toString
+        val idx = graft.table.GraftTable.create(s, s"$root/idx",
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("band_id", IntegerType),
+            StructField("band_hash", LongType))))
+        val seen = graft.table.GraftTable.create(s, s"$root/seen",
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("sh", ArrayType(LongType)))))
+        val kept = graft.table.GraftTable.create(s, s"$root/kept",
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("source", StringType))))
+        val stream = s.readStream.schema(fileSchema(s, staging))
+          .option("maxFilesPerTrigger", "1").parquet(staging)
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sigs = batch.select(col("doc_id"), col("source"),
+                Dedup.shingleHashes(col("text"), 3).as("sh"))
+              .withColumn("sig",
+                Dedup.minhashSigFromHashes(col("sh"), bands * rows))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val banded = sigs.select(col("doc_id"),
+              posexplode(transform(sequence(lit(0), lit(bands - 1)),
+                j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows)))))
+                .as(Seq("band_id", "band_hash")))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // candidates against every EARLIER doc (the index) plus
+            // smaller ids within this batch — the union is exactly the
+            // batch operator's banding restricted to a < b
+            val earlier = idx.scan().select(col("doc_id").as("doc_a"),
+                col("band_id"), col("band_hash"))
+              .unionByName(banded.select(col("doc_id").as("doc_a"),
+                col("band_id"), col("band_hash")))
+            val cand = banded.select(col("doc_id").as("doc_b"),
+                col("band_id"), col("band_hash"))
+              .join(earlier, Seq("band_id", "band_hash"))
+              .filter(col("doc_a") < col("doc_b"))
+              .select("doc_a", "doc_b").distinct()
+            val shAll = seen.scan()
+              .unionByName(sigs.select("doc_id", "sh"))
+            val dropped = cand
+              .join(shAll.select(col("doc_id").as("doc_a"),
+                col("sh").as("sh_a")), "doc_a")
+              .join(sigs.select(col("doc_id").as("doc_b"),
+                col("sh").as("sh_b")), "doc_b")
+              .filter(round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4)
+                >= 0.5)
+              .select(col("doc_b").as("doc_id")).distinct()
+            kept.append(sigs.select("doc_id", "source")
+              .join(dropped, Seq("doc_id"), "left_anti"))
+            // EVERY document enters the index: the rule is "any smaller
+            // id", so later docs dedup against dropped ones too
+            idx.append(banded.select("doc_id", "band_id", "band_hash"))
+            seen.append(sigs.select("doc_id", "sh"))
+            sigs.unpersist()
+            banded.unpersist()
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        kept.scan().orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+            string_split(${graft.operators.TextOps.normTextSql}, ' ') AS t
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN list_distinct(
+              list_transform(range(1, len(t) - 1),
+                i -> array_to_string(t[i:i+2], ' ')))
+            ELSE [array_to_string(t, ' ')] END AS sh FROM toks),
+        inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        dropped AS (SELECT DISTINCT c.doc_b FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+                  AS DOUBLE), 4) >= 0.5)
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)
+        ORDER BY d.doc_id"""))
     ,
 
     // Streaming CHANGE DATA FEED: readStream the connector changelog of
