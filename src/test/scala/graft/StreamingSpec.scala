@@ -306,6 +306,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming minhash dedup equals the batch keep-first rule") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val baseA = ("the quick brown fox jumps over the lazy dog " +
+      "and runs far away across the wide green field today ") * 3
+    val baseB = ("deep rivers carve slow canyons through ancient " +
+      "stone while silent owls watch from hollow midnight trees ") * 3
+    val docs = Seq(
+      (1L, "a", baseA + "alpha beta gamma"),
+      (2L, "a", "completely different words entirely here nothing " +
+        "shared with any other document one two three four five six"),
+      (3L, "b", baseB + "delta epsilon zeta"),
+      (5L, "a", baseA + "alpha beta gamma extra"), // near-dup of 1
+      (7L, "b", baseB + "delta epsilon zeta tail"), // near-dup of 3
+      (9L, "c", baseA + "alpha beta gamma")) // exact text of 1
+      .toDF("doc_id", "source", "text")
+    // stage as three doc_id-ordered files: {1,2} -> {3,5} -> {7,9}, so
+    // near-dup pairs SPAN micro-batches (5 vs 1, 7 vs 3, 9 vs 1)
+    val staging = java.nio.file.Files.createTempDirectory("mh-spec")
+    Seq(col("doc_id") <= 2, col("doc_id") > 2 && col("doc_id") <= 5,
+      col("doc_id") > 5).zipWithIndex.foreach { case (p, i) =>
+      import scala.jdk.CollectionConverters._
+      val tmp = staging.resolve(s"tmp-$i")
+      docs.filter(p).coalesce(1).write.parquet(tmp.toString)
+      val ls = java.nio.file.Files.list(tmp)
+      val src = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = staging.resolve(s"docs-$i.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000L + i * 60000L))
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("mh-spec-out").toString
+    graft.streaming.StreamingQueries
+      .runMinhashDedupStream(spark, staging.toString, root)
+    val kept = graft.table.GraftTable
+      .load(spark, s"$root/kept").scan()
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // batch expectation from the SAME pair machinery: drop every doc
+    // that pairs with a smaller id
+    val dropped = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val expected = Set(1L, 2L, 3L, 5L, 7L, 9L) -- dropped
+    assert(kept == expected, s"kept $kept != expected $expected")
+    assert(Set(1L, 2L, 3L).subsetOf(kept) &&
+      Set(5L, 7L, 9L).intersect(kept).isEmpty,
+      s"planted near-dups not dropped: $kept")
+  }
+
   test("sessionizer merges late in-watermark events without splitting") {
     import graft.streaming.{SessState, SessionOut, Sessionizer}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
