@@ -64,7 +64,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** The commit path for tables of this catalog: REST-guarded in REST
     * mode, direct file CREATE_NEW otherwise.
     */
-  private def ioFor(ident: Identifier): graft.table.MetadataIo =
+  private[connector] def ioFor(ident: Identifier): graft.table.MetadataIo =
     restClient.map(c => new rest.RestMetadataIo(c, ident.namespace.toSeq,
       ident.name)).getOrElse(graft.table.FileMetadataIo)
 
@@ -369,7 +369,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         st
       case None =>
         Files.createDirectories(p.getParent)
-        GraftViews.commit(p, prev, next)
+        // the same base-version claim the REST server enforces: a
+        // racing commit since `prev` was loaded must CONFLICT (and let
+        // callers with retry loops re-derive), never be silently
+        // overwritten by a successor built on stale state
+        val st = GraftViews.nextState(p, prev, next)
+        GraftViews.commitState(p,
+          expectedVersion = prev.map(_.versions.size).getOrElse(0), st)
+        st
     }
   }
 
@@ -568,7 +575,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return c.listNamespaces().map(_.toArray).toArray)
     val ls = Files.list(warehouse)
     try ls.iterator.asScala
-      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .filter(p => Files.isDirectory(p) && !isTableDir(p) &&
+        !GraftViews.isViewDir(p))
       .map(p => Array(p.getFileName.toString))
       .toArray
     finally ls.close()
@@ -585,7 +593,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
     val ls = Files.list(dir)
     try ls.iterator.asScala
-      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      // a dir holding table or view metadata is a table/view, never a
+      // namespace (a PLAIN view dir is not a table dir either)
+      .filter(p => Files.isDirectory(p) && !isTableDir(p) &&
+        !GraftViews.isViewDir(p))
       .map(p => namespace :+ p.getFileName.toString)
       .toArray
     finally ls.close()

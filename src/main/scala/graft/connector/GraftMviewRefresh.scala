@@ -376,8 +376,10 @@ private[graft] object GraftMviewRefresh {
       case None =>
         // non-incrementable: recompute, and drop any stale sidecar so a
         // later definition change back to incrementable re-bootstraps
-        analyzedDf.write.format("graft").mode("overwrite")
-          .save(t.location)
+        // engine-level overwrite THROUGH the handle's commit io (the
+        // same one-commit shape the DSv2 overwrite sink produces) — in
+        // REST mode the refresh commits stay behind the protocol
+        t.overwriteWhere(lit(true), analyzedDf)
         val w = mvstateDir(mvDir)
         if (Files.isDirectory(w)) {
           val walk = Files.walk(w)
@@ -385,9 +387,8 @@ private[graft] object GraftMviewRefresh {
             .iterator.asScala.foreach(Files.deleteIfExists(_))
           finally walk.close()
         }
-        val after = GraftTable.load(spark, t.location)
-        RefreshResult(after.metadata.currentSnapshotId.getOrElse(-1L),
-          after.countRows(), "full", -1L)
+        RefreshResult(t.metadata.currentSnapshotId.getOrElse(-1L),
+          t.countRows(), "full", -1L)
 
       case Some(sp) =>
         val baseT = GraftTable.load(spark, sp.baseLocation)
@@ -450,12 +451,10 @@ private[graft] object GraftMviewRefresh {
     val v = nextStateVersion(mvDir)
     newStates.write.parquet(stateDir(mvDir, v).toString)
     val persisted = spark.read.parquet(stateDir(mvDir, v).toString)
-    finals(persisted, sp).write.format("graft").mode("overwrite")
-      .save(t.location)
-    val after = GraftTable.load(spark, t.location)
-    val snap = after.metadata.currentSnapshotId.getOrElse(-1L)
+    t.overwriteWhere(lit(true), finals(persisted, sp))
+    val snap = t.metadata.currentSnapshotId.getOrElse(-1L)
     writeMarker(mvDir, Marker(sp.baseLocation, toSeq, snap, v))
     dropStateVersionsBelow(mvDir, v)
-    RefreshResult(snap, after.countRows(), mode, deltaRows)
+    RefreshResult(snap, t.countRows(), mode, deltaRows)
   }
 }

@@ -436,6 +436,12 @@ case class CreateGraftMaterializedViewCommand(catalog: GraftCatalog,
       analyzed.schema.fields.map(_.copy(nullable = true)))
     val t = graft.table.GraftTable.create(spark, dir.toString,
       relaxed, partitionBy)
+    // This create-window materialization commits DIRECTLY (file io) by
+    // design, even in REST mode: until the materialized tag commits,
+    // the service hides this dir as a table AND refuses protocol
+    // commits to it, so these writes are provably single-writer. Every
+    // post-tag refresh (CALL refresh_mview) resolves its handle through
+    // the catalog's io and commits behind the protocol.
     GraftMviewRefresh.refresh(spark, t, analyzed)
     // phase 3: flip to materialized — reads route to the table only now
     catalog.commitViewState(ident, Some(v1),

@@ -111,19 +111,11 @@ private[graft] object GraftViews {
       versions = prev.map(_.versions).getOrElse(Seq.empty) :+ next,
       currentVersionId = next.versionId)
 
-  /** Append the next version file atomically (CREATE_NEW); the caller
-    * passes the previous state (None for CREATE).
-    */
-  def commit(viewPath: Path, prev: Option[ViewState],
-      next: ViewVersion): ViewState = {
-    val st = nextState(viewPath, prev, next)
-    val dir = metaDir(viewPath)
-    Files.createDirectories(dir)
-    val n = versionFiles(dir).lastOption.map(_._1 + 1).getOrElse(1)
-    Files.writeString(dir.resolve(f"v$n%05d.view-metadata.json"),
-      toJson(st), StandardOpenOption.CREATE_NEW)
-    st
-  }
+  // NOTE: there is deliberately no commit() that numbers the next
+  // version from a fresh directory listing — a stale-base writer would
+  // land as a HIGHER version and silently drop the racing commit's
+  // change. Every commit goes through commitState's base-version claim
+  // (directly in file mode, via the REST server's check in REST mode).
 
   def toJson(st: ViewState): String = {
     val o = Json.obj

@@ -59,7 +59,7 @@ private[graft] class GraftRestClient(baseUri: String) {
 
   def listNamespaces(parent: Seq[String] = Seq.empty): Seq[Seq[String]] = {
     val q = if (parent.isEmpty) ""
-      else s"?parent=${enc(parent.mkString(""))}"
+      else s"?parent=${nsPath(parent)}"
     val (code, body) = request("GET", s"/v1/namespaces$q")
     if (code != 200) fail(code, body, "listNamespaces")
     body.path("namespaces").elements.asScala

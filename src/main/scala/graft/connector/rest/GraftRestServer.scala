@@ -72,8 +72,11 @@ private[graft] class GraftRestServer(warehouse: String) {
 
         case ("GET", Seq("namespaces")) =>
           // ?parent=a%1Fb lists CHILD namespaces (the spec's multi-level
-          // namespace listing); without it, the top level
-          val parent = Option(ex.getRequestURI.getQuery)
+          // namespace listing); without it, the top level. Decode from
+          // the RAW query for the same reason the path uses getRawPath:
+          // getQuery already percent-decodes, and a second pass corrupts
+          // '%'/'+'-bearing names
+          val parent = Option(ex.getRequestURI.getRawQuery)
             .flatMap(_.split('&').collectFirst {
               case q if q.startsWith("parent=") => splitNs(
                 URLDecoder.decode(q.stripPrefix("parent=")
@@ -261,7 +264,8 @@ private[graft] class GraftRestServer(warehouse: String) {
 
         case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
           val loc = tableDir(splitNs(ns), t)
-          if (FileMetadataIo.latest(loc.toString).isEmpty)
+          if (FileMetadataIo.latest(loc.toString).isEmpty ||
+              !tableVisible(loc))
             return error(ex, 404, "NoSuchTableException",
               s"table $ns.$t not found")
           val w = Files.walk(loc)
@@ -331,7 +335,11 @@ private[graft] class GraftRestServer(warehouse: String) {
       .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
     val updates = Option(body.get("updates"))
       .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    // same visibility rule as loads: a half-built materialized view's
+    // backing table takes NO protocol commits until its tag lands —
+    // the create-window materialization is single-writer by exclusion
     val cur = FileMetadataIo.latest(loc.toString)
+      .filter(_ => tableVisible(loc))
     if (cur.isEmpty)
       return error(ex, 404, "NoSuchTableException",
         s"table ${ns.mkString(".")}.$name not found")
@@ -430,9 +438,10 @@ private[graft] class GraftRestServer(warehouse: String) {
       if (!seen.add(loc.toString))
         return error(ex, 400, "BadRequestException",
           s"table $ident appears twice in one transaction")
-      val cur = FileMetadataIo.latest(loc.toString).getOrElse(
-        return error(ex, 404, "NoSuchTableException",
-          s"table $ident not found"))
+      val cur = FileMetadataIo.latest(loc.toString)
+        .filter(_ => tableVisible(loc)).getOrElse(
+          return error(ex, 404, "NoSuchTableException",
+            s"table $ident not found"))
       val reqs = Option(ch.get("requirements"))
         .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
       RestProtocol.checkRequirements(Some(cur._2), reqs).foreach(v =>

@@ -95,6 +95,8 @@ object TextOps {
       "d_bpe_tokenize",
       (s, dir) => {
         val pre = regexp_count(col("text"), lit(bpeRe)).cast("long")
+        // one tokenization pass: the roundtrip check and the returned
+        // rows share the persisted frame (the merge loop is the cost)
         val out = docs(s, dir).select(
           col("doc_id"),
           pre.as("pre_tokens"),
@@ -102,10 +104,14 @@ object TextOps {
           (graft.functions.Bpe.bpeTokens(col("text"), "") ===
             array_join(regexp_extract_all(col("text"), lit(bpeRe),
               lit(0)), "")).as("rt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bad = out.filter(!col("rt") ||
           col("bpe_tokens") < col("pre_tokens")).count()
         require(bad == 0, s"$bad documents fail the BPE roundtrip")
-        out.select("doc_id", "pre_tokens", "bpe_tokens").orderBy("doc_id")
+        val res = out.select("doc_id", "pre_tokens", "bpe_tokens")
+          .orderBy("doc_id").localCheckpoint()
+        out.unpersist()
+        res
       },
       None),
 

@@ -179,9 +179,19 @@ class GraftTable private (val spark: SparkSession, val location: String,
           "added-records" ->
             mine.filter(_.content == 0).map(_.recordCount).sum.toString)
       }
+    // the parent's SEQUENCE rides in the summary so the changelog can
+    // verify range completeness even after the parent snapshot expires
+    // (sequence numbers are table-global — a branch commit may consume
+    // one — so the walk cannot assume lineage sequences are dense)
+    val parentSeqSummary = parentId
+      .flatMap(id => meta.snapshotById(id))
+      .map(p => Map(
+        "parent-sequence-number" -> p.sequenceNumber.toString))
+      .getOrElse(Map.empty)
     val snap = SnapshotV2(snapId, parentId, seq, now,
       manifestListPath(snapId).toString,
-      Summary(Some(op), summaryExtra ++ addedSummary ++ Map(
+      Summary(Some(op), summaryExtra ++ addedSummary ++
+        parentSeqSummary ++ Map(
         "total-data-files" ->
           mrefs.filter(_.content == 0).map(_.entryCount).sum.toString,
         "total-records" ->
@@ -200,8 +210,13 @@ class GraftTable private (val spark: SparkSession, val location: String,
       // v3: the first row id this commit assigned (lineage commits only)
       firstRowId = lineageBase)
     val target = toBranch.getOrElse("main")
-    val refs = meta.refs.getOrElse(Map.empty) +
-      (target -> SnapshotRef(snapId, BranchRetention(1, Long.MaxValue, Long.MaxValue)))
+    // a commit MOVES the target ref; it must not clobber the ref's
+    // declared retention policy (an appendToBranch onto a WAP branch
+    // with a short max-ref-age would otherwise silently pin it forever)
+    val refs0 = meta.refs.getOrElse(Map.empty)
+    val refs = refs0 + (target -> SnapshotRef(snapId,
+      refs0.get(target).map(_.retention)
+        .getOrElse(BranchRetention(1, Long.MaxValue, Long.MaxValue))))
     try writeMetadataAt(meta.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
@@ -1725,14 +1740,39 @@ class GraftTable private (val spark: SparkSession, val location: String,
           case Some(p) => meta.snapshotById(p) match {
             case some @ Some(_) => some
             case None =>
-              // parent expired. Its sequence was < s.sequenceNumber, so
-              // the range is still complete iff s is the first commit
-              // past fromSeq; anything else hides expired changes.
-              if (s.sequenceNumber > fromSeq + 1)
-                throw new IllegalStateException(
-                  s"changelog range ($fromSeq, $toSeq] is incomplete: " +
-                    s"snapshot ${s.snapshotId}'s parent $p was expired " +
-                    "and its changes are unrecoverable")
+              // parent expired. Prefer the EXACT parent sequence the
+              // commit recorded in its summary (sequences are
+              // table-global, so lineage sequences need not be dense —
+              // a branch commit may have consumed one in between);
+              // snapshots from before the summary carried it fall back
+              // to the conservative dense-adjacency rule.
+              s.summary.other
+                .get("parent-sequence-number").map(_.toLong) match {
+                case Some(ps) if ps == fromSeq => // exact landing:
+                  // the expired parent IS the anchor — range complete
+                  // (fromSeq=0 full replay never lands here: ps >= 1,
+                  // so a truncated history falls through to incomplete)
+                case Some(ps) if ps < fromSeq && fromSeq > 0 =>
+                  throw new IllegalStateException(
+                    s"changelog start $fromSeq is not on snapshot " +
+                      s"$toSnapshotId's ancestry (expired ancestor at " +
+                      s"sequence $ps) — the range was rolled back")
+                case Some(_) =>
+                  throw new IllegalStateException(
+                    s"changelog range ($fromSeq, $toSeq] is " +
+                      s"incomplete: snapshot ${s.snapshotId}'s parent " +
+                      s"$p was expired and its changes are " +
+                      "unrecoverable")
+                case None =>
+                  // legacy snapshot without the recorded parent
+                  // sequence: conservative dense-adjacency rule
+                  if (s.sequenceNumber != fromSeq + 1)
+                    throw new IllegalStateException(
+                      s"changelog range ($fromSeq, $toSeq] is " +
+                        s"incomplete: snapshot ${s.snapshotId}'s " +
+                        s"parent $p was expired and its changes are " +
+                        "unrecoverable")
+              }
               None
           }
         }
@@ -3411,6 +3451,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
             fs.map(f => if (f.name == leaf) f.copy(name = to) else f)
           case p :: rest =>
             val i = fs.indexWhere(_.name == p)
+            // a literal dotted COLUMN name resolves via fieldByName but
+            // is not a path — fail usably instead of fs(-1)
+            require(i >= 0, s"no struct $p on path $from")
             fs(i).fieldType match {
               case TStruct(nfs) => fs.updated(i,
                 fs(i).copy(fieldType = TStruct(ren(nfs, rest))))
@@ -3456,6 +3499,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
             fs.map(x => if (x.name == leaf) x.copy(fieldType = toIce) else x)
           case p :: rest =>
             val i = fs.indexWhere(_.name == p)
+            // a literal dotted COLUMN name resolves via fieldByName but
+            // is not a path — fail usably instead of fs(-1)
+            require(i >= 0, s"no struct $p on path $name")
             fs(i).fieldType match {
               case TStruct(nfs) => fs.updated(i,
                 fs(i).copy(fieldType = TStruct(promote(nfs, rest))))
@@ -3791,6 +3837,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
           case leaf :: Nil => fs.filterNot(_.name == leaf)
           case p :: rest =>
             val i = fs.indexWhere(_.name == p)
+            // a literal dotted COLUMN name resolves via fieldByName but
+            // is not a path — fail usably instead of fs(-1)
+            require(i >= 0, s"no struct $p on path $name")
             fs(i).fieldType match {
               case TStruct(nfs) => fs.updated(i,
                 fs(i).copy(fieldType = TStruct(drop(nfs, rest))))
@@ -3822,6 +3871,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
               if (x.name == leaf) x.copy(required = !nullable) else x)
           case p :: rest =>
             val i = fs.indexWhere(_.name == p)
+            // a literal dotted COLUMN name resolves via fieldByName but
+            // is not a path — fail usably instead of fs(-1)
+            require(i >= 0, s"no struct $p on path $name")
             fs(i).fieldType match {
               case TStruct(nfs) => fs.updated(i,
                 fs(i).copy(fieldType = TStruct(set(nfs, rest))))
@@ -3871,6 +3923,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
               if (x.name == leaf) x.copy(writeDefault = value) else x)
           case p :: rest =>
             val i = fs.indexWhere(_.name == p)
+            // a literal dotted COLUMN name resolves via fieldByName but
+            // is not a path — fail usably instead of fs(-1)
+            require(i >= 0, s"no struct $p on path $name")
             fs(i).fieldType match {
               case TStruct(nfs) => fs.updated(i,
                 fs(i).copy(fieldType = TStruct(set(nfs, rest))))

@@ -805,6 +805,33 @@ class SqlDmlSpec extends SparkSpec {
     assert(t2.changesBySeq(s3.sequenceNumber, s3.snapshotId).count() == 0)
   }
 
+  test("changes(): recorded parent sequence rides out branch-made gaps") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-cdc-gapseq").toString + "/t"
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 1.0)).toDF("id", "v").schema)
+    val s1 = t.append(Seq((1L, 1.0)).toDF("id", "v"))
+    // a short-lived branch consumes the table-global sequence 2, so the
+    // MAIN lineage's sequences are 1 -> 3 with no commit at 2
+    t.createBranch("side", s1.snapshotId,
+      graft.model.BranchRetention(1, Long.MaxValue, 1L))
+    t.appendToBranch("side", Seq((50L, 5.0)).toDF("id", "v"))
+    val s3 = t.append(Seq((3L, 3.0)).toDF("id", "v"))
+    Thread.sleep(10)
+    // ONE pass: the side ref ages out (appendToBranch preserved its
+    // 1 ms max-ref-age) and the snapshots it pinned collect with it
+    GraftTable.load(spark, loc).expireSnapshots(keepLast = 1)
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.metadata.snapshots.get.map(_.snapshotId)
+      == Seq(s3.snapshotId), "expiry must leave only the head")
+    // the head's parent (seq 1) is expired and the lineage sequences
+    // are NOT dense — the parent sequence recorded in the commit
+    // summary proves (1, 3] is complete anyway
+    val ch = t2.changesBySeq(s1.sequenceNumber, s3.snapshotId).collect()
+    assert(ch.map(_.getAs[Long]("id")).toSeq == Seq(3L))
+  }
+
   test("changes(): a rolled-back start sequence refuses loudly") {
     import spark.implicits._
     val loc = java.nio.file.Files
