@@ -292,4 +292,36 @@ class ConcurrencySpec extends SparkSpec {
     assert(meta.lastColumnId == all.max,
       "lastColumnId must be the id high-water mark")
   }
+
+  test("concurrent ALTER VIEW property commits serialize via retry") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("conc-view-wh").toString
+    spark.conf.set("spark.sql.catalog.gcv", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcv.db")
+    spark.sql("CREATE TABLE gcv.db.t (id BIGINT)")
+    spark.sql("CREATE VIEW gcv.db.v AS SELECT id FROM gcv.db.t")
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (1 to writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = spark.sql(
+            s"ALTER VIEW gcv.db.v SET TBLPROPERTIES ('k$i' = 'v$i')")
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // every writer's property landed (the base-version claim + retry:
+    // a stale-base commit CONFLICTS and re-derives instead of silently
+    // overwriting the racing winner), and the version history is a
+    // gapless chain — one create plus one version per alter
+    val st = graft.connector.GraftViews.load(
+      java.nio.file.Paths.get(wh, "db", "v")).get
+    val props = st.current.properties
+    (1 to writers).foreach(i => assert(props.get(s"k$i").contains(s"v$i"),
+      s"lost update: k$i missing from $props"))
+    assert(st.versions.size == writers + 1,
+      s"expected ${writers + 1} versions, got ${st.versions.size}")
+  }
 }
