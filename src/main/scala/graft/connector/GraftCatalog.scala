@@ -537,6 +537,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftProcedures.load(ident.name, resolveGraftTable,
       locate = s => {
         val parts = s.split('.')
+        // A dotless name would yield an empty namespace and adopt the
+        // table at the warehouse root, unreachable through the catalog.
+        require(parts.length >= 2,
+          s"table identifier '$s' must be qualified as namespace.table")
         val id = Identifier.of(parts.dropRight(1), parts.last)
         require(!tableExists(id) && !viewExists(id),
           s"$s already exists in catalog $catalogName")

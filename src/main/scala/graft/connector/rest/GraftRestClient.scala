@@ -19,7 +19,12 @@ private[graft] class GraftRestClient(baseUri: String) {
 
   private val http = HttpClient.newHttpClient()
 
-  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  // URLEncoder is form-encoding: a space becomes '+', but the server's
+  // raw-path decode (GraftRestServer) treats '+' as the literal char
+  // (a legal path byte). Re-encode space as %20 so names containing
+  // spaces round-trip; literal '+' itself is form-encoded to %2B.
+  private def enc(s: String): String =
+    URLEncoder.encode(s, "UTF-8").replace("+", "%20")
   private def nsPath(ns: Seq[String]): String =
     enc(ns.mkString("\u001f"))
 

@@ -36,17 +36,48 @@ private[graft] object GraftTransactions {
         throw new IllegalArgumentException(s"$ident has no ref $branch"))
       val mainRef = refs.get("main")
       // main must be an ancestor of the branch head (fast-forward):
-      // walk parent links from the branch head
+      // walk parent links from the branch head. The walk can end three
+      // ways: main found (ok); chain bottomed out on retained
+      // snapshots without main (proven divergence — rebase); or a
+      // parent link points at an EXPIRED snapshot. In the expired case
+      // the commit's recorded parent-sequence-number can still REFUTE
+      // (sequences strictly decrease down any lineage, so a break
+      // strictly below main's sequence proves main was never on it),
+      // but never confirm — so an ambiguous break refuses with an
+      // expiry-specific message. The engine's expire_snapshots pins a
+      // live branch's unpublished lineage down to main precisely so
+      // this case only arises from external/foreign expiry.
       mainRef.foreach { m =>
-        var cur: Option[Long] = Some(branchRef.snapshotId)
-        var ok = false
-        while (cur.isDefined && !ok) {
-          if (cur.contains(m.snapshotId)) ok = true
-          else cur = meta.snapshotById(cur.get)
-            .flatMap(_.parentSnapshotId)
+        val mainSeq = meta.snapshotById(m.snapshotId).map(_.sequenceNumber)
+        var cur = meta.snapshotById(branchRef.snapshotId)
+        var ok = cur.exists(_.snapshotId == m.snapshotId)
+        var broken: Option[(Long, Option[Long])] = None
+        while (!ok && cur.isDefined && broken.isEmpty) {
+          val s = cur.get
+          s.parentSnapshotId match {
+            case None => cur = None
+            case Some(p) if p == m.snapshotId => ok = true
+            case Some(p) => meta.snapshotById(p) match {
+              case some @ Some(_) => cur = some
+              case None => broken = Some((p,
+                s.summary.other.get("parent-sequence-number").map(_.toLong)))
+            }
+          }
         }
-        require(ok, s"$ident: main is not an ancestor of $branch — " +
-          "the branch must be rebased (re-staged), not force-published")
+        if (!ok) broken match {
+          case Some((p, ps))
+              if !ps.exists(s => mainSeq.exists(s < _)) =>
+            throw new IllegalStateException(s"$ident: cannot verify " +
+              s"that main is an ancestor of $branch — ancestor " +
+              s"snapshot $p expired before publish. Re-stage the " +
+              "branch, or keep the staged lineage retained until " +
+              "publish (graft's expire_snapshots does; this table was " +
+              "expired externally)")
+          case _ =>
+            throw new IllegalArgumentException(
+              s"$ident: main is not an ancestor of $branch — the " +
+                "branch must be rebased (re-staged), not force-published")
+        }
       }
       val upd = Json.obj
       upd.put("action", "set-snapshot-ref")

@@ -1765,13 +1765,20 @@ class GraftTable private (val spark: SparkSession, val location: String,
                       "unrecoverable")
                 case None =>
                   // legacy snapshot without the recorded parent
-                  // sequence: conservative dense-adjacency rule
-                  if (s.sequenceNumber != fromSeq + 1)
-                    throw new IllegalStateException(
-                      s"changelog range ($fromSeq, $toSeq] is " +
-                        s"incomplete: snapshot ${s.snapshotId}'s " +
-                        s"parent $p was expired and its changes are " +
-                        "unrecoverable")
+                  // sequence: refuse. Dense adjacency (sequenceNumber
+                  // == fromSeq + 1) is NOT proof of landing — sequences
+                  // are table-global, so a branch commit may have
+                  // consumed fromSeq+1 while this lineage's expired
+                  // parent sat at a different sequence; trusting it
+                  // yields a silently wrong delta. Consumers recompute
+                  // in full instead (new snapshots always record the
+                  // exact parent sequence).
+                  throw new IllegalStateException(
+                    s"changelog range ($fromSeq, $toSeq] is " +
+                      s"incomplete: snapshot ${s.snapshotId}'s " +
+                      s"parent $p was expired and (pre-upgrade " +
+                      "snapshot) its exact parent sequence was not " +
+                      "recorded — changes are unrecoverable")
               }
               None
           }
@@ -4111,15 +4118,33 @@ class GraftTable private (val spark: SparkSession, val location: String,
         meta.snapshotById(r.snapshotId).forall(s =>
           now - s.timestampMs <= maxRefAge)
     }
-    val refKeep: Set[Long] = refs.values.flatMap { r =>
+    // A live branch additionally pins its UNPUBLISHED lineage — every
+    // ancestor down to the first snapshot reachable from main. Publish
+    // (fast-forward / REST transaction) proves "main is an ancestor of
+    // the branch head" by walking parent links; expiring an
+    // intermediate staged commit would break that walk and turn a
+    // legitimate publish into a false conflict (ancestry through an
+    // expired region is unprovable — a fork below main's head would be
+    // indistinguishable from a clean fast-forward). The pin is
+    // metadata-plus-staged-data the branch needs until publish anyway,
+    // and it dies with the ref.
+    val mainReach: Set[Long] = refs.get("main")
+      .map(r => ancestryOf(meta, r.snapshotId).toSet)
+      .getOrElse(Set.empty)
+    val refKeep: Set[Long] = refs.flatMap { case (name, r) =>
       r.retention match {
         case BranchRetention(minKeep, maxSnapAge, _) =>
-          ancestryOf(meta, r.snapshotId).zipWithIndex.collect {
+          val aged = ancestryOf(meta, r.snapshotId).zipWithIndex.collect {
             case (id, i) if i < minKeep ||
               (maxSnapAge != Long.MaxValue &&
                 meta.snapshotById(id).exists(s =>
                   now - s.timestampMs <= maxSnapAge)) => id
           }
+          val staged =
+            if (name == "main") Seq.empty
+            else ancestryOf(meta, r.snapshotId)
+              .takeWhile(id => !mainReach.contains(id))
+          aged ++ staged
         case _: TagRetention => Seq(r.snapshotId)
       }
     }.toSet

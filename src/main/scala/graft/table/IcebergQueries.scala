@@ -593,11 +593,20 @@ object IcebergQueries {
           col("p_partkey"), col("p_size").cast("long").as("p_size"),
           col("p_retailprice").cast("float").cast("double").as("price_f"),
           col("p_retailprice").cast("decimal(18,2)").as("price_d")))
-        t.scan().filter(col("p_size") >= 25L).orderBy("p_partkey")
+        // The mixed-type widened read happens in the scan itself; the
+        // display projection then rounds/casts so the oracle surface
+        // carries no raw DECIMAL or unrounded float-derived double
+        // (SURVEY §5: the driver's hash is dtype-sensitive).
+        t.scan().filter(col("p_size") >= 25L)
+          .select(col("p_partkey"), col("p_size"),
+            round(col("price_f"), 6).as("price_f"),
+            round(col("price_d").cast("double"), 2).as("price_d"))
+          .orderBy("p_partkey")
       },
       Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
-          CAST(CAST(p_retailprice AS REAL) AS DOUBLE) AS price_f,
-          CAST(p_retailprice AS DECIMAL(18,2)) AS price_d
+          ROUND(CAST(CAST(p_retailprice AS REAL) AS DOUBLE), 6) AS price_f,
+          ROUND(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+            AS price_d
         FROM part WHERE p_size >= 25 ORDER BY p_partkey""")),
 
     // Sorted write: SortOrder day(l_shipdate) + orderkey clusters files so

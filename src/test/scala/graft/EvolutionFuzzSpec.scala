@@ -207,4 +207,91 @@ class EvolutionFuzzSpec extends SparkSpec {
     assert(kept < all,
       s"bucket pruning ineffective after promotion: $kept/$all files")
   }
+
+  test("promotion of an identity partition source keeps pruning exact " +
+      "across mixed-typed partition values") {
+    import spark.implicits._
+    import graft.model.TIdentity
+    val loc = java.nio.file.Files
+      .createTempDirectory("promo-idp").toString + "/t"
+    val df0 = (0L until 40L).map(i => (i, (i % 4).toInt)).toDF("id", "n")
+    val t = GraftTable.create(spark, loc, df0.schema,
+      partitionBy = Seq(("n", TIdentity, "n_p")))
+    t.append(df0) // manifests record INT-typed identity partition values
+    t.promoteColumn("n", LongType)
+    t.append(Seq((100L, 2L), (101L, 4L)).toDF("id", "n")) // LONG values
+    val expected = (0L until 40L).map(i => (i, i % 4)).toDF("id", "n")
+      .union(Seq((100L, 2L), (101L, 4L)).toDF("id", "n"))
+    val out = t.scan()
+    assert(out.schema("n").dataType == LongType)
+    assert(out.exceptAll(expected).isEmpty &&
+      expected.exceptAll(out).isEmpty, "values diverged after promotion")
+    // grouping/filtering over a partition value present under BOTH types
+    assert(t.scan().filter(col("n") === 2L).count() == 11)
+    assert(t.scan().filter(col("n") >= 3L).count() == 11)
+    // planFiles pruning is EXACT on the mixed-typed identity values:
+    // kept files are precisely those whose recorded value is 2 — a file
+    // wrongly pruned (old int rendering vs long predicate) would show
+    // up as a set mismatch, not just a count
+    val all = t.planFiles()
+    val kept = t.planFiles(Some(col("n") === 2L))
+    val matching = all.filter(_.partition.get("n_p").flatten.contains("2"))
+    assert(matching.nonEmpty && kept.map(_.path).toSet ==
+      matching.map(_.path).toSet,
+      s"identity pruning drifted: kept=${kept.size} match=${matching.size}")
+    assert(kept.size < all.size, "identity pruning ineffective")
+    // the distributed planning path agrees file-for-file
+    val dkept = t.planFilesDistributed(Some(col("n") === 2L))
+      .collect().map(_.getString(0)).toSet
+    assert(dkept == kept.map(_.path).toSet,
+      "distributed planning diverged on mixed-typed identity values")
+    val dsv2 = spark.read.format("graft").load(loc)
+    assert(dsv2.filter(col("n") === 2L).count() == 11)
+  }
+
+  test("bloom sidecars built on int columns keep pruning after " +
+      "promotion to long") {
+    import spark.implicits._
+    import graft.table.Blooms
+    val loc = java.nio.file.Files
+      .createTempDirectory("promo-bloom").toString + "/t"
+    // round-robin layout: every file spans the whole n range, so min/max
+    // stats prune nothing — any skipping observed is the bloom's
+    val df = (0L until 8000L).map(i => (i, i.toInt)).toDF("id", "n")
+    val t = GraftTable.create(spark, loc, df.schema,
+      properties = Map(Blooms.ColumnsProp -> "n", Blooms.ItemsProp -> "2000"))
+    t.append(df.repartition(8))
+    t.promoteColumn("n", LongType)
+    t.append(Seq((9000L, 9000L)).toDF("id", "n")) // bloom built on LONG
+    val all = t.planFiles().size
+    // a pre-promotion value probed as a LONG literal: the sidecar hashed
+    // the value as int at write time — Blooms canonicalizes integrals to
+    // long on both sides, so the probe must still hit exactly
+    assert(t.scan().filter(col("n") === 123L).count() == 1)
+    val kept = t.planFiles(Some(col("n") === 123L)).size
+    assert(kept <= 3 && kept < all,
+      s"bloom pruning ineffective across promotion: $kept/$all files")
+    // and a post-promotion long value behaves identically
+    assert(t.scan().filter(col("n") === 9000L).count() == 1)
+    assert(t.planFiles(Some(col("n") === 9000L)).size <= 3)
+  }
+
+  test("metadata-only MIN/MAX stays exact across int->long promoted files") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("promo-mm").toString + "/t"
+    val df = (10L until 50L).map(i => (i, i.toInt)).toDF("id", "n")
+    val t = GraftTable.create(spark, loc, df.schema)
+    t.append(df) // int-typed stats bounds
+    t.promoteColumn("n", LongType)
+    t.append(Seq((100L, 5L)).toDF("id", "n")) // long-typed stats bounds
+    // MIN lands in the new long file, MAX in an old int file: both sides
+    // of the mixed-typed stats domain must decode under the promoted type
+    assert(t.columnExtreme("n", isMin = true).contains(5L))
+    assert(t.columnExtreme("n", isMin = false).contains(49L))
+    // the public DSv2 aggregate surface agrees
+    val r = spark.read.format("graft").load(loc)
+      .agg(min("n"), max("n")).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 49L)
+  }
 }

@@ -377,6 +377,48 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("expiry pins a staged branch's lineage so publish still " +
+      "fast-forwards") {
+    val (srv, wh) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      client.createNamespace(Seq("db"))
+      spark.conf.set("spark.sql.catalog.grp", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grp.uri", srv.uri)
+      spark.sql("CREATE TABLE grp.db.t (id BIGINT)")
+      spark.sql("INSERT INTO grp.db.t VALUES (1)")
+      import spark.implicits._
+      val h = GraftTable.load(spark,
+        java.nio.file.Paths.get(wh, "db", "t").toString,
+        new RestMetadataIo(client, Seq("db"), "t"))
+      // stage THREE commits on the branch, then expire aggressively:
+      // keepLast=1 would previously collect the intermediate staged
+      // commits, breaking the publish-time ancestor walk into a false
+      // conflict — expiry must pin the branch-head→main lineage
+      spark.sql("CALL grp.system.create_branch('db.t', 'txn')")
+      h.appendToBranch("txn", Seq(2L).toDF("id"))
+      h.appendToBranch("txn", Seq(3L).toDF("id"))
+      h.appendToBranch("txn", Seq(4L).toDF("id"))
+      GraftTable.load(spark,
+        java.nio.file.Paths.get(wh, "db", "t").toString,
+        new RestMetadataIo(client, Seq("db"), "t"))
+        .expireSnapshots(keepLast = 1)
+      val (_, meta) = client.loadTable(Seq("db"), "t").get
+      val branchHead = meta.refs.get("txn").snapshotId
+      // the staged lineage survived the expiry...
+      def chainLen(from: Long): Int =
+        Iterator.iterate(Option(from))(c => c.flatMap(id =>
+          meta.snapshotById(id).flatMap(_.parentSnapshotId)))
+          .takeWhile(_.isDefined).size
+      assert(chainLen(branchHead) == 4,
+        s"staged lineage was expired (${meta.snapshots.get.size} kept)")
+      // ...so the publish fast-forwards instead of false-conflicting
+      spark.sql("CALL grp.system.publish_transaction('db.t', 'txn')")
+      assert(spark.sql("SELECT COUNT(*) FROM grp.db.t").head.getLong(0)
+        == 4L)
+    } finally srv.stop()
+  }
+
   test("multi-level namespaces through the protocol") {
     val (srv, _) = startServer()
     try {
@@ -401,6 +443,33 @@ class RestCatalogSpec extends SparkSpec {
       spark.sql("DROP NAMESPACE grn.a CASCADE")
       assert(!client.namespaceExists(Seq("a")))
       assert(!client.namespaceExists(Seq("a", "b")))
+    } finally srv.stop()
+  }
+
+  test("names containing spaces and '+' round-trip through the client") {
+    val (srv, _) = startServer()
+    try {
+      val client = new GraftRestClient(srv.uri)
+      // URLEncoder form-encodes a space as '+', which the server's
+      // raw-path decode treats as the literal char — the client must
+      // emit %20 so both characters survive end to end
+      client.createNamespace(Seq("a b"))
+      client.createNamespace(Seq("a b", "c+d"))
+      assert(client.namespaceExists(Seq("a b")))
+      assert(client.listNamespaces() == Seq(Seq("a b")))
+      // parent listing goes through the ?parent= query decode
+      assert(client.listNamespaces(Seq("a b")) == Seq(Seq("a b", "c+d")))
+      assert(client.namespaceExists(Seq("a b", "c+d")))
+      val schema = graft.model.SchemaV2(0, None, None, Seq(
+        graft.model.StructField(1, "id", required = false,
+          graft.model.TLong)))
+      client.createTable(Seq("a b", "c+d"), "t 1", schema, None, Map.empty)
+      assert(client.listTables(Seq("a b", "c+d")) == Seq("t 1"))
+      assert(client.tableExists(Seq("a b", "c+d"), "t 1"))
+      assert(client.loadTable(Seq("a b", "c+d"), "t 1").isDefined)
+      assert(client.dropTable(Seq("a b", "c+d"), "t 1"))
+      assert(client.dropNamespace(Seq("a b", "c+d")))
+      assert(client.dropNamespace(Seq("a b")))
     } finally srv.stop()
   }
 

@@ -832,6 +832,49 @@ class SqlDmlSpec extends SparkSpec {
     assert(ch.map(_.getAs[Long]("id")).toSeq == Seq(3L))
   }
 
+  test("changes(): legacy snapshot (no recorded parent seq) refuses " +
+      "when its parent expired, even under dense adjacency") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-cdc-legacy").toString + "/t"
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 1.0)).toDF("id", "v").schema)
+    val s1 = t.append(Seq((1L, 1.0)).toDF("id", "v"))
+    val s2 = t.append(Seq((2L, 2.0)).toDF("id", "v"))
+    // simulate a pre-upgrade snapshot: strip the recorded
+    // parent-sequence-number from the head's summary in metadata JSON
+    val metaDir = java.nio.file.Paths.get(loc, "metadata")
+    val hint = java.nio.file.Files
+      .readString(metaDir.resolve("version-hint.text")).trim
+    val metaPath = metaDir.resolve(s"v$hint.metadata.json")
+    val root = graft.model.Json
+      .parse(java.nio.file.Files.readString(metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = root.withArray("snapshots")
+    var stripped = false
+    (0 until snaps.size).foreach { i =>
+      val sn = snaps.get(i)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (sn.path("snapshot-id").asLong == s2.snapshotId) {
+        val sm = sn.path("summary")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        stripped = sm.remove("parent-sequence-number") != null
+      }
+    }
+    assert(stripped, "test setup: summary key not found to strip")
+    java.nio.file.Files.writeString(metaPath, root.toString)
+    GraftTable.load(spark, loc).expireSnapshots(keepLast = 1)
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.metadata.snapshots.get.map(_.snapshotId)
+      == Seq(s2.snapshotId))
+    // s2.sequenceNumber == s1.sequenceNumber + 1 (dense), but density
+    // is not proof of landing — a legacy snapshot with an expired
+    // parent must refuse so consumers recompute in full
+    val err = intercept[IllegalStateException] {
+      t2.changesBySeq(s1.sequenceNumber, s2.snapshotId) }
+    assert(err.getMessage.contains("incomplete"), err.getMessage)
+  }
+
   test("changes(): a rolled-back start sequence refuses loudly") {
     import spark.implicits._
     val loc = java.nio.file.Files
