@@ -194,74 +194,148 @@ object StreamingQueries {
     (staging.toString, staged)
   }
 
+  /** The per-batch probe joins of the streaming near-dup drain,
+    * factored so StreamingSpec can pin their PLANS. `idxDf`/`seenDf`
+    * must be reads of the bucket-partitioned CATALOG tables and the
+    * session must run with v2 bucketing + one-side shuffle on and
+    * broadcast off: each table then reports KeyGroupedPartitioning on
+    * exactly the join key, so the tiny batch side alone exchanges into
+    * the table's bucket layout and the accumulated index is NEVER
+    * re-shuffled — per-batch cost stays O(batch + matching buckets)
+    * instead of O(corpus). Returns (candidate pairs, dropped doc ids).
+    */
+  private[graft] def minhashProbeJoins(idxDf: DataFrame, seenDf: DataFrame,
+      banded: DataFrame, sigs: DataFrame): (DataFrame, DataFrame) = {
+    import graft.operators.Dedup
+    val bandedB = banded.select(col("doc_id").as("doc_b"), col("band_hash"))
+    // candidates against every EARLIER doc (the index) plus smaller ids
+    // within this batch — the union is exactly the batch operator's
+    // banding restricted to a < b
+    val candIdx = idxDf.select(col("doc_id").as("doc_a"), col("band_hash"))
+      .join(bandedB, "band_hash")
+    val candBatch = banded.select(col("doc_id").as("doc_a"), col("band_hash"))
+      .join(bandedB, "band_hash")
+    val cand = candIdx.unionByName(candBatch)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a candidate's doc_a shingles live in EITHER the seen table (an
+    // earlier batch) or this batch's sigs — never both, so the two
+    // inner joins partition the lookup and union exactly. The rename
+    // happens on the CANDIDATE side: aliasing the partitioned table's
+    // join key would hide its KeyGroupedPartitioning from the planner.
+    val candA = cand.select(col("doc_a").as("doc_id"), col("doc_b"))
+    val withSeen = seenDf.join(candA, "doc_id")
+      .select(col("doc_b"), col("sh").as("sh_a"))
+    val withBatch = sigs.select("doc_id", "sh").join(candA, "doc_id")
+      .select(col("doc_b"), col("sh").as("sh_a"))
+    val dropped = withSeen.unionByName(withBatch)
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .filter(round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4)
+        >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    (cand, dropped)
+  }
+
+  /** Register a GraftCatalog over `root` for the streaming dedup state
+    * tables. The name is derived from the root: Spark caches catalog
+    * INSTANCES by name after first use, so a fixed name would pin the
+    * first run's warehouse forever.
+    */
+  private[graft] def dedupCatalog(s: SparkSession, root: String): String = {
+    val cat = s"gmds_${Integer.toHexString(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    cat
+  }
+
+  /** Session confs the drain pins: storage-partitioned execution on
+    * (including the one-side shuffle extension) and broadcast off, so
+    * the probe joins deterministically take the SPJ shape the spec
+    * asserts — the scale path, not the small-input shortcut.
+    */
+  private[graft] val dedupSpjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.enabled" -> "false")
+
   /** The streaming near-dup drain (s_dedup_minhash_stream's body): see
     * the key's comment for semantics. Exposed for StreamingSpec, which
     * drives it fresh over a synthetic corpus with planted near-dups.
+    *
+    * Dedup state is a pair of bucket-partitioned graft CATALOG tables:
+    * `idx` (band signatures) bucketed on band_hash, `seen` (shingle
+    * sets) bucketed on doc_id. Each micro-batch probes them through
+    * storage-partitioned joins (minhashProbeJoins), so the accumulated
+    * index is never re-shuffled — earlier rounds re-shuffled the whole
+    * index every batch, O(corpus) per batch over the stream's life.
     */
   private[graft] def runMinhashDedupStream(s: SparkSession,
       staging: String, root: String): Unit = {
     import graft.operators.Dedup
     val bands = 16
     val rows = 4
-    val idx = graft.table.GraftTable.create(s, s"$root/idx",
-      StructType(Seq(StructField("doc_id", LongType),
-        StructField("band_id", IntegerType),
-        StructField("band_hash", LongType))))
-    val seen = graft.table.GraftTable.create(s, s"$root/seen",
-      StructType(Seq(StructField("doc_id", LongType),
-        StructField("sh", ArrayType(LongType)))))
-    val kept = graft.table.GraftTable.create(s, s"$root/kept",
-      StructType(Seq(StructField("doc_id", LongType),
-        StructField("source", StringType))))
-    val stream = s.readStream.schema(fileSchema(s, staging))
-      .option("maxFilesPerTrigger", "1").parquet(staging)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sigs = batch.select(col("doc_id"), col("source"),
-            Dedup.shingleHashes(col("text"), 3).as("sh"))
-          .withColumn("sig",
-            Dedup.minhashSigFromHashes(col("sh"), bands * rows))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val banded = sigs.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows)))))
-            .as(Seq("band_id", "band_hash")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // candidates against every EARLIER doc (the index) plus smaller
-        // ids within this batch — the union is exactly the batch
-        // operator's banding restricted to a < b
-        val earlier = idx.scan().select(col("doc_id").as("doc_a"),
-            col("band_id"), col("band_hash"))
-          .unionByName(banded.select(col("doc_id").as("doc_a"),
-            col("band_id"), col("band_hash")))
-        val cand = banded.select(col("doc_id").as("doc_b"),
-            col("band_id"), col("band_hash"))
-          .join(earlier, Seq("band_id", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val shAll = seen.scan()
-          .unionByName(sigs.select("doc_id", "sh"))
-        val dropped = cand
-          .join(shAll.select(col("doc_id").as("doc_a"),
-            col("sh").as("sh_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"),
-            col("sh").as("sh_b")), "doc_b")
-          .filter(round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4)
-            >= 0.5)
-          .select(col("doc_b").as("doc_id")).distinct()
-        kept.append(sigs.select("doc_id", "source")
-          .join(dropped, Seq("doc_id"), "left_anti"))
-        // EVERY document enters the index: the rule is "any smaller
-        // id", so later docs dedup against dropped ones too
-        idx.append(banded.select("doc_id", "band_id", "band_hash"))
-        seen.append(sigs.select("doc_id", "sh"))
-        sigs.unpersist()
-        banded.unpersist()
-        ()
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val buckets = 16
+    val cat = dedupCatalog(s, root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    // band_id is folded INTO band_hash (below), so the single-column
+    // bucket key IS the candidate join key — the exact SPJ condition
+    s.sql(s"""CREATE TABLE $cat.db.idx (doc_id BIGINT, band_hash BIGINT)
+      PARTITIONED BY (bucket($buckets, band_hash))""")
+    s.sql(s"""CREATE TABLE $cat.db.seen (doc_id BIGINT, sh ARRAY<BIGINT>)
+      PARTITIONED BY (bucket($buckets, doc_id))""")
+    s.sql(s"CREATE TABLE $cat.db.kept (doc_id BIGINT, source STRING)")
+    val idxT = graft.table.GraftTable.load(s, s"$root/db/idx")
+    val seenT = graft.table.GraftTable.load(s, s"$root/db/seen")
+    val keptT = graft.table.GraftTable.load(s, s"$root/db/kept")
+    val saved = dedupSpjConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    dedupSpjConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val stream = s.readStream.schema(fileSchema(s, staging))
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sigs = batch.select(col("doc_id"), col("source"),
+              Dedup.shingleHashes(col("text"), 3).as("sh"))
+            .withColumn("sig",
+              Dedup.minhashSigFromHashes(col("sh"), bands * rows))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // the band ordinal participates in the hash, so a single
+          // band_hash column carries the banding. Cross-band hash
+          // collisions can only ADD candidates, which the exact
+          // jaccard verify then filters — recall is unchanged.
+          val banded = sigs.select(col("doc_id"),
+            explode(transform(sequence(lit(0), lit(bands - 1)),
+              j => xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows)))))
+              .as("band_hash"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val (cand, dropped) = minhashProbeJoins(
+            s.table(s"$cat.db.idx"), s.table(s"$cat.db.seen"),
+            banded, sigs)
+          keptT.append(sigs.select("doc_id", "source")
+            .join(dropped, Seq("doc_id"), "left_anti"))
+          // EVERY document enters the index: the rule is "any smaller
+          // id", so later docs dedup against dropped ones too.
+          // repartitionByPartition clusters each append to one file
+          // per bucket — the layout the SPJ split planner groups on.
+          idxT.append(banded.select("doc_id", "band_hash"),
+            repartitionByPartition = true)
+          seenT.append(sigs.select("doc_id", "sh"),
+            repartitionByPartition = true)
+          cand.unpersist()
+          sigs.unpersist()
+          banded.unpersist()
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   /** Stage the documents table as THREE parquet files split on doc_id
@@ -667,8 +741,11 @@ object StreamingQueries {
     // exactly with NO banding (full recall certificate, like
     // d_dedup_minhash). Scale shape: dedup state is a graft TABLE pair
     // (band index + shingle sets), not a state store — at 100 TB the
-    // seen-corpus index IS big data; each batch shuffles on band hash
-    // against it and only candidate pairs are ever verified.
+    // seen-corpus index IS big data. Both tables are bucket-partitioned
+    // on their probe key and every per-batch join runs storage-
+    // partitioned (one-side shuffle): only the micro-batch exchanges,
+    // the accumulated index never re-shuffles, and only candidate
+    // pairs are ever verified.
     GraftQuery(
       "s_dedup_minhash_stream",
       (s, dir) => {
@@ -679,11 +756,11 @@ object StreamingQueries {
         // testdata regeneration
         val root = graft.Staging.cachedBuild(
           s"mh-dedup-${Integer.toHexString(dir.hashCode)}",
-          recipe = "v1",
+          recipe = "v2-spj",
           sources = graft.Staging.parquetLeaves(staging)) { d =>
           runMinhashDedupStream(s, staging, d.toString)
         }
-        graft.table.GraftTable.load(s, root.resolve("kept").toString)
+        graft.table.GraftTable.load(s, root.resolve("db/kept").toString)
           .scan().orderBy("doc_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id,

@@ -344,7 +344,7 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.StreamingQueries
       .runMinhashDedupStream(spark, staging.toString, root)
     val kept = graft.table.GraftTable
-      .load(spark, s"$root/kept").scan()
+      .load(spark, s"$root/db/kept").scan()
       .collect().map(_.getAs[Long]("doc_id")).toSet
     // batch expectation from the SAME pair machinery: drop every doc
     // that pairs with a smaller id
@@ -355,6 +355,64 @@ class StreamingSpec extends SparkSpec {
     assert(Set(1L, 2L, 3L).subsetOf(kept) &&
       Set(5L, 7L, 9L).intersect(kept).isEmpty,
       s"planted near-dups not dropped: $kept")
+
+    // the accumulated index must NEVER re-shuffle: rebuild the probe
+    // joins over the drained idx/seen catalog tables with a synthetic
+    // next batch and require zero ShuffleExchange above any graft scan
+    // in BOTH plans (the batch side alone exchanges into the tables'
+    // KeyGroupedPartitioning)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val sq = graft.streaming.StreamingQueries
+    val cat = sq.dedupCatalog(spark, root)
+    val saved = sq.dedupSpjConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    sq.dedupSpjConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sigs = docs.limit(2)
+        .select(col("doc_id") + 100L as "doc_id", col("source"),
+          Dedup.shingleHashes(col("text"), 3).as("sh"))
+        .withColumn("sig", Dedup.minhashSigFromHashes(col("sh"), 64))
+      val banded = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)),
+          j => xxhash64(j, slice(col("sig"), j * 4 + 1, lit(4)))))
+          .as("band_hash"))
+      val (cand, drop2) = sq.minhashProbeJoins(
+        spark.table(s"$cat.db.idx"), spark.table(s"$cat.db.seen"),
+        banded, sigs)
+      // a graft scan feeding an Exchange WITHOUT an intervening join or
+      // aggregate means the raw index rows themselves were re-shuffled
+      // (an Exchange above a join's output only moves the candidate
+      // pairs, which is the intended O(cand) shape)
+      def rawScanFeeds(p: SparkPlan): Boolean = p match {
+        case b: BatchScanExec => b.toString.contains("graft")
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case _: org.apache.spark.sql.execution.aggregate
+          .BaseAggregateExec => false
+        case other => other.children.exists(rawScanFeeds)
+      }
+      def indexShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+        p.collect {
+          case e: ShuffleExchangeExec if rawScanFeeds(e.child) => e
+        }
+      val candPlan = cand.queryExecution.executedPlan
+      assert(indexShuffles(candPlan).isEmpty,
+        s"idx scan re-shuffled in the candidate join:\n$candPlan")
+      drop2.count() // materialize so the verify plan is the executed one
+      val dropPlan = drop2.queryExecution.executedPlan
+      assert(indexShuffles(dropPlan).isEmpty,
+        s"seen scan re-shuffled in the verify join:\n$dropPlan")
+      // and the SPJ actually engaged: the batch side DID exchange into
+      // the tables' bucket layout (otherwise the zero-shuffle reading
+      // would just mean the join degenerated)
+      assert(candPlan.toString.contains("keygroupedpartitioning"),
+        s"candidate join is not storage-partitioned:\n$candPlan")
+      cand.unpersist()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("sessionizer merges late in-watermark events without splitting") {
