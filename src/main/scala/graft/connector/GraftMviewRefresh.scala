@@ -42,8 +42,9 @@ import scala.jdk.CollectionConverters._
   * to a full recompute for such definitions. Anything else
   * non-incrementable (joins, distinct aggregates, window functions,
   * ...) always takes the proven full recompute, as does a changelog
-  * range containing copy-on-write commits the CDC contract cannot
-  * express.
+  * range with expired base snapshots inside it (copy-on-write commits
+  * are expressible — the changelog derives their net changes — so CoW
+  * DML no longer forces a full recompute).
   */
 private[graft] object GraftMviewRefresh {
 
@@ -429,11 +430,12 @@ private[graft] object GraftMviewRefresh {
                   commitFromStates(spark, t, mvDir, sp, merged, toSeq,
                     mode = "incremental", deltaRows = n)
                 } finally d.unpersist()
-              // the changelog refuses the range — CoW commits interleave
-              // physical and logical changes, or expired base snapshots
-              // inside (watermark, toSeq] make the delta unrecoverable
-              // (changesBySeq walks the ancestry and throws on a gap) —
-              // either way the only safe answer is a full recompute
+              // the changelog refuses the range — expired base
+              // snapshots inside (watermark, toSeq] make the delta
+              // unrecoverable (changesBySeq walks the ancestry and
+              // throws on a gap; a CoW commit additionally needs its
+              // parent retained) — the only safe answer is a full
+              // recompute
               case scala.util.Failure(_) => full()
             }
           case _ => full()

@@ -1692,9 +1692,15 @@ class GraftTable private (val spark: SparkSession, val location: String,
     * survives routine maintenance (Iceberg's net_changes contract).
     * Each logical commit's changes are computed against ITS OWN
     * snapshot's manifest refs, never the range end's — a later rewrite
-    * must not hide an earlier append's files. Copy-on-write deletes and
-    * overwrites still interleave physical and logical changes in one
-    * commit and are rejected loudly, as Iceberg's changelog scan does.
+    * must not hide an earlier append's files. Copy-on-write deletes,
+    * updates, and overwrites DERIVE their net changes (Iceberg's
+    * changelog contract for overwrite snapshots): deletes are the rows
+    * live in the commit's dropped files just before the commit minus
+    * the added files' rows, inserts the reverse, so rewritten-but-
+    * unchanged rows cancel; under row lineage the stable `_row_id`
+    * rides along and a CoW UPDATE pairs exactly. Requires the commit's
+    * parent snapshot retained (the dropped-file set lives in its
+    * manifest list) — expired parents refuse loudly.
     *
     * Output = the table schema plus `_change_type` ('insert'|'delete'),
     * `_commit_snapshot_id`, `_commit_sequence`. Per-commit recovery
@@ -1803,21 +1809,37 @@ class GraftTable private (val spark: SparkSession, val location: String,
     }
     // net-changes: replace commits move bytes, not rows — skip them
     val logical = inRange.filterNot(_.summary.operation.contains("replace"))
-    logical.foreach { s =>
+    // a ROW-DELTA commit (MoR UPDATE/MERGE: delete files + appended new
+    // versions, nothing rewritten) is fully expressible through the
+    // per-sequence insert/delete recovery below; a COPY-ON-WRITE commit
+    // (rewritten/dropped files, or a non-row-delta overwrite)
+    // interleaves physical and logical changes in its added files, so
+    // its net changes are DERIVED instead: diff the rows live in the
+    // dropped files just before the commit against the added files'
+    // rows (Iceberg's changelog contract for overwrite snapshots).
+    def isCow(s: SnapshotV2): Boolean = {
       val op = s.summary.operation.getOrElse("unknown")
-      // a ROW-DELTA commit (MoR UPDATE/MERGE: delete files + appended
-      // new versions, nothing rewritten) is fully expressible — its
-      // adds surface as inserts and its delete files as deletes, both
-      // scoped by this commit's sequence
       val rowDelta = op == "overwrite" &&
         s.summary.other.get("row-delta").contains("true")
-      val cow = !rowDelta &&
+      !rowDelta &&
         (s.summary.other.get("rewritten-files").exists(_.toInt > 0) ||
           s.summary.other.get("dropped-files").exists(_.toInt > 0) ||
           op == "overwrite")
-      require(!cow && (op == "append" || op == "delete" || rowDelta),
-        s"changelog cannot express snapshot ${s.snapshotId} ($op): " +
-          "copy-on-write rewrites interleave physical and logical changes")
+    }
+    logical.foreach { s =>
+      val op = s.summary.operation.getOrElse("unknown")
+      val rowDelta = op == "overwrite" &&
+        s.summary.other.get("row-delta").contains("true")
+      if (isCow(s)) {
+        // the dropped-file set lives in the PARENT snapshot's manifest
+        // list — net-change recovery needs the parent retained
+        if (!s.parentSnapshotId.exists(p => meta.snapshotById(p).isDefined))
+          throw new IllegalStateException(
+            s"changelog cannot express snapshot ${s.snapshotId} ($op): " +
+              "its copy-on-write delta needs the parent snapshot's " +
+              "manifests and the parent was expired")
+      } else require(op == "append" || op == "delete" || rowDelta,
+        s"changelog cannot express snapshot ${s.snapshotId} ($op)")
     }
     val schema = meta.currentSchema
     val sparkSchema = toSparkSchema(schema)
@@ -1857,6 +1879,42 @@ class GraftTable private (val spark: SparkSession, val location: String,
       val refs = manifestsFor(meta, Some(s.snapshotId))
       val dataEntries = refs.filter(_.content == 0).flatMap(_.entries)
         .filter(_.isData)
+
+      if (isCow(s)) {
+        // ---- copy-on-write net changes: dropped-live minus added ----
+        val parentId = s.parentSnapshotId.get // retained, validated above
+        val parentData = manifestsFor(meta, Some(parentId))
+          .filter(_.content == 0).flatMap(_.entries).filter(_.isData)
+        val curPaths = dataEntries.map(e => canonPath(e.path)).toSet
+        val droppedFiles = parentData
+          .filterNot(e => curPaths.contains(canonPath(e.path)))
+        val addedFiles = dataEntries.filter(_.sequenceNumber == sq)
+        val sel = outFields.map(col).toIndexedSeq
+        // rows LIVE in the dropped files just before the commit: the
+        // rewrite also physically drops rows MoR deletes had already
+        // removed — those are not THIS commit's changes, so parent-scope
+        // position and equality deletes apply first
+        val droppedLive = droppedFiles.groupBy(_.sequenceNumber).toSeq
+          .map { case (dsq, des) =>
+            alignedFor(des, withPos = true).withColumn(SeqCol, lit(dsq))
+          }.reduceOption(_ unionByName _) match {
+          case None => emptyOut.select(sel: _*)
+          case Some(cand0) => GraftTable.applyEqDeletesSeqCore(spark,
+            applyDeletes(cand0, posDeleteEntriesFor(meta, Some(parentId))),
+            eqDeletesFor(meta, Some(parentId))).select(sel: _*)
+        }
+        val addedRows = addedFiles match {
+          case Seq() => emptyOut.select(sel: _*)
+          case es => alignedFor(es, withPos = false).select(sel: _*)
+        }
+        // multiset diff: rewritten-but-unchanged row content cancels
+        // (under lineage the stable _row_id rides along, so a CoW
+        // UPDATE pairs exactly as one delete + one insert of the same
+        // row id). Cost is O(this commit's rewritten bytes) — the
+        // inherent price of a CoW delta, never O(table).
+        Seq(tag(droppedLive.exceptAll(addedRows), "delete", s),
+          tag(addedRows.exceptAll(droppedLive), "insert", s))
+      } else {
 
       // inserts: the rows THIS append committed, as written
       val inserts = dataEntries.filter(_.sequenceNumber == sq) match {
@@ -1945,6 +2003,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
         }
 
       inserts ++ posDeleted ++ eqDeleted
+      }
     }
     parts.foldLeft(emptyOut)(_ unionByName _)
   }

@@ -121,8 +121,8 @@ object IcebergQueries {
 
     // Row-level changelog (CDC): appends emit inserts, merge-on-read
     // position AND equality deletes emit delete rows with full content
-    // recovered; CoW rewrites are rejected (Iceberg changelog-scan
-    // contract). The consumer shape: incremental downstream sync.
+    // recovered. The consumer shape: incremental downstream sync.
+    // (CoW commits derive net changes — ice_changelog_cow below.)
     GraftQuery(
       "ice_changelog",
       (s, dir) => {
@@ -153,6 +153,48 @@ object IcebergQueries {
         UNION ALL
         SELECT 'insert' AS change_type, COUNT(*) AS n,
           ${sqlDsum("l_quantity")} AS sum_qty, CAST(1 AS BIGINT) AS n_commits FROM ins
+        ORDER BY change_type""")),
+
+    // Changelog over COPY-ON-WRITE commits: a CoW DELETE then a CoW
+    // UPDATE — net changes are DERIVED per commit by diffing the rows
+    // live in the dropped files just before the commit against the
+    // added files' rows (Iceberg's changelog contract for overwrite
+    // snapshots), so rewritten-but-unchanged rows cancel and only the
+    // logical delta surfaces. Before round 19 these commits were
+    // rejected and forced CDC consumers to full recompute.
+    GraftQuery(
+      "ice_changelog_cow",
+      (s, dir) => {
+        val src = li(s, dir).select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_returnflag")
+        val t = GraftTable.create(s, loc("cdc_cow"), src.schema)
+        val s1 = t.append(src)
+        t.deleteWhere(col("l_quantity") < 10) // CoW rewrite
+        val s3 = t.updateWhere(
+          col("l_returnflag") === "R" && col("l_quantity") >= 40,
+          Map("l_quantity" -> (col("l_quantity") + 100))) // CoW rewrite
+        t.changes(s1.snapshotId, s3.snapshotId)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            r4(dsum(col("l_quantity"))).as("sum_qty"),
+            countDistinct(col("_commit_snapshot_id")).as("n_commits"))
+          .orderBy("change_type")
+      },
+      Some(s"""WITH upd AS (
+          SELECT l_quantity FROM lineitem
+          WHERE l_quantity >= 10 AND l_returnflag = 'R'
+            AND l_quantity >= 40),
+        del AS (
+          SELECT l_quantity FROM lineitem WHERE l_quantity < 10
+          UNION ALL SELECT l_quantity FROM upd),
+        ins AS (SELECT l_quantity + 100 AS l_quantity FROM upd)
+        SELECT 'delete' AS change_type, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty,
+          CAST(2 AS BIGINT) AS n_commits FROM del
+        UNION ALL
+        SELECT 'insert' AS change_type, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty,
+          CAST(1 AS BIGINT) AS n_commits FROM ins
         ORDER BY change_type""")),
 
     // Metadata JSON roundtrip (spec §Table Metadata; the reference's own

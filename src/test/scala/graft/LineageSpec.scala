@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Row lineage (Iceberg v3): stable `_row_id` per row assigned at append
   * (first-row-id inheritance, O(shards) commit work), preserved across
-  * merge-on-read deletes and lineage-materializing compaction; CoW row
-  * mutations refuse. `_last_updated_sequence_number` tracks the writing
+  * merge-on-read deletes, CoW rewrites, and lineage-materializing
+  * compaction. `_last_updated_sequence_number` tracks the writing
   * commit.
   */
 class LineageSpec extends SparkSpec {
@@ -377,6 +377,35 @@ class LineageSpec extends SparkSpec {
     assert(deleted2.nonEmpty)
     val ch2 = t.changes(s3, s4)
     assert(idsOf(ch2.filter(col("_change_type") === "delete")) == deleted2)
+  }
+
+  test("CoW UPDATE changelog pairs delete+insert on the stable _row_id") {
+    val src = lineitem.limit(500)
+    val t = lineageTable("lin-cow-cdc", src)
+    val s0 = t.append(src)
+    // pin the pre-image ids of the rows the update will touch
+    val touched = t.scanWithLineage()
+      .filter(col("l_linenumber") === 3)
+      .select(col("_row_id"), col("l_quantity"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(touched.nonEmpty)
+    val s1 = t.updateWhere(col("l_linenumber") === 3,
+      Map("l_quantity" -> (col("l_quantity") + 1000)))
+    val ch = t.changes(s0.snapshotId, s1.snapshotId)
+    val dels = ch.filter(col("_change_type") === "delete")
+      .select(col("_row_id"), col("l_quantity"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select(col("_row_id"), col("l_quantity"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact UPDATE pairing: same id set on both sides, pre-image
+    // quantities on the delete side, post-image on the insert side —
+    // and rewritten-but-unchanged rows (same id, same content) cancel
+    assert(dels.keySet == touched.keySet && ins.keySet == touched.keySet,
+      s"paired ids diverged: del=${dels.size} ins=${ins.size} " +
+        s"want=${touched.size}")
+    assert(dels == touched)
+    assert(ins == touched.map { case (id, q) => id -> (q + 1000) })
   }
 
   test("snapshots record their first-row-id (v3); non-minting commits omit it") {

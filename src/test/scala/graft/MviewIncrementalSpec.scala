@@ -5,10 +5,11 @@ import org.apache.spark.sql.Row
 /** Incremental materialized-view refresh: after a small base delta, the
   * refresh must scan O(delta) base rows (changelog files of the new
   * commits only — never a full base re-scan), merge per-key aggregate
-  * state, and produce EXACTLY the rows a full recompute would. Fallback
-  * paths (CoW commits in range, out-of-band MV writes, forced-full
-  * property, non-incrementable definitions) must recompute and still be
-  * correct.
+  * state, and produce EXACTLY the rows a full recompute would — across
+  * MoR AND copy-on-write deltas (CoW net changes are derived by the
+  * changelog). Fallback paths (out-of-band MV writes, forced-full
+  * property, non-incrementable definitions, expired range) must
+  * recompute and still be correct.
   */
 class MviewIncrementalSpec extends SparkSpec {
 
@@ -111,13 +112,28 @@ class MviewIncrementalSpec extends SparkSpec {
     val r4 = refresh("mvi", "db.mv")
     assert(r4.getString(2) == "incremental", s"got $r4")
     assert(got == expected, "post-MoR-update incremental refresh mismatch")
+
+    // COPY-ON-WRITE delete + update: the changelog derives their net
+    // changes from the dropped-vs-added file diff, so the refresh stays
+    // incremental across CoW commits too (pre-r19 this forced full)
+    spark.sql("""ALTER TABLE mvi.db.ord SET TBLPROPERTIES(
+      'write.delete.mode'='copy-on-write',
+      'write.update.mode'='copy-on-write')""")
+    spark.sql("DELETE FROM mvi.db.ord WHERE k IN (3001, 3005)")
+    spark.sql("UPDATE mvi.db.ord SET amt = amt + 7 WHERE k % 400 = 1")
+    val r5 = refresh("mvi", "db.mv")
+    assert(r5.getString(2) == "incremental",
+      s"CoW delta must stay incremental: $r5")
+    assert(got == expected, "post-CoW incremental refresh mismatch")
   }
 
-  test("fallbacks: CoW range, out-of-band writes, forced full, joins") {
+  test("fallbacks: out-of-band writes, forced full, joins; CoW stays " +
+      "incremental") {
     val wh = freshCat("mvf")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mvf.db")
-    // default delete mode = copy-on-write: the changelog refuses the
-    // range, refresh must fall back to full and stay correct
+    // default delete mode = copy-on-write: the changelog DERIVES the
+    // commit's net changes, so the refresh stays incremental (pre-r19
+    // this was the forced-full case)
     spark.sql("CREATE TABLE mvf.db.t (k BIGINT, grp STRING)")
     spark.sql("INSERT INTO mvf.db.t SELECT id, concat('g', id % 3) " +
       "FROM range(300)")
@@ -129,7 +145,8 @@ class MviewIncrementalSpec extends SparkSpec {
 
     spark.sql("DELETE FROM mvf.db.t WHERE k < 30") // CoW commit
     val r = refresh("mvf", "db.mv")
-    assert(r.getString(2) == "full", s"CoW range must force full: $r")
+    assert(r.getString(2) == "incremental",
+      s"CoW delta must stay incremental: $r")
     assert(got == Map("g0" -> 90L, "g1" -> 90L, "g2" -> 90L))
 
     // ... and the full fallback re-seeded the state: the next

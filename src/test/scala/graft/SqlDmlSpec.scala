@@ -770,12 +770,32 @@ class SqlDmlSpec extends SparkSpec {
     val ids = t.changes(s4.snapshotId, s4b.snapshotId).collect()
       .map(_.getAs[Long]("id")).toSeq
     assert(ids == Seq(5L), s"branch commit leaked into main CDC: $ids")
-    // CoW commits are rejected loudly
-    t.deleteWhere(col("id") === 1L)
-    val s5 = GraftTable.load(spark, loc).metadata.currentSnapshotId.get
-    val err = intercept[IllegalArgumentException] {
-      t.changes(s1.snapshotId, s5).collect() }
-    assert(err.getMessage.contains("copy-on-write"))
+    // CoW DELETE: net changes derived from the dropped-vs-added file
+    // diff — only the logically removed row surfaces, the rewritten
+    // survivors cancel
+    val s5 = t.deleteWhere(col("id") === 1L)
+    val ch2 = t.changes(s4b.snapshotId, s5.snapshotId).collect()
+    assert(ch2.map(r => (r.getAs[String]("_change_type"),
+      r.getAs[Long]("id"), r.getAs[Long]("_commit_snapshot_id"))).toSeq
+      == Seq(("delete", 1L, s5.snapshotId)), ch2.mkString("\n"))
+    // CoW UPDATE: one delete (pre-image) + one insert (post-image)
+    val s6 = t.updateWhere(col("id") === 4L, Map("v" -> lit(44.0)))
+    val ch3 = t.changes(s5.snapshotId, s6.snapshotId).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[Double]("v"))).sortBy(_._1)
+    assert(ch3.toSeq == Seq(("delete", 4L, 4.0), ("insert", 4L, 44.0)),
+      ch3.mkString("\n"))
+    // a CoW commit whose PARENT was expired still refuses loudly (the
+    // dropped-file set lives in the parent's manifest list): anchor the
+    // range exactly at the parent's sequence so the ancestry walk lands
+    // (recorded parent sequence) and only the CoW recovery is starved
+    val s6b = t.append(Seq((6L, "f", 6.0)).toDF("id", "k", "v"))
+    val s7 = t.deleteWhere(col("id") === 5L)
+    GraftTable.load(spark, loc).expireSnapshots(keepLast = 1)
+    val err = intercept[IllegalStateException] {
+      GraftTable.load(spark, loc)
+        .changesBySeq(s6b.sequenceNumber, s7.snapshotId).collect() }
+    assert(err.getMessage.contains("copy-on-write"), err.getMessage)
   }
 
   test("changes(): an expired ancestor inside the range refuses loudly") {
