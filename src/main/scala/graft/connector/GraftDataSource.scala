@@ -232,7 +232,10 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       // snapshot-offset streaming read of append-only tables
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      // per-epoch append commits with the appendStream exactly-once
+      // high-water protocol (GraftStreamingWrite)
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (changelog) {
@@ -269,7 +272,8 @@ class GraftSparkTable(val location: String, asOf: Option[Long],
     require(asOf.isEmpty, "cannot write to a time-travel read")
     require(!changelog, "the changelog read shape is not writable")
     require(incremental.isEmpty, "an incremental read is not writable")
-    new GraftWriteBuilder(graft, Option(info.options.get("branch")))
+    new GraftWriteBuilder(graft, Option(info.options.get("branch")),
+      Some(info))
   }
 }
 
@@ -757,7 +761,8 @@ class GraftV1Scan(protected val graft: GraftTable,
   * the table's commit protocol (executor-written stats shards + atomic
   * metadata swap with optimistic retry) through the V1 bridge.
   */
-class GraftWriteBuilder(graft: GraftTable, branch: Option[String] = None)
+class GraftWriteBuilder(graft: GraftTable, branch: Option[String] = None,
+    info: Option[LogicalWriteInfo] = None)
     extends WriteBuilder
     with SupportsTruncate with SupportsOverwrite with SupportsDynamicOverwrite {
 
@@ -779,6 +784,29 @@ class GraftWriteBuilder(graft: GraftTable, branch: Option[String] = None)
   }
 
   override def build(): Write = new V1Write {
+    /** DSv2 streaming sink (STREAMING_WRITE): append output mode only —
+      * per-epoch append commits via GraftStreamingWrite, exactly-once
+      * under the same stream high-water protocol as appendStream.
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write
+        .streaming.StreamingWrite = {
+      require(branch.isEmpty,
+        "streaming writes to a branch are not supported — stage with " +
+          "the engine's appendToBranch instead")
+      require(overwriteCond.isEmpty && !dynamic,
+        "the graft streaming sink supports APPEND output mode only")
+      val meta = graft.metadata
+      require(meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
+        .forall(_.orderId == 0),
+        "streaming writes to a table with a default sort order are " +
+          "unsupported (micro-batch files would break the table's " +
+          "sorted-file claim) — use the engine's appendStream, which " +
+          "sorts within batches")
+      new GraftStreamingWrite(graft.location, graft.io, info.getOrElse(
+        throw new IllegalStateException(
+          "streaming write without LogicalWriteInfo")))
+    }
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {

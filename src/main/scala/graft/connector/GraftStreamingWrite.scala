@@ -1,0 +1,216 @@
+package graft.connector
+
+import graft.table.{GraftTable, MetadataIo, SerConf}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** DSv2 STREAMING_WRITE for graft tables: the public
+  * `df.writeStream.format("graft").start(path)` /
+  * `.toTable("cat.db.t")` surface.
+  *
+  * Epoch protocol (exactly-once, shared with the engine's
+  * appendStream): executors write this epoch's rows as parquet into a
+  * per-query per-epoch STAGING directory (outside `data/`, so
+  * directory-tailing readers never see uncommitted files) and report
+  * the files they committed; the driver's `commit(epochId)` adopts
+  * exactly those files into a fresh `data/<writeId>/` dir, derives
+  * manifest entries from their FOOTERS (the same O(files) stats pass
+  * every batch append uses), and commits ONE append snapshot carrying
+  * the `stream-batch-<queryId>` high-water mark — a replayed epoch at
+  * or below the mark deletes its staged files instead of
+  * double-committing. The streaming query id is stable across restarts
+  * from the same checkpoint, so the mark survives restarts exactly
+  * like appendStream's checkpoint-persisted stream id.
+  *
+  * Partitioned tables fan out per task: partition transform values are
+  * computed row-side with the same Catalyst expressions the batch
+  * writer uses (bound once on the driver), and files land in
+  * hive-style `name=value/` dirs — the layout the footer-stats pass
+  * already parses partition values from. At 100 TB nothing here is
+  * per-row driver work: the driver sees only file names and O(shards)
+  * rollups per epoch.
+  */
+private[connector] class GraftStreamingWrite(location: String,
+    metadataIo: MetadataIo, info: LogicalWriteInfo)
+    extends StreamingWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private def table: GraftTable =
+    GraftTable.load(spark, location, metadataIo)
+  // one staging namespace per streaming query; epochs nest inside
+  private val stagingRoot = s"$location/stream-staging/${info.queryId}"
+
+  override def createStreamingWriterFactory(
+      pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val t = table
+    val meta = t.metadata
+    val schema = meta.currentSchema
+    val sparkSchema = GraftTable.toSparkSchema(schema)
+    require(info.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      sparkSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"streaming write schema ${info.schema.simpleString} does not " +
+        s"match table schema ${sparkSchema.simpleString}")
+    val spec = meta.defaultSpec
+    // bind the partition transform expressions to the write schema ONCE
+    // (driver-side analysis); executors evaluate them per row
+    val (names, exprs, types) =
+      if (spec.fields.isEmpty) (Seq.empty[String], Seq.empty[Expression],
+        Seq.empty[DataType])
+      else {
+        val dummy = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          sparkSchema)
+        val cols = spec.fields.map { pf =>
+          val src = schema.fieldById(pf.sourceId).getOrElse(
+            throw new IllegalArgumentException(
+              s"spec source id ${pf.sourceId} not in schema"))
+          GraftTable.transformColumn(pf.transform,
+            org.apache.spark.sql.functions.col(src.name),
+            sparkSchema(src.name).dataType)
+        }
+        val analyzed = dummy.select(cols: _*).queryExecution.analyzed
+        val proj = analyzed.asInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Project]
+        val bound = proj.projectList.map(e =>
+          org.apache.spark.sql.catalyst.expressions.BindReferences
+            .bindReference(e, proj.child.output, allowFailures = false)
+            : Expression)
+        val outTypes = proj.projectList.map(_.dataType)
+        outTypes.foreach {
+          case IntegerType | LongType | StringType | DateType => ()
+          case other => throw new IllegalArgumentException(
+            s"streaming writes to a table partitioned on a $other " +
+              "transform value are unsupported — partition on a " +
+              "temporal/bucket/truncate transform instead")
+        }
+        (spec.fields.map(_.name), bound, outTypes)
+      }
+    new GraftStreamWriterFactory(stagingRoot, names, exprs, types,
+      new SerConf(Bridge.preparedParquetConf(spark, sparkSchema)))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.toSeq
+      .collect { case m: GraftStreamFiles => m.relPaths }.flatten
+    table.commitStreamedFiles(s"$stagingRoot/$epochId", rels, epochId,
+      info.queryId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftStreamingWrite.deleteRecursively(
+      Paths.get(s"$stagingRoot/$epochId"))
+}
+
+private[connector] object GraftStreamingWrite {
+  private[connector] def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val w = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(Files.deleteIfExists(_))
+      } finally w.close()
+    }
+}
+
+/** Staged files one task committed, as paths RELATIVE to the epoch's
+  * staging dir (partition dirs included) — the driver adopts exactly
+  * these, so stray files from zombie task attempts never commit.
+  */
+private[connector] case class GraftStreamFiles(relPaths: Seq[String])
+  extends WriterCommitMessage
+
+private[connector] class GraftStreamWriterFactory(stagingRoot: String,
+    partNames: Seq[String], partExprs: Seq[Expression],
+    partTypes: Seq[DataType], conf: SerConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftStreamTaskWriter(s"$stagingRoot/$epochId", partNames,
+      partExprs, partTypes, conf, partitionId, taskId)
+}
+
+/** Executor-side fan-out writer: one open parquet file per partition
+  * tuple seen by this task (unpartitioned tables: exactly one file).
+  */
+private[connector] class GraftStreamTaskWriter(epochDir: String,
+    partNames: Seq[String], partExprs: Seq[Expression],
+    partTypes: Seq[DataType], conf: SerConf, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val proj =
+    if (partExprs.isEmpty) null else UnsafeProjection.create(partExprs)
+  // rel path -> (write, close)
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, (InternalRow => Unit, () => Unit)]
+  private val uuid = java.util.UUID.randomUUID.toString.take(8)
+
+  private def dirFor(vals: InternalRow): String =
+    partNames.indices.map { i =>
+      val raw =
+        if (vals.isNullAt(i)) null
+        else partTypes(i) match {
+          case DateType => // render like Spark's partitionBy, not as days
+            java.time.LocalDate.ofEpochDay(vals.getInt(i).toLong).toString
+          case IntegerType => vals.getInt(i).toString
+          case LongType => vals.getLong(i).toString
+          case _ => vals.getUTF8String(i).toString
+        }
+      Bridge.partitionPathSegment(partNames(i), raw)
+    }.mkString("/")
+
+  private def writerFor(rel: String): InternalRow => Unit =
+    open.getOrElseUpdate(rel, {
+      val name =
+        f"part-$partitionId%05d-$taskId-$uuid-${open.size}%04d.parquet"
+      val relPath = if (rel.isEmpty) name else s"$rel/$name"
+      val abs = Paths.get(epochDir).resolve(relPath)
+      Files.createDirectories(abs.getParent)
+      val (w, c) = Bridge.parquetRowWriter(abs.toString, conf.value,
+        partitionId, (taskId & 0x7fffffffL).toInt)
+      open.put(rel, (w, c))
+      (w, c)
+    })._1
+
+  override def write(row: InternalRow): Unit = {
+    val rel = if (proj == null) "" else dirFor(proj(row))
+    writerFor(rel)(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._2())
+    GraftStreamFiles(listOwn())
+  }
+
+  /** This task's own files under the epoch dir (uuid-scoped, so a
+    * concurrent attempt's files are never claimed or deleted).
+    */
+  private def listOwn(): Seq[String] = {
+    val root = Paths.get(epochDir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val w = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      w.iterator.asScala
+        .filter(p => p.getFileName.toString.contains(s"-$uuid-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+    } finally w.close()
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(c => try c._2() catch { case _: Exception => () })
+    listOwn().foreach(rel =>
+      Files.deleteIfExists(Paths.get(epochDir).resolve(rel)))
+  }
+
+  override def close(): Unit = ()
+}

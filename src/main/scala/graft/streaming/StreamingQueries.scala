@@ -561,6 +561,44 @@ object StreamingQueries {
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
         GROUP BY 1, 2, m.mx ORDER BY hour_start, event_type""")),
 
+    // The PUBLIC DSv2 streaming sink (r19): the same finalized-window
+    // aggregation written through `df.writeStream.format("graft")` —
+    // STREAMING_WRITE with per-epoch append commits under the
+    // appendStream exactly-once high-water protocol, into a table
+    // identity-partitioned on event_type (executor-side fanout writes
+    // hive-layout partition dirs, so the readback prunes). This is the
+    // surface a Structured Streaming user reaches first; the engine
+    // foreachBatch shape stays covered by s_stream_table_sink.
+    GraftQuery(
+      "s_stream_sink_dsv2",
+      (s, dir) => {
+        val agg = eventStream(boundedKeySession(s), dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n_events"))
+        val root = java.nio.file.Files
+          .createTempDirectory("dsv2-sink").toString
+        val loc = s"$root/t"
+        graft.table.GraftTable.create(s, loc, agg.schema,
+          partitionBy = Seq(("event_type", graft.model.TIdentity, "et_p")))
+        val q = agg.writeStream.format("graft").option("path", loc)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.table.GraftTable.load(s, loc).scan()
+          .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"), col("event_type"), col("n_events"))
+          .orderBy("hour_start", "event_type")
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+            AS hour_start, event_type, COUNT(*) AS n_events
+        FROM events, m
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        GROUP BY 1, 2, m.mx ORDER BY hour_start, event_type""")),
+
     // CDC upsert apply: each micro-batch reduces to the newest event per
     // user (row_number over ts, event_id) and MERGEs into a durable
     // GraftTable — the streaming change-apply path of a CDC feed. The

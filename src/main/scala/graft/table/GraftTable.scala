@@ -2008,6 +2008,53 @@ class GraftTable private (val spark: SparkSession, val location: String,
     parts.foldLeft(emptyOut)(_ unionByName _)
   }
 
+  /** Commit one streaming EPOCH's executor-written files (the DSv2
+    * STREAMING_WRITE path — GraftStreamingWrite): adopt the staged
+    * files into a fresh `data/<writeId>/` dir preserving their
+    * hive-style partition sub-dirs, derive manifest entries from their
+    * footers (the same stats pass every append uses), and commit ONE
+    * append snapshot carrying the stream high-water mark. Identical
+    * exactly-once semantics to [[commitStreamBatch]]: a replayed epoch
+    * at or below the mark deletes its staged files and commits nothing.
+    */
+  private[graft] def commitStreamedFiles(epochDir: String,
+      relPaths: Seq[String], batchId: Long, streamId: String): Unit = {
+    val key = s"stream-batch-$streamId"
+    def sweepStaging(): Unit = deleteRecursively(Paths.get(epochDir))
+    val meta = metadata
+    val highWater = (meta.properties.flatMap(_.get(key)).map(_.toLong).toSeq
+      ++ meta.snapshots.getOrElse(Seq.empty)
+        .flatMap(_.summary.other.get(key)).map(_.toLong)).maxOption
+    if (highWater.exists(_ >= batchId) || relPaths.isEmpty) {
+      sweepStaging()
+      return
+    }
+    val writeId = java.util.UUID.randomUUID.toString.take(8)
+    val writeDir = Paths.get(location, "data", writeId)
+    relPaths.foreach { rel =>
+      val dst = writeDir.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(Paths.get(epochDir).resolve(rel), dst)
+    }
+    sweepStaging()
+    val schema = meta.currentSchema
+    val shards = writeStatsShards(writeDir.toString, schema,
+      toSparkSchema(schema), meta.defaultSpec, writeId,
+      meta.properties.getOrElse(Map.empty))
+      .map(_.copy(lineageFresh = true))
+    if (shards.isEmpty) {
+      // all-empty epoch files: nothing to commit, reclaim the dirs
+      deleteRecursively(writeDir)
+      deleteRecursively(metaDir.resolve(s"manifest-shards-$writeId"))
+      return
+    }
+    val adds = GraftTable.PendingAdds(Seq.empty, shards)
+    val extra = Map(key -> batchId.toString)
+    retryingCommit(() => commitSnapshot("append",
+      meta2 => (manifestsFor(meta2, None), adds, extra), extra))
+    ()
+  }
+
   /** Structured-streaming source over an APPEND-ONLY table: the stream
     * tails the table's data directory, so files committed by future
     * appends flow into later micro-batches, and a restarted query

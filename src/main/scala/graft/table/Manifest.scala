@@ -240,7 +240,7 @@ object PartitionTuple {
   * so executor tasks can open the table's FileSystem when they write
   * manifest shards.
   */
-private[table] class SerConf(
+private[graft] class SerConf(
     @transient private var c: org.apache.hadoop.conf.Configuration)
     extends Serializable {
   def value: org.apache.hadoop.conf.Configuration = c

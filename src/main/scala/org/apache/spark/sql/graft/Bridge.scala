@@ -39,6 +39,66 @@ object Bridge {
       : org.apache.spark.sql.connector.expressions.Literal[Any] =
     org.apache.spark.sql.connector.expressions.LiteralValue(v, dt)
 
+  /** Hadoop Configuration prepared for task-level parquet writing of
+    * InternalRows with Spark's own ParquetWriteSupport (`private[sql]`
+    * machinery): carries the session's SQL confs, the row schema, and
+    * the write settings the engine's batch path pins (MICROS
+    * timestamps, no legacy format, CORRECTED rebase). Used by the DSv2
+    * streaming sink's executor-side writers.
+    */
+  def preparedParquetConf(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.hadoop.conf.Configuration = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val c = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(schema, c)
+    c.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[ParquetWriteSupport].getName)
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    // SparkToParquetSchemaConverter reads these with conf.get(key) — no
+    // default — when constructed from a bare Configuration
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      spark.conf.get(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true"))
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      spark.conf.get(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+        "false"))
+    c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    if (c.get(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION)
+        == null)
+      c.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+        spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
+          .toUpperCase(java.util.Locale.ROOT))
+    c
+  }
+
+  /** One parquet file writer over a `preparedParquetConf` — returns
+    * (write, close). Runs on executors; the ParquetOutputWriter type
+    * itself is `private[sql]`, hence the lambda surface.
+    */
+  def parquetRowWriter(path: String,
+      conf: org.apache.hadoop.conf.Configuration, partitionId: Int,
+      attempt: Int): (org.apache.spark.sql.catalyst.InternalRow => Unit,
+        () => Unit) = {
+    val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID("graft-stream",
+        0, org.apache.hadoop.mapreduce.TaskType.MAP, partitionId, attempt))
+    val w = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetOutputWriter(path, tac)
+    (w.write _, () => w.close())
+  }
+
+  /** Hive-style partition path segment (`ExternalCatalogUtils` is
+    * catalyst-internal): escaping + __HIVE_DEFAULT_PARTITION__ for
+    * null/empty, exactly as Spark's own partitioned writes render.
+    */
+  def partitionPathSegment(name: String, value: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(name, Option(value).getOrElse(""))
+
   /** Register a SQL function on a LIVE session (extensions normally apply
     * only at session build time; this installs into the session's
     * function registry directly).

@@ -306,6 +306,129 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("public DSv2 streaming sink: per-epoch appends, partitioned " +
+      "fanout, exactly-once replay guard") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("sink-src")
+    val srcSchema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType)))
+    def stage(i: Int, rows: Seq[(Long, String)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = srcDir.resolve(s"tmp-$i")
+      rows.toDF("id", "g").coalesce(1).write.parquet(tmp.toString)
+      val ls = java.nio.file.Files.list(tmp)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      java.nio.file.Files.move(part, srcDir.resolve(s"f-$i.parquet"))
+      java.nio.file.Files.setLastModifiedTime(
+        srcDir.resolve(s"f-$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000L + i * 60000L))
+    }
+    stage(0, (0L until 50L).map(i => (i, s"g${i % 3}")))
+    stage(1, (50L until 100L).map(i => (i, s"g${i % 3}")))
+    val loc = java.nio.file.Files
+      .createTempDirectory("sink-t").toString + "/t"
+    GraftTable.create(spark, loc, srcSchema,
+      partitionBy = Seq(("g", graft.model.TIdentity, "g_p")))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sink-ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .writeStream.format("graft").option("path", loc)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val t = GraftTable.load(spark, loc)
+    assert(t.scan().count() == 100)
+    assert(t.scan().select("id").distinct().count() == 100)
+    // one append commit per non-empty epoch
+    assert(t.metadata.snapshots.get.size == 2,
+      s"expected 2 epoch commits, got ${t.metadata.snapshots.get.size}")
+    // fanout wrote hive-style partition dirs the planner prunes on
+    val all = t.planFiles()
+    val kept = t.planFiles(Some(col("g") === "g1"))
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"no partition pruning on the streamed files: ${kept.size}/${all.size}")
+    assert(kept.forall(_.partition.get("g_p").flatten.contains("g1")))
+    assert(t.scan().filter(col("g") === "g1").count() ==
+      (0L until 100L).count(_ % 3 == 1))
+    // restart from the SAME checkpoint with one new file: only the new
+    // epoch commits (the stream id rides the query id, which the
+    // checkpoint pins across restarts)
+    stage(2, (100L until 120L).map(i => (i, s"g${i % 3}")))
+    run()
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.scan().count() == 120)
+    assert(t2.scan().select("id").distinct().count() == 120)
+    assert(t2.metadata.snapshots.get.size == 3)
+    // a drained restart commits nothing (no phantom empty snapshots)
+    run()
+    assert(GraftTable.load(spark, loc).metadata.snapshots.get.size == 3)
+    // replay guard at the commit layer: re-delivering an ALREADY
+    // COMMITTED epoch sweeps its staged files and commits nothing
+    val queryId = {
+      val metaFile = java.nio.file.Paths.get(ckpt, "metadata")
+      graft.model.Json.parse(java.nio.file.Files.readString(metaFile))
+        .path("id").asText
+    }
+    val epochDir = java.nio.file.Files.createTempDirectory("sink-replay")
+    (900L until 910L).map(i => (i, "gX")).toDF("id", "g")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(epochDir.resolve("files").toString)
+    val rels = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(epochDir.resolve("files"))
+      try ls.iterator().asScala.map(p => s"files/${p.getFileName}")
+        .filter(_.endsWith(".parquet")).toSeq
+      finally ls.close()
+    }
+    t2.commitStreamedFiles(epochDir.toString, rels, batchId = 0L,
+      streamId = queryId)
+    val t3 = GraftTable.load(spark, loc)
+    assert(t3.metadata.snapshots.get.size == 3,
+      "replayed epoch must not double-commit")
+    assert(t3.scan().filter(col("g") === "gX").count() == 0)
+    assert(!java.nio.file.Files.exists(epochDir),
+      "replayed epoch's staged files must be swept")
+  }
+
+  test("writeStream.toTable streams into a graft catalog table") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("sink-cat-wh")
+    spark.conf.set("spark.sql.catalog.gsink", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsink.db")
+    spark.sql("CREATE TABLE gsink.db.s (id BIGINT, g STRING)")
+    val srcDir = java.nio.file.Files.createTempDirectory("sink-cat-src")
+    (0L until 40L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(srcDir.resolve("f").toString)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sink-cat-ckpt").toString
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir.resolve("f").toString)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gsink.db.s")
+    q.awaitTermination()
+    assert(spark.sql("SELECT COUNT(*) FROM gsink.db.s").head.getLong(0)
+      == 40L)
+    assert(spark.sql("SELECT COUNT(DISTINCT id) FROM gsink.db.s")
+      .head.getLong(0) == 40L)
+  }
+
   test("streaming minhash dedup equals the batch keep-first rule") {
     import spark.implicits._
     import graft.operators.Dedup
