@@ -89,7 +89,7 @@ object ConnectorQueries {
     */
   private def cloneTable(cachedTable: java.nio.file.Path,
       dst: java.nio.file.Path): Unit = {
-    GraftStreamingWrite.deleteRecursively(dst)
+    graft.Staging.wipe(dst)
     val srcMeta = cachedTable.resolve("metadata")
     val dstMeta = dst.resolve("metadata")
     java.nio.file.Files.createDirectories(dstMeta)
@@ -101,7 +101,16 @@ object ConnectorQueries {
           val rel = srcMeta.relativize(p)
           val out = dstMeta.resolve(rel)
           java.nio.file.Files.createDirectories(out.getParent)
-          java.nio.file.Files.copy(p, out)
+          // the metadata documents record the table LOCATION — loaders
+          // that honor it (the REST catalog path does) must commit
+          // under the CLONE, never back into the cache
+          if (p.getFileName.toString.endsWith(".metadata.json")) {
+            val doc = graft.model.Json
+              .parse(java.nio.file.Files.readString(p))
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            doc.put("location", dst.toString)
+            java.nio.file.Files.writeString(out, doc.toString)
+          } else java.nio.file.Files.copy(p, out)
         }
     } finally w.close()
   }
@@ -614,6 +623,13 @@ object ConnectorQueries {
         require(served.exists(_._2.snapshots.map(_.size).getOrElse(0)
           == preCommits + 1),
           "append commit did not flow through the REST service")
+        // the fresh commit must land under the CLONE, not the shared
+        // cache (cloneTable rewrites the metadata location for exactly
+        // this; a cache write would grow it unboundedly across runs)
+        require(served.exists(_._2.snapshots.get
+          .maxBy(_.sequenceNumber).manifestList
+          .startsWith(warehouseLoc("restwh"))),
+          "fresh REST commit leaked into the demo cache")
         flagAgg(s.sql(
           """SELECT l_returnflag, l_quantity FROM graft_rest.db.li_rest
             |WHERE l_shipdate >= TIMESTAMP'1998-01-01 00:00:00'"""

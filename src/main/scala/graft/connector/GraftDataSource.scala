@@ -796,8 +796,7 @@ class GraftWriteBuilder(graft: GraftTable, branch: Option[String] = None,
       require(overwriteCond.isEmpty && !dynamic,
         "the graft streaming sink supports APPEND output mode only")
       val meta = graft.metadata
-      require(meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
-        .forall(_.orderId == 0),
+      require(meta.defaultSortOrderId == 0,
         "streaming writes to a table with a default sort order are " +
           "unsupported (micro-batch files would break the table's " +
           "sorted-file claim) — use the engine's appendStream, which " +

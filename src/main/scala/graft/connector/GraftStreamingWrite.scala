@@ -105,20 +105,7 @@ private[connector] class GraftStreamingWrite(location: String,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    GraftStreamingWrite.deleteRecursively(
-      Paths.get(s"$stagingRoot/$epochId"))
-}
-
-private[connector] object GraftStreamingWrite {
-  private[connector] def deleteRecursively(dir: java.nio.file.Path): Unit =
-    if (Files.exists(dir)) {
-      val w = Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        w.sorted(java.util.Comparator.reverseOrder())
-          .iterator.asScala.foreach(Files.deleteIfExists(_))
-      } finally w.close()
-    }
+    graft.Staging.wipe(Paths.get(s"$stagingRoot/$epochId"))
 }
 
 /** Staged files one task committed, as paths RELATIVE to the epoch's
@@ -168,17 +155,19 @@ private[connector] class GraftStreamTaskWriter(epochDir: String,
     }.mkString("/")
 
   private def writerFor(rel: String): InternalRow => Unit =
-    open.getOrElseUpdate(rel, {
-      val name =
-        f"part-$partitionId%05d-$taskId-$uuid-${open.size}%04d.parquet"
-      val relPath = if (rel.isEmpty) name else s"$rel/$name"
-      val abs = Paths.get(epochDir).resolve(relPath)
-      Files.createDirectories(abs.getParent)
-      val (w, c) = Bridge.parquetRowWriter(abs.toString, conf.value,
-        partitionId, (taskId & 0x7fffffffL).toInt)
-      open.put(rel, (w, c))
-      (w, c)
-    })._1
+    open.get(rel) match {
+      case Some((w, _)) => w
+      case None =>
+        val name =
+          f"part-$partitionId%05d-$taskId-$uuid-${open.size}%04d.parquet"
+        val relPath = if (rel.isEmpty) name else s"$rel/$name"
+        val abs = Paths.get(epochDir).resolve(relPath)
+        Files.createDirectories(abs.getParent)
+        val (w, c) = Bridge.parquetRowWriter(abs.toString, conf.value,
+          partitionId, (taskId & 0x7fffffffL).toInt)
+        open.put(rel, (w, c))
+        w
+    }
 
   override def write(row: InternalRow): Unit = {
     val rel = if (proj == null) "" else dirFor(proj(row))

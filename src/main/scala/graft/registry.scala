@@ -132,7 +132,7 @@ object Staging {
     } else Seq(p)
   }
 
-  private def wipe(dir: java.nio.file.Path): Unit = {
+  private[graft] def wipe(dir: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     if (Files.isDirectory(dir)) {

@@ -244,7 +244,14 @@ object StreamingQueries {
     * first run's warehouse forever.
     */
   private[graft] def dedupCatalog(s: SparkSession, root: String): String = {
-    val cat = s"gmds_${Integer.toHexString(root.hashCode)}"
+    // a full-width content hash, not String.hashCode: Spark pins the
+    // catalog INSTANCE (and so the warehouse) to the name at first use,
+    // so a 32-bit collision between two roots in one JVM would silently
+    // cross their dedup state
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(root.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val cat = s"gmds_$digest"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
     cat

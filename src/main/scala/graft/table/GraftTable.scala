@@ -1254,9 +1254,56 @@ class GraftTable private (val spark: SparkSession, val location: String,
         .iterator.asScala.foreach(Files.deleteIfExists(_))
       finally w.close()
     }
+    // DSv2 streaming-sink staging (location/stream-staging/<query>/<epoch>):
+    // a committed or aborted epoch sweeps itself, but a crashed query's
+    // last staged epoch — and the empty per-query parent dirs — linger.
+    // Same policy as the changelog ranges: an epoch dir whose newest
+    // file predates the cutoff is swept whole (a restarted query
+    // re-stages its replayed epoch from the source; run with a cutoff
+    // comfortably above the trigger interval).
+    val sinkRoot = Paths.get(location, "stream-staging")
+    val orphanEpochs: Seq[Path] =
+      if (!Files.isDirectory(sinkRoot)) Seq.empty
+      else {
+        val ls = Files.walk(sinkRoot, 2)
+        val epochDirs =
+          try ls.iterator.asScala.filter(d => Files.isDirectory(d) &&
+            d.getFileName.toString.matches("""\d+""") &&
+            Option(d.getParent).flatMap(p => Option(p.getParent))
+              .contains(sinkRoot)).toSeq
+          finally ls.close()
+        epochDirs.filter { d =>
+          val w = Files.walk(d)
+          val newest =
+            try w.iterator.asScala.filter(Files.isRegularFile(_))
+              .map(Files.getLastModifiedTime(_).toMillis)
+              .maxOption.getOrElse(Files.getLastModifiedTime(d).toMillis)
+            finally w.close()
+          newest < cutoff
+        }
+      }
+    orphanEpochs.foreach { d =>
+      val w = Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    // reclaim now-empty per-query dirs (committed epochs remove only
+    // their own epoch dir)
+    if (Files.isDirectory(sinkRoot)) {
+      val ls = Files.list(sinkRoot)
+      try ls.iterator.asScala.filter(Files.isDirectory(_)).foreach { q =>
+        val c = Files.list(q)
+        val empty = try !c.iterator.hasNext finally c.close()
+        if (empty &&
+            Files.getLastModifiedTime(q).toMillis < cutoff)
+          Files.deleteIfExists(q)
+      } finally ls.close()
+    }
     val orphans = orphanData ++ orphanMeta
     deleteDistributed(orphans)
-    (orphans ++ orphanStaged.map(d => canonPath(d.toString))).sorted
+    (orphans ++ (orphanStaged ++ orphanEpochs)
+      .map(d => canonPath(d.toString))).sorted
   }
 
   /** Driver-side orphan scan (below the planning threshold): walk the
@@ -1817,23 +1864,26 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // its net changes are DERIVED instead: diff the rows live in the
     // dropped files just before the commit against the added files'
     // rows (Iceberg's changelog contract for overwrite snapshots).
-    def isCow(s: SnapshotV2): Boolean = {
+    def opRowDelta(s: SnapshotV2): (String, Boolean) = {
       val op = s.summary.operation.getOrElse("unknown")
-      val rowDelta = op == "overwrite" &&
-        s.summary.other.get("row-delta").contains("true")
+      (op, op == "overwrite" &&
+        s.summary.other.get("row-delta").contains("true"))
+    }
+    def isCow(s: SnapshotV2): Boolean = {
+      val (op, rowDelta) = opRowDelta(s)
       !rowDelta &&
         (s.summary.other.get("rewritten-files").exists(_.toInt > 0) ||
           s.summary.other.get("dropped-files").exists(_.toInt > 0) ||
           op == "overwrite")
     }
     logical.foreach { s =>
-      val op = s.summary.operation.getOrElse("unknown")
-      val rowDelta = op == "overwrite" &&
-        s.summary.other.get("row-delta").contains("true")
+      val (op, rowDelta) = opRowDelta(s)
       if (isCow(s)) {
         // the dropped-file set lives in the PARENT snapshot's manifest
-        // list — net-change recovery needs the parent retained
-        if (!s.parentSnapshotId.exists(p => meta.snapshotById(p).isDefined))
+        // list — net-change recovery needs the parent retained. A CoW
+        // commit WITHOUT a parent (overwrite as the table's first
+        // commit) dropped nothing: its adds are plain inserts.
+        if (s.parentSnapshotId.exists(p => meta.snapshotById(p).isEmpty))
           throw new IllegalStateException(
             s"changelog cannot express snapshot ${s.snapshotId} ($op): " +
               "its copy-on-write delta needs the parent snapshot's " +
@@ -1882,8 +1932,11 @@ class GraftTable private (val spark: SparkSession, val location: String,
 
       if (isCow(s)) {
         // ---- copy-on-write net changes: dropped-live minus added ----
-        val parentId = s.parentSnapshotId.get // retained, validated above
-        val parentData = manifestsFor(meta, Some(parentId))
+        // parent retained when present (validated above); absent parent
+        // (overwrite as first commit) means nothing was dropped
+        val parentId = s.parentSnapshotId
+        val parentData = parentId.toSeq
+          .flatMap(p => manifestsFor(meta, Some(p)))
           .filter(_.content == 0).flatMap(_.entries).filter(_.isData)
         val curPaths = dataEntries.map(e => canonPath(e.path)).toSet
         val droppedFiles = parentData
@@ -1900,8 +1953,8 @@ class GraftTable private (val spark: SparkSession, val location: String,
           }.reduceOption(_ unionByName _) match {
           case None => emptyOut.select(sel: _*)
           case Some(cand0) => GraftTable.applyEqDeletesSeqCore(spark,
-            applyDeletes(cand0, posDeleteEntriesFor(meta, Some(parentId))),
-            eqDeletesFor(meta, Some(parentId))).select(sel: _*)
+            applyDeletes(cand0, posDeleteEntriesFor(meta, parentId)),
+            eqDeletesFor(meta, parentId)).select(sel: _*)
         }
         val addedRows = addedFiles match {
           case Seq() => emptyOut.select(sel: _*)
@@ -4237,6 +4290,15 @@ class GraftTable private (val spark: SparkSession, val location: String,
     val mainReach: Set[Long] = refs.get("main")
       .map(r => ancestryOf(meta, r.snapshotId).toSet)
       .getOrElse(Set.empty)
+    // lower bound of the pin: a branch ancestor with a sequence BELOW
+    // everything main can reach cannot help the publish walk find main
+    // (the walk would pass main's whole reachable range without a hit
+    // and refuse anyway) — without the bound, a branch forked off a
+    // rolled-back lineage, or any branch on a table with NO main ref,
+    // would pin its entire ancestry forever and defeat retention aging
+    val minMainSeq: Long = mainReach
+      .flatMap(id => meta.snapshotById(id)).map(_.sequenceNumber)
+      .minOption.getOrElse(Long.MaxValue)
     val refKeep: Set[Long] = refs.flatMap { case (name, r) =>
       r.retention match {
         case BranchRetention(minKeep, maxSnapAge, _) =>
@@ -4247,9 +4309,10 @@ class GraftTable private (val spark: SparkSession, val location: String,
                   now - s.timestampMs <= maxSnapAge)) => id
           }
           val staged =
-            if (name == "main") Seq.empty
+            if (name == "main" || mainReach.isEmpty) Seq.empty
             else ancestryOf(meta, r.snapshotId)
-              .takeWhile(id => !mainReach.contains(id))
+              .takeWhile(id => !mainReach.contains(id) &&
+                meta.snapshotById(id).exists(_.sequenceNumber >= minMainSeq))
           aged ++ staged
         case _: TagRetention => Seq(r.snapshotId)
       }

@@ -852,6 +852,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(ch.map(_.getAs[Long]("id")).toSeq == Seq(3L))
   }
 
+  test("changes(): an overwrite as the table's FIRST commit is plain " +
+      "inserts (no parent, nothing dropped)") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-cdc-ow1").toString + "/t"
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df.schema)
+    t.overwriteWhere(lit(true), df) // op=overwrite, parentless
+    val head = t.metadata.currentSnapshotId.get
+    val ch = t.changesBySeq(0L, head).collect()
+    assert(ch.map(r => (r.getAs[String]("_change_type"),
+      r.getAs[Long]("id"))).sortBy(_._2).toSeq ==
+      Seq(("insert", 1L), ("insert", 2L)), ch.mkString("\n"))
+  }
+
   test("changes(): legacy snapshot (no recorded parent seq) refuses " +
       "when its parent expired, even under dense adjacency") {
     import spark.implicits._
