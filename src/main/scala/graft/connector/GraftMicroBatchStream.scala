@@ -197,11 +197,14 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   // the trigger started, so concurrent appends don't keep the run alive
   @volatile private var availableNowCap: Option[Long] = None
 
-  // DELEGATED data-file formats present at stream start (parquet is
-  // always included — the only format the engine writes, so appends
-  // during the stream never add a format; adopted avro is STAGED as
-  // parquet at planning, so it never needs a factory). One small
-  // distributed distinct over the manifest dataset, once per stream.
+  // DELEGATED data-file formats present at stream start, plus parquet
+  // (always) and the table's CURRENT write.format.default (a stream
+  // started on a fresh ORC-default table must read its first appends;
+  // a mid-stream property FLIP still refuses clearly at read time —
+  // restart the stream to pick the new format up). Adopted avro is
+  // STAGED as parquet at planning, so it never needs a factory. One
+  // small distributed distinct over the manifest dataset, once per
+  // stream.
   private lazy val streamFormats: Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val present = graft.manifestDf(None)
@@ -209,7 +212,11 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
       .select(coalesce(col("format"),
         lit(_root_.graft.table.DataFileEntry.Parquet)).as("f"))
       .distinct().collect().map(_.getString(0)).toSeq
-    (_root_.graft.table.DataFileEntry.Parquet +: present).distinct
+    val writeFmt = graft.metadata.properties.getOrElse(Map.empty)
+      .getOrElse(GraftTable.WriteFormatProp,
+        _root_.graft.table.DataFileEntry.Parquet)
+    (_root_.graft.table.DataFileEntry.Parquet +: writeFmt +: present)
+      .distinct
       .filter(f => f == _root_.graft.table.DataFileEntry.Parquet ||
         f == _root_.graft.table.DataFileEntry.Orc)
   }

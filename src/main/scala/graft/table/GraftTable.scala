@@ -387,6 +387,18 @@ class GraftTable private (val spark: SparkSession, val location: String,
     val meta = metadata
     val spec = meta.defaultSpec
     val schema = meta.currentSchema
+    // data-file format: write.format.default (parquet | orc). Per-file —
+    // existing files keep their manifest-recorded format; see
+    // [[GraftTable.WriteFormatProp]] for the ORC restrictions.
+    val fmt = meta.properties.getOrElse(Map.empty)
+      .getOrElse(GraftTable.WriteFormatProp, DataFileEntry.Parquet)
+    require(fmt == DataFileEntry.Parquet || fmt == DataFileEntry.Orc,
+      s"${GraftTable.WriteFormatProp}='$fmt' is unsupported for writes " +
+        "(parquet | orc); avro data files are read-only interop")
+    require(fmt == DataFileEntry.Parquet || !lineageEnabled(meta),
+      "row-lineage tables write parquet only: lineage inheritance reads " +
+        "file positions (_metadata.row_index), which ORC lacks — unset " +
+        s"${GraftTable.RowLineageProp} or keep ${GraftTable.WriteFormatProp}=parquet")
     // `time` columns surface as LongType, but Spark would write them as
     // plain INT64 without the spec-required TIME(MICROS) annotation —
     // silently degrading every external reader of the data files. The
@@ -499,29 +511,37 @@ class GraftTable private (val spark: SparkSession, val location: String,
       .get("write.target-records-per-file").map(_.toLong)
       .foldLeft(out.write.mode("errorifexists"))(
         (w, n) => w.option("maxRecordsPerFile", n))
-    val writer = Blooms
+    val bloomCols = Blooms
       .bloomColumns(meta.properties.getOrElse(Map.empty), sparkSchema)
-      .foldLeft(sized) { case (w, (name, _)) =>
+    val writer =
+      if (fmt == DataFileEntry.Orc)
+        // ORC's native blooms are one comma-separated writer option
+        if (bloomCols.isEmpty) sized
+        else sized.option("orc.bloom.filter.columns",
+          bloomCols.map(_._1).mkString(","))
+      else bloomCols.foldLeft(sized) { case (w, (name, _)) =>
         w.option(s"parquet.bloom.filter.enabled#$name", "true")
       }
-    (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
-      .parquet(writeDir)
+    val parted =
+      if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer
+    if (fmt == DataFileEntry.Orc) parted.orc(writeDir)
+    else parted.parquet(writeDir)
 
-    // an empty input writes no parquet files (e.g. a CoW rewrite that
+    // an empty input writes no data files (e.g. a CoW rewrite that
     // removes every row of the affected files) — nothing to commit
     val wrote = {
       val dir = Paths.get(writeDir)
       Files.isDirectory(dir) && {
         val stream = Files.walk(dir)
         try stream.iterator.asScala
-          .exists(_.getFileName.toString.endsWith(".parquet"))
+          .exists(_.getFileName.toString.endsWith(s".$fmt"))
         finally stream.close()
       }
     }
     val shards =
       if (!wrote) Seq.empty
       else writeStatsShards(writeDir, schema, sparkSchema, spec, writeId,
-        meta.properties.getOrElse(Map.empty))
+        meta.properties.getOrElse(Map.empty), fmt)
         .map(_.copy(lineageFresh = lineageFresh))
     if (shards.isEmpty) {
       // nothing to commit — reclaim the (possibly 0-row-part-only) data
@@ -562,14 +582,16 @@ class GraftTable private (val spark: SparkSession, val location: String,
     */
   private def writeStatsShards(writeDir: String, schema: SchemaV2,
       sparkSchema: StructType, spec: PartitionSpec,
-      writeId: String, props: Map[String, String]): Seq[ShardRef] = {
+      writeId: String, props: Map[String, String],
+      fmt: String = DataFileEntry.Parquet): Seq[ShardRef] = {
     val bloomCols = Blooms.bloomColumns(props, sparkSchema)
     if (bloomCols.isEmpty && spark.conf
         .getOption("spark.graft.footerStats").forall(_.toBoolean))
-      footerStatsShards(writeDir, schema, sparkSchema, spec, writeId, props)
+      footerStatsShards(writeDir, schema, sparkSchema, spec, writeId, props,
+        fmt)
     else
       scanStatsShards(writeDir, schema, sparkSchema, spec, writeId, props,
-        bloomCols)
+        bloomCols, fmt)
   }
 
   /** FOOTER stats path: one tiny task per file slice reads footers only.
@@ -579,10 +601,12 @@ class GraftTable private (val spark: SparkSession, val location: String,
     */
   private def footerStatsShards(writeDir: String, schema: SchemaV2,
       sparkSchema: StructType, spec: PartitionSpec,
-      writeId: String, props: Map[String, String]): Seq[ShardRef] = {
+      writeId: String, props: Map[String, String],
+      fmt: String = DataFileEntry.Parquet): Seq[ShardRef] = {
     val fieldSpecs: Seq[(String, DataType)] = statPaths(sparkSchema)
     val schemaId = schema.schemaId
     val specLocal = spec
+    val fmtLocal = fmt
     val lineageOn = props.get(GraftTable.RowLineageProp).contains("true")
     val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
     Files.createDirectories(shardDir)
@@ -590,7 +614,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
     val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
     // freshly written leaves — O(files) listing, the same order of work
     // as the write's own job commit
-    val paths = listParquetLeaves(writeDir)
+    val paths = listDataLeaves(writeDir, s".$fmt")
     if (paths.isEmpty) return Seq.empty
     // shard sizing: ~64 footers per task, capped at the cluster's
     // parallelism — a small append makes ONE shard (manifest-list
@@ -605,8 +629,12 @@ class GraftTable private (val spark: SparkSession, val location: String,
       .mapPartitions { it =>
         var runningRows = 0L
         val entries = it.map { pstr =>
-          val e0 = GraftTable.footerEntry(pstr, serConf.value, fieldSpecs,
-            schemaId, specLocal)
+          val e0 =
+            if (fmtLocal == DataFileEntry.Orc)
+              OrcFooter.entry(pstr, serConf.value, fieldSpecs,
+                schemaId, specLocal)
+            else GraftTable.footerEntry(pstr, serConf.value, fieldSpecs,
+              schemaId, specLocal)
           if (!lineageOn) e0
           else { val o = runningRows
             runningRows += e0.recordCount
@@ -641,7 +669,10 @@ class GraftTable private (val spark: SparkSession, val location: String,
     * survive, and fileStatus.getPath.toUri.getPath decodes back to the
     * literal on-disk form exactly as _metadata.file_path+decodePath did.
     */
-  private def listParquetLeaves(dir: String): Seq[String] = {
+  private def listParquetLeaves(dir: String): Seq[String] =
+    listDataLeaves(dir, ".parquet")
+
+  private def listDataLeaves(dir: String, suffix: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(
       java.net.URI.create(GraftTable.encodePath(dir)))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -650,7 +681,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
     val buf = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet"))
+      if (f.getPath.getName.endsWith(suffix))
         buf += f.getPath.toUri.getPath
     }
     buf.result().sorted
@@ -684,11 +715,12 @@ class GraftTable private (val spark: SparkSession, val location: String,
   private def scanStatsShards(writeDir: String, schema: SchemaV2,
       sparkSchema: StructType, spec: PartitionSpec,
       writeId: String, props: Map[String, String],
-      bloomCols: Seq[(String, DataType)]): Seq[ShardRef] = {
+      bloomCols: Seq[(String, DataType)],
+      fmt: String = DataFileEntry.Parquet): Seq[ShardRef] = {
     // leaf primitive paths, including DOTTED struct fields ("a.b.c") —
     // struct filters prune exactly like top-level ones
     val fieldSpecs: Seq[(String, DataType)] = statPaths(sparkSchema)
-    val df = spark.read.parquet(writeDir)
+    val df = spark.read.format(fmt).load(writeDir)
     // opt-in per-file bloom filters ride the SAME aggregate pass (zero
     // extra scans) — Spark's codegen'd BloomFilterAggregate over the
     // canonical xxhash64 (see Blooms for the hash contract)
@@ -722,6 +754,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // firstRowId = base + offset — O(shards) driver work, exact per-file
     // ids (mirrors Iceberg v3 first-row-id inheritance)
     val lineageOn = props.get(GraftTable.RowLineageProp).contains("true")
+    val fmtLocal = fmt
     val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
     Files.createDirectories(shardDir)
     val shardDirStr = shardDir.toString
@@ -741,7 +774,8 @@ class GraftTable private (val spark: SparkSession, val location: String,
           else { val o = runningRows
             runningRows += r.getAs[Long]("cnt"); Some(o) }
         GraftTable.statsRowToEntry(r, fieldSpecs, schemaId,
-          specLocal, bloomColNames, bloomDir, rowIdOffset = off)
+          specLocal, bloomColNames, bloomDir, rowIdOffset = off,
+          format = fmtLocal)
       }
       GraftTable.shardRollup(entries, shardDirStr, serConf.value)
     }(org.apache.spark.sql.Encoders.STRING).collect()
@@ -2126,6 +2160,16 @@ class GraftTable private (val spark: SparkSession, val location: String,
       .flatMap(_.summary.operation).filterNot(_ == "append").distinct
     require(nonAppend.isEmpty,
       s"streaming read requires an append-only history; found $nonAppend")
+    // the tail is a PARQUET file stream: an ORC-writing table must
+    // refuse here (a mid-stream format flip still fails loudly on the
+    // parquet magic-bytes check, never silently misparses)
+    require(meta.properties.getOrElse(Map.empty)
+        .getOrElse(GraftTable.WriteFormatProp, DataFileEntry.Parquet) ==
+        DataFileEntry.Parquet &&
+        !liveEntries().exists(_.format != DataFileEntry.Parquet),
+      "the directory-tail streaming read requires an all-parquet " +
+        "table; use the graft DSv2 source " +
+        "(spark.readStream.format(\"graft\")) for format-aware streams")
     val sparkSchema = toSparkSchema(meta.currentSchema)
     Files.createDirectories(Paths.get(location, "data")) // pre-append tail
     var r = spark.readStream.schema(sparkSchema)
@@ -5236,6 +5280,20 @@ object GraftTable {
     */
   val HasAvroProp = "graft.scan.has-avro"
 
+  /** Iceberg's data-file write format property (Table Spec:
+    * `write.format.default`): `parquet` (the default) or `orc`. The
+    * format is PER FILE — flipping the property affects only future
+    * writes, existing files keep reading through their manifest-recorded
+    * format, and mixed tables scan each group through its own reader.
+    * ORC files carry the same footer-derived manifest stats as parquet
+    * (see [[OrcFooter]] for the ORC-specific bound suppressions).
+    * Restrictions, enforced loudly: row lineage and position-addressed
+    * reads (MoR position deletes, `_pos`) require parquet — ORC lacks
+    * `_metadata.row_index` in this Spark — so ORC-format tables mutate
+    * via copy-on-write or equality deletes.
+    */
+  val WriteFormatProp = "write.format.default"
+
   /** `_row_id` lineage column name (Iceberg v3 reserved name). Virtual
     * on freshly appended files (first-row-id + position); physical in
     * files a lineage-preserving rewrite materialized.
@@ -5810,7 +5868,7 @@ object GraftTable {
 
   private[table] val isDataCandidate: Path => Boolean = p => {
     val n = p.getFileName.toString
-    n.endsWith(".parquet") ||
+    n.endsWith(".parquet") || n.endsWith(".orc") ||
       // deletion-vector sidecars live in the data plane (they are
       // content=1 entry paths): abandoned ones must be sweepable
       (n.endsWith(".puffin") && Option(p.getParent).exists(
@@ -6047,7 +6105,8 @@ object GraftTable {
   private[table] def statsRowToEntry(r: Row,
       statFields: Seq[(String, DataType)], schemaId: Int,
       spec: PartitionSpec, bloomCols: Seq[String] = Seq.empty,
-      bloomDir: String = "", rowIdOffset: Option[Long] = None)
+      bloomDir: String = "", rowIdOffset: Option[Long] = None,
+      format: String = DataFileEntry.Parquet)
       : DataFileEntry = {
     val path = decodePath(r.getAs[String]("__path"))
     val stats = statFields.map { case (name, dt) =>
@@ -6080,7 +6139,7 @@ object GraftTable {
     DataFileEntry(path, r.getAs[Long]("cnt"), PendingSnapshot,
       0L, schemaId, parsePartition(path, spec), stats,
       fileSize = r.getAs[Long]("__size"), specId = Some(spec.specId),
-      bloom = bloomRef, rowIdOffset = rowIdOffset)
+      bloom = bloomRef, rowIdOffset = rowIdOffset, format = format)
   }
 
   /** Inverse of the manifest-dataset read: one manifest DF row back to a

@@ -247,6 +247,36 @@ object IcebergQueries {
       },
       Some(s"$flagAggSql FROM lineitem GROUP BY 1 ORDER BY l_returnflag")),
 
+    // ORC data files (spec `file_format`; write.format.default=orc):
+    // a partitioned ORC write commits footer-derived manifest stats
+    // (OrcFooter), a CoW delete rewrites under the same format, and a
+    // filtered read proves stats+partition pruning works on ORC entries
+    // exactly as on parquet.
+    GraftQuery(
+      "ice_orc_write",
+      (s, dir) => {
+        val src = li(s, dir)
+        val t = GraftTable.create(s, loc("orc_write"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")),
+          properties = Map(GraftTable.WriteFormatProp -> "orc"))
+        t.append(src, repartitionByPartition = true)
+        t.deleteWhere(col("l_quantity") < lit(5.0)) // CoW rewrite, still orc
+        val entries = t.planFiles(None)
+        require(entries.nonEmpty &&
+          entries.forall(_.format == DataFileEntry.Orc),
+          "expected every data file to be ORC")
+        val f = col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01")
+        require(t.planFiles(Some(f)).size < entries.size,
+          "ORC manifest pruning had no effect")
+        flagAgg(t.scan(Some(f)))
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_quantity >= 5
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Partition pruning: the filter is on the SOURCE column; the plan
     // prunes month partitions + file stats before Spark reads anything.
     GraftQuery(
