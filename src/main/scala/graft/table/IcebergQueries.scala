@@ -260,7 +260,11 @@ object IcebergQueries {
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")),
           properties = Map(GraftTable.WriteFormatProp -> "orc"))
         t.append(src, repartitionByPartition = true)
-        t.deleteWhere(col("l_quantity") < lit(5.0)) // CoW rewrite, still orc
+        // CoW delete PRUNED to one month's partitions — the rewrite (still
+        // orc) touches O(slice) files, exactly how CoW should be used
+        t.deleteWhere(col("l_shipdate") >= lit("1997-03-01") &&
+          col("l_shipdate") < lit("1997-04-01") &&
+          col("l_quantity") < lit(5.0))
         val entries = t.planFiles(None)
         require(entries.nonEmpty &&
           entries.forall(_.format == DataFileEntry.Orc),
@@ -274,7 +278,9 @@ object IcebergQueries {
       Some(s"""$flagAggSql FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
-          AND l_quantity >= 5
+          AND NOT (l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+            AND l_quantity < 5)
         GROUP BY 1 ORDER BY l_returnflag""")),
 
     // Partition pruning: the filter is on the SOURCE column; the plan
