@@ -392,13 +392,15 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // [[GraftTable.WriteFormatProp]] for the ORC restrictions.
     val fmt = meta.properties.getOrElse(Map.empty)
       .getOrElse(GraftTable.WriteFormatProp, DataFileEntry.Parquet)
-    require(fmt == DataFileEntry.Parquet || fmt == DataFileEntry.Orc,
+    require(fmt == DataFileEntry.Parquet || fmt == DataFileEntry.Orc ||
+      fmt == DataFileEntry.Avro,
       s"${GraftTable.WriteFormatProp}='$fmt' is unsupported for writes " +
-        "(parquet | orc); avro data files are read-only interop")
+        "(parquet | orc | avro)")
     require(fmt == DataFileEntry.Parquet || !lineageEnabled(meta),
       "row-lineage tables write parquet only: lineage inheritance reads " +
-        "file positions (_metadata.row_index), which ORC lacks — unset " +
-        s"${GraftTable.RowLineageProp} or keep ${GraftTable.WriteFormatProp}=parquet")
+        "file positions (_metadata.row_index), which only parquet has — " +
+        s"unset ${GraftTable.RowLineageProp} or keep " +
+        s"${GraftTable.WriteFormatProp}=parquet")
     // `time` columns surface as LongType, but Spark would write them as
     // plain INT64 without the spec-required TIME(MICROS) annotation —
     // silently degrading every external reader of the data files. The
@@ -500,6 +502,13 @@ class GraftTable private (val spark: SparkSession, val location: String,
       out = out.sortWithinPartitions(
         partNames.map(col) ++ effectiveSort: _*)
 
+    // avro branches off here: no Spark datasource exists for it, so the
+    // encode + hive fanout + INLINE stats run in one mapPartitions pass
+    // (AvroDataWrite; the write IS the stats job — no second scan)
+    if (fmt == DataFileEntry.Avro)
+      return writeAvroFiles(out, writeDir, writeId, meta, schema,
+        sparkSchema, spec, lineageFresh)
+
     // bloom'd columns also get PARQUET-native bloom filters: the manifest
     // sidecar skips whole FILES at planning, the in-file bloom skips ROW
     // GROUPS inside the survivors (Spark's reader applies it to pushed
@@ -550,6 +559,38 @@ class GraftTable private (val spark: SparkSession, val location: String,
       // per trigger, forever
       deleteRecursively(Paths.get(writeDir))
       deleteRecursively(metaDir.resolve(s"manifest-shards-$writeId"))
+      PendingAdds.empty
+    } else PendingAdds(Seq.empty, shards)
+  }
+
+  /** The avro leg of [[writeFiles]] (write.format.default=avro):
+    * executors encode + fan out + accumulate manifest stats in ONE
+    * mapPartitions pass (AvroDataWrite). The DSv2/SQL read path bridges
+    * avro-bearing tables through the engine scan keyed on the has-avro
+    * flag, so the flag is stamped BEFORE the data commit — no snapshot
+    * ever references an avro file while the flag is unset.
+    */
+  private def writeAvroFiles(out: DataFrame, writeDir: String,
+      writeId: String, meta: TableMetadataV2, schema: SchemaV2,
+      sparkSchema: StructType, spec: PartitionSpec,
+      lineageFresh: Boolean): PendingAdds = {
+    val props = meta.properties.getOrElse(Map.empty)
+    require(Blooms.bloomColumns(props, sparkSchema).isEmpty,
+      "bloom sidecars require parquet or orc writes — they ride the " +
+        "vectorized scan pass, which avro files cannot join")
+    if (!props.get(GraftTable.HasAvroProp).contains("true"))
+      updateProperties(Map(GraftTable.HasAvroProp -> Some("true")))
+    val shardDir = metaDir.resolve(s"manifest-shards-$writeId")
+    Files.createDirectories(shardDir)
+    val shards = AvroDataWrite.write(out, writeDir, schema, sparkSchema,
+      spec, shardDir.toString,
+      props.get("write.target-records-per-file").map(_.toLong),
+      spark.sparkContext.hadoopConfiguration)
+      .map(_.copy(lineageFresh = lineageFresh))
+    sweepOrphanShards(shardDir, shards)
+    if (shards.isEmpty) {
+      deleteRecursively(Paths.get(writeDir))
+      deleteRecursively(shardDir)
       PendingAdds.empty
     } else PendingAdds(Seq.empty, shards)
   }
@@ -5869,6 +5910,10 @@ object GraftTable {
   private[table] val isDataCandidate: Path => Boolean = p => {
     val n = p.getFileName.toString
     n.endsWith(".parquet") || n.endsWith(".orc") ||
+      // manifests/manifest-lists are .avro too but live in metadata/,
+      // never under data dirs; only sweep data-plane avro (defensive)
+      (n.endsWith(".avro") &&
+        !n.startsWith("manifest-") && !n.startsWith("snap-")) ||
       // deletion-vector sidecars live in the data plane (they are
       // content=1 entry paths): abandoned ones must be sweepable
       (n.endsWith(".puffin") && Option(p.getParent).exists(

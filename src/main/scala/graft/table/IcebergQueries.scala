@@ -283,6 +283,46 @@ object IcebergQueries {
             AND l_quantity < 5)
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // AVRO data files — the spec triad's third leg
+    // (write.format.default=avro): executors encode rows per the
+    // Iceberg Avro appendix and accumulate manifest stats INLINE (no
+    // footer exists and no second scan runs — AvroDataWrite); pruning,
+    // CoW deletes, and the filtered read behave exactly as for
+    // parquet/orc entries.
+    GraftQuery(
+      "ice_avro_write",
+      (s, dir) => {
+        // a two-year slice: avro encode/decode is row-at-a-time by
+        // nature (the interop format, not the throughput path) — the
+        // mechanics demonstrated are identical at any volume
+        val src = li(s, dir).filter(
+          col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+        val t = GraftTable.create(s, loc("avro_write"), src.schema,
+          partitionBy = Seq(("l_shipdate", TMonth, "ship_month")),
+          properties = Map(GraftTable.WriteFormatProp -> "avro"))
+        t.append(src, repartitionByPartition = true)
+        t.deleteWhere(col("l_shipdate") >= lit("1997-03-01") &&
+          col("l_shipdate") < lit("1997-04-01") &&
+          col("l_quantity") < lit(5.0)) // CoW pruned to one month
+        val entries = t.planFiles(None)
+        require(entries.nonEmpty &&
+          entries.forall(_.format == DataFileEntry.Avro),
+          "expected every data file to be AVRO")
+        val f = col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01")
+        require(t.planFiles(Some(f)).size < entries.size,
+          "AVRO manifest pruning had no effect")
+        flagAgg(t.scan(Some(f)))
+      },
+      Some(s"""$flagAggSql FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND NOT (l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+            AND l_quantity < 5)
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Partition pruning: the filter is on the SOURCE column; the plan
     // prunes month partitions + file stats before Spark reads anything.
     GraftQuery(

@@ -170,17 +170,17 @@ class OrcWriteSpec extends SparkSpec {
     assert(t.scan().count() == 200)
   }
 
-  test("row-lineage tables and avro writes refuse") {
+  test("row-lineage tables and unknown write formats refuse") {
     val df = spark.range(10).selectExpr("id")
     val lin = GraftTable.create(spark, freshLoc("orcw-lin"), df.schema,
       properties = OrcProps +
         (GraftTable.RowLineageProp -> "true"))
     val e1 = intercept[IllegalArgumentException] { lin.append(df) }
     assert(e1.getMessage.contains("row-lineage"))
-    val av = GraftTable.create(spark, freshLoc("orcw-av"), df.schema,
-      properties = Map(GraftTable.WriteFormatProp -> "avro"))
-    val e2 = intercept[IllegalArgumentException] { av.append(df) }
-    assert(e2.getMessage.contains("avro"))
+    val bad = GraftTable.create(spark, freshLoc("orcw-bad"), df.schema,
+      properties = Map(GraftTable.WriteFormatProp -> "csv"))
+    val e2 = intercept[IllegalArgumentException] { bad.append(df) }
+    assert(e2.getMessage.contains("unsupported"))
   }
 
   test("partitioned orc writes: hive fanout, partition pruning, " +
