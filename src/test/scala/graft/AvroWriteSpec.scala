@@ -176,6 +176,23 @@ class AvroWriteSpec extends SparkSpec {
     assert(got.getLong(0) == 50 && got.getLong(1) == (0L until 50L).sum)
   }
 
+  test("type promotion reads avro files written under the old schema " +
+      "(field-id alignment widens)") {
+    val loc = freshLoc("avw-evo")
+    val df = spark.range(50).selectExpr("cast(id as int) as n",
+      "cast(id as string) as s")
+    val t = GraftTable.create(spark, loc, df.schema, properties = AvroProps)
+    t.append(df)
+    t.promoteColumn("n", org.apache.spark.sql.types.LongType)
+    t.append(spark.range(50, 100)
+      .selectExpr("id as n", "cast(id as string) as s"))
+    assert(t.scan().agg(sum("n")).head.getLong(0) == (0L until 100L).sum)
+    // stats written under INT still prune the promoted LONG predicate
+    assert(t.planFiles(Some(col("n") < 25L)).size <
+      t.planFiles(None).size)
+    assert(t.scan(Some(col("n") >= 25L && col("n") < 75L)).count() == 50)
+  }
+
   test("mixed triad: parquet, orc, and avro files in ONE table scan " +
       "correctly; compact converges to the current default") {
     val loc = freshLoc("avw-mix")
