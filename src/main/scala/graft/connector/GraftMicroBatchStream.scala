@@ -235,8 +235,16 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   // requires a compact(), which ends the stream via the append-only
   // gate anyway — so a construction-time read is equally correct and
   // keeps avro-free tables' hot polling path free of extra metadata
-  // loads
-  private lazy val avroFlagAtStart: Boolean = graft.hasAvroFlag
+  // loads. A fresh avro-DEFAULT table latches true too — its first
+  // appends stamp the flag AFTER this stream starts, and without this
+  // the stream would die on them claiming the property is unset (the
+  // same fresh-table case streamFormats covers for ORC)
+  private lazy val avroFlagAtStart: Boolean = {
+    val meta = graft.metadata
+    graft.hasAvroFlag || meta.properties.getOrElse(Map.empty)
+      .get(GraftTable.WriteFormatProp)
+      .contains(_root_.graft.table.DataFileEntry.Avro)
+  }
 
   /** Materialize a range's avro rows once as parquet splits (aligned to
     * the current schema by the engine read); replays of the same range

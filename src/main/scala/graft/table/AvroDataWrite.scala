@@ -53,7 +53,8 @@ object AvroDataWrite {
     val schemaId = schema.schemaId
     val specLocal = spec
     val dataWidth = sparkSchema.fields.length
-    val rollCap = maxRecordsPerFile.getOrElse(Long.MaxValue)
+    // 0/negative = no limit, matching Spark's maxRecordsPerFile
+    val rollCap = maxRecordsPerFile.filter(_ > 0L).getOrElse(Long.MaxValue)
     val serConf = new SerConf(conf)
     val dataTypes = sparkSchema.fields.map(_.dataType)
     val rollups = df.mapPartitions { it =>
@@ -97,6 +98,9 @@ object AvroDataWrite {
         val partDir: String) {
       val out = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](aschema, GenericData.get))
+        // parquet/orc legs compress (snappy); raw avro blocks would be
+        // several times the bytes and every later scan pays the I/O
+        .setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
         .create(aschema, path.getFileSystem(conf).create(path, false))
       var rows = 0L
       val acc: Array[StatAcc] = statFields.map { case (p, dt) =>
@@ -124,7 +128,8 @@ object AvroDataWrite {
           case d: java.sql.Date => d.toString
           case d: java.time.LocalDate => d.toString
           case other @ (_: java.lang.Integer | _: java.lang.Long |
-              _: String | _: java.lang.Boolean | _: java.math.BigDecimal) =>
+              _: java.lang.Short | _: java.lang.Byte | _: String |
+              _: java.lang.Boolean | _: java.math.BigDecimal) =>
             other.toString
           case other => throw new IllegalArgumentException(
             s"avro writes to a table partitioned on a " +
@@ -222,6 +227,13 @@ object AvroDataWrite {
     private var mx: Any = null
     private var nonNull = 0L
     private var bad = false
+    // strings are held AS UTF8String — one conversion per incoming
+    // value in the per-row hot loop, not two per comparison
+    // (Pruning.normalize renders UTF8String directly at result time)
+    private val prep: Any => Any = dt match {
+      case StringType => v => UTF8String.fromString(v.asInstanceOf[String])
+      case _ => identity
+    }
     private val cmp: (Any, Any) => Int = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         (a, b) => java.lang.Long.compare(
@@ -234,8 +246,8 @@ object AvroDataWrite {
       case StringType =>
         // UTF-8 BINARY order (UTF8String), not UTF-16 String.compareTo —
         // they diverge on supplementary-plane characters
-        (a, b) => UTF8String.fromString(a.asInstanceOf[String])
-          .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+        (a, b) => a.asInstanceOf[UTF8String]
+          .compareTo(b.asInstanceOf[UTF8String])
       case _: DecimalType =>
         (a, b) => a.asInstanceOf[java.math.BigDecimal]
           .compareTo(b.asInstanceOf[java.math.BigDecimal])
@@ -248,10 +260,11 @@ object AvroDataWrite {
       case _ => (_, _) => { bad = true; 0 }
     }
     def update(r: Row): Unit = if (!bad) {
-      val v = get(r)
-      if (v != null) {
+      val v0 = get(r)
+      if (v0 != null) {
         nonNull += 1
         try {
+          val v = prep(v0)
           if (mn == null || cmp(v, mn) < 0) mn = v
           if (mx == null || cmp(v, mx) > 0) mx = v
         } catch { case scala.util.control.NonFatal(_) => bad = true }
@@ -271,8 +284,7 @@ object AvroDataWrite {
   }
 
   private def micros(v: Any): Long = v match {
-    case t: java.sql.Timestamp =>
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case t: java.sql.Timestamp => Pruning.sqlTsMicros(t)
     case i: java.time.Instant =>
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         i.getNano / 1000L)
@@ -305,7 +317,13 @@ object AvroDataWrite {
         else (ASchema.createUnion(
           ASchema.create(ASchema.Type.NULL), base),
           ASchema.Field.NULL_DEFAULT_VALUE)
-      val fld = new ASchema.Field(sanitize(f.name), s, null, default)
+      // a sanitized name gets the field id appended — two distinct
+      // originals may sanitize to the same string ('a b' and 'a_b'),
+      // and avro rejects duplicate field names; resolution is by
+      // field-id anyway, so the rendered name is cosmetic
+      val sane = sanitize(f.name)
+      val fname = if (sane == f.name) sane else s"${sane}_fid${f.id}"
+      val fld = new ASchema.Field(fname, s, null, default)
       fld.addProp("field-id", f.id: Integer)
       fld
     }

@@ -2201,13 +2201,19 @@ class GraftTable private (val spark: SparkSession, val location: String,
       .flatMap(_.summary.operation).filterNot(_ == "append").distinct
     require(nonAppend.isEmpty,
       s"streaming read requires an append-only history; found $nonAppend")
-    // the tail is a PARQUET file stream: an ORC-writing table must
+    // the tail is a PARQUET file stream: an ORC/avro-writing table must
     // refuse here (a mid-stream format flip still fails loudly on the
-    // parquet magic-bytes check, never silently misparses)
+    // parquet magic-bytes check, never silently misparses). Format
+    // probe runs over the manifest DATASET — one-time setup must not
+    // materialize a huge table's entry list on the driver
     require(meta.properties.getOrElse(Map.empty)
         .getOrElse(GraftTable.WriteFormatProp, DataFileEntry.Parquet) ==
         DataFileEntry.Parquet &&
-        !liveEntries().exists(_.format != DataFileEntry.Parquet),
+        manifestDf(None)
+          .filter(coalesce(col("content"), lit(0)) === 0 &&
+            col("format").isNotNull &&
+            col("format") =!= DataFileEntry.Parquet)
+          .isEmpty,
       "the directory-tail streaming read requires an all-parquet " +
         "table; use the graft DSv2 source " +
         "(spark.readStream.format(\"graft\")) for format-aware streams")
@@ -3554,6 +3560,14 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // maintenance call retries).
     try {
       if (!hasAvroFlag) return
+      // an avro-DEFAULT table never clears: future writes are avro
+      // anyway, and clearing here would race an in-flight avro append
+      // (its files are in no snapshot yet, so the probe below cannot
+      // see them; the append stamped the flag BEFORE writing and must
+      // not have it yanked between stamp and commit)
+      if (metadata.properties.getOrElse(Map.empty)
+          .get(GraftTable.WriteFormatProp)
+          .contains(DataFileEntry.Avro)) return
       val refs = allRefs
       val stillAvro =
         if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)

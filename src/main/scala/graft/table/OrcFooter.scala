@@ -143,8 +143,7 @@ object OrcFooter {
       }
     } catch { case NonFatal(_) => None } // absent stats are always sound
 
-  private def tsMicros(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsMicros(t: java.sql.Timestamp): Long = Pruning.sqlTsMicros(t)
 
   private def utcJvm: Boolean =
     java.util.TimeZone.getDefault.toZoneId.normalized ==

@@ -130,6 +130,14 @@ object Pruning {
     case (other, _) => Some(other.toString)
   }
 
+  /** java.sql.Timestamp → exact epoch micros (millis floor + the nanos
+    * field carries the sub-milli part). The ONE conversion shared by
+    * the ORC footer bounds and the avro inline stats — they must stay
+    * byte-identical to the scan pass and to each other.
+    */
+  private[table] def sqlTsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Parse the normalized timestamp encoding back to epoch micros
     * (inverse of the TsFmt rendering; Avro manifest export encodes
     * timestamp bounds as micros).

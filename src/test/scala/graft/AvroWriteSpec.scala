@@ -193,6 +193,62 @@ class AvroWriteSpec extends SparkSpec {
     assert(t.scan(Some(col("n") >= 25L && col("n") < 75L)).count() == 50)
   }
 
+  test("a DSv2 stream started on a FRESH avro-default table serves " +
+      "its first appends") {
+    val loc = freshLoc("avw-freshstream")
+    import spark.implicits._
+    val df = (1L to 50L).toDF("id")
+    // table exists, ZERO data — has-avro is not stamped yet; the stream
+    // must latch staging readiness off write.format.default, or the
+    // first mid-stream avro append kills it claiming the flag is unset
+    val t = GraftTable.create(spark, loc, df.schema, properties = AvroProps)
+    val root = java.nio.file.Files.createTempDirectory("avw-fs").toString
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      q.processAllAvailable() // empty table
+      t.append(df) // stamps has-avro AFTER the stream latched
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 50L &&
+      out.agg(sum("id")).head.getLong(0) == (1L to 50L).sum)
+  }
+
+  test("edge hardening: record-cap 0 means unlimited, sanitized name " +
+      "collisions get field-id suffixes, short identity partitions work") {
+    // write.target-records-per-file=0 = no limit (Spark semantics), not
+    // one file per row
+    val t0 = GraftTable.create(spark, freshLoc("avw-cap0"),
+      spark.range(1).toDF("id").schema,
+      properties = AvroProps + ("write.target-records-per-file" -> "0"))
+    t0.append(spark.range(1000).toDF("id").coalesce(1))
+    assert(t0.planFiles(None).size == 1,
+      s"cap 0 must mean unlimited, got ${t0.planFiles(None).size} files")
+    // 'a b' and 'a_b' sanitize to the same avro name — field-id
+    // suffixing keeps them distinct (resolution is by field-id)
+    val df = spark.range(20).selectExpr("id as `a b`", "id * 2 as a_b")
+    val tc = GraftTable.create(spark, freshLoc("avw-coll"), df.schema,
+      properties = AvroProps)
+    tc.append(df)
+    assert(tc.scan().agg(sum(col("`a b`")), sum(col("a_b"))).head match {
+      case r => r.getLong(0) == (0L until 20L).sum &&
+        r.getLong(1) == 2 * (0L until 20L).sum
+    })
+    // identity partition on a SMALLINT source
+    val ds = spark.range(100).selectExpr("id", "cast(id % 3 as short) as k")
+    val ts = GraftTable.create(spark, freshLoc("avw-short"), ds.schema,
+      partitionBy = Seq(("k", graft.model.TIdentity, "kp")),
+      properties = AvroProps)
+    ts.append(ds, repartitionByPartition = true)
+    assert(ts.scan(Some(col("k") === 1)).count() == 33)
+    assert(ts.planFiles(Some(col("k") === 1)).size <
+      ts.planFiles(None).size)
+  }
+
   test("mixed triad: parquet, orc, and avro files in ONE table scan " +
       "correctly; compact converges to the current default") {
     val loc = freshLoc("avw-mix")
