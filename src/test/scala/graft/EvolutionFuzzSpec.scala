@@ -16,11 +16,16 @@ class EvolutionFuzzSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(0xeade11L)
 
+    // one round per data-file format: field-id alignment must hold
+    // through the parquet, ORC, and avro readers alike
+    val formats = Seq("parquet", "orc", "avro")
     for (round <- 1 to 3) {
       val loc = java.nio.file.Files
         .createTempDirectory(s"evofuzz$round").toString + "/t"
       val t = GraftTable.create(spark, loc, StructType(Seq(
-        StructField("id", LongType), StructField("a", StringType))))
+        StructField("id", LongType), StructField("a", StringType))),
+        properties = Map(
+          GraftTable.WriteFormatProp -> formats(round - 1)))
 
       // model state: current column names and, per append, which columns
       // existed when those rows were written

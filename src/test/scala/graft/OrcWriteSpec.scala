@@ -201,6 +201,28 @@ class OrcWriteSpec extends SparkSpec {
     assert(t.scan(Some(col("bucket_src") === 2)).count() == 250)
   }
 
+  test("bloom sidecars ride the (scan-stats) pass on ORC writes and " +
+      "prune point lookups") {
+    import graft.table.Blooms
+    val loc = freshLoc("orcw-bloom")
+    import spark.implicits._
+    // round-robin layout: every file spans the whole id range, so any
+    // skipping observed is the bloom's, not min/max stats
+    val df = (0L until 8000L).map(i => (i, s"key-$i")).toDF("id", "name")
+    val t = GraftTable.create(spark, loc, df.schema,
+      properties = OrcProps + (Blooms.ColumnsProp -> "id") +
+        (Blooms.ItemsProp -> "2000"))
+    t.append(df.repartition(8))
+    val entries = t.planFiles(None)
+    assert(entries.length == 8 &&
+      entries.forall(e => e.format == DataFileEntry.Orc &&
+        e.bloom.exists(_.cols.contains("id"))))
+    val kept = t.planFiles(Some(col("id") === 4242L))
+    assert(kept.size < entries.size,
+      s"orc bloom pruning ineffective: ${kept.size}/${entries.size}")
+    assert(t.scan(Some(col("id") === 4242L)).count() == 1)
+  }
+
   test("directory-tail streaming read refuses orc-bearing tables") {
     val loc = freshLoc("orcw-stream")
     val df = spark.range(10).selectExpr("id")
