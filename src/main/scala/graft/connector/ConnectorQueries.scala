@@ -109,6 +109,15 @@ object ConnectorQueries {
               .parse(java.nio.file.Files.readString(p))
               .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
             doc.put("location", dst.toString)
+            // MECHANICAL cache protection (not just this comment): the
+            // clone's snapshots reference the cache's files by absolute
+            // path, so expiry on the clone would delete shared bytes —
+            // the property makes expireSnapshots refuse
+            val props = Option(doc.get("properties"))
+              .collect { case o: com.fasterxml.jackson.databind.node
+                .ObjectNode => o }
+              .getOrElse(doc.putObject("properties"))
+            props.put(graft.table.GraftTable.SharedFilesProp, "true")
             java.nio.file.Files.writeString(out, doc.toString)
           } else java.nio.file.Files.copy(p, out)
         }

@@ -48,6 +48,16 @@ private[connector] class GraftStreamingWrite(location: String,
 
   override def createStreamingWriterFactory(
       pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // liveness beacon for the orphan sweep: an epoch can legitimately
+    // sit staged longer than the sweep cutoff (long backfill epoch,
+    // backpressured sink) — the per-query heartbeat, refreshed every
+    // epoch, keeps a LIVE query's staging from being swept mid-flight
+    // (same contract as the changelog ranges' _heartbeat)
+    try {
+      val hb = Paths.get(stagingRoot, "_heartbeat")
+      Files.createDirectories(hb.getParent)
+      Files.write(hb, Array.emptyByteArray)
+    } catch { case scala.util.control.NonFatal(_) => () }
     val t = table
     val meta = t.metadata
     val schema = meta.currentSchema
@@ -154,6 +164,13 @@ private[connector] class GraftStreamTaskWriter(epochDir: String,
       Bridge.partitionPathSegment(partNames(i), raw)
     }.mkString("/")
 
+  // every file THIS task created, in creation order — the exact set the
+  // commit message claims and abort() deletes. A filesystem re-walk
+  // filtered by the 8-char uuid would mis-claim (and in abort, DELETE)
+  // a colliding concurrent task's files at large task counts; the
+  // writer already knows its own paths, so no walk and no collision.
+  private val created = Seq.newBuilder[String]
+
   private def writerFor(rel: String): InternalRow => Unit =
     open.get(rel) match {
       case Some((w, _)) => w
@@ -166,6 +183,7 @@ private[connector] class GraftStreamTaskWriter(epochDir: String,
         val (w, c) = Bridge.parquetRowWriter(abs.toString, conf.value,
           partitionId, (taskId & 0x7fffffffL).toInt)
         open.put(rel, (w, c))
+        created += relPath
         w
     }
 
@@ -176,28 +194,12 @@ private[connector] class GraftStreamTaskWriter(epochDir: String,
 
   override def commit(): WriterCommitMessage = {
     open.values.foreach(_._2())
-    GraftStreamFiles(listOwn())
-  }
-
-  /** This task's own files under the epoch dir (uuid-scoped, so a
-    * concurrent attempt's files are never claimed or deleted).
-    */
-  private def listOwn(): Seq[String] = {
-    val root = Paths.get(epochDir)
-    if (!Files.isDirectory(root)) return Seq.empty
-    val w = Files.walk(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      w.iterator.asScala
-        .filter(p => p.getFileName.toString.contains(s"-$uuid-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(p => root.relativize(p).toString).toSeq.sorted
-    } finally w.close()
+    GraftStreamFiles(created.result().sorted)
   }
 
   override def abort(): Unit = {
     open.values.foreach(c => try c._2() catch { case _: Exception => () })
-    listOwn().foreach(rel =>
+    created.result().foreach(rel =>
       Files.deleteIfExists(Paths.get(epochDir).resolve(rel)))
   }
 

@@ -1323,20 +1323,22 @@ class GraftTable private (val spark: SparkSession, val location: String,
           newest < cutoff
         }
       }
-    orphanStaged.foreach { d =>
-      val w = Files.walk(d)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .iterator.asScala.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+    orphanStaged.foreach(deleteRecursively)
     // DSv2 streaming-sink staging (location/stream-staging/<query>/<epoch>):
     // a committed or aborted epoch sweeps itself, but a crashed query's
     // last staged epoch — and the empty per-query parent dirs — linger.
-    // Same policy as the changelog ranges: an epoch dir whose newest
-    // file predates the cutoff is swept whole (a restarted query
-    // re-stages its replayed epoch from the source; run with a cutoff
-    // comfortably above the trigger interval).
+    // Same policy as the changelog ranges: LIVE queries are protected by
+    // their per-query _heartbeat (refreshed every epoch by the sink —
+    // an epoch may legitimately stage longer than the cutoff during a
+    // backfill), then an epoch dir whose newest file predates the
+    // cutoff is swept whole (a restarted query re-stages its replayed
+    // epoch from the source).
     val sinkRoot = Paths.get(location, "stream-staging")
+    def queryAlive(queryDir: Path): Boolean = {
+      val hb = queryDir.resolve("_heartbeat")
+      Files.isRegularFile(hb) &&
+        Files.getLastModifiedTime(hb).toMillis >= cutoff
+    }
     val orphanEpochs: Seq[Path] =
       if (!Files.isDirectory(sinkRoot)) Seq.empty
       else {
@@ -1347,32 +1349,34 @@ class GraftTable private (val spark: SparkSession, val location: String,
             Option(d.getParent).flatMap(p => Option(p.getParent))
               .contains(sinkRoot)).toSeq
           finally ls.close()
-        epochDirs.filter { d =>
-          val w = Files.walk(d)
-          val newest =
-            try w.iterator.asScala.filter(Files.isRegularFile(_))
-              .map(Files.getLastModifiedTime(_).toMillis)
-              .maxOption.getOrElse(Files.getLastModifiedTime(d).toMillis)
-            finally w.close()
-          newest < cutoff
-        }
+        epochDirs
+          .filterNot(d => Option(d.getParent).exists(queryAlive))
+          .filter { d =>
+            val w = Files.walk(d)
+            val newest =
+              try w.iterator.asScala.filter(Files.isRegularFile(_))
+                .map(Files.getLastModifiedTime(_).toMillis)
+                .maxOption.getOrElse(Files.getLastModifiedTime(d).toMillis)
+              finally w.close()
+            newest < cutoff
+          }
       }
-    orphanEpochs.foreach { d =>
-      val w = Files.walk(d)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .iterator.asScala.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
-    // reclaim now-empty per-query dirs (committed epochs remove only
-    // their own epoch dir)
+    orphanEpochs.foreach(deleteRecursively)
+    // reclaim dead per-query dirs: no epochs left (a lone STALE
+    // heartbeat does not count as content) and nothing fresh
     if (Files.isDirectory(sinkRoot)) {
       val ls = Files.list(sinkRoot)
       try ls.iterator.asScala.filter(Files.isDirectory(_)).foreach { q =>
         val c = Files.list(q)
-        val empty = try !c.iterator.hasNext finally c.close()
-        if (empty &&
-            Files.getLastModifiedTime(q).toMillis < cutoff)
+        val entries = try c.iterator.asScala.toList finally c.close()
+        val onlyStaleHeartbeat = entries.forall(p =>
+          p.getFileName.toString == "_heartbeat" &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+        if (onlyStaleHeartbeat &&
+            Files.getLastModifiedTime(q).toMillis < cutoff) {
+          entries.foreach(Files.deleteIfExists(_))
           Files.deleteIfExists(q)
+        }
       } finally ls.close()
     }
     val orphans = orphanData ++ orphanMeta
@@ -2150,10 +2154,11 @@ class GraftTable private (val spark: SparkSession, val location: String,
     val key = s"stream-batch-$streamId"
     def sweepStaging(): Unit = deleteRecursively(Paths.get(epochDir))
     val meta = metadata
-    val highWater = (meta.properties.flatMap(_.get(key)).map(_.toLong).toSeq
-      ++ meta.snapshots.getOrElse(Seq.empty)
-        .flatMap(_.summary.other.get(key)).map(_.toLong)).maxOption
-    if (highWater.exists(_ >= batchId) || relPaths.isEmpty) {
+    def highWaterOf(m: TableMetadataV2): Option[Long] =
+      (m.properties.flatMap(_.get(key)).map(_.toLong).toSeq
+        ++ m.snapshots.getOrElse(Seq.empty)
+          .flatMap(_.summary.other.get(key)).map(_.toLong)).maxOption
+    if (highWaterOf(meta).exists(_ >= batchId) || relPaths.isEmpty) {
       sweepStaging()
       return
     }
@@ -2178,8 +2183,23 @@ class GraftTable private (val spark: SparkSession, val location: String,
     }
     val adds = GraftTable.PendingAdds(Seq.empty, shards)
     val extra = Map(key -> batchId.toString)
-    retryingCommit(() => commitSnapshot("append",
-      meta2 => (manifestsFor(meta2, None), adds, extra), extra))
+    // the mark is RE-CHECKED against the fresh metadata inside the
+    // retry closure: a conflict retry may be losing the race to a
+    // restarted driver (same checkpoint) that already committed this
+    // epoch — committing anyway would land the rows twice. The initial
+    // pre-stage check alone cannot see that.
+    try retryingCommit(() => commitSnapshot("append",
+      meta2 => {
+        if (highWaterOf(meta2).exists(_ >= batchId))
+          throw new GraftTable.EpochAlreadyCommitted
+        (manifestsFor(meta2, None), adds, extra)
+      }, extra))
+    catch {
+      case _: GraftTable.EpochAlreadyCommitted =>
+        // someone else owns this epoch — reclaim our unreferenced copy
+        deleteRecursively(writeDir)
+        deleteRecursively(metaDir.resolve(s"manifest-shards-$writeId"))
+    }
     ()
   }
 
@@ -4364,6 +4384,13 @@ class GraftTable private (val spark: SparkSession, val location: String,
   private def expireOnce(keepLast: Int,
       olderThanMs: Option[Long]): Seq[String] = {
     val (baseVersion, meta) = metadataWithVersion
+    require(!meta.properties.exists(
+      _.get(GraftTable.SharedFilesProp).contains("true")),
+      s"expire_snapshots refused: ${GraftTable.SharedFilesProp}=true " +
+        "marks this table's snapshots as referencing files shared with " +
+        "other tables (metadata clone) — expiry would delete bytes the " +
+        "other tables still read; unset the property only if this table " +
+        "exclusively owns its files")
     val all = meta.snapshots.getOrElse(Seq.empty).sortBy(_.sequenceNumber)
     val now = System.currentTimeMillis
     val refs0 = meta.refs.getOrElse(Map.empty)
@@ -5266,6 +5293,22 @@ case class MergeInsert(condition: Option[Column],
     values: Map[String, Column]) extends MergeAction
 
 object GraftTable {
+
+  /** Thrown inside a streaming-epoch commit closure when the fresh
+    * metadata shows the epoch already committed (a restarted driver won
+    * the race) — the caller reclaims its staged copy instead of
+    * double-committing.
+    */
+  private[table] final class EpochAlreadyCommitted extends RuntimeException
+
+  /** Marks a table whose snapshots reference data/manifest files SHARED
+    * with other tables (e.g. a metadata clone of a cached build). File
+    * deletion funnels through snapshot expiry, so [[GraftTable
+    * .expireSnapshots]] refuses while this is set — expiring a clone
+    * would delete bytes other tables still read. The orphan sweep is
+    * inherently safe (it only walks THIS table's location).
+    */
+  val SharedFilesProp = "graft.shared-files"
 
   /** Prefix under which `mergeApply` action expressions reference SOURCE
     * columns (target columns go by their bare names).

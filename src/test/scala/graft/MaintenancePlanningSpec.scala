@@ -153,4 +153,46 @@ class MaintenancePlanningSpec extends SparkSpec {
     // every ancestor is younger than an hour → all three survive
     assert(t.metadata.snapshots.get.size == 3)
   }
+
+  test("shared-files tables refuse expiry (clone cache protection)") {
+    val t = GraftTable.create(spark, freshLoc("shared"), df(0, 1).schema)
+    t.append(df(0, 10))
+    t.append(df(10, 20))
+    t.updateProperties(Map(GraftTable.SharedFilesProp -> Some("true")))
+    val e = intercept[IllegalArgumentException] {
+      t.expireSnapshots(keepLast = 1)
+    }
+    assert(e.getMessage.contains("shared"), e.getMessage)
+    // the orphan sweep stays allowed — it only walks THIS location
+    t.removeOrphanFiles()
+    assert(t.scan().count() == 20)
+  }
+
+  test("a live sink query's heartbeat protects its staged epoch " +
+      "from the orphan sweep; a stale one does not") {
+    val loc = freshLoc("hb")
+    val t = GraftTable.create(spark, loc, df(0, 1).schema)
+    t.append(df(0, 5))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - 7200000L)
+    def stage(query: String, heartbeatFresh: Boolean): java.nio.file.Path = {
+      val epoch = java.nio.file.Paths.get(loc, "stream-staging", query, "3")
+      java.nio.file.Files.createDirectories(epoch)
+      val f = epoch.resolve("part-x.parquet")
+      java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+      java.nio.file.Files.setLastModifiedTime(f, old)
+      java.nio.file.Files.setLastModifiedTime(epoch, old)
+      val hb = epoch.getParent.resolve("_heartbeat")
+      java.nio.file.Files.write(hb, Array.emptyByteArray)
+      if (!heartbeatFresh) java.nio.file.Files.setLastModifiedTime(hb, old)
+      epoch
+    }
+    val live = stage("qlive", heartbeatFresh = true)
+    val dead = stage("qdead", heartbeatFresh = false)
+    t.removeOrphanFiles(olderThanMillis = 3600000L)
+    assert(java.nio.file.Files.exists(live.resolve("part-x.parquet")),
+      "live query's staged epoch was swept despite a fresh heartbeat")
+    assert(!java.nio.file.Files.exists(dead),
+      "dead query's stale epoch survived the sweep")
+  }
 }
