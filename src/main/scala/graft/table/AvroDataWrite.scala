@@ -12,7 +12,11 @@ import java.nio.ByteBuffer
 import scala.jdk.CollectionConverters._
 
 /** Avro DATA-file writes — the third leg of the spec's `file_format`
-  * triad (write.format.default=avro). The reverse of [[AvroDataRead]]:
+  * triad (write.format.default=avro; the reference models the snapshot
+  * surface whose manifests declare per-file formats at
+  * /root/reference/src/model/snapshot.rs:58-60, manifest lists
+  * themselves being avro per its own fixtures, snapshot.rs:117).
+  * The reverse of [[AvroDataRead]]:
   * executors encode rows per the Iceberg Avro appendix (field-id
   * props, decimal bytes, date days, timestamp micros with
   * adjust-to-utc, struct/list/map nesting) and fan out into hive-style
