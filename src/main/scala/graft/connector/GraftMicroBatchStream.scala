@@ -240,10 +240,11 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
   // the stream would die on them claiming the property is unset (the
   // same fresh-table case streamFormats covers for ORC)
   private lazy val avroFlagAtStart: Boolean = {
-    val meta = graft.metadata
-    graft.hasAvroFlag || meta.properties.getOrElse(Map.empty)
-      .get(GraftTable.WriteFormatProp)
-      .contains(_root_.graft.table.DataFileEntry.Avro)
+    // ONE metadata read: both checks must observe the same snapshot
+    val props = graft.metadata.properties.getOrElse(Map.empty)
+    props.get(GraftTable.HasAvroProp).contains("true") ||
+      props.get(GraftTable.WriteFormatProp)
+        .contains(_root_.graft.table.DataFileEntry.Avro)
   }
 
   /** Materialize a range's avro rows once as parquet splits (aligned to

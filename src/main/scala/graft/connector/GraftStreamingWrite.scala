@@ -130,9 +130,18 @@ private[connector] class GraftStreamWriterFactory(stagingRoot: String,
     partTypes: Seq[DataType], conf: SerConf)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
+      epochId: Long): DataWriter[InternalRow] = {
+    // refresh the per-query heartbeat from the EXECUTOR side too: the
+    // driver touches it once at epoch start, but an epoch can stage
+    // longer than the orphan-sweep cutoff — task creation is spread
+    // across the epoch's whole task timeline, keeping the beacon fresh
+    // while work is actually happening
+    try Files.write(Paths.get(stagingRoot, "_heartbeat"),
+      Array.emptyByteArray)
+    catch { case scala.util.control.NonFatal(_) => () }
     new GraftStreamTaskWriter(s"$stagingRoot/$epochId", partNames,
       partExprs, partTypes, conf, partitionId, taskId)
+  }
 }
 
 /** Executor-side fan-out writer: one open parquet file per partition

@@ -1372,8 +1372,13 @@ class GraftTable private (val spark: SparkSession, val location: String,
         val onlyStaleHeartbeat = entries.forall(p =>
           p.getFileName.toString == "_heartbeat" &&
             Files.getLastModifiedTime(p).toMillis < cutoff)
-        if (onlyStaleHeartbeat &&
-            Files.getLastModifiedTime(q).toMillis < cutoff) {
+        // the q-mtime guard protects only the just-created-EMPTY query
+        // dir (its first epoch not staged yet); once a stale heartbeat
+        // proves the query dead, reclaim NOW — the epoch sweep above
+        // just bumped q's mtime by unlinking, and waiting another full
+        // cutoff period would leave dead dirs accumulating
+        if (onlyStaleHeartbeat && (entries.nonEmpty ||
+            Files.getLastModifiedTime(q).toMillis < cutoff)) {
           entries.foreach(Files.deleteIfExists(_))
           Files.deleteIfExists(q)
         }
@@ -3579,16 +3584,19 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // conservative-correct (the bridge reads everything; the next
     // maintenance call retries).
     try {
-      if (!hasAvroFlag) return
+      // ONE metadata read for the flag check, the format check, and the
+      // ref walk — three separate loads could observe three snapshots
+      val meta = metadata
+      val props = meta.properties.getOrElse(Map.empty)
+      if (!props.get(GraftTable.HasAvroProp).contains("true")) return
       // an avro-DEFAULT table never clears: future writes are avro
       // anyway, and clearing here would race an in-flight avro append
       // (its files are in no snapshot yet, so the probe below cannot
       // see them; the append stamped the flag BEFORE writing and must
       // not have it yanked between stamp and commit)
-      if (metadata.properties.getOrElse(Map.empty)
-          .get(GraftTable.WriteFormatProp)
+      if (props.get(GraftTable.WriteFormatProp)
           .contains(DataFileEntry.Avro)) return
-      val refs = allRefs
+      val refs = allRefsOf(meta)
       val stillAvro =
         if (refs.map(_.entryCount).sum >= distributedPlanningThreshold)
           !manifestDfForRefs(refs)
