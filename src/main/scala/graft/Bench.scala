@@ -195,6 +195,12 @@ object Bench {
     }
 
     val setupSec = scala.collection.mutable.Map.empty[String, Double]
+    // per-key cold-cache marker (r19 verdict #7): which Staging
+    // artifacts were REBUILT during this key's run — a cold rebuild can
+    // dominate a demo key's setup (~100 s across the r19 driver pass)
+    // and without the marker reads as code-slow
+    val coldCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+    Staging.drainColdBuilds() // scope to the main loop (warmup misses)
     val results = SparkEntry.queries.toSeq.filter(q => selected(q._1))
       .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -212,6 +218,8 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cold = Staging.drainColdBuilds()
+      if (cold.nonEmpty) coldCache(name) = cold
       spark.catalog.clearCache() // release per-query persisted subtrees
       (name, dt, ok)
     }
@@ -290,8 +298,12 @@ object Bench {
     val nFailed = results.count(!_._3)
     val defs = nextDeferred.map(k => "\"" + k + "\"")
       .mkString("[", ",", "]")
+    val colds = coldCache.toSeq.sortBy(_._1)
+      .map { case (k, names) =>
+        s""""$k":${names.map("\"" + _ + "\"").mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"robust":$rob,"panel_drift":$pnl,"deferred":$defs,"setup":$setup,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"robust":$rob,"panel_drift":$pnl,"deferred":$defs,"setup":$setup,"cold_cache":$colds,"sf":"$sfDir"}"""
     println(line)
     // the full line also lands in the repo, so per-query timings survive
     // any stdout-tail truncation and stay diffable across rounds. Subset

@@ -46,7 +46,13 @@ object PlanAudit {
     "d_dedup_substring", "d_dedup_embed", "d_ngram_jaccard",
     "d_embed_cosine_topk", "d_ann_lsh", "d_ann_ivf", "d_ann_pq",
     "d_ann_ivfpq", "d_kmeans_embed",
-    "ice_dsv2_scan", "ice_spj_join", "ice_sql_count")
+    "ice_dsv2_scan", "ice_spj_join", "ice_sql_count",
+    // round-19/20 new surfaces (r19 verdict #2): the non-parquet write
+    // legs, the CoW changelog diff, and the streaming sink/dedup — the
+    // fingerprint covers each key's returned READ plan post-AQE (their
+    // construction-side plans are pinned in specs)
+    "ice_orc_write", "ice_avro_write", "ice_changelog_cow",
+    "s_stream_sink_dsv2", "s_dedup_minhash_stream")
 
   /** Cross-scale plan diffs that are INTENDED, with a one-line reason
     * each — emitted into the artifact so a future judge (or the spec

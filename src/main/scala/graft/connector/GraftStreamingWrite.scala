@@ -1,6 +1,6 @@
 package graft.connector
 
-import graft.table.{GraftTable, MetadataIo, SerConf}
+import graft.table.{DataFileEntry, GraftTable, MetadataIo, SerConf}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection}
@@ -15,8 +15,8 @@ import java.nio.file.{Files, Paths}
   * `.toTable("cat.db.t")` surface.
   *
   * Epoch protocol (exactly-once, shared with the engine's
-  * appendStream): executors write this epoch's rows as parquet into a
-  * per-query per-epoch STAGING directory (outside `data/`, so
+  * appendStream): executors write this epoch's rows as data files into
+  * a per-query per-epoch STAGING directory (outside `data/`, so
   * directory-tailing readers never see uncommitted files) and report
   * the files they committed; the driver's `commit(epochId)` adopts
   * exactly those files into a fresh `data/<writeId>/` dir, derives
@@ -28,13 +28,28 @@ import java.nio.file.{Files, Paths}
   * from the same checkpoint, so the mark survives restarts exactly
   * like appendStream's checkpoint-persisted stream id.
   *
+  * Epochs honour the table's `write.format.default`: parquet (the
+  * default) and orc tables stage files in their declared format, with
+  * stats derived by the matching footer pass at commit. Avro-default
+  * tables refuse loudly — the avro leg is the batch interop writer
+  * (external Rows, inline stat accumulation) with no InternalRow
+  * surface, and silently staging parquet epochs into a table that
+  * declared avro would surprise its external readers.
+  *
   * Partitioned tables fan out per task: partition transform values are
   * computed row-side with the same Catalyst expressions the batch
   * writer uses (bound once on the driver), and files land in
   * hive-style `name=value/` dirs — the layout the footer-stats pass
-  * already parses partition values from. At 100 TB nothing here is
-  * per-row driver work: the driver sees only file names and O(shards)
-  * rollups per epoch.
+  * already parses partition values from. Open writers per task are
+  * CAPPED at [[GraftStreamTaskWriter.MaxOpenWriters]] with
+  * least-recently-written eviction (each open writer buffers a row
+  * group / stripe; a backfill epoch into a day-partitioned table can
+  * send months of days through one task — unbounded fanout is an
+  * executor OOM at scale). An evicted partition re-opens a fresh file
+  * if more rows arrive: more files, never more memory, and manifests
+  * handle multiple files per tuple. At 100 TB nothing here is per-row
+  * driver work: the driver sees only file names and O(shards) rollups
+  * per epoch.
   */
 private[connector] class GraftStreamingWrite(location: String,
     metadataIo: MetadataIo, info: LogicalWriteInfo)
@@ -66,6 +81,14 @@ private[connector] class GraftStreamingWrite(location: String,
       sparkSchema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"streaming write schema ${info.schema.simpleString} does not " +
         s"match table schema ${sparkSchema.simpleString}")
+    val fmt = meta.properties.getOrElse(Map.empty)
+      .getOrElse(GraftTable.WriteFormatProp, DataFileEntry.Parquet)
+    require(fmt != DataFileEntry.Avro,
+      "streaming writes into an avro-default table are unsupported: " +
+        "the avro leg is the batch interop writer (external Rows, " +
+        "inline stats) with no per-row InternalRow surface — set " +
+        "write.format.default to parquet or orc for streaming ingest " +
+        "(batch appends still write avro)")
     val spec = meta.defaultSpec
     // bind the partition transform expressions to the write schema ONCE
     // (driver-side analysis); executors evaluate them per row
@@ -101,8 +124,12 @@ private[connector] class GraftStreamingWrite(location: String,
         }
         (spec.fields.map(_.name), bound, outTypes)
       }
+    val conf =
+      if (fmt == DataFileEntry.Orc)
+        Bridge.preparedOrcConf(spark, sparkSchema)
+      else Bridge.preparedParquetConf(spark, sparkSchema)
     new GraftStreamWriterFactory(stagingRoot, names, exprs, types,
-      new SerConf(Bridge.preparedParquetConf(spark, sparkSchema)))
+      new SerConf(conf), fmt, sparkSchema)
   }
 
   override def commit(epochId: Long,
@@ -127,7 +154,8 @@ private[connector] case class GraftStreamFiles(relPaths: Seq[String])
 
 private[connector] class GraftStreamWriterFactory(stagingRoot: String,
     partNames: Seq[String], partExprs: Seq[Expression],
-    partTypes: Seq[DataType], conf: SerConf)
+    partTypes: Seq[DataType], conf: SerConf, fmt: String,
+    rowSchema: StructType)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -140,24 +168,55 @@ private[connector] class GraftStreamWriterFactory(stagingRoot: String,
       Array.emptyByteArray)
     catch { case scala.util.control.NonFatal(_) => () }
     new GraftStreamTaskWriter(s"$stagingRoot/$epochId", partNames,
-      partExprs, partTypes, conf, partitionId, taskId)
+      partExprs, partTypes, conf, fmt, rowSchema, partitionId, taskId)
   }
 }
 
-/** Executor-side fan-out writer: one open parquet file per partition
-  * tuple seen by this task (unpartitioned tables: exactly one file).
+private[graft] object GraftStreamTaskWriter {
+  /** Per-task cap on simultaneously open data-file writers — each open
+    * writer buffers a full row group (parquet) / stripe (orc), so the
+    * cap bounds fanout memory the same way AvroDataWrite's does.
+    */
+  val MaxOpenWriters = 64
+
+  /** Test-only gauge: high-water mark of simultaneously open writers
+    * across all tasks in this JVM (meaningful under local mode, where
+    * executors share the test's JVM). Reset before streaming an epoch,
+    * assert `get <= MaxOpenWriters` after.
+    */
+  private[graft] val maxOpenGauge =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private def gauge(n: Int): Unit = {
+    var cur = maxOpenGauge.get
+    while (n > cur && !maxOpenGauge.compareAndSet(cur, n))
+      cur = maxOpenGauge.get
+  }
+}
+
+/** Executor-side fan-out writer: one open data-file writer per
+  * partition tuple seen by this task (unpartitioned tables: exactly
+  * one file), capped at [[GraftStreamTaskWriter.MaxOpenWriters]] with
+  * least-recently-written eviction.
   */
 private[connector] class GraftStreamTaskWriter(epochDir: String,
     partNames: Seq[String], partExprs: Seq[Expression],
-    partTypes: Seq[DataType], conf: SerConf, partitionId: Int,
+    partTypes: Seq[DataType], conf: SerConf, fmt: String,
+    rowSchema: StructType, partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
 
   private val proj =
     if (partExprs.isEmpty) null else UnsafeProjection.create(partExprs)
-  // rel path -> (write, close)
+  // rel path -> (write, close); LinkedHashMap iteration order is the
+  // eviction order — entries are remove+re-inserted on every hit so
+  // the head is the least-recently-WRITTEN tuple, not the
+  // earliest-seen one (insertion-order eviction would thrash the
+  // hottest partition once a task sees >cap tuples)
   private val open = scala.collection.mutable.LinkedHashMap
     .empty[String, (InternalRow => Unit, () => Unit)]
   private val uuid = java.util.UUID.randomUUID.toString.take(8)
+  // monotonic per-task counter: an evicted-then-revisited tuple opens a
+  // FRESH file name (open.size would repeat after eviction and collide)
+  private var fileNo = 0
 
   private def dirFor(vals: InternalRow): String =
     partNames.indices.map { i =>
@@ -182,16 +241,31 @@ private[connector] class GraftStreamTaskWriter(epochDir: String,
 
   private def writerFor(rel: String): InternalRow => Unit =
     open.get(rel) match {
-      case Some((w, _)) => w
+      case Some(wc) =>
+        // refresh recency (LinkedHashMap keeps an updated key at its
+        // original position — must remove+re-insert)
+        open.remove(rel); open.put(rel, wc)
+        wc._1
       case None =>
+        if (open.size >= GraftStreamTaskWriter.MaxOpenWriters) {
+          val (oldRel, oldWc) = open.head
+          oldWc._2() // close: flushes the buffered row group/stripe
+          open.remove(oldRel)
+        }
+        fileNo += 1
         val name =
-          f"part-$partitionId%05d-$taskId-$uuid-${open.size}%04d.parquet"
+          f"part-$partitionId%05d-$taskId-$uuid-$fileNo%04d.$fmt"
         val relPath = if (rel.isEmpty) name else s"$rel/$name"
         val abs = Paths.get(epochDir).resolve(relPath)
         Files.createDirectories(abs.getParent)
-        val (w, c) = Bridge.parquetRowWriter(abs.toString, conf.value,
-          partitionId, (taskId & 0x7fffffffL).toInt)
+        val (w, c) =
+          if (fmt == DataFileEntry.Orc)
+            Bridge.orcRowWriter(abs.toString, rowSchema, conf.value,
+              partitionId, (taskId & 0x7fffffffL).toInt)
+          else Bridge.parquetRowWriter(abs.toString, conf.value,
+            partitionId, (taskId & 0x7fffffffL).toInt)
         open.put(rel, (w, c))
+        GraftStreamTaskWriter.gauge(open.size)
         created += relPath
         w
     }

@@ -161,6 +161,26 @@ object Staging {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** cachedBuild MISSES since the last drain. The bench stamps these
+    * per key as `cold_cache` in bench_detail.json so a reader can
+    * separate cache-cold setup (first run on a machine, or a recipe
+    * bump) from code-slow without a repro run — the driver's r19 pass
+    * spent ~100 s rebuilding staged caches cold and the signal was
+    * only recoverable by re-running.
+    */
+  private val missedBuilds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Names whose artifact was REBUILT since the last drain (cold), in
+    * sorted order; clears the record.
+    */
+  private[graft] def drainColdBuilds(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = missedBuilds.asScala.toSeq.sorted
+    out.foreach(missedBuilds.remove)
+    out
+  }
+
   def cachedBuild(name: String, recipe: String,
       sources: Seq[java.nio.file.Path])(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
@@ -186,6 +206,7 @@ object Staging {
           if (Files.isRegularFile(marker) && scala.util.Try(
               Files.readString(marker)).toOption.contains(want))
             return dir
+          missedBuilds.add(name)
           wipe(dir)
           Files.createDirectories(dir)
           build(dir)

@@ -12,10 +12,12 @@ import java.nio.ByteBuffer
 import scala.jdk.CollectionConverters._
 
 /** Avro DATA-file writes — the third leg of the spec's `file_format`
-  * triad (write.format.default=avro; the reference models the snapshot
-  * surface whose manifests declare per-file formats at
-  * /root/reference/src/model/snapshot.rs:58-60, manifest lists
-  * themselves being avro per its own fixtures, snapshot.rs:117).
+  * triad (write.format.default=avro). The reference models only the
+  * snapshot's manifest-list location,
+  * /root/reference/src/model/snapshot.rs:58-60 (an `.avro` path per
+  * its fixture, snapshot.rs:117); per-file formats live in the
+  * manifest files that list points to, a spec surface the reference
+  * does not model.
   * The reverse of [[AvroDataRead]]:
   * executors encode rows per the Iceberg Avro appendix (field-id
   * props, decimal bytes, date days, timestamp micros with
@@ -148,13 +150,21 @@ object AvroDataWrite {
     def write(r: Row): Unit = {
       val rel = if (partNames.isEmpty) "" else dirFor(r)
       val f = open.get(rel) match {
-        case Some(f) if f.rows < rollCap => f
+        case Some(f) if f.rows < rollCap =>
+          // refresh recency: LinkedHashMap keeps an updated key at its
+          // ORIGINAL position, so without remove+re-insert the eviction
+          // below is insertion-order — a task cycling through >64
+          // tuples would repeatedly evict its hottest earliest-seen
+          // partition and multiply small files
+          open.remove(rel); open.put(rel, f)
+          f
         case prev =>
           prev.foreach { p => p.out.close(); done += p }
           // bound open handles: Spark's own fanout writer SORTS by
-          // partition when tasks span many values; here the eldest
-          // writer is evicted instead (its partition re-opens a fresh
-          // file if more rows arrive — more files, never more handles)
+          // partition when tasks span many values; here the least-
+          // recently-written writer is evicted instead (its partition
+          // re-opens a fresh file if more rows arrive — more files,
+          // never more handles)
           if (prev.isEmpty && open.size >= MaxOpenWriters) {
             val (oldRel, old) = open.head
             old.out.close(); done += old
@@ -353,7 +363,13 @@ object AvroDataWrite {
       val s = LogicalTypes.timestampMicros
         .addToSchema(ASchema.create(ASchema.Type.LONG))
       s.addProp("adjust-to-utc", true: java.lang.Boolean); s
-    case TString | TUuid => ASchema.create(ASchema.Type.STRING)
+    case TString => ASchema.create(ASchema.Type.STRING)
+    case TUuid => // spec Avro appendix: uuid is fixed[16] + uuid
+      // logical type (big-endian bytes), NOT a plain string — the read
+      // side accepts both, but external conforming readers expect fixed
+      anon += 1
+      LogicalTypes.uuid.addToSchema(
+        ASchema.createFixed(s"uuid_$anon", null, "graft", 16))
     case TBinary => ASchema.create(ASchema.Type.BYTES)
     case TFixed(len) =>
       anon += 1
@@ -436,7 +452,15 @@ object AvroDataWrite {
         identity
       case ByteType => v => v.asInstanceOf[Byte].toInt
       case ShortType => v => v.asInstanceOf[Short].toInt
-      case StringType => v => v.toString
+      case StringType =>
+        if (ws.getType == ASchema.Type.FIXED) v => { // uuid → fixed[16]
+          val u = java.util.UUID.fromString(v.toString)
+          val bb = ByteBuffer.allocate(16)
+          bb.putLong(u.getMostSignificantBits)
+          bb.putLong(u.getLeastSignificantBits)
+          new GenericData.Fixed(ws, bb.array)
+        }
+        else v => v.toString
       case BinaryType =>
         if (ws.getType == ASchema.Type.FIXED)
           v => new GenericData.Fixed(ws, v.asInstanceOf[Array[Byte]])

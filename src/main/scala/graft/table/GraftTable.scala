@@ -1379,8 +1379,15 @@ class GraftTable private (val spark: SparkSession, val location: String,
         // cutoff period would leave dead dirs accumulating
         if (onlyStaleHeartbeat && (entries.nonEmpty ||
             Files.getLastModifiedTime(q).toMillis < cutoff)) {
-          entries.foreach(Files.deleteIfExists(_))
-          Files.deleteIfExists(q)
+          // check-then-delete races a live-but-idle query whose
+          // heartbeat aged past the cutoff: it may stage a new epoch
+          // between the listing above and this delete. That query is
+          // NOT dead — degrade to "skip this dir" instead of failing
+          // the whole maintenance call
+          try {
+            entries.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(q)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
       } finally ls.close()
     }
@@ -2176,9 +2183,17 @@ class GraftTable private (val spark: SparkSession, val location: String,
     }
     sweepStaging()
     val schema = meta.currentSchema
+    // the sink stages epochs in the table's declared format; derive the
+    // stats pass from what was actually staged (extension), not from
+    // the CURRENT default — a mid-stream property flip must not make
+    // the footer pass skip every file of an already-staged epoch
+    val fmt =
+      if (relPaths.exists(_.endsWith(s".${DataFileEntry.Orc}")))
+        DataFileEntry.Orc
+      else DataFileEntry.Parquet
     val shards = writeStatsShards(writeDir.toString, schema,
       toSparkSchema(schema), meta.defaultSpec, writeId,
-      meta.properties.getOrElse(Map.empty))
+      meta.properties.getOrElse(Map.empty), fmt)
       .map(_.copy(lineageFresh = true))
     if (shards.isEmpty) {
       // all-empty epoch files: nothing to commit, reclaim the dirs

@@ -9,8 +9,10 @@ import scala.util.control.NonFatal
 /** Manifest entry for a freshly written ORC file built from its FOOTER
   * alone — the ORC twin of [[GraftTable.footerEntry]] (Iceberg Table
   * Spec: `file_format` admits ORC alongside PARQUET; the reference
-  * models the same manifest surface at
-  * /root/reference/src/model/manifest.rs). Same soundness contract:
+  * stops at the snapshot's manifest-list location,
+  * /root/reference/src/model/snapshot.rs:58-60 — per-file formats live
+  * in the manifest files that list points to, a spec surface the
+  * reference does not model). Same soundness contract:
   * a column with absent, type-mismatched, or untrustworthy footer
   * statistics is OMITTED from the stats map (missing stats are never
   * pruned on and never certify a stats-only aggregate); a column whose

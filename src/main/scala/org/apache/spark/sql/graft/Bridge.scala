@@ -91,6 +91,49 @@ object Bridge {
     (w.write _, () => w.close())
   }
 
+  /** Hadoop Configuration prepared for task-level ORC writing of
+    * InternalRows — the ORC twin of [[preparedParquetConf]] for the
+    * DSv2 streaming sink's format parity (`write.format.default=orc`
+    * tables stage orc epochs, not silent parquet). Carries the
+    * session's compression choice (what `df.write.orc` would use) and
+    * the vectorized writer batch size; the schema itself is passed to
+    * [[orcRowWriter]] directly (OrcOutputWriter sets it on the writer
+    * options, not from the conf).
+    */
+  def preparedOrcConf(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.hadoop.conf.Configuration = {
+    import org.apache.spark.sql.execution.datasources.orc.OrcOptions
+    import org.apache.spark.sql.internal.SQLConf
+    val classic =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val c = classic.sessionState.newHadoopConf()
+    c.set(org.apache.orc.OrcConf.COMPRESS.getAttribute,
+      new OrcOptions(Map.empty[String, String],
+        classic.sessionState.conf).compressionCodec)
+    c.setInt(SQLConf.ORC_VECTORIZED_WRITER_BATCH_SIZE.key,
+      classic.sessionState.conf.orcVectorizedWriterBatchSize)
+    c
+  }
+
+  /** One ORC file writer over a `preparedOrcConf` — returns
+    * (write, close). Runs on executors; OrcOutputWriter is
+    * `private[sql]`, hence the lambda surface.
+    */
+  def orcRowWriter(path: String, schema: org.apache.spark.sql.types.StructType,
+      conf: org.apache.hadoop.conf.Configuration, partitionId: Int,
+      attempt: Int): (org.apache.spark.sql.catalyst.InternalRow => Unit,
+        () => Unit) = {
+    val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID("graft-stream",
+        0, org.apache.hadoop.mapreduce.TaskType.MAP, partitionId, attempt))
+    val batch = conf.getInt(org.apache.spark.sql.internal.SQLConf
+      .ORC_VECTORIZED_WRITER_BATCH_SIZE.key, 1024)
+    val w = new org.apache.spark.sql.execution.datasources.orc
+      .OrcOutputWriter(path, schema, tac, batch)
+    (w.write _, () => w.close())
+  }
+
   /** Hive-style partition path segment (`ExternalCatalogUtils` is
     * catalyst-internal): escaping + __HIVE_DEFAULT_PARTITION__ for
     * null/empty, exactly as Spark's own partitioned writes render.

@@ -1,7 +1,9 @@
 package graft
 
+import graft.model._
 import graft.table.{DataFileEntry, GraftTable}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Avro data-file writes (`write.format.default=avro`) — the third leg
   * of the spec's file_format triad. Contract: rows roundtrip through
@@ -54,6 +56,52 @@ class AvroWriteSpec extends SparkSpec {
     // keys on it)
     assert(t.metadata.properties.getOrElse(Map.empty)
       .get(GraftTable.HasAvroProp).contains("true"))
+  }
+
+  test("uuid columns encode as fixed[16] + uuid logical type " +
+      "(spec Avro appendix), roundtrip intact") {
+    // uuid is an Iceberg-only type (no Spark analogue), so the table is
+    // laid out from an explicit SchemaV2 rather than GraftTable.create
+    val dir = freshLoc("avw-uuid")
+    val schema = SchemaV2(0, None, None, Seq(
+      StructField(1, "id", required = false, TLong),
+      StructField(2, "u", required = false, TUuid)))
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    java.nio.file.Files.createDirectories(metaDir)
+    val meta = TableMetadataV2(
+      tableUuid = java.util.UUID.randomUUID.toString,
+      location = dir, lastSequenceNumber = 0L,
+      lastUpdatedMs = 1700000000000L, lastColumnId = 2,
+      schemas = Seq(schema), currentSchemaId = 0,
+      partitionSpecs = Seq(PartitionSpec.unpartitioned),
+      defaultSpecId = 0, lastPartitionId = 999,
+      properties = Some(AvroProps))
+    java.nio.file.Files.writeString(metaDir.resolve("v1.metadata.json"),
+      meta.toJsonString)
+    java.nio.file.Files.writeString(metaDir.resolve("version-hint.text"),
+      "1")
+    val t = GraftTable.load(spark, dir)
+    val df = spark.range(40).selectExpr("id",
+      "concat(lower(lpad(hex(id), 8, '0')), " +
+        "'-0000-4000-8000-0000000000ff') as u")
+    t.append(df.coalesce(1))
+    // on-disk schema: fixed[16] annotated uuid, NOT a plain string —
+    // what an external conforming Iceberg reader expects
+    val file = t.planFiles(None).head.path
+    val rdr = new org.apache.avro.file.DataFileReader(
+      new java.io.File(file),
+      new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+    val uField = try rdr.getSchema.getField("u").schema()
+      .getTypes.asScala.find(
+        _.getType != org.apache.avro.Schema.Type.NULL).get
+    finally rdr.close()
+    assert(uField.getType == org.apache.avro.Schema.Type.FIXED &&
+      uField.getFixedSize == 16 &&
+      uField.getProp("logicalType") == "uuid",
+      s"uuid column encoded as $uField")
+    // and the big-endian bytes decode back to the exact same strings
+    assert(t.scan().exceptAll(df).isEmpty &&
+      df.exceptAll(t.scan()).isEmpty, "uuid roundtrip mismatch")
   }
 
   test("inline avro stats are byte-identical to the parquet footer " +

@@ -171,4 +171,27 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.deferredFlags(Seq("fine"),
       Map("fine" -> 2.2), base, Map("fine" -> 1.8)).isEmpty)
   }
+
+  test("cold-cache marker: a cachedBuild miss is drained once, a hit " +
+      "never records (r19 verdict #7: bench stamps cold_cache per key)") {
+    val src = java.nio.file.Files.createTempFile("cold-src", ".bin")
+    java.nio.file.Files.write(src, Array[Byte](1, 2, 3))
+    val name = s"benchgate-cold-${java.util.UUID.randomUUID.toString.take(8)}"
+    Staging.drainColdBuilds() // isolate from other suites in this JVM
+    // miss: nothing cached under a fresh name -> build runs, miss recorded
+    var built = 0
+    Staging.cachedBuild(name, "r1", Seq(src)) { _ => built += 1 }
+    assert(built == 1)
+    assert(Staging.drainColdBuilds().contains(name))
+    // drain cleared the record
+    assert(!Staging.drainColdBuilds().contains(name))
+    // hit: same recipe + fingerprint -> no rebuild, no cold record
+    Staging.cachedBuild(name, "r1", Seq(src)) { _ => built += 1 }
+    assert(built == 1)
+    assert(!Staging.drainColdBuilds().contains(name))
+    // recipe bump -> rebuild, cold again
+    Staging.cachedBuild(name, "r2", Seq(src)) { _ => built += 1 }
+    assert(built == 2)
+    assert(Staging.drainColdBuilds().contains(name))
+  }
 }

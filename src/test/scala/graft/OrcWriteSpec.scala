@@ -223,6 +223,63 @@ class OrcWriteSpec extends SparkSpec {
     assert(t.scan(Some(col("id") === 4242L)).count() == 1)
   }
 
+  test("DSv2 streaming sink honours write.format.default=orc: epochs " +
+      "stage orc files with footer-derived stats; avro refuses") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("orc-sink-src")
+    (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(srcDir.resolve("f").toString)
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType)))
+    def runInto(loc: String): Unit = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("orc-sink-ckpt").toString
+      val q = spark.readStream.schema(srcSchema)
+        .parquet(srcDir.resolve("f").toString)
+        .writeStream.format("graft").option("path", loc)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val loc = freshLoc("orc-sink-t")
+    GraftTable.create(spark, loc, srcSchema,
+      partitionBy = Seq(("g", graft.model.TIdentity, "g_p")),
+      properties = OrcProps)
+    runInto(loc)
+    val t = GraftTable.load(spark, loc)
+    val entries = t.planFiles(None)
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.format == DataFileEntry.Orc && e.path.endsWith(".orc")),
+      s"expected all-orc epoch files, got " +
+        entries.map(e => (e.format, e.path)).take(3).toString)
+    // footer-derived stats landed (OrcFooter pass, not a blind adopt)
+    assert(entries.forall(_.stats.get("id").exists(s =>
+      s.min.isDefined && s.max.isDefined)),
+      "orc epoch entries missing footer-derived id bounds")
+    assert(t.scan().count() == 300)
+    assert(t.scan().agg(sum("id")).head.getLong(0) ==
+      (0L until 300L).sum)
+    // fanout wrote hive partition dirs the planner prunes on
+    val kept = t.planFiles(Some(col("g") === "g1"))
+    assert(kept.nonEmpty && kept.size < entries.size &&
+      kept.forall(_.partition.get("g_p").flatten.contains("g1")))
+    // avro-default tables refuse loudly instead of silently staging
+    // a different format
+    val avroLoc = freshLoc("avro-sink-t")
+    GraftTable.create(spark, avroLoc, srcSchema,
+      properties = Map(GraftTable.WriteFormatProp -> "avro"))
+    val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { runInto(avroLoc) }
+    assert(err.getMessage.contains("avro-default") ||
+      Option(err.getCause).exists(_.getMessage.contains("avro-default")),
+      s"expected the documented avro refusal, got ${err.getMessage}")
+  }
+
   test("directory-tail streaming read refuses orc-bearing tables") {
     val loc = freshLoc("orcw-stream")
     val df = spark.range(10).selectExpr("id")

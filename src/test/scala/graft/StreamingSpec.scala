@@ -399,6 +399,60 @@ class StreamingSpec extends SparkSpec {
       "replayed epoch's staged files must be swept")
   }
 
+  test("DSv2 sink caps per-task open writers: >64 partition tuples in " +
+      "one task evict LRU, reopen fresh files, commit exactly") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    import graft.connector.GraftStreamTaskWriter
+    import org.apache.spark.sql.types._
+    val nTuples = 200
+    require(nTuples > GraftStreamTaskWriter.MaxOpenWriters)
+    // row order is the stress: one pass through 200 tuples GROUPED (so
+    // the working set stays small and finished tuples age out), then a
+    // revisit of the first 10 tuples long after their writers were
+    // evicted — each revisit must reopen a FRESH file, never a handle
+    val pass1 = (0 until nTuples).flatMap(g =>
+      (0 until 20).map(r => ((g * 20 + r).toLong, f"g$g%03d")))
+    val revisit = (0 until 10).flatMap(g =>
+      (0 until 5).map(r => ((100000 + g * 5 + r).toLong, f"g$g%03d")))
+    val rows = pass1 ++ revisit
+    val srcDir = java.nio.file.Files.createTempDirectory("cap-src")
+    rows.toDF("id", "g").coalesce(1).write.mode("overwrite")
+      .parquet(srcDir.resolve("f").toString)
+    val srcSchema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType)))
+    val loc = java.nio.file.Files
+      .createTempDirectory("cap-t").toString + "/t"
+    GraftTable.create(spark, loc, srcSchema,
+      partitionBy = Seq(("g", graft.model.TIdentity, "g_p")))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cap-ckpt").toString
+    GraftStreamTaskWriter.maxOpenGauge.set(0)
+    val q = spark.readStream.schema(srcSchema)
+      .parquet(srcDir.resolve("f").toString) // one small file → one task
+      .writeStream.format("graft").option("path", loc)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the gauge saw real pressure AND never exceeded the cap
+    val peak = GraftStreamTaskWriter.maxOpenGauge.get
+    assert(peak == GraftStreamTaskWriter.MaxOpenWriters,
+      s"expected the writer pool pinned at the cap under $nTuples " +
+        s"tuples, peak open was $peak")
+    val t = GraftTable.load(spark, loc)
+    val files = t.planFiles()
+    // every tuple has a file; the 10 revisited tuples have a SECOND one
+    assert(files.size == nTuples + 10,
+      s"expected ${nTuples + 10} files (one per tuple + one per " +
+        s"evicted-then-revisited tuple), got ${files.size}")
+    assert(t.scan().count() == rows.size)
+    assert(t.scan().select("id").distinct().count() == rows.size)
+    // revisited tuples hold both their files' rows
+    assert(t.scan().filter(col("g") === "g005").count() == 25)
+    assert(t.scan().filter(col("g") === "g150").count() == 20)
+  }
+
   test("writeStream.toTable streams into a graft catalog table") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("sink-cat-wh")
