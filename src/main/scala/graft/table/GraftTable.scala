@@ -41,6 +41,10 @@ class GraftTable private (val spark: SparkSession, val location: String,
 
   import GraftTable._
 
+  // every table op may read manifest-certified leaf-file lists; pin the
+  // discovery threshold once per table handle (see pinReadDiscovery)
+  GraftTable.pinReadDiscoveryFor(spark)
+
   private def metaDir: Path = Paths.get(location, "metadata")
 
   /** Latest committed metadata (highest v{N}.metadata.json). */
@@ -375,6 +379,19 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // as the timestamp pin above.
     df.sparkSession.sparkContext.hadoopConfiguration.setInt(
       "parquet.statistics.truncate.length", Int.MaxValue)
+    // Commit-cost pins (same session-wide contract as above). Algorithm
+    // v2 renames task output to its final name at TASK commit instead of
+    // leaving the whole merge to a single-threaded driver walk at JOB
+    // commit — graft never relies on job-commit atomicity (every write
+    // targets a fresh writeId dir and the snapshot manifests exactly the
+    // files found there after the job succeeds, so a torn job leaves
+    // only unreferenced files the orphan sweep reclaims). _SUCCESS
+    // markers stay ON: the changelog/stream staging protocol gates
+    // range readiness on them (GraftChangelog.scala, _SUCCESS check) —
+    // suppressing them made a concurrent reader wipe and re-stage a
+    // live range (verified: s_cdf_stream FileNotFoundException).
+    df.sparkSession.sparkContext.hadoopConfiguration.setInt(
+      "mapreduce.fileoutputcommitter.algorithm.version", 2)
   }
 
   /** Write df's files under a fresh writeId; return pending adds (shard
@@ -657,38 +674,70 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // as the write's own job commit
     val paths = listDataLeaves(writeDir, s".$fmt")
     if (paths.isEmpty) return Seq.empty
-    // shard sizing: ~64 footers per task, capped at the cluster's
-    // parallelism — a small append makes ONE shard (manifest-list
-    // density: one ref per commit, matching the scan path's AQE-coalesced
-    // shape), a million-file write still fans wide
-    val parts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism,
-      math.ceil(paths.size / 64.0).toInt))
-    val rollups = spark.createDataset(paths)(
-      org.apache.spark.sql.Encoders.STRING)
-      .repartition(parts)
-      .mapPartitions { it =>
-        var runningRows = 0L
-        val entries = it.map { pstr =>
-          val e0 =
-            if (fmtLocal == DataFileEntry.Orc)
-              OrcFooter.entry(pstr, serConf.value, fieldSpecs,
-                schemaId, specLocal)
-            else GraftTable.footerEntry(pstr, serConf.value, fieldSpecs,
-              schemaId, specLocal)
-          if (!lineageOn) e0
-          else { val o = runningRows
-            runningRows += e0.recordCount
-            e0.copy(rowIdOffset = Some(o)) }
-          // a 0-row parquet part (Spark writes one for some empty plans)
-          // is dead weight: no rows to plan, and the scan-based pass
-          // never saw it either (no rows → no stats row) — an all-empty
-          // write must yield NO entries, or empty stream batches would
-          // commit phantom snapshots
-        }.filter(_.recordCount > 0L)
-        GraftTable.shardRollup(entries, shardDirStr, serConf.value)
-      }(org.apache.spark.sql.Encoders.STRING).collect()
-    val refs = GraftTable.parseRollups(rollups.toSeq)
+    def entryFor(pstr: String,
+        conf: org.apache.hadoop.conf.Configuration): DataFileEntry =
+      if (fmtLocal == DataFileEntry.Orc)
+        OrcFooter.entry(pstr, conf, fieldSpecs, schemaId, specLocal)
+      else GraftTable.footerEntry(pstr, conf, fieldSpecs,
+        schemaId, specLocal)
+    // a 0-row parquet part (Spark writes one for some empty plans)
+    // is dead weight: no rows to plan, and the scan-based pass
+    // never saw it either (no rows → no stats row) — an all-empty
+    // write must yield NO entries, or empty stream batches would
+    // commit phantom snapshots
+    def withLineage(it: Iterator[DataFileEntry]): Iterator[DataFileEntry] =
+      if (!lineageOn) it.filter(_.recordCount > 0L)
+      else { var runningRows = 0L
+        it.map { e0 => val o = runningRows
+          runningRows += e0.recordCount
+          e0.copy(rowIdOffset = Some(o))
+        }.filter(_.recordCount > 0L) }
+    // DRIVER fast path: a small write (sparse deltas, bounded fanouts —
+    // anything whose footer pass is cheaper than one Spark job's fixed
+    // latency) reads its footers right here on a bounded thread pool —
+    // same entries, same single shard file, no Spark job. The
+    // distributed path takes over above the threshold, where a footer
+    // pass over thousands of files is genuinely cluster work.
+    val driverMax = spark.conf
+      .getOption("spark.graft.driverStatsThreshold").map(_.toInt)
+      .getOrElse(256)
+    val rollups =
+      if (paths.size <= driverMax) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        // footer reads are independent I/O: fan across threads, then
+        // roll up in path order (lineage offsets are order-sensitive)
+        val arr = new Array[DataFileEntry](paths.size)
+        val err = new java.util.concurrent.atomic
+          .AtomicReference[Throwable]()
+        val idx = paths.indices
+        idx.grouped(math.max(1, idx.size / 8 + 1)).toSeq.map { g =>
+          val t = new Thread(() => g.foreach { i =>
+            try arr(i) = entryFor(paths(i), conf)
+            catch { case e: Throwable => err.compareAndSet(null, e) }
+          })
+          t.start(); t
+        }.foreach(_.join())
+        if (err.get() != null) throw err.get()
+        GraftTable.shardRollup(
+          withLineage(arr.iterator), shardDirStr, conf).toSeq
+      } else {
+        // shard sizing: ~64 footers per task, capped at the cluster's
+        // parallelism — a million-file write fans wide; each task's
+        // shard keeps manifest-list density near the scan path's
+        // AQE-coalesced shape
+        val parts = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism,
+          math.ceil(paths.size / 64.0).toInt))
+        spark.createDataset(paths)(
+          org.apache.spark.sql.Encoders.STRING)
+          .repartition(parts)
+          .mapPartitions { it =>
+            GraftTable.shardRollup(
+              withLineage(it.map(entryFor(_, serConf.value))),
+              shardDirStr, serConf.value)
+          }(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      }
+    val refs = GraftTable.parseRollups(rollups)
     sweepOrphanShards(shardDir, refs)
     refs
   }
@@ -5455,12 +5504,33 @@ object GraftTable {
     * is read with its write-time schema, then projected to `readSchema`
     * by FIELD ID (renames resolve, dropped fields null-fill).
     */
+  /** Read-side session pin (same documented session-wide contract as
+    * [[GraftTable.pinParquetTs]]): graft reads hand Spark explicit LEAF
+    * FILE paths whose existence and sizes the manifests already
+    * certified, yet InMemoryFileIndex re-stats them — and above the
+    * default threshold of 32 paths it launches a whole Spark LISTING JOB
+    * to do it (one job per scan-side DataFrame; a scan of an 84-file
+    * table paid ~0.2 s per read in job latency alone). 512 keeps the
+    * re-stat a driver-side threaded pass for every plan the demo scale
+    * produces while leaving genuinely huge plans (100 TB scans reference
+    * thousands of files) on the distributed listing the default exists
+    * for.
+    */
+  private def pinReadDiscovery(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", 512)
+
+  /** See [[pinReadDiscovery]] — instance-constructor entry point. */
+  private[table] def pinReadDiscoveryFor(spark: SparkSession): Unit =
+    pinReadDiscovery(spark)
+
   private[table] def readAlignedFilesCore(spark: SparkSession,
       meta: TableMetadataV2, files: Seq[(String, Int)],
       readSchema: SchemaV2, withPos: Boolean = false,
       withFile: Boolean = false, withRowPos: Boolean = false,
       withLineage: Boolean = false,
       formatOf: Map[String, String] = Map.empty): DataFrame = {
+    pinReadDiscovery(spark)
     val targetSpark0 = toSparkSchema(readSchema)
     val targetSpark = StructType(targetSpark0.fields ++
       (if (withPos) Seq(SparkField(PosPathCol, StringType),

@@ -70,6 +70,36 @@ class FooterStatsSpec extends SparkSpec {
     assert(eF.stats("ts").min.isDefined && eF.stats("ts").max.isDefined)
   }
 
+  test("driver and distributed footer-shard paths emit identical entries") {
+    // r20 optimization: small writes read footers on the DRIVER (no
+    // Spark job); spark.graft.driverStatsThreshold=0 forces the
+    // distributed path over the same input. Entries must match exactly
+    // (paths aside) — same stats, same counts, same partition tuples.
+    val df = spark.range(2000).selectExpr(
+      "id", "cast(id % 13 as int) as k",
+      "concat('s', cast(id % 7 as string)) as s",
+      "cast(id as double) / 3.0 as d")
+    def entriesVia(thresh: String): Seq[graft.table.DataFileEntry] = {
+      spark.conf.set("spark.graft.driverStatsThreshold", thresh)
+      try {
+        val t = GraftTable.create(spark, freshLoc(s"fstats-p$thresh"),
+          df.schema,
+          partitionBy = Seq(("k", TIdentity, "k_p")))
+        t.append(df.repartition(4))
+        t.planFiles(None).sortBy(e => (e.partition.toString, e.path))
+      } finally spark.conf.unset("spark.graft.driverStatsThreshold")
+    }
+    val drv = entriesVia("1000")
+    val dist = entriesVia("0")
+    assert(drv.size == dist.size, s"${drv.size} vs ${dist.size} entries")
+    drv.zip(dist).foreach { case (a, b) =>
+      assert(a.recordCount == b.recordCount)
+      assert(a.partition == b.partition)
+      assert(a.stats == b.stats,
+        s"stats differ for ${a.partition}: ${a.stats} vs ${b.stats}")
+    }
+  }
+
   test("data files write int64-micros timestamps, never INT96") {
     // Iceberg requires int64 micros for timestamp/timestamptz data;
     // Spark's default INT96 would be unreadable by conforming readers
