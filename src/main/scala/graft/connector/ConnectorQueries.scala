@@ -653,7 +653,11 @@ object ConnectorQueries {
     GraftQuery(
       "ice_dsv2_scan",
       (s, dir) => {
+        // predicate + result columns only (guide §2.3): both fanout
+        // writes pay per-file-per-column writer setup across ~84 month
+        // partitions, and the readback scans every file
         val src = Tables.tbl(s, dir, "lineitem")
+          .select("l_shipdate", "l_orderkey", "l_quantity", "l_returnflag")
         val where = loc("dsv2")
         // deliberately NO write.distribution-mode here: the bench input
         // is a handful of read partitions, so fan-out is already ~1 file

@@ -185,14 +185,16 @@ object Dedup {
         else sym.join(lbl, "b")
       val nbrMin = joined
         .groupBy(col("a").as("id")).agg(min("label").as("nbr"))
+      // carry the prior label through the round so convergence detection
+      // is a filter over the checkpointed result, not a second full join
+      // (was: next ⋈ labels per round just to count changed rows)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.select("id", "label")
       done = changed == 0L
       i += 1
     }

@@ -2104,9 +2104,19 @@ class GraftTable private (val spark: SparkSession, val location: String,
         // (under lineage the stable _row_id rides along, so a CoW
         // UPDATE pairs exactly as one delete + one insert of the same
         // row id). Cost is O(this commit's rewritten bytes) — the
-        // inherent price of a CoW delta, never O(table).
-        Seq(tag(droppedLive.exceptAll(addedRows), "delete", s),
-          tag(addedRows.exceptAll(droppedLive), "insert", s))
+        // inherent price of a CoW delta, never O(table). ONE weighted
+        // aggregate yields both directions (net<0 → deletes, net>0 →
+        // inserts) where a pair of exceptAll calls re-ran the identical
+        // count-and-replicate plan twice; the two branches share the
+        // aggregate's exchange (ReusedExchange) in the final union.
+        val net = addedRows.withColumn("__w", lit(1L))
+          .unionByName(droppedLive.withColumn("__w", lit(-1L)))
+          .groupBy(sel: _*).agg(sum(col("__w")).as("__w"))
+          .filter(col("__w") =!= 0L)
+          .withColumn("__i",
+            explode(expr("sequence(1L, abs(__w))")))
+        Seq(tag(net.filter(col("__w") < 0L).select(sel: _*), "delete", s),
+          tag(net.filter(col("__w") > 0L).select(sel: _*), "insert", s))
       } else {
 
       // inserts: the rows THIS append committed, as written
