@@ -156,9 +156,15 @@ object Similarity {
     var cents = init
     val dims = init(0).length
     val k = init.length
-    for (_ <- 1 to iters) {
+    // the loop re-reads the SAME projected vectors `iters` times —
+    // persist them for the training's duration (in-run only; the
+    // standard iterative-training shape, spills at scale) instead of
+    // re-scanning and re-decoding the corpus parquet every iteration
+    val vecs = corpus.select(col(vecCol)).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to iters) {
       val bc = s.sparkContext.broadcast(cents)
-      val agg = corpus.select(col(vecCol)).as[Array[Float]]
+      val agg = vecs
         .mapPartitions { it =>
           val cs = bc.value
           val sums = Array.ofDim[Double](k, dims)
@@ -197,7 +203,7 @@ object Similarity {
       }
       cents = next
       bc.destroy()
-    }
+    } finally vecs.unpersist()
     cents
   }
 
