@@ -42,9 +42,29 @@ object Registry {
 
 /** Shared helpers for reading driver-generated test tables. */
 object Tables {
+  /** Inferred schema per source path, memoized with the files'
+    * fingerprint: parquet schema inference launches a one-task Spark
+    * job per read, and every registry key re-infers the same immutable
+    * testdata schemas — ~150 jobs per bench run whose answer never
+    * changes. The fingerprint (path|size|mtime per leaf) invalidates on
+    * any regeneration; only the SCHEMA is memoized, never data.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), org.apache.spark.sql.types.StructType]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val fp =
+      try Staging.fingerprint(Staging.parquetLeaves(path))
+      catch { case _: Exception => java.util.UUID.randomUUID.toString }
+    val schema = schemaCache.computeIfAbsent((path, fp),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") normalizeTs(rawEvents(spark, s"$dir/$name.parquet"))
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else readCached(spark, s"$dir/$name.parquet")
   }
 
   /** Read an events file whatever its physical ts encoding. nanosAsLong
@@ -54,7 +74,7 @@ object Tables {
     */
   def rawEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    readCached(spark, path)
   }
 
   /** Normalize a `ts` column to session-tz TimestampType whatever
