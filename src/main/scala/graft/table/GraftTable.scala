@@ -2105,18 +2105,23 @@ class GraftTable private (val spark: SparkSession, val location: String,
         // UPDATE pairs exactly as one delete + one insert of the same
         // row id). Cost is O(this commit's rewritten bytes) — the
         // inherent price of a CoW delta, never O(table). ONE weighted
-        // aggregate yields both directions (net<0 → deletes, net>0 →
-        // inserts) where a pair of exceptAll calls re-ran the identical
-        // count-and-replicate plan twice; the two branches share the
-        // aggregate's exchange (ReusedExchange) in the final union.
+        // aggregate yields both directions in a single branch (net<0 →
+        // that many deletes, net>0 → inserts, change type computed from
+        // the sign) where a pair of exceptAll calls re-ran the identical
+        // count-and-replicate plan once per direction.
         val net = addedRows.withColumn("__w", lit(1L))
           .unionByName(droppedLive.withColumn("__w", lit(-1L)))
           .groupBy(sel: _*).agg(sum(col("__w")).as("__w"))
           .filter(col("__w") =!= 0L)
           .withColumn("__i",
             explode(expr("sequence(1L, abs(__w))")))
-        Seq(tag(net.filter(col("__w") < 0L).select(sel: _*), "delete", s),
-          tag(net.filter(col("__w") > 0L).select(sel: _*), "insert", s))
+        Seq(net
+          .withColumn("_change_type",
+            when(col("__w") < 0L, "delete").otherwise("insert"))
+          .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+          .withColumn("_commit_sequence", lit(s.sequenceNumber))
+          .select(outFields.map(col) ++ Seq(col("_change_type"),
+            col("_commit_snapshot_id"), col("_commit_sequence")): _*))
       } else {
 
       // inserts: the rows THIS append committed, as written
