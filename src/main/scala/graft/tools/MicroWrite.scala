@@ -41,6 +41,18 @@ object MicroWrite {
     t("bymonth-v2")(src.withColumn("m",
         date_format(col("l_shipdate"), "yyyyMM"))
       .write.partitionBy("m").parquet(out()))
+    val src4 = src.select("l_shipdate", "l_orderkey", "l_quantity",
+      "l_returnflag")
+    t("bymonth4col")(src4.withColumn("m",
+        date_format(col("l_shipdate"), "yyyyMM"))
+      .write.partitionBy("m").parquet(out()))
+    t("bymonth4col-nodict")(src4.withColumn("m",
+        date_format(col("l_shipdate"), "yyyyMM"))
+      .write.option("parquet.enable.dictionary", "false")
+      .partitionBy("m").parquet(out()))
+    t("bymonth4col-1task")(src4.coalesce(1).withColumn("m",
+        date_format(col("l_shipdate"), "yyyyMM"))
+      .write.partitionBy("m").parquet(out()))
     spark.stop()
   }
 }
