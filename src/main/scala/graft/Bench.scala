@@ -83,6 +83,34 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =
       keyFilter.forall(_.exists(k => name == k || name.startsWith(k)))
+    // a run at a non-default core count measures SCALING; it must not
+    // fold into the 32c floors or displace the committed detail baseline
+    val ratchetRun = BenchGate.isRatchetRun(keyFilter.nonEmpty, cpus)
+
+    // STAGED PREPASS (r20 verdict #3): every cross-process demo artifact
+    // (Staging.cachedBuild) is FORCE-REBUILT here, outside the timed
+    // region, so (a) each bench invocation computes every artifact from
+    // the parquet inputs — no cross-run reuse affects any number this
+    // run prints — and (b) the per-artifact build seconds go out in
+    // `staged_build`. One key per artifact triggers the build; keys
+    // sharing an artifact (the SQL-DML base) are covered by the trigger
+    // key. Any cachedBuild miss DURING the timed loop still lands in
+    // `cold_cache` — a non-empty map means this list is incomplete.
+    val stagedTriggers = Seq(
+      "ice_import_external", "ice_merge_mor", "ice_partitions_meta",
+      "ice_rest_catalog", "ice_row_lineage", "ice_sql_delete",
+      "ice_sql_merge", "s_dedup_minhash_stream", "s_stream_join",
+      "s_stream_outer_join")
+    Staging.forceRebuild = true
+    try stagedTriggers.filter(k => selected(k) &&
+        SparkEntry.queries.contains(k)).foreach { k =>
+      try SparkEntry.queries(k)(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] staged prepass $k FAILED: " +
+          e.getMessage) }
+    } finally Staging.forceRebuild = false
+    val stagedBuild = Staging.drainBuildSeconds()
+    spark.catalog.clearCache()
     // setup-vs-read split (round-14 verdict #3): calling fn() eagerly
     // runs any table CONSTRUCTION a demo key does (appends, merges,
     // stream drains); executing the returned lazy plan is the READ the
@@ -105,7 +133,9 @@ object Bench {
           out.toMap
         } else Map.empty
       } catch { case _: Exception => Map.empty }
-    val prev = loadTimes("/root/repo/bench_detail.json", "queries")
+    val prev =
+      if (ratchetRun) loadTimes("/root/repo/bench_detail.json", "queries")
+      else Map.empty[String, Double]
     // best-ever floors are kept PER scale factor under "bySf" -- a full
     // run at another sf must not clobber this sf's floors (that would
     // silently reopen the ratchet blindspot for the next run here).
@@ -136,7 +166,9 @@ object Bench {
         }
         (mine, others.toMap)
       } catch { case _: Exception => (Map.empty, Map.empty) }
-    val (bestEver, otherSfBest) = loadBest()
+    val (bestEver, otherSfBest) =
+      if (ratchetRun) loadBest()
+      else (Map.empty[String, Double], Map.empty[String, String])
     val base = BenchGate.baseline(prev, bestEver)
     // keys whose flag LAST run was excused by panel drift -- persisted in
     // bench_detail.json as "deferred" for exactly this audit
@@ -175,7 +207,7 @@ object Bench {
     // genuinely quiet run a regression that hid in last run's noisy
     // window is caught here.
     val deferredConfirmed = scala.collection.mutable.Map.empty[String, Double]
-    if (keyFilter.isEmpty) {
+    if (ratchetRun) {
       val audit = prevDeferred.filter(k =>
         SparkEntry.queries.contains(k) && base.get(k).exists(_ > 0.05))
       if (audit.nonEmpty) {
@@ -302,16 +334,18 @@ object Bench {
       .map { case (k, names) =>
         s""""$k":${names.map("\"" + _ + "\"").mkString("[", ",", "]")}""" }
       .mkString("{", ",", "}")
+    val builds = stagedBuild.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"robust":$rob,"panel_drift":$pnl,"deferred":$defs,"setup":$setup,"cold_cache":$colds,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"drift":$drift%.3f,"regressions":$regs,"robust":$rob,"panel_drift":$pnl,"deferred":$defs,"setup":$setup,"cold_cache":$colds,"staged_build":$builds,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     // the full line also lands in the repo, so per-query timings survive
     // any stdout-tail truncation and stay diffable across rounds. Subset
-    // runs default to a separate file so they never displace the driver's
-    // full-run regression baseline.
+    // runs and non-default-core runs default to separate files so they
+    // never displace the driver's full-run regression baseline.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (keyFilter.isEmpty) "/root/repo/bench_detail.json"
-      else "/root/repo/bench_subset.json")
+      BenchGate.defaultOutPath(keyFilter.nonEmpty, cpus))
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Exception => () }
@@ -323,7 +357,7 @@ object Bench {
     // >1, so ~half the keys landed "below floor" every normal run and
     // ground the floors 15%/run toward unachievable times — the damping
     // alone is the outlier defense.
-    if (keyFilter.isEmpty) {
+    if (ratchetRun) {
       val nb = BenchGate.nextBest(bestEver,
         results,
         robust.toMap)
@@ -337,6 +371,13 @@ object Bench {
         s"""{"bySf":$all}""" + "\n")
       catch { case _: Exception => () }
     }
+    // COMPACT summary as the LAST stdout line (r20 verdict #1): the
+    // driver records a bounded (~2000-char) stdout tail and parses JSON
+    // from it — the full 125-key line above is ~8 KB and its start never
+    // survived, so PERF ran blind for 20 rounds. The per-key maps cannot
+    // fit (key names alone exceed the tail), so they live in the detail
+    // file; this line carries the totals and always parses.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"drift":$drift%.3f,"n_queries":${results.size},"cpus":$cpus,"detail":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,6 +106,29 @@ object BenchGate {
         confirmed(robust(k), base(k), 1.0)
     }.sorted
 
+  /** The bench's default core count; runs at any other count measure
+    * SCALING, not the committed baseline, and must not touch it.
+    */
+  val DefaultCpus = "32"
+
+  /** Only a full run at the default core count may fold into the
+    * regression-gate floors and the committed detail baseline (r20
+    * verdict #5/#10: the driver's 8-core leg overwrote
+    * bench_detail.json, folding c8 raw times into the 32c same-sf
+    * floors).
+    */
+  def isRatchetRun(subsetRun: Boolean, cpus: String): Boolean =
+    !subsetRun && cpus == DefaultCpus
+
+  /** Default output file for this run's detail line: subset runs and
+    * non-default-core runs land in side files so they never displace
+    * the driver's full-run baseline.
+    */
+  def defaultOutPath(subsetRun: Boolean, cpus: String): String =
+    if (subsetRun) "/root/repo/bench_subset.json"
+    else if (cpus == DefaultCpus) "/root/repo/bench_detail.json"
+    else s"/root/repo/bench_detail_c$cpus.json"
+
   /** Per-run cap on how far one run may lower a key's floor: a single
     * lucky scheduler day must not set a floor that every normal run then
     * "regresses" against. A genuinely faster plan still converges

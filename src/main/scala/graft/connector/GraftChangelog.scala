@@ -71,7 +71,12 @@ object GraftChangelog {
     val dir = stagingRoot(graft, key).resolve(s"$fromSeq-$toSeq")
     if (!Files.exists(dir.resolve("_SUCCESS")))
       graft.changesBySeq(fromSeq, toSnapshotId)
-        .write.mode("overwrite").parquet(dir.toString)
+        .write.mode("overwrite")
+        // per-write committer pin (see GraftTable.commitPinned): task-
+        // side renames; the _SUCCESS marker this protocol gates on is
+        // written by job commit under both algorithms
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .parquet(dir.toString)
     val ls = Files.list(dir)
     try ls.iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))

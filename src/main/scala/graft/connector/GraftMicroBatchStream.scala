@@ -274,7 +274,10 @@ class GraftMicroBatchStream(graft: GraftTable, prunedSchema: StructType,
     if (!Files.exists(dir.resolve("_SUCCESS")) || readMarker.isEmpty) {
       val (df, stagedSid) = graft.readFilesAligned(
         avro.map(f => (f._1, f._2)), avro.map(f => f._1 -> f._4).toMap)
-      df.write.mode("overwrite").parquet(dir.toString)
+      df.write.mode("overwrite")
+        // per-write committer pin (see GraftTable.commitPinned)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .parquet(dir.toString)
       val tmp = dir.resolve("_schema_id.tmp")
       Files.writeString(tmp, stagedSid.toString)
       Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,

@@ -51,15 +51,30 @@ object Tables {
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, String), org.apache.spark.sql.types.StructType]()
+      String, (String, org.apache.spark.sql.types.StructType)]()
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
-    val fp =
-      try Staging.fingerprint(Staging.parquetLeaves(path))
-      catch { case _: Exception => java.util.UUID.randomUUID.toString }
-    val schema = schemaCache.computeIfAbsent((path, fp),
-      _ => spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    // keyed by PATH with the fingerprint in the VALUE: a regeneration
+    // replaces the entry instead of accumulating stale (path, oldFp)
+    // keys, and a fingerprint failure bypasses the cache entirely (the
+    // old fallback inserted a fresh UUID-keyed entry per call — an
+    // unbounded, never-evicted map)
+    val fpOpt =
+      try Some(Staging.fingerprint(Staging.parquetLeaves(path)))
+      catch { case _: Exception => None }
+    fpOpt match {
+      case None => spark.read.parquet(path)
+      case Some(fp) =>
+        val hit = schemaCache.get(path)
+        val schema =
+          if (hit != null && hit._1 == fp) hit._2
+          else {
+            val s = spark.read.parquet(path).schema
+            schemaCache.put(path, (fp, s))
+            s
+          }
+        spark.read.schema(schema).parquet(path)
+    }
   }
 
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -201,6 +216,35 @@ object Staging {
     out
   }
 
+  /** When set, [[cachedBuild]] ignores a matching marker and rebuilds.
+    * The bench prepass flips this on while it force-rebuilds every
+    * staged demo artifact OUTSIDE the timed region (r20 verdict #3: a
+    * cross-process cache hit inside a timed key hides construction
+    * cost) — so every bench invocation computes every artifact from
+    * the parquet inputs, with the build seconds reported per name.
+    */
+  @volatile private[graft] var forceRebuild = false
+
+  /** Names already force-rebuilt in this process: several keys share
+    * one artifact (e.g. the SQL-DML base table), and the prepass must
+    * rebuild each NAME once, not once per sharing key.
+    */
+  private val forced =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Build seconds per artifact name since the last drain (misses
+    * only); cleared by [[drainBuildSeconds]].
+    */
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private[graft] def drainBuildSeconds(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val out = buildSecs.asScala.toMap
+    out.keys.foreach(buildSecs.remove)
+    out
+  }
+
   def cachedBuild(name: String, recipe: String,
       sources: Seq[java.nio.file.Path])(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
@@ -223,13 +267,18 @@ object Staging {
       try {
         val lock = ch.lock()
         try {
-          if (Files.isRegularFile(marker) && scala.util.Try(
-              Files.readString(marker)).toOption.contains(want))
-            return dir
+          val markerOk = Files.isRegularFile(marker) && scala.util.Try(
+            Files.readString(marker)).toOption.contains(want)
+          val mustForce = forceRebuild && forced.add(name)
+          if (markerOk && !mustForce) return dir
           missedBuilds.add(name)
+          forced.add(name) // a cold rebuild satisfies a later force pass
           wipe(dir)
           Files.createDirectories(dir)
+          val t0 = System.nanoTime()
           build(dir)
+          buildSecs.merge(name, (System.nanoTime() - t0) / 1e9,
+            (a, b) => a + b)
           Files.writeString(marker, want)
           dir
         } finally lock.release()

@@ -379,20 +379,27 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // as the timestamp pin above.
     df.sparkSession.sparkContext.hadoopConfiguration.setInt(
       "parquet.statistics.truncate.length", Int.MaxValue)
-    // Commit-cost pins (same session-wide contract as above). Algorithm
-    // v2 renames task output to its final name at TASK commit instead of
-    // leaving the whole merge to a single-threaded driver walk at JOB
-    // commit — graft never relies on job-commit atomicity (every write
-    // targets a fresh writeId dir and the snapshot manifests exactly the
-    // files found there after the job succeeds, so a torn job leaves
-    // only unreferenced files the orphan sweep reclaims). _SUCCESS
-    // markers stay ON: the changelog/stream staging protocol gates
-    // range readiness on them (GraftChangelog.scala, _SUCCESS check) —
-    // suppressing them made a concurrent reader wipe and re-stage a
-    // live range (verified: s_cdf_stream FileNotFoundException).
-    df.sparkSession.sparkContext.hadoopConfiguration.setInt(
-      "mapreduce.fileoutputcommitter.algorithm.version", 2)
   }
+
+  /** Commit-cost pin, scoped PER WRITE as a writer option (Spark forwards
+    * unrecognized file-source options into the write job's hadoop conf) —
+    * r20 ADVICE: the old session-wide hadoopConfiguration pin silently
+    * stripped job-commit atomicity from every non-graft df.write in the
+    * same session. Algorithm v2 renames task output to its final name at
+    * TASK commit instead of leaving the whole merge to a single-threaded
+    * driver walk at JOB commit — graft never relies on job-commit
+    * atomicity (every write targets a fresh writeId dir and the snapshot
+    * manifests exactly the files found there after the job succeeds, so
+    * a torn job leaves only unreferenced files the orphan sweep
+    * reclaims). _SUCCESS markers stay ON: the changelog/stream staging
+    * protocol gates range readiness on them (GraftChangelog.scala,
+    * _SUCCESS check) — suppressing them made a concurrent reader wipe
+    * and re-stage a live range (verified: s_cdf_stream
+    * FileNotFoundException).
+    */
+  private def commitPinned[T](w: org.apache.spark.sql.DataFrameWriter[T])
+      : org.apache.spark.sql.DataFrameWriter[T] =
+    w.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
 
   /** Write df's files under a fresh writeId; return pending adds (shard
     * manifests written by executors — no per-file rows on the driver).
@@ -535,7 +542,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // of task partitioning (Spark's maxRecordsPerFile — no extra shuffle)
     val sized = meta.properties.getOrElse(Map.empty)
       .get("write.target-records-per-file").map(_.toLong)
-      .foldLeft(out.write.mode("errorifexists"))(
+      .foldLeft(commitPinned(out.write.mode("errorifexists")))(
         (w, n) => w.option("maxRecordsPerFile", n))
     val bloomCols = Blooms
       .bloomColumns(meta.properties.getOrElse(Map.empty), sparkSchema)
@@ -2109,12 +2116,22 @@ class GraftTable private (val spark: SparkSession, val location: String,
         // that many deletes, net>0 → inserts, change type computed from
         // the sign) where a pair of exceptAll calls re-ran the identical
         // count-and-replicate plan once per direction.
+        // replicate |net| copies per group WITHOUT materializing one
+        // O(count) array (r20 ADVICE: a single sequence() both allocates
+        // per-group memory linear in the count and hard-fails above
+        // ~2.1B elements, reachable for a low-width 100 TB rewrite):
+        // two-level explode bounds every array at ChangelogChunk
+        // elements — outer picks the chunk, inner replicates within it.
+        val chunk = GraftTable.ChangelogChunk
         val net = addedRows.withColumn("__w", lit(1L))
           .unionByName(droppedLive.withColumn("__w", lit(-1L)))
           .groupBy(sel: _*).agg(sum(col("__w")).as("__w"))
           .filter(col("__w") =!= 0L)
+          .withColumn("__c",
+            explode(expr(s"sequence(0L, (abs(__w) - 1L) div ${chunk}L)")))
           .withColumn("__i",
-            explode(expr("sequence(1L, abs(__w))")))
+            explode(expr(
+              s"sequence(1L, least(${chunk}L, abs(__w) - __c * ${chunk}L))")))
         Seq(net
           .withColumn("_change_type",
             when(col("__w") < 0L, "delete").otherwise("insert"))
@@ -2532,7 +2549,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
           val writeId = java.util.UUID.randomUUID.toString.take(8)
           val delDir = s"$location/deletes/$writeId"
           morLivePositions(meta, cond, affected)
-            .write.mode("errorifexists").parquet(delDir)
+            .write.mode("errorifexists").option(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(delDir)
           footerCounts(delDir).map { case (p, n) =>
             DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
               Map.empty, Map.empty, content = 1) }
@@ -2708,7 +2727,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
     else {
       val writeId = java.util.UUID.randomUUID.toString.take(8)
       val delDir = s"$location/deletes/$writeId"
-      positions.write.mode("errorifexists").parquet(delDir)
+      positions.write.mode("errorifexists").option(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(delDir)
       (footerCounts(delDir).map { case (p, n) =>
         DataFileEntry(p, n, PendingSnapshot, 0L,
           meta.currentSchema.schemaId, Map.empty, Map.empty,
@@ -2839,6 +2860,11 @@ class GraftTable private (val spark: SparkSession, val location: String,
       }
       require(source.columns.distinct.length == source.columns.length,
         "merge source has duplicate column names")
+      // the source plan runs twice (key envelope, the full-outer join)
+      // — persist it for the span of this merge, as in the CoW path
+      val srcCached = source.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // key envelope of the source → affected-file pruning, as in the
       // CoW path; not-matched-by-source actions touch every target row
       val envCond: Option[Column] =
@@ -2847,7 +2873,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
           val aggs =
             keys.map { case (t, s) => min(col(s)).as(s"mn::$t") } ++
               keys.map { case (t, s) => max(col(s)).as(s"mx::$t") }
-          val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+          val bounds = srcCached.agg(aggs.head, aggs.tail: _*).head()
           Some(keys.map { case (t, _) =>
             val mn = bounds.getAs[Any](s"mn::$t")
             val mx = bounds.getAs[Any](s"mx::$t")
@@ -2870,7 +2896,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
             empty.withColumn(GraftTable.RowIdCol, lit(null).cast(LongType))
           else empty
         }).withColumn("__tgt_present", lit(1))
-      val src = source.select(source.columns.toIndexedSeq.map(n =>
+      val src = srcCached.select(source.columns.toIndexedSeq.map(n =>
         col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
       val joinCond = keys.map { case (t, s) =>
         col(t) === col(s"$srcPfx$s") }.reduce(_ && _)
@@ -2936,11 +2962,19 @@ class GraftTable private (val spark: SparkSession, val location: String,
           if (!lineage) Seq.empty[Column]
           else Seq(col(GraftTable.RowIdCol),
             lit(null).cast(LongType).as(GraftTable.LastUpdCol))
-        val updPart = writeFiles(
-          joined.filter(toUpdate).select(outCols ++ lineageSel: _*))
-        val insPart = writeFiles(
-          joined.filter(toInsert).select(outCols: _*),
-          lineageFresh = true)
+        // without lineage, updated versions and inserts share schema and
+        // destination semantics — ONE write job instead of two (guide
+        // §2.4). Lineage tables keep the split: updates carry their ids,
+        // inserts write fresh shards and get new ids at commit.
+        val (updPart, insPart) =
+          if (!lineage)
+            (writeFiles(joined.filter(toUpdate || toInsert)
+              .select(outCols: _*)), PendingAdds.empty)
+          else
+            (writeFiles(
+              joined.filter(toUpdate).select(outCols ++ lineageSel: _*)),
+              writeFiles(joined.filter(toInsert).select(outCols: _*),
+                lineageFresh = true))
         val snap = commitSnapshot("overwrite", fresh => {
           if (fresh.currentSnapshotId != meta.currentSnapshotId)
             throw new CommitConflictException(
@@ -2959,6 +2993,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
         restampDvs(delEntries, snap)
         snap
       } finally joined.unpersist()
+      } finally srcCached.unpersist(false)
     })
   }
 
@@ -2980,7 +3015,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
     val writeId = java.util.UUID.randomUUID.toString.take(8)
     val delDir = s"$location/deletes/$writeId"
     pinParquetTs(keys) // eq-delete keys may carry timestamp columns
-    keys.distinct().write.mode("errorifexists").parquet(delDir)
+    keys.distinct().write.mode("errorifexists").option(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(delDir)
     val delEntries = footerCounts(delDir).map { case (p, n) =>
       DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
         Map.empty, Map.empty, content = 2, eqColumns = cols) }
@@ -3021,7 +3058,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
       .join(broadcast(deadDf),
         GraftTable.decodePathCol(col("file_path")) === col("__dead_path"),
         "left_anti")
-      .write.mode("errorifexists").parquet(delDir)
+      .write.mode("errorifexists").option(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(delDir)
     dvKept ++ footerCounts(delDir).map { case (p, n) =>
       DataFileEntry(p, n, PendingSnapshot, 0L, schemaId,
         Map.empty, Map.empty, content = 1) }
@@ -3185,6 +3224,14 @@ class GraftTable private (val spark: SparkSession, val location: String,
     }
     require(source.columns.distinct.length == source.columns.length,
       "merge source has duplicate column names")
+    // the source plan is consumed THREE times (key envelope, cardinality
+    // pre-join, the rewrite join) — at scale each pass re-runs the
+    // caller's full source query (typically a scan + dedup aggregate).
+    // Persist it for the span of this merge (guide §5: reuse × recompute
+    // cost), in-run only, released in the finally below.
+    val srcCached = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // key envelope of the source (tiny aggregate) → affected-file
     // predicate; not-matched-by-source actions touch every target row,
     // so they force every data file into the rewrite
@@ -3193,7 +3240,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
       else {
         val aggs = keys.map { case (t, s) => min(col(s)).as(s"mn::$t") } ++
           keys.map { case (t, s) => max(col(s)).as(s"mx::$t") }
-        val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+        val bounds = srcCached.agg(aggs.head, aggs.tail: _*).head()
         keys.flatMap { case (t, _) =>
           val dt = sparkSchema(t).dataType
           Seq(
@@ -3218,7 +3265,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
     // row identity.
     val target = readAppliedForRewrite(meta, affected, schema)
       .withColumn("__tgt_present", lit(1))
-    val src = source.select(source.columns.toIndexedSeq.map(n =>
+    val src = srcCached.select(source.columns.toIndexedSeq.map(n =>
       col(n).as(s"$srcPfx$n")) :+ lit(1).as("__src_present"): _*)
     val joinCond = keys.map { case (t, s) =>
       col(t) === col(s"$srcPfx$s") }.reduce(_ && _)
@@ -3318,6 +3365,7 @@ class GraftTable private (val spark: SparkSession, val location: String,
       (reusedRefs, PendingAdds(carried ++ newDels, rewritten.shards),
         Map("merged-files" -> affected.size.toString))
     })
+    } finally srcCached.unpersist(false)
   }
 
   /** Intra-partition bin-pack compaction: ONLY partitions holding ≥2
@@ -3532,7 +3580,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
             .select(col(PosPathCol).as("file_path"),
               col(PosIdxCol).as("pos"))
             .distinct()
-            .write.mode("errorifexists").parquet(delDir)
+            .write.mode("errorifexists").option(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(delDir)
           footerCounts(delDir).map { case (p, n) =>
             DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
               Map.empty, Map.empty, content = 1) }
@@ -3587,7 +3637,9 @@ class GraftTable private (val spark: SparkSession, val location: String,
         spark.read.schema(delSchema).parquet(posEntries.map(_.path): _*)
           .distinct().repartitionByRange(outFiles, col("file_path"))
           .sortWithinPartitions("file_path", "pos")
-          .write.mode("errorifexists").parquet(delDir)
+          .write.mode("errorifexists").option(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(delDir)
         val newEntries = footerCounts(delDir).map { case (p, n) =>
           DataFileEntry(p, n, PendingSnapshot, 0L, schema.schemaId,
             Map.empty, Map.empty, content = 1) }
@@ -5397,6 +5449,13 @@ object GraftTable {
     */
   val SharedFilesProp = "graft.shared-files"
 
+  /** Per-array cap for the CoW changelog's two-level replication explode
+    * (256Ki longs = 2 MB per group array): bounds memory regardless of a
+    * group's net count where one sequence() call was O(count) and failed
+    * above ~2.1B elements.
+    */
+  val ChangelogChunk: Long = 1L << 18
+
   /** Prefix under which `mergeApply` action expressions reference SOURCE
     * columns (target columns go by their bare names).
     */
@@ -5531,9 +5590,14 @@ object GraftTable {
     * thousands of files) on the distributed listing the default exists
     * for.
     */
-  private def pinReadDiscovery(spark: SparkSession): Unit =
-    spark.conf.set(
-      "spark.sql.sources.parallelPartitionDiscovery.threshold", 512)
+  private def pinReadDiscovery(spark: SparkSession): Unit = {
+    // guard (r20 ADVICE): only lift the conf while it sits at Spark's
+    // default — an explicit user setting for their own non-graft reads
+    // must survive (our own 512 passes the guard idempotently)
+    val k = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val cur = spark.conf.get(k, "32")
+    if (cur == "32" || cur == "512") spark.conf.set(k, 512)
+  }
 
   /** See [[pinReadDiscovery]] — instance-constructor entry point. */
   private[table] def pinReadDiscoveryFor(spark: SparkSession): Unit =
