@@ -621,15 +621,23 @@ object ConnectorQueries {
         // DDL + commits end to end.
         val cache = graft.Staging.cachedBuild(
           s"rest-base-${Integer.toHexString(dir.hashCode)}",
-          recipe = "rest-base-v1: months(l_shipdate), lineitem %100!=7",
+          recipe = "rest-base-v2: months(l_shipdate), lineitem %100!=7, " +
+            "hash dist",
           sources = graft.Staging.parquetLeaves(s"$dir/lineitem.parquet")
         ) { d =>
           val src = Tables.tbl(s, dir, "lineitem")
             .select("l_orderkey", "l_quantity", "l_returnflag",
               "l_shipdate")
+          // hash distribution (guide §6): the per-run INSERT below is a
+          // thin slice spanning every month — without clustering each
+          // input task fans out to ~84 files (≈250 two-row files per
+          // run); one ~free shuffle of the slice writes one file per
+          // partition, and every later read/stat pass touches 3× fewer
+          // files. At scale this is the documented fanout guard.
           val t = GraftTable.create(s, d.resolve("t").toString, src.schema,
             partitionBy = Seq(("l_shipdate", graft.model.TMonth,
-              "ship_month")))
+              "ship_month")),
+            properties = Map("write.distribution-mode" -> "hash"))
           t.append(src.filter(col("l_orderkey") % 100 =!= 7))
           ()
         }

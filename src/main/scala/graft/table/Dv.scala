@@ -118,7 +118,9 @@ object Dv {
     Files.createDirectories(Paths.get(dir))
     positions
       .select(col("file_path").cast(StringType), col("pos").cast(LongType))
-      .distinct()
+      // ONE shuffle: cluster by file, sort by (file, pos); duplicates —
+      // a distinct() here cost a second full exchange — land adjacent
+      // after the sort and are skipped in the writer loop below
       .repartition(col("file_path"))
       .sortWithinPartitions("file_path", "pos")
       .mapPartitions { it =>
@@ -143,7 +145,9 @@ object Dv {
             it.foreach { r =>
               val f = r.getString(0)
               if (f != curFile) { flush(); curFile = f }
-              curPos += r.getLong(1)
+              val p = r.getLong(1)
+              // sorted within file: equal positions are adjacent
+              if (curPos.isEmpty || curPos.last != p) curPos += p
             }
             flush()
           } finally w.close()

@@ -2695,22 +2695,30 @@ class GraftTable private (val spark: SparkSession, val location: String,
     val schema = meta.currentSchema
     val writeId = java.util.UUID.randomUUID.toString.take(8)
     val dvDir = s"$location/deletes/dv-$writeId"
-    // files actually receiving deletes — bounded by the affected plan
-    val touchedRaw = positions.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSet
-    if (touchedRaw.isEmpty) return (Seq.empty, Set.empty)
-    val touchedCanon = touchedRaw.map(p => canonPath(decodePath(p)))
-    val oldDvs = posDeleteEntriesFor(meta, None).filter(_.dv.exists(
-      d => touchedCanon.contains(canonPath(decodePath(d.dataFile)))))
-    val mergedPos =
-      if (oldDvs.isEmpty) positions
-      else positions.unionByName(
-        GraftTable.posDeletePositionsCore(spark, oldDvs))
-    val written = Dv.writeAll(spark, mergedPos, dvDir)
-    (written.map(w => DataFileEntry(w.sidecar, w.cardinality,
-      PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
-      content = 1, dv = Some(Dv.DvRef(w.dataFile, w.off, w.len)))),
-      oldDvs.map(e => canonPath(decodePath(e.dv.get.dataFile))).toSet)
+    // the matched positions feed TWO actions (touched-file discovery,
+    // the sidecar write) and each would otherwise re-scan the affected
+    // data files; persist the narrow (file, pos) pairs for the span —
+    // O(matched rows), spill-safe, released below (guide §5)
+    val posCached = positions.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // files actually receiving deletes — bounded by the affected plan
+      val touchedRaw = posCached.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (touchedRaw.isEmpty) return (Seq.empty, Set.empty)
+      val touchedCanon = touchedRaw.map(p => canonPath(decodePath(p)))
+      val oldDvs = posDeleteEntriesFor(meta, None).filter(_.dv.exists(
+        d => touchedCanon.contains(canonPath(decodePath(d.dataFile)))))
+      val mergedPos =
+        if (oldDvs.isEmpty) posCached
+        else posCached.unionByName(
+          GraftTable.posDeletePositionsCore(spark, oldDvs))
+      val written = Dv.writeAll(spark, mergedPos, dvDir)
+      (written.map(w => DataFileEntry(w.sidecar, w.cardinality,
+        PendingSnapshot, 0L, schema.schemaId, Map.empty, Map.empty,
+        content = 1, dv = Some(Dv.DvRef(w.dataFile, w.off, w.len)))),
+        oldDvs.map(e => canonPath(decodePath(e.dv.get.dataFile))).toSet)
+    } finally posCached.unpersist(false)
   }
 
   /** Write matched positions in this table's configured delete form:

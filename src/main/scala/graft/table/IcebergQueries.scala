@@ -237,6 +237,25 @@ object IcebergQueries {
       },
       Some(s"$flagAggSql FROM lineitem GROUP BY 1 ORDER BY l_returnflag")),
 
+    // WIDE-ROW write sentinel (r20 verdict #9): the other write keys
+    // project to their predicate/result columns (guide §2.3), so this
+    // key alone keeps FULL-WIDTH write + CoW delete + compaction cost
+    // measured — at 100 TB wide-row byte cost is exactly what the
+    // projected keys no longer exercise. Rows-only (no oracle): the
+    // projected variants pin correctness of the same machinery; this key
+    // exists as a performance sentinel and must never be projected.
+    GraftQuery(
+      "ice_write_read_wide",
+      (s, dir) => {
+        val src = li(s, dir) // every lineitem column, deliberately
+        val t = GraftTable.create(s, loc("write_read_wide"), src.schema)
+        t.append(src.repartition(8))
+        t.deleteWhere(col("l_returnflag") === "R")
+        t.compactBinPack()
+        flagAgg(t.scan())
+      },
+      None),
+
     // Hidden partitioning: month(l_shipdate) derives the layout; the data
     // keeps its source column untouched.
     GraftQuery(

@@ -194,4 +194,49 @@ class BenchGateSpec extends AnyFunSuite {
     assert(built == 2)
     assert(Staging.drainColdBuilds().contains(name))
   }
+
+  test("low-core and subset runs never touch the default-core baseline " +
+      "(r20 verdict #5/#10: a c8 leg overwrote the 32c detail floors)") {
+    // full run at the default core count: the only ratchet-eligible shape
+    assert(BenchGate.isRatchetRun(subsetRun = false, cpus = "32"))
+    assert(BenchGate.defaultOutPath(subsetRun = false, cpus = "32")
+      == "/root/repo/bench_detail.json")
+    // a low-core scaling leg routes to a side file and never ratchets
+    assert(!BenchGate.isRatchetRun(subsetRun = false, cpus = "8"))
+    assert(BenchGate.defaultOutPath(subsetRun = false, cpus = "8")
+      == "/root/repo/bench_detail_c8.json")
+    // subset runs keep their own side file whatever the core count
+    assert(!BenchGate.isRatchetRun(subsetRun = true, cpus = "32"))
+    assert(BenchGate.defaultOutPath(subsetRun = true, cpus = "32")
+      == "/root/repo/bench_subset.json")
+    assert(!BenchGate.isRatchetRun(subsetRun = true, cpus = "8"))
+  }
+
+  test("forced prepass rebuild: each artifact rebuilds once per process " +
+      "and build seconds are recorded (r20 verdict #3)") {
+    val src = java.nio.file.Files.createTempFile("force-src", ".bin")
+    java.nio.file.Files.write(src, Array[Byte](7, 8, 9))
+    val name = s"benchgate-force-${java.util.UUID.randomUUID.toString.take(8)}"
+    Staging.drainBuildSeconds()
+    var built = 0
+    // cold build under force: builds, records seconds, marks forced
+    Staging.forceRebuild = true
+    try {
+      Staging.cachedBuild(name, "r1", Seq(src)) { _ => built += 1 }
+      assert(built == 1)
+      // second forced call with a MATCHING marker: already forced this
+      // process -> fast path, no double rebuild (several keys share one
+      // artifact)
+      Staging.cachedBuild(name, "r1", Seq(src)) { _ => built += 1 }
+      assert(built == 1)
+    } finally Staging.forceRebuild = false
+    val secs = Staging.drainBuildSeconds()
+    assert(secs.contains(name), s"build seconds recorded: $secs")
+    assert(secs(name) >= 0.0)
+    // drained: a second drain is empty for this name
+    assert(!Staging.drainBuildSeconds().contains(name))
+    // force off + marker match -> plain cache hit
+    Staging.cachedBuild(name, "r1", Seq(src)) { _ => built += 1 }
+    assert(built == 1)
+  }
 }

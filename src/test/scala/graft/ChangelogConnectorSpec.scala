@@ -220,4 +220,28 @@ class ChangelogConnectorSpec extends SparkSpec {
     assert(capped.sum == all.sum,
       s"capped drain changed the row total: $capped vs $all")
   }
+
+  test("CoW changelog replication formula: chunked two-level explode " +
+      "emits exactly |net| rows past the chunk boundary (r20 ADVICE)") {
+    // the production path replicates net row counts with a two-level
+    // explode bounded at GraftTable.ChangelogChunk elements per array
+    // (one sequence() was O(count) memory and failed above ~2.1B);
+    // exercise the exact expression shape with the REAL constant across
+    // the boundary cases
+    import org.apache.spark.sql.functions._
+    val chunk = graft.table.GraftTable.ChangelogChunk
+    val weights = Seq(1L, 2L, chunk - 1, chunk, chunk + 1,
+      2 * chunk, 2 * chunk + 5)
+    val df = spark.createDataFrame(
+      weights.map(w => Tuple1(w))).toDF("__w")
+    val out = df
+      .withColumn("__c",
+        expr(s"explode(sequence(0L, (abs(__w) - 1L) div ${chunk}L))"))
+      .withColumn("__i", expr(
+        s"explode(sequence(1L, least(${chunk}L, abs(__w) - __c * ${chunk}L)))"))
+      .groupBy("__w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    weights.foreach(w => assert(out(w) == w,
+      s"weight $w replicated ${out.getOrElse(w, 0L)} times"))
+  }
 }

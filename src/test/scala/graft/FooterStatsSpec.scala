@@ -235,4 +235,50 @@ class FooterStatsSpec extends SparkSpec {
     assert(fF.size == fS.size && fF.nonEmpty)
     assert(tF.scan(Some(col("grp") === 2L)).count() == 100L)
   }
+
+  test("lineage parity: driver and distributed footer paths both yield " +
+      "disjoint covering row-id ranges (r20 ADVICE)") {
+    // the two paths compute rowIdOffset differently (single global-offset
+    // shard on the driver vs per-shard offsets distributed) — the
+    // invariant is that the RESOLVED firstRowId ranges tile [0, total)
+    // without gap or overlap on BOTH paths, and the read-side ids agree
+    val df = spark.range(3000).selectExpr("id", "cast(id % 5 as int) as k")
+    def viaThreshold(thresh: String): (Seq[(Long, Long)], Long) = {
+      spark.conf.set("spark.graft.driverStatsThreshold", thresh)
+      try {
+        val t = GraftTable.create(spark, freshLoc(s"fstats-lin$thresh"),
+          df.schema,
+          properties = Map(GraftTable.RowLineageProp -> "true"))
+        t.append(df.repartition(4))
+        t.append(df.selectExpr("id + 10000 as id", "k").repartition(3))
+        val ranges = t.liveManifests(None).filter(_.content == 0)
+          .flatMap { ref =>
+            ref.entries.filter(_.isData).map { e =>
+              val first = e.firstRowId.orElse(for {
+                base <- ref.firstRowId; off <- e.rowIdOffset
+              } yield base + off)
+              assert(first.isDefined,
+                s"unresolvable firstRowId for ${e.path}")
+              (first.get, e.recordCount)
+            }
+          }
+        val distinctIds = t.scanWithLineage()
+          .select(countDistinct(col("_row_id"))).head.getLong(0)
+        (ranges, distinctIds)
+      } finally spark.conf.unset("spark.graft.driverStatsThreshold")
+    }
+    Seq("1000", "0").foreach { thresh =>
+      val (ranges, distinctIds) = viaThreshold(thresh)
+      assert(ranges.map(_._2).sum == 6000L, s"row count (thresh=$thresh)")
+      // disjoint + covering: sorted ranges tile [0, 6000) exactly
+      ranges.sortBy(_._1).foldLeft(0L) { case (expect, (first, n)) =>
+        assert(first == expect,
+          s"id range gap/overlap at $first, expected $expect " +
+            s"(thresh=$thresh)")
+        expect + n
+      }
+      assert(distinctIds == 6000L,
+        s"read-side distinct _row_id (thresh=$thresh)")
+    }
+  }
 }
