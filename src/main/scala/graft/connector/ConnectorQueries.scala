@@ -474,11 +474,15 @@ object ConnectorQueries {
         s.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ct.db")
         s.sql("DROP TABLE IF EXISTS graft_ct.db.li")
+        // hash distribution, same rationale (and A/B) as ice_dsv2_scan:
+        // one ~free shuffle of the INSERT instead of tasks × ~84 month
+        // fanout files, and the documented guard at real scale
         s.sql(
           """CREATE TABLE graft_ct.db.li (
             |  l_orderkey BIGINT, l_quantity DOUBLE,
             |  l_returnflag STRING, l_shipdate TIMESTAMP_NTZ
-            |) PARTITIONED BY (months(l_shipdate))""".stripMargin)
+            |) PARTITIONED BY (months(l_shipdate))
+            |TBLPROPERTIES ('write.distribution-mode'='hash')""".stripMargin)
         Tables.tbl(s, dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
           .createOrReplaceTempView("li_src_ct")
@@ -682,14 +686,17 @@ object ConnectorQueries {
         val src = Tables.tbl(s, dir, "lineitem")
           .select("l_shipdate", "l_orderkey", "l_quantity", "l_returnflag")
         val where = loc("dsv2")
-        // deliberately NO write.distribution-mode here: the bench input
-        // is a handful of read partitions, so fan-out is already ~1 file
-        // per month and hash clustering would only add a shuffle
-        // (measured +34%). At real scale — thousands of input tasks —
-        // set `write.distribution-mode = hash` (engine-supported,
-        // TableSpec-pinned) or tasks × partitions tiny files result.
+        // write.distribution-mode=hash (guide §6): each of the two
+        // writes otherwise fans out tasks × ~84 month files (~250 tiny
+        // files per write, each paying writer open/close, footer stats
+        // and re-stat). r20 measured hash +34% and left it off; with
+        // task-commit renames and driver-side footer stats that
+        // tradeoff reversed — r21 A/B: MIN 7.29 → 5.78 s, write jobSec
+        // 5.0 → 2.9. Hash is also the documented production guard
+        // (thousands of input tasks × partitions at 100 TB).
         GraftTable.create(s, where, src.schema,
-          partitionBy = Seq(("l_shipdate", graft.model.TMonth, "ship_month")))
+          partitionBy = Seq(("l_shipdate", graft.model.TMonth, "ship_month")),
+          properties = Map("write.distribution-mode" -> "hash"))
         src.filter(col("l_orderkey") % 2 === 0)
           .write.format("graft").mode("append").save(where)
         val t = GraftTable.load(s, where)
