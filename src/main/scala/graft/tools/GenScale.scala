@@ -55,8 +55,17 @@ object GenScale {
       }.drop("__r")
     }
 
+    // split each table across enough files that a scan parallelizes to
+    // the full core count — the replicate() crossJoin preserves the
+    // source's 1-2 input partitions, and a 2-file lineitem caps every
+    // downstream scan at 2 tasks regardless of SPARK_GRAFT_CPUS, which
+    // turns core-scaling runs into input-parallelism measurements.
+    // Round-robin repartition is deterministic (sort-before-repartition
+    // stays on) and every declared query orders its output.
+    val files = args.lift(3).map(_.toInt).getOrElse(32)
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      df.repartition(files)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[genscale] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
